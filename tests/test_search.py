@@ -1,0 +1,102 @@
+"""Search operator tests, modeled on the reference index conformance suite
+(textindexer/index/indextest/suite.go): match vs phrase semantics, offset
+pagination incl. past-end, score-driven ordering, pagerank blend."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usearch_spark.operators.search import (
+    SearchIndex,
+    build_postings,
+    doc_frequencies,
+    paginate,
+    phrase_filter,
+    score_match,
+)
+
+DOCS = [
+    # (link_id, url, title, content, pagerank)
+    ("d1", "http://a/1", "Spark engine", "the spark engine executes queries fast", 0.0),
+    ("d2", "http://a/2", "Cooking", "slow cooked stew with spark of flavor spark spark", 0.0),
+    ("d3", "http://a/3", "Graphs", "pagerank ranks pages by link structure", 0.5),
+    ("d4", "http://a/4", "Engines", "query engines and spark engine internals", 0.0),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(
+        [(d[0], d[1], d[2], d[3], d[4], None) for d in DOCS],
+        "link_id string, url string, title string, content string, pagerank double, indexed_at timestamp",
+    )
+    return df
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return SearchIndex(docs)
+
+
+def test_postings_tf(docs):
+    p = build_postings(docs)
+    row = p.filter((F.col("link_id") == "d2") & (F.col("term") == "spark")).first()
+    assert row["tf"] == 3
+
+
+def test_match_scores_tf_weighted(index):
+    total, page = index.search("spark")
+    assert total == 3  # d1, d2, d4 contain 'spark'
+    rows = page.collect()
+    ids = [r["link_id"] for r in rows]
+    # d2 has tf=3 -> highest; d1 has title+content (tf=2); d4 tf=1
+    assert ids[0] == "d2"
+    assert set(ids) == {"d1", "d2", "d4"}
+
+
+def test_phrase_match(docs):
+    hits = phrase_filter(docs, "spark engine")
+    assert {r["link_id"] for r in hits.collect()} == {"d1", "d4"}
+    # phrase must be contiguous: 'engine spark' matches nothing
+    assert phrase_filter(docs, "engine spark").count() == 0
+
+
+def test_phrase_via_quoted_expression(index):
+    total, page = index.search('"spark engine"')
+    assert total == 2
+
+
+def test_pagination_past_end(index):
+    total, page = index.search("spark", offset=10, size=10)
+    assert total == 3
+    assert page.count() == 0
+
+
+def test_pagination_pages_disjoint(index):
+    _, p1 = index.search("spark", offset=0, size=2)
+    _, p2 = index.search("spark", offset=2, size=2)
+    ids1 = {r["link_id"] for r in p1.collect()}
+    ids2 = {r["link_id"] for r in p2.collect()}
+    assert len(ids1) == 2 and len(ids2) == 1
+    assert not ids1 & ids2
+
+
+def test_pagerank_blend_reorders(spark):
+    """Score-driven re-ordering: raising a doc's pagerank must promote it
+    (indextest/suite.go:314-372)."""
+    docs = spark.createDataFrame(
+        [
+            ("a", "u1", "x", "common term here", 0.0, None),
+            ("b", "u2", "x", "common common term", 0.0, None),
+        ],
+        "link_id string, url string, title string, content string, pagerank double, indexed_at timestamp",
+    )
+    idx = SearchIndex(docs)
+    _, page = idx.search("common")
+    assert [r["link_id"] for r in page.collect()][0] == "b"
+
+    boosted = docs.withColumn("pagerank", F.when(F.col("link_id") == "a", 10.0).otherwise(0.0))
+    idx2 = SearchIndex(boosted)
+    _, page2 = idx2.search("common")
+    assert [r["link_id"] for r in page2.collect()][0] == "a"

@@ -1,0 +1,162 @@
+"""Full-text search: inverted postings, TF-IDF/BM25 scoring, MATCH and
+PHRASE queries, PageRank rank-blend, and window-free pagination.
+
+Parity with the reference query engine (SURVEY.md §2.4):
+  - MATCH:  analyzed keyword match over title+content
+            (textindexer/store/es/es.go:184-213, memory.go:101-114)
+  - PHRASE: exact contiguous phrase (es.go:187-192; triggered by quoted
+            input, monolith/service/frontend/frontend.go:288-291)
+  - Rank blend: final score = text relevance + PageRank
+            (function_score script "_score + doc['PageRank'].value",
+            es.go:194-213) — additive blend is canonical here.
+  - Pagination: from/size with TotalCount (es.go:211-213).
+
+Scale notes:
+  - The postings build is one tokenize+explode+groupBy — a single shuffle
+    keyed by (term, doc).  At 100 TB the postings table is written out
+    partitioned/bucketed by term so that query-time term lookups are
+    partition-pruned joins, not full scans.
+  - Query-time scoring broadcasts the tiny (terms × df) table; the doc-side
+    join is a broadcast hash join with no shuffle of the postings.
+  - Pagination is ORDER BY ... LIMIT/OFFSET (TakeOrderedAndProject),
+    never a global row_number window (which would single-partition the sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from usearch_spark.functions.text import normalize_text, tokenize
+
+MATCH = "match"
+PHRASE = "phrase"
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "link_id",
+    text_cols: tuple[str, ...] = ("title", "content"),
+) -> DataFrame:
+    """docs -> postings (term, <id>, tf).
+
+    Multi-field analysis: title and content both feed the same postings list
+    (reference multi_match over Title+Content).
+    """
+    text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+    return (
+        docs.select(F.col(id_col), F.explode(tokenize(text)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_frequencies(postings: DataFrame, id_col: str = "link_id") -> DataFrame:
+    """postings -> (term, df). One narrow agg; cache/broadcast at query time."""
+    return postings.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+
+def idf_column(n_docs: int, df_col: Column) -> Column:
+    """BM25-style idf: ln(1 + (N - df + 0.5)/(df + 0.5)). Always positive."""
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
+
+
+def score_match(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    terms: list[str],
+    id_col: str = "link_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """TF-IDF MATCH score per doc for the given analyzed terms.
+
+    score(doc) = sum over query terms t present in doc of tf(t,doc)*idf(t).
+    Best-fields semantics collapse to summed tf-idf here because title and
+    content share one postings list.
+    """
+    terms = sorted(set(terms))
+    spark = postings.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    # terms × df is tiny -> broadcast; postings side never shuffles.
+    weights = F.broadcast(
+        terms_df.join(dfreq, "term", "inner").withColumn("idf", idf_column(n_docs, F.col("df")))
+    )
+    scored = (
+        postings.join(weights, "term", "inner")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_to))
+    return scored
+
+
+def phrase_filter(docs: DataFrame, phrase: str, text_cols: tuple[str, ...] = ("title", "content")) -> DataFrame:
+    """PHRASE query: normalized-substring containment over the analyzed
+    fields (matches the reference's contiguous-phrase goldens).
+
+    Both sides are space-padded so word boundaries are exact."""
+    needle = " ".join(w for w in phrase.lower().split() if w)
+    conds = None
+    for c in text_cols:
+        padded = F.concat(F.lit(" "), normalize_text(F.coalesce(F.col(c), F.lit(""))), F.lit(" "))
+        cond = padded.contains(f" {needle} ")
+        conds = cond if conds is None else (conds | cond)
+    return docs.filter(conds)
+
+
+def blend_rank(scored: DataFrame, docs: DataFrame, id_col: str = "link_id") -> DataFrame:
+    """Additive rank blend: relevance + pagerank (es.go:204-209)."""
+    pr = docs.select(id_col, F.coalesce(F.col("pagerank"), F.lit(0.0)).alias("pagerank"))
+    return scored.join(pr, id_col, "left").withColumn(
+        "final_score", F.col("score") + F.coalesce(F.col("pagerank"), F.lit(0.0))
+    )
+
+
+def paginate(df: DataFrame, order_cols: list[Column], offset: int, size: int) -> DataFrame:
+    """ORDER BY ... OFFSET ... LIMIT — compiles to TakeOrderedAndProject;
+    stays distributed (no global window)."""
+    out = df.orderBy(*order_cols)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(size)
+
+
+class SearchIndex:
+    """Queryable index over a documents DataFrame.
+
+    Build once (postings + dfreq cached), query many times — the Spark
+    analog of the reference's index store handle.
+    """
+
+    def __init__(self, docs: DataFrame, id_col: str = "link_id", text_cols: tuple[str, ...] = ("title", "content")):
+        self.docs = docs
+        self.id_col = id_col
+        self.text_cols = text_cols
+        self.postings = build_postings(docs, id_col, text_cols).cache()
+        self.dfreq = doc_frequencies(self.postings, id_col).cache()
+        self.n_docs = docs.count()
+
+    def search(self, expression: str, mode: str = MATCH, offset: int = 0, size: int = 10) -> tuple[int, DataFrame]:
+        """Returns (total_count, page_df) like the reference's streaming
+        search RPC (first message = total, then docs)."""
+        if mode == PHRASE or (expression.startswith('"') and expression.endswith('"')):
+            phrase = expression.strip('"')
+            hits = phrase_filter(self.docs, phrase, self.text_cols).select(
+                self.id_col, F.lit(1.0).alias("score")
+            )
+        else:
+            terms = [t for t in expression.lower().split() if t]
+            hits = score_match(self.postings, self.dfreq, self.n_docs, terms, self.id_col)
+        blended = blend_rank(hits, self.docs, self.id_col)
+        total = blended.count()
+        page = paginate(
+            blended,
+            [F.col("final_score").desc(), F.col(self.id_col)],
+            offset,
+            size,
+        )
+        return total, page.join(self.docs, self.id_col, "left")

@@ -1,0 +1,1 @@
+from usearch_spark.sources.testdata import load_table, load_tables  # noqa: F401
