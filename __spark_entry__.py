@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from usearch_spark.operators import search as S
+from usearch_spark.plans.pagerank import pagerank
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -193,6 +194,31 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: PageRank (reference pagerank/compute.go parity — dead-end
+    residual + SAD convergence) over the supplier→part graph derived from
+    lineitem.  Parts have no out-edges, so the dead-end residual path is
+    exercised.  Iterative — no SQL oracle; driver records rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    vertices = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).dropDuplicates(["id"])
+    res = pagerank(vertices, edges, max_steps=50)
+    return S.paginate(
+        res.state.select("id", F.round(F.col("score"), 6).alias("score")),
+        [F.col("score").desc(), F.col("id")],
+        offset=0,
+        size=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -214,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_match": q_search_match,
         "search_phrase": q_search_phrase,
         "events_hourly": q_events_hourly,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 

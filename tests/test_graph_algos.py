@@ -1,0 +1,123 @@
+"""SSSP + coloring golden tests from the reference suites
+(shortestpath/path_test.go:20-109, color/color_test.go:34-95)."""
+
+from __future__ import annotations
+
+import pytest
+
+from usearch_spark.plans.coloring import color_graph
+from usearch_spark.plans.shortest_path import build_path, shortest_paths
+
+# the reference's 9-vertex undirected cost matrix (path_test.go:29-39)
+COST_MATRIX = [
+    [0, 4, 0, 0, 0, 0, 0, 8, 0],
+    [4, 0, 8, 0, 0, 0, 0, 11, 0],
+    [0, 8, 0, 7, 0, 4, 0, 0, 2],
+    [0, 0, 7, 0, 9, 14, 0, 0, 0],
+    [0, 0, 0, 9, 0, 10, 0, 0, 0],
+    [0, 0, 4, 0, 10, 0, 2, 0, 0],
+    [0, 0, 0, 14, 0, 2, 0, 1, 6],
+    [8, 11, 0, 0, 0, 0, 1, 0, 7],
+    [0, 0, 2, 0, 0, 0, 6, 7, 0],
+]
+
+EXPECTED = {
+    "0": (["0"], 0),
+    "1": (["0", "1"], 4),
+    "2": (["0", "1", "2"], 12),
+    "3": (["0", "1", "2", "3"], 19),
+    "4": (["0", "7", "6", "5", "4"], 21),
+    "5": (["0", "7", "6", "5"], 11),
+    "6": (["0", "7", "6"], 9),
+    "7": (["0", "7"], 8),
+    "8": (["0", "1", "2", "8"], 14),
+}
+
+
+def test_sssp_reference_golden(spark):
+    verts = [(str(i),) for i in range(9)]
+    edges = [
+        (str(i), str(j), c)
+        for i, row in enumerate(COST_MATRIX)
+        for j, c in enumerate(row)
+        if c
+    ]
+    v = spark.createDataFrame(verts, "id string")
+    e = spark.createDataFrame(edges, "src string, dst string, weight int")
+    res = shortest_paths(v, e, "0")
+    assert res.converged
+    costs = {r["id"]: r["cost"] for r in res.state.collect()}
+    for dest, (exp_path, exp_cost) in EXPECTED.items():
+        assert costs[dest] == exp_cost, dest
+        path, cost = build_path(res.state, "0", dest)
+        assert cost == exp_cost
+        # path costs are unique in this fixture except where the reference
+        # asserts exact paths — tie-free graph, so paths must match exactly
+        assert path == exp_path, (dest, path)
+
+
+def test_sssp_unreachable(spark):
+    v = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    e = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight int")
+    res = shortest_paths(v, e, "a")
+    costs = {r["id"]: r["cost"] for r in res.state.collect()}
+    assert costs == {"a": 0, "b": 1, "c": None}
+    assert build_path(res.state, "a", "c") == ([], None)
+
+
+def _assert_proper_coloring(state_rows, edges, max_colors):
+    colors = {r["id"]: r["color"] for r in state_rows}
+    assert all(c >= 1 for c in colors.values())
+    for s, d in edges:
+        assert colors[s] != colors[d], (s, d)
+    assert max(colors.values()) <= max_colors
+
+
+def test_coloring_star_graph(spark):
+    """K1,4 star: center conflicts with all leaves -> 2 colors suffice
+    (color_test.go first fixture shape)."""
+    edges = [("c", f"l{i}") for i in range(4)]
+    v = spark.createDataFrame([("c",)] + [(f"l{i}",) for i in range(4)], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = color_graph(v, e, seed=42)
+    assert res.converged
+    _assert_proper_coloring(res.state.collect(), edges, max_colors=2)
+
+
+def test_coloring_cycle_and_isolated(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    v = spark.createDataFrame([(x,) for x in "abcd"] + [("iso",)], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = color_graph(v, e, seed=7)
+    rows = res.state.collect()
+    _assert_proper_coloring(rows, edges, max_colors=3)  # even cycle: <= maxdeg+1
+    assert {r["color"] for r in rows if r["id"] == "iso"} == {1}
+
+
+def test_coloring_precolored(spark):
+    """Pre-colored vertices keep their colors (color_test.go pre-colored
+    case); neighbors must avoid them."""
+    edges = [("a", "b"), ("b", "c")]
+    v = spark.createDataFrame([("a", 2), ("b", 0), ("c", 0)], "id string, c int")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = color_graph(v, e, seed=1, color_col="c")
+    colors = {r["id"]: r["color"] for r in res.state.collect()}
+    assert colors["a"] == 2
+    assert colors["b"] != 2 and colors["b"] != colors["c"]
+
+
+def test_coloring_random_graph_bounded(spark):
+    import random
+
+    rng = random.Random(42)
+    n = 60
+    edges = list({(str(a), str(b)) for _ in range(150) for a, b in [sorted(rng.sample(range(n), 2))]})
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = color_graph(v, e, seed=42)
+    assert res.converged
+    deg: dict[str, int] = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    _assert_proper_coloring(res.state.collect(), edges, max_colors=max(deg.values()) + 1)

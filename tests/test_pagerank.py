@@ -1,0 +1,91 @@
+"""PageRank golden tests — the exact graphs and expected scores from the
+reference suite (pagerank/calculator_test.go:35-139): engine-independent
+numeric truths, per-vertex tolerance ±0.01, scores sum to 1 ±0.001.
+
+Plus the convergence/scale gate (calculator_test.go:197-251): a 100k-vertex
+random graph (seed 42, <=7 out-links each) must converge without lineage
+blowup — run here at 20k vertices for test-time sanity; bench.py exercises
+the full 100k.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from usearch_spark.plans.pagerank import pagerank
+
+CASES = [
+    # (vertices, edges, expected)
+    (
+        ["A", "B", "C"],
+        [("A", "B"), ("B", "C"), ("C", "A")],
+        {"A": 1 / 3, "B": 1 / 3, "C": 1 / 3},
+    ),
+    (
+        ["A", "B", "C"],
+        [("A", "B"), ("B", "C"), ("C", "A"), ("C", "B")],
+        {"A": 0.2145, "B": 0.3937, "C": 0.3879},
+    ),
+    (
+        ["A", "B", "C"],
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")],
+        {"A": 0.2569, "B": 0.4860, "C": 0.2569},
+    ),
+    (
+        # dead-end: C's score redistributed via residual
+        ["A", "B", "C"],
+        [("A", "B"), ("B", "C")],
+        {"A": 0.1842, "B": 0.3411, "C": 0.4745},
+    ),
+]
+
+
+@pytest.mark.parametrize("vertices,edges,expected", CASES)
+def test_pagerank_goldens(spark, vertices, edges, expected):
+    v = spark.createDataFrame([(x,) for x in vertices], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = pagerank(v, e)
+    assert res.converged
+    scores = {r["id"]: r["score"] for r in res.state.collect()}
+    assert abs(sum(scores.values()) - 1.0) <= 0.001
+    for k, exp in expected.items():
+        assert scores[k] == pytest.approx(exp, abs=0.01), (k, scores)
+
+
+def test_pagerank_self_edges_dropped(spark):
+    v = spark.createDataFrame([("A",), ("B",), ("C",)], "id string")
+    e = spark.createDataFrame(
+        [("A", "A"), ("A", "B"), ("B", "C"), ("C", "A")], "src string, dst string"
+    )
+    res = pagerank(v, e)
+    scores = {r["id"]: r["score"] for r in res.state.collect()}
+    # with the self-edge dropped this is the uniform cycle
+    for k in "ABC":
+        assert scores[k] == pytest.approx(1 / 3, abs=0.01)
+
+
+def test_pagerank_empty_graph(spark):
+    v = spark.createDataFrame([], "id string")
+    e = spark.createDataFrame([], "src string, dst string")
+    res = pagerank(v, e)
+    assert res.state.count() == 0
+
+
+def test_pagerank_converges_at_scale_sample(spark):
+    """Scaled-down replica of the reference's 100k-vertex convergence test
+    (seed 42, up to 7 out-links/vertex)."""
+    n = 20_000
+    rng = random.Random(42)
+    verts = [(str(i),) for i in range(n)]
+    edges = []
+    for i in range(n):
+        for _ in range(rng.randint(1, 7)):
+            edges.append((str(i), str(rng.randrange(n))))
+    v = spark.createDataFrame(verts, "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = pagerank(v, e, max_steps=60)
+    assert res.converged, f"no convergence in {res.steps} steps (SAD history {[h['sad'] for h in res.history]})"
+    total = res.state.groupBy().sum("score").first()[0]
+    assert total == pytest.approx(1.0, abs=0.01)

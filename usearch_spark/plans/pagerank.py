@@ -1,0 +1,113 @@
+"""PageRank with the reference's exact semantics (SURVEY §2.11 G1), as an
+iterative DataFrame loop.
+
+Parity with reference pagerank/compute.go:24-103 + calculator.go:86-124 +
+config.go:39-49:
+  - step 1 initializes every score to 1/N (scores sum to 1);
+  - step t>=2:  score = (1-d)/N + d * sum(incoming msgs)
+                        + d * residual_{t-1}
+    where a non-dead-end vertex sends score/out_degree to each neighbor and
+    each dead-end adds score/N to the residual accumulator read the NEXT
+    step (double-buffered residual_0/1 == our "residual from previous
+    ranks");
+  - SAD = sum(|new - old|) per step; converge when step > 1 and SAD <
+    min_sad (default 0.001); damping d = 0.85;
+  - self-edges dropped (calculator.go:66-70).
+
+Scale shape per iteration: one join ranks⋈edges on id==src (edges
+pre-partitioned by src and cached — only ranks shuffles), one groupBy dst
+(partial aggregation map-side), one small dead-end agg (broadcast-joined
+against out_degrees), and a left join back onto the vertex set.  Lineage is
+truncated every iteration via the fixpoint harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from usearch_spark.plans.iterative import IterationResult, run_fixpoint
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    min_sad: float = 0.001,
+    max_steps: int = 100,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> IterationResult:
+    """Returns IterationResult whose state is (id, score).
+
+    ``vertices``: one row per vertex id.  ``edges``: (src, dst) rows; edges
+    whose src equals dst are dropped; duplicate edges count once (the
+    reference stores at most one edge per (src,dst) pair).
+    """
+    spark = vertices.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(n_part, "src")
+        .cache()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
+
+    n = v.count()
+    if n == 0:
+        empty = v.withColumn("score", F.lit(0.0))
+        return IterationResult(state=empty, steps=0, converged=True, history=[])
+
+    # step 1: uniform 1/N (reference compute.go:44-48)
+    ranks = v.withColumn("score", F.lit(1.0 / n)).repartition(n_part, "id").localCheckpoint(eager=True)
+
+    d = damping
+
+    def step_fn(current: DataFrame, step: int):
+        # dead-end residual from the CURRENT scores (read this formula-step —
+        # exactly the reference's double-buffered accumulator); cheap agg over
+        # the checkpointed previous state
+        residual = (
+            current.join(out_deg, "id", "left_anti").agg(F.sum("score").alias("s")).first()["s"] or 0.0
+        ) / n
+        # messages: score/outdeg to each out-neighbor
+        contribs = (
+            current.join(out_deg, "id", "inner")
+            .join(e, F.col("id") == e.src, "inner")
+            .select(F.col("dst").alias("id"), (F.col("score") / F.col("outdeg")).alias("msg"))
+            .groupBy("id")
+            .agg(F.sum("msg").alias("msg_sum"))
+        )
+        new_ranks = (
+            current.withColumnRenamed("score", "old_score")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
+                    + F.lit(d * residual)
+                ).alias("score"),
+                "old_score",
+            )
+            # one materialization per step: everything after reads this result
+            .localCheckpoint(eager=True)
+        )
+        sad = new_ranks.agg(F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("sad")).first()["sad"]
+        return new_ranks.select("id", "score"), {"sad": float(sad), "residual": residual}
+
+    result = run_fixpoint(
+        ranks,
+        step_fn,
+        should_continue=lambda m, step: m["sad"] >= min_sad,
+        max_steps=max_steps,
+        checkpoint_every=10**9,  # step_fn checkpoints internally
+    )
+    e.unpersist()
+    out_deg.unpersist()
+    return result

@@ -1,0 +1,205 @@
+"""Link-graph store: the reference's graph interface (SURVEY.md §2.1 S1-S7)
+re-expressed as batch DataFrame ops.
+
+Reference semantics (linkgraph/graph/graph.go, store/memory/memory.go,
+store/cdb/cdb.go):
+  - Link upsert dedupes by URL and keeps GREATEST(retrieved_at)
+    (cdb.go:16-22 ``ON CONFLICT (url) DO UPDATE``); the stored id is stable
+    across re-upserts of the same URL.
+  - Edge identity is (src, dst); upsert refreshes updated_at
+    (cdb.go:30-36); both endpoints must exist in links (FK, ErrUnknownEdgeLinks).
+  - Range scans filter ``from <= id < to`` plus a time predicate
+    (graph.go:22-37).
+  - RemoveStaleEdges deletes edges from a given src set older than a
+    threshold (graph.go:30-32) — post-recrawl GC.
+
+Design for scale:
+  - IDs are deterministic (UUID-shaped sha2 of the URL), so id assignment is
+    a pure column expression — no driver round-trips, no id-allocation
+    bottleneck, and upsert becomes groupBy/dropDuplicates (one shuffle on
+    the natural key).
+  - The persistent form is read-join-overwrite on parquet (MERGE emulation);
+    on a Delta/Iceberg-enabled cluster the same functions feed MERGE INTO.
+  - FK validation is a left-semi join; at scale the links side is the big
+    one, so we join edges→links on the hashed key both sides shuffle on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def url_id(url: Column | str) -> Column:
+    """Deterministic UUID-shaped id from a URL (UUIDv5-style: stable,
+    collision-resistant, computed JVM-side with sha2)."""
+    c = F.col(url) if isinstance(url, str) else url
+    h = F.sha2(c, 256)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def edge_id(src: Column, dst: Column) -> Column:
+    return url_id(F.concat_ws("\x1f", src, dst))
+
+
+# ---------------------------------------------------------------------------
+# batch upsert transforms (pure DataFrame -> DataFrame)
+
+
+def upsert_links(existing: DataFrame | None, new_links: DataFrame) -> DataFrame:
+    """S5: union + dedupe by url keeping max(retrieved_at).
+
+    ``new_links`` needs a ``url`` column; ``retrieved_at`` optional (null =
+    never retrieved, loses to any non-null timestamp).
+    """
+    cols = ["id", "url", "retrieved_at"]
+    if "retrieved_at" not in new_links.columns:
+        new_links = new_links.withColumn("retrieved_at", F.lit(None).cast("timestamp"))
+    prepared = new_links.select(url_id("url").alias("id"), "url", "retrieved_at")
+    unioned = prepared if existing is None else existing.select(*cols).unionByName(prepared)
+    return (
+        unioned.groupBy("url")
+        .agg(F.max("retrieved_at").alias("retrieved_at"))
+        .select(url_id("url").alias("id"), "url", "retrieved_at")
+    )
+
+
+def upsert_edges(
+    existing: DataFrame | None,
+    new_edges: DataFrame,
+    links: DataFrame,
+    updated_at: Column | None = None,
+) -> DataFrame:
+    """S6: dedupe by (src, dst); refresh updated_at for re-upserted edges;
+    FK-validate both endpoints against links (rows with unknown endpoints
+    are dropped — the batch analog of ErrUnknownEdgeLinks)."""
+    ts = updated_at if updated_at is not None else F.current_timestamp()
+    prepared = new_edges.select("src", "dst").dropDuplicates(["src", "dst"]).withColumn("updated_at", ts)
+    link_ids = links.select(F.col("id").alias("_lid"))
+    validated = (
+        prepared.join(link_ids, prepared.src == link_ids._lid, "left_semi")
+        .join(link_ids, prepared.dst == link_ids._lid, "left_semi")
+    )
+    if existing is None:
+        merged = validated
+    else:
+        # new rows win (refreshed updated_at); keep old rows not re-upserted
+        merged = validated.unionByName(
+            existing.select("src", "dst", "updated_at").join(
+                validated.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+        )
+    return merged.select(edge_id(F.col("src"), F.col("dst")).alias("id"), "src", "dst", "updated_at")
+
+
+def remove_stale_edges(edges: DataFrame, src_ids: DataFrame, updated_before) -> DataFrame:
+    """S7: drop edges whose src is in ``src_ids`` (col ``id``) AND
+    updated_at < threshold.  Anti-join form — at scale this is one shuffle
+    on src, and with both tables bucketed by src it's shuffle-free."""
+    stale_src = src_ids.select(F.col("id").alias("_sid"))
+    is_old = F.col("updated_at") < updated_before
+    old = edges.filter(is_old).join(stale_src, F.col("src") == F.col("_sid"), "left_semi")
+    return edges.join(old.select("id"), "id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# range scans / lookups (S1-S3)
+
+
+def links_range(links: DataFrame, from_id: str | None, to_id: str | None, retrieved_before=None) -> DataFrame:
+    out = links
+    if from_id is not None:
+        out = out.filter(F.col("id") >= from_id)
+    if to_id is not None:
+        out = out.filter(F.col("id") < to_id)
+    if retrieved_before is not None:
+        out = out.filter(F.col("retrieved_at").isNull() | (F.col("retrieved_at") < retrieved_before))
+    return out
+
+
+def edges_range(edges: DataFrame, from_id: str | None, to_id: str | None, updated_before=None) -> DataFrame:
+    out = edges
+    if from_id is not None:
+        out = out.filter(F.col("src") >= from_id)
+    if to_id is not None:
+        out = out.filter(F.col("src") < to_id)
+    if updated_before is not None:
+        out = out.filter(F.col("updated_at") < updated_before)
+    return out
+
+
+def find_link(links: DataFrame, link_id: str):
+    """S3: point lookup; returns Row or None (reference returns NotFound)."""
+    return links.filter(F.col("id") == link_id).first()
+
+
+# ---------------------------------------------------------------------------
+# persistent store (parquet MERGE emulation)
+
+
+class ParquetGraphStore:
+    """Read-join-overwrite persistence for links/edges.
+
+    Writes partition by a hash-bucket of the key column so re-merges and
+    range scans prune partitions.  On a lakehouse table format this class
+    collapses to MERGE INTO statements.
+    """
+
+    N_BUCKETS = 16  # at 100 TB this would be ~4096; driven by target file size
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.links_path = os.path.join(root, "links")
+        self.edges_path = os.path.join(root, "edges")
+
+    def _read(self, path: str) -> DataFrame | None:
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            return None
+        return df.drop("_bucket") if "_bucket" in df.columns else df
+
+    def _write(self, df: DataFrame, path: str, bucket_col: str) -> None:
+        # localCheckpoint materializes the merge result BEFORE we overwrite
+        # the files it was derived from (read-join-overwrite safety). On a
+        # real deployment this is a versioned-directory swap or MERGE INTO.
+        materialized = df.withColumn(
+            "_bucket", F.abs(F.hash(F.col(bucket_col))) % self.N_BUCKETS
+        ).localCheckpoint(eager=True)
+        if materialized.isEmpty():
+            # a partitioned empty write leaves no schema-bearing file behind
+            materialized.drop("_bucket").write.mode("overwrite").parquet(path)
+        else:
+            materialized.write.mode("overwrite").partitionBy("_bucket").parquet(path)
+
+    def links(self) -> DataFrame | None:
+        return self._read(self.links_path)
+
+    def edges(self) -> DataFrame | None:
+        return self._read(self.edges_path)
+
+    def upsert_links(self, new_links: DataFrame) -> None:
+        merged = upsert_links(self.links(), new_links)
+        self._write(merged, self.links_path, "id")
+
+    def upsert_edges(self, new_edges: DataFrame, updated_at=None) -> None:
+        links = self.links()
+        if links is None:
+            raise ValueError("upsert_edges before any links exist")
+        merged = upsert_edges(self.edges(), new_edges, links, updated_at)
+        self._write(merged, self.edges_path, "src")
+
+    def remove_stale_edges(self, src_ids: DataFrame, updated_before) -> None:
+        edges = self.edges()
+        if edges is not None:
+            self._write(remove_stale_edges(edges, src_ids, updated_before), self.edges_path, "src")
