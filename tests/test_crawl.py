@@ -1,0 +1,133 @@
+"""Crawl-pass integration test — replica of the reference end-to-end test
+(crawler/crawler_integration_test.go:24-128) with the same HTML fixture,
+static fetch injection instead of live HTTP servers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from usearch_spark.sources.graph_store import upsert_links, url_id
+from usearch_spark.streaming.crawl import crawl_pass, due_links, static_fetcher
+
+SERVER_RES = """
+<html>
+<head>
+\t<title>A title</title>
+\t<base href="http://google.com/"/>
+</head>
+<body>
+  <a href="./relative">I am a link relative to base</a>
+  <a href="/absolute/path">I am an absolute link</a>
+  <a href="//images/cart.png">I am using the same URL scheme as this page</a>
+
+  <!-- Link should be added to the index but without creating an edge to it -->
+  <a href="ignore-me" rel="nofollow"/>
+  <!-- The following links should be ignored -->
+  <a href="file:///etc/passwd"></a>
+  <a href="http://169.254.169.254/api/credentials">Link-local address</a>
+</body>
+</html>
+"""
+
+SRV1 = "http://server-one.test/"
+SRV2 = "http://server-two.test/"
+
+
+fake_fetch = static_fetcher(
+    {
+        SRV1: (200, "text/html; charset=utf-8", SERVER_RES),
+        SRV2: (200, "text/html; charset=utf-8", SERVER_RES),
+    }
+)
+
+
+def test_crawler_pipeline_integration(spark):
+    now = dt.datetime(2024, 5, 1)
+    seeds = upsert_links(None, spark.createDataFrame([(SRV1,), (SRV2,)], "url string"))
+
+    res = crawl_pass(seeds, None, None, seeds.select("id", "url"), fetch_fn=fake_fetch, now=now)
+    assert res.n_crawled == 2
+
+    expected_urls = sorted(
+        [
+            SRV1,
+            SRV2,
+            "http://google.com/absolute/path",
+            "http://google.com/relative",
+            "http://google.com/ignore-me",
+        ]
+    )
+    obtained = sorted(r["url"] for r in res.links.collect())
+    assert obtained == expected_urls
+
+    # edges: each server page -> relative + absolute (2 each); nofollow link
+    # gets NO edge; excluded links (file://, private IP, .png) get nothing
+    edges = res.edges.collect()
+    dst_ids = {r["dst"] for r in edges}
+    src_ids = {r["src"] for r in edges}
+    ignore_id = res.links.filter(F.col("url") == "http://google.com/ignore-me").first()["id"]
+    assert ignore_id not in dst_ids
+    assert len(edges) == 4
+    assert src_ids == {r["id"] for r in seeds.collect()}
+
+    # documents: both server pages indexed with the golden title/content
+    docs = {r["url"]: r for r in res.documents.collect()}
+    exp_content = (
+        "I am a link relative to base I am an absolute link I am using the "
+        "same URL scheme as this page Link-local address"
+    )
+    for u in (SRV1, SRV2):
+        assert docs[u]["title"] == "A title"
+        assert docs[u]["content"] == exp_content
+        assert docs[u]["indexed_at"] == now
+
+    # crawled srcs got retrieved_at=now; discovered links have none yet
+    lmap = {r["url"]: r["retrieved_at"] for r in res.links.collect()}
+    assert lmap[SRV1] == now and lmap[SRV2] == now
+    assert lmap["http://google.com/relative"] is None
+
+
+def test_frontier_expansion_second_pass(spark):
+    """ST4: links discovered in pass 1 are due in pass 2 (never retrieved)."""
+    now1 = dt.datetime(2024, 5, 1)
+    now2 = dt.datetime(2024, 5, 2)
+    seeds = upsert_links(None, spark.createDataFrame([(SRV1,)], "url string"))
+    r1 = crawl_pass(seeds, None, None, seeds.select("id", "url"), fetch_fn=fake_fetch, now=now1)
+
+    due2 = due_links(r1.links, now2, dt.timedelta(minutes=2))
+    due_urls = {r["url"] for r in due2.collect()}
+    # SRV1 crawled a day ago (stale again) + all newly discovered links
+    assert "http://google.com/relative" in due_urls
+    assert SRV1 in due_urls
+
+    r2 = crawl_pass(r1.links, r1.edges, r1.documents, due2, fetch_fn=fake_fetch, now=now2)
+    # google links 404 -> dropped by status filter; SRV1 re-crawled
+    assert r2.n_crawled == 1
+    lmap = {r["url"]: r["retrieved_at"] for r in r2.links.collect()}
+    assert lmap[SRV1] == now2
+
+
+def test_stale_edges_removed_on_recrawl(spark):
+    """P8/J6: a re-crawl that no longer asserts an edge removes it."""
+    now1 = dt.datetime(2024, 5, 1)
+    now2 = dt.datetime(2024, 5, 2)
+    page_v1 = '<html><body><a href="http://a.test/x">x</a><a href="http://a.test/y">y</a></body></html>'
+    page_v2 = '<html><body><a href="http://a.test/x">x</a></body></html>'
+
+    seeds = upsert_links(None, spark.createDataFrame([("http://a.test/",)], "url string"))
+    r1 = crawl_pass(
+        seeds, None, None, seeds.select("id", "url"),
+        fetch_fn=static_fetcher({"http://a.test/": (200, "text/html", page_v1)}), now=now1,
+    )
+    assert r1.edges.count() == 2
+
+    r2 = crawl_pass(
+        r1.links, r1.edges, r1.documents, seeds.select("id", "url"),
+        fetch_fn=static_fetcher({"http://a.test/": (200, "text/html", page_v2)}), now=now2,
+    )
+    edges = r2.edges.collect()
+    assert len(edges) == 1
+    y_id = r2.links.filter(F.col("url") == "http://a.test/y").first()["id"]
+    assert all(e["dst"] != y_id for e in edges)

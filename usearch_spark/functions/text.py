@@ -52,7 +52,10 @@ def html_to_text(html: Column | str) -> Column:
     """Strip tags, drop script/style blocks, unescape common entities,
     collapse whitespace.  Pure regexp_replace chain — codegen-friendly."""
     c = F.col(html) if isinstance(html, str) else html
-    no_scripts = F.regexp_replace(c, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    # script/style/title contents are dropped wholesale (bluemonday
+    # StrictPolicy behavior — title text belongs to the title field only,
+    # see crawler_integration_test.go's expected content)
+    no_scripts = F.regexp_replace(c, "(?is)<(script|style|title)[^>]*>.*?</\\1>", " ")
     no_tags = F.regexp_replace(no_scripts, "(?s)<[^>]*>", " ")
     unescaped = no_tags
     for ent, rep in [

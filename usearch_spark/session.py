@@ -9,8 +9,33 @@ naive-timestamp oracles (DuckDB).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_shipped: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``usearch_spark`` importable on executor Python workers.
+
+    Driver-side ``sys.path`` tweaks don't propagate to workers, so any
+    operator that runs Python UDFs must ship the package zip once per
+    session (addPyFile is a no-op cost after the first task fetch).
+    Call this from every entry point that registers a Python/pandas UDF.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), f"usearch_spark_py_{app_id}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        tmp = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="usearch_spark")
+        assert tmp == zip_path
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped.add(app_id)
 
 
 def get_spark(
