@@ -22,6 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from usearch_spark.operators import search as S
+from usearch_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    simhash_fingerprints,
+)
+from usearch_spark.operators.multimodal import extract_features
+from usearch_spark.operators.similarity import cosine, lsh_bucketed_topk
+from usearch_spark.operators.text_analysis import analyze
 from usearch_spark.plans.pagerank import pagerank
 
 # ---------------------------------------------------------------------------
@@ -50,6 +58,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEARCH_TERMS = ["spark", "join"]
 PHRASE = "batch batch"
+
+# DuckDB fragment: the engine's tokenizer (lowercase alnum runs, no empties)
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _SW(lang: str) -> str:
+    """DuckDB list literal of a language's stopwords (mirrors
+    usearch_spark.operators.text_analysis.STOPWORDS)."""
+    from usearch_spark.operators.text_analysis import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
 # ---------------------------------------------------------------------------
@@ -194,6 +213,81 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 bag-of-words fingerprint groupBy
+    (usearch_spark/operators/dedup.py)."""
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + banded LSH (4x4) + exact-Jaccard verification,
+    3-gram shingles, threshold 0.7."""
+    pairs = minhash_dedup_pairs(_t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.7)
+    return pairs.select("a", "b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (md5 bit planes) for doc_id < 100."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return simhash_fingerprints(docs).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0 (JVM-side zip_with
+    dot product; TakeOrderedAndProject top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cosine"))
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH with multi-probe — the scale
+    path (rows-only check; approximation has no SQL oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = lsh_bucketed_topk(emb, qv, k=10, n_planes=8, max_probe_hamming=1)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, quality, language-ID, fingerprint for
+    doc_id < 50 (usearch_spark/operators/text_analysis.py)."""
+    return analyze(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index aggregate: top-20 terms by document frequency."""
+    postings = S.build_postings(_t(spark, sf_dir, "documents"), id_col="doc_id", text_cols=("text",))
+    stats = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    return S.paginate(stats, [F.col("df").desc(), F.col("total_tf").desc(), F.col("term")], 0, 20)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' bytes as opaque binary payloads ->
+    mapInPandas feature extraction (sha256 + deterministic fake decode).
+    First two feature components exposed as doubles."""
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.element_at(F.col("feature"), 1).cast("double").alias("f0"),
+        F.element_at(F.col("feature"), 2).cast("double").alias("f1"),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: PageRank (reference pagerank/compute.go parity — dead-end
     residual + SAD convergence) over the supplier→part graph derived from
@@ -241,6 +335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "events_hourly": q_events_hourly,
         "graph_pagerank": q_graph_pagerank,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_analyze": q_text_analyze,
+        "top_terms": q_top_terms,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -332,5 +434,159 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "dedup_exact": f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+                FROM documents
+            )
+            SELECT fingerprint, count(*) AS group_size,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS term
+                FROM tk
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            sigs AS (
+                SELECT doc_id, s.seed, min(md5(s.seed || ':' || term)) AS sig
+                FROM toks, range(16) s(seed)
+                GROUP BY doc_id, s.seed
+            ),
+            bands AS (
+                SELECT doc_id, seed // 4 AS band,
+                       string_agg(seed || '|' || sig, ',' ORDER BY seed || '|' || sig) AS band_sig
+                FROM sigs GROUP BY doc_id, seed // 4
+            ),
+            cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+            ),
+            inter AS (
+                SELECT c.a, c.b, count(*) AS inter
+                FROM cands c
+                JOIN toks ta ON ta.doc_id = c.a
+                JOIN toks tb ON tb.doc_id = c.b AND tb.term = ta.term
+                GROUP BY c.a, c.b
+            )
+            SELECT i.a, i.b,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.7
+        """,
+        "dedup_simhash": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf, substr(md5(term), 1, 16) AS h
+                FROM (
+                    SELECT doc_id, unnest({_TOKS}) AS term
+                    FROM documents WHERE doc_id < 100
+                )
+                GROUP BY doc_id, term
+            ),
+            bits AS (
+                SELECT doc_id, p.pos, b.bit_in_nib,
+                       CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(p.pos AS INT) + 1, 1)) - 1)
+                                  // (CASE b.bit_in_nib WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                            THEN tf ELSE -tf END AS vote
+                FROM tf, range(16) p(pos), range(4) b(bit_in_nib)
+            ),
+            bitsums AS (
+                SELECT doc_id, pos, bit_in_nib, sum(vote) AS v
+                FROM bits GROUP BY doc_id, pos, bit_in_nib
+            ),
+            nibbles AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN v > 0
+                           THEN (CASE bit_in_nib WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+                           ELSE 0 END) AS nib
+                FROM bitsums GROUP BY doc_id, pos
+            )
+            SELECT doc_id,
+                   string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY pos) AS simhash
+            FROM nibbles GROUP BY doc_id
+        """,
+        "sim_cosine_topk": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            q AS (SELECT x, i FROM e WHERE vec_id = 0),
+            dots AS (
+                SELECT e.vec_id, sum(e.x * q.x) AS dot, sqrt(sum(e.x * e.x)) AS na
+                FROM e JOIN q USING (i) WHERE e.vec_id <> 0 GROUP BY e.vec_id
+            ),
+            nq AS (SELECT sqrt(sum(x * x)) AS n FROM q)
+            SELECT vec_id, round(dot / (na * nq.n), 6) AS cosine
+            FROM dots, nq
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "text_analyze": f"""
+            WITH m AS (
+                SELECT doc_id, text, {_TOKS} AS toks,
+                       length(text) AS n_chars,
+                       len({_TOKS}) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '[0-9]')) AS n_digit
+                FROM documents WHERE doc_id < 50
+            ),
+            sw AS (
+                SELECT *,
+                       len(list_intersect(toks, {_SW('en')})) AS sw_en,
+                       len(list_intersect(toks, {_SW('de')})) AS sw_de,
+                       len(list_intersect(toks, {_SW('es')})) AS sw_es,
+                       len(list_intersect(toks, {_SW('fr')})) AS sw_fr
+                FROM m
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+                   round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+                   round(sw_en / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                   round(0.5 * least(n_tokens / 100.0, 1.0)
+                         + 0.5 * greatest(0.0, 1.0 - 4 * (n_punct / greatest(n_chars, 1))
+                                               - 2 * (n_digit / greatest(n_chars, 1))), 4) AS quality,
+                   CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                        WHEN greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN
+                            CASE WHEN sw_de = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'de'
+                                 WHEN sw_en = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'en'
+                                 WHEN sw_es = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'es'
+                                 ELSE 'fr' END
+                        ELSE 'unknown' END AS lang_pred,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+            FROM sw
+        """,
+        "top_terms": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY doc_id, term
+            )
+            SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS total_tf
+            FROM tf GROUP BY term
+            ORDER BY df DESC, total_tf DESC, term
+            LIMIT 20
+        """,
+        "multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256,
+                   ((16 * (strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) / 255.0)::FLOAT::DOUBLE AS f0,
+                   ((16 * (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1)
+                     + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1)) / 255.0)::FLOAT::DOUBLE AS f1
+            FROM documents
         """,
     }

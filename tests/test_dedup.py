@@ -1,0 +1,83 @@
+"""Dedup operator tests: exact groups, Jaccard pairs, MinHash/LSH recall,
+SimHash Hamming neighbors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usearch_spark.operators.dedup import (
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "quick brown fox jumps over the lazy dog the"),  # same bag of words
+    (4, "the quick brown fox jumps over a sleepy dog"),  # near dup
+    (5, "completely different content about spark engines and queries"),
+    (6, "spark engines and queries completely different content about"),  # bag-dup of 5
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_duplicate_groups(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    sets = sorted((g["min_id"], g["max_id"], g["group_size"]) for g in groups)
+    # {1,2,3} share a bag fingerprint; {5,6} too
+    assert sets == [(1, 3, 3), (5, 6, 2)]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs  # high overlap
+    assert (1, 5) not in pairs
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = minhash_signatures(docs, num_hashes=32)
+    s = {(r["id"], r["seed"]): r["sig"] for r in sigs.collect()}
+    agree = sum(1 for i in range(32) if s[(1, i)] == s[(4, i)])
+    # true unigram jaccard(1,4) = 7/9 ≈ 0.78; 32 hashes should land nearby
+    assert 0.5 <= agree / 32 <= 1.0
+    # identical docs agree on every hash
+    assert all(s[(1, i)] == s[(2, i)] for i in range(32))
+
+
+def test_lsh_candidates_find_exact_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cands = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cands and (1, 3) in cands and (2, 3) in cands
+    assert (5, 6) in cands
+    assert (1, 5) not in cands
+
+
+def test_minhash_dedup_pipeline(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in minhash_dedup_pairs(docs, threshold=0.7).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash_properties(docs):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert all(len(v) == 16 for v in fps.values())
+    assert fps[1] == fps[2] == fps[3]  # same bag of words -> same simhash
+    assert fps[1] != fps[5]
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 5) not in pairs

@@ -1,0 +1,50 @@
+"""Similarity-search tests: exact brute force, LSH recall, near-pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from usearch_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_pairs,
+    lsh_bucketed_topk,
+)
+
+
+def _vec(angle: float) -> list[float]:
+    return [math.cos(angle), math.sin(angle), 0.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = [(i, _vec(i * 0.1)) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk_exact(embeddings):
+    top = cosine_topk(embeddings, _vec(0.0), k=3, exclude_id=0).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 1  # closest angle
+    assert set(ids) == {1, 2, 3}
+    assert top[0]["cosine"] == pytest.approx(math.cos(0.1), abs=1e-6)
+
+
+def test_lsh_topk_contains_nearest(embeddings):
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, _vec(0.0), k=3, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(embeddings, _vec(0.0), k=3, max_probe_hamming=2).collect()]
+    # multi-probe should recover the true nearest neighbor
+    assert exact[0] in approx
+
+
+def test_embedding_near_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.001]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["a"], r["b"]) for r in embedding_near_pairs(df, threshold=0.99, n_planes=4, dim=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs

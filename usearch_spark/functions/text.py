@@ -25,10 +25,13 @@ TITLE_RE = "(?i)<title[^>]*>(.*?)</title>"
 
 
 def tokenize(col: Column | str) -> Column:
-    """String column -> array<string> of lowercase tokens (no empties)."""
+    """String column -> array<string> of lowercase tokens (no empties).
+
+    regexp_extract_all of [a-z0-9]+ rather than split-on-separators + a
+    higher-order filter: identical result, but the HOF lambda costs ~5x in
+    codegen while extract_all stays a single compiled regex pass."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(c), TOKEN_SPLIT_RE)
-    return F.filter(toks, lambda t: t != F.lit(""))
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), F.lit(0))
 
 
 def normalize_text(col: Column | str) -> Column:

@@ -63,21 +63,26 @@ def pagerank(
         empty = v.withColumn("score", F.lit(0.0))
         return IterationResult(state=empty, steps=0, converged=True, history=[])
 
-    # step 1: uniform 1/N (reference compute.go:44-48)
-    ranks = v.withColumn("score", F.lit(1.0 / n)).repartition(n_part, "id").localCheckpoint(eager=True)
+    # step 1: uniform 1/N (reference compute.go:44-48); carry out-degree on
+    # the state so per-step dead-end mass needs no extra join
+    ranks = (
+        v.withColumn("score", F.lit(1.0 / n))
+        .join(out_deg, "id", "left")
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
+    # residual produced by step-1 scores, consumed by step 2
+    residual_state = {
+        "r": (ranks.filter(F.col("outdeg").isNull()).agg(F.sum("score")).first()[0] or 0.0) / n
+    }
 
     d = damping
 
     def step_fn(current: DataFrame, step: int):
-        # dead-end residual from the CURRENT scores (read this formula-step —
-        # exactly the reference's double-buffered accumulator); cheap agg over
-        # the checkpointed previous state
-        residual = (
-            current.join(out_deg, "id", "left_anti").agg(F.sum("score").alias("s")).first()["s"] or 0.0
-        ) / n
+        residual = residual_state["r"]  # dead-end mass of the previous step
         # messages: score/outdeg to each out-neighbor
         contribs = (
-            current.join(out_deg, "id", "inner")
+            current.filter(F.col("outdeg").isNotNull())
             .join(e, F.col("id") == e.src, "inner")
             .select(F.col("dst").alias("id"), (F.col("score") / F.col("outdeg")).alias("msg"))
             .groupBy("id")
@@ -94,12 +99,20 @@ def pagerank(
                     + F.lit(d * residual)
                 ).alias("score"),
                 "old_score",
+                "outdeg",
             )
             # one materialization per step: everything after reads this result
             .localCheckpoint(eager=True)
         )
-        sad = new_ranks.agg(F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("sad")).first()["sad"]
-        return new_ranks.select("id", "score"), {"sad": float(sad), "residual": residual}
+        # one aggregate computes BOTH the convergence metric and the next
+        # step's dead-end residual (the reference's double-buffered
+        # residual_0/1 pair collapses into this single pass)
+        m = new_ranks.agg(
+            F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("sad"),
+            F.sum(F.when(F.col("outdeg").isNull(), F.col("score")).otherwise(0.0)).alias("dead"),
+        ).first()
+        residual_state["r"] = (m["dead"] or 0.0) / n
+        return new_ranks.select("id", "score", "outdeg"), {"sad": float(m["sad"]), "residual": residual}
 
     result = run_fixpoint(
         ranks,
@@ -110,4 +123,5 @@ def pagerank(
     )
     e.unpersist()
     out_deg.unpersist()
+    result.state = result.state.select("id", "score")
     return result
