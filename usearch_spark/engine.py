@@ -1,0 +1,109 @@
+"""USearchEngine — the monolith facade (reference monolith/main.go +
+monolith/service/*): persistent link graph + document index + the three
+passes (crawl, pagerank, search) wired together.
+
+The reference runs crawl every 2min and PageRank hourly against remote
+stores; here each pass is one Spark batch job against parquet-backed
+tables, and the search path is the SearchIndex operator over the documents
+table with the additive relevance+pagerank blend.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from usearch_spark.operators.search import MATCH, SearchIndex
+from usearch_spark.operators.summarize import assemble_results
+from usearch_spark.sources.graph_store import ParquetGraphStore, upsert_links
+from usearch_spark.sources.index_store import index_docs, update_scores
+from usearch_spark.plans.pagerank import pagerank
+from usearch_spark.streaming.crawl import FetchFn, crawl_pass, due_links, stub_fetch
+
+
+class USearchEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.graph = ParquetGraphStore(spark, root)
+        self.docs_path = os.path.join(root, "documents")
+        self._index: SearchIndex | None = None
+
+    # --- stores -----------------------------------------------------------
+    def documents(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.docs_path)
+        except Exception:
+            return None
+
+    def _write_documents(self, docs: DataFrame) -> None:
+        docs.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.docs_path)
+        self._index = None
+
+    # --- passes -----------------------------------------------------------
+    def seed(self, urls: list[str]) -> None:
+        """Add seed URLs to the link graph (never retrieved -> due)."""
+        df = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        self.graph.upsert_links(df)
+
+    def run_crawl_pass(
+        self,
+        fetch_fn: FetchFn = stub_fetch,
+        now: dt.datetime | None = None,
+        reindex_threshold: dt.timedelta = dt.timedelta(minutes=2),
+    ) -> int:
+        """ST1/ST2: one timer tick of the reference crawler service."""
+        now = now or dt.datetime.utcnow()
+        links = self.graph.links()
+        if links is None:
+            return 0
+        due = due_links(links, now, reindex_threshold)
+        result = crawl_pass(links, self.graph.edges(), self.documents(), due, fetch_fn, now)
+        # materialize ALL outputs before overwriting any store they read from
+        new_links = result.links.localCheckpoint(eager=True)
+        new_edges = result.edges.localCheckpoint(eager=True)
+        new_docs = result.documents.localCheckpoint(eager=True)
+        self.graph._write(new_links, self.graph.links_path, "id")
+        self.graph._write(new_edges, self.graph.edges_path, "src")
+        self._write_documents(new_docs)
+        return result.n_crawled
+
+    def run_pagerank_pass(self, min_sad: float = 0.001, damping: float = 0.85) -> int:
+        """ST3: the reference pagerank service pass — whole-graph PageRank,
+        scores merged into the documents table (one MERGE instead of the
+        reference's per-doc network round-trips)."""
+        links = self.graph.links()
+        if links is None:
+            return 0
+        edges = self.graph.edges()
+        res = pagerank(
+            links.select("id"),
+            edges if edges is not None else self.spark.createDataFrame([], "src string, dst string"),
+            damping=damping,
+            min_sad=min_sad,
+        )
+        ranks = res.state.select(F.col("id").alias("link_id"), F.col("score"))
+        self._write_documents(update_scores(self.documents(), ranks))
+        return res.steps
+
+    # --- queries ----------------------------------------------------------
+    def index(self) -> SearchIndex:
+        if self._index is None:
+            docs = self.documents()
+            if docs is None:
+                raise ValueError("no documents indexed yet")
+            self._index = SearchIndex(docs)
+        return self._index
+
+    def search(
+        self, expression: str, mode: str = MATCH, offset: int = 0, size: int = 10, with_summaries: bool = True
+    ) -> tuple[int, DataFrame]:
+        """GET /search parity: (total_count, page with summary/highlight/
+        display-title columns)."""
+        total, page = self.index().search(expression, mode=mode, offset=offset, size=size)
+        if with_summaries:
+            page = assemble_results(page, expression)
+        return total, page

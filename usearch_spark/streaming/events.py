@@ -1,0 +1,83 @@
+"""Structured Streaming operators (SURVEY §2.13 ST1-ST4 + the stream-table
+side of the driver's events table).
+
+The reference has no event-time semantics — its 'streaming' is two timers
+(crawl every 2min, pagerank hourly).  ``periodic_crawl_stream`` reproduces
+that shape with a processing-time trigger; the windowed/watermarked
+aggregation is the Spark-native generalization the events table exists to
+exercise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts+sums per event_type.
+    Works on both batch and streaming DataFrames (same plan either way)."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(w.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over a parquet directory (the batch
+    table replayed as a stream for tests/demos)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_to_memory_sink(agg: DataFrame, name: str, output_mode: str = "update") -> StreamingQuery:
+    """Drive a streaming aggregation into an in-memory table and process
+    everything available (synchronous smoke path)."""
+    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    return q
+
+
+def periodic_crawl_stream(
+    spark: SparkSession,
+    tick_fn: Callable[[int], None],
+    interval: str = "2 minutes",
+) -> StreamingQuery:
+    """ST1: the reference's timer loop as a processing-time-triggered
+    stream — each tick of the rate source fires one crawl pass via
+    foreachBatch (the batch itself is the crawl job; the stream only
+    provides the clock and restart semantics)."""
+    ticks = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+
+    def on_batch(df: DataFrame, epoch: int) -> None:
+        if df.isEmpty():
+            return
+        tick_fn(epoch)
+
+    return (
+        ticks.writeStream.trigger(processingTime=interval)
+        .foreachBatch(on_batch)
+        .start()
+    )
