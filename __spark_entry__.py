@@ -30,7 +30,9 @@ from usearch_spark.operators.dedup import (
 from usearch_spark.operators.multimodal import extract_features
 from usearch_spark.operators.similarity import cosine, lsh_bucketed_topk
 from usearch_spark.operators.text_analysis import analyze
+from usearch_spark.plans.coloring import color_graph
 from usearch_spark.plans.pagerank import pagerank
+from usearch_spark.plans.shortest_path import shortest_paths
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -313,6 +315,136 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_part_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    return vertices, edges
+
+
+def q_graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 with a FULL SQL oracle: exactly 10 PageRank iterations (no early
+    convergence) on the supplier→part graph; the DuckDB oracle is the same
+    recurrence unrolled as 10 chained CTEs, dead-end residual included."""
+    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    res = pagerank(vertices, edges, min_sad=0.0, max_steps=10)
+    return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
+
+
+def _nation_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Undirected weighted graph: nations in the same region, weight =
+    |key difference| + 1 (both directions present)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_regionkey").alias("ra"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_regionkey").alias("rb"))
+    e = (
+        a.join(b, (F.col("ra") == F.col("rb")) & (F.col("ka") != F.col("kb")))
+        .select(
+            F.concat(F.lit("n"), F.col("ka")).alias("src"),
+            F.concat(F.lit("n"), F.col("kb")).alias("dst"),
+            (F.abs(F.col("ka") - F.col("kb")) + 1).alias("weight"),
+        )
+    )
+    v = n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id"))
+    return v, e
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 with a FULL SQL oracle: single-source shortest paths from n0 over
+    the same-region nation graph (cost NULL = unreachable); oracle is
+    Bellman-Ford unrolled as chained CTEs."""
+    v, e = _nation_graph(spark, sf_dir)
+    res = shortest_paths(v, e, "n0")
+    return res.state.select("id", "cost")
+
+
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: greedy token coloring of the nation graph (md5 tokens, seed 42).
+    Round-count is data-dependent — rows-only driver check; pytest asserts
+    the proper-coloring invariants."""
+    v, e = _nation_graph(spark, sf_dir)
+    res = color_graph(v, e, seed=42)
+    return res.state.select("id", "color")
+
+
+def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+            )
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+        outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS score FROM verts, nn)
+    """
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        res{k} AS MATERIALIZED (
+            SELECT coalesce(sum(r.score), 0) / nn.n AS r
+            FROM r{p} r LEFT JOIN outdeg o ON o.id = r.id, nn
+            WHERE o.id IS NULL GROUP BY nn.n
+        ),
+        msg{k} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(r.score / o.od) AS msg
+            FROM r{p} r JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id
+            GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT v.id,
+                   (1 - {d}) / nn.n + {d} * coalesce(m.msg, 0) + {d} * res{k}.r AS score
+            FROM verts v CROSS JOIN nn CROSS JOIN res{k}
+            LEFT JOIN msg{k} m ON m.id = v.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, round(score, 8) AS score FROM r{iters}")
+    return "".join(parts)
+
+
+def _sssp_oracle_sql(rounds: int = 8) -> str:
+    head = """
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst,
+                   abs(a.n_nationkey - b.n_nationkey) + 1 AS w
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS id FROM nation),
+        d0 AS MATERIALIZED (SELECT id, CASE WHEN id = 'n0' THEN 0 END AS cost FROM verts)
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (
+            SELECT v.id, min(t.c) AS cost
+            FROM verts v LEFT JOIN (
+                SELECT id, cost AS c FROM d{p} WHERE cost IS NOT NULL
+                UNION ALL
+                SELECT e.dst AS id, d.cost + e.w AS c
+                FROM d{p} d JOIN e ON e.src = d.id WHERE d.cost IS NOT NULL
+            ) t ON t.id = v.id
+            GROUP BY v.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, cost FROM d{rounds}")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -335,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "events_hourly": q_events_hourly,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_fixed": q_graph_pagerank_fixed,
+        "graph_sssp": q_graph_sssp,
+        "graph_coloring": q_graph_coloring,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -435,6 +570,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "graph_pagerank_fixed": _pagerank_oracle_sql(10),
+        "graph_sssp": _sssp_oracle_sql(8),
         "dedup_exact": f"""
             WITH fp AS (
                 SELECT doc_id,

@@ -60,7 +60,10 @@ def color_graph(
     state = (
         vertices.select(F.col(id_col).alias("id"), pre.alias("color"))
         .dropDuplicates(["id"])
-        .withColumn("token", F.xxhash64(F.col("id"), F.lit(seed)))
+        # md5 hex string as the random token: uniform, reproducible, and
+        # portable to any engine (lexicographic comparison = numeric
+        # comparison on a uniform hash)
+        .withColumn("token", F.md5(F.concat_ws(":", F.lit(seed), F.col("id"))))
         .localCheckpoint(eager=True)
     )
 

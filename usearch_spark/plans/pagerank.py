@@ -46,9 +46,19 @@ def pagerank(
     reference stores at most one edge per (src,dst) pair).
     """
     spark = vertices.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    conf_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    n = v.count()
+    if n == 0:
+        empty = v.withColumn("score", F.lit(0.0))
+        return IterationResult(state=empty, steps=0, converged=True, history=[])
+
+    # size partitioning to the graph: ~20k vertices per partition, capped by
+    # the session setting — a tiny graph on one partition skips per-step
+    # shuffle scheduling entirely; a billion-vertex graph still spreads out
+    n_part = max(1, min(conf_part, n // 20_000 + 1))
+
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -57,11 +67,6 @@ def pagerank(
         .cache()
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
-
-    n = v.count()
-    if n == 0:
-        empty = v.withColumn("score", F.lit(0.0))
-        return IterationResult(state=empty, steps=0, converged=True, history=[])
 
     # step 1: uniform 1/N (reference compute.go:44-48); carry out-degree on
     # the state so per-step dead-end mass needs no extra join
@@ -114,13 +119,20 @@ def pagerank(
         residual_state["r"] = (m["dead"] or 0.0) / n
         return new_ranks.select("id", "score", "outdeg"), {"sad": float(m["sad"]), "residual": residual}
 
-    result = run_fixpoint(
-        ranks,
-        step_fn,
-        should_continue=lambda m, step: m["sad"] >= min_sad,
-        max_steps=max_steps,
-        checkpoint_every=10**9,  # step_fn checkpoints internally
-    )
+    # narrow the per-step shuffles to the graph's size for the loop's
+    # duration (AQE coalesces anyway, but scheduling fewer tasks per step
+    # matters when steps are many and small)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        result = run_fixpoint(
+            ranks,
+            step_fn,
+            should_continue=lambda m, step: m["sad"] >= min_sad,
+            max_steps=max_steps,
+            checkpoint_every=10**9,  # step_fn checkpoints internally
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_part))
     e.unpersist()
     out_deg.unpersist()
     result.state = result.state.select("id", "score")
