@@ -185,7 +185,10 @@ def q_search_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: MATCH query — tokenize -> postings -> tf-idf score -> top 10.
     (reference es.go:184-213; engine impl usearch_spark/operators/search.py)"""
     docs = _t(spark, sf_dir, "documents")
-    postings = S.build_postings(docs, id_col="doc_id", text_cols=("text",))
+    # materialize the postings once — they feed BOTH the df-count aggregate
+    # and the scoring join (a persistent deployment would keep the postings
+    # table on disk, bucketed by term; see operators/search.py)
+    postings = S.build_postings(docs, id_col="doc_id", text_cols=("text",)).localCheckpoint(eager=True)
     dfreq = S.doc_frequencies(postings, id_col="doc_id")
     n = docs.count()
     scored = S.score_match(postings, dfreq, n, SEARCH_TERMS, id_col="doc_id", round_to=4)

@@ -76,15 +76,17 @@ def pagerank(
         .repartition(n_part, "id")
         .localCheckpoint(eager=True)
     )
-    # residual produced by step-1 scores, consumed by step 2
-    residual_state = {
-        "r": (ranks.filter(F.col("outdeg").isNull()).agg(F.sum("score")).first()[0] or 0.0) / n
-    }
 
     d = damping
+    track_sad = min_sad > 0.0
 
     def step_fn(current: DataFrame, step: int):
-        residual = residual_state["r"]  # dead-end mass of the previous step
+        # dead-end residual of the PREVIOUS step's scores, kept in-plan as a
+        # broadcast 1-row aggregate (the reference's double-buffered
+        # residual_0/1 accumulator) — no extra driver action per step
+        res_df = current.agg(
+            (F.coalesce(F.sum(F.when(F.col("outdeg").isNull(), F.col("score"))), F.lit(0.0)) / n).alias("_res")
+        )
         # messages: score/outdeg to each out-neighbor
         contribs = (
             current.filter(F.col("outdeg").isNotNull())
@@ -96,12 +98,13 @@ def pagerank(
         new_ranks = (
             current.withColumnRenamed("score", "old_score")
             .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(res_df))
             .select(
                 "id",
                 (
                     F.lit((1.0 - d) / n)
                     + F.lit(d) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
-                    + F.lit(d * residual)
+                    + F.lit(d) * F.col("_res")
                 ).alias("score"),
                 "old_score",
                 "outdeg",
@@ -109,15 +112,13 @@ def pagerank(
             # one materialization per step: everything after reads this result
             .localCheckpoint(eager=True)
         )
-        # one aggregate computes BOTH the convergence metric and the next
-        # step's dead-end residual (the reference's double-buffered
-        # residual_0/1 pair collapses into this single pass)
-        m = new_ranks.agg(
-            F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("sad"),
-            F.sum(F.when(F.col("outdeg").isNull(), F.col("score")).otherwise(0.0)).alias("dead"),
-        ).first()
-        residual_state["r"] = (m["dead"] or 0.0) / n
-        return new_ranks.select("id", "score", "outdeg"), {"sad": float(m["sad"]), "residual": residual}
+        if track_sad:
+            sad = float(
+                new_ranks.agg(F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("sad")).first()["sad"]
+            )
+        else:
+            sad = float("inf")  # fixed-iteration mode: run to max_steps
+        return new_ranks.select("id", "score", "outdeg"), {"sad": sad}
 
     # narrow the per-step shuffles to the graph's size for the loop's
     # duration (AQE coalesces anyway, but scheduling fewer tasks per step
