@@ -318,6 +318,82 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30min inactivity gaps
+    (lag + conditional cumsum — the batch form of session_window)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns")
+    gap_ns = 30 * 60 * 1_000_000_000
+    sess = (
+        ev.withColumn("prev_ns", F.lag("ts_ns").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_ns").isNull() | ((F.col("ts_ns") - F.col("prev_ns")) > gap_ns)).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    per_session = sess.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment by price (window row_number — the
+    per-group top-k pattern)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region -> nation -> grand total (grouping-sets surface)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return base.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: pull props.k out of the JSON column and
+    aggregate it per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _supplier_part_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
@@ -469,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_match": q_search_match,
         "search_phrase": q_search_phrase,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "rollup_revenue": q_rollup_revenue,
+        "json_extract": q_json_extract,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_sssp": q_graph_sssp,
@@ -572,6 +652,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM s
+            ),
+            per_session AS (
+                SELECT user_id, sess_id, count(*) AS n_ev
+                FROM numbered GROUP BY user_id, sess_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_ev) AS max_session_events,
+                   sum(n_ev) AS n_events
+            FROM per_session GROUP BY user_id
+        """,
+        "topk_per_group": """
+            SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rk <= 3
+        """,
+        "rollup_revenue": """
+            SELECT r_name AS region, n_name AS nation,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),

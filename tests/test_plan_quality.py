@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB.
+
+These assert on the executed plan so a future refactor can't silently turn
+a broadcast join into a sort-merge join, lose a parquet filter pushdown, or
+replace distributed top-k with a single-partition global window.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_range_scan_pushes_filters_to_parquet(spark):
+    df = E.q_link_range_scan(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    # the id-range predicates must reach the scan, not sit in a Filter above
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(event_id,100)" in pushed and "LessThan(event_id,500)" in pushed
+
+
+def test_projection_prunes_columns(spark):
+    df = E.q_link_range_scan(spark, SF)
+    read_schema = [ln for ln in plan_of(df).splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read_schema  # unused wide column never scanned
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    plan = plan_of(E.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagination_is_take_ordered_not_window(spark):
+    df = E.q_top_k_paged(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_search_match_broadcasts_term_weights(spark):
+    plan = plan_of(E.q_search_match(spark, SF))
+    # the (terms x df) side is broadcast; postings never shuffle for the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy must plan partial (map-side) aggregation: two HashAggregate
+    nodes around the exchange."""
+    df = E.q_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_anti_join_is_join_not_subquery_loop(spark):
+    plan = plan_of(E.q_anti_join_stale(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    df = E.q_pricing_summary(spark, SF)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in toString form
+    assert "*(1)" in plan and "*(2)" in plan
