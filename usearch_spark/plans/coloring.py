@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, run_fixpoint
+from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
 
 
 def color_graph(
@@ -40,8 +40,12 @@ def color_graph(
     """Returns state (id, color) with colors >= 1; pre-colored vertices
     (``color_col`` with values > 0) keep their colors."""
     spark = vertices.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = vertices.select(F.col(id_col)).dropDuplicates().count()
+    with loop_tuned_session(spark, n) as n_part:
+        return _coloring_loop(spark, vertices, edges, seed, max_steps, id_col, src_col, dst_col, color_col, n_part)
 
+
+def _coloring_loop(spark, vertices, edges, seed, max_steps, id_col, src_col, dst_col, color_col, n_part) -> IterationResult:
     pre = (
         F.coalesce(F.col(color_col), F.lit(0)).cast("int")
         if color_col and color_col in vertices.columns

@@ -20,9 +20,32 @@ the right default for iterative analytics that can simply rerun.
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def loop_tuned_session(spark: SparkSession, n_rows: int, rows_per_partition: int = 20_000):
+    """Session confs tuned for many small iterative steps, restored on exit:
+
+    - shuffle partitions sized to the state (~rows_per_partition each,
+      capped by the session setting) — tiny graphs skip multi-task
+      scheduling, huge ones still spread;
+    - AQE off: its per-job query-stage materialization barriers cost more
+      than they save when each step is a small fixed-shape join/agg.
+    """
+    conf_part = spark.conf.get("spark.sql.shuffle.partitions")
+    conf_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    n_part = max(1, min(int(conf_part), n_rows // rows_per_partition + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield n_part
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", conf_part)
+        spark.conf.set("spark.sql.adaptive.enabled", conf_aqe)
 
 
 @dataclass

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, run_fixpoint
+from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
 
 
 def pagerank(
@@ -46,7 +46,6 @@ def pagerank(
     reference stores at most one edge per (src,dst) pair).
     """
     spark = vertices.sparkSession
-    conf_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     n = v.count()
@@ -54,11 +53,11 @@ def pagerank(
         empty = v.withColumn("score", F.lit(0.0))
         return IterationResult(state=empty, steps=0, converged=True, history=[])
 
-    # size partitioning to the graph: ~20k vertices per partition, capped by
-    # the session setting — a tiny graph on one partition skips per-step
-    # shuffle scheduling entirely; a billion-vertex graph still spreads out
-    n_part = max(1, min(conf_part, n // 20_000 + 1))
+    with loop_tuned_session(spark, n) as n_part:
+        return _pagerank_loop(spark, v, n, edges, damping, min_sad, max_steps, src_col, dst_col, n_part)
 
+
+def _pagerank_loop(spark, v, n, edges, damping, min_sad, max_steps, src_col, dst_col, n_part) -> IterationResult:
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -120,20 +119,13 @@ def pagerank(
             sad = float("inf")  # fixed-iteration mode: run to max_steps
         return new_ranks.select("id", "score", "outdeg"), {"sad": sad}
 
-    # narrow the per-step shuffles to the graph's size for the loop's
-    # duration (AQE coalesces anyway, but scheduling fewer tasks per step
-    # matters when steps are many and small)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    try:
-        result = run_fixpoint(
-            ranks,
-            step_fn,
-            should_continue=lambda m, step: m["sad"] >= min_sad,
-            max_steps=max_steps,
-            checkpoint_every=10**9,  # step_fn checkpoints internally
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_part))
+    result = run_fixpoint(
+        ranks,
+        step_fn,
+        should_continue=lambda m, step: m["sad"] >= min_sad,
+        max_steps=max_steps,
+        checkpoint_every=10**9,  # step_fn checkpoints internally
+    )
     e.unpersist()
     out_deg.unpersist()
     result.state = result.state.select("id", "score")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, run_fixpoint
+from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
 
 
 def shortest_paths(
@@ -37,8 +37,13 @@ def shortest_paths(
 ) -> IterationResult:
     """Returns state (id, cost, prev_in_path); cost NULL = unreachable."""
     spark = vertices.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    n = v.count()
+    with loop_tuned_session(spark, n) as n_part:
+        return _sssp_loop(spark, v, edges, src_id, max_steps, src_col, dst_col, weight_col, n_part)
 
+
+def _sssp_loop(spark, v, edges, src_id, max_steps, src_col, dst_col, weight_col, n_part) -> IterationResult:
     e = (
         edges.select(
             F.col(src_col).alias("src"),
@@ -50,9 +55,7 @@ def shortest_paths(
     )
 
     state = (
-        vertices.select(F.col(id_col).alias("id"))
-        .dropDuplicates(["id"])
-        .select(
+        v.select(
             "id",
             F.when(F.col("id") == src_id, F.lit(0).cast("long")).alias("cost"),
             F.lit(None).cast("string").alias("prev_in_path"),
