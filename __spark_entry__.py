@@ -25,6 +25,7 @@ from usearch_spark.operators import search as S
 from usearch_spark.operators.dedup import (
     exact_duplicate_groups,
     minhash_dedup_pairs,
+    ngram_jaccard_pairs,
     simhash_fingerprints,
 )
 from usearch_spark.operators.multimodal import extract_features
@@ -235,6 +236,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (md5 bit planes) for doc_id < 100."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash_fingerprints(docs).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 2-gram Jaccard >= 0.6 (join-on-shingle with df cap
+    disabled here so the oracle is exact)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.6, max_shingle_df=None)
+    return pairs.select("a", "b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates: exact all-pairs cosine >= 0.4 (the
+    LSH-bucketed variant covers the same operator at scale; exact form
+    keeps the oracle exact; 0.4 chosen so the synthetic embeddings — whose
+    closest pairs sit near 0.5 — yield a non-trivial pair set)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    return pairs.select("a", "b", "cosine")
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "text_analyze": q_text_analyze,
@@ -785,6 +813,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY pos) AS simhash
             FROM nibbles GROUP BY doc_id
+        """,
+        "dedup_jaccard": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 2 THEN []
+                              ELSE list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]) END) AS shingle
+                FROM tk
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.6
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+            dots AS (
+                SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+                FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY a.vec_id, b.vec_id
+            )
+            SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.a
+            JOIN norms nb ON nb.vec_id = d.b
+            WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
         """,
         "sim_cosine_topk": """
             WITH e AS (
