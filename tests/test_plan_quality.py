@@ -71,6 +71,29 @@ def test_anti_join_is_join_not_subquery_loop(spark):
     assert "LeftAnti" in plan
 
 
+def test_bucketed_postings_aggregate_without_shuffle(spark):
+    """The persistent index layout: a term-bucketed postings table must
+    aggregate by term with NO Exchange in the plan."""
+    from usearch_spark.operators.search import (
+        build_postings,
+        doc_frequencies,
+        load_postings,
+        save_postings_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings = build_postings(docs, id_col="doc_id", text_cols=("text",))
+    save_postings_bucketed(postings, "postings_bucketed_test", buckets=4)
+    try:
+        loaded = load_postings(spark, "postings_bucketed_test")
+        dfreq = doc_frequencies(loaded, id_col="doc_id")
+        plan = plan_of(dfreq)
+        assert "Exchange" not in plan, plan
+        assert dfreq.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_bucketed_test")
+
+
 def test_whole_stage_codegen_active(spark):
     df = E.q_pricing_summary(spark, SF)
     df.collect()  # AQE finalizes the plan only after execution

@@ -125,6 +125,27 @@ def paginate(df: DataFrame, order_cols: list[Column], offset: int, size: int) ->
     return out.limit(size)
 
 
+def save_postings_bucketed(postings: DataFrame, table: str, buckets: int = 16) -> None:
+    """Persist the postings table bucketed+sorted by term.
+
+    This is the 100 TB index layout: every later per-term operation —
+    document-frequency aggregation, postings∞postings phrase joins,
+    postings∞query-term joins when the term list is too big to broadcast —
+    co-locates by bucket and skips the shuffle entirely (verified in
+    tests/test_plan_quality.py)."""
+    (
+        postings.write.bucketBy(buckets, "term")
+        .sortBy("term")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def load_postings(spark, table: str) -> DataFrame:
+    return spark.table(table)
+
+
 class SearchIndex:
     """Queryable index over a documents DataFrame.
 
