@@ -203,6 +203,15 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", "n_chars").orderBy("doc_id")
 
 
+def q_search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 scale path: phrase match via positional postings self-joins
+    (must return exactly the docs the substring scan returns)."""
+    docs = _t(spark, sf_dir, "documents")
+    positional = S.build_positional_postings(docs, id_col="doc_id", text_cols=("text",))
+    hits = S.phrase_match_positional(positional, PHRASE, id_col="doc_id")
+    return hits.orderBy("doc_id")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1-ST4 analog: tumbling-window aggregation over the event stream
     (batch form; streaming wrapper in usearch_spark/streaming)."""
@@ -570,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "search_match": q_search_match,
         "search_phrase": q_search_phrase,
+        "search_phrase_positional": q_search_phrase_positional,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
@@ -672,6 +682,18 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE position(' {PHRASE} ' IN nt) > 0
             ORDER BY doc_id
+        """,
+        "search_phrase_positional": f"""
+            WITH pp AS (
+                SELECT doc_id, unnest({_TOKS}) AS term,
+                       generate_subscripts({_TOKS}, 1) - 1 AS pos
+                FROM documents
+            )
+            SELECT DISTINCT a.doc_id
+            FROM pp a JOIN pp b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'batch' AND b.term = 'batch'
+            ORDER BY a.doc_id
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,

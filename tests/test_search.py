@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 
 from usearch_spark.operators.search import (
     SearchIndex,
+    build_positional_postings,
     build_postings,
     doc_frequencies,
     paginate,
     phrase_filter,
+    phrase_match_positional,
     score_match,
 )
 
@@ -60,6 +62,16 @@ def test_phrase_match(docs):
     assert {r["link_id"] for r in hits.collect()} == {"d1", "d4"}
     # phrase must be contiguous: 'engine spark' matches nothing
     assert phrase_filter(docs, "engine spark").count() == 0
+
+
+def test_phrase_positional_agrees_with_substring_scan(docs):
+    """The index-backed phrase path must return exactly the docs the
+    normalized-substring scan returns, for any phrase."""
+    positional = build_positional_postings(docs)
+    for phrase in ["spark engine", "engine spark", "the spark engine", "spark", "no such phrase"]:
+        via_scan = {r["link_id"] for r in phrase_filter(docs, phrase).collect()}
+        via_index = {r["link_id"] for r in phrase_match_positional(positional, phrase).collect()}
+        assert via_index == via_scan, phrase
 
 
 def test_phrase_via_quoted_expression(index):

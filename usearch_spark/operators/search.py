@@ -94,6 +94,40 @@ def score_match(
     return scored
 
 
+def build_positional_postings(
+    docs: DataFrame,
+    id_col: str = "link_id",
+    text_cols: tuple[str, ...] = ("title", "content"),
+) -> DataFrame:
+    """docs -> (id, term, pos): one row per token occurrence with its
+    position in the analyzed stream — the index layout that makes phrase
+    queries a join instead of a full-text rescan."""
+    text = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in text_cols])
+    toks = docs.select(F.col(id_col), F.posexplode(tokenize(text)).alias("pos", "term"))
+    return toks
+
+
+def phrase_match_positional(
+    positional: DataFrame, phrase: str, id_col: str = "link_id"
+) -> DataFrame:
+    """PHRASE via positional postings: doc matches iff term_i appears at
+    position p+i for every i.  One self-join per phrase term beyond the
+    first, each an equi-join on (id, pos) — at scale these are co-located
+    joins on the bucketed postings table, never a content rescan."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        return positional.select(F.col(id_col)).limit(0)
+    base = positional.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = positional.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(nxt, [id_col, "p0"], "inner")
+    return base.select(id_col).dropDuplicates([id_col])
+
+
 def phrase_filter(docs: DataFrame, phrase: str, text_cols: tuple[str, ...] = ("title", "content")) -> DataFrame:
     """PHRASE query: normalized-substring containment over the analyzed
     fields (matches the reference's contiguous-phrase goldens).
