@@ -31,7 +31,9 @@ from usearch_spark.operators.dedup import (
 from usearch_spark.operators.multimodal import extract_features
 from usearch_spark.operators.similarity import cosine, lsh_bucketed_topk
 from usearch_spark.operators.text_analysis import analyze
+from usearch_spark.operators.summarize import assemble_results
 from usearch_spark.plans.coloring import color_graph
+from usearch_spark.plans.pregel import connected_components
 from usearch_spark.plans.pagerank import pagerank
 from usearch_spark.plans.shortest_path import shortest_paths
 
@@ -488,6 +490,54 @@ def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "color")
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the generic pregel API (label propagation
+    to the min id); regions are the components of the nation graph."""
+    v, e = _nation_graph(spark, sf_dir)
+    res = connected_components(v, e)
+    return res.state.select("id", F.col("value").alias("component"))
+
+
+def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 result assembly: summary + highlight over the top MATCH hits
+    (per-doc sentence logic — no SQL oracle; rows-only check, pytest
+    carries the goldens)."""
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content").withColumn(
+        "title", F.lit(None).cast("string")
+    ).withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
+    top = q_search_match(spark, sf_dir).join(docs, "doc_id", "inner")
+    page = assemble_results(top, " ".join(SEARCH_TERMS))
+    return page.select("doc_id", "score", "display_title", "summary").orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def _components_oracle_sql(rounds: int = 8) -> str:
+    head = """
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS id FROM nation),
+        c0 AS (SELECT id, id AS comp FROM verts)
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        c{k} AS MATERIALIZED (
+            SELECT v.id, least(cp.comp, coalesce(min(nb.comp), cp.comp)) AS comp
+            FROM verts v
+            JOIN c{p} cp ON cp.id = v.id
+            LEFT JOIN e ON e.dst = v.id
+            LEFT JOIN c{p} nb ON nb.id = e.src
+            GROUP BY v.id, cp.comp
+        )"""
+        )
+    parts.append(f"\n        SELECT id, comp AS component FROM c{rounds}")
+    return "".join(parts)
+
+
 def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
     head = """
         WITH edges AS MATERIALIZED (
@@ -589,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_sssp": q_graph_sssp,
         "graph_coloring": q_graph_coloring,
+        "graph_components": q_graph_components,
+        "search_results_page": q_search_results_page,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -754,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),
+        "graph_components": _components_oracle_sql(8),
         "dedup_exact": f"""
             WITH fp AS (
                 SELECT doc_id,

@@ -1,0 +1,53 @@
+"""Pregel wrapper tests: connected components as the vertex program, and
+SSSP re-expressed through pregel to prove the harness is generic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usearch_spark.plans.pregel import connected_components, pregel
+
+
+def test_connected_components(spark):
+    v = spark.createDataFrame([(x,) for x in "abcdefg"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
+    )
+    res = connected_components(v, e)
+    assert res.converged
+    comp = {r["id"]: r["value"] for r in res.state.collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f" and comp["g"] == "g"
+
+
+def test_sssp_via_pregel_matches_dedicated(spark):
+    """The same 9-vertex golden graph through the generic pregel API."""
+    from tests.test_graph_algos import COST_MATRIX, EXPECTED
+
+    verts = [(str(i),) for i in range(9)]
+    edges = [
+        (str(i), str(j), c) for i, row in enumerate(COST_MATRIX) for j, c in enumerate(row) if c
+    ]
+    v = spark.createDataFrame(verts, "id string")
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+
+    def send(state, ed):
+        return (
+            state.filter(F.col("value").isNotNull())
+            .join(ed, state.id == ed.src, "inner")
+            .select(F.col("dst").alias("id"), (F.col("value") + F.col("weight")).alias("msg"))
+        )
+
+    res = pregel(
+        v,
+        e,
+        initial_value=F.when(F.col("id") == "0", F.lit(0).cast("long")),
+        send_msg=send,
+        agg_msg=F.min("msg"),
+        apply_msg=lambda old, agg: F.least(F.coalesce(old, agg), agg),
+        max_steps=50,
+    )
+    costs = {r["id"]: r["value"] for r in res.state.collect()}
+    for dest, (_, exp_cost) in EXPECTED.items():
+        assert costs[dest] == exp_cost, dest
