@@ -56,8 +56,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp column ``ts`` plus the raw ``ts_ns``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
+    # integer DIV, not float division: at ~1.7e18 ns a double's ulp is 256ns,
+    # which would shift derived micros near bucket boundaries
     return ev.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts", F.timestamp_micros((F.col("ts").cast("long") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) DIV 1000"))
     )
 
 

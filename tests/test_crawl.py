@@ -89,6 +89,34 @@ def test_crawler_pipeline_integration(spark):
     assert lmap["http://google.com/relative"] is None
 
 
+def test_missing_fetcher_fails_loudly(spark):
+    """stub_fetch (no fetcher configured) must raise, not degrade into an
+    all-failed crawl."""
+    import pytest as _pytest
+
+    from usearch_spark.streaming.crawl import crawl_pass
+
+    seeds = upsert_links(None, spark.createDataFrame([(SRV1,)], "url string"))
+    with _pytest.raises(Exception, match="(?i)no URL fetcher|NotImplemented"):
+        crawl_pass(seeds, None, None, seeds.select("id", "url"), now=dt.datetime(2024, 5, 1))
+
+
+def test_per_url_fetch_errors_drop_row(spark):
+    """A fetcher raising on one URL drops that row and keeps the pass."""
+    from usearch_spark.streaming.crawl import crawl_pass
+
+    def flaky(url: str):
+        if url == SRV2:
+            raise TimeoutError("connect timeout")
+        return 200, "text/html", '<html><body>ok</body></html>'
+
+    seeds = upsert_links(None, spark.createDataFrame([(SRV1,), (SRV2,)], "url string"))
+    res = crawl_pass(seeds, None, None, seeds.select("id", "url"), fetch_fn=flaky, now=dt.datetime(2024, 5, 1))
+    assert res.n_crawled == 1
+    docs = {r["url"] for r in res.documents.collect()}
+    assert docs == {SRV1}
+
+
 def test_frontier_expansion_second_pass(spark):
     """ST4: links discovered in pass 1 are due in pass 2 (never retrieved)."""
     now1 = dt.datetime(2024, 5, 1)

@@ -79,6 +79,24 @@ def test_phrase_via_quoted_expression(index):
     assert total == 2
 
 
+def test_query_punctuation_matches_index_analyzer(index):
+    """Query text runs through the same analyzer as the index: punctuation
+    must not glue onto terms and kill the match."""
+    total_clean, _ = index.search("spark")
+    total_punct, _ = index.search("spark,")
+    assert total_punct == total_clean == 3
+    total_phrase, _ = index.search('"spark engine."')
+    assert total_phrase == 2
+
+
+def test_result_page_ordered_and_single_pagerank_column(index):
+    _, page = index.search("spark")
+    assert page.columns.count("pagerank") == 1
+    rows = page.collect()
+    scores = [r["final_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_pagination_past_end(index):
     total, page = index.search("spark", offset=10, size=10)
     assert total == 3

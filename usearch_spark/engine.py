@@ -34,9 +34,14 @@ class USearchEngine:
 
     # --- stores -----------------------------------------------------------
     def documents(self) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self.docs_path)
-        except Exception:
+        except AnalysisException:
+            # path-not-found / no-schema = store not created yet; any other
+            # failure (IO, corruption) must propagate, not masquerade as
+            # an empty store and get overwritten
             return None
 
     def _write_documents(self, docs: DataFrame) -> None:

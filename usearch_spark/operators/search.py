@@ -25,6 +25,7 @@ Scale notes:
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +34,15 @@ from usearch_spark.functions.text import normalize_text, tokenize
 
 MATCH = "match"
 PHRASE = "phrase"
+
+_QUERY_TOKEN_RE = re.compile("[a-z0-9]+")
+
+
+def analyze_query(expression: str) -> list[str]:
+    """Tokenize query text with the SAME analyzer as the index (lowercase
+    [a-z0-9]+ runs).  Whitespace splitting would leave punctuation glued to
+    terms ('spark,') that exists in no postings row."""
+    return _QUERY_TOKEN_RE.findall(expression.lower())
 
 
 def build_postings(
@@ -114,7 +124,7 @@ def phrase_match_positional(
     position p+i for every i.  One self-join per phrase term beyond the
     first, each an equi-join on (id, pos) — at scale these are co-located
     joins on the bucketed postings table, never a content rescan."""
-    terms = [t for t in phrase.lower().split() if t]
+    terms = analyze_query(phrase)
     if not terms:
         return positional.select(F.col(id_col)).limit(0)
     base = positional.filter(F.col("term") == terms[0]).select(
@@ -133,7 +143,7 @@ def phrase_filter(docs: DataFrame, phrase: str, text_cols: tuple[str, ...] = ("t
     fields (matches the reference's contiguous-phrase goldens).
 
     Both sides are space-padded so word boundaries are exact."""
-    needle = " ".join(w for w in phrase.lower().split() if w)
+    needle = " ".join(analyze_query(phrase))
     conds = None
     for c in text_cols:
         padded = F.concat(F.lit(" "), normalize_text(F.coalesce(F.col(c), F.lit(""))), F.lit(" "))
@@ -204,7 +214,7 @@ class SearchIndex:
                 self.id_col, F.lit(1.0).alias("score")
             )
         else:
-            terms = [t for t in expression.lower().split() if t]
+            terms = analyze_query(expression)
             hits = score_match(self.postings, self.dfreq, self.n_docs, terms, self.id_col)
         blended = blend_rank(hits, self.docs, self.id_col)
         total = blended.count()
@@ -214,4 +224,9 @@ class SearchIndex:
             offset,
             size,
         )
-        return total, page.join(self.docs, self.id_col, "left")
+        # docs carries its own 'pagerank' — drop it so the page keeps exactly
+        # one; re-sort AFTER the join (join output order is undefined)
+        enriched = page.join(self.docs.drop("pagerank"), self.id_col, "left").orderBy(
+            F.col("final_score").desc(), F.col(self.id_col)
+        )
+        return total, enriched

@@ -17,7 +17,9 @@ from usearch_spark.operators.dedup import content_fingerprint  # re-exported fin
 # language ID; ordered dict -> deterministic tie-breaks)
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für"],
+    # ascii-only words: the analyzer emits [a-z0-9]+ runs, so an
+    # umlaut-bearing stopword ('für') could never match a token
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
     "es": ["el", "la", "los", "las", "de", "que", "es", "en", "un", "una"],
     "fr": ["le", "la", "les", "des", "et", "est", "un", "une", "dans", "que"],
 }

@@ -163,9 +163,13 @@ class ParquetGraphStore:
         self.edges_path = os.path.join(root, "edges")
 
     def _read(self, path: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:
+            # missing path = store not created yet; real IO/corruption
+            # errors must propagate rather than silently reset the store
             return None
         return df.drop("_bucket") if "_bucket" in df.columns else df
 

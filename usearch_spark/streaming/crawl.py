@@ -87,7 +87,13 @@ def fetch_stage(due_links: DataFrame, fetch_fn: FetchFn) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 try:
                     status, ctype, body = fetch_fn(row.url)
+                except NotImplementedError:
+                    # misconfiguration (no fetcher injected) must fail the
+                    # job loudly, not degrade into an all-404 crawl
+                    raise
                 except Exception:
+                    # per-URL failures (timeouts, DNS, TLS) drop the row,
+                    # mirroring the reference's error-drop stage semantics
                     status, ctype, body = 0, "", ""
                 out["id"].append(row.id)
                 out["url"].append(row.url)
@@ -174,13 +180,14 @@ def crawl_pass(
     n_crawled = payload.count()
 
     # --- graph updater (P8, crawler/graph_updater.go:27-86)
+    # one upsert covers both discovered links (null retrieved_at) and the
+    # crawled srcs (retrieved_at=now): max(retrieved_at) ignores nulls, so a
+    # single groupBy over the links table replaces two full-table shuffles
     discovered = payload.select(
         F.explode(F.concat(F.col("links"), F.col("nofollow_links"))).alias("url")
-    )
+    ).withColumn("retrieved_at", F.lit(None).cast("timestamp"))
     crawled_src = payload.select("url").withColumn("retrieved_at", now_lit)
-    new_links = upsert_links(links, discovered.unionByName(crawled_src.select("url"), allowMissingColumns=True))
-    # crawled srcs get retrieved_at=now (GREATEST keeps it)
-    new_links = upsert_links(new_links, crawled_src)
+    new_links = upsert_links(links, discovered.unionByName(crawled_src))
 
     # edges only for follow links (nofollow links are upserted but get no
     # edges — graph_updater.go:46-58)
