@@ -492,6 +492,46 @@ def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "color")
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (usearch_spark/operators/asof.py): each purchase event
+    paired with the same user's most recent view at-or-before it.  Oracle
+    uses DuckDB's native ASOF JOIN; timestamps compared in exact ns."""
+    from usearch_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    # microsecond domain on BOTH sides: duckdb 1.0 truncates nanos parquet
+    # to us, so the join keys must live in us too for identical semantics
+    us = F.expr("ts_ns DIV 1000")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("v_ts"), F.col("event_id").alias("view_event")
+    )
+    out = asof_join(purchases, views, on="user_id", left_ts="p_ts", right_ts="v_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "p_ts",
+        F.col("view_event_asof").alias("view_event"),
+        F.col("v_ts_asof").alias("view_ts"),
+    )
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per day x event_type matrix (first week of the
+    stream)."""
+    ev = _events(spark, sf_dir).filter(F.col("ts") < "2024-01-08 00:00:00")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via the generic pregel API (label propagation
     to the min id); regions are the components of the nation graph."""
@@ -637,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
         "json_extract": q_json_extract,
+        "asof_join": q_asof_join,
+        "pivot_daily": q_pivot_daily,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_sssp": q_graph_sssp,
@@ -805,6 +847,24 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
+                   v.event_id AS view_event, epoch_us(v.ts) AS view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "pivot_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+            GROUP BY 1
         """,
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),

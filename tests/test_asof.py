@@ -1,0 +1,52 @@
+"""As-of join operator tests, verified against pandas merge_asof."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from usearch_spark.operators.asof import asof_join
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "l1"), ("u1", 20, "l2"), ("u2", 15, "l3"), ("u3", 5, "l4")],
+        "user string, t long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 15, 2.0), ("u1", 20, 3.0), ("u2", 30, 4.0)],
+        "user string, rt long, v double",
+    )
+    out = {
+        (r["user"], r["t"]): (r["v_asof"], r["rt_asof"])
+        for r in asof_join(left, right, on="user", left_ts="t", right_ts="rt").collect()
+    }
+    assert out[("u1", 10)] == (1.0, 8)
+    assert out[("u1", 20)] == (3.0, 20)  # exact tie takes the right row
+    assert out[("u2", 15)] == (None, None)  # right exists but only later
+    assert out[("u3", 5)] == (None, None)  # no right rows at all
+
+
+def test_asof_join_matches_pandas(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [(f"k{rng.randrange(5)}", rng.randrange(1000)) for _ in range(300)]
+    # unique (k, rt) on the right: as-of with duplicate right timestamps is
+    # ambiguous in every engine
+    rdict = {(f"k{rng.randrange(5)}", rng.randrange(1000)): rng.random() for _ in range(200)}
+    rrows = [(k, rt, v) for (k, rt), v in rdict.items()]
+    left = spark.createDataFrame(lrows, "k string, t long")
+    right = spark.createDataFrame(rrows, "k string, rt long, v double")
+
+    got = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t").reset_index(drop=True)
+    rp = pd.DataFrame(rrows, columns=["k", "rt", "v"]).sort_values("rt").reset_index(drop=True)
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k", direction="backward")
+    for row in merged.itertuples(index=False):
+        expect = None if pd.isna(row.v) else row.v
+        # duplicates in (k,t) on the left all get the same answer
+        assert got[(row.k, row.t)] == expect or abs(got[(row.k, row.t)] - expect) < 1e-12
