@@ -260,20 +260,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicates: exact all-pairs cosine >= 0.4 (the
-    LSH-bucketed variant covers the same operator at scale; exact form
-    keeps the oracle exact; 0.4 chosen so the synthetic embeddings — whose
-    closest pairs sit near 0.5 — yield a non-trivial pair set)."""
+    """Embedding near-duplicates: exact all-pairs cosine >= 0.4 via blocked
+    numpy matmul (usearch_spark/operators/similarity.exact_cosine_pairs);
+    the LSH-bucketed variant covers the same operator at scale.  0.4 chosen
+    so the synthetic embeddings — whose closest pairs sit near 0.5 — yield
+    a non-trivial pair set."""
+    from usearch_spark.operators.similarity import exact_cosine_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= 0.4)
-    )
-    return pairs.select("a", "b", "cosine")
+    return exact_cosine_pairs(emb, threshold=0.4)
 
 
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,6 +9,7 @@ import pytest
 from usearch_spark.operators.similarity import (
     cosine_topk,
     embedding_near_pairs,
+    exact_cosine_pairs,
     lsh_bucketed_topk,
 )
 
@@ -36,6 +37,30 @@ def test_lsh_topk_contains_nearest(embeddings):
     approx = [r["vec_id"] for r in lsh_bucketed_topk(embeddings, _vec(0.0), k=3, max_probe_hamming=2).collect()]
     # multi-probe should recover the true nearest neighbor
     assert exact[0] in approx
+
+
+def test_exact_cosine_pairs_matches_column_expression(spark, embeddings):
+    """Blocked-matmul pairs must agree with the per-pair expression form."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.similarity import cosine
+
+    a = embeddings.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    expr_pairs = {
+        (r["a"], r["b"]): r["c"]
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("c", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    fast_pairs = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in exact_cosine_pairs(embeddings, threshold=0.8).collect()
+    }
+    assert fast_pairs == expr_pairs
+    assert len(fast_pairs) > 0
 
 
 def test_embedding_near_pairs(spark):
