@@ -27,6 +27,7 @@ from usearch_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_near_pairs,
 )
 from usearch_spark.operators.multimodal import extract_features
 from usearch_spark.operators.similarity import cosine, lsh_bucketed_topk
@@ -249,6 +250,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (md5 bit planes) for doc_id < 100."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return simhash_fingerprints(docs).withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: banded 16-bit chunk candidates +
+    exact Hamming <= 12 over the 64-bit fingerprints (threshold chosen so
+    the synthetic corpus yields pairs)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_pairs(docs, max_hamming=12)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +556,99 @@ def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("doc_id", "score", "display_title", "summary").orderBy(F.col("score").desc(), F.col("doc_id"))
 
 
+def _hex16_to_ubigint_sql(col: str) -> str:
+    """DuckDB expression: 16-hex-char string -> UBIGINT."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)::UBIGINT * {16 ** (15 - i)}::UBIGINT"
+        for i in range(16)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 12) -> str:
+    fp = _simhash_fingerprint_cte("doc_id < 200")
+    ha = _hex16_to_ubigint_sql("ca.simhash")
+    hb = _hex16_to_ubigint_sql("cb.simhash")
+    return f"""
+        {fp},
+        chunks AS (
+            SELECT f.doc_id, f.simhash, c.chunk,
+                   substr(f.simhash, CAST(c.chunk AS INT) * 4 + 1, 4) AS cv
+            FROM fps f, range(4) c(chunk)
+        ),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM chunks x JOIN chunks y
+              ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+        )
+        SELECT c.a, c.b,
+               bit_count(xor({ha}, {hb})) AS hamming
+        FROM cands c
+        JOIN fps ca ON ca.doc_id = c.a
+        JOIN fps cb ON cb.doc_id = c.b
+        WHERE bit_count(xor({ha}, {hb})) <= {max_hamming}
+    """
+
+
+def _simhash_fingerprint_cte(where: str) -> str:
+    """Shared WITH-chain computing (doc_id, simhash) as CTE ``fps``."""
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf, substr(md5(term), 1, 16) AS h
+            FROM (
+                SELECT doc_id, unnest({_TOKS}) AS term
+                FROM documents WHERE {where}
+            )
+            GROUP BY doc_id, term
+        ),
+        bits AS (
+            SELECT doc_id, p.pos, b.bit_in_nib,
+                   CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(p.pos AS INT) + 1, 1)) - 1)
+                              // (CASE b.bit_in_nib WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                        THEN tf ELSE -tf END AS vote
+            FROM tf, range(16) p(pos), range(4) b(bit_in_nib)
+        ),
+        bitsums AS (
+            SELECT doc_id, pos, bit_in_nib, sum(vote) AS v
+            FROM bits GROUP BY doc_id, pos, bit_in_nib
+        ),
+        nibbles AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN v > 0
+                       THEN (CASE bit_in_nib WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+                       ELSE 0 END) AS nib
+            FROM bitsums GROUP BY doc_id, pos
+        ),
+        fps AS MATERIALIZED (
+            SELECT doc_id,
+                   string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY pos) AS simhash
+            FROM nibbles GROUP BY doc_id
+        )"""
+
+
+def _phrase_positional_oracle_sql(phrase: str) -> str:
+    """Adjacency chain for any phrase length."""
+    import re as _re
+
+    terms = _re.findall("[a-z0-9]+", phrase.lower())
+    joins = "".join(
+        f"\n            JOIN pp t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(terms))
+    )
+    where = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+    return f"""
+        WITH pp AS (
+            SELECT doc_id, unnest({_TOKS}) AS term,
+                   generate_subscripts({_TOKS}, 1) - 1 AS pos
+            FROM documents
+        )
+        SELECT DISTINCT t0.doc_id
+        FROM pp t0{joins}
+        WHERE {where}
+        ORDER BY t0.doc_id
+    """
+
+
 def _components_oracle_sql(rounds: int = 8) -> str:
     head = """
         WITH e AS (
@@ -683,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -774,18 +877,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE position(' {PHRASE} ' IN nt) > 0
             ORDER BY doc_id
         """,
-        "search_phrase_positional": f"""
-            WITH pp AS (
-                SELECT doc_id, unnest({_TOKS}) AS term,
-                       generate_subscripts({_TOKS}, 1) - 1 AS pos
-                FROM documents
-            )
-            SELECT DISTINCT a.doc_id
-            FROM pp a JOIN pp b
-              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-            WHERE a.term = 'batch' AND b.term = 'batch'
-            ORDER BY a.doc_id
-        """,
+        "search_phrase_positional": _phrase_positional_oracle_sql(PHRASE),
+        "dedup_simhash_pairs": _simhash_pairs_oracle_sql(12),
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
                    event_type,
