@@ -255,7 +255,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: banded 16-bit chunk candidates +
     exact Hamming <= 12 over the 64-bit fingerprints (threshold chosen so
-    the synthetic corpus yields pairs)."""
+    the synthetic corpus yields pairs; banded candidates are complete only
+    for Hamming <= 3 — the oracle mirrors the same banding, and both sides
+    report the same best-effort pair set)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash_near_pairs(docs, max_hamming=12)
 

@@ -26,6 +26,36 @@ def test_asof_join_basic(spark):
     assert out[("u3", 5)] == (None, None)  # no right rows at all
 
 
+def test_asof_matched_row_is_atomic(spark):
+    """A NULL field in the matched right row stays NULL — value columns
+    must never be stitched from different right rows."""
+    left = spark.createDataFrame([("u", 20)], "k string, t long")
+    right = spark.createDataFrame(
+        [("u", 8, 1.0, "x8"), ("u", 15, None, "x15")], "k string, rt long, v double, tag string"
+    )
+    row = asof_join(left, right, on="k", left_ts="t", right_ts="rt").first()
+    assert row["rt_asof"] == 15
+    assert row["v_asof"] is None  # NOT 1.0 carried from ts=8
+    assert row["tag_asof"] == "x15"
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame([(None, 20), ("u", 20)], "k string, t long")
+    right = spark.createDataFrame([(None, 10, 1.0), ("u", 10, 2.0)], "k string, rt long, v double")
+    out = {r["k"]: r["v_asof"] for r in asof_join(left, right, on="k", left_ts="t", right_ts="rt").collect()}
+    assert out[None] is None
+    assert out["u"] == 2.0
+
+
+def test_asof_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("u", 20, 9.0)], "k string, t long, v double")
+    right = spark.createDataFrame([("u", 10, 1.0)], "k string, rt long, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+
+
 def test_asof_join_matches_pandas(spark):
     import random
 
@@ -48,5 +78,8 @@ def test_asof_join_matches_pandas(spark):
     merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k", direction="backward")
     for row in merged.itertuples(index=False):
         expect = None if pd.isna(row.v) else row.v
-        # duplicates in (k,t) on the left all get the same answer
-        assert got[(row.k, row.t)] == expect or abs(got[(row.k, row.t)] - expect) < 1e-12
+        actual = got[(row.k, row.t)]
+        if expect is None or actual is None:
+            assert actual == expect, (row.k, row.t, actual, expect)
+        else:
+            assert abs(actual - expect) < 1e-12, (row.k, row.t, actual, expect)

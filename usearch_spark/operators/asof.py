@@ -34,25 +34,32 @@ def asof_join(
     """
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(right_value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right value columns {sorted(clash)} collide with left columns; "
+            f"alias them on the right side before asof_join"
+        )
 
+    # NULL keys never match (DuckDB ASOF / merge_asof semantics): left NULL
+    # rows pass through with NULL results; right NULL rows are dropped
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    # carry the matched right row as ONE struct, so every value column and
+    # the matched timestamp come from the SAME row (independently-carried
+    # columns would skip a NULL field and stitch values from older rows)
     r_tagged = (
-        right.select(
+        right.filter(F.col(on).isNotNull())
+        .select(
             F.col(on),
             F.col(right_ts).alias("_ts"),
-            *[F.col(c) for c in right_value_cols],
+            F.struct(
+                F.col(right_ts).alias("_match_ts"), *[F.col(c) for c in right_value_cols]
+            ).alias("_right_row"),
         )
         .withColumn("_side", F.lit(0))
     )
-    for c in left.columns:
-        if c != on and c not in r_tagged.columns:
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    for c in right_value_cols:
-        if c not in l_tagged.columns:
-            l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(r_tagged.dtypes)[c]))
-
-    unioned = l_tagged.select(r_tagged.columns + [c for c in l_tagged.columns if c not in r_tagged.columns]) \
-        .unionByName(r_tagged, allowMissingColumns=True)
+    l_prepped = l_tagged.withColumn("_right_row", F.lit(None).cast(dict(r_tagged.dtypes)["_right_row"]))
+    unioned = l_prepped.unionByName(r_tagged, allowMissingColumns=True)
 
     # right rows sort before left rows at equal ts (_side 0 < 1) so an
     # exact-tie right row is visible to the left row's window
@@ -61,13 +68,12 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c + suffix)
-            for c in right_value_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w).alias("_ts" + suffix),
+    carried = unioned.withColumn(
+        "_matched", F.last(F.when(F.col("_side") == 0, F.col("_right_row")), ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("_side") == 1).drop("_side", "_ts", *right_value_cols)
-    return out.withColumnRenamed("_ts" + suffix, right_ts + suffix)
+    out = carried.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_matched.{c}").alias(c + suffix) for c in right_value_cols],
+        F.col("_matched._match_ts").alias(right_ts + suffix),
+    )
+    return out

@@ -301,11 +301,14 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+    """Near-duplicate pairs by SimHash Hamming distance, banded candidates.
 
-    Candidates share at least one of 4 16-bit chunks (pigeonhole: any pair
-    within Hamming 3 of 64 bits shares a clean chunk), then the exact
-    distance is computed on the hex strings."""
+    Candidates share at least one of 4 16-bit chunks; by pigeonhole that
+    guarantees COMPLETE recall only for max_hamming <= 3 (a pair differing
+    in >= 4 bits can spread one flip into every chunk).  Larger thresholds
+    are best-effort — the standard LSH recall trade; raise the chunk count
+    if completeness at a higher radius is required.  The exact distance is
+    then computed on the surviving pairs."""
     fps = simhash_fingerprints(docs, id_col, text_col)
     chunked = fps.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
         "chunk_val", F.substring(F.col("simhash"), F.col("chunk") * 4 + 1, 4)

@@ -144,6 +144,10 @@ def phrase_filter(docs: DataFrame, phrase: str, text_cols: tuple[str, ...] = ("t
 
     Both sides are space-padded so word boundaries are exact."""
     needle = " ".join(analyze_query(phrase))
+    if not needle:
+        # a phrase with no analyzable terms matches nothing (an empty
+        # needle would otherwise match docs whose normalized field is '')
+        return docs.filter(F.lit(False))
     conds = None
     for c in text_cols:
         padded = F.concat(F.lit(" "), normalize_text(F.coalesce(F.col(c), F.lit(""))), F.lit(" "))

@@ -157,7 +157,11 @@ def exact_cosine_pairs(
     from usearch_spark.session import ship_package
 
     ship_package(embeddings.sparkSession)
-    rows = embeddings.select(id_col, vec_col).collect()
+    # materialize ONCE: the driver-side matrix and the executor-side batches
+    # must come from the same row set (a nondeterministic input like
+    # .sample() would otherwise be evaluated twice with different results)
+    frozen = embeddings.select(id_col, vec_col).localCheckpoint(eager=True)
+    rows = frozen.collect()
     ids = np.array([r[id_col] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1)
@@ -180,9 +184,7 @@ def exact_cosine_pairs(
             yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
 
     id_type = dict(embeddings.dtypes)[id_col]
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        block, f"a {id_type}, b {id_type}, cosine double"
-    )
+    return frozen.mapInPandas(block, f"a {id_type}, b {id_type}, cosine double")
 
 
 def embedding_near_pairs(
