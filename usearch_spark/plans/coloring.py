@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
+from usearch_spark.plans.iterative import (
+    IterationResult,
+    checkpoint_with_metrics,
+    loop_tuned_session,
+    run_fixpoint,
+)
 
 
 def color_graph(
@@ -103,9 +108,12 @@ def _coloring_loop(spark, vertices, edges, seed, max_steps, id_col, src_col, dst
             "id",
             F.when(wins, next_color).otherwise(F.col("color")).alias("color"),
             "token",
-        ).localCheckpoint(eager=True)
-        remaining = updated.filter(F.col("color") == 0).count()
-        return updated, {"uncolored": remaining}
+        )
+        # remaining-uncolored count observed inside the checkpoint job
+        updated, metrics = checkpoint_with_metrics(
+            updated, uncolored=F.coalesce(F.sum((F.col("color") == 0).cast("long")), F.lit(0))
+        )
+        return updated, {"uncolored": int(metrics["uncolored"])}
 
     result = run_fixpoint(
         state,

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
+from usearch_spark.plans.iterative import (
+    IterationResult,
+    checkpoint_with_metrics,
+    loop_tuned_session,
+    run_fixpoint,
+)
 
 
 def pagerank(
@@ -108,15 +113,14 @@ def _pagerank_loop(spark, v, n, edges, damping, min_sad, max_steps, src_col, dst
                 "old_score",
                 "outdeg",
             )
-            # one materialization per step: everything after reads this result
-            .localCheckpoint(eager=True)
         )
-        if track_sad:
-            sad = float(
-                new_ranks.agg(F.sum(F.abs(F.col("score") - F.col("old_score"))).alias("sad")).first()["sad"]
-            )
-        else:
-            sad = float("inf")  # fixed-iteration mode: run to max_steps
+        # ONE action per step: the SAD convergence aggregate rides the
+        # checkpoint job as an observed metric instead of a second scan
+        new_ranks, metrics = checkpoint_with_metrics(
+            new_ranks,
+            sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
+        )
+        sad = float(metrics["sad"]) if track_sad else float("inf")
         return new_ranks.select("id", "score", "outdeg"), {"sad": sad}
 
     result = run_fixpoint(

@@ -19,7 +19,12 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
+from usearch_spark.plans.iterative import (
+    IterationResult,
+    checkpoint_with_metrics,
+    loop_tuned_session,
+    run_fixpoint,
+)
 
 
 def pregel(
@@ -60,10 +65,15 @@ def pregel(
                     .alias("value"),
                     "_old",
                 )
-                .localCheckpoint(eager=True)
             )
-            changed = new_state.filter(~F.col("value").eqNullSafe(F.col("_old"))).count()
-            return new_state.select("id", "value"), {"changed": changed}
+            # vote-to-halt count observed inside the checkpoint job
+            new_state, metrics = checkpoint_with_metrics(
+                new_state,
+                changed=F.coalesce(
+                    F.sum((~F.col("value").eqNullSafe(F.col("_old"))).cast("long")), F.lit(0)
+                ),
+            )
+            return new_state.select("id", "value"), {"changed": int(metrics["changed"])}
 
         return run_fixpoint(
             state,

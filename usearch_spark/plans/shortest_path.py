@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from usearch_spark.plans.iterative import IterationResult, loop_tuned_session, run_fixpoint
+from usearch_spark.plans.iterative import (
+    IterationResult,
+    checkpoint_with_metrics,
+    loop_tuned_session,
+    run_fixpoint,
+)
 
 
 def shortest_paths(
@@ -95,10 +100,12 @@ def _sssp_loop(spark, v, edges, src_id, max_steps, src_col, dst_col, weight_col,
                     F.col("new_cost").isNotNull() & (F.col("cost").isNull() | (F.col("new_cost") < F.col("cost")))
                 ).alias("improved"),
             )
-            .localCheckpoint(eager=True)
         )
-        active = updated.filter(F.col("improved")).count()
-        return updated, {"active": active}
+        # activeInStep observed inside the checkpoint job (one action/step)
+        updated, metrics = checkpoint_with_metrics(
+            updated, active=F.coalesce(F.sum(F.col("improved").cast("long")), F.lit(0))
+        )
+        return updated, {"active": int(metrics["active"])}
 
     result = run_fixpoint(
         state,
