@@ -304,6 +304,18 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF path: k-means coarse quantizer (Spark ML), probe
+    the 2 nearest of 8 inverted lists (rows-only check; pytest pins the
+    full-probe == brute-force property and probed recall)."""
+    from usearch_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=2)
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, quality, language-ID, fingerprint for
     doc_id < 50 (usearch_spark/operators/text_analysis.py)."""
@@ -491,7 +503,9 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: greedy token coloring of the nation graph (md5 tokens, seed 42).
-    Round-count is data-dependent — rows-only driver check; pytest asserts
+    FULL SQL oracle: the per-round winner rule is deterministic given the
+    seed, so the DuckDB oracle unrolls 8 rounds of the same recurrence
+    (extra rounds past convergence are no-ops); pytest additionally asserts
     the proper-coloring invariants."""
     v, e = _nation_graph(spark, sf_dir)
     res = color_graph(v, e, seed=42)
@@ -719,6 +733,49 @@ def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _coloring_oracle_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Greedy token coloring unrolled: per round, an uncolored vertex whose
+    (token||id) exceeds every uncolored neighbor's takes the min free color.
+    Tokens are fixed-width md5 hex, so string concat compares exactly like
+    the Spark side's struct(token, id) comparison."""
+    head = f"""
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        s0 AS MATERIALIZED (
+            SELECT 'n' || n_nationkey AS id,
+                   md5('{seed}:' || 'n' || n_nationkey) AS token,
+                   0 AS color
+            FROM nation
+        )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        n{k} AS (
+            SELECT e.dst AS id,
+                   coalesce(list(DISTINCT s.color) FILTER (WHERE s.color > 0), []) AS used,
+                   max(CASE WHEN s.color = 0 THEN s.token || s.id END) AS maxunc
+            FROM e JOIN s{p} s ON s.id = e.src
+            GROUP BY e.dst
+        ),
+        s{k} AS MATERIALIZED (
+            SELECT s.id, s.token,
+                   CASE WHEN s.color = 0 AND (n.id IS NULL OR n.maxunc IS NULL OR s.token || s.id > n.maxunc)
+                        THEN CASE WHEN n.id IS NULL THEN 1
+                             ELSE list_min(list_filter(range(1, len(n.used) + 2),
+                                                       x -> NOT list_contains(n.used, x))) END
+                        ELSE s.color END AS color
+            FROM s{p} s LEFT JOIN n{k} n ON n.id = s.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, CAST(color AS INT) AS color FROM s{rounds}")
+    return "".join(parts)
+
+
 def _sssp_oracle_sql(rounds: int = 8) -> str:
     head = """
         WITH e AS (
@@ -792,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "text_analyze": q_text_analyze,
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
@@ -958,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),
+        "graph_coloring": _coloring_oracle_sql(8),
         "graph_components": _components_oracle_sql(8),
         "dedup_exact": f"""
             WITH fp AS (

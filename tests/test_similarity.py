@@ -10,6 +10,7 @@ from usearch_spark.operators.similarity import (
     cosine_topk,
     embedding_near_pairs,
     exact_cosine_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -61,6 +62,26 @@ def test_exact_cosine_pairs_matches_column_expression(spark, embeddings):
     }
     assert fast_pairs == expr_pairs
     assert len(fast_pairs) > 0
+
+
+def test_ivf_full_probe_equals_brute_force(embeddings):
+    """Probing every inverted list must reproduce the exact result — the
+    lists partition the corpus, so the union is the full scan."""
+    exact = [(r["vec_id"], round(r["cosine"], 6)) for r in cosine_topk(embeddings, _vec(0.0), k=5).collect()]
+    ivf = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_topk(embeddings, _vec(0.0), k=5, n_clusters=4, n_probe=4).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_probed_recall(embeddings):
+    """A 2-of-4-list probe must still recover the true nearest neighbor
+    (the neighbor shares the query's cell on this smooth corpus)."""
+    exact_top = cosine_topk(embeddings, _vec(0.05), k=1).first()["vec_id"]
+    approx = [r["vec_id"] for r in ivf_topk(embeddings, _vec(0.05), k=5, n_clusters=4, n_probe=2).collect()]
+    assert exact_top in approx
+    assert len(approx) <= 5
 
 
 def test_embedding_near_pairs(spark):

@@ -135,6 +135,50 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a k-means coarse quantizer (Spark ML)
+    partitions the corpus into ``n_clusters`` inverted lists; a query scores
+    only the ``n_probe`` lists whose centroids are nearest to it.
+
+    The scale shape: training samples the corpus once; assignment is one
+    vectorized pass; a probed query touches ~n_probe/n_clusters of the data.
+    A persistent deployment writes the assigned table partitioned by
+    ``cluster`` so probing becomes partition pruning on the scan.  With
+    ``n_probe == n_clusters`` the result equals brute force exactly (the
+    lists partition the corpus) — the property the tests pin down.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn("_feat", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster").fit(feat)
+    centers = np.array(model.clusterCenters())  # (n_clusters, dim)
+
+    q = np.asarray(query_vec, dtype="float64")
+    # nearest centroids by euclidean distance, matching the quantizer's metric
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probe = [int(c) for c in order[:n_probe]]
+
+    assigned = model.transform(feat)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("_cluster").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def exact_cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
