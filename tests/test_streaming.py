@@ -61,6 +61,86 @@ def test_windowed_counts_stream_matches_batch(spark, events_path):
     assert len(got) > 10
 
 
+def test_stateful_sessionize_gap_close(spark, tmp_path):
+    """A post-gap event inside the data closes the previous session and
+    emits it in the same trigger; the still-open session stays in state."""
+    import datetime as dt
+
+    from usearch_spark.streaming.events import sessionize_stateful
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events, 2h gap, two more events -> one closed session
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),
+        (1, t0 + dt.timedelta(hours=2)),
+        (1, t0 + dt.timedelta(hours=2, minutes=1)),
+        # user 2: single burst, never closes in-data
+        (2, t0 + dt.timedelta(minutes=1)),
+        (2, t0 + dt.timedelta(minutes=2)),
+    ]
+    schema = "user_id long, ts timestamp"
+    path = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = sessionize_stateful(stream, gap_minutes=30)
+    q = out.writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions ORDER BY user_id, session_start").collect()
+        ]
+    finally:
+        q.stop()
+    # user 1's first session closes on the in-data gap; user 2's burst is
+    # flushed by event-time timeout (watermark = 2h01 - 10min passes their
+    # last event + 30min gap).  User 1's second session is still open.
+    assert got == [
+        (1, t0, t0 + dt.timedelta(minutes=5), 2),
+        (2, t0 + dt.timedelta(minutes=1), t0 + dt.timedelta(minutes=2), 2),
+    ]
+
+
+def test_stateful_sessionize_timeout_flush(spark, tmp_path):
+    """A later file advances the watermark past last+gap for an idle user,
+    firing the event-time timeout and flushing their open session."""
+    import datetime as dt
+    import time
+
+    from usearch_spark.streaming.events import sessionize_stateful
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp"
+    path = str(tmp_path / "sess_timeout")
+    # file 1: user 7's burst
+    spark.createDataFrame(
+        [(7, t0), (7, t0 + dt.timedelta(minutes=3))], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)  # distinct mod times => two triggers in order
+    # file 2: another user far in the future drags the watermark forward
+    spark.createDataFrame(
+        [(8, t0 + dt.timedelta(days=1))], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = sessionize_stateful(stream, gap_minutes=30, watermark="1 minute")
+    q = out.writeStream.outputMode("append").format("memory").queryName("sess_t").start()
+    try:
+        q.processAllAvailable()
+        got = [
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_t").collect()
+        ]
+    finally:
+        q.stop()
+    # user 7's session closed by timeout, not by any in-data gap
+    assert got == [(7, t0, t0 + dt.timedelta(minutes=3), 2)]
+
+
 def test_sliding_window(spark, events_path):
     batch = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
     slid = windowed_event_counts(batch, window="2 hours", slide="1 hour")

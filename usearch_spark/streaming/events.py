@@ -60,6 +60,81 @@ def run_to_memory_sink(agg: DataFrame, name: str, output_mode: str = "update") -
     return q
 
 
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessions that close on a ``gap_minutes`` inactivity gap.
+
+    Two close paths:
+      - in-data gap: a batch containing a post-gap event emits the finished
+        session immediately;
+      - event-time timeout: when the watermark passes last_event + gap, the
+        open session is flushed even if the user never returns (the state
+        does not leak — this is what the reference's timer loops lack and
+        Structured Streaming's GroupState provides).
+
+    State per user is three longs (start/last ns, count); output is one row
+    per CLOSED session (append semantics).  This is the engine's streaming
+    extension surface: any per-key stateful program with the same
+    (key, batches, state) signature plugs in identically (SURVEY §2.14 U1).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    user_col: [user_id],
+                    "session_start": [pd.to_datetime(start)],
+                    "session_end": [pd.to_datetime(last)],
+                    "n_events": [n],
+                }
+            )
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[tuple] = []
+        ts_all = sorted(int(t.value) for pdf in pdfs for t in pdf[ts_col] if t is not None)
+        for t in ts_all:
+            if last is not None and t - last > gap_ns:
+                closed.append((user_id, pd.to_datetime(start), pd.to_datetime(last), n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            n += 1
+            last = t
+        if last is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last // 1_000_000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(closed, columns=[user_col, "session_start", "session_end", "n_events"])
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def periodic_crawl_stream(
     spark: SparkSession,
     tick_fn: Callable[[int], None],
