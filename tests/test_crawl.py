@@ -159,3 +159,30 @@ def test_stale_edges_removed_on_recrawl(spark):
     assert len(edges) == 1
     y_id = r2.links.filter(F.col("url") == "http://a.test/y").first()["id"]
     assert all(e["dst"] != y_id for e in edges)
+
+
+def test_fetch_politeness_rate_limit(spark):
+    """With per_host_delay_s, a host's fetches are co-partitioned and spaced;
+    the result set is unchanged."""
+    import time
+
+    from usearch_spark.streaming.crawl import fetch_stage
+
+    pages = {f"http://slow-host.test/p{i}": (200, "text/html", "<html/>") for i in range(4)}
+    pages["http://other.test/"] = (200, "text/html", "<html/>")
+    links = spark.createDataFrame(
+        [(u.replace("http://", ""), u) for u in pages], "id string, url string"
+    )
+    fetcher = static_fetcher(pages)
+
+    plain = {r["url"]: r["status_code"] for r in fetch_stage(links, fetcher).collect()}
+    t0 = time.time()
+    polite = {
+        r["url"]: r["status_code"]
+        for r in fetch_stage(links, fetcher, per_host_delay_s=0.2, n_partitions=4).collect()
+    }
+    elapsed = time.time() - t0
+    assert polite == plain
+    assert len(polite) == 5
+    # 4 same-host fetches => at least 3 enforced gaps
+    assert elapsed >= 0.6

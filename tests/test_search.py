@@ -74,6 +74,20 @@ def test_phrase_positional_agrees_with_substring_scan(docs):
         assert via_index == via_scan, phrase
 
 
+def test_phrase_positional_rarest_first_same_result(docs):
+    """Join reordering by ascending document frequency must not change the
+    match set; a phrase term missing from the corpus short-circuits."""
+    positional = build_positional_postings(docs)
+    dfreq = positional.groupBy("term").agg(F.countDistinct("link_id").alias("df"))
+    for phrase in ["spark engine", "the spark engine", "engine spark"]:
+        plain = {r["link_id"] for r in phrase_match_positional(positional, phrase).collect()}
+        ordered = {
+            r["link_id"] for r in phrase_match_positional(positional, phrase, dfreq=dfreq).collect()
+        }
+        assert ordered == plain, phrase
+    assert phrase_match_positional(positional, "spark nonexistentterm", dfreq=dfreq).count() == 0
+
+
 def test_phrase_via_quoted_expression(index):
     total, page = index.search('"spark engine"')
     assert total == 2

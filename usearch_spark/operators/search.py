@@ -118,23 +118,37 @@ def build_positional_postings(
 
 
 def phrase_match_positional(
-    positional: DataFrame, phrase: str, id_col: str = "link_id"
+    positional: DataFrame, phrase: str, id_col: str = "link_id", dfreq: DataFrame | None = None
 ) -> DataFrame:
     """PHRASE via positional postings: doc matches iff term_i appears at
     position p+i for every i.  One self-join per phrase term beyond the
     first, each an equi-join on (id, pos) — at scale these are co-located
-    joins on the bucketed postings table, never a content rescan."""
+    joins on the bucketed postings table, never a content rescan.
+
+    With ``dfreq`` (term -> document frequency, normally a persisted side
+    table), the joins run rarest-term-first: the first filter then yields
+    the smallest possible intermediate, and every later join can only
+    shrink it.  Join order cannot change the result (all joins are inner
+    on the same keys) — only the intermediate sizes."""
     terms = analyze_query(phrase)
     if not terms:
         return positional.select(F.col(id_col)).limit(0)
-    base = positional.filter(F.col("term") == terms[0]).select(
-        F.col(id_col), F.col("pos").alias("p0")
-    )
-    for i, t in enumerate(terms[1:], start=1):
-        nxt = positional.filter(F.col("term") == t).select(
+    order = list(range(len(terms)))
+    if dfreq is not None:
+        freq = {
+            r["term"]: r["df"]
+            for r in dfreq.filter(F.col("term").isin(sorted(set(terms)))).collect()
+        }
+        if any(t not in freq for t in terms):
+            # a phrase term absent from the corpus ⇒ no doc can match
+            return positional.select(F.col(id_col)).limit(0)
+        order.sort(key=lambda i: (freq[terms[i]], i))
+    base = None
+    for i in order:
+        nxt = positional.filter(F.col("term") == terms[i]).select(
             F.col(id_col), (F.col("pos") - i).alias("p0")
         )
-        base = base.join(nxt, [id_col, "p0"], "inner")
+        base = nxt if base is None else base.join(nxt, [id_col, "p0"], "inner")
     return base.select(id_col).dropDuplicates([id_col])
 
 

@@ -74,17 +74,44 @@ def static_fetcher(pages: dict[str, tuple[int, str, str]], default: tuple[int, s
     return fetch
 
 
-def fetch_stage(due_links: DataFrame, fetch_fn: FetchFn) -> DataFrame:
+def fetch_stage(
+    due_links: DataFrame,
+    fetch_fn: FetchFn,
+    per_host_delay_s: float = 0.0,
+    n_partitions: int | None = None,
+) -> DataFrame:
     """mapInPandas fetch: one Python worker per partition, Arrow-batched.
     Partition count controls fetch concurrency (the reference's
-    NumOfFetchWorkers)."""
+    NumOfFetchWorkers).
+
+    Politeness: with ``per_host_delay_s`` > 0, links are hash-partitioned
+    by URL host so ALL of a host's fetches run in one task, and that task
+    spaces them at least the delay apart.  Co-locating a host is what makes
+    the rate limit global — without it, 1000 executors each politely
+    hitting the same host is still a 1000x hammer."""
 
     ship_package(due_links.sparkSession)
+    src = due_links.select("id", "url")
+    if per_host_delay_s > 0:
+        host = F.parse_url(F.col("url"), F.lit("HOST"))
+        src = (
+            src.repartition(n_partitions, host) if n_partitions else src.repartition(host)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+        from urllib.parse import urlparse
+
+        last_hit: dict[str, float] = {}
         for pdf in batches:
             out = {"id": [], "url": [], "status_code": [], "content_type": [], "raw_content": []}
             for row in pdf.itertuples(index=False):
+                if per_host_delay_s > 0:
+                    h = urlparse(row.url).netloc
+                    wait = last_hit.get(h, -1e9) + per_host_delay_s - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_hit[h] = time.monotonic()
                 try:
                     status, ctype, body = fetch_fn(row.url)
                 except NotImplementedError:
@@ -102,7 +129,7 @@ def fetch_stage(due_links: DataFrame, fetch_fn: FetchFn) -> DataFrame:
                 out["raw_content"].append(body)
             yield pd.DataFrame(out)
 
-    return due_links.select("id", "url").mapInPandas(run, FETCH_RESULT_SCHEMA)
+    return src.mapInPandas(run, FETCH_RESULT_SCHEMA)
 
 
 def extract_stage(fetched: DataFrame) -> DataFrame:
