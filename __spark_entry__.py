@@ -350,6 +350,104 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_links_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 lifecycle under the correctness gate: two upsert batches with
+    overlapping URLs — dedupe by URL keeps GREATEST(retrieved_at), ids are
+    deterministic sha2 UUIDs (usearch_spark/sources/graph_store.py;
+    reference cdb.go:16-22 ON CONFLICT DO UPDATE GREATEST)."""
+    from usearch_spark.sources.graph_store import upsert_links
+
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(F.lit("http://cust/"), F.col("c_custkey"))
+    b1 = c.filter(F.col("c_custkey") < 300).select(
+        url.alias("url"), F.lit("2024-01-05").cast("timestamp").alias("retrieved_at")
+    )
+    b2 = c.filter((F.col("c_custkey") >= 200) & (F.col("c_custkey") < 400)).select(
+        url.alias("url"), F.lit("2024-01-03").cast("timestamp").alias("retrieved_at")
+    )
+    links = upsert_links(upsert_links(None, b1), b2)
+    return links.select(
+        "id", "url", F.date_format("retrieved_at", "yyyy-MM-dd").alias("retrieved_day")
+    )
+
+
+def q_store_edges_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7 lifecycle: edge upsert dedupes on (src,dst), FK-drops rows with
+    unknown endpoints, a re-upsert refreshes updated_at, and stale-edge
+    removal deletes only (src in recrawled set AND updated_at < cutoff)."""
+    from usearch_spark.sources.graph_store import remove_stale_edges, upsert_edges, upsert_links, url_id
+
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(F.lit("http://cust/"), F.col("c_custkey"))
+    links = upsert_links(
+        None,
+        c.filter(F.col("c_custkey") < 400).select(
+            url.alias("url"), F.lit("2024-01-05").cast("timestamp").alias("retrieved_at")
+        ),
+    )
+    # k -> k+7 for k < 500: FK validation drops every pair touching >= 400
+    pair = c.filter(F.col("c_custkey") < 500).select(
+        url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey"))).alias("src"),
+        url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey") + 7)).alias("dst"),
+    )
+    e1 = upsert_edges(None, pair, links, updated_at=F.lit("2024-01-10").cast("timestamp"))
+    # re-assert k < 50 later: those survive the stale cutoff below
+    refresh = c.filter(F.col("c_custkey") < 50).select(
+        url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey"))).alias("src"),
+        url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey") + 7)).alias("dst"),
+    )
+    e2 = upsert_edges(e1, refresh, links, updated_at=F.lit("2024-01-20").cast("timestamp"))
+    recrawled = c.filter(F.col("c_custkey") < 100).select(
+        url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey"))).alias("id")
+    )
+    final = remove_stale_edges(e2, recrawled, F.lit("2024-01-15").cast("timestamp"))
+    return final.select(
+        "id", "src", "dst", F.date_format("updated_at", "yyyy-MM-dd").alias("updated_day")
+    )
+
+
+def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S9 lifecycle: index 400 docs, score ids 200-599 (400-599 become
+    placeholder docs), re-index ids 50-449 with new content — existing
+    PageRank must survive both merges (reference es.go:346-356 preservation
+    + indextest/suite.go:376-395 placeholder semantics)."""
+    from usearch_spark.sources.index_store import index_docs, update_scores
+
+    d = _t(spark, sf_dir, "documents")
+    lid = F.concat(F.lit("d"), F.col("doc_id"))
+    base = index_docs(
+        None,
+        d.filter(F.col("doc_id") < 400).select(
+            lid.alias("link_id"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.lit(None).cast("string").alias("title"),
+            F.col("text").alias("content"),
+            F.lit("2024-01-01").cast("timestamp").alias("indexed_at"),
+        ),
+    )
+    ranks = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 600)).select(
+        lid.alias("link_id"), (F.col("doc_id") / 1000.0).alias("score")
+    )
+    scored = update_scores(base, ranks)
+    reindexed = index_docs(
+        scored,
+        d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 450)).select(
+            lid.alias("link_id"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.lit(None).cast("string").alias("title"),
+            F.upper(F.col("text")).alias("content"),
+            F.lit("2024-02-01").cast("timestamp").alias("indexed_at"),
+        ),
+    )
+    return reindexed.select(
+        "link_id",
+        "url",
+        F.round(F.col("pagerank"), 6).alias("pagerank"),
+        F.col("content").isNotNull().cast("int").alias("has_content"),
+        F.date_format("indexed_at", "yyyy-MM-dd").alias("indexed_day"),
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: PageRank (reference pagerank/compute.go parity — dead-end
     residual + SAD convergence) over the supplier→part graph derived from
@@ -570,6 +668,16 @@ def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = q_search_match(spark, sf_dir).join(docs, "doc_id", "inner")
     page = assemble_results(top, " ".join(SEARCH_TERMS))
     return page.select("doc_id", "score", "display_title", "summary").orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def _uuid_of_sql(expr: str) -> str:
+    """DuckDB expression mirroring graph_store.url_id: sha256 hex formatted
+    as 8-4-4-4-12."""
+    h = f"sha256({expr})"
+    return (
+        f"(substr({h},1,8) || '-' || substr({h},9,4) || '-' || substr({h},13,4)"
+        f" || '-' || substr({h},17,4) || '-' || substr({h},21,12))"
+    )
 
 
 def _hex16_to_ubigint_sql(col: str) -> str:
@@ -835,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "asof_join": q_asof_join,
         "pivot_daily": q_pivot_daily,
+        "store_links_upsert": q_store_links_upsert,
+        "store_edges_lifecycle": q_store_edges_lifecycle,
+        "index_lifecycle": q_index_lifecycle,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_sssp": q_graph_sssp,
@@ -1013,6 +1124,85 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
             GROUP BY 1
+        """,
+        "store_links_upsert": f"""
+            WITH b AS (
+                SELECT 'http://cust/' || c_custkey AS url, TIMESTAMP '2024-01-05' AS retrieved_at
+                FROM customer WHERE c_custkey < 300
+                UNION ALL
+                SELECT 'http://cust/' || c_custkey, TIMESTAMP '2024-01-03'
+                FROM customer WHERE c_custkey >= 200 AND c_custkey < 400
+            ),
+            u AS (SELECT url, max(retrieved_at) AS retrieved_at FROM b GROUP BY url)
+            SELECT {_uuid_of_sql("url")} AS id, url,
+                   strftime(retrieved_at, '%Y-%m-%d') AS retrieved_day
+            FROM u
+        """,
+        "store_edges_lifecycle": f"""
+            WITH lid AS MATERIALIZED (
+                SELECT {_uuid_of_sql("'http://cust/' || c_custkey")} AS id
+                FROM customer WHERE c_custkey < 400
+            ),
+            pairs AS (
+                SELECT c_custkey AS k,
+                       {_uuid_of_sql("'http://cust/' || c_custkey")} AS src,
+                       {_uuid_of_sql("'http://cust/' || (c_custkey + 7)")} AS dst
+                FROM customer WHERE c_custkey < 500
+            ),
+            valid AS MATERIALIZED (
+                SELECT * FROM pairs p
+                WHERE EXISTS (SELECT 1 FROM lid WHERE lid.id = p.src)
+                  AND EXISTS (SELECT 1 FROM lid WHERE lid.id = p.dst)
+            ),
+            merged AS (
+                SELECT src, dst, TIMESTAMP '2024-01-20' AS updated_at FROM valid WHERE k < 50
+                UNION ALL
+                SELECT src, dst, TIMESTAMP '2024-01-10' FROM valid WHERE k >= 50
+            ),
+            final AS (
+                SELECT * FROM merged m
+                WHERE NOT (m.updated_at < TIMESTAMP '2024-01-15'
+                           AND m.src IN (SELECT {_uuid_of_sql("'http://cust/' || c_custkey")}
+                                         FROM customer WHERE c_custkey < 100))
+            )
+            SELECT {_uuid_of_sql("src || chr(31) || dst")} AS id, src, dst,
+                   strftime(updated_at, '%Y-%m-%d') AS updated_day
+            FROM final
+        """,
+        "index_lifecycle": """
+            WITH base AS (
+                SELECT 'd' || doc_id AS link_id, 'doc://' || doc_id AS url,
+                       CAST(NULL AS VARCHAR) AS title, text AS content,
+                       CAST(NULL AS DOUBLE) AS pagerank, TIMESTAMP '2024-01-01' AS indexed_at
+                FROM documents WHERE doc_id < 400
+            ),
+            ranks AS (
+                SELECT 'd' || doc_id AS link_id, CAST(doc_id AS DOUBLE) / 1000 AS score
+                FROM documents WHERE doc_id >= 200 AND doc_id < 600
+            ),
+            scored AS (
+                SELECT coalesce(b.link_id, r.link_id) AS link_id, b.url, b.title, b.content,
+                       coalesce(r.score, b.pagerank) AS pagerank, b.indexed_at
+                FROM base b FULL OUTER JOIN ranks r ON b.link_id = r.link_id
+            ),
+            newdocs AS (
+                SELECT 'd' || doc_id AS link_id, 'doc://' || doc_id AS url,
+                       CAST(NULL AS VARCHAR) AS title, upper(text) AS content,
+                       TIMESTAMP '2024-02-01' AS indexed_at
+                FROM documents WHERE doc_id >= 50 AND doc_id < 450
+            ),
+            final AS (
+                SELECT coalesce(n.link_id, s.link_id) AS link_id,
+                       coalesce(n.url, s.url) AS url,
+                       s.pagerank AS pagerank,
+                       coalesce(n.content, s.content) AS content,
+                       coalesce(n.indexed_at, s.indexed_at) AS indexed_at
+                FROM newdocs n FULL OUTER JOIN scored s ON n.link_id = s.link_id
+            )
+            SELECT link_id, url, round(pagerank, 6) AS pagerank,
+                   CAST(content IS NOT NULL AS INT) AS has_content,
+                   strftime(indexed_at, '%Y-%m-%d') AS indexed_day
+            FROM final
         """,
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),

@@ -65,7 +65,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     try:
         warm_dir = "/root/testdata/sf0.001"
-        for name in ("pricing_summary", "revenue_by_nation", "search_match"):
+        for name in ("pricing_summary", "revenue_by_nation", "search_match", "dedup_minhash_lsh"):
             materialize(qs[name](spark, warm_dir))
     except Exception:
         pass

@@ -114,6 +114,19 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, s0..s{k-1}): k min-hashes computed as k aggregate columns over
+    the shingle rows — one shuffle of |shingles| rows, NO k-fold row
+    explosion (the naive (id, seed, shingle) explode multiplies shuffle
+    volume by k; at 100 TB that k× matters more than anything else here)."""
+    return sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"s{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
 def _minhash_wide(
     docs: DataFrame,
     id_col: str,
@@ -121,17 +134,7 @@ def _minhash_wide(
     num_hashes: int,
     shingle_n: int,
 ) -> DataFrame:
-    """(id, s0..s{k-1}): k min-hashes computed as k aggregate columns over
-    the shingle rows — one shuffle of |shingles| rows, NO k-fold row
-    explosion (the naive (id, seed, shingle) explode multiplies shuffle
-    volume by k; at 100 TB that k× matters more than anything else here)."""
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
-    return sh.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(f"s{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    return _minhash_wide_from_shingles(_doc_shingles(docs, id_col, text_col, shingle_n), num_hashes)
 
 
 def minhash_signatures(
@@ -195,8 +198,14 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash LSH candidates verified with exact Jaccard on the shingle
     sets — the complete near-dup pipeline.  Buckets larger than
-    ``max_bucket`` are dropped before pairing (see lsh_candidate_pairs)."""
-    wide = _minhash_wide(docs, id_col, text_col, num_hashes, shingle_n)
+    ``max_bucket`` are dropped before pairing (see lsh_candidate_pairs).
+
+    The shingle table feeds BOTH the signature aggregation and the exact
+    verification join, so it is materialized once (a persistent pipeline
+    writes it out; rebuilding it means a second full tokenize+explode pass
+    over the corpus)."""
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    wide = _minhash_wide_from_shingles(sh, num_hashes)
     band_arr = F.array(
         *[
             F.struct(
@@ -228,7 +237,6 @@ def minhash_dedup_pairs(
     cands = (
         x.join(y, ["band", "band_sig"]).filter(F.col("a") < F.col("b")).select("a", "b").dropDuplicates(["a", "b"])
     )
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col("id").alias("a"), "shingle")
     b_sh = sh.select(F.col("id").alias("b"), "shingle")
