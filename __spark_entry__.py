@@ -453,17 +453,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual + SAD convergence) over the supplier→part graph derived from
     lineitem.  Parts have no out-edges, so the dead-end residual path is
     exercised.  Iterative — no SQL oracle; driver records rows-only."""
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-        )
-        .dropDuplicates(["src", "dst"])
-    )
-    vertices = edges.select(F.col("src").alias("id")).unionByName(
-        edges.select(F.col("dst").alias("id"))
-    ).dropDuplicates(["id"])
+    vertices, edges = _supplier_part_graph(spark, sf_dir)
     res = pagerank(vertices, edges, max_steps=50)
     return S.paginate(
         res.state.select("id", F.round(F.col("score"), 6).alias("score")),
@@ -551,10 +541,17 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _supplier_part_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     li = _t(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).dropDuplicates(["src", "dst"])
+    # materialize the deduped edge set: deriving vertices as the union of
+    # endpoints would otherwise re-scan lineitem and redo the dedup shuffle
+    # TWICE more (once per union side) inside every downstream action
+    edges = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
     vertices = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

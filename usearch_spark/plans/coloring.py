@@ -45,27 +45,12 @@ def color_graph(
     """Returns state (id, color) with colors >= 1; pre-colored vertices
     (``color_col`` with values > 0) keep their colors."""
     spark = vertices.sparkSession
-    n = vertices.select(F.col(id_col)).dropDuplicates().count()
-    with loop_tuned_session(spark, n) as n_part:
-        return _coloring_loop(spark, vertices, edges, seed, max_steps, id_col, src_col, dst_col, color_col, n_part)
-
-
-def _coloring_loop(spark, vertices, edges, seed, max_steps, id_col, src_col, dst_col, color_col, n_part) -> IterationResult:
     pre = (
         F.coalesce(F.col(color_col), F.lit(0)).cast("int")
         if color_col and color_col in vertices.columns
         else F.lit(0)
     )
-    # mirror edges for undirectedness; drop self-loops
-    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(n_part, "src")
-        .cache()
-    )
-
+    # one materialization covers the vertex count AND the initial state
     state = (
         vertices.select(F.col(id_col).alias("id"), pre.alias("color"))
         .dropDuplicates(["id"])
@@ -75,6 +60,22 @@ def _coloring_loop(spark, vertices, edges, seed, max_steps, id_col, src_col, dst
         .withColumn("token", F.md5(F.concat_ws(":", F.lit(seed), F.col("id"))))
         .localCheckpoint(eager=True)
     )
+    n = state.count()
+    # mirror edges for undirectedness; drop self-loops; materialize once
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e0 = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    # partitions sized by the dominant per-step volume (mirrored edges)
+    with loop_tuned_session(spark, max(n, e0.count())) as n_part:
+        return _coloring_loop(spark, state, e0, max_steps, n_part)
+
+
+def _coloring_loop(spark, state, e0, max_steps, n_part) -> IterationResult:
+    e = e0.repartition(n_part, "src").cache()
 
     def step_fn(current: DataFrame, step: int):
         # neighbor view: for each dst, the colors used and the strongest

@@ -52,45 +52,53 @@ def pagerank(
     """
     spark = vertices.sparkSession
 
-    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    # materialize the deduped vertex set ONCE: it feeds the count, the init
+    # join, and (via lineage) every step — without this, a derived input
+    # (e.g. vertices = union of edge endpoints over a big fact table) is
+    # re-scanned and re-shuffled for each of those uses
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     n = v.count()
     if n == 0:
         empty = v.withColumn("score", F.lit(0.0))
         return IterationResult(state=empty, steps=0, converged=True, history=[])
 
-    with loop_tuned_session(spark, n) as n_part:
-        return _pagerank_loop(spark, v, n, edges, damping, min_sad, max_steps, src_col, dst_col, n_part)
-
-
-def _pagerank_loop(spark, v, n, edges, damping, min_sad, max_steps, src_col, dst_col, n_part) -> IterationResult:
-    e = (
+    e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(n_part, "src")
-        .cache()
-    )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
-
-    # step 1: uniform 1/N (reference compute.go:44-48); carry out-degree on
-    # the state so per-step dead-end mass needs no extra join
-    ranks = (
-        v.withColumn("score", F.lit(1.0 / n))
-        .join(out_deg, "id", "left")
-        .repartition(n_part, "id")
         .localCheckpoint(eager=True)
     )
+    # loop partitions sized by the DOMINANT per-step volume: the ranks⋈edges
+    # join moves |E| rows, usually >> |V| (a vertex-count sizing left a 500k-
+    # edge graph on 2 partitions — 2 tasks on a 32-core box)
+    with loop_tuned_session(spark, max(n, e0.count())) as n_part:
+        return _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part)
+
+
+def _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part) -> IterationResult:
+    e = e0.repartition(n_part, "src").cache()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
+
+    res_metric = (
+        F.coalesce(F.sum(F.when(F.col("outdeg").isNull(), F.col("score"))), F.lit(0.0)) / n
+    )
+
+    # step 1: uniform 1/N (reference compute.go:44-48); carry out-degree on
+    # the state so per-step dead-end mass needs no extra join.  The dead-end
+    # residual of THIS state — read by the NEXT step, the reference's
+    # double-buffered residual_0/1 accumulator — is observed during the same
+    # materialization and carried forward as a driver-side scalar, so a step
+    # needs no residual subquery/broadcast of its own.
+    ranks, init_metrics = checkpoint_with_metrics(
+        v.withColumn("score", F.lit(1.0 / n)).join(out_deg, "id", "left").repartition(n_part, "id"),
+        res=res_metric,
+    )
+    residual = {"prev": float(init_metrics["res"])}
 
     d = damping
     track_sad = min_sad > 0.0
 
     def step_fn(current: DataFrame, step: int):
-        # dead-end residual of the PREVIOUS step's scores, kept in-plan as a
-        # broadcast 1-row aggregate (the reference's double-buffered
-        # residual_0/1 accumulator) — no extra driver action per step
-        res_df = current.agg(
-            (F.coalesce(F.sum(F.when(F.col("outdeg").isNull(), F.col("score"))), F.lit(0.0)) / n).alias("_res")
-        )
         # messages: score/outdeg to each out-neighbor
         contribs = (
             current.filter(F.col("outdeg").isNotNull())
@@ -102,24 +110,25 @@ def _pagerank_loop(spark, v, n, edges, damping, min_sad, max_steps, src_col, dst
         new_ranks = (
             current.withColumnRenamed("score", "old_score")
             .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(res_df))
             .select(
                 "id",
                 (
                     F.lit((1.0 - d) / n)
                     + F.lit(d) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
-                    + F.lit(d) * F.col("_res")
+                    + F.lit(d * residual["prev"])
                 ).alias("score"),
                 "old_score",
                 "outdeg",
             )
         )
-        # ONE action per step: the SAD convergence aggregate rides the
-        # checkpoint job as an observed metric instead of a second scan
+        # ONE action per step: SAD convergence AND the next step's dead-end
+        # residual both ride the checkpoint job as observed metrics
         new_ranks, metrics = checkpoint_with_metrics(
             new_ranks,
             sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
+            res=res_metric,
         )
+        residual["prev"] = float(metrics["res"])
         sad = float(metrics["sad"]) if track_sad else float("inf")
         return new_ranks.select("id", "score", "outdeg"), {"sad": sad}
 

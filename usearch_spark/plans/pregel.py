@@ -46,12 +46,15 @@ def pregel(
     Convergence = no value changed in a step.
     """
     spark = vertices.sparkSession
-    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    # one materialization of the vertex set (count + init would otherwise
+    # recompute a possibly-expensive derived input plan)
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     n = v.count()
+    e = edges.localCheckpoint(eager=True)
 
-    with loop_tuned_session(spark, n):
+    # partitions sized by the dominant per-step volume (edges, usually)
+    with loop_tuned_session(spark, max(n, e.count())):
         state = v.withColumn("value", initial_value).localCheckpoint(eager=True)
-        e = edges.localCheckpoint(eager=True)
 
         def step_fn(current: DataFrame, step: int):
             msgs = send_msg(current, e).groupBy("id").agg(agg_msg.alias("_agg"))

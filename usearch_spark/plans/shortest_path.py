@@ -42,22 +42,24 @@ def shortest_paths(
 ) -> IterationResult:
     """Returns state (id, cost, prev_in_path); cost NULL = unreachable."""
     spark = vertices.sparkSession
-    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    # one materialization of the vertex set (count + init reuse it)
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     n = v.count()
-    with loop_tuned_session(spark, n) as n_part:
-        return _sssp_loop(spark, v, edges, src_id, max_steps, src_col, dst_col, weight_col, n_part)
-
-
-def _sssp_loop(spark, v, edges, src_id, max_steps, src_col, dst_col, weight_col, n_part) -> IterationResult:
-    e = (
+    e0 = (
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
             F.col(weight_col).cast("long").alias("weight"),
         )
-        .repartition(n_part, "src")
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    # partitions sized by the dominant per-step volume (edges, usually)
+    with loop_tuned_session(spark, max(n, e0.count())) as n_part:
+        return _sssp_loop(spark, v, e0, src_id, max_steps, n_part)
+
+
+def _sssp_loop(spark, v, e0, src_id, max_steps, n_part) -> IterationResult:
+    e = e0.repartition(n_part, "src").cache()
 
     state = (
         v.select(
