@@ -144,6 +144,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style approximate top-k: a k-means coarse quantizer (Spark ML)
     partitions the corpus into ``n_clusters`` inverted lists; a query scores
@@ -161,7 +162,11 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     feat = embeddings.withColumn("_feat", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cluster").fit(feat)
+    # a coarse quantizer needs balanced cells, not converged centroids —
+    # cap the iterations (recall comes from n_probe, not centroid polish)
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_feat", predictionCol="_cluster"
+    ).fit(feat)
     centers = np.array(model.clusterCenters())  # (n_clusters, dim)
 
     q = np.asarray(query_vec, dtype="float64")
