@@ -316,6 +316,17 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 highlighter under the oracle gate: wrap each case-insensitive
+    occurrence of the search terms in <em> tags (JVM regexp_replace chain;
+    reference highlighter.go:17-41 — with its '</em' bug fixed)."""
+    from usearch_spark.operators.summarize import highlight_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    snippet = F.substring(F.col("text"), 1, 120)
+    return docs.select("doc_id", highlight_expr(snippet, SEARCH_TERMS).alias("highlighted"))
+
+
 def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, quality, language-ID, fingerprint for
     doc_id < 50 (usearch_spark/operators/text_analysis.py)."""
@@ -633,6 +644,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, forward direction with tolerance: each purchase paired
+    with the same user's EARLIEST view at-or-after it, voided beyond 1 hour.
+    Oracle: min-timestamp aggregation (no native forward ASOF in DuckDB);
+    tie on the matched timestamp resolved to max view_event on both sides."""
+    from usearch_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    us = F.expr("ts_ns DIV 1000")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("v_ts"), F.col("event_id").alias("view_event")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        direction="forward",
+        tolerance=3_600_000_000,  # 1 hour in µs
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "p_ts",
+        F.col("view_event_asof").alias("view_event"),
+        F.col("v_ts_asof").alias("view_ts"),
+    )
+
+
 def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: events per day x event_type matrix (first week of the
     stream)."""
@@ -939,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "json_extract": q_json_extract,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "pivot_daily": q_pivot_daily,
         "store_links_upsert": q_store_links_upsert,
         "store_edges_lifecycle": q_store_edges_lifecycle,
@@ -949,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_graph_coloring,
         "graph_components": q_graph_components,
         "search_results_page": q_search_results_page,
+        "search_highlight": q_search_highlight,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1046,6 +1092,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "search_phrase_positional": _phrase_positional_oracle_sql(PHRASE),
+        "search_highlight": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(substr(text, 1, 120), '(?i)spark', '<em>\\0</em>', 'g'),
+                       '(?i)join', '<em>\\0</em>', 'g') AS highlighted
+            FROM documents WHERE doc_id < 100
+        """,
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(12),
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
@@ -1110,6 +1163,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "asof_join_forward": """
+            WITH p AS (
+                SELECT event_id, user_id, epoch_us(ts) AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            v AS (
+                SELECT user_id, epoch_us(ts) AS v_ts, event_id AS view_event
+                FROM events WHERE event_type = 'view'
+            ),
+            m AS (
+                SELECT p.event_id, p.user_id, p.p_ts, min(v.v_ts) AS m_ts
+                FROM p LEFT JOIN v
+                  ON v.user_id = p.user_id AND v.v_ts >= p.p_ts
+                 AND v.v_ts - p.p_ts <= 3600000000
+                GROUP BY p.event_id, p.user_id, p.p_ts
+            )
+            SELECT m.event_id, m.user_id, m.p_ts,
+                   max(v.view_event) AS view_event, m.m_ts AS view_ts
+            FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.v_ts = m.m_ts
+            GROUP BY m.event_id, m.user_id, m.p_ts, m.m_ts
         """,
         "pivot_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -83,3 +83,62 @@ def test_asof_join_matches_pandas(spark):
             assert actual == expect, (row.k, row.t, actual, expect)
         else:
             assert abs(actual - expect) < 1e-12, (row.k, row.t, actual, expect)
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "l1"), ("u1", 20, "l2"), ("u2", 40, "l3")], "user string, t long, lbl string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 15, 2.0), ("u1", 20, 3.0), ("u2", 30, 4.0)],
+        "user string, rt long, v double",
+    )
+    out = {
+        (r["user"], r["t"]): (r["v_asof"], r["rt_asof"])
+        for r in asof_join(
+            left, right, on="user", left_ts="t", right_ts="rt", direction="forward"
+        ).collect()
+    }
+    assert out[("u1", 10)] == (2.0, 15)  # nearest at-or-after
+    assert out[("u1", 20)] == (3.0, 20)  # exact tie takes the right row
+    assert out[("u2", 40)] == (None, None)  # right exists but only earlier
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([("u", 100), ("u", 200)], "k string, t long")
+    right = spark.createDataFrame([("u", 95, 1.0), ("u", 120, 2.0)], "k string, rt long, v double")
+    out = {
+        r["t"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt", tolerance=10
+        ).collect()
+    }
+    assert out[100] == 1.0  # distance 5 <= 10
+    assert out[200] is None  # nearest backward match is 80 away -> voided
+
+
+def test_asof_forward_matches_pandas(spark):
+    import random
+
+    rng = random.Random(11)
+    lrows = [(f"k{rng.randrange(4)}", rng.randrange(500)) for _ in range(200)]
+    rdict = {(f"k{rng.randrange(4)}", rng.randrange(500)): rng.random() for _ in range(150)}
+    rrows = [(k, rt, v) for (k, rt), v in rdict.items()]
+    left = spark.createDataFrame(lrows, "k string, t long")
+    right = spark.createDataFrame(rrows, "k string, rt long, v double")
+    got = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt", direction="forward"
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t").reset_index(drop=True)
+    rp = pd.DataFrame(rrows, columns=["k", "rt", "v"]).sort_values("rt").reset_index(drop=True)
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k", direction="forward")
+    for row in merged.itertuples(index=False):
+        expect = None if pd.isna(row.v) else row.v
+        actual = got[(row.k, row.t)]
+        if expect is None or actual is None:
+            assert actual == expect, (row.k, row.t, actual, expect)
+        else:
+            assert abs(actual - expect) < 1e-12, (row.k, row.t, actual, expect)

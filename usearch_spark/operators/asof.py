@@ -24,14 +24,25 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right.right_ts <= left.left_ts`` and the same ``on`` key (NULLs when
-    no such row exists).
+    """For each left row: columns of the nearest right row at-or-before
+    (``direction='backward'``) or at-or-after (``'forward'``) its timestamp
+    with the same ``on`` key (NULLs when no such row exists).
 
-    Ties (right ts == left ts) take the right row, matching DuckDB/pandas
-    ``merge_asof(direction='backward')`` semantics.
+    Ties (right ts == left ts) take the right row in either direction,
+    matching pandas ``merge_asof`` / DuckDB ASOF semantics.  Among several
+    right rows sharing the matched timestamp the greatest (by value-column
+    tuple) wins — an explicit deterministic tie-break where the naive
+    window encoding is partition-order-dependent.
+
+    ``tolerance`` (optional) voids matches farther than the given distance:
+    pass a number for numeric timestamps, or a literal interval column
+    (``F.expr("INTERVAL 30 MINUTES")``) for timestamp columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (on, right_ts)]
     clash = set(right_value_cols) & set(left.columns)
@@ -62,15 +73,24 @@ def asof_join(
     unioned = l_prepped.unionByName(r_tagged, allowMissingColumns=True)
 
     # right rows sort before left rows at equal ts (_side 0 < 1) so an
-    # exact-tie right row is visible to the left row's window
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ts"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # exact-tie right row is visible to the left row's window; _right_row in
+    # the ordering makes duplicate right timestamps deterministic.  Forward
+    # = the same scan over reversed time.
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_right_row").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_right_row").asc()]
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = unioned.withColumn(
         "_matched", F.last(F.when(F.col("_side") == 0, F.col("_right_row")), ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        dist = (
+            F.col("_ts") - F.col("_matched._match_ts")
+            if direction == "backward"
+            else F.col("_matched._match_ts") - F.col("_ts")
+        )
+        carried = carried.withColumn("_matched", F.when(dist <= tolerance, F.col("_matched")))
     out = carried.filter(F.col("_side") == 1).select(
         *[c for c in left.columns],
         *[F.col(f"_matched.{c}").alias(c + suffix) for c in right_value_cols],

@@ -124,6 +124,20 @@ def highlight(sentence: str, terms: list[str]) -> str:
     return out
 
 
+def highlight_expr(col: Column, terms: list[str]) -> Column:
+    """X7 as a pure JVM column expression (whole-stage codegen; the Python
+    ``highlight`` above exists for the per-doc summary pipeline).  Terms are
+    applied sequentially like the reference's loop (highlighter.go:33-41)."""
+    import re
+
+    out = col
+    for term in terms:
+        if not term:
+            continue
+        out = F.regexp_replace(out, "(?i)" + re.escape(term), "<em>$0</em>")
+    return out
+
+
 def _terms_of(expression: str) -> list[str]:
     return [t for t in expression.strip('"').split() if t]
 
