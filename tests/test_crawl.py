@@ -186,3 +186,50 @@ def test_fetch_politeness_rate_limit(spark):
     assert len(polite) == 5
     # 4 same-host fetches => at least 3 enforced gaps
     assert elapsed >= 0.6
+
+
+def test_frontier_crawl_stream(spark, tmp_path):
+    """ST1+ST4 end-to-end: the processing-time stream drives crawl passes
+    and newly discovered links are crawled by LATER passes (frontier
+    expansion through the clock stream, reference crawler service shape)."""
+    import time
+
+    from usearch_spark.engine import USearchEngine
+    from usearch_spark.streaming.events import periodic_crawl_stream
+
+    a, b, c = "http://x.test/a", "http://x.test/b", "http://x.test/c"
+
+    def page(links):
+        anchors = "".join(f'<a href="{u}">l</a>' for u in links)
+        return (200, "text/html", f"<html><head><title>t</title></head><body>{anchors}</body></html>")
+
+    fetcher = static_fetcher({a: page([b]), b: page([c]), c: page([])})
+    eng = USearchEngine(spark, str(tmp_path / "store"))
+    eng.seed([a])
+
+    passes: list[int] = []
+
+    # all store reads happen INSIDE the serialized foreachBatch (a polling
+    # thread would race the stream's read-join-overwrite store rewrites);
+    # the tick raises a sentinel to terminate the stream once done
+    def tick(epoch: int) -> None:
+        passes.append(eng.run_crawl_pass(fetch_fn=fetcher))
+        docs = eng.documents()
+        if docs is not None and docs.count() >= 3:
+            raise RuntimeError("__frontier_done__")
+
+    q = periodic_crawl_stream(spark, tick, interval="1 second")
+    try:
+        finished = q.awaitTermination(120)
+        assert not finished or q.exception() is not None
+    except Exception:
+        pass
+    finally:
+        exc = q.exception()
+        q.stop()
+    assert exc is not None and "__frontier_done__" in str(exc)
+
+    docs = eng.documents()
+    assert {r["url"] for r in docs.collect()} == {a, b, c}
+    # the chain REQUIRES multiple passes: b only becomes due after a's pass
+    assert len([p for p in passes if p > 0]) >= 2
