@@ -101,3 +101,24 @@ def test_whole_stage_codegen_active(spark):
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark whole-stage-codegen'd operators in toString form
     assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_asof_single_shuffle_on_key(spark):
+    """The as-of union-sort encoding must shuffle exactly once (on the key)
+    — no range-explode join, no per-group Python."""
+    plan = plan_of(E.q_asof_join(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_store_edges_fk_checks_are_semi_joins(spark):
+    plan = plan_of(E.q_store_edges_lifecycle(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan  # stale-edge removal
+
+
+def test_highlight_is_jvm_only(spark):
+    """X7's query path must stay in whole-stage codegen — no Python eval."""
+    plan = plan_of(E.q_search_highlight(spark, SF))
+    assert "EvalPython" not in plan
+    assert "PushedFilters" in plan  # doc_id < 100 reaches the scan
