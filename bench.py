@@ -71,8 +71,14 @@ def main() -> None:
         pass
     warm = time.time() - t_warm
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # drop py4j refs from the previous query so the ContextCleaner can
+        # release its localCheckpoint blocks — otherwise checkpoint RDDs
+        # pile up across the session and late queries pay GC/eviction spikes
+        gc.collect()
         t0 = time.time()
         try:
             materialize(fn(spark, sf_dir))
@@ -83,6 +89,7 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    gc.collect()  # release the query loop's checkpoint blocks before the gate
     try:
         pr_gate = pagerank_100k(spark)
     except Exception as exc:
