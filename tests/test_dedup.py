@@ -81,3 +81,29 @@ def test_simhash_near_pairs(docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=8).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 5) not in pairs
+
+
+def test_simhash_wider_bands_complete_recall(spark):
+    """With n_chunks=8 the banded candidates are COMPLETE for Hamming <= 7:
+    every true pair found by brute force must survive the banding."""
+    rows = [(i, f"token{i} shared words appear in every document here") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {r["id"]: int(r["simhash"], 16) for r in simhash_fingerprints(df).collect()}
+    truth = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 7
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_near_pairs(df, max_hamming=7, n_chunks=8).collect()
+    }
+    assert got == truth
+    assert len(truth) > 0  # the corpus must actually contain near pairs
+
+
+def test_simhash_chunks_must_divide(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_pairs(df, n_chunks=3)

@@ -308,18 +308,23 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, banded candidates.
 
-    Candidates share at least one of 4 16-bit chunks; by pigeonhole that
-    guarantees COMPLETE recall only for max_hamming <= 3 (a pair differing
-    in >= 4 bits can spread one flip into every chunk).  Larger thresholds
-    are best-effort — the standard LSH recall trade; raise the chunk count
-    if completeness at a higher radius is required.  The exact distance is
-    then computed on the surviving pairs."""
+    Candidates share at least one of ``n_chunks`` equal chunks of the
+    64-bit fingerprint; by pigeonhole that guarantees COMPLETE recall for
+    max_hamming <= n_chunks - 1 (a pair differing in >= n_chunks bits can
+    spread one flip into every chunk).  More chunks buy a larger complete
+    radius at the cost of wider buckets — the standard LSH recall trade.
+    The exact distance is then computed on the surviving pairs.
+    ``n_chunks`` must divide the 16 hex characters evenly (2, 4, 8, 16)."""
+    if 16 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 16 evenly, got {n_chunks}")
+    width = 16 // n_chunks  # hex chars per chunk
     fps = simhash_fingerprints(docs, id_col, text_col)
-    chunked = fps.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
-        "chunk_val", F.substring(F.col("simhash"), F.col("chunk") * 4 + 1, 4)
+    chunked = fps.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))).withColumn(
+        "chunk_val", F.substring(F.col("simhash"), F.col("chunk") * width + 1, width)
     )
     a = chunked.select("chunk", "chunk_val", F.col("id").alias("a"), F.col("simhash").alias("sh_a"))
     b = chunked.select("chunk", "chunk_val", F.col("id").alias("b"), F.col("simhash").alias("sh_b"))
