@@ -187,6 +187,49 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped lineitems of BUILDING-
+    segment orders placed before the cutoff, top 10 by revenue.  Customer
+    broadcasts; lineitem's date filter pushes to the scan."""
+    cutoff = "1998-03-15"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+    return S.paginate(out, [F.col("revenue").desc(), F.col("l_orderkey")], 0, 10)
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue
+    (max-of-aggregate via a broadcast scalar; DECIMAL-exact equality so ties
+    are bit-stable in both engines)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    by_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    maxv = by_supp.agg(F.max("_rev").alias("_maxrev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        by_supp.crossJoin(F.broadcast(maxv))
+        .filter(F.col("_rev") == F.col("_maxrev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue"))
+    )
+
+
 def q_search_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: MATCH query — tokenize -> postings -> tf-idf score -> top 10.
     (reference es.go:184-213; engine impl usearch_spark/operators/search.py)"""
@@ -974,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_stale": q_anti_join_stale,
         "top_k_paged": q_top_k_paged,
         "revenue_by_nation": q_revenue_by_nation,
+        "shipping_priority": q_shipping_priority,
+        "top_supplier": q_top_supplier,
         "search_match": q_search_match,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
@@ -1061,6 +1106,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev.r = (SELECT max(r) FROM rev)
         """,
         "search_match": f"""
             WITH toks AS (
