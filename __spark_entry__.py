@@ -230,6 +230,28 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of lineitems whose quantity is below 20% of
+    their part's average.  The correlated per-part average becomes a
+    groupBy + equi-join, and the threshold comparison is cleared of its
+    division (5*cnt*qty < sum_qty) so it evaluates in exact integers/
+    decimals identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    joined = li.join(per_part, li.l_partkey == per_part.pk)
+    small = joined.filter(
+        _dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty")
+    )
+    # divide AFTER the double cast: decimal division picks engine-specific
+    # result scales, double division is IEEE-identical everywhere
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_search_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: MATCH query — tokenize -> postings -> tf-idf score -> top 10.
     (reference es.go:184-213; engine impl usearch_spark/operators/search.py)"""
@@ -1019,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "shipping_priority": q_shipping_priority,
         "top_supplier": q_top_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "search_match": q_search_match,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
@@ -1133,6 +1156,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, CAST(rev.r AS DOUBLE) AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE rev.r = (SELECT max(r) FROM rev)
+        """,
+        "small_quantity_revenue": """
+            WITH pp AS (
+                SELECT l_partkey AS pk,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                       count(*) AS cnt
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7 AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem JOIN pp ON l_partkey = pk
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
         """,
         "search_match": f"""
             WITH toks AS (
