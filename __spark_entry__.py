@@ -1236,7 +1236,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions,
                    max(n_ev) AS max_session_events,
-                   sum(n_ev) AS n_events
+                   CAST(sum(n_ev) AS BIGINT) AS n_events
             FROM per_session GROUP BY user_id
         """,
         "topk_per_group": """
@@ -1259,7 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
@@ -1566,7 +1566,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
                 GROUP BY doc_id, term
             )
-            SELECT term, count(DISTINCT doc_id) AS df, sum(tf) AS total_tf
+            SELECT term, count(DISTINCT doc_id) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
             FROM tf GROUP BY term
             ORDER BY df DESC, total_tf DESC, term
             LIMIT 20
