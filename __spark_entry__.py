@@ -30,7 +30,7 @@ from usearch_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from usearch_spark.operators.multimodal import extract_features
-from usearch_spark.operators.similarity import cosine, lsh_bucketed_topk
+from usearch_spark.operators.similarity import cosine
 from usearch_spark.operators.text_analysis import analyze
 from usearch_spark.operators.summarize import assemble_results
 from usearch_spark.plans.coloring import color_graph
@@ -66,6 +66,34 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEARCH_TERMS = ["spark", "join"]
 PHRASE = "batch batch"
+
+# Persistent index artifacts (bucketed postings, ANN indexes) live here —
+# absolute so they don't depend on the calling session's cwd; keyed by the
+# sf token because the testdata under a given sf dir is immutable.
+_ARTIFACT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse")
+
+
+def _sf_token(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+
+
+def _postings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent bucketed postings table for this sf (built on first
+    use in a session, reused afterwards): per-term operations downstream —
+    dfreq aggregation, scoring joins — then co-locate by bucket instead of
+    shuffling a rebuilt postings set per query (VERDICT r2 item 4)."""
+    tbl = f"postings_{_sf_token(sf_dir)}"
+    if not spark.catalog.tableExists(tbl):
+        postings = S.build_postings(_t(spark, sf_dir, "documents"), id_col="doc_id", text_cols=("text",))
+        try:
+            S.save_postings_bucketed(
+                postings, tbl, buckets=16, path=os.path.join(_ARTIFACT_DIR, tbl)
+            )
+        except Exception:
+            # session can't write (read-only cwd / no catalog): fall back to
+            # a per-call materialization rather than failing the query
+            return postings.localCheckpoint(eager=True)
+    return S.load_postings(spark, tbl)
 
 # DuckDB fragment: the engine's tokenizer (lowercase alnum runs, no empties)
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -256,10 +284,10 @@ def q_search_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: MATCH query — tokenize -> postings -> tf-idf score -> top 10.
     (reference es.go:184-213; engine impl usearch_spark/operators/search.py)"""
     docs = _t(spark, sf_dir, "documents")
-    # materialize the postings once — they feed BOTH the df-count aggregate
-    # and the scoring join (a persistent deployment would keep the postings
-    # table on disk, bucketed by term; see operators/search.py)
-    postings = S.build_postings(docs, id_col="doc_id", text_cols=("text",)).localCheckpoint(eager=True)
+    # postings come from the persistent term-bucketed table — the dfreq
+    # aggregate and the scoring join co-locate on its buckets, no rebuild
+    # and no shuffle per query
+    postings = _postings_df(spark, sf_dir)
     dfreq = S.doc_frequencies(postings, id_col="doc_id")
     n = docs.count()
     scored = S.score_match(postings, dfreq, n, SEARCH_TERMS, id_col="doc_id", round_to=4)
@@ -361,23 +389,38 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN: random-hyperplane LSH with multi-probe — the scale
-    path (rows-only check; approximation has no SQL oracle)."""
+    """Approximate NN: random-hyperplane LSH with multi-probe against the
+    PERSISTED signature-partitioned index — signatures are computed once at
+    build; a query reads only the partitions within its Hamming budget
+    (partition pruning).  Rows-only check; approximation has no SQL oracle.
+    Same plane family/params as the per-query form, so results match
+    lsh_bucketed_topk exactly."""
+    from usearch_spark.operators.similarity import build_lsh_index, lsh_index_topk
+
+    path = os.path.join(_ARTIFACT_DIR, f"ann_lsh_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_lsh_index(_t(spark, sf_dir, "embeddings"), path, n_planes=8)
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = lsh_bucketed_topk(emb, qv, k=10, n_planes=8, max_probe_hamming=1)
+    out = lsh_index_topk(spark, path, qv, k=10, n_planes=8, max_probe_hamming=1)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN, IVF path: k-means coarse quantizer (Spark ML), probe
-    the 2 nearest of 8 inverted lists (rows-only check; pytest pins the
-    full-probe == brute-force property and probed recall)."""
-    from usearch_spark.operators.similarity import ivf_topk
+    """Approximate NN, IVF path against the PERSISTED index: the k-means
+    coarse quantizer is trained once at build time, the assignment is
+    written partitioned by cluster, and a query probes the 2 nearest of 8
+    inverted lists by reading only those partitions (partition pruning).
+    Rows-only check; pytest pins full-probe == brute-force and probed
+    recall.  Same quantizer seed/params as the per-query form."""
+    from usearch_spark.operators.similarity import build_ivf_index, ivf_index_topk
 
+    path = os.path.join(_ARTIFACT_DIR, f"ann_ivf_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_centroids.json")):
+        build_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_clusters=8)
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=2)
+    out = ivf_index_topk(spark, path, qv, k=10, n_probe=2)
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -399,8 +442,10 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index aggregate: top-20 terms by document frequency."""
-    postings = S.build_postings(_t(spark, sf_dir, "documents"), id_col="doc_id", text_cols=("text",))
+    """Inverted-index aggregate: top-20 terms by document frequency (reads
+    the persistent term-bucketed postings table — aggregation needs no
+    exchange)."""
+    postings = _postings_df(spark, sf_dir)
     stats = postings.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("total_tf")
     )

@@ -26,20 +26,27 @@ def materialize(df) -> int:
 
 def pagerank_100k(spark) -> dict:
     """BASELINE.md graph-compute gate: 100k-vertex random graph (seed 42,
-    <=7 out-links each) must converge (SAD < 0.001) without lineage blowup
-    — mirrors the reference's pagerank/calculator_test.go:197-251."""
-    import random
+    1-7 out-links each) must converge (SAD < 0.001) without lineage blowup
+    — mirrors the reference's pagerank/calculator_test.go:197-251.
 
+    The graph is generated JVM-side (xxhash64 pseudo-randomness, seed 42)
+    instead of as driver-built Python tuples: at any real scale the input
+    would be generated/read distributively, and driver pickling of 700k
+    tuples was dominating the gate's wall clock, hiding the algorithm."""
     from pyspark.sql import functions as F
 
     from usearch_spark.plans.pagerank import pagerank
 
     n = 100_000
-    rng = random.Random(42)
-    edges = [(i, rng.randrange(n)) for i in range(n) for _ in range(rng.randint(1, 7))]
     v = spark.range(n).select(F.col("id").cast("string"))
-    e = spark.createDataFrame(edges, "src long, dst long").select(
-        F.col("src").cast("string"), F.col("dst").cast("string")
+    deg = F.pmod(F.xxhash64(F.col("id"), F.lit(42)), F.lit(7)) + F.lit(1)
+    e = (
+        spark.range(n)
+        .select(F.col("id"), F.explode(F.sequence(F.lit(1), deg)).alias("k"))
+        .select(
+            F.col("id").cast("string").alias("src"),
+            F.pmod(F.xxhash64(F.col("id"), F.col("k"), F.lit(42)), F.lit(n)).cast("string").alias("dst"),
+        )
     )
     t0 = time.time()
     res = pagerank(v, e, max_steps=80)
@@ -72,21 +79,32 @@ def main() -> None:
     warm = time.time() - t_warm
 
     import gc
+    import statistics
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        # drop py4j refs from the previous query so the ContextCleaner can
-        # release its localCheckpoint blocks — otherwise checkpoint RDDs
-        # pile up across the session and late queries pay GC/eviction spikes
-        gc.collect()
-        t0 = time.time()
-        try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    per_run: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(n_runs):
+        for name, fn in qs.items():
+            # drop py4j refs from the previous query so the ContextCleaner
+            # can release its localCheckpoint blocks — otherwise checkpoint
+            # RDDs pile up across the session and late queries pay
+            # GC/eviction spikes
+            gc.collect()
+            t0 = time.time()
+            try:
+                materialize(fn(spark, sf_dir))
+                per_run[name].append(time.time() - t0)
+            except Exception as exc:  # a failing query must not hide the rest
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
 
+    # median of n_runs so round-over-round deltas are signal, not the box's
+    # +/-30% wall-clock noise; spread (max-min) published alongside
+    timings = {
+        name: (round(statistics.median(ts), 3) if ts else -1.0) for name, ts in per_run.items()
+    }
+    spread = {
+        name: round(max(ts) - min(ts), 3) for name, ts in per_run.items() if len(ts) > 1
+    }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     gc.collect()  # release the query loop's checkpoint blocks before the gate
@@ -103,6 +121,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": n_runs,
+                "spread_sec": spread,
                 "warmup_sec": round(warm, 3),
                 "pagerank_100k": pr_gate,
             }

@@ -89,3 +89,36 @@ def test_pagerank_converges_at_scale_sample(spark):
     assert res.converged, f"no convergence in {res.steps} steps (SAD history {[h['sad'] for h in res.history]})"
     total = res.state.groupBy().sum("score").first()[0]
     assert total == pytest.approx(1.0, abs=0.01)
+
+
+@pytest.mark.parametrize("vertices,edges,expected", CASES[:2])
+def test_pagerank_distributed_strategy_goldens(spark, vertices, edges, expected):
+    """The distributed superstep loop (the 100-TB path) must agree with the
+    goldens even when the auto-switch would have picked the local solve."""
+    v = spark.createDataFrame([(x,) for x in vertices], "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res = pagerank(v, e, strategy="distributed")
+    assert res.converged
+    scores = {r["id"]: r["score"] for r in res.state.collect()}
+    for k, exp in expected.items():
+        assert scores[k] == pytest.approx(exp, abs=0.01), (k, scores)
+
+
+def test_pagerank_local_matches_distributed(spark):
+    """Both strategies run the identical recurrence: same steps, same SAD
+    trajectory, per-vertex scores equal to float tolerance."""
+    rng = random.Random(7)
+    n = 300
+    verts = [(str(i),) for i in range(n)]
+    edges = [(str(i), str(rng.randrange(n))) for i in range(n) for _ in range(rng.randint(0, 4))]
+    v = spark.createDataFrame(verts, "id string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    res_l = pagerank(v, e, strategy="local")
+    res_d = pagerank(v, e, strategy="distributed")
+    assert res_l.steps == res_d.steps
+    assert res_l.converged == res_d.converged
+    sl = {r["id"]: r["score"] for r in res_l.state.collect()}
+    sd = {r["id"]: r["score"] for r in res_d.state.collect()}
+    assert set(sl) == set(sd)
+    for k in sl:
+        assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12)

@@ -94,3 +94,75 @@ def test_embedding_near_pairs(spark):
     pairs = {(r["a"], r["b"]) for r in embedding_near_pairs(df, threshold=0.99, n_planes=4, dim=2).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
+
+
+def test_exact_cosine_pairs_multiblock(spark, embeddings):
+    """Forcing several blocks must reproduce the single-block pair set —
+    covers the cross-block orientation and the diagonal triangle."""
+    one = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in exact_cosine_pairs(embeddings, threshold=0.8, n_blocks=1).collect()
+    }
+    many = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in exact_cosine_pairs(embeddings, threshold=0.8, n_blocks=3).collect()
+    }
+    assert many == one
+    assert len(one) > 0
+
+
+def test_exact_cosine_pairs_no_driver_collect(spark, embeddings, monkeypatch):
+    """The all-pairs plan must stay distributed: no DataFrame.collect may
+    run while building or executing it (VERDICT r2 item 2)."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect inside exact_cosine_pairs")
+
+    plan = None
+    orig = SparkDataFrame.collect
+    monkeypatch.setattr(SparkDataFrame, "collect", _no_collect)
+    try:
+        plan = exact_cosine_pairs(embeddings, threshold=0.8)
+        plan.write.format("noop").mode("overwrite").save()
+    finally:
+        monkeypatch.setattr(SparkDataFrame, "collect", orig)
+    assert plan.count() > 0
+
+
+def test_lsh_index_matches_per_query_form(spark, embeddings, tmp_path):
+    """The persisted signature-partitioned index must return exactly what
+    the per-query signing form returns, and its scan must prune to the
+    probed sig partitions."""
+    from usearch_spark.operators.similarity import build_lsh_index, lsh_index_topk
+
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(embeddings, path, n_planes=4)
+    per_query = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in lsh_bucketed_topk(embeddings, _vec(0.0), k=3, n_planes=4, max_probe_hamming=1).collect()
+    ]
+    indexed = lsh_index_topk(spark, path, _vec(0.0), k=3, n_planes=4, max_probe_hamming=1)
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in indexed.collect()]
+    assert got == per_query
+    plan = indexed._sc._jvm.PythonSQLUtils.explainString(indexed._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan and "sig#" in plan
+
+
+def test_ivf_index_matches_per_query_form(spark, embeddings, tmp_path):
+    """The persisted IVF index (centroids sidecar + cluster-partitioned
+    assignment) must reproduce the train-per-query form, with a pruned
+    scan at query time."""
+    from usearch_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(embeddings, path, n_clusters=4)
+    per_query = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_topk(embeddings, _vec(0.0), k=5, n_clusters=4, n_probe=2).collect()
+    ]
+    indexed = ivf_index_topk(spark, path, _vec(0.0), k=5, n_probe=2)
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in indexed.collect()]
+    assert got == per_query
+    plan = indexed._sc._jvm.PythonSQLUtils.explainString(indexed._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan and "cluster#" in plan

@@ -187,21 +187,22 @@ def paginate(df: DataFrame, order_cols: list[Column], offset: int, size: int) ->
     return out.limit(size)
 
 
-def save_postings_bucketed(postings: DataFrame, table: str, buckets: int = 16) -> None:
+def save_postings_bucketed(
+    postings: DataFrame, table: str, buckets: int = 16, path: str | None = None
+) -> None:
     """Persist the postings table bucketed+sorted by term.
 
     This is the 100 TB index layout: every later per-term operation —
     document-frequency aggregation, postings∞postings phrase joins,
     postings∞query-term joins when the term list is too big to broadcast —
     co-locates by bucket and skips the shuffle entirely (verified in
-    tests/test_plan_quality.py)."""
-    (
-        postings.write.bucketBy(buckets, "term")
-        .sortBy("term")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    tests/test_plan_quality.py).  ``path`` pins the data to an absolute
+    location (external table) so persistence doesn't depend on the
+    session's cwd-derived warehouse dir."""
+    w = postings.write.bucketBy(buckets, "term").sortBy("term").mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def load_postings(spark, table: str) -> DataFrame:

@@ -190,50 +190,207 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    n_blocks: int | None = None,
+    target_block_rows: int = 50_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold via blocked matrix multiply.
+    """Exact all-pairs cosine >= threshold, block-partitioned — NO vector
+    ever reaches the driver.
 
-    The full matrix (n x d float64) is captured into the closure and each
-    partition computes its block @ matrix.T with numpy — one broadcast, one
-    scan, no crossJoin shuffle of array payloads.  (A zip_with expression
-    per pair allocates arrays 2M times; measured 40x slower.)  Use this
-    exact form while the matrix fits an executor (~1GB = 2M x 64 floats);
-    beyond that, ``embedding_near_pairs`` (LSH) is the scale path.
+    Rows hash into B blocks; every unordered block pair (bi <= bj) becomes
+    one cogroup task that cross-multiplies its two blocks with numpy (Arrow
+    in, (|bi| x |bj|) matmul, thresholded pairs out).  Each row is shuffled
+    to B tasks, a task holds at most two blocks, so O(n*B) data movement
+    replaces the O(n^2) pair shuffle and memory per task stays bounded as
+    the corpus grows: at 100 TB, B rises as n/target_block_rows and the
+    work spreads over B*(B+1)/2 tasks.  (A zip_with expression per pair
+    allocates arrays per comparison; measured 40x slower.)  For corpora
+    where even blocked exact is too big, ``embedding_near_pairs`` (LSH)
+    is the approximate scale path.
     """
     import numpy as np
     import pandas as pd
 
     from usearch_spark.session import ship_package
 
-    ship_package(embeddings.sparkSession)
-    # materialize ONCE: the driver-side matrix and the executor-side batches
-    # must come from the same row set (a nondeterministic input like
-    # .sample() would otherwise be evaluated twice with different results)
-    frozen = embeddings.select(id_col, vec_col).localCheckpoint(eager=True)
-    rows = frozen.collect()
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.array([r[vec_col] for r in rows], dtype="float64")
-    norms = np.linalg.norm(mat, axis=1)
+    spark = embeddings.sparkSession
+    ship_package(spark)
+    frozen = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).localCheckpoint(eager=True)
+    if n_blocks is None:
+        n_blocks = max(1, -(-frozen.count() // target_block_rows))
 
-    def block(batches):
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            if len(pdf):
-                bmat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-                bids = pdf[id_col].to_numpy()
-                bnorms = np.linalg.norm(bmat, axis=1)
-                sims = (bmat @ mat.T) / np.outer(bnorms, norms)
-                sims = np.round(sims, round_to)
-                for i in range(len(bids)):
-                    mask = (sims[i] >= threshold) & (ids > bids[i])
-                    for j in np.nonzero(mask)[0]:
-                        out_a.append(bids[i])
-                        out_b.append(ids[j])
-                        out_c.append(sims[i, j])
-            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+    tagged = frozen.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    # row with block x serves as the LEFT side of pairs (x, j>=x) and the
+    # RIGHT side of pairs (i<=x, x); cogroup key = the (bi, bj) pair.
+    # Distinct column names per side keep Spark's ambiguous-self-join
+    # detection out of the cogroup.
+    jl = F.broadcast(spark.range(n_blocks).select(F.col("id").cast("int").alias("_jl")))
+    jr = F.broadcast(spark.range(n_blocks).select(F.col("id").cast("int").alias("_jr")))
+    # the right side re-aliases every column: the cogroup's two children
+    # would otherwise carry identical attribute ids (both derive from
+    # ``tagged``) and trip AMBIGUOUS_SELF_JOIN at analysis
+    tr = tagged.select(
+        F.col("_id").alias("_rid"), F.col("_vec").alias("_rvec"), F.col("_blk").alias("_rblk")
+    )
+    left = tagged.join(jl, F.col("_jl") >= F.col("_blk")).groupBy(
+        F.col("_blk").alias("_bi"), F.col("_jl").alias("_bj")
+    )
+    right = tr.join(jr, F.col("_jr") <= F.col("_rblk")).groupBy(
+        F.col("_jr").alias("_bi"), F.col("_rblk").alias("_bj")
+    )
+
+    def block_pair(key, la: "pd.DataFrame", rb: "pd.DataFrame"):
+        bi, bj = int(key[0]), int(key[1])
+        if la.empty or rb.empty:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        amat = np.array([np.asarray(v, dtype="float64") for v in la["_vec"]])
+        aids = la["_id"].to_numpy()
+        if bi == bj:
+            bmat, bids = amat, aids
+        else:
+            bmat = np.array([np.asarray(v, dtype="float64") for v in rb["_rvec"]])
+            bids = rb["_rid"].to_numpy()
+        sims = (amat @ bmat.T) / np.outer(
+            np.linalg.norm(amat, axis=1), np.linalg.norm(bmat, axis=1)
+        )
+        sims = np.round(sims, round_to)
+        if bi == bj:
+            # diagonal block: strict upper triangle by id, each pair once
+            ii, jj = np.nonzero((sims >= threshold) & (aids[:, None] < bids[None, :]))
+            a_out, b_out = aids[ii], bids[jj]
+        else:
+            # cross block: every qualifying (x, y) occurs exactly once here,
+            # in arbitrary id order — orient as (smaller id, larger id)
+            ii, jj = np.nonzero(sims >= threshold)
+            a_out = np.minimum(aids[ii], bids[jj])
+            b_out = np.maximum(aids[ii], bids[jj])
+        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": sims[ii, jj]})
 
     id_type = dict(embeddings.dtypes)[id_col]
-    return frozen.mapInPandas(block, f"a {id_type}, b {id_type}, cosine double")
+    return left.cogroup(right).applyInPandas(
+        block_pair, f"a {id_type}, b {id_type}, cosine double"
+    )
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist the LSH index: (id, embedding) parquet PARTITIONED BY the
+    sign-bit signature.  Signatures are computed once at build time — a
+    query then probes by reading only the partitions within its Hamming
+    budget (partition pruning on the scan), instead of re-signing the whole
+    corpus per query."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    tagged = with_lsh_signature(embeddings, n_planes, dim, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("sig")
+    )
+    tagged.write.partitionBy("sig").mode("overwrite").parquet(path)
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_probe_hamming: int = 1,
+) -> DataFrame:
+    """Query a persisted LSH index: enumerate the signatures within
+    ``max_probe_hamming`` flips of the query's and score only those
+    partitions — the filter is on the partition column, so the scan prunes
+    to the probed directories and the touched bytes are |probed buckets| /
+    2^n_planes of the corpus regardless of corpus size."""
+    from itertools import combinations
+
+    qsig = lsh_signature_py(query_vec, n_planes)
+    probe = []
+    for h in range(max_probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            s = list(qsig)
+            for f in flips:
+                s[f] = "1" if s[f] == "0" else "0"
+            probe.append("".join(s))
+    df = spark.read.parquet(path).filter(F.col("sig").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: train the k-means coarse quantizer ONCE, write
+    the assignment parquet PARTITIONED BY cluster plus the centroids as a
+    ``_centroids.json`` sidecar (the underscore keeps it out of partition
+    discovery).  Probing then = read centroids (tiny), pick n_probe cells,
+    scan only those partitions."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn("_feat", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_feat", predictionCol="cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    centers = np.array(model.clusterCenters()).tolist()
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(centers, fh)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: nearest ``n_probe`` centroids by the
+    quantizer's euclidean metric, then score only those cluster partitions
+    (partition pruning on the scan)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centers = np.array(json.load(fh))
+    q = np.asarray(query_vec, dtype="float64")
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probe = [int(c) for c in order[:n_probe]]
+    df = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
 
 
 def embedding_near_pairs(
