@@ -144,3 +144,52 @@ def test_pagerank_blend_reorders(spark):
     idx2 = SearchIndex(boosted)
     _, page2 = idx2.search("common")
     assert [r["link_id"] for r in page2.collect()][0] == "a"
+
+
+def test_update_score_ordering_suite_both_blends(spark):
+    """Mirror of indextest/suite.go TestUpdateScore (:314-372): 50 docs with
+    identical content, PageRank = 50-i orders results as inserted; reversing
+    the scores reverses the order.  Must hold in BOTH blend modes — additive
+    (es.go:204-209) because text scores tie, and pagerank_first
+    (memory.go:112) by construction."""
+    from usearch_spark.operators.search import BLEND_ADDITIVE, BLEND_PAGERANK_FIRST
+
+    n = 50
+    ids = [f"doc{i:03d}" for i in range(n)]
+    rows = [
+        (ids[i], f"u{i}", f"doc with ID {ids[i]}", "This should be the body text of the document", float(n - i), None)
+        for i in range(n)
+    ]
+    schema = "link_id string, url string, title string, content string, pagerank double, indexed_at timestamp"
+    docs = spark.createDataFrame(rows, schema)
+    for blend in (BLEND_ADDITIVE, BLEND_PAGERANK_FIRST):
+        idx = SearchIndex(docs, blend=blend)
+        _, page = idx.search("body", size=n)
+        assert [r["link_id"] for r in page.collect()] == ids, blend
+
+    reversed_docs = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], float(i), r[5]) for i, r in enumerate(rows)], schema
+    )
+    for blend in (BLEND_ADDITIVE, BLEND_PAGERANK_FIRST):
+        idx = SearchIndex(reversed_docs, blend=blend)
+        _, page = idx.search("body", size=n)
+        assert [r["link_id"] for r in page.collect()] == list(reversed(ids)), blend
+
+
+def test_blend_modes_disagree_when_relevance_beats_pagerank(spark):
+    """The two semantics are genuinely different: a slightly-lower-pagerank
+    doc with much higher relevance wins under additive but loses under the
+    bleve sort."""
+    from usearch_spark.operators.search import BLEND_ADDITIVE, BLEND_PAGERANK_FIRST
+
+    docs = spark.createDataFrame(
+        [
+            ("rel", "u1", "x", "common common common common common", 1.0, None),
+            ("pr", "u2", "x", "common filler", 1.5, None),
+        ],
+        "link_id string, url string, title string, content string, pagerank double, indexed_at timestamp",
+    )
+    _, add_page = SearchIndex(docs, blend=BLEND_ADDITIVE).search("common")
+    _, pr_page = SearchIndex(docs, blend=BLEND_PAGERANK_FIRST).search("common")
+    assert [r["link_id"] for r in add_page.collect()][0] == "rel"
+    assert [r["link_id"] for r in pr_page.collect()][0] == "pr"

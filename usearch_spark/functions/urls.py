@@ -17,7 +17,6 @@ expressible in Spark built-ins).  Everything else is JVM-side.
 
 from __future__ import annotations
 
-import ipaddress
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -94,40 +93,44 @@ def _hostname(url: str) -> str:
         return ""
 
 
-def is_private_host(hostname: str) -> bool:
-    """Deterministic private-network check (reference crawler/privnet
-    resolves DNS; here IP literals and localhost are classified directly and
-    other names are treated as public — the resolver is injectable in
-    CrawlConfig for deployments that need real DNS)."""
-    if not hostname:
-        return True
-    if hostname == "localhost":
-        return True
-    try:
-        return not ipaddress.ip_address(hostname).is_global
-    except ValueError:
-        return False  # not an IP literal -> assume public
+def is_private_host(hostname: str, detector=None) -> bool:
+    """Private-network check via the CIDR detector (functions/privnet.py,
+    reference crawler/privnet/detector.go semantics).  With no detector
+    given, the pipeline default applies: IP literals and localhost are
+    classified against the reference CIDR list, other hostnames pass as
+    public (no DNS in this environment; inject
+    ``PrivateNetworkDetector(resolver=dns_resolver)`` for full parity)."""
+    from usearch_spark.functions.privnet import default_pipeline_detector
+
+    if detector is None:
+        detector = default_pipeline_detector()
+    return detector.is_private(hostname)
 
 
-def _keep_batch(src_url: pd.Series, resolved: pd.Series) -> pd.Series:
-    """shouldRetainURL: http/https only; same host always kept; foreign
-    hosts dropped when private."""
+def _keep_batch_fn(detector):
+    """shouldRetainURL (link_extractor.go:120-144): http/https only; same
+    host always kept; foreign hosts checked against the private-network
+    detector (a drop on resolution failure mirrors link_fetcher.go:66-73
+    when the detector's policy says so)."""
 
-    def one(src: str | None, url: str | None) -> bool:
-        if not url:
-            return False
-        parts = urlsplit(url)
-        if parts.scheme not in ("http", "https"):
-            return False
-        host = parts.hostname or ""
-        if src and _hostname(src) == host:
-            return True
-        return not is_private_host(host)
+    def _keep_batch(src_url: pd.Series, resolved: pd.Series) -> pd.Series:
+        def one(src: str | None, url: str | None) -> bool:
+            if not url:
+                return False
+            parts = urlsplit(url)
+            if parts.scheme not in ("http", "https"):
+                return False
+            host = parts.hostname or ""
+            if src and _hostname(src) == host:
+                return True
+            return not is_private_host(host, detector)
 
-    return pd.Series([one(s, u) for s, u in zip(src_url, resolved)])
+        return pd.Series([one(s, u) for s, u in zip(src_url, resolved)])
+
+    return _keep_batch
 
 
-def keep_url_udf(src_url, resolved):
+def keep_url_udf(src_url, resolved, detector=None):
     from pyspark.sql.types import BooleanType
 
-    return F.pandas_udf(_keep_batch, BooleanType())(src_url, resolved)
+    return F.pandas_udf(_keep_batch_fn(detector), BooleanType())(src_url, resolved)

@@ -170,12 +170,33 @@ def phrase_filter(docs: DataFrame, phrase: str, text_cols: tuple[str, ...] = ("t
     return docs.filter(conds)
 
 
+# the reference ships BOTH ranking semantics; the blend is configurable
+# with the additive form as the default (SURVEY §7):
+BLEND_ADDITIVE = "additive"  # ES script_score "_score + doc['PageRank']" (es.go:204-209)
+BLEND_PAGERANK_FIRST = "pagerank_first"  # bleve SortBy("-PageRank", "-_score") (memory.go:112)
+
+
 def blend_rank(scored: DataFrame, docs: DataFrame, id_col: str = "link_id") -> DataFrame:
-    """Additive rank blend: relevance + pagerank (es.go:204-209)."""
+    """Attach pagerank and the additive blend score; the ordering semantics
+    are chosen separately via ``blend_order_cols`` (both modes need the
+    same join, so the blend itself is mode-free)."""
     pr = docs.select(id_col, F.coalesce(F.col("pagerank"), F.lit(0.0)).alias("pagerank"))
-    return scored.join(pr, id_col, "left").withColumn(
-        "final_score", F.col("score") + F.coalesce(F.col("pagerank"), F.lit(0.0))
+    return (
+        scored.join(pr, id_col, "left")
+        .withColumn("pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0)))
+        .withColumn("final_score", F.col("score") + F.col("pagerank"))
     )
+
+
+def blend_order_cols(blend: str, id_col: str = "link_id") -> list[Column]:
+    """Result ordering for a blend mode, with a deterministic id tie-break:
+    additive sorts on relevance+pagerank (es.go:204-209); pagerank_first is
+    the bleve sort (-PageRank, -_score) (memory.go:112)."""
+    if blend == BLEND_ADDITIVE:
+        return [F.col("final_score").desc(), F.col(id_col)]
+    if blend == BLEND_PAGERANK_FIRST:
+        return [F.col("pagerank").desc(), F.col("score").desc(), F.col(id_col)]
+    raise ValueError(f"unknown blend mode {blend!r}")
 
 
 def paginate(df: DataFrame, order_cols: list[Column], offset: int, size: int) -> DataFrame:
@@ -216,10 +237,17 @@ class SearchIndex:
     analog of the reference's index store handle.
     """
 
-    def __init__(self, docs: DataFrame, id_col: str = "link_id", text_cols: tuple[str, ...] = ("title", "content")):
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "link_id",
+        text_cols: tuple[str, ...] = ("title", "content"),
+        blend: str = BLEND_ADDITIVE,
+    ):
         self.docs = docs
         self.id_col = id_col
         self.text_cols = text_cols
+        self.blend = blend
         self.postings = build_postings(docs, id_col, text_cols).cache()
         self.dfreq = doc_frequencies(self.postings, id_col).cache()
         self.n_docs = docs.count()
@@ -236,16 +264,10 @@ class SearchIndex:
             terms = analyze_query(expression)
             hits = score_match(self.postings, self.dfreq, self.n_docs, terms, self.id_col)
         blended = blend_rank(hits, self.docs, self.id_col)
+        order = blend_order_cols(self.blend, self.id_col)
         total = blended.count()
-        page = paginate(
-            blended,
-            [F.col("final_score").desc(), F.col(self.id_col)],
-            offset,
-            size,
-        )
+        page = paginate(blended, order, offset, size)
         # docs carries its own 'pagerank' — drop it so the page keeps exactly
         # one; re-sort AFTER the join (join output order is undefined)
-        enriched = page.join(self.docs.drop("pagerank"), self.id_col, "left").orderBy(
-            F.col("final_score").desc(), F.col(self.id_col)
-        )
+        enriched = page.join(self.docs.drop("pagerank"), self.id_col, "left").orderBy(*order)
         return total, enriched

@@ -132,11 +132,16 @@ def fetch_stage(
     return src.mapInPandas(run, FETCH_RESULT_SCHEMA)
 
 
-def extract_stage(fetched: DataFrame) -> DataFrame:
+def extract_stage(fetched: DataFrame, detector=None) -> DataFrame:
     """F1/F3 filters + X1 link extraction + X2/X3 text extraction.
 
     Output: one row per successfully-fetched HTML page with
     links / nofollow_links arrays and title / text_content columns.
+
+    ``detector``: private-network detector for the keep-filter (F2);
+    defaults to the no-DNS pipeline detector — inject
+    PrivateNetworkDetector(resolver=dns_resolver) for reference-parity
+    SSRF guarding (crawler/link_fetcher.go:66-73).
     """
     ship_package(fetched.sparkSession)
     pages = fetched.filter(
@@ -155,7 +160,7 @@ def extract_stage(fetched: DataFrame) -> DataFrame:
             F.when(
                 F.col("resolved").isNotNull()
                 & ~is_non_html_url(F.col("resolved"))
-                & keep_url_udf(F.col("url"), F.col("resolved")),
+                & keep_url_udf(F.col("url"), F.col("resolved"), detector),
                 F.col("resolved"),
             ),
         )
@@ -193,6 +198,7 @@ def crawl_pass(
     seed_or_due: DataFrame,
     fetch_fn: FetchFn = stub_fetch,
     now: dt.datetime | None = None,
+    detector=None,
 ) -> CrawlResult:
     """One full crawl pass over ``seed_or_due`` links (id, url).
 
@@ -203,7 +209,7 @@ def crawl_pass(
     now_lit = F.lit(now)
 
     fetched = fetch_stage(seed_or_due, fetch_fn)
-    payload = extract_stage(fetched).localCheckpoint(eager=True)  # fetch once, fan out thrice (P5 broadcast stage)
+    payload = extract_stage(fetched, detector).localCheckpoint(eager=True)  # fetch once, fan out thrice (P5 broadcast stage)
     n_crawled = payload.count()
 
     # --- graph updater (P8, crawler/graph_updater.go:27-86)
