@@ -660,6 +660,50 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregate surface: HLL++ approx_count_distinct next to
+    the exact count.  Sketches differ across engines, so the gate pins the
+    EXACT count plus a within-5%-relative-error flag for the sketch (the
+    oracle asserts the flag true with its own exact count) — approximation
+    quality is checked, hashes stay engine-independent."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+    )
+    return per_type.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).cast("int").alias("approx_within_5pct"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile surface: exact interpolated percentiles (hash-compared
+    against DuckDB's quantile_cont) plus a flag that percentile_approx's
+    answer lands within the exact p25-p75 spread of the median — sketch
+    checked, hash engine-independent."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_approx_p50"),
+    )
+    return per_type.select(
+        "event_type",
+        "p25",
+        "p50",
+        "p75",
+        (
+            (F.col("_approx_p50") >= F.col("p25")) & (F.col("_approx_p50") <= F.col("p75"))
+        ).cast("int").alias("approx_p50_in_iqr"),
+    )
+
+
 def _supplier_part_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     li = _t(spark, sf_dir, "lineitem")
     # materialize the deduped edge set: deriving vertices as the union of
@@ -810,15 +854,125 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 result assembly: summary + highlight over the top MATCH hits
-    (per-doc sentence logic — no SQL oracle; rows-only check, pytest
-    carries the goldens)."""
+    """Q5 result assembly: summary + highlight over the top MATCH hits.
+    FULL SQL oracle (_results_page_oracle_sql): the reference summarizer's
+    boundary predicate is stateless, so sentence split + ratio ranking +
+    budget fill + gap ellipses + highlighting all unroll into DuckDB
+    windows/string ops; pytest additionally carries reference goldens."""
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content").withColumn(
         "title", F.lit(None).cast("string")
     ).withColumn("url", F.concat(F.lit("doc://"), F.col("doc_id")))
     top = q_search_match(spark, sf_dir).join(docs, "doc_id", "inner")
     page = assemble_results(top, " ".join(SEARCH_TERMS))
     return page.select("doc_id", "score", "display_title", "summary").orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def _results_page_oracle_sql(max_summary_len: int = 256) -> str:
+    """Full oracle for Q5 result assembly (summarizer.go:42-198 semantics).
+
+    The reference's sentence scanner looks stateful (p jumps past each
+    break), but its boundary predicate is effectively stateless: a break
+    char ('.', '!', '?') is \\p{P}, which can never satisfy the next
+    position's "preceded by lower/symbol/number/space" condition, so the
+    set of boundaries is exactly the set of positions passing the 3-char
+    window test — computable per-position in SQL.  Budget fill is a
+    running-sum window over (ratio DESC, pos), gap ellipses + '.' suffix a
+    string_agg, highlighting the same sequential regexp_replace chain as
+    X7."""
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
+    terms_list = "[" + ", ".join(f"'{t.lower()}'" for t in SEARCH_TERMS) + "]"
+    hl = "coalesce(a.summary0, '')"
+    for t in SEARCH_TERMS:
+        hl = f"regexp_replace({hl}, '(?i){t}', '<em>\\0</em>', 'g')"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        q(term) AS (VALUES {terms_values}),
+        top10 AS (
+            SELECT tf.doc_id,
+                   round(sum(tf.tf * ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5))), 4) AS score
+            FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN n
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 10
+        ),
+        page AS (
+            SELECT t.doc_id, t.score, d.text AS content
+            FROM top10 t JOIN documents d USING (doc_id)
+        ),
+        positions AS (
+            SELECT doc_id, content,
+                   CAST(unnest(range(2, greatest(length(content), 2))) AS INT) AS p
+            FROM page
+        ),
+        bounds AS (
+            SELECT doc_id, list_sort(list(p)) AS bps
+            FROM positions
+            WHERE substr(content, p, 1) IN ('.', '!', '?')
+              AND regexp_matches(substr(content, p - 1, 1),
+                                 '^[\\p{{Ll}}\\p{{S}}\\p{{N}}\\s]$')
+              AND regexp_matches(substr(content, p + 1, 1),
+                                 '^[\\p{{P}}\\s\\p{{S}}\\p{{N}}\\p{{Lu}}]$')
+            GROUP BY doc_id
+        ),
+        senti AS (
+            SELECT p.doc_id, p.content, b.bps,
+                   CAST(unnest(range(1, coalesce(len(b.bps), 0) + 2)) AS INT) AS i
+            FROM page p LEFT JOIN bounds b USING (doc_id)
+            WHERE length(p.content) > 0
+        ),
+        sent AS (
+            SELECT doc_id, i - 1 AS pos, substr(content, s_start, s_end - s_start + 1) AS s
+            FROM (
+                SELECT *,
+                       CASE WHEN i = 1 THEN 1 ELSE CAST(bps[i - 1] AS INT) + 1 END AS s_start,
+                       CASE WHEN i <= len(bps) THEN CAST(bps[i] AS INT)
+                            ELSE length(content) END AS s_end
+                FROM senti
+            )
+            WHERE s_start <= length(content)
+        ),
+        ratios AS (
+            SELECT doc_id, pos, s,
+                   len(list_filter(words, w -> list_contains({terms_list}, lower(w)))) * 1.0
+                       / greatest(len(words), 1) AS ratio
+            FROM (SELECT *, list_filter(string_split_regex(s, '\\s+'), x -> x <> '') AS words
+                  FROM sent)
+        ),
+        ordered AS (
+            SELECT *, {max_summary_len} - coalesce(sum(length(s)) OVER (
+                       PARTITION BY doc_id ORDER BY ratio DESC, pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rem
+            FROM ratios WHERE ratio > 0
+        ),
+        sel AS (
+            SELECT doc_id, pos,
+                   CASE WHEN length(s) <= rem THEN s
+                        ELSE substr(s, 1, CAST(rem AS INT)) || '...' END AS s
+            FROM ordered WHERE rem > 0
+        ),
+        assembled AS (
+            SELECT doc_id,
+                   trim(string_agg(
+                       CASE WHEN lag_pos IS NOT NULL AND pos - lag_pos <> 1 THEN '...' ELSE '' END
+                       || s
+                       || CASE WHEN NOT ends_with(s, '.') THEN '.' ELSE '' END,
+                       '' ORDER BY pos)) AS summary0
+            FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lag_pos FROM sel)
+            GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.score,
+               'doc://' || p.doc_id AS display_title,
+               {hl} AS summary
+        FROM page p LEFT JOIN assembled a USING (doc_id)
+        ORDER BY p.score DESC, p.doc_id
+    """
 
 
 def _uuid_of_sql(expr: str) -> str:
@@ -1095,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
         "json_extract": q_json_extract,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "pivot_daily": q_pivot_daily,
@@ -1309,6 +1465,20 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,
+        "approx_distinct": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   1 AS approx_within_5pct
+            FROM events GROUP BY event_type
+        """,
+        "approx_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   1 AS approx_p50_in_iqr
+            FROM events GROUP BY event_type
+        """,
         "asof_join": """
             SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts,
                    v.event_id AS view_event, epoch_us(v.ts) AS view_ts
@@ -1427,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
                    strftime(indexed_at, '%Y-%m-%d') AS indexed_day
             FROM final
         """,
+        "search_results_page": _results_page_oracle_sql(),
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),
         "graph_coloring": _coloring_oracle_sql(8),

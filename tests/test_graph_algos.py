@@ -121,3 +121,53 @@ def test_coloring_random_graph_bounded(spark):
         deg[s] = deg.get(s, 0) + 1
         deg[d] = deg.get(d, 0) + 1
     _assert_proper_coloring(res.state.collect(), edges, max_colors=max(deg.values()) + 1)
+
+
+def test_sssp_local_matches_distributed(spark):
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    v = spark.createDataFrame([(f"v{i}",) for i in range(12)], "id string")
+    edges = [(f"v{i}", f"v{(i * 3 + 1) % 12}", (i % 4) + 1) for i in range(12)] + [
+        ("v0", "v5", 1),
+        ("v5", "v9", 2),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight int")
+    loc = shortest_paths(v, e, "v0", strategy="local")
+    dist = shortest_paths(v, e, "v0", strategy="distributed")
+    assert loc.steps == dist.steps and loc.converged == dist.converged
+    rl = {r["id"]: (r["cost"], r["prev_in_path"]) for r in loc.state.collect()}
+    rd = {r["id"]: (r["cost"], r["prev_in_path"]) for r in dist.state.collect()}
+    assert rl == rd
+
+
+def test_coloring_local_matches_distributed(spark):
+    from usearch_spark.plans.coloring import color_graph
+
+    v = spark.createDataFrame([(f"v{i}",) for i in range(10)], "id string")
+    e = spark.createDataFrame(
+        [(f"v{i}", f"v{(i + 1) % 10}") for i in range(10)] + [("v0", "v5")],
+        "src string, dst string",
+    )
+    loc = color_graph(v, e, seed=7, strategy="local")
+    dist = color_graph(v, e, seed=7, strategy="distributed")
+    assert loc.steps == dist.steps and loc.converged and dist.converged
+    cl = {r["id"]: r["color"] for r in loc.state.collect()}
+    cd = {r["id"]: r["color"] for r in dist.state.collect()}
+    assert cl == cd
+
+
+def test_components_local_matches_distributed(spark):
+    from usearch_spark.plans.pregel import connected_components
+
+    v = spark.createDataFrame([(f"v{i}",) for i in range(9)], "id string")
+    e = spark.createDataFrame(
+        [("v0", "v1"), ("v1", "v2"), ("v3", "v4"), ("v5", "v6"), ("v6", "v7")],
+        "src string, dst string",
+    )
+    loc = connected_components(v, e, strategy="local")
+    dist = connected_components(v, e, strategy="distributed")
+    assert loc.converged and dist.converged
+    cl = {r["id"]: r["value"] for r in loc.state.collect()}
+    cd = {r["id"]: r["value"] for r in dist.state.collect()}
+    assert cl == cd
+    assert cl["v8"] == "v8"  # isolated vertex is its own component

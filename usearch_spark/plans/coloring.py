@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from usearch_spark.plans.iterative import (
+    LOCAL_SOLVE_MAX_ROWS,
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
@@ -41,6 +42,7 @@ def color_graph(
     src_col: str = "src",
     dst_col: str = "dst",
     color_col: str | None = None,
+    strategy: str = "auto",
 ) -> IterationResult:
     """Returns state (id, color) with colors >= 1; pre-colored vertices
     (``color_col`` with values > 0) keep their colors."""
@@ -69,9 +71,111 @@ def color_graph(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)
     )
+    n_edges = e0.count()
+    if strategy == "auto":
+        strategy = "local" if n + n_edges <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _coloring_local(spark, state, e0, max_steps)
     # partitions sized by the dominant per-step volume (mirrored edges)
-    with loop_tuned_session(spark, max(n, e0.count())) as n_part:
+    with loop_tuned_session(spark, max(n, n_edges)) as n_part:
         return _coloring_loop(spark, state, e0, max_steps, n_part)
+
+
+def _coloring_local(spark, state, e0, max_steps) -> IterationResult:
+    """Single-task greedy token coloring — the identical per-round winner
+    rule as _coloring_loop ((token, id) strictly greatest among uncolored
+    neighbors takes the least free color), one Spark job for the whole
+    loop.  ``state`` already carries (id, color, token) so the tokens are
+    bit-identical to the distributed path's."""
+    payload = state.select(
+        F.col("id").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("color").alias("pre"),
+        F.col("token"),
+    ).unionByName(
+        e0.select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.lit(None).cast("int").alias("pre"),
+            F.lit(None).cast("string").alias("token"),
+        )
+    )
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            {"a": [], "b": [], "pre": [], "token": []}
+        )
+        is_edge = df["b"].notna()
+        verts = df.loc[~is_edge]
+        vids = verts["a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        colors = verts["pre"].to_numpy().astype("int64")
+        tokens = verts["token"].to_numpy()
+        idx = pd.Series(np.arange(nv), index=vids)
+        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
+        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
+        known = ~(np.isnan(src_f) | np.isnan(dst_f))
+        src = src_f[known].astype("int64")
+        dst = dst_f[known].astype("int64")
+
+        uncolored_hist: list[int] = []
+        steps = 0
+        converged = False
+        for _ in range(max_steps):
+            unc = colors == 0
+            nbr = pd.DataFrame({"d": dst, "ncolor": colors[src], "ns": src})
+            used_by = {
+                d: set(g[g > 0]) for d, g in nbr.groupby("d")["ncolor"]
+            }
+            # strongest uncolored neighbor per vertex as a (token, id) pair
+            unc_nbr = nbr[unc[nbr["ns"].to_numpy()]]
+            max_unc = {
+                d: max((tokens[s], vids[s]) for s in g)
+                for d, g in unc_nbr.groupby("d")["ns"]
+            }
+            new_colors = colors.copy()
+            for vi in np.nonzero(unc)[0]:
+                mu = max_unc.get(vi)
+                if mu is None or (tokens[vi], vids[vi]) > mu:
+                    used = used_by.get(vi, set())
+                    c = 1
+                    while c in used:
+                        c += 1
+                    new_colors[vi] = c
+            colors = new_colors
+            steps += 1
+            remaining = int((colors == 0).sum())
+            uncolored_hist.append(remaining)
+            if remaining == 0:
+                converged = True
+                break
+        yield pd.DataFrame(
+            {
+                "id": vids,
+                "color": colors.astype("int32"),
+                "steps": np.int32(steps),
+                "converged": converged,
+                "hist": [uncolored_hist] + [None] * (nv - 1),
+            }
+        )
+
+    out = payload.coalesce(1).mapInPandas(
+        solve, schema="id string, color int, steps int, converged boolean, hist array<long>"
+    ).localCheckpoint(eager=True)
+    meta = out.select("steps", "converged", "hist").first()
+    history = [{"uncolored": int(u)} for u in (meta["hist"] or [])]
+    return IterationResult(
+        state=out.select("id", "color"),
+        steps=int(meta["steps"]),
+        converged=bool(meta["converged"]),
+        history=history,
+    )
 
 
 def _coloring_loop(spark, state, e0, max_steps, n_part) -> IterationResult:

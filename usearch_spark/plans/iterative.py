@@ -25,6 +25,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
+# Graphs at or below this many rows (|V|+|E|) run their iterative loops as
+# a single-task numpy solve inside mapInPandas (strategy="auto" in the
+# graph algorithms): each distributed superstep costs a fixed per-job floor
+# that dwarfs the math at this size, while one task holds the whole graph
+# comfortably (~2M rows of ids/edges is tens of MB).  Above it, the
+# per-superstep DataFrame loop is the only path that scales.
+LOCAL_SOLVE_MAX_ROWS = 2_000_000
+
 
 @contextmanager
 def loop_tuned_session(spark: SparkSession, n_rows: int, rows_per_partition: int = 20_000):

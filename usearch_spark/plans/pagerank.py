@@ -40,14 +40,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from usearch_spark.plans.iterative import (
+    LOCAL_SOLVE_MAX_ROWS,
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
     run_fixpoint,
 )
-
-
-LOCAL_SOLVE_MAX_ROWS = 2_000_000
 
 
 def pagerank(

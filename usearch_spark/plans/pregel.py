@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from usearch_spark.plans.iterative import (
+    LOCAL_SOLVE_MAX_ROWS,
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
@@ -94,13 +95,26 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_steps: int = 100,
+    strategy: str = "auto",
 ) -> IterationResult:
     """Label propagation: every vertex converges to the minimum vertex id
-    in its (undirected) component.  state = (id, value=component)."""
+    in its (undirected) component.  state = (id, value=component).
+
+    ``strategy``: like the other graph algorithms — small graphs
+    (|V|+|E| <= LOCAL_SOLVE_MAX_ROWS) run the same recurrence as a
+    single-task numpy loop; "distributed" forces the generic pregel
+    superstep path."""
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     und = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).dropDuplicates(
         ["src", "dst"]
     )
+
+    if strategy == "auto" or strategy == "local":
+        v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+        e = und.localCheckpoint(eager=True)
+        if strategy == "local" or v.count() + e.count() <= LOCAL_SOLVE_MAX_ROWS:
+            return _components_local(v, e, max_steps)
+        vertices, und = v, e  # reuse the materializations in the pregel path
 
     def send(state: DataFrame, e: DataFrame) -> DataFrame:
         return state.join(e, state.id == e.src, "inner").select(
@@ -116,4 +130,72 @@ def connected_components(
         apply_msg=lambda old, agg: F.least(old, agg),
         max_steps=max_steps,
         id_col=id_col,
+    )
+
+
+def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationResult:
+    """Single-task min-label propagation (identical recurrence to the
+    pregel path: value = least(own, min over in-neighbors), stop when no
+    value changed)."""
+    payload = v.select(F.col("id").alias("a"), F.lit(None).cast("string").alias("b")).unionByName(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": []})
+        is_edge = df["b"].notna()
+        vids = df.loc[~is_edge, "a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        idx = pd.Series(np.arange(nv), index=vids)
+        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
+        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
+        known = ~(np.isnan(src_f) | np.isnan(dst_f))
+        src = src_f[known].astype("int64")
+        dst = dst_f[known].astype("int64")
+
+        value = vids.copy()
+        changes: list[int] = []
+        steps = 0
+        converged = False
+        for _ in range(max_steps):
+            incoming = pd.DataFrame({"d": dst, "m": value[src]})
+            best = incoming.groupby("d")["m"].min()
+            new_value = value.copy()
+            di = best.index.to_numpy()
+            nm = best.to_numpy()
+            better = nm < value[di]
+            new_value[di[better]] = nm[better]
+            changed = int(better.sum())
+            value = new_value
+            steps += 1
+            changes.append(changed)
+            if changed == 0:
+                converged = True
+                break
+        yield pd.DataFrame(
+            {
+                "id": vids,
+                "value": value,
+                "steps": np.int32(steps),
+                "converged": converged,
+                "hist": [changes] + [None] * (nv - 1),
+            }
+        )
+
+    out = payload.coalesce(1).mapInPandas(
+        solve, schema="id string, value string, steps int, converged boolean, hist array<long>"
+    ).localCheckpoint(eager=True)
+    meta = out.select("steps", "converged", "hist").first()
+    history = [{"changed": int(c)} for c in (meta["hist"] or [])]
+    return IterationResult(
+        state=out.select("id", "value"),
+        steps=int(meta["steps"]),
+        converged=bool(meta["converged"]),
+        history=history,
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from usearch_spark.plans.iterative import (
+    LOCAL_SOLVE_MAX_ROWS,
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
@@ -39,8 +40,14 @@ def shortest_paths(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
+    strategy: str = "auto",
 ) -> IterationResult:
-    """Returns state (id, cost, prev_in_path); cost NULL = unreachable."""
+    """Returns state (id, cost, prev_in_path); cost NULL = unreachable.
+
+    ``strategy``: "auto" runs the single-task numpy Bellman-Ford
+    (mapInPandas) when |V|+|E| <= LOCAL_SOLVE_MAX_ROWS, else the
+    per-superstep DataFrame loop; both implement the identical wave
+    recurrence with the same deterministic predecessor tie-break."""
     spark = vertices.sparkSession
     # one materialization of the vertex set (count + init reuse it)
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
@@ -53,9 +60,104 @@ def shortest_paths(
         )
         .localCheckpoint(eager=True)
     )
+    n_edges = e0.count()
+    if strategy == "auto":
+        strategy = "local" if n + n_edges <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _sssp_local(spark, v, e0, src_id, max_steps)
     # partitions sized by the dominant per-step volume (edges, usually)
-    with loop_tuned_session(spark, max(n, e0.count())) as n_part:
+    with loop_tuned_session(spark, max(n, n_edges)) as n_part:
         return _sssp_loop(spark, v, e0, src_id, max_steps, n_part)
+
+
+def _sssp_local(spark, v, e0, src_id, max_steps) -> IterationResult:
+    """Single-task Bellman-Ford wave (same recurrence as _sssp_loop): one
+    Spark job; steps/actives ride along as constant columns."""
+    payload = v.select(
+        F.col("id").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast("long").alias("w"),
+    ).unionByName(e0.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("weight").alias("w")))
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": [], "w": []})
+        is_edge = df["b"].notna()
+        vids = df.loc[~is_edge, "a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        idx = pd.Series(np.arange(nv), index=vids)
+        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
+        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
+        known = ~(np.isnan(src_f) | np.isnan(dst_f))
+        src = src_f[known].astype("int64")
+        dst = dst_f[known].astype("int64")
+        w = df.loc[is_edge, "w"].to_numpy()[known].astype("int64")
+
+        INF = np.iinfo("int64").max
+        cost = np.full(nv, INF, dtype="int64")
+        prev = np.full(nv, None, dtype=object)
+        improved = np.zeros(nv, dtype=bool)
+        if src_id in idx.index:
+            s = int(idx[src_id])
+            cost[s] = 0
+            improved[s] = True
+        actives: list[int] = []
+        steps = 0
+        converged = False
+        for _ in range(max_steps):
+            m = improved[src]
+            active = 0
+            new_improved = np.zeros(nv, dtype=bool)
+            if m.any():
+                cand = pd.DataFrame(
+                    {"d": dst[m], "c": cost[src[m]] + w[m], "via": vids[src[m]]}
+                )
+                # per destination: min cost, ties to the smallest via id —
+                # the distributed loop's F.min(struct(new_cost, via))
+                best = cand.sort_values(["d", "c", "via"]).groupby("d", sort=False).first()
+                di = best.index.to_numpy()
+                bc = best["c"].to_numpy()
+                wins = bc < cost[di]
+                if wins.any():
+                    upd = di[wins]
+                    cost[upd] = bc[wins]
+                    prev[upd] = best["via"].to_numpy()[wins]
+                    new_improved[upd] = True
+                    active = int(wins.sum())
+            improved = new_improved
+            steps += 1
+            actives.append(active)
+            if active == 0:
+                converged = True
+                break
+        yield pd.DataFrame(
+            {
+                "id": vids,
+                "cost": [None if c == INF else int(c) for c in cost],
+                "prev_in_path": prev,
+                "steps": np.int32(steps),
+                "converged": converged,
+                "actives": [actives] + [None] * (nv - 1),
+            }
+        )
+
+    out = payload.coalesce(1).mapInPandas(
+        solve,
+        schema="id string, cost long, prev_in_path string, steps int, converged boolean, actives array<long>",
+    ).localCheckpoint(eager=True)
+    meta = out.select("steps", "converged", "actives").first()
+    history = [{"active": int(a)} for a in (meta["actives"] or [])]
+    return IterationResult(
+        state=out.select("id", "cost", "prev_in_path"),
+        steps=int(meta["steps"]),
+        converged=bool(meta["converged"]),
+        history=history,
+    )
 
 
 def _sssp_loop(spark, v, e0, src_id, max_steps, n_part) -> IterationResult:
