@@ -452,6 +452,38 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.paginate(stats, [F.col("df").desc(), F.col("total_tf").desc(), F.col("term")], 0, 20)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: quality/length filter -> exact
+    dedup (keep the smallest doc_id per bag-of-words fingerprint) ->
+    MinHash-LSH near-dedup (drop the larger id of every verified
+    jaccard>=0.7 pair) -> per-language corpus stats.  One declarative plan
+    composing the text-analysis, exact-dedup and minhash operators; at
+    100 TB each stage is the same bounded-shuffle shape the individual
+    operators were built with."""
+    from usearch_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    m = analyze(docs)
+    filtered = m.filter((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+    keepers = filtered.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    near_drop = (
+        minhash_dedup_pairs(docs, shingle_n=3, threshold=0.7)
+        .select(F.col("b").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
+    final = (
+        filtered.join(keepers.select("doc_id"), "doc_id", "semi")
+        .join(near_drop, "doc_id", "anti")
+    )
+    return final.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque binary payloads ->
     mapInPandas feature extraction (sha256 + deterministic fake decode).
@@ -867,6 +899,97 @@ def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("doc_id", "score", "display_title", "summary").orderBy(F.col("score").desc(), F.col("doc_id"))
 
 
+def _corpus_prep_oracle_sql() -> str:
+    """Composed oracle for the corpus-prep pipeline: the text-analysis
+    feature block (same formulas as the text_analyze oracle, full table) +
+    the minhash-LSH pair block (same as dedup_minhash_lsh) + filter,
+    keep-min-per-fingerprint, drop-b-of-near-pair, per-language stats."""
+    lang_case = """
+        CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN
+                 CASE WHEN sw_de = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'de'
+                      WHEN sw_en = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'en'
+                      WHEN sw_es = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'es'
+                      ELSE 'fr' END
+             ELSE 'unknown' END"""
+    return f"""
+        WITH m AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digit
+            FROM documents
+        ),
+        sw AS (
+            SELECT *,
+                   len(list_intersect(toks, {_SW('en')})) AS sw_en,
+                   len(list_intersect(toks, {_SW('de')})) AS sw_de,
+                   len(list_intersect(toks, {_SW('es')})) AS sw_es,
+                   len(list_intersect(toks, {_SW('fr')})) AS sw_fr
+            FROM m
+        ),
+        feats AS (
+            SELECT doc_id, n_chars, n_tokens,
+                   round(0.5 * least(n_tokens / 100.0, 1.0)
+                         + 0.5 * greatest(0.0, 1.0 - 4 * (n_punct / greatest(n_chars, 1))
+                                               - 2 * (n_digit / greatest(n_chars, 1))), 4) AS quality,
+                   {lang_case} AS lang_pred,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+            FROM sw
+        ),
+        filtered AS (SELECT * FROM feats WHERE quality >= 0.7 AND n_tokens >= 20),
+        keepers AS (SELECT fingerprint, min(doc_id) AS keeper FROM filtered GROUP BY fingerprint),
+        mh_toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(toks) < 3 THEN []
+                          ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS term
+            FROM m
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM mh_toks GROUP BY doc_id),
+        sigs AS (
+            SELECT doc_id, s.seed, min(md5(s.seed || ':' || term)) AS sig
+            FROM mh_toks, range(16) s(seed)
+            GROUP BY doc_id, s.seed
+        ),
+        bands AS (
+            SELECT doc_id, seed // 4 AS band,
+                   string_agg(seed || '|' || sig, ',' ORDER BY seed || '|' || sig) AS band_sig
+            FROM sigs GROUP BY doc_id, seed // 4
+        ),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+        ),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS inter
+            FROM cands c
+            JOIN mh_toks ta ON ta.doc_id = c.a
+            JOIN mh_toks tb ON tb.doc_id = c.b AND tb.term = ta.term
+            GROUP BY c.a, c.b
+        ),
+        near_drop AS (
+            SELECT DISTINCT i.b AS doc_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.7
+        ),
+        final AS (
+            SELECT f.* FROM filtered f
+            JOIN keepers k ON k.fingerprint = f.fingerprint AND k.keeper = f.doc_id
+            WHERE f.doc_id NOT IN (SELECT doc_id FROM near_drop)
+        )
+        SELECT lang_pred, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM final GROUP BY lang_pred
+    """
+
+
 def _results_page_oracle_sql(max_summary_len: int = 256) -> str:
     """Full oracle for Q5 result assembly (summarizer.go:42-198 semantics).
 
@@ -1273,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "corpus_prep": q_corpus_prep,
         "text_analyze": q_text_analyze,
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
@@ -1742,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        "corpus_prep": _corpus_prep_oracle_sql(),
         "text_analyze": f"""
             WITH m AS (
                 SELECT doc_id, text, {_TOKS} AS toks,

@@ -99,3 +99,48 @@ def test_reindex_preserves_pagerank(engine, spark):
     docs = {r["url"]: r for r in engine.documents().collect()}
     assert docs[PAGE_B]["pagerank"] is not None
     assert docs[PAGE_B]["pagerank"] > docs[HUB]["pagerank"]
+
+
+def test_streaming_crawl_loop_resumes_from_table_state(spark, tmp_path):
+    """True Structured Streaming frontier loop: passes fire on stream
+    triggers and persist the three tables; a STOPPED then RESTARTED stream
+    resumes the frontier from the tables (crawling a seed added between
+    runs) — state lives in storage, not in the stream."""
+    import threading
+    import time
+
+    eng = USearchEngine(spark, str(tmp_path / "stream_engine"))
+    eng.seed([HUB])
+
+    passes = []
+    done = threading.Event()
+
+    def on_pass(epoch, n):
+        passes.append(n)
+        if len(passes) >= 3:
+            done.set()
+
+    q = eng.streaming_crawl(static_fetcher(PAGES), interval="0 seconds", on_pass=on_pass)
+    try:
+        assert done.wait(timeout=120), f"only {len(passes)} passes fired"
+    finally:
+        q.stop()
+    docs = eng.documents()
+    urls = {r["url"] for r in docs.select("url").collect()}
+    # hub crawled first; a/b discovered and crawled by later stream ticks
+    assert {HUB, PAGE_A, PAGE_B} <= urls
+
+    # restart: a new seed added between runs is picked up by the new stream
+    extra = "http://site.test/late"
+    pages2 = dict(PAGES)
+    pages2[extra] = (200, "text/html", "<html><title>Late</title><body>late page.</body></html>")
+    eng.seed([extra])
+    passes.clear()
+    done.clear()
+    q2 = eng.streaming_crawl(static_fetcher(pages2), interval="0 seconds", on_pass=on_pass)
+    try:
+        assert done.wait(timeout=120)
+    finally:
+        q2.stop()
+    urls2 = {r["url"] for r in eng.documents().select("url").collect()}
+    assert extra in urls2

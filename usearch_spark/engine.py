@@ -76,6 +76,34 @@ class USearchEngine:
         self._write_documents(new_docs)
         return result.n_crawled
 
+    def streaming_crawl(
+        self,
+        fetch_fn: FetchFn = stub_fetch,
+        interval: str = "2 minutes",
+        reindex_threshold: dt.timedelta = dt.timedelta(minutes=2),
+        now_fn=None,
+        on_pass=None,
+    ):
+        """ST1 as a TRUE Structured Streaming frontier loop: every
+        processing-time trigger executes one crawl pass via foreachBatch,
+        persisting links/edges/documents.  The stream supplies only the
+        clock and restart semantics — ALL state lives in the parquet
+        tables, so a stopped-and-restarted stream resumes the frontier
+        exactly where the previous run left off (the reference's crawler
+        service restart behavior, monolith/main.go timer loop).
+
+        ``now_fn``/``on_pass`` are test hooks: a deterministic clock and a
+        per-pass callback receiving (epoch, n_crawled)."""
+        from usearch_spark.streaming.events import periodic_crawl_stream
+
+        def tick(epoch: int) -> None:
+            now = now_fn() if now_fn else None
+            n = self.run_crawl_pass(fetch_fn, now=now, reindex_threshold=reindex_threshold)
+            if on_pass is not None:
+                on_pass(epoch, n)
+
+        return periodic_crawl_stream(self.spark, tick, interval)
+
     def run_pagerank_pass(self, min_sad: float = 0.001, damping: float = 0.85) -> int:
         """ST3: the reference pagerank service pass — whole-graph PageRank,
         scores merged into the documents table (one MERGE instead of the
