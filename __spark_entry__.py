@@ -607,7 +607,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem.  Parts have no out-edges, so the dead-end residual path is
     exercised.  Iterative — no SQL oracle; driver records rows-only."""
     vertices, edges = _supplier_part_graph(spark, sf_dir)
-    res = pagerank(vertices, edges, max_steps=50)
+    res = pagerank(vertices, edges, max_steps=50, edges_deduped=True)
     return S.paginate(
         res.state.select("id", F.round(F.col("score"), 6).alias("score")),
         [F.col("score").desc(), F.col("id")],
@@ -762,7 +762,7 @@ def q_graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence) on the supplier→part graph; the DuckDB oracle is the same
     recurrence unrolled as 10 chained CTEs, dead-end residual included."""
     vertices, edges = _supplier_part_graph(spark, sf_dir)
-    res = pagerank(vertices, edges, min_sad=0.0, max_steps=10)
+    res = pagerank(vertices, edges, min_sad=0.0, max_steps=10, edges_deduped=True)
     return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
 
 

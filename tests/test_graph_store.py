@@ -143,3 +143,23 @@ def test_parquet_store_roundtrip(spark, tmp_path):
     assert store.edges().count() == 1
     store.remove_stale_edges(spark.createDataFrame([(ids["http://x/1"],)], "id string"), F.lit(T2))
     assert store.edges().count() == 0
+
+
+def test_delta_store_importerror_without_delta(spark, tmp_path):
+    """Without delta-spark the Delta store must fail loudly at construction
+    (never silently fall back); with it installed the same suite semantics
+    apply via MERGE INTO."""
+    import pytest as _pytest
+
+    from usearch_spark.sources.graph_store import DeltaGraphStore
+
+    try:
+        import delta  # noqa: F401
+
+        has_delta = True
+    except ImportError:
+        has_delta = False
+    if has_delta:
+        _pytest.skip("delta installed; exercised by the lifecycle suite on delta clusters")
+    with _pytest.raises(ImportError, match="delta-spark"):
+        DeltaGraphStore(spark, str(tmp_path / "delta_store"))

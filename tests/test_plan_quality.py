@@ -122,3 +122,25 @@ def test_highlight_is_jvm_only(spark):
     plan = plan_of(E.q_search_highlight(spark, SF))
     assert "EvalPython" not in plan
     assert "PushedFilters" in plan  # doc_id < 100 reaches the scan
+
+
+def test_query_path_uses_persistent_postings_without_shuffle(spark, tmp_path):
+    """The entry queries' postings provider must hand back the bucketed
+    TABLE (not a rebuilt set): its dfreq aggregation plans with no
+    Exchange, and a second call reuses the same catalog table."""
+    import __spark_entry__ as E2
+    from usearch_spark.operators.search import doc_frequencies
+
+    tbl = f"postings_{E2._sf_token(SF)}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        postings = E2._postings_df(spark, SF)
+        assert spark.catalog.tableExists(tbl)
+        dfreq = doc_frequencies(postings, id_col="doc_id")
+        plan = plan_of(dfreq)
+        assert "Exchange" not in plan, plan
+        # second call = same table, no rebuild
+        again = E2._postings_df(spark, SF)
+        assert "Exchange" not in plan_of(doc_frequencies(again, id_col="doc_id"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -58,6 +58,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     strategy: str = "auto",
+    edges_deduped: bool = False,
 ) -> IterationResult:
     """Returns IterationResult whose state is (id, score).
 
@@ -68,6 +69,10 @@ def pagerank(
     ``strategy``: "auto" picks "local" (single-task numpy solve inside
     mapInPandas) when |V|+|E| <= LOCAL_SOLVE_MAX_ROWS, else "distributed"
     (per-superstep DataFrame loop).  Both run the identical recurrence.
+
+    ``edges_deduped``: callers that already dropped self-edges and
+    (src,dst) duplicates (e.g. a store that enforces edge identity) set
+    this to skip the defensive dedup — one full edge shuffle saved.
     """
     spark = vertices.sparkSession
 
@@ -81,12 +86,10 @@ def pagerank(
         empty = v.withColumn("score", F.lit(0.0))
         return IterationResult(state=empty, steps=0, converged=True, history=[])
 
-    e0 = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
-    )
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not edges_deduped:
+        e0 = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e0 = e0.localCheckpoint(eager=True)
     n_edges = e0.count()
     if strategy == "auto":
         strategy = "local" if n + n_edges <= LOCAL_SOLVE_MAX_ROWS else "distributed"
