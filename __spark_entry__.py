@@ -484,6 +484,38 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order, token
+    prefix-sum, sequence = floor(tokens_before / 512).  The prefix sum runs
+    as a distributed two-phase scan (per-range-partition window + broadcast
+    offsets — operators/pack.py), NOT a single global window; the oracle is
+    the equivalent plain windowed cumsum."""
+    from usearch_spark.operators.pack import assign_sequences, pack_stats
+
+    toks = analyze(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+    packed = assign_sequences(toks, budget=512)
+    stats = pack_stats(packed, budget=512)
+    return stats.select(
+        "seq_id", "n_docs", F.col("seq_tokens").cast("long").alias("seq_tokens"), "first_doc", "last_doc"
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of 'en' docs and 25% of
+    'unknown' via an md5-bucket of the doc_id — reproducible across runs
+    and engines, scan-side filter (no shuffle, no RNG state)."""
+    from usearch_spark.operators.pack import stratified_sample
+
+    m = analyze(_t(spark, sf_dir, "documents"))
+    sampled = stratified_sample(m, rates={"en": 0.5, "unknown": 0.25}, stratum_col="lang_pred")
+    return sampled.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_tokens").alias("sampled_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as opaque binary payloads ->
     mapInPandas feature extraction (sha256 + deterministic fake decode).
@@ -899,12 +931,7 @@ def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("doc_id", "score", "display_title", "summary").orderBy(F.col("score").desc(), F.col("doc_id"))
 
 
-def _corpus_prep_oracle_sql() -> str:
-    """Composed oracle for the corpus-prep pipeline: the text-analysis
-    feature block (same formulas as the text_analyze oracle, full table) +
-    the minhash-LSH pair block (same as dedup_minhash_lsh) + filter,
-    keep-min-per-fingerprint, drop-b-of-near-pair, per-language stats."""
-    lang_case = """
+_LANG_CASE = """
         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
              WHEN greatest(sw_en, sw_de, sw_es, sw_fr) > 0 THEN
                  CASE WHEN sw_de = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'de'
@@ -912,6 +939,39 @@ def _corpus_prep_oracle_sql() -> str:
                       WHEN sw_es = greatest(sw_en, sw_de, sw_es, sw_fr) THEN 'es'
                       ELSE 'fr' END
              ELSE 'unknown' END"""
+
+
+def _lang_feats_cte() -> str:
+    """Shared CTE chain computing per-doc (doc_id, n_chars, n_tokens,
+    lang_pred) over the full documents table — the text_analyze oracle's
+    feature block, reused by the corpus queries."""
+    return f"""
+        WITH m AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   length(text) AS n_chars,
+                   len({_TOKS}) AS n_tokens
+            FROM documents
+        ),
+        sw AS (
+            SELECT *,
+                   len(list_intersect(toks, {_SW('en')})) AS sw_en,
+                   len(list_intersect(toks, {_SW('de')})) AS sw_de,
+                   len(list_intersect(toks, {_SW('es')})) AS sw_es,
+                   len(list_intersect(toks, {_SW('fr')})) AS sw_fr
+            FROM m
+        ),
+        langfeats AS (
+            SELECT doc_id, n_chars, n_tokens, {_LANG_CASE} AS lang_pred
+            FROM sw
+        )"""
+
+
+def _corpus_prep_oracle_sql() -> str:
+    """Composed oracle for the corpus-prep pipeline: the text-analysis
+    feature block (same formulas as the text_analyze oracle, full table) +
+    the minhash-LSH pair block (same as dedup_minhash_lsh) + filter,
+    keep-min-per-fingerprint, drop-b-of-near-pair, per-language stats."""
+    lang_case = _LANG_CASE
     return f"""
         WITH m AS (
             SELECT doc_id, text, {_TOKS} AS toks,
@@ -1397,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "corpus_prep": q_corpus_prep,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
@@ -1867,6 +1929,39 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "corpus_prep": _corpus_prep_oracle_sql(),
+        "corpus_pack": f"""
+            WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                FROM t
+            )
+            SELECT CAST(before // 512 AS BIGINT) AS seq_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1
+        """,
+        "corpus_sample": f"""
+            {_lang_feats_cte()},
+            b AS (
+                SELECT *, (
+                    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                ) % 1000 AS bucket
+                FROM langfeats
+            ),
+            kept AS (
+                SELECT * FROM b
+                WHERE bucket < CASE lang_pred WHEN 'en' THEN 500 WHEN 'unknown' THEN 250 ELSE 0 END
+            )
+            SELECT lang_pred, count(*) AS n_sampled,
+                   CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM kept GROUP BY lang_pred
+        """,
         "text_analyze": f"""
             WITH m AS (
                 SELECT doc_id, text, {_TOKS} AS toks,

@@ -1,0 +1,105 @@
+"""Training-sequence packing and deterministic sampling — the two
+corpus-shaping steps an LLM data pipeline runs after filtering/dedup.
+
+``assign_sequences`` implements concat-and-chunk packing: documents are
+laid out in a deterministic order, their token counts form a running
+prefix sum, and a document belongs to sequence ``floor(tokens_before /
+budget)``.  The prefix sum is computed the scalable way — a two-phase
+distributed scan (per-partition window + broadcast partition offsets), not
+a single-partition global window: at 100 TB the range partitioner spreads
+the order across executors and each partition scans locally.  The result
+is independent of the partitioning, so the correctness oracle is a plain
+windowed cumsum.
+
+``stratified_sample`` keeps a deterministic per-stratum fraction using an
+md5-derived bucket of the id — reproducible anywhere (any engine computes
+the same md5), no RNG state, join-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    out_col: str = "seq_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Adds ``seq_id`` = floor(tokens_before / budget) where tokens_before
+    is the running sum of ``token_col`` over ``order_col`` order, excluding
+    the current row (concat-and-chunk: a document joins the sequence its
+    first token lands in)."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    # phase 1: local scan inside each range partition
+    w_local = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = ranged.withColumn(
+        "_local_before", F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
+    ).localCheckpoint(eager=True)
+    # phase 2: per-partition totals are tiny (one row per partition) —
+    # their running sum becomes each partition's global offset
+    totals = (
+        local.groupBy("_part")
+        .agg(F.sum(token_col).alias("_tot"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_part", "_offset")
+    )
+    return (
+        local.join(F.broadcast(totals), "_part")
+        .withColumn(out_col, ((F.col("_local_before") + F.col("_offset")) / budget).cast("long"))
+        .drop("_part", "_local_before", "_offset")
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens", order_col: str = "doc_id") -> DataFrame:
+    """Per-sequence packing stats (docs, tokens, id span)."""
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("seq_tokens"),
+        F.min(order_col).alias("first_doc"),
+        F.max(order_col).alias("last_doc"),
+    )
+
+
+def sample_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 4 md5 hex chars of the
+    id's string form, mod n_buckets.  Engine-portable (md5 is md5
+    everywhere) and uniform."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10).cast("int") % n_buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang_pred",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Keep a deterministic ``rates[stratum]`` fraction of each stratum:
+    row kept iff its md5 bucket < rate * n_buckets.  Reproducible across
+    runs and engines; no shuffle (a scan-side filter)."""
+    bucket = sample_bucket(F.col(id_col), n_buckets)
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(bucket < (rate * n_buckets).cast("int"))
