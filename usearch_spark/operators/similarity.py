@@ -293,7 +293,10 @@ def build_lsh_index(
     tagged = with_lsh_signature(embeddings, n_planes, dim, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("sig")
     )
-    tagged.write.partitionBy("sig").mode("overwrite").parquet(path)
+    # cluster rows by signature before the partitioned write: otherwise
+    # every input partition writes a file into every touched sig dir
+    # (parts x 2^n_planes small files); after this it's ~one file per dir
+    tagged.repartition(F.col("sig")).write.partitionBy("sig").mode("overwrite").parquet(path)
 
 
 def lsh_index_topk(
@@ -356,7 +359,8 @@ def build_ivf_index(
         k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_feat", predictionCol="cluster"
     ).fit(feat)
     assigned = model.transform(feat).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
-    assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    # one writer task per cluster dir (see build_lsh_index)
+    assigned.repartition(F.col("cluster")).write.partitionBy("cluster").mode("overwrite").parquet(path)
     centers = np.array(model.clusterCenters()).tolist()
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump(centers, fh)
