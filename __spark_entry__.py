@@ -727,9 +727,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-aggregate surface: HLL++ approx_count_distinct next to
     the exact count.  Sketches differ across engines, so the gate pins the
-    EXACT count plus a within-5%-relative-error flag for the sketch (the
-    oracle asserts the flag true with its own exact count) — approximation
-    quality is checked, hashes stay engine-independent."""
+    EXACT count plus a within-tolerance flag for the sketch (the oracle
+    asserts the flag true with its own exact count) — approximation quality
+    is checked, hashes stay engine-independent.  Tolerance is 3x the
+    requested rsd: rsd is ONE standard deviation, so a same-width flag
+    would legitimately fail ~1/3 of the time (it did, at sf0.1)."""
     ev = _events(spark, sf_dir)
     per_type = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -740,8 +742,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("_approx") - F.col("exact_users"))
-            <= F.lit(0.05) * F.col("exact_users")
-        ).cast("int").alias("approx_within_5pct"),
+            <= F.lit(0.15) * F.col("exact_users")
+        ).cast("int").alias("approx_within_3rsd"),
     )
 
 
@@ -1654,7 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": """
             SELECT event_type,
                    count(DISTINCT user_id) AS exact_users,
-                   1 AS approx_within_5pct
+                   1 AS approx_within_3rsd
             FROM events GROUP BY event_type
         """,
         "approx_quantiles": """
