@@ -494,7 +494,7 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = analyze(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
     packed = assign_sequences(toks, budget=512)
-    stats = pack_stats(packed, budget=512)
+    stats = pack_stats(packed)
     return stats.select(
         "seq_id", "n_docs", F.col("seq_tokens").cast("long").alias("seq_tokens"), "first_doc", "last_doc"
     )

@@ -171,3 +171,55 @@ def test_components_local_matches_distributed(spark):
     cd = {r["id"]: r["value"] for r in dist.state.collect()}
     assert cl == cd
     assert cl["v8"] == "v8"  # isolated vertex is its own component
+
+
+def test_local_solvers_accept_numeric_ids(spark):
+    """All four local solvers must work with non-string vertex ids (the
+    output id column keeps the input type, and label/tie comparisons stay
+    NUMERIC — a silent string coercion would order 10 before 9)."""
+    from usearch_spark.plans.coloring import color_graph
+    from usearch_spark.plans.pagerank import pagerank
+    from usearch_spark.plans.pregel import connected_components
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    v = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 12, 1) for i in range(12)] + [(2, 10, 1)], "src long, dst long, weight int"
+    )
+    pr = pagerank(v, e, strategy="local")
+    assert dict(pr.state.dtypes)["id"] == "bigint"
+    assert abs(sum(r["score"] for r in pr.state.collect()) - 1.0) < 0.01
+
+    # numeric min-label: component label must be the numeric min (0), and
+    # id 10 must not beat id 9 lexicographically
+    cc = connected_components(v, e, strategy="local")
+    labels = {r["id"]: r["value"] for r in cc.state.collect()}
+    assert set(labels.values()) == {0}
+
+    sp = shortest_paths(v, e, 0, strategy="local")
+    costs = {r["id"]: r["cost"] for r in sp.state.collect()}
+    assert costs[0] == 0 and costs[3] == 3 and costs[10] == 3  # via the 2->10 shortcut
+
+    col = color_graph(v, e, seed=3, strategy="local")
+    colors = {r["id"]: r["color"] for r in col.state.collect()}
+    assert all(c >= 1 for c in colors.values())
+    for a, b, _ in [(i, (i + 1) % 12, 1) for i in range(12)] + [(2, 10, 1)]:
+        assert colors[a] != colors[b]
+
+
+def test_pagerank_unknown_endpoint_edges_parity(spark):
+    """Edges pointing at ids absent from the vertex set: the local solve
+    must mirror the distributed loop exactly (out-degree counts them,
+    delivery drops them)."""
+    from usearch_spark.plans.pagerank import pagerank
+
+    v = spark.createDataFrame([("A",), ("B",), ("C",)], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "X"), ("B", "C"), ("Y", "C")], "src string, dst string"
+    )
+    loc = pagerank(v, e, strategy="local", min_sad=0.0, max_steps=8)
+    dist = pagerank(v, e, strategy="distributed", min_sad=0.0, max_steps=8)
+    sl = {r["id"]: r["score"] for r in loc.state.collect()}
+    sd = {r["id"]: r["score"] for r in dist.state.collect()}
+    for k in sl:
+        assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12), (k, sl, sd)

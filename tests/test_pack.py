@@ -37,7 +37,7 @@ def test_pack_invariants(spark, docs):
     """Sequences are contiguous doc-id ranges; every sequence except
     possibly the last starts because the previous one crossed the budget."""
     budget = 256
-    stats = pack_stats(assign_sequences(docs, budget=budget), budget=budget).collect()
+    stats = pack_stats(assign_sequences(docs, budget=budget)).collect()
     by_seq = sorted((r["seq_id"], r["first_doc"], r["last_doc"], r["seq_tokens"]) for r in stats)
     for (s1, _, last1, _), (s2, first2, _, _) in zip(by_seq, by_seq[1:]):
         assert s2 >= s1 + 1

@@ -66,8 +66,9 @@ def main() -> int:
             failures.append(name)
             if ok_cols and ok_rows and not ok_hash:
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
                 smat = sorted(tuple(canon(r[i]) for i in order) for r in srows)
-                omat = sorted(tuple(canon(r[i]) for i in order) for r in orows)
+                omat = sorted(tuple(canon(r[i]) for i in order_o) for r in orows)
                 shown = 0
                 for a, b in zip(smat, omat):
                     if a != b and shown < 5:

@@ -71,8 +71,8 @@ class USearchEngine:
         new_links = result.links.localCheckpoint(eager=True)
         new_edges = result.edges.localCheckpoint(eager=True)
         new_docs = result.documents.localCheckpoint(eager=True)
-        self.graph._write(new_links, self.graph.links_path, "id")
-        self.graph._write(new_edges, self.graph.edges_path, "src")
+        self.graph.replace_links(new_links)
+        self.graph.replace_edges(new_edges)
         self._write_documents(new_docs)
         return result.n_crawled
 

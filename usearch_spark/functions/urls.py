@@ -112,6 +112,12 @@ def _keep_batch_fn(detector):
     host always kept; foreign hosts checked against the private-network
     detector (a drop on resolution failure mirrors link_fetcher.go:66-73
     when the detector's policy says so)."""
+    if detector is None:
+        # resolve the default ONCE — constructing a detector (11 parsed
+        # CIDR blocks) per URL would dominate the keep-filter's hot path
+        from usearch_spark.functions.privnet import default_pipeline_detector
+
+        detector = default_pipeline_detector()
 
     def _keep_batch(src_url: pd.Series, resolved: pd.Series) -> pd.Series:
         def one(src: str | None, url: str | None) -> bool:
@@ -123,7 +129,7 @@ def _keep_batch_fn(detector):
             host = parts.hostname or ""
             if src and _hostname(src) == host:
                 return True
-            return not is_private_host(host, detector)
+            return not detector.is_private(host)
 
         return pd.Series([one(s, u) for s, u in zip(src_url, resolved)])
 

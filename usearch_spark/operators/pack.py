@@ -70,7 +70,7 @@ def assign_sequences(
     )
 
 
-def pack_stats(packed: DataFrame, budget: int, token_col: str = "n_tokens", order_col: str = "doc_id") -> DataFrame:
+def pack_stats(packed: DataFrame, token_col: str = "n_tokens", order_col: str = "doc_id") -> DataFrame:
     """Per-sequence packing stats (docs, tokens, id span)."""
     return packed.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -87,15 +87,16 @@ def _coloring_local(spark, state, e0, max_steps) -> IterationResult:
     neighbors takes the least free color), one Spark job for the whole
     loop.  ``state`` already carries (id, color, token) so the tokens are
     bit-identical to the distributed path's."""
+    id_type = dict(state.dtypes)["id"]
     payload = state.select(
         F.col("id").alias("a"),
-        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast(id_type).alias("b"),
         F.col("color").alias("pre"),
         F.col("token"),
     ).unionByName(
         e0.select(
-            F.col("src").alias("a"),
-            F.col("dst").alias("b"),
+            F.col("src").cast(id_type).alias("a"),
+            F.col("dst").cast(id_type).alias("b"),
             F.lit(None).cast("int").alias("pre"),
             F.lit(None).cast("string").alias("token"),
         )
@@ -118,8 +119,15 @@ def _coloring_local(spark, state, e0, max_steps) -> IterationResult:
         colors = verts["pre"].to_numpy().astype("int64")
         tokens = verts["token"].to_numpy()
         idx = pd.Series(np.arange(nv), index=vids)
-        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
-        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
+        # nullable columns coerce integral ids to float64 in pandas
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
         known = ~(np.isnan(src_f) | np.isnan(dst_f))
         src = src_f[known].astype("int64")
         dst = dst_f[known].astype("int64")
@@ -166,7 +174,7 @@ def _coloring_local(spark, state, e0, max_steps) -> IterationResult:
         )
 
     out = payload.coalesce(1).mapInPandas(
-        solve, schema="id string, color int, steps int, converged boolean, hist array<long>"
+        solve, schema=f"id {id_type}, color int, steps int, converged boolean, hist array<long>"
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "hist").first()
     history = [{"uncolored": int(u)} for u in (meta["hist"] or [])]

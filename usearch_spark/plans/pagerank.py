@@ -110,8 +110,9 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationRe
     without recomputing."""
     import math
 
-    payload = v.select(F.col("id").alias("a"), F.lit(None).cast("string").alias("b")).unionByName(
-        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    id_type = dict(v.dtypes)["id"]
+    payload = v.select(F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b")).unionByName(
+        e0.select(F.col("src").cast(id_type).alias("a"), F.col("dst").cast(id_type).alias("b"))
     )
 
     d = damping
@@ -129,14 +130,25 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationRe
         if nv == 0:
             return
         idx = pd.Series(np.arange(nv), index=vids)
-        # edges touching an unknown endpoint drop, mirroring the distributed
-        # path (inner join on src, left join of messages onto the vertex set)
-        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
-        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
-        known = ~(np.isnan(src_f) | np.isnan(dst_f))
-        src = src_f[known].astype("int64")
-        dst = dst_f[known].astype("int64")
-        outdeg = np.bincount(src, minlength=nv).astype("float64")
+        # nullable columns coerce integral ids to float64 in pandas — bring
+        # edge endpoints back to the vertex dtype before the index lookup
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
+        # parity with the distributed loop: out-degree counts every edge
+        # whose SOURCE is a known vertex (e.groupBy('src') there), while
+        # message delivery additionally needs a known destination (the left
+        # join back onto the vertex set drops unknown-dst messages)
+        src_known = ~np.isnan(src_f)
+        both = src_known & ~np.isnan(dst_f)
+        outdeg = np.bincount(src_f[src_known].astype("int64"), minlength=nv).astype("float64")
+        src = src_f[both].astype("int64")
+        dst = dst_f[both].astype("int64")
         dead = outdeg == 0.0
         score = np.full(nv, 1.0 / nv)
         sads: list[float] = []
@@ -166,7 +178,8 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationRe
         )
 
     out = payload.coalesce(1).mapInPandas(
-        solve, schema="id string, score double, steps int, converged boolean, sads array<double>"
+        solve,
+        schema=f"id {id_type}, score double, steps int, converged boolean, sads array<double>",
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "sads").first()
     history = [{"sad": s} for s in (meta["sads"] or [])]

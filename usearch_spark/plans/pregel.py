@@ -109,12 +109,13 @@ def connected_components(
         ["src", "dst"]
     )
 
-    if strategy == "auto" or strategy == "local":
-        v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
-        e = und.localCheckpoint(eager=True)
-        if strategy == "local" or v.count() + e.count() <= LOCAL_SOLVE_MAX_ROWS:
-            return _components_local(v, e, max_steps)
-        vertices, und = v, e  # reuse the materializations in the pregel path
+    if strategy in ("auto", "local"):
+        # size the switch on raw input counts (an upper bound on the deduped
+        # graph) so the distributed path never pays an extra materialization
+        # round just to be told it's big
+        if strategy == "local" or vertices.count() + 2 * edges.count() <= LOCAL_SOLVE_MAX_ROWS:
+            v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+            return _components_local(v, und, max_steps)
 
     def send(state: DataFrame, e: DataFrame) -> DataFrame:
         return state.join(e, state.id == e.src, "inner").select(
@@ -137,8 +138,9 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
     """Single-task min-label propagation (identical recurrence to the
     pregel path: value = least(own, min over in-neighbors), stop when no
     value changed)."""
-    payload = v.select(F.col("id").alias("a"), F.lit(None).cast("string").alias("b")).unionByName(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    id_type = dict(v.dtypes)["id"]
+    payload = v.select(F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b")).unionByName(
+        e.select(F.col("src").cast(id_type).alias("a"), F.col("dst").cast(id_type).alias("b"))
     )
 
     def solve(batches):
@@ -153,8 +155,15 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
         if nv == 0:
             return
         idx = pd.Series(np.arange(nv), index=vids)
-        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
-        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
+        # nullable columns coerce integral ids to float64 in pandas
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
         known = ~(np.isnan(src_f) | np.isnan(dst_f))
         src = src_f[known].astype("int64")
         dst = dst_f[known].astype("int64")
@@ -189,7 +198,7 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
         )
 
     out = payload.coalesce(1).mapInPandas(
-        solve, schema="id string, value string, steps int, converged boolean, hist array<long>"
+        solve, schema=f"id {id_type}, value {id_type}, steps int, converged boolean, hist array<long>"
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "hist").first()
     history = [{"changed": int(c)} for c in (meta["hist"] or [])]

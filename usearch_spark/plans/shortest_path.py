@@ -73,11 +73,18 @@ def shortest_paths(
 def _sssp_local(spark, v, e0, src_id, max_steps) -> IterationResult:
     """Single-task Bellman-Ford wave (same recurrence as _sssp_loop): one
     Spark job; steps/actives ride along as constant columns."""
+    id_type = dict(v.dtypes)["id"]
     payload = v.select(
         F.col("id").alias("a"),
-        F.lit(None).cast("string").alias("b"),
+        F.lit(None).cast(id_type).alias("b"),
         F.lit(None).cast("long").alias("w"),
-    ).unionByName(e0.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("weight").alias("w")))
+    ).unionByName(
+        e0.select(
+            F.col("src").cast(id_type).alias("a"),
+            F.col("dst").cast(id_type).alias("b"),
+            F.col("weight").alias("w"),
+        )
+    )
 
     def solve(batches):
         import numpy as np
@@ -91,8 +98,15 @@ def _sssp_local(spark, v, e0, src_id, max_steps) -> IterationResult:
         if nv == 0:
             return
         idx = pd.Series(np.arange(nv), index=vids)
-        src_f = idx.reindex(df.loc[is_edge, "a"]).to_numpy()
-        dst_f = idx.reindex(df.loc[is_edge, "b"]).to_numpy()
+        # nullable columns coerce integral ids to float64 in pandas
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
         known = ~(np.isnan(src_f) | np.isnan(dst_f))
         src = src_f[known].astype("int64")
         dst = dst_f[known].astype("int64")
@@ -148,7 +162,7 @@ def _sssp_local(spark, v, e0, src_id, max_steps) -> IterationResult:
 
     out = payload.coalesce(1).mapInPandas(
         solve,
-        schema="id string, cost long, prev_in_path string, steps int, converged boolean, actives array<long>",
+        schema=f"id {id_type}, cost long, prev_in_path {id_type}, steps int, converged boolean, actives array<long>",
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "actives").first()
     history = [{"active": int(a)} for a in (meta["actives"] or [])]

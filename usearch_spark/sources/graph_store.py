@@ -192,6 +192,14 @@ class ParquetGraphStore:
     def edges(self) -> DataFrame | None:
         return self._read(self.edges_path)
 
+    def replace_links(self, links: DataFrame) -> None:
+        """Replace the full links table with an externally-merged result
+        (the crawl pass computes its own merge)."""
+        self._write(links, self.links_path, "id")
+
+    def replace_edges(self, edges: DataFrame) -> None:
+        self._write(edges, self.edges_path, "src")
+
     def upsert_links(self, new_links: DataFrame) -> None:
         merged = upsert_links(self.links(), new_links)
         self._write(merged, self.links_path, "id")
@@ -240,6 +248,12 @@ class DeltaGraphStore(ParquetGraphStore):
         t = self._table(path)
         return t.toDF() if t is not None else None
 
+    def _write(self, df: DataFrame, path: str, bucket_col: str) -> None:
+        # full-replace goes through the Delta log (a raw parquet overwrite —
+        # the inherited behavior — would orphan the transaction log and
+        # corrupt the table); Delta handles file layout, so no hash buckets
+        df.localCheckpoint(eager=True).write.format("delta").mode("overwrite").save(path)
+
     def upsert_links(self, new_links: DataFrame) -> None:
         # batch-local dedupe first (a MERGE source must be unique on the
         # merge key), then ON url: keep GREATEST(retrieved_at), stable id
@@ -279,7 +293,10 @@ class DeltaGraphStore(ParquetGraphStore):
             return
         (
             t.alias("t")
-            .merge(src_ids.alias("s"), "t.src = s.id")
-            .whenMatchedDelete(condition=f"t.updated_at < '{updated_before}'")
+            # a duplicated source id would abort the MERGE (multiple source
+            # rows matching one target); the cutoff goes in as a typed
+            # Column, not an interpolated string repr
+            .merge(src_ids.dropDuplicates(["id"]).alias("s"), "t.src = s.id")
+            .whenMatchedDelete(condition=F.col("t.updated_at") < F.lit(updated_before))
             .execute()
         )
