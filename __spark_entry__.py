@@ -535,6 +535,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan under the gate: documents become synthetic
+    media rows (kind from doc_id mod 3; video duration derived from text
+    length), then one row per (media_id, frame_ts) at 1s cadence — the
+    explode is pure metadata, the payload column is never touched
+    (operators/multimodal.frame_sample_plan)."""
+    from usearch_spark.operators.multimodal import frame_sample_plan
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+    )
+
+
 def q_store_links_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 lifecycle under the correctness gate: two upsert batches with
     overlapping URLs — dedupe by URL keeps GREATEST(retrieved_at), ids are
@@ -1464,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": q_text_analyze,
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -2008,6 +2035,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tf GROUP BY term
             ORDER BY df DESC, total_tf DESC, term
             LIMIT 20
+        """,
+        "multimodal_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(count(*) AS BIGINT) AS n_frames,
+                   CAST(max(ts) AS BIGINT) AS last_frame_ms
+            FROM (
+                SELECT doc_id, unnest(range(0, n_chars * 10 + 1, 1000)) AS ts
+                FROM documents WHERE doc_id % 3 = 2
+            )
+            GROUP BY doc_id
         """,
         "multimodal_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -65,3 +65,24 @@ def test_media_stats_prunes_payload(media, tmp_path):
 def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_media_shapes_and_determinism(spark):
+    from usearch_spark.operators.multimodal import fake_resize, resize_media
+
+    rows = [("m1", "image", b"abc"), ("m2", "image", b"xyz"), ("m3", "image", None)]
+    media = spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+    out = {r["media_id"]: r for r in resize_media(media, width=16, height=8).collect()}
+    assert all(r["width"] == 16 and r["height"] == 8 for r in out.values())
+    assert len(out["m1"]["payload"]) == 16 * 8
+    # deterministic: same bytes in -> same resized bytes out
+    assert bytes(out["m1"]["payload"]) == fake_resize(b"abc", "image", 16, 8)
+    assert bytes(out["m3"]["payload"]) == fake_resize(b"", "image", 16, 8)
+
+
+def test_resize_media_real_stub_yields_null(spark):
+    from usearch_spark.operators.multimodal import real_resize_stub, resize_media
+
+    media = spark.createDataFrame([("m1", "image", b"abc")], "media_id string, kind string, payload binary")
+    row = resize_media(media, 4, 4, resize_fn=real_resize_stub).first()
+    assert row["payload"] is None  # decode stubbed -> null payload, plumbing intact

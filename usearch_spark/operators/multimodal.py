@@ -99,6 +99,61 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id string, kind string, payload binary, width int, height int"
+)
+
+
+def fake_resize(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Deterministic fake resizer: derives exactly width*height bytes from
+    the payload via iterated sha256 — real byte volume, real batch shapes,
+    no codec."""
+    out = bytearray()
+    block = hashlib.sha256(payload or b"").digest()
+    while len(out) < width * height:
+        out.extend(block)
+        block = hashlib.sha256(block).digest()
+    return bytes(out[: width * height])
+
+
+def real_resize_stub(payload: bytes, kind: str, width: int, height: int) -> bytes:
+    """Placeholder for a Pillow/ffmpeg-scale resize (libs absent here)."""
+    raise NotImplementedError("image/video resizing requires media libraries not present in this container")
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, str, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """mapInPandas resize over binary payloads: Arrow-batched, payload
+    column pruned in, resized payload + new dimensions out.  Inject a real
+    decoder-backed ``resize_fn`` in deployments."""
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    resized.append(resize_fn(raw, kind, width, height))
+                except NotImplementedError:
+                    resized.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must never read the payload column
     (column pruning keeps the binary bytes out of the scan)."""
