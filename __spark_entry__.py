@@ -441,6 +441,19 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=3-gram md5 hashes, window
+    w=4): document pairs among doc_id < 200 sharing >= 2 selected hashes,
+    with MOSS-style containment overlap
+    (usearch_spark/operators/text_analysis.py:winnow_pairs).  Uncapped
+    here so the oracle is exact; at scale ``max_fp_df`` bounds hot
+    boilerplate hashes."""
+    from usearch_spark.operators.text_analysis import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnow_pairs(docs, k=3, w=4, min_shared=2)
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index aggregate: top-20 terms by document frequency (reads
     the persistent term-bucketed postings table — aggregation needs no
@@ -1488,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
+        "text_winnow": q_text_winnow,
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -2024,6 +2038,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'unknown' END AS lang_pred,
                    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
             FROM sw
+        """,
+        "text_winnow": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+            ),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 3 THEN []
+                            ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS h
+                FROM tk
+            ),
+            fp AS (
+                SELECT doc_id,
+                       CASE WHEN len(h) = 0 THEN []
+                            WHEN len(h) < 4 THEN [list_aggregate(h, 'min')]
+                            ELSE list_sort(list_distinct(list_transform(range(1, len(h) - 2),
+                                 j -> list_aggregate(h[j:j+3], 'min')))) END AS fps
+                FROM h
+            ),
+            ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+            sizes AS (SELECT doc_id, len(fps) AS sz FROM fp),
+            shared AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+                FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT s.a, s.b, CAST(s.n_shared AS BIGINT) AS n_shared,
+                   round(s.n_shared / least(sa.sz, sb.sz), 4) AS overlap
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.a
+            JOIN sizes sb ON sb.doc_id = s.b
+            WHERE s.n_shared >= 2
         """,
         "top_terms": f"""
             WITH tf AS (

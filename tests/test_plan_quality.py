@@ -144,3 +144,16 @@ def test_query_path_uses_persistent_postings_without_shuffle(spark, tmp_path):
         assert "Exchange" not in plan_of(doc_frequencies(again, id_col="doc_id"))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_winnow_pairs_evaluates_fingerprints_once(spark):
+    # InferFiltersFromGenerate + pushdown can inline the whole winnowing
+    # expression into a pre-projection Filter (re-tokenizing per lambda
+    # element -> quadratic).  The operator uses explode_outer to defeat it:
+    # the tokenizer regex must appear exactly twice in the plan (once per
+    # self-join side), never inside a Filter.
+    plan = plan_of(E.q_text_winnow(spark, SF))
+    assert plan.count("regexp_extract_all") == 2
+    for ln in plan.splitlines():
+        if "Filter" in ln:
+            assert "regexp_extract_all" not in ln

@@ -9,8 +9,26 @@ from usearch_spark.operators.text_analysis import (
     bpe_ish_token_count,
     detect_language,
     quality_score,
+    winnow_fingerprints,
+    winnow_pairs,
     word_token_count,
 )
+
+
+def _py_winnow(text: str, k: int = 3, w: int = 4) -> list[str]:
+    """Pure-Python winnowing reference (Schleimer et al. fig. 5, value
+    set only — position/tie bookkeeping doesn't change the hash set)."""
+    import hashlib
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hashes = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if not hashes:
+        return []
+    if len(hashes) < w:
+        return [min(hashes)]
+    return sorted({min(hashes[j : j + w]) for j in range(len(hashes) - w + 1)})
 
 
 def test_token_counts(spark):
@@ -45,6 +63,51 @@ def test_quality_score_ranges(spark):
     df = spark.createDataFrame(rows, "text string")
     scores = [r["q"] for r in df.select(quality_score("text").alias("q")).collect()]
     assert 0 <= scores[1] < scores[0] <= 1
+
+
+def test_winnow_matches_python_reference(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the quiet river bank"),
+        (2, "short doc"),            # fewer tokens than k -> no grams
+        (3, "one two three"),        # exactly k tokens -> 1 gram < w -> global min
+        (4, "one two three four five"),  # 3 grams < w -> global min
+        (5, ""),                     # empty
+        (6, "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    for doc_id, text in rows:
+        want = _py_winnow(text)
+        assert list(got[doc_id]["fingerprints"]) == want, doc_id
+        assert got[doc_id]["n_fingerprints"] == len(want)
+
+
+def test_winnow_guarantee_shared_run(spark):
+    # two docs sharing a token run of length >= k + w - 1 (= 6) must share
+    # at least one fingerprint — the winnowing correctness guarantee
+    common = "alpha bravo charlie delta echo foxtrot"
+    df = spark.createDataFrame(
+        [(1, f"unrelated prefix words here {common}"),
+         (2, f"{common} and a completely different suffix tail"),
+         (3, "nothing in common with the others at all whatsoever")],
+        "doc_id int, text string",
+    )
+    pairs = winnow_pairs(df, min_shared=1).collect()
+    assert {(p["a"], p["b"]) for p in pairs} == {(1, 2)}
+    p = pairs[0]
+    assert p["n_shared"] >= 1 and 0 < p["overlap"] <= 1
+
+
+def test_winnow_pairs_df_cap(spark):
+    # a fingerprint present in every doc is dropped by max_fp_df
+    common = "alpha bravo charlie delta echo foxtrot"
+    df = spark.createDataFrame(
+        [(i, f"{common} unique{i} filler{i} words{i}") for i in range(1, 5)],
+        "doc_id int, text string",
+    )
+    uncapped = winnow_pairs(df, min_shared=1).count()
+    capped = winnow_pairs(df, min_shared=1, max_fp_df=1).count()
+    assert uncapped == 6 and capped == 0
 
 
 def test_analyze_projection(spark):
