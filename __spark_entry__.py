@@ -1445,6 +1445,90 @@ def _sssp_oracle_sql(rounds: int = 8) -> str:
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation queries (usearch_spark/operators/corpus.py)
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 3-gram overlap of every training doc
+    against the eval split (doc_id % 97 == 0); docs with >= 50% of their
+    grams in the eval set are flagged.  The eval gram set is broadcast —
+    the corpus side is one scan + one per-doc aggregation."""
+    from usearch_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(train, eval_df, n=3, threshold=0.5)
+    return out.select(
+        "doc_id", "n_grams", "n_hits", "contamination", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the 2-gram
+    Jaccard >= 0.6 near-dup pairs (doc_id < 200), canonical = min id per
+    cluster.  The oracle replays the closure with a recursive CTE."""
+    from usearch_spark.operators.corpus import resolve_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.6, max_shingle_df=None)
+    out = resolve_duplicate_clusters(pairs)
+    return out.select("doc_id", "cluster_id", "cluster_size", F.col("keep").cast("int").alias("keep"))
+
+
+def q_corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 2-grams appearing in >= 100 documents are
+    boilerplate; per-doc coverage ratio of distinct grams."""
+    from usearch_spark.operators.corpus import boilerplate_coverage
+
+    return boilerplate_coverage(_t(spark, sf_dir, "documents"), n=2, min_df=100)
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails / IPv4 / phone-shaped / long-number
+    substrings with typed tags via a codegen regexp_replace chain.  The
+    synthetic contact line is derived from event columns so the masking is
+    exercised on real data, deterministically."""
+    from usearch_spark.operators.corpus import scrub_pii
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 500)
+    contact = F.concat(
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(".7 card 4111 2222 3333 4444 id "),
+        (F.col("event_id") + 100000).cast("string"),
+        F.lit(" note "),
+        F.col("props"),
+    )
+    return ev.select("event_id", scrub_pii(contact).alias("scrubbed"))
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (IVF/prototype aggregation) in long form
+    (label, pos, centroid, n_vecs) — decimal-exact sums, JVM-side."""
+    from usearch_spark.operators.corpus import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: per-stage rows_in/rows_out/dropped for the
+    language -> length -> quality chain, all counters in one scan."""
+    from usearch_spark.operators.corpus import filter_funnel
+    from usearch_spark.operators.text_analysis import detect_language, quality_score, word_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    stages = [
+        ("lang_en", detect_language("text") == "en"),
+        ("min_tokens", word_token_count("text") >= 20),
+        ("quality", quality_score("text") >= F.lit(0.5)),
+    ]
+    return filter_funnel(docs, stages)
+
+
+# ---------------------------------------------------------------------------
 # contract
 
 
@@ -1505,6 +1589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_boilerplate": q_corpus_boilerplate,
+        "text_scrub": q_text_scrub,
+        "embedding_centroids": q_embedding_centroids,
+        "corpus_funnel": q_corpus_funnel,
     }
 
 
@@ -2102,5 +2192,145 @@ def oracle_sql() -> dict[str, str]:
                    ((16 * (strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1)
                      + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1)) / 255.0)::FLOAT::DOUBLE AS f1
             FROM documents
+        """,
+        "corpus_decontaminate": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
+                FROM tk
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+            agg AS (
+                SELECT tr.doc_id, count(*) AS n_grams,
+                       CAST(coalesce(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits
+                FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+                GROUP BY tr.doc_id
+            )
+            SELECT doc_id, n_grams, n_hits,
+                   round(n_hits / greatest(n_grams, 1), 4) AS contamination,
+                   CAST(round(n_hits / greatest(n_grams, 1), 4) >= 0.5 AS INT) AS contaminated
+            FROM agg
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 2 THEN []
+                              ELSE list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]) END) AS shingle
+                FROM tk
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            jp AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.6
+            ),
+            und AS (SELECT a AS s, b AS d FROM jp UNION SELECT b, a FROM jp),
+            reach(s, d) AS (
+                SELECT s, d FROM und
+                UNION
+                SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            ),
+            comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+            csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+            SELECT c.doc_id, c.cluster_id, csz.cluster_size,
+                   CAST(c.doc_id = c.cluster_id AS INT) AS keep
+            FROM comp c JOIN csz USING (cluster_id)
+        """,
+        "corpus_boilerplate": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 2 THEN []
+                              ELSE list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+                FROM tk
+            ),
+            dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+            SELECT g.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN dfreq.df >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                   round(CAST(sum(CASE WHEN dfreq.df >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+                         / greatest(count(*), 1), 4) AS boiler_ratio
+            FROM g JOIN dfreq USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "text_scrub": """
+            SELECT event_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       'user' || user_id || '@example.com ip 10.0.' || (event_id % 256)
+                           || '.7 card 4111 2222 3333 4444 id ' || (event_id + 100000)
+                           || ' note ' || props,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d[\\d\\- ]{6,}\\d\\b', '<PHONE>', 'g'),
+                       '\\d{4,}', '<NUM>', 'g') AS scrubbed
+            FROM events WHERE event_id < 500
+        """,
+        "embedding_centroids": """
+            WITH e AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            SELECT label, pos,
+                   round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS centroid,
+                   count(*) AS n_vecs
+            FROM e GROUP BY label, pos
+        """,
+        "corpus_funnel": f"""
+            WITH m AS (
+                SELECT doc_id, text, {_TOKS} AS toks,
+                       length(text) AS n_chars,
+                       len({_TOKS}) AS n_tokens,
+                       len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '[0-9]')) AS n_digit
+                FROM documents
+            ),
+            sw AS (
+                SELECT *,
+                       len(list_intersect(toks, {_SW('en')})) AS sw_en,
+                       len(list_intersect(toks, {_SW('de')})) AS sw_de,
+                       len(list_intersect(toks, {_SW('es')})) AS sw_es,
+                       len(list_intersect(toks, {_SW('fr')})) AS sw_fr
+                FROM m
+            ),
+            f AS (
+                SELECT {_LANG_CASE} AS lang_pred, n_tokens,
+                       round(0.5 * least(n_tokens / 100.0, 1.0)
+                             + 0.5 * greatest(0.0, 1.0 - 4 * (n_punct / greatest(n_chars, 1))
+                                                   - 2 * (n_digit / greatest(n_chars, 1))), 4) AS quality
+                FROM sw
+            ),
+            c AS (
+                SELECT count(*) AS c_in,
+                       CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                       CAST(sum(CASE WHEN lang_pred = 'en' AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                       CAST(sum(CASE WHEN lang_pred = 'en' AND n_tokens >= 20 AND quality >= 0.5
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c2
+                FROM f
+            )
+            SELECT 0 AS stage_idx, 'lang_en' AS stage, c_in AS rows_in, c0 AS rows_out, c_in - c0 AS dropped FROM c
+            UNION ALL
+            SELECT 1, 'min_tokens', c0, c1, c0 - c1 FROM c
+            UNION ALL
+            SELECT 2, 'quality', c1, c2, c1 - c2 FROM c
         """,
     }

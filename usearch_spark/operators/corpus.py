@@ -1,0 +1,265 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+eval-set decontamination, duplicate-cluster resolution, boilerplate
+n-gram detection, PII scrubbing, and quality-filter funnels.
+
+These extend the reference's crawl-time filtering surface (per-stage drop
+semantics, crawler/link_fetcher.go:57-92; SURVEY §2.2 F1-F6) to the
+corpus-preparation operations a 100 TB training pipeline needs.  Everything
+is built-in column expressions plus ordinary joins/aggregations — no Python
+in the hot path, and the only shuffles are keyed aggregations:
+
+  - decontamination: the eval-set gram table is tiny relative to the corpus
+    (benchmark suites vs a crawl), so the membership probe is a broadcast
+    semi-join against a one-pass shingle scan;
+  - boilerplate: one shuffle to compute gram document-frequencies, then a
+    co-partitioned join back onto the same gram table;
+  - cluster resolution: connected components over the near-dup pair graph
+    (pairs are the output of the banded/bucketed dedup operators, so the
+    graph is sparse by construction);
+  - scrubbing: a codegen regexp_replace chain — scan-speed;
+  - funnel: cumulative-predicate counters in a single aggregation pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from usearch_spark.functions.text import tokenize
+from usearch_spark.operators.dedup import shingles_of_tokens
+from usearch_spark.plans.pregel import connected_components
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def _gram_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram): distinct word n-grams per document, one tokenize pass."""
+    toks = docs.select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+    return toks.select("id", F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("gram"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-training-document n-gram overlap against an evaluation set —
+    the standard benchmark-decontamination check for training corpora.
+
+    contamination(d) = |grams(d) ∩ grams(eval)| / |grams(d)| over distinct
+    word n-grams; documents at or above ``threshold`` are flagged.
+
+    Scale shape: the eval gram set (benchmarks, thousands of docs) is
+    orders of magnitude smaller than the corpus, so it is deduplicated and
+    broadcast; the corpus side is one tokenize+explode scan followed by a
+    per-document aggregation — no corpus-sized shuffle beyond the final
+    groupBy(id).
+
+    Output: (id_col, n_grams, n_hits, contamination, contaminated).
+    """
+    eval_grams = _gram_table(eval_df, id_col, text_col, n).select("gram").dropDuplicates(["gram"])
+    grams = _gram_table(train, id_col, text_col, n)
+    hits = grams.join(F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left")
+    out = hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+    )
+    contamination = F.round(F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 4)
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_hits",
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution
+
+
+def resolve_duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters and elect one canonical
+    document per cluster — the final step of every dedup pipeline (pairs
+    alone don't say which copies to drop when duplicates chain a~b~c).
+
+    Connected components (min-id label propagation on the engine's pregel
+    harness) over the undirected pair graph; the canonical id is the
+    component minimum, so election is deterministic.
+
+    Output: (doc_id, cluster_id, cluster_size, keep) — one row per document
+    that appears in at least one pair; ``keep`` marks the canonical copy.
+    Downstream: left-anti join the (keep = false) ids against the corpus.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    comp = connected_components(v, e).state.select(
+        F.col("id").alias("doc_id"), F.col("value").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate detection
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df: int = 100,
+) -> DataFrame:
+    """Corpus-frequent n-gram ("boilerplate") coverage per document.
+
+    A gram appearing in >= ``min_df`` documents is boilerplate (headers,
+    footers, navigation chrome, license blurbs).  Coverage is the fraction
+    of a document's distinct grams that are boilerplate — a high-coverage
+    document is template chrome, not content.
+
+    One shuffle computes gram document-frequencies; the flag joins back
+    onto the same gram table co-partitioned by gram (no second tokenize
+    pass — the gram table is checkpointed once and feeds both sides).
+
+    Output: (id_col, n_grams, n_boiler, boiler_ratio).
+    """
+    grams = _gram_table(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    flagged = grams.join(dfreq, "gram").withColumn("_boiler", (F.col("df") >= min_df).cast("int"))
+    out = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_boiler").alias("n_boiler"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_boiler",
+        F.round(F.col("n_boiler") / F.greatest(F.col("n_grams"), F.lit(1)), 4).alias("boiler_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+# (pattern, replacement) applied in order; patterns are kept to the regex
+# subset where Java (Spark) and RE2 (DuckDB/ripgrep) agree so the same
+# chain is portable to the oracle.  Email before IP before bare digit runs:
+# an address like 10.1.2.3 must not be half-eaten by the number rule first.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d[\d\- ]{6,}\d\b", "<PHONE>"),
+    (r"\d{4,}", "<NUM>"),
+]
+
+
+def scrub_pii(col: Column | str, patterns: Sequence[tuple[str, str]] = PII_PATTERNS) -> Column:
+    """Mask PII-shaped substrings (emails, IPv4 literals, phone-like digit
+    runs, long numbers) with typed placeholder tags.
+
+    A chain of JVM regexp_replace calls — whole-stage codegen, scan-speed
+    at 100 TB; replacements apply in list order so broader patterns can't
+    shadow narrower ones.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in patterns:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# quality-filter funnel
+
+
+def filter_funnel(df: DataFrame, stages: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Per-stage drop accounting for a conjunctive filter chain — the
+    reference's per-stage drop semantics (pipeline/interfaces.go:33-40,
+    SURVEY F5) lifted to corpus curation observability.
+
+    Stage i's input is every row that survived stages 0..i-1, so the
+    counters are cumulative-AND sums; all of them are computed in ONE
+    aggregation pass over the data (no per-stage re-scan), then unpivoted
+    to a row per stage on the driver-sized result.
+
+    Output: (stage_idx, stage, rows_in, rows_out, dropped).
+    """
+    if not stages:
+        raise ValueError("at least one stage required")
+    cum: list[Column] = []
+    acc: Column | None = None
+    for _, cond in stages:
+        acc = cond if acc is None else (acc & cond)
+        cum.append(acc)
+    counters = df.agg(
+        F.count(F.lit(1)).alias("c_in"),
+        *[F.sum(c.cast("long")).alias(f"c{i}") for i, c in enumerate(cum)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                (F.col("c_in") if i == 0 else F.col(f"c{i - 1}")).alias("rows_in"),
+                F.col(f"c{i}").alias("rows_out"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return (
+        counters.select(F.explode(rows).alias("s"))
+        .select("s.stage_idx", "s.stage", "s.rows_in", "s.rows_out")
+        .withColumn("dropped", F.col("rows_in") - F.col("rows_out"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding centroids
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean vector (the aggregation under IVF coarse quantizers,
+    class prototypes, and cluster summaries), computed JVM-side.
+
+    posexplode to (label, pos, component) rows, then one partial-agg
+    groupBy(label, pos).  Components are summed as exact DECIMALs (via an
+    explicit float -> double widening, which is exact binary, then a
+    double -> decimal rounding that every engine performs identically):
+    decimal addition is order-independent, so Spark and any oracle agree
+    bit-for-bit regardless of partitioning — the same determinism rule the
+    money sums use.
+
+    Output: (label_col, pos, centroid, n_vecs) — long form; pivot or
+    collect_list(sort pos) for the array form.
+    """
+    parts = emb.select(F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    out = parts.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("double").cast("decimal(28,9)")).alias("_sum"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return out.select(
+        "label",
+        "pos",
+        F.round(F.col("_sum").cast("double") / F.col("n_vecs"), round_to).alias("centroid"),
+        "n_vecs",
+    )
