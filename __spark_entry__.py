@@ -476,7 +476,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usearch_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    m = analyze(docs)
+    # materialize the per-doc feature table before filtering: a predicate on
+    # a derived column (quality) would otherwise be pushed below the
+    # projection with the whole feature expression tree inlined into it —
+    # every metric recomputed inside the Filter, then again in the Project.
+    # A real pipeline persists this table; the checkpoint is its stand-in.
+    m = analyze(docs).localCheckpoint(eager=True)
     filtered = m.filter((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
     keepers = filtered.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     near_drop = (
@@ -505,7 +510,10 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent plain windowed cumsum."""
     from usearch_spark.operators.pack import assign_sequences, pack_stats
 
-    toks = analyze(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+    # checkpoint the 2-column token-count table: the window/prefix-sum
+    # machinery downstream would otherwise re-inline the analysis
+    # expressions into each of its stages
+    toks = analyze(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens").localCheckpoint(eager=True)
     packed = assign_sequences(toks, budget=512)
     stats = pack_stats(packed)
     return stats.select(
@@ -519,7 +527,10 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines, scan-side filter (no shuffle, no RNG state)."""
     from usearch_spark.operators.pack import stratified_sample
 
-    m = analyze(_t(spark, sf_dir, "documents"))
+    # checkpoint before sampling: the stratum filter references the derived
+    # lang_pred column and would otherwise be pushed below the projection
+    # with the full language-ID expression tree inlined (see q_corpus_prep)
+    m = analyze(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred", "n_tokens").localCheckpoint(eager=True)
     sampled = stratified_sample(m, rates={"en": 0.5, "unknown": 0.25}, stratum_col="lang_pred")
     return sampled.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_sampled"),

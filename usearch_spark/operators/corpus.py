@@ -36,8 +36,12 @@ from usearch_spark.plans.pregel import connected_components
 
 
 def _gram_table(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram): distinct word n-grams per document, one tokenize pass."""
-    toks = docs.select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+    """(id, gram): distinct word n-grams per document, one tokenize pass,
+    spread across cores first (the scan may be a single unsplittable file
+    locally; on a cluster with real splits the spread is a no-op)."""
+    from usearch_spark.session import spread_small_scan
+
+    toks = spread_small_scan(docs).select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
     return toks.select("id", F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("gram"))
 
 

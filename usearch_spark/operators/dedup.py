@@ -31,17 +31,24 @@ from pyspark.sql import functions as F
 from usearch_spark.functions.text import tokenize
 
 
-def content_fingerprint(text: Column | str) -> Column:
+def content_fingerprint(text: Column | str, toks: Column | None = None) -> Column:
     """Order/duplicate-insensitive content fingerprint: md5 of the sorted
-    distinct token set (bag-of-words identity)."""
-    toks = tokenize(text)
+    distinct token set (bag-of-words identity).  Pass an already-
+    materialized token-array column as ``toks`` to avoid re-tokenizing in
+    wide projections (CollapseProject inlines the tokenize regex into
+    every consumer otherwise)."""
+    if toks is None:
+        toks = tokenize(text)
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
 
 
 def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of documents sharing a content fingerprint (size > 1)."""
+    from usearch_spark.session import spread_small_scan
+
     return (
-        docs.select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
+        spread_small_scan(docs)
+        .select(F.col(id_col), content_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("group_size"),
@@ -73,7 +80,9 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    tok_df = docs.select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
+    from usearch_spark.session import spread_small_scan
+
+    tok_df = spread_small_scan(docs).select(F.col(id_col).alias("id"), tokenize(text_col).alias("_toks"))
     return tok_df.select("id", F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle"))
 
 

@@ -37,11 +37,14 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), F.lit(0)))
 
 
-def quality_metrics(text: Column | str) -> dict[str, Column]:
+def quality_metrics(text: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Deterministic quality signals: length, punctuation ratio, stopword
-    ratio, mean word length, digit ratio."""
+    ratio, mean word length, digit ratio.  ``toks``: optional materialized
+    token-array column, so wide projections don't re-run the tokenize
+    regex once per metric (CollapseProject inlines it otherwise)."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(c)
+    if toks is None:
+        toks = tokenize(c)
     n_chars = F.length(c)
     n_tokens = F.size(toks)
     en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -55,30 +58,31 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Composite [0,1] quality score: rewards mid-length docs with low
     punctuation/digit noise — a heuristic filter for training corpora."""
-    m = quality_metrics(text)
+    m = quality_metrics(text, toks)
     length_term = F.least(m["n_tokens"] / F.lit(100.0), F.lit(1.0))
     noise_term = F.greatest(F.lit(0.0), F.lit(1.0) - 4 * m["punct_ratio"] - 2 * m["digit_ratio"])
     return F.round(F.lit(0.5) * length_term + F.lit(0.5) * noise_term, 4)
 
 
-def language_scores(text: Column | str) -> dict[str, Column]:
+def language_scores(text: Column | str, toks: Column | None = None) -> dict[str, Column]:
     """Per-language stopword hit counts (distinct hits, tf-insensitive)."""
-    toks = tokenize(text)
+    if toks is None:
+        toks = tokenize(text)
     return {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
 
 
-def detect_language(text: Column | str) -> Column:
+def detect_language(text: Column | str, toks: Column | None = None) -> Column:
     """Argmax of stopword hits; CJK character presence short-circuits to
     'zh'; no hits at all -> 'unknown'.  Ties break by language code order
     (deterministic)."""
     c = F.col(text) if isinstance(text, str) else text
-    scores = language_scores(c)
+    scores = language_scores(c, toks)
     has_cjk = c.rlike("[\\u4e00-\\u9fff]")
     best = F.greatest(*scores.values())
     pick = F.lit("unknown")
@@ -134,8 +138,11 @@ def winnow_fingerprints(
         .when(F.size(h) < w, F.array(F.array_min(h)))
         .otherwise(F.array_sort(F.array_distinct(win_mins)))
     )
+    from usearch_spark.session import spread_small_scan
+
     return (
-        docs.withColumn("_toks", tokenize(text_col))
+        spread_small_scan(docs)
+        .withColumn("_toks", tokenize(text_col))
         .withColumn("_h", hashes)
         .select(
             F.col(id_col),
@@ -215,16 +222,31 @@ def winnow_pairs(
 
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection: token counts, quality, language,
-    fingerprint."""
-    m = quality_metrics(text_col)
-    return docs.select(
-        F.col(id_col),
-        m["n_chars"].alias("n_chars"),
-        m["n_tokens"].alias("n_tokens"),
-        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
-        F.round(m["punct_ratio"], 4).alias("punct_ratio"),
-        F.round(m["stopword_ratio"], 4).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        detect_language(text_col).alias("lang_pred"),
-        content_fingerprint(text_col).alias("fingerprint"),
+    fingerprint.
+
+    The token array is materialized once in a separate projection and every
+    metric reads that column — CollapseProject keeps the two projections
+    apart for non-cheap multiply-referenced expressions, so the tokenize
+    regex runs once per row instead of once per metric (~10x on this
+    projection).  The input is spread across the session's cores first:
+    this stage is compute-dense, and an unsplittable single-file scan would
+    otherwise pin it to one task."""
+    from usearch_spark.session import spread_small_scan
+
+    toks = F.col("_toks")
+    m = quality_metrics(text_col, toks)
+    return (
+        spread_small_scan(docs)
+        .withColumn("_toks", tokenize(text_col))
+        .select(
+            F.col(id_col),
+            m["n_chars"].alias("n_chars"),
+            m["n_tokens"].alias("n_tokens"),
+            bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+            F.round(m["punct_ratio"], 4).alias("punct_ratio"),
+            F.round(m["stopword_ratio"], 4).alias("stopword_ratio"),
+            quality_score(text_col, toks).alias("quality"),
+            detect_language(text_col, toks).alias("lang_pred"),
+            content_fingerprint(text_col, toks).alias("fingerprint"),
+        )
     )

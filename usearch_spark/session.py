@@ -17,6 +17,24 @@ from pyspark.sql import SparkSession
 _shipped: set[str] = set()
 
 
+def spread_small_scan(df, min_parallelism: int | None = None):
+    """Repartition a small scan before a compute-dense projection.
+
+    On a production cluster the file source yields one task per split, so a
+    regex/hash-heavy stage is already parallel and this returns ``df``
+    unchanged (the plan has >= the session's default parallelism).  Small
+    single-row-group files — like the local testdata — cannot be split, so
+    without this the whole compute stage runs on ONE core no matter how many
+    the session has.  The round-robin shuffle it introduces only ever moves
+    an input small enough to have too few partitions in the first place.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make ``usearch_spark`` importable on executor Python workers.
 
