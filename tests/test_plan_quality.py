@@ -157,3 +157,20 @@ def test_winnow_pairs_evaluates_fingerprints_once(spark):
     for ln in plan.splitlines():
         if "Filter" in ln:
             assert "regexp_extract_all" not in ln
+
+
+def test_corpus_sample_filters_materialized_features_not_reinlined(spark):
+    # the stratum filter must run against the checkpointed feature table;
+    # without the barrier, predicate pushdown inlines the whole language-ID
+    # expression tree (tokenize regex and all) into a scan-level Filter and
+    # every metric is computed twice (measured 5x wall on sf0.1)
+    plan = plan_of(E.q_corpus_sample(spark, SF))
+    assert "regexp_extract_all" not in plan
+    assert "Scan ExistingRDD" in plan  # the materialized feature table
+
+
+def test_corpus_prep_filters_materialized_features_not_reinlined(spark):
+    plan = plan_of(E.q_corpus_prep(spark, SF))
+    # the quality/length filter reads checkpointed features; the only
+    # tokenize work left in the plan is the minhash shingle side
+    assert "Scan ExistingRDD" in plan

@@ -147,3 +147,75 @@ def test_sliding_window(spark, events_path):
     tumb = windowed_event_counts(batch, window="1 hour")
     # every event lands in exactly 2 sliding windows vs 1 tumbling window
     assert slid.agg(F.sum("n_events")).first()[0] == 2 * tumb.agg(F.sum("n_events")).first()[0]
+
+
+def test_deduplicate_stream_drops_redelivered_rows(spark, tmp_path):
+    """A row re-delivered in a later micro-batch (same event_id, inside the
+    watermark horizon) must be emitted exactly once."""
+    from usearch_spark.streaming.events import deduplicate_stream
+
+    path = str(tmp_path / "dup_events")
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:00:30", 11, "view", 2.0, "{}"),
+    ]
+    redelivered = [
+        (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),  # dup of batch 1
+        (3, "2024-01-01 00:01:00", 12, "click", 3.0, "{}"),
+    ]
+
+    def write_file(batch, name):
+        df = spark.createDataFrame(
+            batch, "event_id long, ts string, user_id long, event_type string, value double, props string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.parquet(f"{path}/{name}", mode="overwrite")
+        return df
+
+    write_file(rows, "f0")
+    write_file(redelivered, "f1")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/*")
+    )
+    deduped = deduplicate_stream(stream, keys=["event_id"], watermark="10 minutes")
+    q = run_to_memory_sink(deduped, "dedup_stream", output_mode="append")
+    try:
+        got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3]  # event 1 exactly once
+
+
+def test_deduplicate_stream_batch_mode(spark):
+    from usearch_spark.streaming.events import deduplicate_stream
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "event_id long, event_type string"
+    )
+    assert deduplicate_stream(df, keys=["event_id"]).count() == 2
+
+
+def test_enrich_stream_static_join_broadcasts(spark, events_path):
+    from usearch_spark.streaming.events import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "fault")],
+        "event_type string, category string",
+    )
+    stream = stream_events_from_parquet(spark, events_path, EVENT_SCHEMA)
+    enriched = enrich_stream(stream, dim, on="event_type")
+    q = run_to_memory_sink(enriched, "enriched_events", output_mode="append")
+    try:
+        got = spark.sql(
+            "SELECT count(*) AS n, count(category) AS with_cat FROM enriched_events"
+        ).first()
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
+        n_expected = batch.count()
+        n_cat = batch.filter(F.col("event_type").isin("click", "view", "error")).count()
+    finally:
+        q.stop()
+    assert got["n"] == n_expected
+    assert got["with_cat"] == n_cat

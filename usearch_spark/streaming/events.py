@@ -135,6 +135,43 @@ def sessionize_stateful(
     )
 
 
+def deduplicate_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once ingestion dedup: drop re-delivered rows by key, keeping
+    state only within the watermark horizon.
+
+    At-least-once sources (file replays, kafka re-reads, retried crawl
+    fetches) re-emit rows; unbounded ``dropDuplicates`` state would grow
+    forever at 100 TB/day.  The watermark bounds the state to the late-data
+    horizon: a duplicate arriving later than the watermark is already
+    outside the exactly-once window by definition.  Uses Spark's
+    ``dropDuplicatesWithinWatermark`` when available (4.x), else
+    watermarked ``dropDuplicates`` (state keyed the same way).
+
+    Works on batch DataFrames too (plain dropDuplicates) so the same
+    pipeline code runs in both modes.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    src = events.withWatermark(ts_col, watermark)
+    if hasattr(src, "dropDuplicatesWithinWatermark"):
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small, slowly-changing) dimension table, re-read per batch so dim
+    updates are picked up without restarting the query.  The static side
+    is marked broadcast — no shuffle of the stream, no streaming state."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def periodic_crawl_stream(
     spark: SparkSession,
     tick_fn: Callable[[int], None],
