@@ -1557,6 +1557,57 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_funnel(docs, stages)
 
 
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (lineitem-orders-customer-supplier-
+    nation-region) with the local-supplier correlation (customer and
+    supplier in the same nation) — the classic join-ordering/broadcast
+    stressor.  Dimension sides broadcast; only the two fact tables shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the 10 hottest l_suppkey values in lineitem
+    with their row share and ratio to the mean key frequency
+    (usearch_spark/operators/profile.py)."""
+    from usearch_spark.operators.profile import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders (nulls, exact distincts, min/max) — all
+    columns in one aggregation pass."""
+    from usearch_spark.operators.profile import column_profile
+
+    return column_profile(
+        _t(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -1624,6 +1675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": q_text_scrub,
         "embedding_centroids": q_embedding_centroids,
         "corpus_funnel": q_corpus_funnel,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "skew_stats": q_skew_stats,
+        "column_profile": q_column_profile,
     }
 
 
@@ -2361,5 +2415,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1, 'min_tokens', c0, c1, c0 - c1 FROM c
             UNION ALL
             SELECT 2, 'quality', c1, c2, c1 - c2 FROM c
+        """,
+        "local_supplier_revenue": """
+            SELECT n_name AS nation,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "skew_stats": """
+            WITH counts AS (
+                SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+                FROM lineitem GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM counts),
+            top AS (
+                SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rk
+                FROM counts ORDER BY cnt DESC, key LIMIT 10
+            )
+            SELECT rk, key, cnt, round(cnt / tot.total, 6) AS share,
+                   round(cnt * tot.nkeys / tot.total, 4) AS ratio_to_mean
+            FROM top, tot
+        """,
+        "column_profile": """
+            WITH s AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+                       count(DISTINCT o_orderkey) AS nd1,
+                       CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+                       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+                       count(DISTINCT o_custkey) AS nd2,
+                       CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+                       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+                       count(DISTINCT o_orderstatus) AS nd3,
+                       min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+                       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+                       count(DISTINCT o_orderpriority) AS nd4,
+                       min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+                FROM orders
+            )
+            SELECT 'o_orderkey' AS "column", n AS n_rows, nn1 AS n_null, nd1 AS n_distinct,
+                   mn1 AS min_val, mx1 AS max_val FROM s
+            UNION ALL
+            SELECT 'o_custkey', n, nn2, nd2, mn2, mx2 FROM s
+            UNION ALL
+            SELECT 'o_orderstatus', n, nn3, nd3, mn3, mx3 FROM s
+            UNION ALL
+            SELECT 'o_orderpriority', n, nn4, nd4, mn4, mx4 FROM s
         """,
     }

@@ -174,3 +174,11 @@ def test_corpus_prep_filters_materialized_features_not_reinlined(spark):
     # the quality/length filter reads checkpointed features; the only
     # tokenize work left in the plan is the minhash shingle side
     assert "Scan ExistingRDD" in plan
+
+
+def test_q5_join_broadcasts_all_dimensions(spark):
+    # six-table Q5 shape: every dimension side is broadcast — the only
+    # shuffle exchange belongs to the fact-fact join / final aggregate
+    plan = plan_of(E.q_local_supplier_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
