@@ -1608,6 +1608,29 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via the binned equi-join encoding: every
+    'error' event opens a 10-minute incident window; count the events that
+    fall inside each window.  The bin key turns the containment predicate
+    into a hash join — no cross product (operators/asof.range_join)."""
+    from usearch_spark.operators.asof import range_join
+
+    ev = _events(spark, sf_dir)
+    evu = ev.select("event_id", "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us"))
+    inc = evu.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + 600_000_000).alias("end_us"),
+    )
+    joined = range_join(evu, inc, "ts_us", "start_us", "end_us", bin_width=600_000_000)
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -1678,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_revenue": q_local_supplier_revenue,
         "skew_stats": q_skew_stats,
         "column_profile": q_column_profile,
+        "range_join": q_range_join,
     }
 
 
@@ -2470,5 +2494,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'o_orderstatus', n, nn3, nd3, mn3, mx3 FROM s
             UNION ALL
             SELECT 'o_orderpriority', n, nn4, nd4, mn4, mx4 FROM s
+        """,
+        "range_join": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ),
+            inc AS (
+                SELECT event_id AS incident_id, ts_us AS start_us, ts_us + 600000000 AS end_us
+                FROM e WHERE event_type = 'error'
+            )
+            SELECT incident_id, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   min(e.event_id) AS first_event, max(e.event_id) AS last_event
+            FROM e JOIN inc ON e.ts_us >= inc.start_us AND e.ts_us <= inc.end_us
+            GROUP BY incident_id
         """,
     }

@@ -142,3 +142,36 @@ def test_asof_forward_matches_pandas(spark):
             assert actual == expect, (row.k, row.t, actual, expect)
         else:
             assert abs(actual - expect) < 1e-12, (row.k, row.t, actual, expect)
+
+
+def test_range_join_containment(spark):
+    from usearch_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(1, 5), (2, 15), (3, 25), (4, 95)], "id long, ts long")
+    ivals = spark.createDataFrame(
+        [("a", 0, 20), ("b", 10, 30), ("c", 200, 210)], "name string, lo long, hi long"
+    )
+    out = range_join(left, ivals, "ts", "lo", "hi", bin_width=10)
+    got = sorted((r["id"], r["name"]) for r in out.collect())
+    # ts=5 in a; ts=15 in a and b; ts=25 in b; ts=95 in none
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+
+
+def test_range_join_no_duplicate_matches_across_bins(spark):
+    from usearch_spark.operators.asof import range_join
+
+    # interval spans many bins; each contained row still matches exactly once
+    left = spark.createDataFrame([(i, i * 10) for i in range(10)], "id long, ts long")
+    ivals = spark.createDataFrame([("wide", 0, 100)], "name string, lo long, hi long")
+    out = range_join(left, ivals, "ts", "lo", "hi", bin_width=7)
+    assert out.count() == 10
+    assert out.dropDuplicates(["id", "name"]).count() == 10
+
+
+def test_range_join_is_equi_join_not_cross_product(spark):
+    from usearch_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(1, 5)], "id long, ts long")
+    ivals = spark.createDataFrame([("a", 0, 20)], "name string, lo long, hi long")
+    plan = range_join(left, ivals, "ts", "lo", "hi", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

@@ -97,3 +97,47 @@ def asof_join(
         F.col("_matched._match_ts").alias(right_ts + suffix),
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: each left row matched to every interval
+    with ``start <= ts <= end`` — via the BINNED equi-join encoding, not a
+    raw theta-join.
+
+    A naive inequality join is a cross product with a filter (O(|L| x |I|)
+    — the thing that cannot run at 100 TB).  Binning makes it an equi-join:
+    each left row keys on floor(ts / bin_width); each interval explodes to
+    the bins it covers; the join is hash/equi on the bin with the exact
+    containment predicate as a residual filter.  Cost is
+    O(|L| + |I| * span/bin_width) rows shuffled, and the bin key
+    co-partitions both sides.  A left row lives in exactly one bin, so a
+    single (row, interval) match cannot duplicate.
+
+    ``ts_col``/``start_col``/``end_col`` must share one numeric domain
+    (e.g. epoch micros); pick ``bin_width`` near the typical interval span
+    so most intervals explode to O(1) bins.
+    """
+    lb = left.withColumn("_bin", (F.col(ts_col) / bin_width).cast("long"))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bin_width).cast("long"),
+                (F.col(end_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (lb["_bin"] == ib["_bin"])
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) <= F.col(end_col))
+    )
+    return lb.join(ib, cond, how).drop("_bin")
