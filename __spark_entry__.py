@@ -51,16 +51,35 @@ def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
 
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table: its parquet timestamps are NANOS, which Spark's vectorized
-    reader rejects — read them as long (legacy conf) and derive a micros
-    timestamp column ``ts`` plus the raw ``ts_ns``."""
+    """events table, normalized to (``ts`` timestamp_ntz, ``ts_ns`` long).
+
+    The driver's events.parquet has shipped with two physical types across
+    testdata generations: INT64 TIMESTAMP(NANOS) (readable only as long via
+    the legacy nanosAsLong conf) and plain micros timestamps (read natively
+    as TIMESTAMP_NTZ).  Adapt to whichever is on disk.  All arithmetic stays
+    in the NTZ/epoch-micros domain so results are independent of the calling
+    session's timezone (the driver runs a vanilla SparkSession).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    # integer DIV, not float division: at ~1.7e18 ns a double's ulp is 256ns,
-    # which would shift derived micros near bucket boundaries
-    return ev.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts", F.timestamp_micros(F.expr("CAST(ts AS LONG) DIV 1000"))
+    dt = ev.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
+        # integer DIV, not float division: at ~1.7e18 ns a double's ulp is
+        # 256ns, which would shift derived micros near bucket boundaries
+        return ev.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+            "ts",
+            F.expr(f"timestampadd(MICROSECOND, CAST(ts AS LONG) DIV 1000, {_EPOCH_NTZ})"),
+        )
+    if dt == "timestamp":
+        # instant-typed (isAdjustedToUTC): pin the wall clock to the stored
+        # instant via the session zone cast before going NTZ
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return ev.withColumn(
+        "ts_ns", F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)") * F.lit(1000)
     )
 
 

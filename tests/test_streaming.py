@@ -31,7 +31,13 @@ def events_path(spark, tmp_path_factory):
     several files (so the file stream has multiple triggers)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    df = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # the driver's events.parquet has shipped as both TIMESTAMP(NANOS)
+    # (read as long under nanosAsLong) and plain micros — adapt like
+    # __spark_entry__._events does
+    if dict(raw.dtypes)["ts"] == "bigint":
+        df = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    else:
+        df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     path = str(tmp_path_factory.mktemp("events_stream") / "events")
     df.repartition(4).write.parquet(path)
     return path
