@@ -1694,6 +1694,119 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 ranking parity-plus: Okapi BM25 (the actual similarity behind the
+    reference's ES `_score`, es.go:184-213) over the persistent bucketed
+    postings — doc lengths and dfreq are narrow aggs on the same table."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    doclen = S.doc_lengths(postings, id_col="doc_id")
+    n = docs.count()
+    scored = S.score_bm25(
+        postings, dfreq, doclen, n, SEARCH_TERMS, id_col="doc_id", round_to=4
+    )
+    return S.paginate(scored, [F.col("score").desc(), F.col("doc_id")], offset=0, size=10)
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the supplier→part graph (skew
+    diagnostic: the heavy tail here is what decides salting/AQE strategy
+    at 100 TB) — usearch_spark/plans/graph_stats.py."""
+    from usearch_spark.plans.graph_stats import degree_distribution
+
+    _, edges = _supplier_part_graph(spark, sf_dir)
+    return degree_distribution(edges)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle count on the same-region nation graph via
+    canonical-orientation wedge joins (each triangle enumerated once as
+    a<b<c) — usearch_spark/plans/graph_stats.py."""
+    from usearch_spark.plans.graph_stats import triangles_per_vertex
+
+    v, e = _nation_graph(spark, sf_dir)
+    return triangles_per_vertex(v, e).orderBy("id")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the event stream: users grouped by
+    first-seen week, distinct actives per (cohort, week offset).  Two
+    shuffles total (per-user min, then the distinct-triple agg)."""
+    ev = _events(spark, sf_dir).select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("long").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour moving average of event value over hourly buckets, per event
+    type — windowed frame over a pre-aggregated (tiny) hourly table, so the
+    window never sees raw events."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(_dec("value")).cast("double").alias("hour_value"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-23, 0)
+    return hourly.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        F.round(F.avg("hour_value").over(w), 6).alias("avg_24h"),
+    )
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count (left
+    join preserving zero-order customers, two partial-aggregated groupBys)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-idle customers — above the average
+    positive balance yet no orders since 2000 — per nation.  The threshold
+    compare is done in exact decimal arithmetic (bal·n > Σbal) so the
+    scalar never goes through order-dependent float summation; the
+    anti-join replaces NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    thresh = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            F.sum(_dec("c_acctbal")).alias("bal_sum"),
+            F.count(F.lit(1)).alias("bal_n"),
+        )
+    )
+    rich = (
+        c.crossJoin(thresh)
+        .filter(_dec("c_acctbal") * F.col("bal_n") > F.col("bal_sum"))
+        .drop("bal_sum", "bal_n")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -1765,6 +1878,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "column_profile": q_column_profile,
         "range_join": q_range_join,
+        "search_bm25": q_search_bm25,
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "retention_cohorts": q_retention_cohorts,
+        "events_moving_avg": q_events_moving_avg,
+        "customer_order_counts": q_customer_order_counts,
+        "idle_customers": q_idle_customers,
     }
 
 
@@ -2572,5 +2692,111 @@ def oracle_sql() -> dict[str, str]:
                    min(e.event_id) AS first_event, max(e.event_id) AS last_event
             FROM e JOIN inc ON e.ts_us >= inc.start_us AND e.ts_us <= inc.end_us
             GROUP BY incident_id
+        """,
+        "search_bm25": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+            stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+            w AS (
+                SELECT term,
+                       ln(1 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+                              / (count(DISTINCT doc_id) + 0.5)) AS idf
+                FROM tf WHERE term IN (SELECT term FROM (VALUES {terms_values}) t(term))
+                GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   round(sum(w.idf * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+            FROM tf JOIN w USING (term) JOIN dl USING (doc_id), stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 10
+        """,
+        "graph_degrees": """
+            WITH edges AS (
+                SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+                FROM lineitem
+            ),
+            outd AS (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+            ind AS (SELECT dst, count(*) AS degree FROM edges GROUP BY dst)
+            SELECT 'out' AS side, degree, count(*) AS n_vertices FROM outd GROUP BY degree
+            UNION ALL
+            SELECT 'in' AS side, degree, count(*) AS n_vertices FROM ind GROUP BY degree
+        """,
+        "graph_triangles": """
+            WITH ed AS (
+                SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                                greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+            ),
+            tri AS (
+                SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+                FROM ed e1
+                JOIN ed e2 ON e2.a = e1.b
+                JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT ta AS v FROM tri
+                UNION ALL SELECT tb FROM tri
+                UNION ALL SELECT tc FROM tri
+            ),
+            cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v)
+            SELECT 'n' || n_nationkey AS id,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+            FROM nation LEFT JOIN cnt ON cnt.v = 'n' || n_nationkey
+            ORDER BY id
+        """,
+        "retention_cohorts": """
+            WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+            firsts AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+            acts AS (
+                SELECT DISTINCT ev.user_id, f.cohort,
+                       date_diff('day', f.cohort, ev.wk) // 7 AS week_offset
+                FROM ev JOIN firsts f USING (user_id)
+            )
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   count(*) AS n_users
+            FROM acts GROUP BY 1, 2
+        """,
+        "events_moving_avg": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   strftime(h, '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   round(avg(hour_value) OVER (PARTITION BY event_type ORDER BY h
+                                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+                         6) AS avg_24h
+            FROM hourly
+        """,
+        "customer_order_counts": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "idle_customers": """
+            WITH t AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+                       count(*) AS bal_n
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey AS nation, count(*) AS n_custs,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM customer, t
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '2000-01-01')
+            GROUP BY c_nationkey
         """,
     }

@@ -1,0 +1,59 @@
+"""Degree-distribution and triangle-count plan tests
+(usearch_spark/plans/graph_stats.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usearch_spark.plans.graph_stats import (
+    canonical_edges,
+    degree_distribution,
+    triangles_per_vertex,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # K4 on {a,b,c,d} (4 triangles) plus a pendant edge d-e (0 triangles)
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in "abcde"], "id string")
+    return v, e
+
+
+def test_degree_distribution_counts(toy):
+    _, e = toy
+    hist = {(r["side"], r["degree"]): r["n_vertices"] for r in degree_distribution(e).collect()}
+    # out-degrees: a->3, b->2, c->1, d->1  => {3:1, 2:1, 1:2}
+    assert hist[("out", 3)] == 1 and hist[("out", 2)] == 1 and hist[("out", 1)] == 2
+    # in-degrees: b->1, c->2, d->3, e->1  => {1:2, 2:1, 3:1}
+    assert hist[("in", 1)] == 2 and hist[("in", 2)] == 1 and hist[("in", 3)] == 1
+
+
+def test_canonical_edges_dedupes_both_directions(spark):
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("x", "x"), ("y", "z")], "src string, dst string"
+    )
+    got = sorted(tuple(r) for r in canonical_edges(e).collect())
+    assert got == [("x", "y"), ("y", "z")]  # self-loop dropped, reverse deduped
+
+
+def test_triangles_k4_plus_pendant(toy):
+    v, e = toy
+    got = {r["id"]: r["n_triangles"] for r in triangles_per_vertex(v, e).collect()}
+    # K4: each of a,b,c,d sits in C(3,2)=3 triangles; e in none
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangles_direction_invariant(spark, toy):
+    v, e = toy
+    reversed_e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    both = e.unionByName(reversed_e)
+    a = sorted(tuple(r) for r in triangles_per_vertex(v, e).collect())
+    b = sorted(tuple(r) for r in triangles_per_vertex(v, both).collect())
+    assert a == b

@@ -193,3 +193,52 @@ def test_blend_modes_disagree_when_relevance_beats_pagerank(spark):
     _, pr_page = SearchIndex(docs, blend=BLEND_PAGERANK_FIRST).search("common")
     assert [r["link_id"] for r in add_page.collect()][0] == "rel"
     assert [r["link_id"] for r in pr_page.collect()][0] == "pr"
+
+
+def test_bm25_matches_reference_formula(docs):
+    """score_bm25 reproduces a hand-computed Okapi BM25 (k1=1.2, b=0.75)
+    for a single-term query over the tiny corpus."""
+    import math
+
+    from usearch_spark.operators.search import doc_lengths, score_bm25
+
+    postings = build_postings(docs)
+    dfreq = doc_frequencies(postings)
+    doclen = doc_lengths(postings)
+    n = docs.count()
+    got = {
+        r["link_id"]: r["score"]
+        for r in score_bm25(postings, dfreq, doclen, n, ["spark"], round_to=6).collect()
+    }
+    # analyzed lengths per doc and corpus stats, by hand from DOCS
+    dls = {"d1": 8, "d2": 10, "d3": 7, "d4": 7}
+    avgdl = sum(dls.values()) / 4
+    tfs = {"d1": 2, "d2": 3, "d4": 1}
+    df = 3
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    for doc, tf in tfs.items():
+        denom = tf + 1.2 * (0.25 + 0.75 * dls[doc] / avgdl)
+        assert got[doc] == pytest.approx(idf * tf * 2.2 / denom, abs=1e-6)
+    assert "d3" not in got  # no query term -> no row
+
+
+def test_bm25_length_normalization_orders_below_tf(spark):
+    """Two docs with equal tf: the shorter one scores higher (the property
+    plain tf-idf lacks)."""
+    from usearch_spark.operators.search import doc_lengths, score_bm25
+
+    docs = spark.createDataFrame(
+        [
+            ("short", "needle one two", None),
+            ("long", "needle one two three four five six seven eight", None),
+        ],
+        "link_id string, title string, content string",
+    )
+    postings = build_postings(docs)
+    dfreq = doc_frequencies(postings)
+    doclen = doc_lengths(postings)
+    got = {
+        r["link_id"]: r["score"]
+        for r in score_bm25(postings, dfreq, doclen, docs.count(), ["needle"]).collect()
+    }
+    assert got["short"] > got["long"]

@@ -104,6 +104,62 @@ def score_match(
     return scored
 
 
+def doc_lengths(postings: DataFrame, id_col: str = "link_id") -> DataFrame:
+    """postings -> (<id>, dl): analyzed token count per document (sum of
+    term frequencies).  One narrow agg over the bucketed postings table."""
+    return postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+
+def score_bm25(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    doclen: DataFrame,
+    n_docs: int,
+    terms: list[str],
+    id_col: str = "link_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 MATCH score per doc (the ranking function behind the
+    reference's ES `_score`, es.go:184-213 — Elasticsearch's default
+    similarity is BM25).
+
+    score(doc) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Plan shape mirrors :func:`score_match`: the (terms × df) weight table is
+    broadcast, the doc-length side joins on the postings' own id key, and
+    the final agg is a partial-aggregated groupBy — nothing shuffles the
+    postings beyond their bucketed layout.  ``avgdl`` is the mean analyzed
+    length over docs that have at least one token (computed from ``doclen``
+    so both engines see the identical population).
+    """
+    terms = sorted(set(terms))
+    spark = postings.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    weights = F.broadcast(
+        terms_df.join(dfreq, "term", "inner").withColumn("idf", idf_column(n_docs, F.col("df")))
+    )
+    # avgdl: exact long sum / long count -> one double division, identical
+    # bits in any engine (no float accumulation order involved)
+    avg_row = doclen.agg(
+        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    avgdl = float(avg_row["s"]) / float(avg_row["c"])
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl))
+    contrib = F.col("idf") * tf * F.lit(k1 + 1.0) / denom
+    scored = (
+        postings.join(weights, "term", "inner")
+        .join(doclen, id_col, "inner")
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_to))
+    return scored
+
+
 def build_positional_postings(
     docs: DataFrame,
     id_col: str = "link_id",

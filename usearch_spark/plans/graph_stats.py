@@ -1,0 +1,88 @@
+"""Descriptive graph statistics: degree distributions and triangle counts.
+
+The reference's graph surface is scans + iterative BSP algorithms
+(linkgraph/graph/graph.go, bsp/); these are the one-shot analytic
+companions a graph analytics engine needs next to PageRank/SSSP —
+degree histograms for skew diagnostics (what breaks a shuffle at 100 TB
+is exactly a heavy-tailed out-degree), triangle counts for clustering
+structure.
+
+Scale notes:
+  - Degree distribution is two narrow aggs (groupBy key -> count, then
+    groupBy count -> count); both partial-aggregate map-side, the second
+    agg's input is already tiny (one row per distinct degree).
+  - Triangle counting enumerates wedges via two self-joins on the
+    canonicalized (a < b) edge list.  The classic optimization baked in
+    here: joining on the canonical orientation only (a<b<c) counts every
+    triangle exactly once, cutting the wedge intermediate ~6x vs naive
+    both-direction joins.  At 100 TB the edge list is bucketed by vertex
+    so the self-joins co-locate; degree-ordered orientation (low-degree
+    vertex first) would further bound wedge fan-out under skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_distribution(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Histogram of out- and in-degrees: (side, degree, n_vertices).
+
+    ``side`` is 'out' (per-src) or 'in' (per-dst).  Input edges are assumed
+    deduplicated; duplicates would inflate degrees.
+    """
+    out_d = edges.groupBy(F.col(src).alias("v")).agg(F.count(F.lit(1)).alias("degree"))
+    in_d = edges.groupBy(F.col(dst).alias("v")).agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        out_d.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(F.lit("out").alias("side"), "degree", "n_vertices")
+        .unionByName(
+            in_d.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+            .select(F.lit("in").alias("side"), "degree", "n_vertices")
+        )
+    )
+
+
+def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge set in canonical (a < b) orientation, deduplicated.
+    Accepts a directed or both-directions edge list."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangles_per_vertex(
+    vertices: DataFrame, edges: DataFrame, id_col: str = "id", src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation count: (id, n_triangles), zero
+    included for triangle-free vertices.
+
+    Enumerates each triangle once as (a < b < c): e(a,b) ⋈ e(b,c) ⋈ e(a,c),
+    then credits all three corners.
+    """
+    e = canonical_edges(edges, src, dst)
+    e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = e1.join(e2, "tb", "inner").join(e3, ["ta", "tc"], "inner")
+    corners = (
+        tri.select(F.col("ta").alias("v"))
+        .unionAll(tri.select(F.col("tb").alias("v")))
+        .unionAll(tri.select(F.col("tc").alias("v")))
+    )
+    counts = corners.groupBy("v").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        vertices.join(counts, vertices[id_col] == counts["v"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
