@@ -1807,6 +1807,66 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: the 50 supplier pairs sharing the most parts
+    (plans/graph_stats.project_bipartite — co-occurrence with the hub-cap
+    scale guard; top-k via TakeOrderedAndProject, no global sort)."""
+    from usearch_spark.plans.graph_stats import project_bipartite
+
+    _, edges = _supplier_part_graph(spark, sf_dir)
+    pairs = project_bipartite(edges)
+    return S.paginate(
+        pairs, [F.col("weight").desc(), F.col("a"), F.col("b")], offset=0, size=50
+    )
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf for the first
+    50 docs (operators/search.tfidf_keywords — doc-partitioned window,
+    corpus-wide document frequencies from the persistent postings)."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    n = docs.count()
+    kw = S.tfidf_keywords(
+        postings.filter(F.col("doc_id") < 50), dfreq, n, top_k=3, id_col="doc_id"
+    )
+    return kw.orderBy("doc_id", "rank")
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous traffic hours: hourly event counts whose z-score against
+    the type's own distribution exceeds 2.5.  Mean/variance are derived
+    from exact integer sums (one agg over the tiny hourly table), so the
+    float arithmetic is a fixed expression over exact inputs — bit-stable
+    across engines."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    mean = F.col("s").cast("double") / F.col("c")
+    msq = F.col("ss").cast("double") / F.col("c")
+    st = st.select(
+        "event_type", mean.alias("mean"), (msq - mean * mean).alias("var")
+    )
+    z = (F.col("n") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        hourly.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -1885,6 +1945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "supplier_cooccurrence": q_supplier_cooccurrence,
+        "doc_keywords": q_doc_keywords,
+        "events_anomaly": q_events_anomaly,
     }
 
 
@@ -2798,5 +2861,58 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "supplier_cooccurrence": """
+            WITH e AS (
+                SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+                FROM lineitem
+            )
+            SELECT x.s AS a, y.s AS b, count(*) AS weight
+            FROM e x JOIN e y ON x.d = y.d AND x.s < y.s
+            GROUP BY 1, 2
+            ORDER BY weight DESC, a, b
+            LIMIT 50
+        """,
+        "doc_keywords": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln(1 + ((SELECT count(*) FROM documents) - df.df + 0.5)
+                                            / (df.df + 0.5)), 4) AS score
+                FROM tf JOIN df USING (term)
+                WHERE tf.doc_id < 50
+            ),
+            ranked AS (
+                SELECT doc_id, term, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, CAST(rank AS INT) AS rank, score
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
+        "events_anomaly": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT event_type,
+                       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS mean,
+                       CAST(CAST(sum(n * n) AS BIGINT) AS DOUBLE) / count(*) AS msq
+                FROM hourly GROUP BY event_type
+            )
+            SELECT event_type,
+                   strftime(h, '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   n,
+                   round((n - mean) / sqrt(msq - mean * mean), 6) AS zscore
+            FROM hourly JOIN st USING (event_type)
+            WHERE abs((n - mean) / sqrt(msq - mean * mean)) > 2.5
         """,
     }

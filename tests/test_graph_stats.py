@@ -57,3 +57,30 @@ def test_triangles_direction_invariant(spark, toy):
     a = sorted(tuple(r) for r in triangles_per_vertex(v, e).collect())
     b = sorted(tuple(r) for r in triangles_per_vertex(v, both).collect())
     assert a == b
+
+
+def test_project_bipartite_weights(spark):
+    # parts shared: (s1,s2) share p1,p2 -> w=2; (s1,s3) share p3 -> w=1
+    e = spark.createDataFrame(
+        [("s1", "p1"), ("s1", "p2"), ("s1", "p3"),
+         ("s2", "p1"), ("s2", "p2"), ("s3", "p3"),
+         ("s1", "p1")],  # duplicate edge must not inflate weight
+        "src string, dst string",
+    )
+    from usearch_spark.plans.graph_stats import project_bipartite
+
+    got = {(r["a"], r["b"]): r["weight"] for r in project_bipartite(e).collect()}
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1}
+
+
+def test_project_bipartite_hub_cap_drops_hot_dst(spark):
+    # p_hub touches all three sources; capped at degree 2 it must vanish
+    e = spark.createDataFrame(
+        [("s1", "p_hub"), ("s2", "p_hub"), ("s3", "p_hub"), ("s1", "p2"), ("s2", "p2")],
+        "src string, dst string",
+    )
+    from usearch_spark.plans.graph_stats import project_bipartite
+
+    got = {(r["a"], r["b"]): r["weight"]
+           for r in project_bipartite(e, max_dst_degree=2).collect()}
+    assert got == {("s1", "s2"): 1}  # only p2 survives the cap

@@ -242,3 +242,26 @@ def test_bm25_length_normalization_orders_below_tf(spark):
         for r in score_bm25(postings, dfreq, doclen, docs.count(), ["needle"]).collect()
     }
     assert got["short"] > got["long"]
+
+
+def test_tfidf_keywords_per_doc_topk(docs):
+    from usearch_spark.operators.search import tfidf_keywords
+
+    postings = build_postings(docs)
+    dfreq = doc_frequencies(postings)
+    kw = tfidf_keywords(postings, dfreq, docs.count(), top_k=2).collect()
+    by_doc = {}
+    for r in kw:
+        by_doc.setdefault(r["link_id"], []).append((r["rank"], r["term"], r["score"]))
+    # every doc contributes at most top_k rows, ranks are 1..k in order
+    for doc, rows in by_doc.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        # scores are non-increasing with rank
+        scores = [r[2] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # d2's dominant term is its tf=3 'spark' unless a rarer term outweighs:
+    # 'spark' appears in 3/4 docs (low idf) while d2-only terms are rare ->
+    # rank-1 must be a d2-exclusive term, not 'spark'
+    d2_terms = dict((rk, t) for rk, t, _ in sorted(by_doc["d2"]))
+    assert d2_terms[1] != "spark"

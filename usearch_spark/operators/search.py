@@ -160,6 +160,35 @@ def score_bm25(
     return scored
 
 
+def tfidf_keywords(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    top_k: int = 3,
+    id_col: str = "link_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf·idf.
+
+    (id, term, rank, score) with rank 1..k; ties break (score desc, term
+    asc) so the selection is deterministic.  The window partitions by
+    document — per-doc top-k stays fully distributed (no global sort);
+    the df side joins on term against the bucketed postings layout.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        postings.join(dfreq, "term", "inner")
+        .withColumn("score", F.round(F.col("tf") * idf_column(n_docs, F.col("df")), round_to))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "rank", "score")
+    )
+
+
 def build_positional_postings(
     docs: DataFrame,
     id_col: str = "link_id",

@@ -59,6 +59,46 @@ def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def project_bipartite(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_weight: int = 1,
+    max_dst_degree: int | None = None,
+) -> DataFrame:
+    """Project a bipartite src→dst edge set onto the src side:
+    (a, b, weight) with a < b and weight = number of shared dst vertices.
+
+    The self-join explodes quadratically in each dst's degree — the classic
+    scale hazard of co-occurrence projection.  ``max_dst_degree`` drops hub
+    dst vertices above the cap BEFORE the join (the same df-cap pattern the
+    dedup shingle join uses): a dst shared by thousands of sources
+    contributes near-zero signal but O(d²) pairs.  At 100 TB this cap is
+    what keeps the projection runnable; the weight then undercounts only
+    on dropped hubs, which callers opt into explicitly.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).dropDuplicates(["s", "d"])
+    if max_dst_degree is not None:
+        keep = (
+            e.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") <= max_dst_degree)
+            .select("d")
+        )
+        e = e.join(keep, "d", "left_semi")
+    left = e.select(F.col("s").alias("a"), "d")
+    right = e.select(F.col("s").alias("b"), "d")
+    pairs = (
+        left.join(right, "d", "inner")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    if min_weight > 1:
+        pairs = pairs.filter(F.col("weight") >= min_weight)
+    return pairs
+
+
 def triangles_per_vertex(
     vertices: DataFrame, edges: DataFrame, id_col: str = "id", src: str = "src", dst: str = "dst"
 ) -> DataFrame:
