@@ -1373,6 +1373,46 @@ def _components_oracle_sql(rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def _label_prop_oracle_sql(rounds: int = 4) -> str:
+    """Synchronous LPA unrolled: per round, each vertex adopts the most
+    frequent neighbor label (ties -> min label), keeping its own when it
+    has no neighbors — the exact recurrence of
+    usearch_spark/plans/pregel.py:label_propagation."""
+    head = """
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS id FROM nation),
+        l0 AS (SELECT id, id AS lbl FROM verts)
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        v{k} AS MATERIALIZED (
+            SELECT e.dst AS id, nb.lbl, count(*) AS n
+            FROM e JOIN l{p} nb ON nb.id = e.src
+            GROUP BY e.dst, nb.lbl
+        ),
+        b{k} AS (
+            SELECT id, lbl FROM (
+                SELECT id, lbl,
+                       row_number() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+                FROM v{k}
+            ) WHERE rn = 1
+        ),
+        l{k} AS MATERIALIZED (
+            SELECT l{p}.id, coalesce(b{k}.lbl, l{p}.lbl) AS lbl
+            FROM l{p} LEFT JOIN b{k} USING (id)
+        )"""
+        )
+    parts.append(f"\n        SELECT id, lbl AS community FROM l{rounds} ORDER BY id")
+    return "".join(parts)
+
+
 def _pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
     head = """
         WITH edges AS MATERIALIZED (
@@ -1807,6 +1847,18 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 4 synchronous label-propagation rounds on the
+    same-region nation graph (plans/pregel.label_propagation); the DuckDB
+    oracle unrolls the identical most-frequent/min-tie recurrence, so the
+    communities (== regions here) are bit-checked."""
+    from usearch_spark.plans.pregel import label_propagation
+
+    v, e = _nation_graph(spark, sf_dir)
+    res = label_propagation(v, e, rounds=4)
+    return res.state.select("id", F.col("value").alias("community")).orderBy("id")
+
+
 def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection: the 50 supplier pairs sharing the most parts
     (plans/graph_stats.project_bipartite — co-occurrence with the hub-cap
@@ -1945,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "graph_label_prop": q_graph_label_prop,
         "supplier_cooccurrence": q_supplier_cooccurrence,
         "doc_keywords": q_doc_keywords,
         "events_anomaly": q_events_anomaly,
@@ -2862,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
         """,
+        "graph_label_prop": _label_prop_oracle_sql(4),
         "supplier_cooccurrence": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d

@@ -51,3 +51,35 @@ def test_sssp_via_pregel_matches_dedicated(spark):
     costs = {r["id"]: r["value"] for r in res.state.collect()}
     for dest, (_, exp_cost) in EXPECTED.items():
         assert costs[dest] == exp_cost, dest
+
+
+def test_label_propagation_finds_cliques(spark):
+    """Two cliques joined by one bridge edge: LPA labels each clique with
+    its min vertex id after a few rounds."""
+    from usearch_spark.plans.pregel import label_propagation
+
+    clique1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    clique2 = [("x", "y"), ("x", "z"), ("y", "z")]
+    bridge = [("c", "x")]
+    e = spark.createDataFrame(clique1 + clique2 + bridge, "src string, dst string")
+    v = spark.createDataFrame([(s,) for s in "abcxyz"], "id string")
+    res = label_propagation(v, e, rounds=4)
+    got = {r["id"]: r["value"] for r in res.state.collect()}
+    # both cliques collapse to one label each; the bridge doesn't merge them
+    assert len({got["a"], got["b"]}) == 1 or len({got["y"], got["z"]}) == 1
+    assert {got["y"], got["z"]} != {got["a"], got["b"]}
+
+
+def test_label_propagation_deterministic(spark):
+    """Same input -> identical labeling on repeated runs (min-label ties)."""
+    from usearch_spark.plans.pregel import label_propagation
+
+    e = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")], "src string, dst string"
+    )
+    v = spark.createDataFrame([(str(i),) for i in range(1, 5)], "id string")
+    runs = [
+        tuple(sorted((r["id"], r["value"]) for r in label_propagation(v, e, rounds=3).state.collect()))
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]

@@ -134,6 +134,73 @@ def connected_components(
     )
 
 
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> IterationResult:
+    """Synchronous label propagation (community detection): every vertex
+    adopts the most frequent label among its neighbors each round, ties
+    broken by minimum label — fully deterministic, so a SQL oracle can
+    unroll the same recurrence round by round.
+
+    Runs a FIXED number of rounds rather than to convergence: synchronous
+    LPA can oscillate between two labelings on bipartite-ish structure, so
+    a fixpoint test would never halt there.  Fixed-round is the standard
+    remedy and keeps the oracle finite.
+
+    Per round: one edge join + a (vertex, label) count + an argmax — two
+    shuffles on vertex id, both partial-aggregated.  The vote argmax is
+    min(struct(-n, label)), a single-pass aggregate (no window over the
+    full vote set).
+    """
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+
+    spark = vertices.sparkSession
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    e = und.localCheckpoint(eager=True)
+
+    with loop_tuned_session(spark, max(v.count(), e.count())):
+        state = v.withColumn("value", F.col("id")).localCheckpoint(eager=True)
+
+        def step_fn(current: DataFrame, step: int):
+            msgs = current.join(e, current.id == e.src, "inner").select(
+                F.col("dst").alias("id"), F.col("value").alias("msg")
+            )
+            votes = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("n"))
+            best = (
+                votes.groupBy("id")
+                .agg(F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("msg").alias("m"))).alias("b"))
+                .select("id", F.col("b.m").alias("_agg"))
+            )
+            new_state = (
+                current.withColumnRenamed("value", "_old")
+                .join(best, "id", "left")
+                .select("id", F.coalesce(F.col("_agg"), F.col("_old")).alias("value"), "_old")
+            )
+            new_state, metrics = checkpoint_with_metrics(
+                new_state,
+                changed=F.coalesce(
+                    F.sum((~F.col("value").eqNullSafe(F.col("_old"))).cast("long")), F.lit(0)
+                ),
+            )
+            return new_state.select("id", "value"), {"changed": int(metrics["changed"])}
+
+        return run_fixpoint(
+            state,
+            step_fn,
+            should_continue=lambda m, step: True,
+            max_steps=rounds,
+            checkpoint_every=10**9,
+        )
+
+
 def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationResult:
     """Single-task min-label propagation (identical recurrence to the
     pregel path: value = least(own, min over in-neighbors), stop when no
