@@ -1847,6 +1847,20 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition counts between consecutive event types per
+    user (lag over a user-partitioned window — distributed, no global
+    sort; (ts, event_id) ordering is total so the lag is deterministic)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), F.col("event_type").alias("curr_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection: 4 synchronous label-propagation rounds on the
     same-region nation graph (plans/pregel.label_propagation); the DuckDB
@@ -1997,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "event_transitions": q_event_transitions,
         "graph_label_prop": q_graph_label_prop,
         "supplier_cooccurrence": q_supplier_cooccurrence,
         "doc_keywords": q_doc_keywords,
@@ -2914,6 +2929,14 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "event_transitions": """
+            SELECT prev_type, curr_type, count(*) AS n_transitions FROM (
+                SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                       event_type AS curr_type
+                FROM events
+            ) WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, curr_type
         """,
         "graph_label_prop": _label_prop_oracle_sql(4),
         "supplier_cooccurrence": """

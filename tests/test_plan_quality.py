@@ -182,3 +182,42 @@ def test_q5_join_broadcasts_all_dimensions(spark):
     plan = plan_of(E.q_local_supplier_revenue(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_topk_is_take_ordered(spark):
+    # top-50 strongest pairs must be TakeOrderedAndProject, not a global
+    # sort or a single-partition window
+    plan = plan_of(E.q_supplier_cooccurrence(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_doc_keywords_window_is_partitioned(spark):
+    # per-doc top-k runs a doc_id-PARTITIONED window — a global (empty
+    # partition spec) window would single-task the whole postings set
+    df = E.q_doc_keywords(spark, SF)
+    plan = plan_of(df)
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "doc_id" in ln.split("windowspecdefinition")[1][:60]
+
+
+def test_bm25_broadcasts_weights_and_stays_jvm(spark):
+    plan = plan_of(E.q_search_bm25(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_events_anomaly_broadcasts_stats_side(spark):
+    plan = plan_of(E.q_events_anomaly(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_transitions_window_partitioned_by_user(spark):
+    plan = plan_of(E.q_event_transitions(spark, SF))
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "user_id" in ln.split("windowspecdefinition")[1][:60]
