@@ -882,6 +882,73 @@ def q_graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
 
 
+PPR_SOURCES = ["s1"]
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from supplier s1 on
+    the supplier→part graph, 10 fixed iterations
+    (plans/pagerank.personalized_pagerank); the DuckDB oracle unrolls the
+    teleport-weighted recurrence with bit-matched float literals."""
+    from usearch_spark.plans.pagerank import personalized_pagerank
+
+    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    res = personalized_pagerank(
+        vertices, edges, PPR_SOURCES, min_sad=0.0, max_steps=10, edges_deduped=True
+    )
+    return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
+
+
+def _ppr_oracle_sql(iters: int = 10, d: float = 0.85, sources: tuple = ("s1",)) -> str:
+    """PPR unrolled: r0 = p; r_t = (1-d)·p + d·msg + (d·res)·p with res the
+    total dead-end mass.  Float literals are injected as Python double
+    reprs so both engines evaluate the identical IEEE expression."""
+    p_val = 1.0 / len(set(sources))
+    omd = 1.0 - d
+    in_list = ", ".join(f"'{s}'" for s in sorted(set(sources)))
+    head = f"""
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+            )
+        ),
+        outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+        pv AS MATERIALIZED (
+            SELECT id, CASE WHEN id IN ({in_list}) THEN {p_val!r} ELSE 0e0 END AS p
+            FROM verts
+        ),
+        r0 AS MATERIALIZED (SELECT id, p AS score FROM pv)
+    """
+    parts = [head]
+    for k in range(1, iters + 1):
+        pk = k - 1
+        parts.append(
+            f""",
+        res{k} AS MATERIALIZED (
+            SELECT coalesce(sum(r.score), 0) AS r
+            FROM r{pk} r LEFT JOIN outdeg o ON o.id = r.id
+            WHERE o.id IS NULL
+        ),
+        msg{k} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(r.score / o.od) AS msg
+            FROM r{pk} r JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id
+            GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT v.id,
+                   {omd!r} * v.p + {d!r} * coalesce(m.msg, 0)
+                   + ({d!r} * res{k}.r) * v.p AS score
+            FROM pv v CROSS JOIN res{k}
+            LEFT JOIN msg{k} m ON m.id = v.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, round(score, 8) AS score FROM r{iters}")
+    return "".join(parts)
+
+
 def _nation_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Undirected weighted graph: nations in the same region, weight =
     |key difference| + 1 (both directions present)."""
@@ -1972,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lifecycle": q_index_lifecycle,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
+        "graph_ppr": q_graph_ppr,
         "graph_sssp": q_graph_sssp,
         "graph_coloring": q_graph_coloring,
         "graph_components": q_graph_components,
@@ -2938,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE prev_type IS NOT NULL
             GROUP BY prev_type, curr_type
         """,
+        "graph_ppr": _ppr_oracle_sql(10, 0.85, ("s1",)),
         "graph_label_prop": _label_prop_oracle_sql(4),
         "supplier_cooccurrence": """
             WITH e AS (

@@ -122,3 +122,67 @@ def test_pagerank_local_matches_distributed(spark):
     assert set(sl) == set(sd)
     for k in sl:
         assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12)
+
+
+def test_ppr_mass_concentrates_near_sources(spark):
+    """PPR from one source: total mass == 1, the source outranks everything
+    it points at, and vertices unreachable from the source get score 0
+    beyond their teleport share (which is 0 for non-sources)."""
+    from usearch_spark.plans.pagerank import personalized_pagerank
+
+    # a -> b -> c, plus an isolated island x -> y
+    v = spark.createDataFrame([(s,) for s in "abcxy"], "id string")
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")
+    res = personalized_pagerank(v, e, ["a"], min_sad=0.0, max_steps=30)
+    s = {r["id"]: r["score"] for r in res.state.collect()}
+    assert sum(s.values()) == pytest.approx(1.0, abs=1e-9)
+    assert s["a"] > s["b"] > s["c"] > 0
+    assert s["x"] == pytest.approx(0.0, abs=1e-12)
+    assert s["y"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ppr_uniform_sources_recover_global_pagerank(spark):
+    """Teleporting to ALL vertices uniformly must reproduce plain PageRank
+    (same fixpoint, up to float tolerance)."""
+    import random as _random
+
+    from usearch_spark.plans.pagerank import personalized_pagerank
+
+    rng = _random.Random(11)
+    n = 60
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(
+        [(str(i), str(rng.randrange(n))) for i in range(n) for _ in range(2)],
+        "src string, dst string",
+    )
+    plain = {r["id"]: r["score"] for r in pagerank(v, e, min_sad=0.0, max_steps=25).state.collect()}
+    ppr = {
+        r["id"]: r["score"]
+        for r in personalized_pagerank(
+            v, e, [str(i) for i in range(n)], min_sad=0.0, max_steps=25
+        ).state.collect()
+    }
+    for k in plain:
+        assert ppr[k] == pytest.approx(plain[k], rel=1e-9, abs=1e-12)
+
+
+def test_ppr_local_matches_distributed(spark):
+    import random as _random
+
+    from usearch_spark.plans.pagerank import personalized_pagerank
+
+    rng = _random.Random(13)
+    n = 200
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(
+        [(str(i), str(rng.randrange(n))) for i in range(n) for _ in range(rng.randint(0, 3))],
+        "src string, dst string",
+    )
+    srcs = ["0", "1", "2"]
+    res_l = personalized_pagerank(v, e, srcs, strategy="local")
+    res_d = personalized_pagerank(v, e, srcs, strategy="distributed")
+    assert res_l.steps == res_d.steps
+    sl = {r["id"]: r["score"] for r in res_l.state.collect()}
+    sd = {r["id"]: r["score"] for r in res_d.state.collect()}
+    for k in sl:
+        assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12)

@@ -102,7 +102,124 @@ def pagerank(
         return _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part)
 
 
-def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationResult:
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: list,
+    damping: float = 0.85,
+    min_sad: float = 0.001,
+    max_steps: int = 100,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    strategy: str = "auto",
+    edges_deduped: bool = False,
+) -> IterationResult:
+    """Personalized PageRank (random walk with restart): the teleport mass
+    (1-d) and the dead-end residual both flow to the ``sources`` set
+    (uniformly within it) instead of to every vertex.
+
+    Recurrence:  r_0 = p;   r_t = (1-d)·p + d·(Σ msgs) + d·residual·p
+    with p_i = 1/|sources| for i in sources else 0 — the standard PPR
+    variant of the reference recurrence (compute.go:24-103), same SAD
+    stopping rule.  Same two physical strategies as :func:`pagerank`:
+    single-task numpy solve for small graphs, per-superstep DataFrame loop
+    at scale (the teleport vector rides the state as one extra column).
+    """
+    spark = vertices.sparkSession
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    n = v.count()
+    if n == 0:
+        empty = v.withColumn("score", F.lit(0.0))
+        return IterationResult(state=empty, steps=0, converged=True, history=[])
+
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not edges_deduped:
+        e0 = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e0 = e0.localCheckpoint(eager=True)
+    n_edges = e0.count()
+    p_val = 1.0 / len(set(sources))
+    p_col = F.when(F.col("id").isin(list(set(sources))), F.lit(p_val)).otherwise(F.lit(0.0))
+    if strategy == "auto":
+        strategy = "local" if n + n_edges <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _pagerank_local(
+            spark, v, n, e0, damping, min_sad, max_steps, teleport=p_col
+        )
+    with loop_tuned_session(spark, max(n, n_edges)) as n_part:
+        return _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col)
+
+
+def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> IterationResult:
+    """Distributed PPR superstep loop — same plan shape as _pagerank_loop
+    (one edge join + one agg + one state join per step, metrics observed on
+    the checkpoint job) with the teleport weight as a state column."""
+    e = e0.repartition(n_part, "src").cache()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
+
+    # residual = total score stranded on dead ends (NOT divided by N: PPR
+    # redistributes it through the teleport vector, not uniformly)
+    res_metric = F.coalesce(F.sum(F.when(F.col("outdeg").isNull(), F.col("score"))), F.lit(0.0))
+
+    ranks, init_metrics = checkpoint_with_metrics(
+        v.withColumn("p", p_col)
+        .withColumn("score", F.col("p"))
+        .join(out_deg, "id", "left")
+        .repartition(n_part, "id"),
+        res=res_metric,
+    )
+    residual = {"prev": float(init_metrics["res"])}
+    d = damping
+    track_sad = min_sad > 0.0
+
+    def step_fn(current: DataFrame, step: int):
+        contribs = (
+            current.filter(F.col("outdeg").isNotNull())
+            .join(e, F.col("id") == e.src, "inner")
+            .select(F.col("dst").alias("id"), (F.col("score") / F.col("outdeg")).alias("msg"))
+            .groupBy("id")
+            .agg(F.sum("msg").alias("msg_sum"))
+        )
+        new_ranks = (
+            current.withColumnRenamed("score", "old_score")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                "p",
+                (
+                    F.lit(1.0 - d) * F.col("p")
+                    + F.lit(d) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
+                    + F.lit(d * residual["prev"]) * F.col("p")
+                ).alias("score"),
+                "old_score",
+                "outdeg",
+            )
+        )
+        new_ranks, metrics = checkpoint_with_metrics(
+            new_ranks,
+            sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
+            res=res_metric,
+        )
+        residual["prev"] = float(metrics["res"])
+        sad = float(metrics["sad"]) if track_sad else float("inf")
+        return new_ranks.select("id", "p", "score", "outdeg"), {"sad": sad}
+
+    result = run_fixpoint(
+        ranks,
+        step_fn,
+        should_continue=lambda m, step: m["sad"] >= min_sad,
+        max_steps=max_steps,
+        checkpoint_every=10**9,
+    )
+    e.unpersist()
+    out_deg.unpersist()
+    result.state = result.state.select("id", "score")
+    return result
+
+
+def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps, teleport=None) -> IterationResult:
     """Single-task solve: vertices and edges stream through one mapInPandas
     task which runs the reference recurrence with numpy bincount mat-vecs.
     One Spark job materializes the result; steps/SAD history ride along as
@@ -111,11 +228,21 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationRe
     import math
 
     id_type = dict(v.dtypes)["id"]
-    payload = v.select(F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b")).unionByName(
-        e0.select(F.col("src").cast(id_type).alias("a"), F.col("dst").cast(id_type).alias("b"))
+    # vertex rows carry the teleport weight in ``w`` (null on edge rows);
+    # uniform pagerank passes teleport=None and ``w`` stays null throughout
+    w_col = teleport if teleport is not None else F.lit(None).cast("double")
+    payload = v.select(
+        F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b"), w_col.alias("w")
+    ).unionByName(
+        e0.select(
+            F.col("src").cast(id_type).alias("a"),
+            F.col("dst").cast(id_type).alias("b"),
+            F.lit(None).cast("double").alias("w"),
+        )
     )
 
     d = damping
+    personalized = teleport is not None
     track_sad = min_sad > 0.0
 
     def solve(batches):
@@ -123,7 +250,7 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationRe
         import pandas as pd
 
         parts = list(batches)
-        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": []})
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": [], "w": []})
         is_edge = df["b"].notna()
         vids = df.loc[~is_edge, "a"].to_numpy()
         nv = len(vids)
@@ -150,14 +277,23 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps) -> IterationRe
         src = src_f[both].astype("int64")
         dst = dst_f[both].astype("int64")
         dead = outdeg == 0.0
-        score = np.full(nv, 1.0 / nv)
+        if personalized:
+            pvec = df.loc[~is_edge, "w"].to_numpy(dtype="float64")
+            score = pvec.copy()
+        else:
+            score = np.full(nv, 1.0 / nv)
         sads: list[float] = []
         steps = 0
         converged = False
         for _ in range(max_steps):
-            res_prev = score[dead].sum() / nv  # residual of the CURRENT state
             msg = np.bincount(dst, weights=score[src] / outdeg[src], minlength=nv)
-            new = (1.0 - d) / nv + d * msg + d * res_prev
+            if personalized:
+                # dead-end mass restarts through the teleport vector
+                res_prev = score[dead].sum()
+                new = (1.0 - d) * pvec + d * msg + d * res_prev * pvec
+            else:
+                res_prev = score[dead].sum() / nv  # residual of the CURRENT state
+                new = (1.0 - d) / nv + d * msg + d * res_prev
             sad = float(np.abs(new - score).sum()) if track_sad else math.inf
             sads.append(sad)
             score = new
