@@ -1928,6 +1928,29 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type (the TSDB
+    operator: each reading weighted by how long it was current, i.e. until
+    the type's next event).  Lead over a type-partitioned window in the
+    exact integer microsecond domain; the weighted sum is float but spans
+    exact-integer weights, and the result is rounded well above the
+    accumulated ulp noise."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "event_id", "value", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    dt = (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us")
+    spans = ev.select("event_type", "value", dt).filter(F.col("dt_us").isNotNull())
+    return spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+        ).alias("twa_value"),
+    )
+
+
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection: 4 synchronous label-propagation rounds on the
     same-region nation graph (plans/pregel.label_propagation); the DuckDB
@@ -2079,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "events_twa": q_events_twa,
         "event_transitions": q_event_transitions,
         "graph_label_prop": q_graph_label_prop,
         "supplier_cooccurrence": q_supplier_cooccurrence,
@@ -2997,6 +3021,19 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "events_twa": """
+            WITH s AS (
+                SELECT event_type, value,
+                       lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                                ORDER BY epoch_us(ts), event_id)
+                         - epoch_us(ts) AS dt_us
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_intervals,
+                   round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value
+            FROM s WHERE dt_us IS NOT NULL
+            GROUP BY event_type
         """,
         "event_transitions": """
             SELECT prev_type, curr_type, count(*) AS n_transitions FROM (

@@ -225,3 +225,51 @@ def test_enrich_stream_static_join_broadcasts(spark, events_path):
         q.stop()
     assert got["n"] == n_expected
     assert got["with_cat"] == n_cat
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: clicks followed by a purchase from the
+    same user within 10 minutes.  The streaming result must equal the batch
+    join over the same data."""
+    import datetime as dt
+
+    from usearch_spark.streaming.events import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    clicks = [
+        (1, t0),                                 # -> purchase at +5m pairs
+        (2, t0 + dt.timedelta(minutes=1)),       # -> purchase at +20m: outside
+        (3, t0 + dt.timedelta(minutes=2)),       # no purchase
+    ]
+    purchases = [
+        (1, t0 + dt.timedelta(minutes=5)),
+        (2, t0 + dt.timedelta(minutes=21)),
+        # late watermark-driver row so buffered state flushes deterministically
+        (9, t0 + dt.timedelta(hours=2)),
+    ]
+    cp, pp = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(cp)
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(pp)
+
+    batch = interval_join_streams(
+        spark.read.parquet(cp).withColumnRenamed("ts", "click_ts"),
+        spark.read.parquet(pp).withColumnRenamed("ts", "purchase_ts"),
+        on="user_id", left_ts="click_ts", right_ts="purchase_ts",
+    ).select("l.user_id", "click_ts", "purchase_ts")
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert [r[0] for r in expected] == [1]  # only user 1 pairs
+
+    ls = spark.readStream.schema(schema).parquet(cp).withColumnRenamed("ts", "click_ts")
+    rs = spark.readStream.schema(schema).parquet(pp).withColumnRenamed("ts", "purchase_ts")
+    joined = interval_join_streams(
+        ls, rs, on="user_id", left_ts="click_ts", right_ts="purchase_ts"
+    ).select("l.user_id", "click_ts", "purchase_ts")
+    assert joined.isStreaming
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ij").start()
+    try:
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ij").collect())
+    finally:
+        q.stop()
+    assert got == expected

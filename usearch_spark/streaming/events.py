@@ -40,6 +40,36 @@ def windowed_event_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: rows pair when they share ``on`` and the
+    right event lands within [left_ts + lower, left_ts + upper].
+
+    Both sides carry a watermark and the join condition bounds event time in
+    BOTH directions — the requirements Spark needs to know when buffered
+    state can be evicted (otherwise a stream-stream join's state grows
+    forever).  Works identically on batch frames (the condition is just a
+    range predicate there).
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rts >= lts + F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.alias("l").join(r.alias("r"), cond, "inner")
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:
