@@ -949,6 +949,75 @@ def _ppr_oracle_sql(iters: int = 10, d: float = 0.85, sources: tuple = ("s1",)) 
     return "".join(parts)
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 5 fixed L1-normalized rounds on the
+    supplier→part graph (plans/hits.py) — suppliers become pure hubs and
+    parts pure authorities on a bipartite graph; the DuckDB oracle unrolls
+    the identical normalize-per-phase recurrence."""
+    from usearch_spark.plans.hits import hits
+
+    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    res = hits(vertices, edges, rounds=5, edges_deduped=True)
+    return res.state.select(
+        "id",
+        F.round(F.col("hub"), 8).alias("hub"),
+        F.round(F.col("authority"), 8).alias("authority"),
+    )
+
+
+def _hits_oracle_sql(rounds: int = 5) -> str:
+    """HITS unrolled: auth = A^T·hub then L1-normalize, hub = A·auth then
+    L1-normalize, per round.  1e0 literals keep every division in the
+    double domain (matching the numpy solve exactly)."""
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+        ),
+        verts AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+            )
+        ),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+        h0 AS MATERIALIZED (SELECT id, 1e0 / nn.n AS hub FROM verts, nn),
+        a0 AS MATERIALIZED (SELECT id, 1e0 / nn.n AS auth FROM verts, nn)
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        ar{k} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(h.hub) AS a
+            FROM h{p} h JOIN edges e ON e.src = h.id
+            GROUP BY e.dst
+        ),
+        asum{k} AS MATERIALIZED (SELECT sum(a) AS s FROM ar{k}),
+        a{k} AS MATERIALIZED (
+            SELECT v.id, coalesce(ar{k}.a, 0e0) / asum{k}.s AS auth
+            FROM verts v CROSS JOIN asum{k}
+            LEFT JOIN ar{k} ON ar{k}.id = v.id
+        ),
+        hr{k} AS MATERIALIZED (
+            SELECT e.src AS id, sum(a.auth) AS h
+            FROM a{k} a JOIN edges e ON e.dst = a.id
+            GROUP BY e.src
+        ),
+        hsum{k} AS MATERIALIZED (SELECT sum(h) AS s FROM hr{k}),
+        h{k} AS MATERIALIZED (
+            SELECT v.id, coalesce(hr{k}.h, 0e0) / hsum{k}.s AS hub
+            FROM verts v CROSS JOIN hsum{k}
+            LEFT JOIN hr{k} ON hr{k}.id = v.id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT h.id, round(h.hub, 8) AS hub, round(a.auth, 8) AS authority
+        FROM h{rounds} h JOIN a{rounds} a ON a.id = h.id"""
+    )
+    return "".join(parts)
+
+
 def _nation_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Undirected weighted graph: nations in the same region, weight =
     |key difference| + 1 (both directions present)."""
@@ -2063,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_ppr": q_graph_ppr,
+        "graph_hits": q_graph_hits,
         "graph_sssp": q_graph_sssp,
         "graph_coloring": q_graph_coloring,
         "graph_components": q_graph_components,
@@ -3044,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY prev_type, curr_type
         """,
         "graph_ppr": _ppr_oracle_sql(10, 0.85, ("s1",)),
+        "graph_hits": _hits_oracle_sql(5),
         "graph_label_prop": _label_prop_oracle_sql(4),
         "supplier_cooccurrence": """
             WITH e AS (

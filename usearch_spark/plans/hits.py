@@ -1,0 +1,169 @@
+"""HITS (Kleinberg hubs & authorities) as a fixed-round iterative plan.
+
+The link-analysis sibling of PageRank (plans/pagerank.py): per round,
+authority(v) = Σ hub(u) over in-edges u→v, then hub(u) = Σ authority(v)
+over out-edges, each vector L1-normalized after its update.  Fixed rounds
+(not convergence) so the DuckDB oracle can unroll the identical recurrence.
+
+Physical strategies, same adaptive switch as the other graph algorithms:
+  - "local": |V|+|E| within one task -> single mapInPandas solve running
+    numpy bincount mat-vecs (one Spark job total).
+  - "distributed": per-round DataFrame plan — two edge joins + two aggs +
+    the L1 sums observed on the checkpoint job; lineage truncated per round.
+On a bipartite graph (e.g. supplier→part) hubs concentrate on the source
+side and authorities on the target side — the classic use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from usearch_spark.plans.iterative import (
+    LOCAL_SOLVE_MAX_ROWS,
+    IterationResult,
+    checkpoint_with_metrics,
+    loop_tuned_session,
+    run_fixpoint,
+)
+
+
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 5,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    strategy: str = "auto",
+    edges_deduped: bool = False,
+) -> IterationResult:
+    """Returns IterationResult whose state is (id, hub, authority).
+
+    Initial hub = authority = 1/N; per round both vectors update and
+    L1-normalize (sum = 1), so scores are comparable across graph sizes.
+    """
+    spark = vertices.sparkSession
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    n = v.count()
+    if n == 0:
+        empty = v.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+        return IterationResult(state=empty, steps=0, converged=True, history=[])
+
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not edges_deduped:
+        e0 = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e0 = e0.localCheckpoint(eager=True)
+    n_edges = e0.count()
+    if strategy == "auto":
+        strategy = "local" if n + n_edges <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _hits_local(v, n, e0, rounds)
+    with loop_tuned_session(spark, max(n, n_edges)) as n_part:
+        return _hits_loop(v, n, e0, rounds, n_part)
+
+
+def _hits_local(v, n, e0, rounds) -> IterationResult:
+    id_type = dict(v.dtypes)["id"]
+    payload = v.select(F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b")).unionByName(
+        e0.select(F.col("src").cast(id_type).alias("a"), F.col("dst").cast(id_type).alias("b"))
+    )
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": []})
+        is_edge = df["b"].notna()
+        vids = df.loc[~is_edge, "a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        idx = pd.Series(np.arange(nv), index=vids)
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
+        known = ~(np.isnan(src_f) | np.isnan(dst_f))
+        src = src_f[known].astype("int64")
+        dst = dst_f[known].astype("int64")
+
+        hub = np.full(nv, 1.0 / nv)
+        auth = np.full(nv, 1.0 / nv)
+        for _ in range(rounds):
+            auth = np.bincount(dst, weights=hub[src], minlength=nv)
+            s = auth.sum()
+            if s > 0:
+                auth = auth / s
+            hub = np.bincount(src, weights=auth[dst], minlength=nv)
+            s = hub.sum()
+            if s > 0:
+                hub = hub / s
+        yield pd.DataFrame({"id": vids, "hub": hub, "authority": auth})
+
+    out = payload.coalesce(1).mapInPandas(
+        solve, schema=f"id {id_type}, hub double, authority double"
+    ).localCheckpoint(eager=True)
+    return IterationResult(state=out, steps=rounds, converged=True, history=[])
+
+
+def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
+    e = e0.repartition(n_part, "src").cache()
+    state = (
+        v.withColumn("hub", F.lit(1.0 / n))
+        .withColumn("authority", F.lit(1.0 / n))
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    def step_fn(current: DataFrame, step: int):
+        # authority <- sum of in-neighbor hubs (join on src, deliver to dst)
+        auth_raw = (
+            current.join(e, current.id == e.src, "inner")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        with_auth = current.join(auth_raw, "id", "left").withColumn(
+            "a_raw", F.coalesce(F.col("a_raw"), F.lit(0.0))
+        )
+        a_sum = float(with_auth.agg(F.sum("a_raw")).first()[0] or 0.0)
+        with_auth = with_auth.withColumn(
+            "authority2", F.col("a_raw") / F.lit(a_sum) if a_sum > 0 else F.lit(0.0)
+        )
+        # hub <- sum of out-neighbor authorities (join on dst side)
+        hub_raw = (
+            with_auth.select("id", "authority2")
+            .join(e, F.col("id") == e.dst, "inner")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority2").alias("h_raw"))
+        )
+        new_state = (
+            with_auth.join(hub_raw, "id", "left")
+            .withColumn("h_raw", F.coalesce(F.col("h_raw"), F.lit(0.0)))
+        )
+        new_state, metrics = checkpoint_with_metrics(
+            new_state.select("id", F.col("h_raw").alias("hub_u"), F.col("authority2").alias("authority")),
+            hsum=F.coalesce(F.sum("hub_u"), F.lit(0.0)),
+        )
+        h_sum = float(metrics["hsum"])
+        out = new_state.select(
+            "id",
+            (F.col("hub_u") / F.lit(h_sum) if h_sum > 0 else F.lit(0.0)).alias("hub"),
+            "authority",
+        )
+        return out, {}
+
+    result = run_fixpoint(
+        state,
+        step_fn,
+        should_continue=lambda m, step: True,
+        max_steps=rounds,
+        checkpoint_every=10**9,  # step_fn checkpoints internally
+    )
+    e.unpersist()
+    return result
