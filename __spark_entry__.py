@@ -1997,6 +1997,28 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4x float32->int8 storage
+    cut an ANN index takes before sharding): per-dim max-abs scales, then
+    per-label reconstruction-error stats
+    (operators/similarity.dim_scales/quantize_int8)."""
+    from usearch_spark.operators.similarity import dim_scales, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scales = dim_scales(emb)
+    qd = quantize_int8(emb, scales)
+    lab = emb.select("vec_id", "label")
+    return (
+        qd.join(lab, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.avg("err"), 8).alias("avg_abs_err"),
+            F.round(F.max("err"), 8).alias("max_abs_err"),
+        )
+    )
+
+
 def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of ``value`` per event type (the TSDB
     operator: each reading weighted by how long it was current, i.e. until
@@ -2172,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "embedding_quantize": q_embedding_quantize,
         "events_twa": q_events_twa,
         "event_transitions": q_event_transitions,
         "graph_label_prop": q_graph_label_prop,
@@ -3091,6 +3114,27 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "embedding_quantize": """
+            WITH ex AS (
+                SELECT vec_id, label,
+                       unnest(range(len(embedding))) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings
+            ),
+            scales AS (SELECT dim, max(abs(val)) AS scale FROM ex GROUP BY dim),
+            qd AS (
+                SELECT ex.label,
+                       CASE WHEN s.scale > 0
+                            THEN CAST(round(ex.val * 127.0 / s.scale) AS INT)
+                            ELSE 0 END AS q,
+                       s.scale, ex.val
+                FROM ex JOIN scales s USING (dim)
+            )
+            SELECT label, count(*) AS n_values,
+                   round(avg(abs(val - q * scale / 127.0)), 8) AS avg_abs_err,
+                   round(max(abs(val - q * scale / 127.0)), 8) AS max_abs_err
+            FROM qd GROUP BY label
         """,
         "events_twa": """
             WITH s AS (

@@ -166,3 +166,36 @@ def test_ivf_index_matches_per_query_form(spark, embeddings, tmp_path):
     assert got == per_query
     plan = indexed._sc._jvm.PythonSQLUtils.explainString(indexed._jdf.queryExecution(), "formatted")
     assert "PartitionFilters: [" in plan and "cluster#" in plan
+
+
+def test_int8_quantization_error_bounded(spark):
+    """q in [-127, 127] and per-element reconstruction error <= half a
+    quantization step (scale/254) for every dimension."""
+    from usearch_spark.operators.similarity import dim_scales, quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [-2.0, 0.5, 0.0]), (3, [0.5, 1.0, -0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    scales = dim_scales(emb)
+    sc = {r["dim"]: r["scale"] for r in scales.collect()}
+    assert sc == {0: 2.0, 1: 1.0, 2: 0.25}
+    rows = quantize_int8(emb, scales).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert -127 <= r["q"] <= 127
+        assert r["err"] <= sc[r["dim"]] / 254.0 + 1e-12
+    # max-magnitude element in each dim quantizes to +/-127 exactly
+    full = {(r["vec_id"], r["dim"]): r["q"] for r in rows}
+    assert full[(2, 0)] == -127 and full[(3, 1)] == 127
+
+
+def test_int8_quantization_zero_scale_dim(spark):
+    from usearch_spark.operators.similarity import dim_scales, quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    rows = quantize_int8(emb, dim_scales(emb)).collect()
+    dim0 = [r for r in rows if r["dim"] == 0]
+    assert all(r["q"] == 0 and r["err"] == 0.0 for r in dim0)

@@ -421,3 +421,43 @@ def embedding_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def dim_scales(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension max-abs scales for symmetric int8 quantization:
+    (dim, scale).  One posexplode + max agg — a single scan, partial-
+    aggregated; the result is |dims| rows (tiny, broadcastable)."""
+    return (
+        embeddings.select(F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("val").cast("double"))).alias("scale"))
+    )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    scales: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: q = round(val·127/scale) per dimension
+    — the 4x storage cut (float32 -> int8) an ANN index takes before
+    sharding at scale.  Output: (id, dim, q, err) with err the absolute
+    reconstruction error |val - q·scale/127|.
+
+    The scales side is tiny and broadcast; everything else is a scan-speed
+    projection (no Python).
+    """
+    exploded = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    q = F.round(F.col("val") * 127.0 / F.col("scale")).cast("int")
+    return (
+        exploded.join(F.broadcast(scales), "dim")
+        .withColumn("q", F.when(F.col("scale") > 0, q).otherwise(F.lit(0)))
+        .withColumn(
+            "err",
+            F.abs(F.col("val") - F.col("q") * F.col("scale") / F.lit(127.0)),
+        )
+        .select(id_col, "dim", "q", "err")
+    )
