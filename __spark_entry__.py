@@ -1997,6 +1997,25 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: documents hash-split
+    80/10/10 on md5(doc_id) — stable across runs, engines, and partition
+    layouts (no RNG, no row order dependence); counts per (split, lang).
+    The standard leak-free way to split a training corpus at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    # first 7 hex chars -> 28-bit int, mod 10: enough entropy that the
+    # 80/10/10 proportions hold tightly at any sf
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast("long") % 10
+    split = (
+        F.when(bucket == 0, F.lit("test")).when(bucket == 1, F.lit("val")).otherwise(F.lit("train"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (the 4x float32->int8 storage
     cut an ANN index takes before sharding): per-dim max-abs scales, then
@@ -2194,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "corpus_split": q_corpus_split,
         "embedding_quantize": q_embedding_quantize,
         "events_twa": q_events_twa,
         "event_transitions": q_event_transitions,
@@ -3114,6 +3134,13 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "corpus_split": """
+            SELECT CASE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 1) % 10
+                        WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+                   lang, count(*) AS n_docs
+            FROM documents
+            GROUP BY 1, 2
         """,
         "embedding_quantize": """
             WITH ex AS (
