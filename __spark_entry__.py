@@ -1997,6 +1997,49 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly aggregation as ``events_hourly``, but computed by an
+    actual Structured Streaming query (parquet replay -> complete-mode
+    windowed state -> memory sink), so stream/batch parity itself sits
+    under the DuckDB oracle gate.  Timestamp normalization mirrors
+    _events() for both physical encodings."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf dir with a filename
+    # glob so only the events table replays
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dt = raw.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
+        ev = raw.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, CAST(ts AS LONG) DIV 1000, {_EPOCH_NTZ})")
+        )
+    elif dt == "timestamp":
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    else:
+        ev = raw
+    agg = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+    name = f"ev_hourly_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: documents hash-split
     80/10/10 on md5(doc_id) — stable across runs, engines, and partition
@@ -2213,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "events_hourly_stream": q_events_hourly_stream,
         "corpus_split": q_corpus_split,
         "embedding_quantize": q_embedding_quantize,
         "events_twa": q_events_twa,
@@ -3134,6 +3178,14 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "events_hourly_stream": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "corpus_split": """
             SELECT CASE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 1) % 10
