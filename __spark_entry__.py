@@ -1997,6 +1997,43 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median and p90 of event value (the sort-based
+    counterpart of the approx_quantiles sketch surface; at scale this is
+    the one that costs a real per-group sort)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+    )
+
+
+def q_orders_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential reconciliation via FULL OUTER join: orders vs per-order
+    lineitem rollups — matched rows, childless orders, orphan lineitems,
+    with exact-decimal value sums per category."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(_dec("l_extendedprice")).alias("line_value"))
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "full_outer")
+    cat = (
+        F.when(F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull(), "matched")
+        .when(F.col("o_orderkey").isNotNull(), "order_without_lines")
+        .otherwise("lines_without_order")
+    )
+    return j.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.sum("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.sum("line_value"), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("line_value"),
+    )
+
+
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME hourly aggregation as ``events_hourly``, but computed by an
     actual Structured Streaming query (parquet replay -> complete-mode
@@ -2256,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "events_median": q_events_median,
+        "orders_reconcile": q_orders_reconcile,
         "events_hourly_stream": q_events_hourly_stream,
         "corpus_split": q_corpus_split,
         "embedding_quantize": q_embedding_quantize,
@@ -3178,6 +3217,27 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "events_median": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value
+            FROM events GROUP BY event_type
+        """,
+        "orders_reconcile": """
+            WITH li AS (
+                SELECT l_orderkey, count(*) AS n_lines,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_value
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 'matched'
+                        WHEN o_orderkey IS NOT NULL THEN 'order_without_lines'
+                        ELSE 'lines_without_order' END AS category,
+                   count(*) AS n_orders,
+                   CAST(coalesce(sum(n_lines), 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(line_value), 0) AS DOUBLE) AS line_value
+            FROM orders FULL OUTER JOIN li ON o_orderkey = l_orderkey
+            GROUP BY 1
         """,
         "events_hourly_stream": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
