@@ -1997,6 +1997,16 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, stride 48) for
+    context-window prep (operators/pack.chunk_documents); md5 chunk ids so
+    chunk-level dedup can run downstream."""
+    from usearch_spark.operators.pack import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(docs, chunk_tokens=64, stride=48).orderBy("doc_id", "chunk_id")
+
+
 def q_events_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-type median and p90 of event value (the sort-based
     counterpart of the approx_quantiles sketch surface; at scale this is
@@ -2293,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "corpus_chunks": q_corpus_chunks,
         "events_median": q_events_median,
         "orders_reconcile": q_orders_reconcile,
         "events_hourly_stream": q_events_hourly_stream,
@@ -3217,6 +3228,26 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "corpus_chunks": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100
+            ),
+            st AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks), 1), 48)) AS start
+                FROM tk
+            ),
+            ch AS (
+                SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+                       list_slice(toks, start + 1, start + 64) AS chunk
+                FROM st
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(chunk) AS INT) AS n_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_md5
+            FROM ch WHERE len(chunk) > 0
+            ORDER BY doc_id, chunk_id
         """,
         "events_median": """
             SELECT event_type, count(*) AS n,

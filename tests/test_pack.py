@@ -64,3 +64,31 @@ def test_stratified_sample_deterministic_and_rated(spark):
     # excluded stratum drops entirely
     s3 = stratified_sample(df, {"en": 1.0}, stratum_col="lang")
     assert {r["lang"] for r in s3.collect()} == {"en"}
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from usearch_spark.operators.pack import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")],
+                                 "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"]))
+    # doc 1: starts 0,3,6,9 -> sizes 4,4,4,1
+    assert sorted(by_doc[1]) == [(0, 4), (1, 4), (2, 4), (3, 1)]
+    # doc 2: one partial chunk; doc 3 (empty) yields nothing
+    assert by_doc[2] == [(0, 2)]
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_md5_identifies_equal_chunks(spark):
+    from usearch_spark.operators.pack import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, chunk_tokens=8, stride=8).collect()
+    md5s = {r["chunk_md5"] for r in rows}
+    assert len(rows) == 2 and len(md5s) == 1  # identical chunks share the id

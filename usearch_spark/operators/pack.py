@@ -103,3 +103,45 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return df.filter(bucket < (rate * n_buckets).cast("int"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-size token chunks — the context-window prep step
+    of a training pipeline (stride < chunk_tokens gives the standard
+    sliding overlap so no boundary context is lost).
+
+    Output: (id, chunk_id, n_tokens, chunk_md5) — one row per chunk, the
+    chunk identified by its md5 so downstream exact-dedup can run directly
+    on chunks.  Everything is built-in array expressions (tokenize once,
+    slice per start offset): scan-speed, no shuffle, no Python.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    from usearch_spark.functions.text import tokenize
+
+    toks = F.col("_toks")
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.withColumn("_toks", tokenize(text_col))
+        .select(F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            (F.col("start") / stride).cast("int").alias("chunk_id"),
+            F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens).alias("_chunk"),
+        )
+        .filter(F.size("_chunk") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
+        )
+    )
