@@ -1997,6 +1997,44 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user, each
+    stage's timestamp must strictly follow the previous stage's first
+    completion (min-after-min, the ClickHouse windowFunnel semantics
+    with a 3-day per-stage window cap).  Three filtered min-aggs chained by broadcast
+    joins in the exact integer microsecond domain; output is users per
+    deepest stage reached."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+    cap = 259200000000  # 3 days in micros: each stage must follow within the window
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter((F.col("ts_us") > F.col("t1")) & (F.col("ts_us") <= F.col("t1") + cap))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter((F.col("ts_us") > F.col("t2")) & (F.col("ts_us") <= F.col("t2") + cap))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    steps = (
+        t1.join(t2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("_s3")), "user_id", "left")
+        .select(
+            (F.lit(1) + F.coalesce(F.col("_s2"), F.lit(0)) + F.coalesce(F.col("_s3"), F.lit(0))).alias(
+                "funnel_step"
+            )
+        )
+    )
+    return steps.groupBy("funnel_step").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def q_corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (64-token chunks, stride 48) for
     context-window prep (operators/pack.chunk_documents); md5 chunk ids so
@@ -2303,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "events_funnel": q_events_funnel,
         "corpus_chunks": q_corpus_chunks,
         "events_median": q_events_median,
         "orders_reconcile": q_orders_reconcile,
@@ -3228,6 +3267,28 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "events_funnel": """
+            WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+            t1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+                SELECT ev.user_id, min(ev.ts_us) AS t2
+                FROM ev JOIN t1 USING (user_id)
+                WHERE ev.event_type = 'click' AND ev.ts_us > t1.t1
+                  AND ev.ts_us <= t1.t1 + 259200000000
+                GROUP BY ev.user_id
+            ),
+            t3 AS (
+                SELECT ev.user_id, min(ev.ts_us) AS t3
+                FROM ev JOIN t2 USING (user_id)
+                WHERE ev.event_type = 'purchase' AND ev.ts_us > t2.t2
+                  AND ev.ts_us <= t2.t2 + 259200000000
+                GROUP BY ev.user_id
+            )
+            SELECT 1 + (t2.user_id IS NOT NULL)::INT + (t3.user_id IS NOT NULL)::INT AS funnel_step,
+                   count(*) AS n_users
+            FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+            GROUP BY 1
         """,
         "corpus_chunks": f"""
             WITH tk AS (

@@ -83,3 +83,15 @@ def test_label_propagation_deterministic(spark):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_components_empty_graph(spark):
+    """Zero vertices (e.g. dedup-cluster resolution when no near-dup pairs
+    exist at a given scale) must return an empty result, not crash."""
+    from usearch_spark.plans.pregel import connected_components
+
+    v = spark.createDataFrame([], "id string")
+    e = spark.createDataFrame([], "src string, dst string")
+    res = connected_components(v, e)
+    assert res.state.count() == 0
+    assert res.converged

@@ -177,6 +177,8 @@ def _coloring_local(spark, state, e0, max_steps) -> IterationResult:
         solve, schema=f"id {id_type}, color int, steps int, converged boolean, hist array<long>"
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "hist").first()
+    if meta is None:  # empty vertex set -> solver yielded no rows
+        return IterationResult(state=out.drop("steps", "converged", "hist"), steps=0, converged=True, history=[])
     history = [{"uncolored": int(u)} for u in (meta["hist"] or [])]
     return IterationResult(
         state=out.select("id", "color"),

@@ -318,6 +318,8 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps, teleport=None)
         schema=f"id {id_type}, score double, steps int, converged boolean, sads array<double>",
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "sads").first()
+    if meta is None:  # empty vertex set -> solver yielded no rows
+        return IterationResult(state=out.select("id", "score"), steps=0, converged=True, history=[])
     history = [{"sad": s} for s in (meta["sads"] or [])]
     return IterationResult(
         state=out.select("id", "score"),

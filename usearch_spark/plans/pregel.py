@@ -268,6 +268,8 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
         solve, schema=f"id {id_type}, value {id_type}, steps int, converged boolean, hist array<long>"
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "hist").first()
+    if meta is None:  # empty vertex set -> solver yielded no rows
+        return IterationResult(state=out.select("id", "value"), steps=0, converged=True, history=[])
     history = [{"changed": int(c)} for c in (meta["hist"] or [])]
     return IterationResult(
         state=out.select("id", "value"),

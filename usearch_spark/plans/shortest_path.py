@@ -165,6 +165,8 @@ def _sssp_local(spark, v, e0, src_id, max_steps) -> IterationResult:
         schema=f"id {id_type}, cost long, prev_in_path {id_type}, steps int, converged boolean, actives array<long>",
     ).localCheckpoint(eager=True)
     meta = out.select("steps", "converged", "actives").first()
+    if meta is None:  # empty vertex set -> solver yielded no rows
+        return IterationResult(state=out.drop("steps", "converged", "actives"), steps=0, converged=True, history=[])
     history = [{"active": int(a)} for a in (meta["actives"] or [])]
     return IterationResult(
         state=out.select("id", "cost", "prev_in_path"),
