@@ -1997,6 +1997,41 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (region, order status): all four grouping
+    combinations in one pass (the companion of rollup_revenue's
+    hierarchical ROLLUP) — one shuffle, grouping-set expansion map-side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.cube(F.col("r_name").alias("region"), F.col("o_orderstatus").alias("status")).agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers active in BOTH 1996 and 1997
+    (INTERSECT) minus those who ordered in 1998 (EXCEPT) — compiles to
+    semi/anti join shapes, never a distinct-union materialization."""
+    o = _t(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return o.filter(
+            (F.col("o_orderdate") >= f"{year}-01-01") & (F.col("o_orderdate") < f"{year + 1}-01-01")
+        ).select("o_custkey")
+
+    both = active(1996).intersect(active(1997))
+    stayed = both.subtract(active(1998))  # EXCEPT DISTINCT
+    return stayed.select(F.col("o_custkey").alias("custkey")).orderBy("custkey")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: per user, each
     stage's timestamp must strictly follow the previous stage's first
@@ -2341,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "cube_revenue": q_cube_revenue,
+        "returning_customers": q_returning_customers,
         "events_funnel": q_events_funnel,
         "corpus_chunks": q_corpus_chunks,
         "events_median": q_events_median,
@@ -3267,6 +3304,29 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "cube_revenue": """
+            SELECT r_name AS region, o_orderstatus AS status,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY CUBE (r_name, o_orderstatus)
+        """,
+        "returning_customers": """
+            SELECT custkey FROM (
+                (SELECT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+                 INTERSECT
+                 SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01')
+                EXCEPT
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
+            )
+            ORDER BY custkey
         """,
         "events_funnel": """
             WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
