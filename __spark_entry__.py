@@ -1997,6 +1997,54 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate path under the gate: the hourly rollup is
+    maintained INCREMENTALLY by a foreachBatch MERGE loop
+    (streaming/events.continuous_hourly_rollup) into a parquet rollup
+    table, then read back — must hash-match the same oracle as the
+    one-shot batch aggregation."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.events import continuous_hourly_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dt = raw.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
+        ev = raw.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, CAST(ts AS LONG) DIV 1000, {_EPOCH_NTZ})")
+        )
+    elif dt == "timestamp":
+        ev = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    else:
+        ev = raw
+    base = os.path.join(_ARTIFACT_DIR, f"rollup_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(base, "t"), os.path.join(base, "c")
+    q = continuous_hourly_rollup(ev, target, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.read.parquet(target)
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation over (region, order status): all four grouping
     combinations in one pass (the companion of rollup_revenue's
@@ -2376,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "events_rollup_incremental": q_events_rollup_incremental,
         "cube_revenue": q_cube_revenue,
         "returning_customers": q_returning_customers,
         "events_funnel": q_events_funnel,
@@ -3304,6 +3353,14 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "events_rollup_incremental": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "cube_revenue": """
             SELECT r_name AS region, o_orderstatus AS status,

@@ -273,3 +273,57 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_continuous_hourly_rollup_matches_batch(spark, events_path, tmp_path):
+    """foreachBatch incremental rollup across multiple micro-batches must
+    equal the one-shot batch aggregation; a replayed final batch must not
+    double-count (idempotent merge)."""
+    from usearch_spark.streaming.events import continuous_hourly_rollup
+
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(events_path)
+    )
+    q = continuous_hourly_rollup(stream, target, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
+    expected = {
+        (r["hour"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in batch.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .collect()
+    }
+    got_rows = spark.read.parquet(target).collect()
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in got_rows
+    }
+    assert got == expected and len(got) > 10
+
+    # restart with the SAME checkpoint and no new files: no batch fires,
+    # the rollup table is byte-identical (restart safety)
+    q2 = continuous_hourly_rollup(
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(events_path),
+        target,
+        ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {
+        (r["hour"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == expected

@@ -40,6 +40,69 @@ def windowed_event_counts(
     )
 
 
+def continuous_hourly_rollup(
+    events_stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Continuous aggregate (hypertable-rollup style): a foreachBatch loop
+    that incrementally MERGEs each micro-batch's partial hourly sums into a
+    persistent rollup table keyed by (hour, event_type).
+
+    Per batch: aggregate the batch DOWN first (map-side partial + one tiny
+    shuffle over the batch's hours), then merge against the stored rollup
+    on the grouping key — the read-join-overwrite MERGE emulation; on a
+    Delta/Iceberg cluster the merge collapses to one MERGE INTO.  State
+    never lives in the streaming engine, so the rollup survives restarts
+    and can be queried mid-stream like any table.
+
+    Exactly-once caveat of the parquet emulation: foreachBatch can REPLAY
+    a batch after a crash-restart; the merge is additive, so a replayed
+    batch would double-count.  The batch id is stored alongside and
+    batches already applied are skipped — the standard idempotent-sink
+    recipe.
+    """
+    spark = events_stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col(ts_col)).alias("hour"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+            )
+        )
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            if existing.filter(F.col("_batch_id") == batch_id).limit(1).count() > 0:
+                return  # replayed batch: already applied (idempotence)
+            merged = (
+                existing.drop("_batch_id")
+                .unionByName(part)
+                .groupBy("hour", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+                )
+            )
+        else:
+            merged = part
+        out = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(target_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,
