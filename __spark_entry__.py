@@ -1997,6 +1997,60 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-group sample: 5 docs per source, chosen
+    by md5(doc_id) order (hash order ≈ uniform, reproducible across runs
+    and engines — the reservoir-sampling result without reservoir state).
+    Partitioned window, never a global sort."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("pick"))
+        .filter(F.col("pick") <= 5)
+        .orderBy("source", "pick")
+    )
+
+
+def q_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank surface: the 3 busiest users per event type, rank ties
+    kept (dense_rank over the per-type counts, partitioned window)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        counts.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("event_type", "rk", "user_id")
+    )
+
+
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of extendedprice vs quantity per return flag,
+    computed from EXACT decimal co-moments (n·Σxy − ΣxΣy over exact sums,
+    one float sqrt at the end) — order-independent, unlike a naive
+    float-accumulated corr()."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = _dec("l_extendedprice")
+    y = _dec("l_quantity")
+    agg = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select("returnflag", "n", F.round(num / den, 8).alias("corr_price_qty"))
+
+
 def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate path under the gate: the hourly rollup is
     maintained INCREMENTALLY by a foreachBatch MERGE loop
@@ -2424,6 +2478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "sample_per_source": q_sample_per_source,
+        "top_users_per_type": q_top_users_per_type,
+        "price_quantity_corr": q_price_quantity_corr,
         "events_rollup_incremental": q_events_rollup_incremental,
         "cube_revenue": q_cube_revenue,
         "returning_customers": q_returning_customers,
@@ -3353,6 +3410,44 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "sample_per_source": """
+            SELECT source, doc_id, pick FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+                FROM documents
+            ) WHERE pick <= 5
+            ORDER BY source, pick
+        """,
+        "top_users_per_type": """
+            SELECT event_type, user_id, n_events, rk FROM (
+                SELECT event_type, user_id, n_events,
+                       dense_rank() OVER (PARTITION BY event_type
+                                          ORDER BY n_events DESC, user_id) AS rk
+                FROM (SELECT event_type, user_id, count(*) AS n_events
+                      FROM events GROUP BY 1, 2)
+            ) WHERE rk <= 3
+            ORDER BY event_type, rk, user_id
+        """,
+        "price_quantity_corr": """
+            WITH a AS (
+                SELECT l_returnflag AS returnflag, count(*) AS n,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS sxy,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT returnflag, n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8) AS corr_price_qty
+            FROM a
         """,
         "events_rollup_incremental": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
