@@ -949,6 +949,62 @@ def _ppr_oracle_sql(iters: int = 10, d: float = 0.85, sources: tuple = ("s1",)) 
     return "".join(parts)
 
 
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: score flows proportionally to edge weight
+    (plans/pagerank.weighted_pagerank) on the weighted same-region nation
+    graph, 10 fixed iterations, bit-checked against the unrolled
+    weight-normalized oracle."""
+    from usearch_spark.plans.pagerank import weighted_pagerank
+
+    v, e = _nation_graph(spark, sf_dir)
+    res = weighted_pagerank(v, e, min_sad=0.0, max_steps=10)
+    return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
+
+
+def _weighted_pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
+    """Weighted-PageRank recurrence unrolled on the nation graph:
+    msg = score·w/Σw_out; residual and damping identical to the uniform
+    oracle (_pagerank_oracle_sql)."""
+    head = """
+        WITH edges AS MATERIALIZED (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst,
+                   CAST(abs(a.n_nationkey - b.n_nationkey) + 1 AS DOUBLE) AS w
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS MATERIALIZED (SELECT 'n' || n_nationkey AS id FROM nation),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+        outw AS MATERIALIZED (SELECT src AS id, sum(w) AS ow FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT id, 1e0 / nn.n AS score FROM verts, nn)
+    """
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        res{k} AS MATERIALIZED (
+            SELECT coalesce(sum(r.score), 0) / nn.n AS r
+            FROM r{p} r LEFT JOIN outw o ON o.id = r.id, nn
+            WHERE o.id IS NULL GROUP BY nn.n
+        ),
+        msg{k} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(r.score * e.w / o.ow) AS msg
+            FROM r{p} r JOIN outw o ON o.id = r.id JOIN edges e ON e.src = r.id
+            GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT v.id,
+                   (1 - {d}) / nn.n + {d} * coalesce(m.msg, 0)
+                   + {d} * coalesce(res{k}.r, 0) AS score
+            FROM verts v CROSS JOIN nn
+            LEFT JOIN res{k} ON TRUE
+            LEFT JOIN msg{k} m ON m.id = v.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, round(score, 8) AS score FROM r{iters}")
+    return "".join(parts)
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, 5 fixed L1-normalized rounds on the
     supplier→part graph (plans/hits.py) — suppliers become pure hubs and
@@ -2438,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_ppr": q_graph_ppr,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_hits": q_graph_hits,
         "graph_sssp": q_graph_sssp,
         "graph_coloring": q_graph_coloring,
@@ -3601,6 +3658,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY prev_type, curr_type
         """,
         "graph_ppr": _ppr_oracle_sql(10, 0.85, ("s1",)),
+        "graph_pagerank_weighted": _weighted_pagerank_oracle_sql(10, 0.85),
         "graph_hits": _hits_oracle_sql(5),
         "graph_label_prop": _label_prop_oracle_sql(4),
         "supplier_cooccurrence": """

@@ -186,3 +186,53 @@ def test_ppr_local_matches_distributed(spark):
     sd = {r["id"]: r["score"] for r in res_d.state.collect()}
     for k in sl:
         assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12)
+
+
+def test_weighted_pagerank_favors_heavy_edges(spark):
+    """b receives a weight-9 edge, c a weight-1 edge from the same source:
+    b must outrank c; uniform weights must reduce to plain pagerank."""
+    from usearch_spark.plans.pagerank import weighted_pagerank
+
+    v = spark.createDataFrame([(s,) for s in "abc"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    s = {r["id"]: r["score"] for r in weighted_pagerank(v, e, min_sad=0.0, max_steps=20).state.collect()}
+    assert s["b"] > s["c"]
+    assert sum(s.values()) == pytest.approx(1.0, abs=1e-9)
+
+    uni = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    plain_e = uni.select("src", "dst")
+    sw = {r["id"]: r["score"] for r in weighted_pagerank(v, uni, min_sad=0.0, max_steps=15).state.collect()}
+    sp = {r["id"]: r["score"] for r in pagerank(v, plain_e, min_sad=0.0, max_steps=15).state.collect()}
+    for k in sw:
+        assert sw[k] == pytest.approx(sp[k], rel=1e-9, abs=1e-12)
+
+
+def test_weighted_pagerank_local_matches_distributed(spark):
+    import random as _random
+
+    from usearch_spark.plans.pagerank import weighted_pagerank
+
+    rng = _random.Random(17)
+    n = 150
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(
+        [
+            (str(i), str(rng.randrange(n)), float(rng.randint(1, 5)))
+            for i in range(n)
+            for _ in range(rng.randint(0, 3))
+        ],
+        "src string, dst string, weight double",
+    )
+    rl = weighted_pagerank(v, e, strategy="local")
+    rd = weighted_pagerank(v, e, strategy="distributed")
+    assert rl.steps == rd.steps
+    sl = {r["id"]: r["score"] for r in rl.state.collect()}
+    sd = {r["id"]: r["score"] for r in rd.state.collect()}
+    for k in sl:
+        assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12)

@@ -152,6 +152,197 @@ def personalized_pagerank(
         return _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col)
 
 
+def weighted_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    min_sad: float = 0.001,
+    max_steps: int = 100,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    strategy: str = "auto",
+) -> IterationResult:
+    """PageRank over a WEIGHTED edge set: a vertex distributes its score
+    proportionally to edge weights (msg = score·w/Σw_out) instead of
+    uniformly over out-degree; dead-end residual and SAD stopping are
+    unchanged from :func:`pagerank`.
+
+    Duplicate (src,dst) edges keep their max weight (deterministic dedup);
+    self-edges are dropped.  Same adaptive local/distributed split.
+    """
+    spark = vertices.sparkSession
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    n = v.count()
+    if n == 0:
+        empty = v.withColumn("score", F.lit(0.0))
+        return IterationResult(state=empty, steps=0, converged=True, history=[])
+    e0 = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e0.count()
+    if strategy == "auto":
+        strategy = "local" if n + n_edges <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _weighted_pagerank_local(v, n, e0, damping, min_sad, max_steps)
+    with loop_tuned_session(spark, max(n, n_edges)) as n_part:
+        return _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part)
+
+
+def _weighted_pagerank_local(v, n, e0, damping, min_sad, max_steps) -> IterationResult:
+    import math
+
+    id_type = dict(v.dtypes)["id"]
+    payload = v.select(
+        F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b"), F.lit(None).cast("double").alias("w")
+    ).unionByName(
+        e0.select(
+            F.col("src").cast(id_type).alias("a"),
+            F.col("dst").cast(id_type).alias("b"),
+            F.col("w"),
+        )
+    )
+    d = damping
+    track_sad = min_sad > 0.0
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": [], "w": []})
+        is_edge = df["b"].notna()
+        vids = df.loc[~is_edge, "a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        idx = pd.Series(np.arange(nv), index=vids)
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
+        w_all = df.loc[is_edge, "w"].to_numpy(dtype="float64")
+        src_known = ~np.isnan(src_f)
+        both = src_known & ~np.isnan(dst_f)
+        outw = np.bincount(src_f[src_known].astype("int64"), weights=w_all[src_known], minlength=nv)
+        src = src_f[both].astype("int64")
+        dst = dst_f[both].astype("int64")
+        w = w_all[both]
+        dead = outw == 0.0
+        score = np.full(nv, 1.0 / nv)
+        sads: list[float] = []
+        steps = 0
+        converged = False
+        for _ in range(max_steps):
+            res_prev = score[dead].sum() / nv
+            msg = np.bincount(dst, weights=score[src] * w / outw[src], minlength=nv)
+            new = (1.0 - d) / nv + d * msg + d * res_prev
+            sad = float(np.abs(new - score).sum()) if track_sad else math.inf
+            sads.append(sad)
+            score = new
+            steps += 1
+            if track_sad and sad < min_sad:
+                converged = True
+                break
+        yield pd.DataFrame(
+            {
+                "id": vids,
+                "score": score,
+                "steps": np.int32(steps),
+                "converged": converged,
+                "sads": [sads] + [None] * (nv - 1),
+            }
+        )
+
+    out = payload.coalesce(1).mapInPandas(
+        solve, schema=f"id {id_type}, score double, steps int, converged boolean, sads array<double>"
+    ).localCheckpoint(eager=True)
+    meta = out.select("steps", "converged", "sads").first()
+    if meta is None:
+        return IterationResult(state=out.select("id", "score"), steps=0, converged=True, history=[])
+    history = [{"sad": s} for s in (meta["sads"] or [])]
+    return IterationResult(
+        state=out.select("id", "score"),
+        steps=int(meta["steps"]),
+        converged=bool(meta["converged"]),
+        history=history,
+    )
+
+
+def _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part) -> IterationResult:
+    e = e0.repartition(n_part, "src").cache()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("outw")).withColumnRenamed("src", "id").cache()
+    res_metric = (
+        F.coalesce(F.sum(F.when(F.col("outw").isNull(), F.col("score"))), F.lit(0.0)) / n
+    )
+    ranks, init_metrics = checkpoint_with_metrics(
+        v.withColumn("score", F.lit(1.0 / n)).join(out_w, "id", "left").repartition(n_part, "id"),
+        res=res_metric,
+    )
+    residual = {"prev": float(init_metrics["res"])}
+    d = damping
+    track_sad = min_sad > 0.0
+
+    def step_fn(current: DataFrame, step: int):
+        contribs = (
+            current.filter(F.col("outw").isNotNull())
+            .join(e, F.col("id") == e.src, "inner")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("score") * F.col("w") / F.col("outw")).alias("msg"),
+            )
+            .groupBy("id")
+            .agg(F.sum("msg").alias("msg_sum"))
+        )
+        new_ranks = (
+            current.withColumnRenamed("score", "old_score")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("msg_sum"), F.lit(0.0))
+                    + F.lit(d * residual["prev"])
+                ).alias("score"),
+                "old_score",
+                "outw",
+            )
+        )
+        new_ranks, metrics = checkpoint_with_metrics(
+            new_ranks,
+            sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
+            res=res_metric,
+        )
+        residual["prev"] = float(metrics["res"])
+        sad = float(metrics["sad"]) if track_sad else float("inf")
+        return new_ranks.select("id", "score", "outw"), {"sad": sad}
+
+    result = run_fixpoint(
+        ranks,
+        step_fn,
+        should_continue=lambda m, step: m["sad"] >= min_sad,
+        max_steps=max_steps,
+        checkpoint_every=10**9,
+    )
+    e.unpersist()
+    out_w.unpersist()
+    result.state = result.state.select("id", "score")
+    return result
+
+
 def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> IterationResult:
     """Distributed PPR superstep loop — same plan shape as _pagerank_loop
     (one edge join + one agg + one state join per step, metrics observed on
