@@ -2053,6 +2053,51 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("prev_type", "curr_type").agg(F.count(F.lit(1)).alias("n_transitions"))
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per doc (first 50 docs): words from the
+    engine tokenizer, sentences from terminator runs, syllables from vowel
+    runs — all integer counts feeding one fixed float expression, so the
+    score is bit-stable across engines."""
+    from usearch_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.size(tokenize(F.col("text")))
+    sentences = F.greatest(F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1))
+    syllables = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / F.greatest(words, F.lit(1)))
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user-type stream: mean (exact
+    integer µs sum / count) and interpolated median gap over the lead
+    window deltas — the latency-histogram shape of TSDB workloads."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "event_type", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
+    )
+
+
 def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform k-per-group sample: 5 docs per source, chosen
     by md5(doc_id) order (hash order ≈ uniform, reproducible across runs
@@ -2535,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": q_events_moving_avg,
         "customer_order_counts": q_customer_order_counts,
         "idle_customers": q_idle_customers,
+        "text_readability": q_text_readability,
+        "events_gap_stats": q_events_gap_stats,
         "sample_per_source": q_sample_per_source,
         "top_users_per_type": q_top_users_per_type,
         "price_quantity_corr": q_price_quantity_corr,
@@ -3467,6 +3514,33 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "text_readability": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INT) AS n_words,
+                   CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(len({_TOKS}) AS DOUBLE)
+                                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                         - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                                   / greatest(len({_TOKS}), 1)), 4) AS flesch
+            FROM documents WHERE doc_id < 50
+            ORDER BY doc_id
+        """,
+        "events_gap_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       lead(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+                                                ORDER BY epoch_us(ts), event_id)
+                         - epoch_us(ts) AS gap_us
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_gaps,
+                   CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*) AS mean_gap_us,
+                   round(quantile_cont(gap_us, 0.5), 6) AS median_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
         """,
         "sample_per_source": """
             SELECT source, doc_id, pick FROM (
