@@ -1005,6 +1005,53 @@ def _weighted_pagerank_oracle_sql(iters: int = 10, d: float = 0.85) -> str:
     return "".join(parts)
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership (k=30, 4 fixed peel rounds) of the undirected
+    supplier↔part graph (plans/graph_stats.kcore_peel): survivors with
+    their final in-core degree; the oracle unrolls the same peel."""
+    from usearch_spark.plans.graph_stats import kcore_peel
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return kcore_peel(v, e, k=30, rounds=4).orderBy("id")
+
+
+def _kcore_oracle_sql(k: int = 30, rounds: int = 4) -> str:
+    head = """
+        WITH und AS MATERIALIZED (
+            SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+        ),
+        both_e AS MATERIALIZED (
+            SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+        ),
+        a0 AS MATERIALIZED (
+            SELECT DISTINCT a AS id FROM both_e
+        )
+    """
+    parts = [head]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+            SELECT e.a AS id, count(*) AS core_degree
+            FROM both_e e
+            JOIN a{p} x ON x.id = e.a
+            JOIN a{p} y ON y.id = e.b
+            GROUP BY e.a
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT id FROM d{i} WHERE core_degree >= {k}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT a{rounds}.id AS id, d{rounds}.core_degree
+        FROM a{rounds} JOIN d{rounds} ON d{rounds}.id = a{rounds}.id
+        ORDER BY a{rounds}.id"""
+    )
+    return "".join(parts)
+
+
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, 5 fixed L1-normalized rounds on the
     supplier→part graph (plans/hits.py) — suppliers become pure hubs and
@@ -2540,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_kcore": q_graph_kcore,
         "graph_hits": q_graph_hits,
         "graph_sssp": q_graph_sssp,
         "graph_coloring": q_graph_coloring,
@@ -3733,6 +3781,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_ppr": _ppr_oracle_sql(10, 0.85, ("s1",)),
         "graph_pagerank_weighted": _weighted_pagerank_oracle_sql(10, 0.85),
+        "graph_kcore": _kcore_oracle_sql(30, 4),
         "graph_hits": _hits_oracle_sql(5),
         "graph_label_prop": _label_prop_oracle_sql(4),
         "supplier_cooccurrence": """

@@ -84,3 +84,29 @@ def test_project_bipartite_hub_cap_drops_hot_dst(spark):
     got = {(r["a"], r["b"]): r["weight"]
            for r in project_bipartite(e, max_dst_degree=2).collect()}
     assert got == {("s1", "s2"): 1}  # only p2 survives the cap
+
+
+def test_kcore_peel_cascades(spark):
+    """Peeling must cascade: removing a low-degree vertex can drop its
+    neighbor below k in a LATER round."""
+    from usearch_spark.plans.graph_stats import kcore_peel
+
+    # chain a-b-c-d plus triangle d-e-f-d: 2-core should keep only the
+    # triangle (a,b,c peel away over successive rounds)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d")],
+        "src string, dst string",
+    )
+    v = spark.createDataFrame([(s,) for s in "abcdef"], "id string")
+    got = {r["id"]: r["core_degree"] for r in kcore_peel(v, e, k=2, rounds=5).collect()}
+    assert set(got) == {"d", "e", "f"}
+    assert got == {"d": 2, "e": 2, "f": 2}
+
+
+def test_kcore_k1_keeps_everything_connected(spark):
+    from usearch_spark.plans.graph_stats import kcore_peel
+
+    e = spark.createDataFrame([("x", "y"), ("y", "z")], "src string, dst string")
+    v = spark.createDataFrame([(s,) for s in "xyz"], "id string")
+    got = {r["id"]: r["core_degree"] for r in kcore_peel(v, e, k=1, rounds=3).collect()}
+    assert got == {"x": 1, "y": 2, "z": 1}

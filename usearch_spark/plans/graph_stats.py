@@ -99,6 +99,42 @@ def project_bipartite(
     return pairs
 
 
+def kcore_peel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling, ``rounds`` synchronous rounds: repeatedly drop
+    vertices whose degree within the surviving set is < k.  Returns the
+    survivors with their final in-core degree (id, core_degree).
+
+    Fixed-round form (like coloring/LPA) so a SQL oracle can unroll the
+    identical recurrence; on most graphs peeling stabilizes in a handful
+    of rounds, and extra rounds are no-ops.  Per round: one semi-join of
+    the edge list against the survivor set + one degree agg — both keyed
+    on vertex id.  The undirected edge set is materialized once.
+    """
+    und = canonical_edges(edges, src, dst)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    alive = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    deg = None
+    for _ in range(rounds):
+        e_alive = both.join(
+            alive.select(F.col("id").alias("a")), "a", "left_semi"
+        ).join(alive.select(F.col("id").alias("b")), "b", "left_semi")
+        deg = e_alive.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("core_degree"))
+        alive = deg.filter(F.col("core_degree") >= k).select("id").localCheckpoint(eager=True)
+    if deg is None:
+        return alive.withColumn("core_degree", F.lit(0).cast("long"))
+    return alive.join(deg, "id", "inner").select("id", "core_degree")
+
+
 def triangles_per_vertex(
     vertices: DataFrame, edges: DataFrame, id_col: str = "id", src: str = "src", dst: str = "dst"
 ) -> DataFrame:
