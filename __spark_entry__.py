@@ -2199,6 +2199,31 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("returnflag", "n", F.round(num / den, 8).alias("corr_price_qty"))
 
 
+def q_events_hourly_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source under the gate: events round-trip through JSON-lines
+    (timestamps carried as epoch-µs longs — JSON has no native timestamp,
+    and string formats truncate sub-millis; doubles survive via shortest
+    round-trip repr), then the hourly aggregation over the JSON copy must
+    hash-match the parquet oracle.  The copy is a per-sf artifact built
+    once under spark-warehouse/."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts_ns", "user_id", "event_type", "value", "props"
+    )
+    path = os.path.join(_ARTIFACT_DIR, f"events_json_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.write.mode("overwrite").json(path)
+    schema = "event_id long, ts_ns long, user_id long, event_type string, value double, props string"
+    j = spark.read.schema(schema).json(path)
+    ts = F.expr(f"timestampadd(MICROSECOND, ts_ns DIV 1000, {_EPOCH_NTZ})")
+    return j.groupBy(
+        F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
 def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate path under the gate: the hourly rollup is
     maintained INCREMENTALLY by a foreachBatch MERGE loop
@@ -2633,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_source": q_sample_per_source,
         "top_users_per_type": q_top_users_per_type,
         "price_quantity_corr": q_price_quantity_corr,
+        "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
         "cube_revenue": q_cube_revenue,
         "returning_customers": q_returning_customers,
@@ -3627,6 +3653,14 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8) AS corr_price_qty
             FROM a
+        """,
+        "events_hourly_json": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "events_rollup_incremental": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
