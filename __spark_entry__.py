@@ -2272,6 +2272,62 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association between part brands: for brand pairs
+    co-occurring in the same order, lift = n·c(ab) / (c(a)·c(b)) over
+    exact integer counts (one float division at the end).  The
+    within-order self-join is bounded by order size (~4 items), never by
+    the catalog — the basket-analysis shape that scales."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .dropDuplicates(["l_orderkey", "p_brand"])
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    out = (
+        pairs.join(F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_a").withColumnRenamed("c", "c_a")), "brand_a")
+        .join(F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_b").withColumnRenamed("c", "c_b")), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") * F.lit(n_orders)).cast("double") / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return S.paginate(out, [F.col("lift").desc(), F.col("brand_a"), F.col("brand_b")], 0, 25)
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: exact integer day deltas
+    (datediff), mean as exact-sum/count, plus min/max — the SLA-style
+    rollup every operational pipeline runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority", F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat_days")
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum("lat_days").cast("double") / F.count(F.lit(1))).alias("mean_days"),
+        F.min("lat_days").alias("min_days"),
+        F.max("lat_days").alias("max_days"),
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation over (region, order status): all four grouping
     combinations in one pass (the companion of rollup_revenue's
@@ -2660,6 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "brand_basket_lift": q_brand_basket_lift,
+        "ship_latency": q_ship_latency,
         "cube_revenue": q_cube_revenue,
         "returning_customers": q_returning_customers,
         "events_funnel": q_events_funnel,
@@ -3669,6 +3727,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "brand_basket_lift": """
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+            bn AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY p_brand),
+            pairs AS (
+                SELECT x.p_brand AS brand_a, y.p_brand AS brand_b, count(*) AS c_ab
+                FROM ob x JOIN ob y
+                  ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+                GROUP BY 1, 2
+            )
+            SELECT brand_a, brand_b, c_ab,
+                   round(CAST(c_ab * n.n_orders AS DOUBLE) / (ba.c * bb.c), 6) AS lift
+            FROM pairs, n
+            JOIN bn ba ON ba.p_brand = brand_a
+            JOIN bn bb ON bb.p_brand = brand_b
+            ORDER BY lift DESC, brand_a, brand_b
+            LIMIT 25
+        """,
+        "ship_latency": """
+            SELECT o_orderpriority AS priority, count(*) AS n_lines,
+                   CAST(CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS DOUBLE)
+                       / count(*) AS mean_days,
+                   CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS min_days,
+                   CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT) AS max_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "cube_revenue": """
             SELECT r_name AS region, o_orderstatus AS status,
