@@ -2272,6 +2272,46 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of order value per customer (rows-unbounded-preceding
+    frame over a customer-partitioned window; decimal-exact accumulation
+    cast to double per row).  Limited to the first 100 customers to keep
+    the gate result bounded."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    ).orderBy("custkey", "orderkey")
+
+
+def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartiles of customer balance within each nation
+    (nation-partitioned window, total (acctbal, custkey) ordering so tile
+    assignment is deterministic); per-(nation, quartile) counts and exact
+    decimal sums."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    tiles = c.select(
+        F.col("c_nationkey").alias("nation"),
+        _dec("c_acctbal").alias("bal"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return tiles.groupBy("nation", "quartile").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("bal").cast("double").alias("total_bal"),
+    )
+
+
 def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association between part brands: for brand pairs
     co-occurring in the same order, lift = n·c(ab) / (c(a)·c(b)) over
@@ -2716,6 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "customer_running_spend": q_customer_running_spend,
+        "balance_quartiles": q_balance_quartiles,
         "brand_basket_lift": q_brand_basket_lift,
         "ship_latency": q_ship_latency,
         "cube_revenue": q_cube_revenue,
@@ -3727,6 +3769,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "customer_running_spend": """
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+            FROM orders WHERE o_custkey < 100
+            ORDER BY custkey, orderkey
+        """,
+        "balance_quartiles": """
+            WITH t AS (
+                SELECT c_nationkey AS nation,
+                       CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                       ntile(4) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey) AS quartile
+                FROM customer
+            )
+            SELECT nation, quartile, count(*) AS n_custs,
+                   CAST(sum(bal) AS DOUBLE) AS total_bal
+            FROM t GROUP BY nation, quartile
         """,
         "brand_basket_lift": """
             WITH ob AS (
