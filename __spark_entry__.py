@@ -2272,6 +2272,56 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape argmin: for each part (first 100), the
+    lowest-balance supplier that shipped it — the correlated-subquery
+    shape as a min-agg + join-back with a deterministic tie-break, never
+    a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    s = _t(spark, sf_dir, "supplier")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    # argmin via min(struct(bal, suppkey)): one aggregate, tie-break on key
+    best = ps.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.min(F.struct(F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("sk"))).alias("b")
+    )
+    return best.select(
+        "partkey",
+        F.col("b.sk").alias("suppkey"),
+        F.round(F.col("b.bal"), 2).alias("supp_acctbal"),
+    ).orderBy("partkey")
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw SQL entrypoint: GROUPING SETS ((status), (year),
+    ()) over a registered temp view, executed via spark.sql — proving a
+    reference user can drive the engine with plain SQL strings too."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               year(o_orderdate) AS order_year,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        """
+    )
+
+
+def q_events_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: counts by (ISO weekday, hour-of-day) — the NTZ
+    timestamp domain keeps the bucketing timezone-independent."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        (F.weekday(F.col("ts")) + 1).alias("isodow"),
+        F.hour(F.col("ts")).alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total of order value per customer (rows-unbounded-preceding
     frame over a customer-partitioned window; decimal-exact accumulation
@@ -2756,6 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "events_dow_heatmap": q_events_dow_heatmap,
         "customer_running_spend": q_customer_running_spend,
         "balance_quartiles": q_balance_quartiles,
         "brand_basket_lift": q_brand_basket_lift,
@@ -3769,6 +3822,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "cheapest_supplier_per_part": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem WHERE l_partkey < 100
+            ),
+            ranked AS (
+                SELECT l_partkey AS partkey, s_suppkey AS suppkey,
+                       round(s_acctbal, 2) AS supp_acctbal,
+                       row_number() OVER (PARTITION BY l_partkey
+                                          ORDER BY s_acctbal, s_suppkey) AS rn
+                FROM ps JOIN supplier ON l_suppkey = s_suppkey
+            )
+            SELECT partkey, suppkey, supp_acctbal
+            FROM ranked WHERE rn = 1
+            ORDER BY partkey
+        """,
+        "sql_grouping_sets": """
+            SELECT o_orderstatus AS status,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        """,
+        "events_dow_heatmap": """
+            SELECT CAST(isodow(ts) AS INT) AS isodow,
+                   CAST(hour(ts) AS INT) AS hour_of_day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "customer_running_spend": """
             SELECT o_custkey AS custkey, o_orderkey AS orderkey,
