@@ -2272,6 +2272,57 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral bookends: first and last event type (argmin /
+    argmax by timestamp as single min/max-of-struct aggregates — no
+    window, no self-join) plus the active span in hours."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.struct(F.col("ts_us"), F.col("event_id"), F.col("event_type"))).alias("f"),
+        F.max(F.struct(F.col("ts_us"), F.col("event_id"), F.col("event_type"))).alias("l"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("f.event_type").alias("first_type"),
+        F.col("l.event_type").alias("last_type"),
+        F.expr("(l.ts_us - f.ts_us) DIV 3600000000").alias("span_hours"),
+        "n_events",
+    )
+
+
+def q_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user mode: most frequent event type, ties to the
+    lexicographically smallest — one count agg + one min(struct(-n,
+    type)) argmax, no window over the key space."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type").alias("t"))).alias("b")
+    )
+    return best.select(
+        "user_id", F.col("b.t").alias("modal_type"), (-F.col("b.neg_n")).alias("n_events")
+    )
+
+
+def q_part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 10-bin histogram of part retail prices, binned in EXACT
+    integer cents (1 + (c-lo)*10 div (hi-lo+1)) over the global min/max
+    scalar (broadcast) — the numeric-profiling shape at scale, with no
+    float boundary ambiguity between engines."""
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("long")
+    pc = p.select(cents.alias("c"))
+    bounds = F.broadcast(pc.agg(F.min("c").alias("lo"), F.max("c").alias("hi")))
+    # integer DIV on both engines: no float quotient, no cast-rounding skew
+    b = pc.crossJoin(bounds).select(
+        F.expr("1 + ((c - lo) * 10) DIV (hi - lo + 1)").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
 def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shape argmin: for each part (first 100), the
     lowest-balance supplier that shipped it — the correlated-subquery
@@ -2806,6 +2857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "user_first_last": q_user_first_last,
+        "user_modal_event": q_user_modal_event,
+        "part_price_histogram": q_part_price_histogram,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "sql_grouping_sets": q_sql_grouping_sets,
         "events_dow_heatmap": q_events_dow_heatmap,
@@ -3822,6 +3876,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "user_first_last": """
+            WITH ev AS (
+                SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            r AS (
+                SELECT user_id,
+                       min(struct_pack(ts := ts_us, eid := event_id, t := event_type)) AS f,
+                       max(struct_pack(ts := ts_us, eid := event_id, t := event_type)) AS l,
+                       count(*) AS n_events
+                FROM ev GROUP BY user_id
+            )
+            SELECT user_id,
+                   f.t AS first_type,
+                   l.t AS last_type,
+                   CAST((l.ts - f.ts) // 3600000000 AS BIGINT) AS span_hours,
+                   n_events
+            FROM r
+        """,
+        "user_modal_event": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT user_id,
+                       min(struct_pack(neg := -n, t := event_type)) AS b
+                FROM c GROUP BY user_id
+            )
+            SELECT user_id, b.t AS modal_type, CAST(-b.neg AS BIGINT) AS n_events
+            FROM b
+        """,
+        "part_price_histogram": """
+            WITH pc AS (
+                SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) AS c FROM part
+            ),
+            bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM pc)
+            SELECT 1 + ((c - lo) * 10) // (hi - lo + 1) AS bucket,
+                   count(*) AS n_parts
+            FROM pc, bounds
+            GROUP BY 1
         """,
         "cheapest_supplier_per_part": """
             WITH ps AS (
