@@ -1012,7 +1012,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usearch_spark.plans.graph_stats import kcore_peel
 
     v, e = _supplier_part_graph(spark, sf_dir)
-    return kcore_peel(v, e, k=30, rounds=4).orderBy("id")
+    return kcore_peel(v, e, k=30, rounds=4, vertices_cover_edges=True).orderBy("id")
 
 
 def _kcore_oracle_sql(k: int = 30, rounds: int = 4) -> str:

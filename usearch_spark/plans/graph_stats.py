@@ -107,6 +107,7 @@ def kcore_peel(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    vertices_cover_edges: bool = False,
 ) -> DataFrame:
     """k-core peeling, ``rounds`` synchronous rounds: repeatedly drop
     vertices whose degree within the surviving set is < k.  Returns the
@@ -122,14 +123,27 @@ def kcore_peel(
     both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
         eager=True
     )
-    alive = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    alive = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    n_alive = alive.count()
     deg = None
-    for _ in range(rounds):
-        e_alive = both.join(
-            alive.select(F.col("id").alias("a")), "a", "left_semi"
-        ).join(alive.select(F.col("id").alias("b")), "b", "left_semi")
+    for r in range(rounds):
+        if r == 0 and vertices_cover_edges:
+            # caller guarantees every edge endpoint is a vertex, so round
+            # 1's semi-joins are identity — skip both shuffles
+            e_alive = both
+        else:
+            e_alive = both.join(
+                alive.select(F.col("id").alias("a")), "a", "left_semi"
+            ).join(alive.select(F.col("id").alias("b")), "b", "left_semi")
         deg = e_alive.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("core_degree"))
         alive = deg.filter(F.col("core_degree") >= k).select("id").localCheckpoint(eager=True)
+        n_next = alive.count()
+        if n_next == n_alive:
+            # fixpoint: every further round recomputes the identical
+            # (alive, deg) pair, so stopping early returns exactly the
+            # fixed-round result
+            break
+        n_alive = n_next
     if deg is None:
         return alive.withColumn("core_degree", F.lit(0).cast("long"))
     return alive.join(deg, "id", "inner").select("id", "core_degree")
