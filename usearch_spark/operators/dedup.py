@@ -123,6 +123,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash LSH candidates verified with exact Jaccard on the shingle
+    sets — the complete near-dup pipeline in one call (index built
+    in-session; the shingle table is materialized once because it feeds
+    BOTH the signature aggregation and the verification join)."""
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    banded = _banded_from_shingles(sh, num_hashes, bands, rows_per_band)
+    return minhash_pairs_from_index(sh, banded, threshold, max_bucket)
+
+
 def _minhash_wide_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(id, s0..s{k-1}): k min-hashes computed as k aggregate columns over
     the shingle rows — one shuffle of |shingles| rows, NO k-fold row
@@ -194,7 +214,7 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_dedup_pairs(
+def minhash_index(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -202,18 +222,18 @@ def minhash_dedup_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     shingle_n: int = 1,
-    threshold: float = 0.7,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """MinHash LSH candidates verified with exact Jaccard on the shingle
-    sets — the complete near-dup pipeline.  Buckets larger than
-    ``max_bucket`` are dropped before pairing (see lsh_candidate_pairs).
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable LSH index: (shingles(id, shingle), banded(id, band,
+    band_sig)).  Build once, write both tables out (the 100-TB shape: the
+    tokenize+explode+k-hash aggregation pass happens at INDEX time, and
+    every later dedup query is just bucket joins + the exact verify).
+    Callers that keep it in-session should localCheckpoint ``shingles``
+    first — ``banded`` derives from it, so the corpus is scanned once."""
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    return sh, _banded_from_shingles(sh, num_hashes, bands, rows_per_band)
 
-    The shingle table feeds BOTH the signature aggregation and the exact
-    verification join, so it is materialized once (a persistent pipeline
-    writes it out; rebuilding it means a second full tokenize+explode pass
-    over the corpus)."""
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+
+def _banded_from_shingles(sh: DataFrame, num_hashes: int, bands: int, rows_per_band: int) -> DataFrame:
     wide = _minhash_wide_from_shingles(sh, num_hashes)
     band_arr = F.array(
         *[
@@ -234,7 +254,18 @@ def minhash_dedup_pairs(
             for b in range(bands)
         ]
     )
-    banded = wide.select("id", F.explode(band_arr).alias("p")).select("id", "p.band", "p.band_sig")
+    return wide.select("id", F.explode(band_arr).alias("p")).select("id", "p.band", "p.band_sig")
+
+
+def minhash_pairs_from_index(
+    sh: DataFrame,
+    banded: DataFrame,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs from a (shingles, banded) index: bucket-capped
+    candidate join + exact Jaccard verification.  Identical output to
+    :func:`minhash_dedup_pairs`; inputs may come straight from parquet."""
     sized = banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("bucket_n"))
     banded = banded.join(
         sized.filter(F.col("bucket_n") <= max_bucket).select("band", "band_sig"),
@@ -262,6 +293,26 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash LSH candidates verified with exact Jaccard on the shingle
+    sets — the complete near-dup pipeline in one call (index built
+    in-session; the shingle table is materialized once because it feeds
+    BOTH the signature aggregation and the verification join)."""
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    banded = _banded_from_shingles(sh, num_hashes, bands, rows_per_band)
+    return minhash_pairs_from_index(sh, banded, threshold, max_bucket)
 
 
 # ---------------------------------------------------------------------------
