@@ -2301,6 +2301,48 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas within each year (lag over a
+    year-partitioned window on the pre-aggregated monthly table — the
+    window never sees raw orders)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.partitionBy("yr").orderBy("mo")
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("mom_delta"),
+    ).orderBy("yr", "mo")
+
+
+def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per region: exact decimal region sums against the
+    exact total (single-row broadcast cross join, share as one final
+    float division — no window over the region set)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_region = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    total = F.broadcast(per_region.agg(F.sum("rev").alias("tot")))
+    return per_region.crossJoin(total).select(
+        "region",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / F.col("tot").cast("double"), 8).alias("share"),
+    )
+
+
 def q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral bookends: first and last event type (argmin /
     argmax by timestamp as single min/max-of-struct aggregates — no
@@ -2886,6 +2928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "orders_monthly_growth": q_orders_monthly_growth,
+        "region_revenue_share": q_region_revenue_share,
         "user_first_last": q_user_first_last,
         "user_modal_event": q_user_modal_event,
         "part_price_histogram": q_part_price_histogram,
@@ -3905,6 +3949,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                       CAST(month(o_orderdate) AS INT) AS mo,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(rev - lag(rev) OVER (PARTITION BY yr ORDER BY mo) AS DOUBLE) AS mom_delta
+            FROM m ORDER BY yr, mo
+        """,
+        "region_revenue_share": """
+            WITH pr AS (
+                SELECT r_name AS region,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name
+            ),
+            t AS (SELECT sum(rev) AS tot FROM pr)
+            SELECT region, CAST(rev AS DOUBLE) AS revenue,
+                   round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS share
+            FROM pr, t
         """,
         "user_first_last": """
             WITH ev AS (
