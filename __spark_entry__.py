@@ -2301,6 +2301,49 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by discount band: integer percent bins (exact — the
+    discount column is a 2dp fraction, so pct = round(d*100) is exact
+    integer arithmetic), decimal-exact revenue per band."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.round(F.col("l_discount") * 100, 0).cast("int")
+    return (
+        li.select(
+            pct.alias("discount_pct"),
+            (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias("net"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("net").cast("double").alias("net_revenue"),
+        )
+    )
+
+
+def q_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market reach: top-10 suppliers by the number of distinct
+    customer nations they ship to (lineitem→orders→customer chain, exact
+    distinct count, top-k via TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    reach = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    return S.paginate(
+        reach,
+        [F.col("n_nations").desc(), F.col("n_customers").desc(), F.col("suppkey")],
+        0,
+        10,
+    )
+
+
 def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue deltas within each year (lag over a
     year-partitioned window on the pre-aggregated monthly table — the
@@ -2928,6 +2971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "discount_bands": q_discount_bands,
+        "supplier_reach": q_supplier_reach,
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
         "user_first_last": q_user_first_last,
@@ -3949,6 +3994,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "discount_bands": """
+            SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS net_revenue
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "supplier_reach": """
+            SELECT l_suppkey AS suppkey,
+                   count(DISTINCT c_nationkey) AS n_nations,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY l_suppkey
+            ORDER BY n_nations DESC, n_customers DESC, suppkey
+            LIMIT 10
         """,
         "orders_monthly_growth": """
             WITH m AS (
