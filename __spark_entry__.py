@@ -2301,6 +2301,39 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_top_brand_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax per group: the most common brand within each
+    part type (min(struct(-n, brand)) — one aggregate, no window over the
+    type space)."""
+    p = _t(spark, sf_dir, "part")
+    counts = p.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("n"))
+    best = counts.groupBy(F.col("p_type").alias("part_type")).agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("p_brand").alias("b"))).alias("m")
+    )
+    return best.select(
+        "part_type", F.col("m.b").alias("top_brand"), (-F.col("m.neg_n")).alias("n_parts")
+    )
+
+
+def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error rate: errors vs total per hour from ONE conditional
+    aggregation pass (no self-join of the hourly table), rate as a single
+    rounded float division of exact counts."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    return hourly.select(
+        "hour_bucket",
+        "n_events",
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.round(F.col("n_errors").cast("double") / F.col("n_events"), 6).alias("error_rate"),
+    )
+
+
 def q_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by discount band: integer percent bins (exact — the
     discount column is a 2dp fraction, so pct = round(d*100) is exact
@@ -2971,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantity_corr": q_price_quantity_corr,
         "events_hourly_json": q_events_hourly_json,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "top_brand_per_type": q_top_brand_per_type,
+        "events_error_rate": q_events_error_rate,
         "discount_bands": q_discount_bands,
         "supplier_reach": q_supplier_reach,
         "orders_monthly_growth": q_orders_monthly_growth,
@@ -3994,6 +4029,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "top_brand_per_type": """
+            WITH c AS (
+                SELECT p_type, p_brand, count(*) AS n FROM part GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT p_type AS part_type,
+                       min(struct_pack(neg := -n, b := p_brand)) AS m
+                FROM c GROUP BY p_type
+            )
+            SELECT part_type, m.b AS top_brand, CAST(-m.neg AS BIGINT) AS n_parts
+            FROM b
+        """,
+        "events_error_rate": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                   round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS error_rate
+            FROM events
+            GROUP BY 1
         """,
         "discount_bands": """
             SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
