@@ -113,18 +113,35 @@ def main() -> None:
     except Exception as exc:
         pr_gate = {"error": str(exc)[:200]}
 
+    # The driver records only a 2000-char tail of stdout: a full per-query
+    # dict for 110+ queries (~3.3 KB) truncates the line head and the JSON
+    # never parses (round 3 lost its headline total this way).  Keep the
+    # stdout line compact — totals + the top-10 slowest — and write the
+    # complete medians/spread to BENCH_DETAIL.json beside this script.
+    detail = {
+        "queries": timings,
+        "spread_sec": spread,
+        "warmup_sec": round(warm, 3),
+        "runs": n_runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pagerank_100k": pr_gate,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "usearch_spark_headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": n_runs,
-                "spread_sec": spread,
-                "warmup_sec": round(warm, 3),
                 "pagerank_100k": pr_gate,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -89,6 +89,42 @@ def test_crawler_pipeline_integration(spark):
     assert lmap["http://google.com/relative"] is None
 
 
+def test_strict_ssrf_drops_unresolvable_host(spark):
+    """Reference SSRF semantics (link_fetcher.go:66-73): with the strict
+    detector — DNS-style resolver, resolution failure == private — a link
+    to an unresolvable foreign host is DROPPED, a resolvable public one is
+    kept, and a host resolving to a private address is dropped."""
+    from usearch_spark.functions.privnet import PrivateNetworkDetector, static_resolver
+
+    html = """
+    <html><body>
+      <a href="http://resolvable.example/page">public</a>
+      <a href="http://no-such-host.example/page">unresolvable</a>
+      <a href="http://intranet.corp/page">private-ip</a>
+    </body></html>
+    """
+    seed = "http://seed.test/"
+    fetch = static_fetcher({seed: (200, "text/html", html)})
+    detector = PrivateNetworkDetector(
+        resolver=static_resolver(
+            {"resolvable.example": "93.184.216.34", "seed.test": "93.184.216.35"}
+        ),
+        on_unresolved="private",
+    )
+    seeds = upsert_links(None, spark.createDataFrame([(seed,)], "url string"))
+    res = crawl_pass(
+        seeds,
+        None,
+        None,
+        seeds.select("id", "url"),
+        fetch_fn=fetch,
+        now=dt.datetime(2024, 5, 1),
+        detector=detector,
+    )
+    urls = sorted(r["url"] for r in res.links.collect())
+    assert urls == ["http://resolvable.example/page", seed]
+
+
 def test_missing_fetcher_fails_loudly(spark):
     """stub_fetch (no fetcher configured) must raise, not degrade into an
     all-failed crawl."""

@@ -56,6 +56,29 @@ def test_sssp_reference_golden(spark):
         assert path == exp_path, (dest, path)
 
 
+@pytest.mark.parametrize("strategy", ["collect", "lookups"])
+def test_build_path_strategies(spark, strategy):
+    """Golden paths must be identical through the driver-collect walk and
+    the distributed point-lookup backwalk (the huge-graph path)."""
+    verts = [(str(i),) for i in range(9)]
+    edges = [
+        (str(i), str(j), c)
+        for i, row in enumerate(COST_MATRIX)
+        for j, c in enumerate(row)
+        if c
+    ]
+    v = spark.createDataFrame(verts, "id string")
+    e = spark.createDataFrame(edges, "src string, dst string, weight int")
+    res = shortest_paths(v, e, "0")
+    for dest, (exp_path, exp_cost) in EXPECTED.items():
+        assert build_path(res.state, "0", dest, strategy=strategy) == (exp_path, exp_cost)
+    # unreachable dest answers ([], None) through both walks
+    v2 = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    e2 = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight int")
+    res2 = shortest_paths(v2, e2, "a")
+    assert build_path(res2.state, "a", "c", strategy=strategy) == ([], None)
+
+
 def test_sssp_unreachable(spark):
     v = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
     e = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight int")

@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 
 from usearch_spark.operators.search import MATCH, SearchIndex
 from usearch_spark.operators.summarize import assemble_results
-from usearch_spark.sources.graph_store import ParquetGraphStore, upsert_links
-from usearch_spark.sources.index_store import index_docs, update_scores
+from usearch_spark.sources.graph_store import ParquetGraphStore
+from usearch_spark.sources.index_store import update_scores
 from usearch_spark.plans.pagerank import pagerank
 from usearch_spark.streaming.crawl import FetchFn, crawl_pass, due_links, stub_fetch
 

@@ -120,8 +120,47 @@ class PrivateNetworkDetector:
         return any(ip in net for net in self.networks)
 
 
-def default_pipeline_detector() -> PrivateNetworkDetector:
-    """The crawl pipeline's no-DNS default: IP literals + localhost are
-    classified, other hostnames pass as public (documented divergence for
-    environments without DNS; inject dns_resolver for full parity)."""
-    return PrivateNetworkDetector(resolver=literal_resolver, on_unresolved="public")
+_DNS_PROBE: bool | None = None
+
+
+def dns_available(probe_host: str = "example.com", timeout: float = 2.0) -> bool:
+    """Probe-once (cached): can this environment resolve a public hostname?
+
+    The lookup runs in a worker thread because ``getaddrinfo`` honors no
+    socket timeout — an air-gapped resolver that hangs must count as
+    unavailable, not stall pipeline construction."""
+    global _DNS_PROBE
+    if _DNS_PROBE is None:
+        import concurrent.futures
+
+        ex = concurrent.futures.ThreadPoolExecutor(1)
+        try:
+            _DNS_PROBE = ex.result_or_none = ex.submit(dns_resolver, probe_host).result(timeout) is not None
+        except (concurrent.futures.TimeoutError, Exception):
+            _DNS_PROBE = False
+        finally:
+            ex.shutdown(wait=False)
+    return _DNS_PROBE
+
+
+def default_pipeline_detector(mode: str = "auto") -> PrivateNetworkDetector:
+    """The crawl pipeline's detector default.
+
+    ``mode``:
+      - ``"strict"``: reference SSRF semantics — real DNS resolution and a
+        resolution failure DROPS the link (crawler/link_fetcher.go:66-73
+        treats the error like a private address);
+      - ``"lenient"``: air-gapped fallback — IP literals + localhost are
+        classified against the reference CIDR list, other hostnames pass as
+        public (the strict default would drop every foreign hostname where
+        no DNS exists);
+      - ``"auto"`` (default): probe DNS once per process and pick
+        ``strict`` when it works, ``lenient`` otherwise.
+    """
+    if mode == "auto":
+        mode = "strict" if dns_available() else "lenient"
+    if mode == "strict":
+        return PrivateNetworkDetector(resolver=dns_resolver, on_unresolved="private")
+    if mode == "lenient":
+        return PrivateNetworkDetector(resolver=literal_resolver, on_unresolved="public")
+    raise ValueError(f"mode must be 'auto', 'strict', or 'lenient', got {mode!r}")

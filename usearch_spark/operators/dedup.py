@@ -123,26 +123,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_dedup_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 16,
-    bands: int = 4,
-    rows_per_band: int = 4,
-    shingle_n: int = 1,
-    threshold: float = 0.7,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """MinHash LSH candidates verified with exact Jaccard on the shingle
-    sets — the complete near-dup pipeline in one call (index built
-    in-session; the shingle table is materialized once because it feeds
-    BOTH the signature aggregation and the verification join)."""
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n).localCheckpoint(eager=True)
-    banded = _banded_from_shingles(sh, num_hashes, bands, rows_per_band)
-    return minhash_pairs_from_index(sh, banded, threshold, max_bucket)
-
-
 def _minhash_wide_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(id, s0..s{k-1}): k min-hashes computed as k aggregate columns over
     the shingle rows — one shuffle of |shingles| rows, NO k-fold row

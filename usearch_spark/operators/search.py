@@ -24,7 +24,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import math
 import re
 
 from pyspark.sql import Column, DataFrame

@@ -308,12 +308,15 @@ def lsh_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_probe_hamming: int = 1,
+    exclude_ids: list | None = None,
 ) -> DataFrame:
     """Query a persisted LSH index: enumerate the signatures within
     ``max_probe_hamming`` flips of the query's and score only those
     partitions — the filter is on the partition column, so the scan prunes
     to the probed directories and the touched bytes are |probed buckets| /
-    2^n_planes of the corpus regardless of corpus size."""
+    2^n_planes of the corpus regardless of corpus size.
+    ``exclude_ids`` drops known ids (typically the query's own) BEFORE the
+    top-k cut — the usual self-match exclusion."""
     from itertools import combinations
 
     qsig = lsh_signature_py(query_vec, n_planes)
@@ -325,6 +328,8 @@ def lsh_index_topk(
                 s[f] = "1" if s[f] == "0" else "0"
             probe.append("".join(s))
     df = spark.read.parquet(path).filter(F.col("sig").isin(probe))
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine"))
@@ -374,10 +379,12 @@ def ivf_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_ids: list | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: nearest ``n_probe`` centroids by the
     quantizer's euclidean metric, then score only those cluster partitions
-    (partition pruning on the scan)."""
+    (partition pruning on the scan).  ``exclude_ids`` drops known ids
+    (typically the query's own) BEFORE the top-k cut."""
     import json
     import os
 
@@ -389,6 +396,8 @@ def ivf_index_topk(
     order = np.argsort(((centers - q) ** 2).sum(axis=1))
     probe = [int(c) for c in order[:n_probe]]
     df = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine"))

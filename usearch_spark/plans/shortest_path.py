@@ -239,23 +239,64 @@ def _sssp_loop(spark, v, e0, src_id, max_steps, n_part) -> IterationResult:
     return result
 
 
-def build_path(state: DataFrame, src_id: str, dest_id: str) -> tuple[list[str], int | None]:
+def build_path(
+    state: DataFrame,
+    src_id: str,
+    dest_id: str,
+    strategy: str = "auto",
+    max_hops: int = 1_000_000,
+) -> tuple[list[str], int | None]:
     """Walk prev pointers back from dest (reference path.go:117-141).
 
-    Driver-side walk over the collected (id, prev) map — path length is
-    bounded by the graph diameter.  For huge graphs use repeated self-joins
-    instead; search-engine path queries are point lookups, so collect is the
-    pragmatic default (the prev map is |V| rows of two short strings).
+    ``strategy``:
+      - ``"collect"``: driver-side walk over the collected (id, prev) map.
+        Right for the per-partition link graphs this engine queries — the
+        prev map is |V| rows of two short strings and one action answers
+        any number of dest lookups.
+      - ``"lookups"``: iterative backwalk of O(path-length) equality-filter
+        point lookups on the DISTRIBUTED state — |V| never reaches the
+        driver, so a billion-vertex state works (each hop is a pushdown-able
+        ``id = <prev>`` scan; parquet/bucketed states prune it further).
+      - ``"auto"``: collect iff the state is small (<= LOCAL_SOLVE_MAX_ROWS,
+        one count against a state the solver already checkpointed), same
+        size switch the solvers use.
     """
-    rows = {r["id"]: (r["cost"], r["prev_in_path"]) for r in state.collect()}
-    if dest_id not in rows or rows[dest_id][0] is None:
+    if strategy == "auto":
+        strategy = "collect" if state.count() <= LOCAL_SOLVE_MAX_ROWS else "lookups"
+    if strategy == "collect":
+        rows = {r["id"]: (r["cost"], r["prev_in_path"]) for r in state.collect()}
+        if dest_id not in rows or rows[dest_id][0] is None:
+            return [], None
+        path = [dest_id]
+        cur = dest_id
+        while cur != src_id:
+            cur = rows[cur][1]
+            path.append(cur)
+            if len(path) > len(rows) + 1:
+                raise ValueError("cycle in prev_in_path chain")
+        path.reverse()
+        return path, rows[dest_id][0]
+
+    # lookups: each hop reads exactly one row of the distributed state
+    probe = state.select("id", "cost", "prev_in_path")
+    row = probe.filter(F.col("id") == dest_id).first()
+    if row is None or row["cost"] is None:
         return [], None
+    cost = row["cost"]
     path = [dest_id]
     cur = dest_id
     while cur != src_id:
-        cur = rows[cur][1]
-        path.append(cur)
-        if len(path) > len(rows) + 1:
+        prev = row["prev_in_path"]
+        if prev is None:
+            raise ValueError(f"broken prev_in_path chain at {cur!r}")
+        path.append(prev)
+        if len(path) > max_hops:
             raise ValueError("cycle in prev_in_path chain")
+        cur = prev
+        if cur == src_id:
+            break
+        row = probe.filter(F.col("id") == cur).first()
+        if row is None:
+            raise ValueError(f"prev_in_path points at missing vertex {cur!r}")
     path.reverse()
-    return path, rows[dest_id][0]
+    return path, cost
