@@ -16,6 +16,7 @@ Determinism rules used throughout (so Spark and DuckDB value-hashes match):
 from __future__ import annotations
 
 import os
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2964,6 +2965,112 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the hard gate (SURVEY §2.13
+    extension): replay the events table as THREE deterministic micro-batches
+    through an append-mode hourly aggregation with a 30-minute watermark —
+    batch0 = bulk of the data including the global max ts (fixes the
+    watermark at gmax-30min), batch1 = a bridge cohort (md5(event_id) hex
+    digit '1'), batch2 = the LATE cohort (digit '0', restricted to rows
+    whose hour-window end <= watermark, so every one of them is genuinely
+    late).  Three batches because Spark filters late events with the
+    PREVIOUS batch's watermark (SPARK-24634): batch0 sets it, batch1
+    propagates it into the late-events filter, batch2's rows hit it.
+
+    The emitted result is then exactly computable: hourly windows with
+    window_end <= gmax-30min, aggregated over batch0+batch1 rows only —
+    every batch2 row is dropped by the watermark, and rows in newer windows
+    are never finalized.  The DuckDB oracle reproduces that rule, so
+    Spark's late-row drop + append-mode finalization behavior itself is
+    what gets hash-checked.  Replay files are a per-sf artifact (built
+    once; mtime ordering + maxFilesPerTrigger=1 forces the batch
+    sequence)."""
+    import shutil
+    import uuid
+
+    base = os.path.join(_ARTIFACT_DIR, f"wm_replay_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+        gmax = ev.agg(F.max("ts").alias("gmax"))
+        digit = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+        emittable = F.expr(
+            "timestampadd(HOUR, 1, date_trunc('hour', ts))"
+        ) <= F.expr("timestampadd(MINUTE, -30, gmax)")
+        flagged = (
+            ev.join(F.broadcast(gmax))
+            .withColumn("late", (digit == "0") & emittable)
+            .withColumn("bridge", (digit == "1") & emittable)
+        )
+        os.makedirs(base, exist_ok=True)
+        for i, pred in (
+            (0, ~F.col("late") & ~F.col("bridge")),
+            (1, F.col("bridge")),
+            (2, F.col("late")),
+        ):
+            tmp = os.path.join(base, f"_tmp{i}")
+            (
+                # epoch micros of the NTZ wall clock, not a timestamp:
+                # watermarks require TimestampType (an instant), and storing
+                # the long lets the read side rebuild the instant
+                # independently of any session timezone
+                flagged.filter(pred)
+                .select(
+                    F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)").alias("ts_us"),
+                    "event_type",
+                    "value",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        now = time.time()
+        for i in (0, 1, 2):
+            t = now - 120 * (2 - i)
+            os.utime(os.path.join(base, f"batch{i}.parquet"), (t, t))
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    stream = (
+        spark.readStream.schema("ts_us long, event_type string, value double")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    # timestamp_micros gives the instant whose UTC wall clock equals the
+    # stored NTZ value; hour windows are epoch-aligned, so win.start is a
+    # whole UTC hour regardless of session timezone, and the output string
+    # is rebuilt via NTZ arithmetic (tz-independent both directions)
+    agg = (
+        stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(
+                F.expr(
+                    f"timestampadd(SECOND, unix_timestamp(win.start), {_EPOCH_NTZ})"
+                ),
+                "yyyy-MM-dd HH:00:00",
+            ).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"ev_wm_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -2981,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     group is unchanged."""
     return {
         # --- new this round (never gated) ---
+        "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
         "sim_ann_ivf_full": q_sim_ann_ivf_full,
         # --- not reached by the round-3 driver gate ---
@@ -3100,6 +3208,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
+        # Replays the watermark drop rule in closed form: watermark =
+        # max(ts) - 30min; late cohort = md5(event_id) hex digit '0' with
+        # window_end <= watermark (all dropped); emitted windows =
+        # window_end <= watermark over the remaining rows
+        # (see q_events_watermark_late).
+        "events_watermark_late": """
+            WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+            kept AS (
+                SELECT ts, event_type, value
+                FROM events, wm
+                WHERE NOT (substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+                           AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w)
+            )
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM kept, wm
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+            GROUP BY 1, 2
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

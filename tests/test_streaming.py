@@ -327,3 +327,55 @@ def test_continuous_hourly_rollup_matches_batch(spark, events_path, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert again == expected
+
+
+def test_watermark_drops_late_cohort(spark):
+    """q_events_watermark_late's 3-batch replay must actually DROP the late
+    cohort: emitted totals are strictly below the no-watermark aggregation
+    for the same windows, and equal the closed-form on-time-only counts.
+    (Three batches because Spark filters late events with the PREVIOUS
+    batch's watermark — SPARK-24634; a 2-batch replay drops nothing.)"""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.q_events_watermark_late(spark, sf)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    assert got, "no finalized windows emitted"
+
+    ev = E._events(spark, sf)
+    wm = ev.agg(F.timestamp_add("MINUTE", F.lit(-30), F.max("ts")).alias("w"))
+    flagged = ev.join(F.broadcast(wm)).withColumn(
+        "emittable",
+        F.timestamp_add("HOUR", F.lit(1), F.date_trunc("hour", F.col("ts"))) <= F.col("w"),
+    )
+    full = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in flagged.filter("emittable")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    ontime = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in flagged.filter(
+            "emittable AND NOT (substring(md5(cast(event_id as string)), 1, 1) = '0')"
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == ontime
+    n_dropped = sum(full.values()) - sum(got.values())
+    assert n_dropped > 0, "late cohort empty at this sf — test is vacuous"

@@ -218,15 +218,18 @@ class ParquetGraphStore:
 
 
 class DeltaGraphStore(ParquetGraphStore):
-    """The same store interface on Delta Lake: upserts become real MERGE
-    INTO statements (transactional, no read-join-overwrite window) and
-    stale-edge GC a conditional MERGE DELETE — the lakehouse form the
+    """EXPERIMENTAL: the same store interface on Delta Lake — upserts become
+    real MERGE INTO statements (transactional, no read-join-overwrite window)
+    and stale-edge GC a conditional MERGE DELETE — the lakehouse form the
     reference's ``ON CONFLICT DO UPDATE`` maps to (cdb.go:16-36).
 
-    Import-gated: delta-spark is not in this image, so construction raises
-    a clear ImportError locally and the pytest coverage skips; on a
+    Scope: delta-spark is NOT installable in this image, so the MERGE code
+    path has never executed here — only its construction-time ImportError is
+    covered by tests (tests/test_graph_store.py).  The class is kept because
+    the interface mapping is the documented production path; on a
     Delta-enabled cluster (spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension)
-    this class is a drop-in replacement for ParquetGraphStore.
+    it is intended as a drop-in replacement for ParquetGraphStore, but treat
+    it as unverified until its lifecycle test runs against real delta-spark.
     """
 
     def __init__(self, spark: SparkSession, root: str):
