@@ -3088,6 +3088,16 @@ def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (duplicate
+    word/2-gram/3-gram fractions, top word/2-gram mass) with a flagged
+    verdict — the repetition filter a pretraining pipeline runs before
+    dedup (operators/text_analysis.repetition_signals)."""
+    from usearch_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -3105,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     group is unchanged."""
     return {
         # --- new this round (never gated) ---
+        "text_repetition": q_text_repetition,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
         "sim_ann_ivf_full": q_sim_ann_ivf_full,
@@ -3225,6 +3236,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
+        "text_repetition": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tk),
+            g2 AS (SELECT doc_id, 2 AS n,
+                          unnest(CASE WHEN len(toks) < 2 THEN []
+                                 ELSE list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1]) END) AS g
+                   FROM tk),
+            g3 AS (SELECT doc_id, 3 AS n,
+                          unnest(CASE WHEN len(toks) < 3 THEN []
+                                 ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+                   FROM tk),
+            allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+            counts AS (SELECT doc_id, n, g, count(*) AS c FROM allg GROUP BY 1, 2, 3),
+            per AS (SELECT doc_id,
+                           sum(c) FILTER (n = 1) AS t1, count(*) FILTER (n = 1) AS d1, max(c) FILTER (n = 1) AS m1,
+                           sum(c) FILTER (n = 2) AS t2, count(*) FILTER (n = 2) AS d2, max(c) FILTER (n = 2) AS m2,
+                           sum(c) FILTER (n = 3) AS t3, count(*) FILTER (n = 3) AS d3, max(c) FILTER (n = 3) AS m3
+                    FROM counts GROUP BY 1),
+            sig AS (
+                SELECT d.doc_id,
+                       coalesce(round(1 - p.d1 / p.t1, 6), 0.0) AS dup_word_frac,
+                       coalesce(round(1 - p.d2 / p.t2, 6), 0.0) AS dup_2gram_frac,
+                       coalesce(round(1 - p.d3 / p.t3, 6), 0.0) AS dup_3gram_frac,
+                       coalesce(round(p.m1 / p.t1, 6), 0.0) AS top_word_ratio,
+                       coalesce(round(p.m2 / p.t2, 6), 0.0) AS top_2gram_ratio
+                FROM documents d LEFT JOIN per p USING (doc_id)
+            )
+            SELECT *,
+                   (dup_word_frac > 0.75 OR dup_2gram_frac > 0.05
+                    OR dup_3gram_frac > 0.02 OR top_word_ratio > 0.15) AS flagged
+            FROM sig
+        """,
         # Replays the watermark drop rule in closed form: watermark =
         # max(ts) - 30min; late cohort = md5(event_id) hex digit '0' with
         # window_end <= watermark (all dropped); emitted windows =

@@ -250,3 +250,92 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             content_fingerprint(text_col, toks).alias("fingerprint"),
         )
     )
+
+
+def _grams_all(toks: Column, n: int) -> Column:
+    """ALL word n-grams of a materialized token-array column, repeats KEPT
+    (unlike dedup.shingles_of_tokens, which is set-valued) — repetition
+    metrics are about the multiplicity the set view throws away."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_word_max: float = 0.75,
+    dup_2gram_max: float = 0.05,
+    dup_3gram_max: float = 0.02,
+    top_word_max: float = 0.15,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to word n-grams because the corpus documents are single-line):
+    per document, the duplicate-word / duplicate-2-gram / duplicate-3-gram
+    fractions (1 - distinct/total) and the top-word / top-2-gram mass
+    ratios, plus a ``flagged`` verdict against the thresholds.
+
+    Shape for 100 TB: one explode of a tagged (n, gram) array — 1/2/3-grams
+    in a single pass over the corpus — then two hash aggregations, both
+    fed by map-side partials; no joins except the final left join back to
+    the id spine (so empty documents keep a row with zeroed signals).
+
+    Threshold defaults are tuned to the synthetic corpus (real Gopher
+    values: 0.30/0.20/0.18 on line/2-gram/3-gram fractions); they are
+    parameters, not constants.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks"))
+
+    def _tag(n: int):
+        # single-arg lambda on purpose: F.transform feeds a SECOND argument
+        # (the element index) to two-parameter lambdas, so a `n=n` default
+        # would silently receive the index instead of the gram size
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.concat(*[F.transform(_grams_all(F.col("_toks"), n), _tag(n)) for n in (1, 2, 3)])
+    ex = base.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    )
+    counts = ex.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def _for(n: int, expr: Column) -> Column:
+        return F.when(F.col("n") == n, expr)
+
+    per = counts.groupBy("doc_id").agg(
+        *[
+            agg.alias(name)
+            for n in (1, 2, 3)
+            for name, agg in (
+                (f"t{n}", F.sum(_for(n, F.col("c")))),
+                (f"d{n}", F.count(_for(n, F.lit(1)))),
+                (f"m{n}", F.max(_for(n, F.col("c")))),
+            )
+        ]
+    )
+    z = F.lit(0.0)
+    sig = per.select(
+        "doc_id",
+        F.round(F.coalesce(F.lit(1) - F.col("d1") / F.col("t1"), z), 6).alias("dup_word_frac"),
+        F.round(F.coalesce(F.lit(1) - F.col("d2") / F.col("t2"), z), 6).alias("dup_2gram_frac"),
+        F.round(F.coalesce(F.lit(1) - F.col("d3") / F.col("t3"), z), 6).alias("dup_3gram_frac"),
+        F.round(F.coalesce(F.col("m1") / F.col("t1"), z), 6).alias("top_word_ratio"),
+        F.round(F.coalesce(F.col("m2") / F.col("t2"), z), 6).alias("top_2gram_ratio"),
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    out = spine.join(sig, "doc_id", "left").select(
+        "doc_id",
+        *[F.coalesce(F.col(c), z).alias(c) for c in (
+            "dup_word_frac", "dup_2gram_frac", "dup_3gram_frac",
+            "top_word_ratio", "top_2gram_ratio",
+        )],
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("dup_word_frac") > dup_word_max)
+        | (F.col("dup_2gram_frac") > dup_2gram_max)
+        | (F.col("dup_3gram_frac") > dup_3gram_max)
+        | (F.col("top_word_ratio") > top_word_max),
+    )
