@@ -3098,6 +3098,50 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: exact cosine >= 0.4 near-dup pairs
+    over the embedding table resolved into clusters (min-id connected
+    components), canonical representative elected per cluster — the
+    keep/drop decision a semantic-dedup pass hands the corpus pipeline.
+    At scale the pair stage swaps to the LSH/IVF-bucketed variants; the
+    resolution stage is identical."""
+    from usearch_spark.operators.corpus import resolve_duplicate_clusters
+    from usearch_spark.operators.similarity import exact_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = exact_cosine_pairs(emb, threshold=0.4)
+    out = resolve_duplicate_clusters(pairs)
+    return out.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def q_topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-iteration Lloyd k-means over the embedding table
+    (k=4, 2 iterations, deterministic init from the 4 smallest vec_ids,
+    6dp-quantized centroids), summarized as per-cluster size + inertia —
+    topic sharding for corpus curation (operators/clustering.kmeans_fixed).
+    The oracle unrolls both Lloyd steps as chained CTEs, the same pattern
+    as the PageRank-family oracles."""
+    from usearch_spark.operators.clustering import kmeans_fixed, kmeans_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_summary(kmeans_fixed(emb, k=4, iters=2))
+
+
+def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: corpus unigram distribution →
+    broadcast per-token log-prob lookup → per-document mean log-prob
+    (operators/text_analysis.unigram_logprob).  Decimal-quantized token
+    log-probs make the mean order-independent for the hash gate."""
+    from usearch_spark.operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -3116,6 +3160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (never gated) ---
         "text_repetition": q_text_repetition,
+        "text_logprob": q_text_logprob,
+        "dedup_semantic": q_dedup_semantic,
+        "topic_kmeans": q_topic_kmeans,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
         "sim_ann_ivf_full": q_sim_ann_ivf_full,
@@ -3236,6 +3283,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
+        # Lloyd k-means unrolled: assign vs init centroids (the 4 smallest
+        # vec_ids), recompute 6dp-quantized centroids, re-assign, summarize.
+        # Ties in the arg-min break to the lower cid on both engines.
+        "topic_kmeans": """
+            WITH e AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ),
+            c0 AS (
+                SELECT CAST(vec_id AS INT) AS cid, i, x FROM e
+                WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            d1 AS (
+                SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+                FROM e JOIN c0 c USING (i) GROUP BY 1, 2
+            ),
+            a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT a1.cid, e.i, round(avg(e.x), 6) AS x
+                FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2
+            ),
+            d2 AS (
+                SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+                FROM e JOIN c1 c USING (i) GROUP BY 1, 2
+            ),
+            a2 AS (
+                SELECT vec_id, cid, dist FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d2
+                ) WHERE rn = 1
+            )
+            SELECT cid, count(*) AS n_vecs, round(avg(dist), 4) AS avg_dist2
+            FROM a2 GROUP BY cid
+        """,
+        "dedup_semantic": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+            dots AS (
+                SELECT a.vec_id AS a, b.vec_id AS b, sum(a.x * b.x) AS dot
+                FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY a.vec_id, b.vec_id
+            ),
+            cp AS (
+                SELECT d.a, d.b FROM dots d
+                JOIN norms na ON na.vec_id = d.a
+                JOIN norms nb ON nb.vec_id = d.b
+                WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+            ),
+            und AS (SELECT a AS s, b AS d FROM cp UNION SELECT b, a FROM cp),
+            reach(s, d) AS (
+                SELECT s, d FROM und
+                UNION
+                SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            ),
+            comp AS (SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+            csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+            SELECT c.vec_id, c.cluster_id, z.cluster_size,
+                   CAST(c.vec_id = c.cluster_id AS INT) AS keep
+            FROM comp c JOIN csz z USING (cluster_id)
+        """,
+        "text_logprob": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            lp AS (
+                SELECT tok,
+                       CAST(round(ln(c / (SELECT sum(c) FROM vocab)), 6) AS DECIMAL(12,6)) AS lp
+                FROM vocab
+            ),
+            per AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+                FROM tok t JOIN lp l USING (tok)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0) AS n_tokens,
+                   coalesce(p.avg_logprob, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
         "text_repetition": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tk),

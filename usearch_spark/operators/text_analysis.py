@@ -339,3 +339,48 @@ def repetition_signals(
         | (F.col("dup_3gram_frac") > dup_3gram_max)
         | (F.col("top_word_ratio") > top_word_max),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score, unigram form: build the
+    corpus unigram distribution, then score each document by its mean
+    token log-probability (low = out-of-distribution/noisy — the signal
+    CCNet thresholds with a real LM's perplexity; the unigram proxy keeps
+    the whole computation inside Spark SQL).
+
+    Scale shape: the vocabulary aggregation is one partial-agg shuffle and
+    its result is tiny (vocab-sized), so the per-token probability lookup
+    is a BROADCAST join; the per-document mean is a second partial-agg
+    shuffle.  Per-token log-probs are rounded to 6dp and summed as
+    DECIMAL, so the document score is bit-identical under any aggregation
+    order (the hash-gate requirement).
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    lp = (
+        vocab.join(F.broadcast(total))
+        .select("tok", F.round(F.log(F.col("c") / F.col("total")), 6).cast("decimal(12,6)").alias("lp"))
+    )
+    per = (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            # decimal sum -> double BEFORE dividing: decimal-division scale
+            # rules differ across engines, IEEE double division does not
+            F.round(F.col("lp_sum").cast("double") / F.col("n_tokens"), 6).alias("avg_logprob"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return spine.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+    )
