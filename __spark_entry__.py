@@ -3119,6 +3119,23 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search rank fusion: reciprocal-rank fusion (k=60) of the
+    tf-idf MATCH ranking and the Okapi BM25 ranking over the same query
+    terms — the combiner hybrid engines run over sparse+dense retrievers
+    (operators/search.rrf_fuse).  Both inputs are cut to their bounded
+    top-50 before ranking, so fusion cost is independent of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    doclen = S.doc_lengths(postings, id_col="doc_id")
+    n = docs.count()
+    m = S.score_match(postings, dfreq, n, SEARCH_TERMS, id_col="doc_id", round_to=4)
+    b = S.score_bm25(postings, dfreq, doclen, n, SEARCH_TERMS, id_col="doc_id", round_to=4)
+    fused = S.rrf_fuse([m, b], id_col="doc_id", k=60, n=50)
+    return S.paginate(fused, [F.col("rrf_score").desc(), F.col("doc_id")], offset=0, size=10)
+
+
 def q_topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed fixed-iteration Lloyd k-means over the embedding table
     (k=4, 2 iterations, deterministic init from the 4 smallest vec_ids,
@@ -3163,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_logprob": q_text_logprob,
         "dedup_semantic": q_dedup_semantic,
         "topic_kmeans": q_topic_kmeans,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
         "sim_ann_ivf_full": q_sim_ann_ivf_full,
@@ -3283,6 +3301,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
+        # RRF of the MATCH (tf-idf) and BM25 rankings: both scored lists
+        # rounded to 4dp (identical to their own oracles), ranked with the
+        # (score desc, doc_id) tie-break, cut to top-50, fused with k=60.
+        "search_hybrid_rrf": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            q(term) AS (VALUES {terms_values}),
+            w AS (
+                SELECT term, df, ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS idf
+                FROM dfreq JOIN q USING (term) CROSS JOIN n
+            ),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+            stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+            m AS (
+                SELECT tf.doc_id, round(sum(tf.tf * w.idf), 4) AS score
+                FROM tf JOIN w USING (term) GROUP BY tf.doc_id
+            ),
+            b AS (
+                SELECT tf.doc_id,
+                       round(sum(w.idf * tf.tf * 2.2
+                                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+                FROM tf JOIN w USING (term) JOIN dl USING (doc_id), stats
+                GROUP BY tf.doc_id
+            ),
+            mr AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                    FROM m
+                ) WHERE rank <= 50
+            ),
+            br AS (
+                SELECT doc_id, rank FROM (
+                    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                    FROM b
+                ) WHERE rank <= 50
+            ),
+            contrib AS (
+                SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM mr
+                UNION ALL
+                SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM br
+            )
+            SELECT doc_id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
+            FROM contrib GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 10
+        """,
         # Lloyd k-means unrolled: assign vs init centroids (the 4 smallest
         # vec_ids), recompute 6dp-quantized centroids, re-assign, summarize.
         # Ties in the arg-min break to the lower cid on both engines.

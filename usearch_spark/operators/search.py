@@ -292,6 +292,56 @@ def paginate(df: DataFrame, order_cols: list[Column], offset: int, size: int) ->
     return out.limit(size)
 
 
+def topn_with_ranks(scored: DataFrame, n: int, id_col: str = "link_id") -> DataFrame:
+    """Top-n of a scored ranking with 1-based ranks (order: score desc, id
+    asc), WITHOUT a global window: take the bounded top-n first
+    (TakeOrderedAndProject, distributed), then rank inside the n-row slice
+    by counting strictly-better rows via a broadcast self-join — quadratic
+    only in n, which the LIMIT bounds regardless of corpus size."""
+    top = paginate(scored, [F.col("score").desc(), F.col(id_col)], 0, n).localCheckpoint(eager=True)
+    a = top.select(F.col(id_col).alias("_id"), F.col("score").alias("_score"))
+    b = top.select(F.col(id_col).alias("_oid"), F.col("score").alias("_oscore"))
+    better = (F.col("_oscore") > F.col("_score")) | (
+        (F.col("_oscore") == F.col("_score")) & (F.col("_oid") < F.col("_id"))
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy("_id", "_score")
+        .agg((F.count("_oid") + F.lit(1)).alias("rank"))
+        .select(F.col("_id").alias(id_col), F.col("_score").alias("score"), "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "link_id",
+    k: int = 60,
+    n: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple scored rankings (Cormack et al.
+    2009) — the standard hybrid-search combiner (e.g. BM25 + dense
+    retrieval): rrf(d) = Σ_lists 1/(k + rank_list(d)) over the lists that
+    retrieved d in their top ``n``.
+
+    Output: (id, rrf_score, n_lists).  Scale shape: each input ranking is
+    cut to its bounded top-n before any rank computation, so fusion cost
+    is O(lists·n), independent of corpus size.
+    """
+    contribs = None
+    for r in rankings:
+        c = topn_with_ranks(r, n, id_col=id_col).select(
+            id_col, (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("contrib")
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    return (
+        contribs.groupBy(id_col)
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+
+
 def save_postings_bucketed(
     postings: DataFrame, table: str, buckets: int = 16, path: str | None = None
 ) -> None:
