@@ -3119,6 +3119,93 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARMONIC_SOURCES = ["s1", "s2", "s3"]
+
+
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (4 BFS rounds from suppliers
+    s1/s2/s3) over the undirected supplier↔part graph — the scale form of
+    closeness centrality; all sources advance in the same per-round join
+    (plans/graph_stats.harmonic_centrality).  The oracle unrolls the
+    multi-source BFS with the source as a CTE column."""
+    from usearch_spark.plans.graph_stats import harmonic_centrality
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return harmonic_centrality(v, e, HARMONIC_SOURCES, rounds=4)
+
+
+def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -> str:
+    src_values = ", ".join(f"('{s}')" for s in sources)
+    head = f"""
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+        ),
+        e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        verts AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0),
+        d0 AS MATERIALIZED (SELECT s, s AS id, 0 AS dist FROM (VALUES {src_values}) t(s))
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        d{k} AS MATERIALIZED (
+            SELECT s, id, min(dist) AS dist FROM (
+                SELECT s, id, dist FROM d{p}
+                UNION ALL
+                SELECT d.s, e.dst AS id, d.dist + 1 AS dist
+                FROM d{p} d JOIN e ON e.src = d.id
+            ) GROUP BY s, id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT v.id,
+               coalesce(round(sum(CASE WHEN d.dist > 0
+                                       THEN CAST(1.0 AS DOUBLE) / d.dist END), 6), 0.0) AS harmonic,
+               count(CASE WHEN d.dist > 0 THEN 1 END) AS n_reached
+        FROM verts v LEFT JOIN d{rounds} d ON d.id = v.id
+        GROUP BY v.id
+    """
+    )
+    return "".join(parts)
+
+
+def q_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by PMI over corpus unigram/bigram counts with
+    min-count pruning (operators/text_analysis.top_collocations) — the
+    phrase-mining signal of word2vec's phrase pass."""
+    from usearch_spark.operators.text_analysis import top_collocations
+
+    return top_collocations(_t(spark, sf_dir, "documents"), min_count=3, top_k=20)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (steady-state ingest shape): documents with
+    doc_id >= 400 play the NEW batch, probed against the indexed corpus
+    (doc_id < 400) through the persisted per-sf MinHash index — corpus-side
+    bucket caps, exact-Jaccard verify, no corpus re-hash
+    (operators/dedup.minhash_probe_pairs).  Both sides here filter the same
+    persisted index because per-doc signatures are independent; a live
+    pipeline would hash only the new batch via minhash_index."""
+    from usearch_spark.operators.dedup import minhash_probe_pairs
+
+    sh, banded = _minhash_index_df(spark, sf_dir)
+    is_batch = F.col("id") >= 400
+    pairs = minhash_probe_pairs(
+        sh.filter(is_batch),
+        banded.filter(is_batch),
+        sh.filter(~is_batch),
+        banded.filter(~is_batch),
+        threshold=0.7,
+    )
+    return pairs.select(
+        F.col("a").alias("batch_id"),
+        F.col("b").alias("corpus_id"),
+        F.round(F.col("jaccard"), 4).alias("jaccard"),
+    )
+
+
 def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-search rank fusion: reciprocal-rank fusion (k=60) of the
     tf-idf MATCH ranking and the Okapi BM25 ranking over the same query
@@ -3181,6 +3268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "topic_kmeans": q_topic_kmeans,
         "search_hybrid_rrf": q_search_hybrid_rrf,
+        "dedup_incremental": q_dedup_incremental,
+        "graph_harmonic": q_graph_harmonic,
+        "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
         "sim_ann_ivf_full": q_sim_ann_ivf_full,
@@ -3301,6 +3391,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
+        "graph_harmonic": _harmonic_oracle_sql(),
+        "top_collocations": f"""
+            WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
+            uni AS (
+                SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+            ),
+            big AS (
+                SELECT gram, count(*) AS c2 FROM (
+                    SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                                  ELSE list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+                    FROM tk
+                ) GROUP BY gram
+                HAVING count(*) >= 3
+            ),
+            n1 AS (SELECT sum(c1) AS n1 FROM uni),
+            n2 AS (
+                SELECT sum(len(toks) - 1) FILTER (len(toks) >= 2) AS n2 FROM tk
+            )
+            SELECT b.gram, b.c2 AS n,
+                   round(ln((CAST(b.c2 AS DOUBLE) / n2.n2)
+                            / ((CAST(ua.c1 AS DOUBLE) / n1.n1)
+                               * (CAST(ub.c1 AS DOUBLE) / n1.n1))), 6) AS pmi
+            FROM big b
+            JOIN uni ua ON ua.w = string_split(b.gram, ' ')[1]
+            JOIN uni ub ON ub.w = string_split(b.gram, ' ')[2]
+            CROSS JOIN n1 CROSS JOIN n2
+            ORDER BY pmi DESC, b.gram
+            LIMIT 20
+        """,
+        # Batch-vs-corpus LSH probe: identical signature math to
+        # dedup_minhash_lsh, but candidacy crosses the doc_id-400 split
+        # (batch >= 400 probing corpus < 400).
+        "dedup_incremental": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS term
+                FROM tk
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            sigs AS (
+                SELECT doc_id, s.seed, min(md5(s.seed || ':' || term)) AS sig
+                FROM toks, range(16) s(seed)
+                GROUP BY doc_id, s.seed
+            ),
+            bands AS (
+                SELECT doc_id, seed // 4 AS band,
+                       string_agg(seed || '|' || sig, ',' ORDER BY seed || '|' || sig) AS band_sig
+                FROM sigs GROUP BY doc_id, seed // 4
+            ),
+            cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_sig = y.band_sig
+                 AND x.doc_id >= 400 AND y.doc_id < 400
+            ),
+            inter AS (
+                SELECT c.a, c.b, count(*) AS inter
+                FROM cands c
+                JOIN toks ta ON ta.doc_id = c.a
+                JOIN toks tb ON tb.doc_id = c.b AND tb.term = ta.term
+                GROUP BY c.a, c.b
+            )
+            SELECT i.a AS batch_id, i.b AS corpus_id,
+                   round(i.inter / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.7
+        """,
         # RRF of the MATCH (tf-idf) and BM25 rankings: both scored lists
         # rounded to 4dp (identical to their own oracles), ranked with the
         # (score desc, doc_id) tie-break, cut to top-50, fused with k=60.

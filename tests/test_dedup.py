@@ -107,3 +107,41 @@ def test_simhash_chunks_must_divide(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with pytest.raises(ValueError, match="divide"):
         simhash_near_pairs(df, n_chunks=3)
+
+
+def test_minhash_probe_batch_vs_corpus(spark):
+    """Incremental probe: batch near-dups of corpus docs are found without
+    any batch-batch or corpus-corpus pairs; corpus-side bucket cap drops a
+    boilerplate bucket whole."""
+    from usearch_spark.operators.dedup import minhash_index, minhash_probe_pairs
+
+    corpus_rows = [(i, f"corpus doc {i} alpha bravo charlie delta echo foxtrot{i}") for i in range(20)]
+    # 30-33: corpus boilerplate hub (identical text)
+    corpus_rows += [(30 + i, "terms of service all rights reserved contact") for i in range(4)]
+    batch_rows = [
+        (100, "corpus doc 3 alpha bravo charlie delta echo foxtrot3"),   # dup of 3
+        (101, "terms of service all rights reserved contact"),            # hits the hub
+        (102, "completely novel content nothing shared here at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    c_sh, c_banded = minhash_index(corpus)
+    b_sh, b_banded = minhash_index(batch)
+    c_sh = c_sh.localCheckpoint(eager=True)
+    b_sh = b_sh.localCheckpoint(eager=True)
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_probe_pairs(b_sh, b_banded, c_sh, c_banded, threshold=0.9).collect()
+    }
+    assert (100, 3) in pairs
+    # hub pairs present when the cap allows them (4-doc bucket < cap)...
+    assert {(101, b) for b in (30, 31, 32, 33)} <= pairs
+    assert all(a >= 100 for a, _ in pairs) and all(b < 100 for _, b in pairs)
+
+    # ...and dropped whole when the corpus-side cap excludes the bucket
+    capped = {
+        (r["a"], r["b"])
+        for r in minhash_probe_pairs(b_sh, b_banded, c_sh, c_banded, threshold=0.9, max_bucket=3).collect()
+    }
+    assert (100, 3) in capped and not any(b >= 30 for _, b in capped)

@@ -110,3 +110,33 @@ def test_kcore_k1_keeps_everything_connected(spark):
     v = spark.createDataFrame([(s,) for s in "xyz"], "id string")
     got = {r["id"]: r["core_degree"] for r in kcore_peel(v, e, k=1, rounds=3).collect()}
     assert got == {"x": 1, "y": 2, "z": 1}
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path a-b-c-d: harmonic from sources {a, d} with 3 rounds —
+    hand-computable distances, zeros for the isolated vertex."""
+    from usearch_spark.plans.graph_stats import harmonic_centrality
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)], "id string")
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    got = {
+        r["id"]: (r["harmonic"], r["n_reached"])
+        for r in harmonic_centrality(v, e, ["a", "d"], rounds=3).collect()
+    }
+    # d(a,b)=1 d(d,b)=2 -> 1.5; d(a,c)=2 d(d,c)=1 -> 1.5
+    assert got["b"] == (1.5, 2) and got["c"] == (1.5, 2)
+    # sources see each other at distance 3 (not themselves: dist 0 excluded)
+    assert got["a"] == (round(1 / 3, 6), 1) and got["d"] == (round(1 / 3, 6), 1)
+    assert got["z"] == (0.0, 0)
+
+
+def test_harmonic_rounds_bound(spark):
+    """A source farther than `rounds` hops contributes nothing."""
+    from usearch_spark.plans.graph_stats import harmonic_centrality
+
+    v = spark.createDataFrame([(x,) for x in "abcde"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    got = {r["id"]: r["n_reached"] for r in harmonic_centrality(v, e, ["a"], rounds=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 0, "e": 0}

@@ -388,3 +388,57 @@ def simhash_near_pairs(
     return cands.withColumn("hamming", nib_ham).filter(F.col("hamming") <= max_hamming).select(
         "a", "b", "hamming"
     )
+
+
+def minhash_probe_pairs(
+    batch_sh: DataFrame,
+    batch_banded: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_banded: DataFrame,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a NEW batch of documents
+    and an already-indexed corpus — the steady-state shape of dedup at
+    100 TB, where the corpus index is a persisted artifact
+    (:func:`minhash_index` written to parquet) and each ingest batch only
+    pays for its own hashing plus bucket probes, never a corpus re-hash.
+
+    Candidates: batch band signatures joined against the corpus's banded
+    index, with the bucket cap applied to CORPUS-side bucket sizes (a
+    boilerplate bucket in the corpus would otherwise match every
+    boilerplate batch doc — the same stop-content policy as
+    :func:`lsh_candidate_pairs`).  Verification: exact Jaccard between the
+    batch and corpus shingle sets.
+
+    Output: (a = batch id, b = corpus id, jaccard).
+    """
+    sized = corpus_banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("bucket_n"))
+    ok = corpus_banded.join(
+        sized.filter(F.col("bucket_n") <= max_bucket).select("band", "band_sig"),
+        ["band", "band_sig"],
+        "left_semi",
+    )
+    cands = (
+        batch_banded.select("band", "band_sig", F.col("id").alias("a"))
+        .join(ok.select("band", "band_sig", F.col("id").alias("b")), ["band", "band_sig"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    sz_a = batch_sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a"))
+    sz_b = corpus_sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
+    a_sh = batch_sh.select(F.col("id").alias("a"), "shingle")
+    b_sh = corpus_sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        cands.join(a_sh, "a")
+        .join(b_sh, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz_a.withColumnRenamed("id", "a"), "a")
+        .join(sz_b.withColumnRenamed("id", "b"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

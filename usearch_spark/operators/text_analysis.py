@@ -384,3 +384,58 @@ def unigram_logprob(
         F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
     )
+
+
+def top_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus-wide unigram/bigram
+    counts, ``min_count`` pruning the long noisy tail — the classic
+    phrase-mining signal (word2vec's phrase pass, n-gram LM features).
+
+    Scale shape: two partial-agg token counts (bigram counts keyed by the
+    gram), corpus totals as broadcast 1-row aggregates, and a join of the
+    bigram table against the unigram table on each component word — at
+    100 TB the unigram side is vocabulary-sized and broadcasts.  The PMI
+    expression is evaluated with one fixed association order so any
+    engine reproduces identical doubles.
+
+    Output: (gram, n, pmi), top_k by (pmi desc, gram).
+    """
+    base = docs.select(tokenize(F.col(text_col)).alias("_toks"))
+    uni = (
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)  # feeds totals + two join probes
+    )
+    big = (
+        base.select(F.explode(_grams_all(F.col("_toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    n1 = uni.agg(F.sum("c1").alias("n1"))
+    n2_src = base.select(F.explode(_grams_all(F.col("_toks"), 2)).alias("gram"))
+    n2 = n2_src.agg(F.count(F.lit(1)).alias("n2"))
+    w1 = F.split(F.col("gram"), " ").getItem(0)
+    w2 = F.split(F.col("gram"), " ").getItem(1)
+    joined = (
+        big.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))), "w2")
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2))
+    )
+    pmi = F.log(
+        (F.col("c2") * F.lit(1.0) / F.col("n2"))
+        / ((F.col("ca") * F.lit(1.0) / F.col("n1")) * (F.col("cb") * F.lit(1.0) / F.col("n1")))
+    )
+    scored = joined.select("gram", F.col("c2").alias("n"), F.round(pmi, 6).alias("pmi"))
+    return scored.orderBy(F.col("pmi").desc(), F.col("gram")).limit(top_k)

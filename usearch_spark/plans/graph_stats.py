@@ -176,3 +176,53 @@ def triangles_per_vertex(
             F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def harmonic_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: list,
+    rounds: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Sampled-source harmonic centrality, ``rounds``-bounded: unweighted
+    BFS distances from each source over the undirected edge set, then
+    harmonic(v) = Σ_{s: 0 < d(s,v) <= rounds} 1/d(s,v).
+
+    The sampled-source estimator is how closeness-family centralities run
+    at scale (all-pairs BFS is |V| full traversals); the sample size trades
+    variance for cost.  The multi-source trick: the source id is carried as
+    a STATE DIMENSION (state rows are (s, id, dist)), so every BFS advances
+    in the SAME per-round join — one edges⋈state shuffle per round for the
+    whole sample instead of one loop per source.  Fixed-round form like
+    kcore_peel, so a SQL oracle can unroll the identical recurrence.
+
+    Returns (id, harmonic, n_reached) for every vertex (zeros where no
+    source reaches it).
+    """
+    und = canonical_edges(edges, src, dst)
+    e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    spark = vertices.sparkSession
+    state = spark.createDataFrame([(s, s, 0) for s in sources], "s string, id string, dist int")
+    for _ in range(rounds):
+        msgs = state.join(e, state.id == e.a).select("s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist"))
+        state = (
+            state.unionByName(msgs)
+            .groupBy("s", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    per = state.filter(F.col("dist") > 0).groupBy("id").agg(
+        F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    v = vertices.select(F.col(id_col).alias("id"))
+    return v.join(per, "id", "left").select(
+        "id",
+        F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+        F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
+    )
