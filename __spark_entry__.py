@@ -2928,7 +2928,7 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usearch_spark.plans.graph_stats import project_bipartite
 
     _, edges = _supplier_part_graph(spark, sf_dir)
-    pairs = project_bipartite(edges)
+    pairs = project_bipartite(edges, edges_deduped=True)
     return S.paginate(
         pairs, [F.col("weight").desc(), F.col("a"), F.col("b")], offset=0, size=50
     )

@@ -65,6 +65,7 @@ def project_bipartite(
     dst: str = "dst",
     min_weight: int = 1,
     max_dst_degree: int | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Project a bipartite src→dst edge set onto the src side:
     (a, b, weight) with a < b and weight = number of shared dst vertices.
@@ -76,8 +77,14 @@ def project_bipartite(
     contributes near-zero signal but O(d²) pairs.  At 100 TB this cap is
     what keeps the projection runnable; the weight then undercounts only
     on dropped hubs, which callers opt into explicitly.
+
+    ``edges_deduped``: skip the defensive (s, d) dedup shuffle when the
+    caller's edge set already enforces identity (e.g. the persisted graph
+    artifact) — same contract as pagerank's flag.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).dropDuplicates(["s", "d"])
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not edges_deduped:
+        e = e.dropDuplicates(["s", "d"])
     if max_dst_degree is not None:
         keep = (
             e.groupBy("d")
