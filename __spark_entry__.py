@@ -3171,6 +3171,88 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness (sources s1/s2/s3, 3 BFS rounds)
+    over the undirected supplier↔part graph
+    (plans/graph_stats.betweenness_centrality): level-synchronous σ
+    counting forward, dependency accumulation δ backward, both with the
+    source id as a state dimension.  The oracle unrolls BOTH sweeps as
+    chained CTEs."""
+    from usearch_spark.plans.graph_stats import betweenness_centrality
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return betweenness_centrality(v, e, HARMONIC_SOURCES, rounds=3)
+
+
+def _betweenness_oracle_sql(rounds: int = 3, sources: tuple = ("s1", "s2", "s3")) -> str:
+    """Brandes unrolled: forward CTEs f1..fR grow the per-source BFS with
+    path counts σ (new-frontier-only via NOT EXISTS against the reach so
+    far), backward CTEs bR..b1 push δ = Σ σ_pred/σ_node·(1+δ_node) one
+    level down per step.  Mirrors betweenness_centrality exactly."""
+    src_values = ", ".join(f"('{s}')" for s in sources)
+    parts = [
+        f"""
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+        ),
+        e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        verts AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0),
+        f0 AS MATERIALIZED (
+            SELECT s, s AS id, 0 AS dist, CAST(1 AS DOUBLE) AS sigma
+            FROM (VALUES {src_values}) t(s)
+        ),
+        r0 AS MATERIALIZED (SELECT * FROM f0)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        f{k} AS MATERIALIZED (
+            SELECT d.s, e.dst AS id, {k} AS dist, sum(d.sigma) AS sigma
+            FROM f{p} d JOIN e ON e.src = d.id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM r{p} r WHERE r.s = d.s AND r.id = e.dst
+            )
+            GROUP BY d.s, e.dst
+        ),
+        r{k} AS MATERIALIZED (SELECT * FROM r{p} UNION ALL SELECT * FROM f{k})"""
+        )
+    parts.append(
+        f""",
+        b{rounds + 1} AS MATERIALIZED (
+            SELECT s, id, dist, sigma, CAST(0 AS DOUBLE) AS delta FROM r{rounds}
+        )"""
+    )
+    for lev in range(rounds, 0, -1):
+        parts.append(
+            f""",
+        b{lev} AS MATERIALIZED (
+            SELECT r.s, r.id, r.dist, r.sigma,
+                   r.delta + CASE WHEN r.dist = {lev - 1}
+                                  THEN coalesce(c.add, 0) ELSE 0 END AS delta
+            FROM b{lev + 1} r LEFT JOIN (
+                SELECT w.s, e.src AS pid,
+                       sum(p.sigma / w.sigma * (1 + w.delta)) AS add
+                FROM b{lev + 1} w
+                JOIN e ON e.dst = w.id
+                JOIN b{lev + 1} p ON p.s = w.s AND p.id = e.src AND p.dist = {lev - 1}
+                WHERE w.dist = {lev}
+                GROUP BY w.s, e.src
+            ) c ON c.s = r.s AND c.pid = r.id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT v.id,
+               round(coalesce(sum(CASE WHEN b.id <> b.s THEN b.delta END), 0.0) * 0.5, 6)
+                   AS betweenness
+        FROM verts v LEFT JOIN b1 b ON b.id = v.id
+        GROUP BY v.id
+    """
+    )
+    return "".join(parts)
+
+
 def q_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by PMI over corpus unigram/bigram counts with
     min-count pruning (operators/text_analysis.top_collocations) — the
@@ -3270,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "dedup_incremental": q_dedup_incremental,
         "graph_harmonic": q_graph_harmonic,
+        "graph_betweenness": q_graph_betweenness,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3392,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
+        "graph_betweenness": _betweenness_oracle_sql(),
         "top_collocations": f"""
             WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
             uni AS (

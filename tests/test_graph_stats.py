@@ -140,3 +140,60 @@ def test_harmonic_rounds_bound(spark):
     )
     got = {r["id"]: r["n_reached"] for r in harmonic_centrality(v, e, ["a"], rounds=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 1, "d": 0, "e": 0}
+
+
+def test_betweenness_path_graph_exact(spark):
+    """All-sources Brandes on the path a-b-c-d-e is exact betweenness:
+    bc = [0, 3, 4, 3, 0] (pairs routed through each interior vertex)."""
+    from usearch_spark.plans.graph_stats import betweenness_centrality
+
+    ids = list("abcde")
+    v = spark.createDataFrame([(x,) for x in ids], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(v, e, ids, rounds=4).collect()
+    }
+    assert got == {"a": 0.0, "b": 3.0, "c": 4.0, "d": 3.0, "e": 0.0}
+
+
+def test_betweenness_star_and_split_paths(spark):
+    """Star: the hub carries every pair, C(4,2)=6.  Diamond a-b-d, a-c-d:
+    two equal shortest paths split the (a,d) dependency between b and c."""
+    from usearch_spark.plans.graph_stats import betweenness_centrality
+
+    ids = ["h", "x1", "x2", "x3", "x4"]
+    v = spark.createDataFrame([(x,) for x in ids], "id string")
+    e = spark.createDataFrame([("h", f"x{i}") for i in range(1, 5)], "src string, dst string")
+    got = {r["id"]: r["betweenness"] for r in betweenness_centrality(v, e, ids, rounds=3).collect()}
+    assert got["h"] == 6.0 and all(got[f"x{i}"] == 0.0 for i in range(1, 5))
+
+    ids2 = list("abcd")
+    v2 = spark.createDataFrame([(x,) for x in ids2], "id string")
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], "src string, dst string"
+    )
+    got2 = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(v2, e2, ids2, rounds=3).collect()
+    }
+    # (a,d) has 2 shortest paths -> b and c each carry 1/2 from that pair
+    assert got2 == {"a": 0.5, "b": 0.5, "c": 0.5, "d": 0.5}
+
+
+def test_betweenness_sampled_subset(spark):
+    """Sampling only source 'a' on the path graph counts only pairs with
+    s='a': through b pass (a,c),(a,d),(a,e) -> delta 3, halved to 1.5."""
+    from usearch_spark.plans.graph_stats import betweenness_centrality
+
+    v = spark.createDataFrame([(x,) for x in "abcde"], "id string")
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(v, e, ["a"], rounds=4).collect()
+    }
+    assert got == {"a": 0.0, "b": 1.5, "c": 1.0, "d": 0.5, "e": 0.0}

@@ -233,3 +233,94 @@ def harmonic_centrality(
         F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
         F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
     )
+
+
+def betweenness_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: list,
+    rounds: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    halve_undirected: bool = True,
+) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001, the
+    pivot-sampling estimator of Brandes/Pich 2007): exact dependency
+    accumulation from each source in ``sources``, summed.  With all
+    vertices as sources this IS exact betweenness; a fixed sample is the
+    standard scale estimator (cost = |S| BFS traversals, not |V|).
+
+    Like :func:`harmonic_centrality`, the source id is a state dimension:
+    (s, id, dist, sigma) rows advance every source's level-synchronous BFS
+    in the same per-round join, and the backward sweep accumulates
+    δ(v) = Σ_succ σ_v/σ_w · (1 + δ_w) level by level with the same
+    source-parallel joins.  ``rounds`` bounds the BFS depth (paths longer
+    than ``rounds`` contribute nothing — callers size it to the graph's
+    effective diameter).
+
+    Returns (id, betweenness) for every vertex; for undirected graphs each
+    (s,t) pair is seen from both endpoints when both are sampled, so the
+    conventional /2 is applied unless ``halve_undirected=False``.
+    """
+    und = canonical_edges(edges, src, dst)
+    e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    spark = vertices.sparkSession
+    state = spark.createDataFrame(
+        [(s, s, 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
+    )
+    for r in range(1, rounds + 1):
+        frontier = state.filter(F.col("dist") == r - 1)
+        msgs = (
+            frontier.join(e, frontier.id == e.a)
+            .select("s", F.col("b").alias("id"), F.col("sigma").alias("m"))
+            .groupBy("s", "id")
+            .agg(F.sum("m").alias("sigma"))
+        )
+        fresh = msgs.join(state.select("s", "id"), ["s", "id"], "left_anti").select(
+            "s", "id", F.lit(r).alias("dist"), "sigma"
+        )
+        state = state.unionByName(fresh).localCheckpoint(eager=True)
+
+    delta = state.withColumn("delta", F.lit(0.0))
+    for lev in range(rounds, 0, -1):
+        w = delta.filter(F.col("dist") == lev).select(
+            "s", F.col("id").alias("wid"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
+        )
+        contribs = (
+            w.join(e, w.wid == e.b)
+            .select("s", F.col("a").alias("pid"), "sw", "dw")
+            .join(
+                delta.filter(F.col("dist") == lev - 1).select(
+                    "s", F.col("id").alias("pid"), F.col("sigma").alias("sp")
+                ),
+                ["s", "pid"],
+            )
+            .groupBy("s", "pid")
+            .agg(F.sum(F.col("sp") / F.col("sw") * (F.lit(1.0) + F.col("dw"))).alias("add"))
+        )
+        delta = (
+            delta.join(
+                contribs.withColumnRenamed("pid", "id"), ["s", "id"], "left"
+            )
+            .select(
+                "s",
+                "id",
+                "dist",
+                "sigma",
+                (F.col("delta") + F.when(F.col("dist") == lev - 1, F.coalesce(F.col("add"), F.lit(0.0))).otherwise(F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    per = (
+        delta.filter(F.col("id") != F.col("s"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("bc"))
+    )
+    scale = 0.5 if halve_undirected else 1.0
+    v = vertices.select(F.col(id_col).alias("id"))
+    return v.join(per, "id", "left").select(
+        "id", F.round(F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale), 6).alias("betweenness")
+    )
