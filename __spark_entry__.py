@@ -3171,6 +3171,81 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each order is an update to
+    its customer's current priority, effective at o_orderdate; emit
+    versioned rows with [valid_from, valid_to) ranges via lead() over the
+    per-customer timeline (tie-break o_orderkey) — the warehouse pattern
+    for dimension history.  Open-ended versions close at 9999-12-31.
+    The window partitions by customer, so it scales with the key space."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality audit (operators/audit.py): predicate rules in
+    one scan per table, key-uniqueness, and FK orphan probes over
+    orders/lineitem/customer — the expectation suite a warehouse runs
+    before publishing.  Every check emits (check, n_violations, n_checked)
+    and the report is one unioned DataFrame."""
+    from usearch_spark.operators.audit import duplicate_keys, orphan_rows, rule_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    report = rule_violations(
+        orders,
+        {
+            "orders.nonpositive_total": F.col("o_totalprice") <= 0,
+            "orders.null_custkey": F.col("o_custkey").isNull(),
+        },
+    )
+    report = report.unionByName(
+        rule_violations(
+            lineitem,
+            {
+                "lineitem.nonpositive_qty": F.col("l_quantity") <= 0,
+                "lineitem.discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+                "lineitem.nonpositive_price": F.col("l_extendedprice") <= 0,
+            },
+        )
+    )
+    report = report.unionByName(duplicate_keys(orders, "o_orderkey", "orders.dup_orderkey"))
+    report = report.unionByName(
+        orphan_rows(orders, customer, "o_custkey", "c_custkey", "orders.orphan_custkey")
+    )
+    report = report.unionByName(
+        orphan_rows(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem.orphan_orderkey")
+    )
+    return report
+
+
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user session stats as ``sessionize``, computed by
+    Spark's built-in session_window (merging-window state machine) instead
+    of the lag+cumsum islands form — two independent implementations, one
+    oracle, so the built-in's gap semantics are what gets hash-checked."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
 def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source Brandes betweenness (sources s1/s2/s3, 3 BFS rounds)
     over the undirected supplier↔part graph
@@ -3353,6 +3428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "graph_harmonic": q_graph_harmonic,
         "graph_betweenness": q_graph_betweenness,
+        "sessionize_native": q_sessionize_native,
+        "data_quality_audit": q_data_quality_audit,
+        "scd2_history": q_scd2_history,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3476,6 +3554,53 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "scd2_history": """
+            SELECT o_custkey AS custkey,
+                   o_orderpriority AS priority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                   coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                            '9999-12-31') AS valid_to,
+                   CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM orders
+            WHERE o_custkey < 300
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "data_quality_audit": """
+            SELECT 'orders.nonpositive_total' AS check,
+                   CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_violations,
+                   count(*) AS n_checked
+            FROM orders
+            UNION ALL
+            SELECT 'orders.null_custkey',
+                   CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT), count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem.nonpositive_qty',
+                   CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT), count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.discount_range',
+                   CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT), count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.nonpositive_price',
+                   CAST(count(*) FILTER (l_extendedprice <= 0) AS BIGINT), count(*)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.dup_orderkey',
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT), count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'orders.orphan_custkey',
+                   CAST(count(*) FILTER (c._pk IS NULL) AS BIGINT), count(*)
+            FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+              ON o.o_custkey = c._pk
+            UNION ALL
+            SELECT 'lineitem.orphan_orderkey',
+                   CAST(count(*) FILTER (x._pk IS NULL) AS BIGINT), count(*)
+            FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) x
+              ON l.l_orderkey = x._pk
+        """,
         "top_collocations": f"""
             WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
             uni AS (
@@ -5130,7 +5255,10 @@ def oracle_sql() -> dict[str, str]:
 
 def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     """The full-probe ANN companions must equal brute force by construction,
-    so they share sim_cosine_topk's exact oracle verbatim."""
+    so they share sim_cosine_topk's exact oracle verbatim; likewise the
+    built-in session_window query must reproduce the lag+cumsum islands
+    form, so it shares sessionize's oracle."""
     oracles["sim_ann_lsh_full"] = oracles["sim_cosine_topk"]
     oracles["sim_ann_ivf_full"] = oracles["sim_cosine_topk"]
+    oracles["sessionize_native"] = oracles["sessionize"]
     return oracles
