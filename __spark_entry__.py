@@ -3171,6 +3171,27 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture planning (operators/corpus.mixture_weights):
+    even-numbered sources get weight 2, odd weight 1; 100k-token budget.
+    Per source: supply, target share, sampling rate, expected yield."""
+    from usearch_spark.operators.corpus import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(2.0)).otherwise(F.lit(1.0))
+    return mixture_weights(docs, w, token_budget=100_000)
+
+
+def q_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this for doc 0: tf-idf cosine over the persistent
+    bucketed postings (operators/search.more_like_this) — the term-space
+    dual of sim_cosine_topk, same index as MATCH/BM25."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    return S.more_like_this(postings, dfreq, docs.count(), query_doc=0, id_col="doc_id", top_k=10)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build: each order is an update to
     its customer's current priority, effective at o_orderdate; emit
@@ -3431,6 +3452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_native": q_sessionize_native,
         "data_quality_audit": q_data_quality_audit,
         "scd2_history": q_scd2_history,
+        "corpus_mix": q_corpus_mix,
+        "search_mlt": q_search_mlt,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3554,6 +3577,51 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "corpus_mix": f"""
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                       max(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                                THEN 2.0 ELSE 1.0 END) AS w
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM per)
+            SELECT source, n_docs, n_tokens,
+                   round(w / tw, 6) AS target_share,
+                   round(least(CAST(1.0 AS DOUBLE), (w / tw) * 100000 / n_tokens), 6) AS sample_rate,
+                   CAST(floor(least(CAST(1.0 AS DOUBLE), (w / tw) * 100000 / n_tokens) * n_tokens) AS BIGINT)
+                       AS expected_tokens
+            FROM per, tot
+        """,
+        "search_mlt": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY doc_id, term
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            w AS (
+                SELECT doc_id, term,
+                       tf * ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS w
+                FROM tf
+                JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term) d USING (term)
+                CROSS JOIN n
+            ),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+            qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
+            dots AS (
+                SELECT w.doc_id, sum(w.w * qv.qw) AS dot
+                FROM w JOIN qv USING (term) GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   round(d.dot / (nd.nrm * nq.nrm), 6) AS similarity
+            FROM dots d
+            JOIN norms nd ON nd.doc_id = d.doc_id
+            JOIN (SELECT nrm FROM norms WHERE doc_id = 0) nq ON TRUE
+            WHERE d.doc_id <> 0
+            ORDER BY similarity DESC, d.doc_id
+            LIMIT 10
+        """,
         "scd2_history": """
             SELECT o_custkey AS custkey,
                    o_orderpriority AS priority,

@@ -272,3 +272,49 @@ def label_centroids(
         F.round(F.col("_sum").cast("double") / F.col("n_vecs"), round_to).alias("centroid"),
         "n_vecs",
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    weight: Column,
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pretraining-mixture planning: given per-source target weights and a
+    total token budget, compute each source's target share, the sampling
+    rate that hits it, and the expected token yield (capped at the
+    source's actual supply) — the arithmetic behind 'sample The Pile at
+    these proportions'.
+
+    One partial-agg scan (per-source doc/token counts), then broadcast
+    1-row totals; floor() for the integer yields so both engines agree on
+    ties.  Output: (source, n_docs, n_tokens, target_share, sample_rate,
+    expected_tokens).
+    """
+    from usearch_spark.operators.text_analysis import word_token_count
+
+    per = (
+        docs.select(F.col(source_col).alias("source"), weight.alias("w"), word_token_count(text_col).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.max("w").alias("w"),
+        )
+    )
+    tot = per.agg(F.sum("w").alias("tw"))
+    share = F.col("w") / F.col("tw")
+    target_tokens = share * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), target_tokens / F.col("n_tokens"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("target_share"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(rate * F.col("n_tokens")).cast("long").alias("expected_tokens"),
+        )
+    )

@@ -342,6 +342,47 @@ def rrf_fuse(
     )
 
 
+def more_like_this(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    query_doc: int,
+    id_col: str = "link_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """More-like-this: rank documents by tf-idf cosine similarity to one
+    query document — the term-space dual of embedding similarity, served
+    from the same postings table as MATCH/BM25.
+
+    Scale shape: the tf-idf weighting join (postings ⋈ dfreq) keys on term,
+    which is the postings table's bucket column, so it plans Exchange-free;
+    the query document's vector is a handful of rows and BROADCASTS into
+    the dot-product join; norms are one partial-agg pass.  Result is a
+    bounded TakeOrderedAndProject.
+
+    Output: (id_col, similarity) — top_k by (similarity desc, id), the
+    query document itself excluded.
+    """
+    vec = postings.join(dfreq, "term").select(
+        id_col, "term", (F.col("tf") * idf_column(n_docs, F.col("df"))).alias("w")
+    )
+    qv = vec.filter(F.col(id_col) == query_doc).select("term", F.col("w").alias("qw"))
+    norms = vec.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    qnorm = norms.filter(F.col(id_col) == query_doc).select(F.col("nrm").alias("qnrm"))
+    dots = (
+        vec.join(F.broadcast(qv), "term")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qnorm))
+        .filter(F.col(id_col) != query_doc)
+        .select(id_col, F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("similarity"))
+    )
+    return paginate(scored, [F.col("similarity").desc(), F.col(id_col)], 0, top_k)
+
+
 def save_postings_bucketed(
     postings: DataFrame, table: str, buckets: int = 16, path: str | None = None
 ) -> None:
