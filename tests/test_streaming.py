@@ -379,3 +379,53 @@ def test_watermark_drops_late_cohort(spark):
     assert got == ontime
     n_dropped = sum(full.values()) - sum(got.values())
     assert n_dropped > 0, "late cohort empty at this sf — test is vacuous"
+
+
+def test_watermark_drop_metric_matches_cohort(spark):
+    """Spark's OWN state-operator accounting must agree with the closed
+    form.  Subtlety this test pins: numRowsDroppedByWatermark counts rows
+    arriving at the STATE operator — i.e. after map-side partial
+    aggregation — so with the late batch in one input split the count is
+    the number of distinct (window, event_type) groups in the late
+    cohort, not the raw late-row count."""
+    import os
+    import uuid
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    # ensure the replay artifact exists (builds on first call)
+    E.q_events_watermark_late(spark, sf).count()
+    base = os.path.join(E._ARTIFACT_DIR, f"wm_replay_{E._sf_token(sf)}")
+
+    stream = (
+        spark.readStream.schema("ts_us long, event_type string, value double")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    agg = (
+        stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wm_metric_{uuid.uuid4().hex[:6]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+
+    late = spark.read.parquet(os.path.join(base, "batch2.parquet"))
+    expected_groups = (
+        late.select(F.date_trunc("hour", F.timestamp_micros("ts_us")).alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert expected_groups > 0 and dropped == expected_groups
