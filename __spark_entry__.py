@@ -3171,6 +3171,35 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query auto-complete: top-10 vocabulary terms with prefix 's' by
+    document frequency, from the postings dfreq aggregate
+    (operators/search.suggest_terms)."""
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    return S.suggest_terms(dfreq, "s", top_k=10)
+
+
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR) ranking for the query terms over positional
+    postings: docs containing both terms ranked by minimum token span
+    (operators/search.proximity_rank)."""
+    docs = _t(spark, sf_dir, "documents")
+    positional = S.build_positional_postings(docs, id_col="doc_id", text_cols=("text",))
+    return S.proximity_rank(positional, SEARCH_TERMS[0], SEARCH_TERMS[1], id_col="doc_id", top_k=10)
+
+
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term lookup for the typo 'sow' (edit distance <= 1):
+    SymSpell deletion-neighborhood candidates + exact levenshtein verify
+    (operators/search.fuzzy_match_terms); the oracle applies the plain
+    levenshtein filter over the vocabulary — the neighborhood must lose
+    nothing."""
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    return S.fuzzy_match_terms(dfreq, "sow", max_results=10)
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-mixture planning (operators/corpus.mixture_weights):
     even-numbered sources get weight 2, odd weight 1; 100k-token budget.
@@ -3454,6 +3483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "corpus_mix": q_corpus_mix,
         "search_mlt": q_search_mlt,
+        "search_suggest": q_search_suggest,
+        "search_proximity": q_search_proximity,
+        "search_fuzzy": q_search_fuzzy,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3577,6 +3609,45 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "search_suggest": f"""
+            WITH tf AS (
+                SELECT doc_id, term FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT term, df FROM dfreq
+            WHERE term LIKE 's%'
+            ORDER BY df DESC, term
+            LIMIT 10
+        """,
+        "search_proximity": f"""
+            WITH pos AS (
+                SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS term
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            ),
+            a AS (SELECT doc_id, pos AS pa FROM pos WHERE term = 'spark'),
+            b AS (SELECT doc_id, pos AS pb FROM pos WHERE term = 'join'),
+            spans AS (
+                SELECT a.doc_id, abs(a.pa - b.pb) AS span
+                FROM a JOIN b USING (doc_id)
+            )
+            SELECT doc_id, min(span) AS min_span, count(*) AS n_pairs
+            FROM spans GROUP BY doc_id
+            ORDER BY min_span, doc_id
+            LIMIT 10
+        """,
+        "search_fuzzy": f"""
+            WITH tf AS (
+                SELECT doc_id, term FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT term, df, levenshtein(term, 'sow') AS dist
+            FROM dfreq
+            WHERE levenshtein(term, 'sow') <= 1
+            ORDER BY dist, df DESC, term
+            LIMIT 10
+        """,
         "corpus_mix": f"""
             WITH per AS (
                 SELECT source, count(*) AS n_docs,

@@ -342,6 +342,89 @@ def rrf_fuse(
     )
 
 
+def suggest_terms(
+    dfreq: DataFrame,
+    prefix: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Query auto-complete: vocabulary terms with the given prefix ranked
+    by document frequency — served straight from the dfreq aggregate of
+    the postings table (vocabulary-sized input, the prefix filter prunes
+    before the bounded top-k).  Output (term, df)."""
+    hits = dfreq.filter(F.col("term").startswith(prefix))
+    return paginate(hits, [F.col("df").desc(), F.col("term")], 0, top_k)
+
+
+def proximity_rank(
+    positional: DataFrame,
+    term_a: str,
+    term_b: str,
+    id_col: str = "link_id",
+    top_k: int = 10,
+    max_span: int | None = None,
+) -> DataFrame:
+    """Proximity ranking: documents containing BOTH terms, ranked by the
+    minimum token distance between any occurrence pair — the span signal
+    behind NEAR()/slop operators.
+
+    Scale shape: each term's posting list is filtered from the positional
+    index first (term-keyed, prunable), then the per-document occurrence
+    join is bounded by per-doc term frequency, never corpus size.
+
+    Output: (id, min_span, n_pairs) top_k by (min_span asc, id).
+    """
+    a = positional.filter(F.col("term") == term_a).select(id_col, F.col("pos").alias("pa"))
+    b = positional.filter(F.col("term") == term_b).select(id_col, F.col("pos").alias("pb"))
+    pairs = a.join(b, id_col).select(id_col, F.abs(F.col("pa") - F.col("pb")).alias("span"))
+    per = pairs.groupBy(id_col).agg(
+        F.min("span").alias("min_span"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    if max_span is not None:
+        per = per.filter(F.col("min_span") <= max_span)
+    return paginate(per, [F.col("min_span"), F.col(id_col)], 0, top_k)
+
+
+def fuzzy_match_terms(
+    dfreq: DataFrame,
+    query_term: str,
+    max_results: int = 10,
+) -> DataFrame:
+    """Fuzzy vocabulary lookup (edit distance <= 1): SymSpell-style
+    deletion-neighborhood candidate generation — the query term and every
+    vocabulary term emit their single-deletion variants; sharing a variant
+    is a necessary condition for edit distance <= 1 — then an exact
+    levenshtein verify.
+
+    Scale shape: the vocabulary side explodes to (len+1) variant rows per
+    term ONCE (index-time at scale), the query side is a handful of
+    literals joined by variant, and the verify is per-candidate.  No scan
+    of the corpus, no cross join of the vocabulary.
+
+    Output: (term, df, dist) top by (dist asc, df desc, term).
+    """
+    spark = dfreq.sparkSession
+    q = query_term
+    q_variants = [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
+    qv = spark.createDataFrame([(v,) for v in sorted(set(q_variants))], "variant string")
+    t = F.col("term")
+    idx = F.sequence(F.lit(0), F.length(t))
+    variants = F.transform(
+        idx,
+        lambda i: F.when(i == 0, t).otherwise(
+            F.concat(F.substring(t, F.lit(1), i - 1), F.substring(t, i + 1, F.length(t)))
+        ),
+    )
+    vocab_v = dfreq.select("term", "df", F.explode(F.array_distinct(variants)).alias("variant"))
+    cands = (
+        vocab_v.join(F.broadcast(qv), "variant")
+        .select("term", "df")
+        .dropDuplicates(["term"])
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("dist") <= 1)
+    )
+    return paginate(cands, [F.col("dist"), F.col("df").desc(), F.col("term")], 0, max_results)
+
+
 def more_like_this(
     postings: DataFrame,
     dfreq: DataFrame,
