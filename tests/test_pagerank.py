@@ -14,6 +14,7 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
 from usearch_spark.plans.pagerank import pagerank
 
 CASES = [
@@ -236,3 +237,62 @@ def test_weighted_pagerank_local_matches_distributed(spark):
     sd = {r["id"]: r["score"] for r in rd.state.collect()}
     for k in sl:
         assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12)
+
+
+def _rand_graph(spark, n=400, seed=7):
+    v = spark.range(n).select(F.col("id").cast("string"))
+    deg = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(5)) + F.lit(1)
+    e = (
+        spark.range(n)
+        .select(F.col("id"), F.explode(F.sequence(F.lit(1), deg)).alias("k"))
+        .select(
+            F.col("id").cast("string").alias("src"),
+            F.pmod(F.xxhash64(F.col("id"), F.col("k"), F.lit(seed)), F.lit(n))
+            .cast("string")
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return v, e
+
+
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_pagerank_warm_start_converges_fast_same_fixpoint(spark, strategy):
+    """The incremental hourly-pass shape: seeding from the previous pass's
+    converged ranks must (a) converge in a small fraction of the cold
+    step count and (b) land on the same fixpoint."""
+    v, e = _rand_graph(spark)
+    cold = pagerank(v, e, strategy=strategy, edges_deduped=True)
+    assert cold.converged and cold.steps >= 4
+
+    warm = pagerank(
+        v, e, strategy=strategy, edges_deduped=True, init_scores=cold.state
+    )
+    assert warm.converged and warm.steps <= 2
+
+    c = {r["id"]: r["score"] for r in cold.state.collect()}
+    w = {r["id"]: r["score"] for r in warm.state.collect()}
+    assert max(abs(c[k] - w[k]) for k in c) < 1e-3
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_warm_start_graph_churn(spark):
+    """Warm start on a CHANGED graph: new vertices join at 1/N, the vector
+    renormalizes, and the result matches a cold run on the new graph."""
+    v, e = _rand_graph(spark, n=300)
+    prev = pagerank(v, e, strategy="local", edges_deduped=True)
+
+    spark2 = v.sparkSession
+    v2 = spark2.range(330).select(F.col("id").cast("string"))
+    extra = spark2.range(300, 330).select(
+        F.col("id").cast("string").alias("src"), F.lit("0").alias("dst")
+    )
+    e2 = e.unionByName(extra)
+    warm = pagerank(v2, e2, strategy="local", edges_deduped=True, init_scores=prev.state)
+    cold = pagerank(v2, e2, strategy="local", edges_deduped=True)
+    cw = {r["id"]: r["score"] for r in cold.state.collect()}
+    ww = {r["id"]: r["score"] for r in warm.state.collect()}
+    assert set(cw) == set(ww)
+    assert max(abs(cw[k] - ww[k]) for k in cw) < 2e-3
+    assert abs(sum(ww.values()) - 1.0) < 1e-6
