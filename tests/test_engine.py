@@ -144,3 +144,16 @@ def test_streaming_crawl_loop_resumes_from_table_state(spark, tmp_path):
         q2.stop()
     urls2 = {r["url"] for r in eng.documents().select("url").collect()}
     assert extra in urls2
+
+
+def test_pagerank_pass_warm_start_fewer_steps(engine):
+    """The hourly-cadence shape: a second pass over the unchanged graph
+    seeds from the persisted scores and converges in fewer supersteps,
+    landing on the same scores."""
+    before = {r["url"]: r["pagerank"] for r in engine.documents().collect()}
+    cold_steps = engine.run_pagerank_pass(warm_start=False)
+    warm_steps = engine.run_pagerank_pass(warm_start=True)
+    assert warm_steps < cold_steps
+    after = {r["url"]: r["pagerank"] for r in engine.documents().collect()}
+    assert set(before) == set(after)
+    assert all(abs(before[u] - after[u]) < 1e-3 for u in before)

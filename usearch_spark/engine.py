@@ -104,19 +104,37 @@ class USearchEngine:
 
         return periodic_crawl_stream(self.spark, tick, interval)
 
-    def run_pagerank_pass(self, min_sad: float = 0.001, damping: float = 0.85) -> int:
+    def run_pagerank_pass(
+        self, min_sad: float = 0.001, damping: float = 0.85, warm_start: bool = True
+    ) -> int:
         """ST3: the reference pagerank service pass — whole-graph PageRank,
         scores merged into the documents table (one MERGE instead of the
-        reference's per-doc network round-trips)."""
+        reference's per-doc network round-trips).
+
+        ``warm_start``: seed from the scores persisted by the PREVIOUS pass
+        (documents table pagerank column) — on the reference's hourly
+        cadence the graph barely changes between passes, so the SAD
+        criterion converges in a couple of steps instead of 10+.  The
+        fixpoint is identical either way; pass False to force the cold
+        uniform start."""
         links = self.graph.links()
         if links is None:
             return 0
         edges = self.graph.edges()
+        init = None
+        if warm_start:
+            docs = self.documents()
+            if docs is not None and "pagerank" in docs.columns:
+                prev = docs.select(
+                    F.col("link_id").alias("id"), F.col("pagerank").alias("score")
+                ).filter(F.col("score").isNotNull())
+                init = prev
         res = pagerank(
             links.select("id"),
             edges if edges is not None else self.spark.createDataFrame([], "src string, dst string"),
             damping=damping,
             min_sad=min_sad,
+            init_scores=init,
         )
         ranks = res.state.select(F.col("id").alias("link_id"), F.col("score"))
         self._write_documents(update_scores(self.documents(), ranks))
