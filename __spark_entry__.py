@@ -3171,6 +3171,36 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_corpus_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test split: near-duplicate documents must land
+    in the SAME split (otherwise held-out examples leak through their
+    training-set near-copies).  Composition of the engine's own pieces:
+    2-gram Jaccard >= 0.6 pairs (doc_id < 200 slice, as dedup_clusters) →
+    connected components → split on md5(cluster canonical id), so every
+    member of a near-dup cluster follows its canonical doc.  Output:
+    per-split document counts + how many grouped (multi-doc-cluster) docs
+    moved with their cluster."""
+    from usearch_spark.operators.corpus import resolve_duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.6, max_shingle_df=None)
+    clusters = resolve_duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    with_cluster = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 7), 16, 10).cast("long") % 10
+    )
+    split = (
+        F.when(bucket == 0, F.lit("test")).when(bucket == 1, F.lit("val")).otherwise(F.lit("train"))
+    )
+    return (
+        with_cluster.select(split.alias("split"), (F.col("cluster_id") != F.col("doc_id")).cast("int").alias("grouped"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("grouped").alias("n_grouped"))
+    )
+
+
 def q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query auto-complete: top-10 vocabulary terms with prefix 's' by
     document frequency, from the postings dfreq aggregate
@@ -3486,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggest": q_search_suggest,
         "search_proximity": q_search_proximity,
         "search_fuzzy": q_search_fuzzy,
+        "corpus_split_leakfree": q_corpus_split_leakfree,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3609,6 +3640,57 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "corpus_split_leakfree": f"""
+            WITH RECURSIVE tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 2 THEN []
+                              ELSE list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]) END) AS shingle
+                FROM tk
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            jp AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.6
+            ),
+            und AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM jp UNION SELECT b, a FROM jp) t(a, d)),
+            reach(s, d) AS (
+                SELECT s, d FROM und
+                UNION
+                SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            ),
+            comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+            assigned AS (
+                SELECT t.doc_id, coalesce(c.cluster_id, t.doc_id) AS cluster_id
+                FROM tk t LEFT JOIN comp c USING (doc_id)
+            ),
+            b AS (
+                SELECT doc_id, cluster_id,
+                       (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16777216
+                     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 1048576
+                     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 65536
+                     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 5, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 6, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 7, 1)) - 1) AS h
+                FROM assigned
+            )
+            SELECT CASE h % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN cluster_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_grouped
+            FROM b
+            GROUP BY 1
+        """,
         "search_suggest": f"""
             WITH tf AS (
                 SELECT doc_id, term FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
