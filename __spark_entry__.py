@@ -3171,6 +3171,34 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (the RefinedWeb/CCNet line-dedup shape at
+    chunk granularity): 64-token sliding chunks, identical chunks keep only
+    their FIRST occurrence (min (doc_id, chunk_id) — deterministic), and
+    each document reports how much of it survived.  One groupBy on the
+    chunk hash + a join back; no windows."""
+    from usearch_spark.operators.pack import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48)
+    key = (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("k")
+    first = chunks.select("chunk_md5", key).groupBy("chunk_md5").agg(
+        F.min("k").alias("first_k"), F.count(F.lit(1)).alias("n_copies")
+    )
+    flagged = chunks.select("doc_id", "chunk_id", "n_tokens", "chunk_md5", key).join(
+        first, "chunk_md5"
+    )
+    keep = (F.col("k") == F.col("first_k")).cast("int")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(keep).alias("n_kept"),
+            F.sum((F.lit(1) - keep) * F.col("n_tokens")).alias("tokens_dropped"),
+        )
+    )
+
+
 def q_corpus_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leak-free train/val/test split: near-duplicate documents must land
     in the SAME split (otherwise held-out examples leak through their
@@ -3517,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_proximity": q_search_proximity,
         "search_fuzzy": q_search_fuzzy,
         "corpus_split_leakfree": q_corpus_split_leakfree,
+        "dedup_chunks": q_dedup_chunks,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3640,6 +3669,31 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "dedup_chunks": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(s / 48 AS INT) AS chunk_id,
+                       len(toks[s+1 : s+64]) AS n_tokens,
+                       md5(array_to_string(toks[s+1 : s+64], ' ')) AS chunk_md5
+                FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s FROM tk)
+                WHERE len(toks[s+1 : s+64]) > 0
+            ),
+            first AS (
+                SELECT chunk_md5, min(doc_id * 100000 + chunk_id) AS first_k
+                FROM chunks GROUP BY chunk_md5
+            )
+            SELECT c.doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN c.doc_id * 100000 + c.chunk_id = f.first_k
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN c.doc_id * 100000 + c.chunk_id = f.first_k
+                                 THEN 0 ELSE c.n_tokens END) AS BIGINT) AS tokens_dropped
+            FROM chunks c JOIN first f USING (chunk_md5)
+            GROUP BY c.doc_id
+        """,
         "corpus_split_leakfree": f"""
             WITH RECURSIVE tk AS (
                 SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
