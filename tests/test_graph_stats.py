@@ -112,16 +112,18 @@ def test_kcore_k1_keeps_everything_connected(spark):
     assert got == {"x": 1, "y": 2, "z": 1}
 
 
-def test_harmonic_centrality_path_graph(spark):
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_harmonic_centrality_path_graph(spark, strategy):
     """Path a-b-c-d: harmonic from sources {a, d} with 3 rounds —
-    hand-computable distances, zeros for the isolated vertex."""
+    hand-computable distances, zeros for the isolated vertex.  Both the
+    numpy local solver and the per-round loop must hit the goldens."""
     from usearch_spark.plans.graph_stats import harmonic_centrality
 
     v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)], "id string")
     e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
     got = {
         r["id"]: (r["harmonic"], r["n_reached"])
-        for r in harmonic_centrality(v, e, ["a", "d"], rounds=3).collect()
+        for r in harmonic_centrality(v, e, ["a", "d"], rounds=3, strategy=strategy).collect()
     }
     # d(a,b)=1 d(d,b)=2 -> 1.5; d(a,c)=2 d(d,c)=1 -> 1.5
     assert got["b"] == (1.5, 2) and got["c"] == (1.5, 2)
@@ -142,9 +144,11 @@ def test_harmonic_rounds_bound(spark):
     assert got == {"a": 0, "b": 1, "c": 1, "d": 0, "e": 0}
 
 
-def test_betweenness_path_graph_exact(spark):
+@pytest.mark.parametrize("strategy", ["local", "distributed"])
+def test_betweenness_path_graph_exact(spark, strategy):
     """All-sources Brandes on the path a-b-c-d-e is exact betweenness:
-    bc = [0, 3, 4, 3, 0] (pairs routed through each interior vertex)."""
+    bc = [0, 3, 4, 3, 0] (pairs routed through each interior vertex).
+    Both physical strategies must hit the goldens."""
     from usearch_spark.plans.graph_stats import betweenness_centrality
 
     ids = list("abcde")
@@ -154,7 +158,7 @@ def test_betweenness_path_graph_exact(spark):
     )
     got = {
         r["id"]: r["betweenness"]
-        for r in betweenness_centrality(v, e, ids, rounds=4).collect()
+        for r in betweenness_centrality(v, e, ids, rounds=4, strategy=strategy).collect()
     }
     assert got == {"a": 0.0, "b": 3.0, "c": 4.0, "d": 3.0, "e": 0.0}
 
@@ -177,7 +181,7 @@ def test_betweenness_star_and_split_paths(spark):
     )
     got2 = {
         r["id"]: r["betweenness"]
-        for r in betweenness_centrality(v2, e2, ids2, rounds=3).collect()
+        for r in betweenness_centrality(v2, e2, ids2, rounds=3, strategy="local").collect()
     }
     # (a,d) has 2 shortest paths -> b and c each carry 1/2 from that pair
     assert got2 == {"a": 0.5, "b": 0.5, "c": 0.5, "d": 0.5}

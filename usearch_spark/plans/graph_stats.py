@@ -185,6 +185,119 @@ def triangles_per_vertex(
     )
 
 
+def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> DataFrame:
+    """Single-task numpy solve for the sampled-source BFS family — the same
+    adaptive escape hatch as pagerank's local strategy: below
+    LOCAL_SOLVE_MAX_ROWS the per-round scheduling floor dwarfs the math, so
+    vertices+edges stream through ONE mapInPandas task that runs the
+    identical rounds-bounded recurrence (harmonic sums or Brandes
+    sigma/delta sweeps) with array ops.  ``e`` must already be the
+    both-directions edge list; output schema matches the distributed path
+    exactly (parity pinned in tests)."""
+    id_type = dict(vertices.dtypes)[vertices.columns[0]]
+    payload = vertices.select(
+        F.col(vertices.columns[0]).alias("a"), F.lit(None).cast(id_type).alias("b")
+    ).unionByName(e.select(F.col("a"), F.col("b")))
+    srcs = list(sources)
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame({"a": [], "b": []})
+        is_edge = df["b"].notna()
+        vids = df.loc[~is_edge, "a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        idx = pd.Series(np.arange(nv), index=vids)
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
+        known = ~np.isnan(src_f) & ~np.isnan(dst_f)
+        es = src_f[known].astype("int64")
+        ed = dst_f[known].astype("int64")
+        # CSR adjacency
+        order = np.argsort(es, kind="stable")
+        es, ed = es[order], ed[order]
+        ptr = np.zeros(nv + 1, dtype="int64")
+        np.add.at(ptr, es + 1, 1)
+        ptr = np.cumsum(ptr)
+
+        harmonic = np.zeros(nv)
+        reached = np.zeros(nv, dtype="int64")
+        bc = np.zeros(nv)
+        for s in srcs:
+            if s not in idx.index:
+                continue
+            s_i = int(idx[s])
+            dist = np.full(nv, -1, dtype="int64")
+            sigma = np.zeros(nv)
+            dist[s_i] = 0
+            sigma[s_i] = 1.0
+            frontier = np.array([s_i], dtype="int64")
+            levels = [frontier]
+            for lev in range(1, rounds + 1):
+                # neighbors of the frontier, with per-edge sigma credit
+                segs = [np.arange(ptr[u], ptr[u + 1]) for u in frontier]
+                if not segs:
+                    levels.append(np.array([], dtype="int64"))
+                    continue
+                eidx = np.concatenate(segs)
+                nbr = ed[eidx]
+                srcs_of = es[eidx]
+                fresh_mask = dist[nbr] == -1
+                newly = np.unique(nbr[fresh_mask])
+                # sigma: sum over edges from dist==lev-1 into each new node
+                useful = (dist[srcs_of] == lev - 1) & (np.isin(nbr, newly))
+                np.add.at(sigma, nbr[useful], sigma[srcs_of[useful]])
+                dist[newly] = lev
+                frontier = newly
+                levels.append(newly)
+            hit = dist > 0
+            harmonic[hit] += 1.0 / dist[hit]
+            reached += hit.astype("int64")
+            if mode == "betweenness":
+                delta = np.zeros(nv)
+                for lev in range(rounds, 0, -1):
+                    w_nodes = levels[lev] if lev < len(levels) else np.array([], dtype="int64")
+                    if len(w_nodes) == 0:
+                        continue
+                    segs = [np.arange(ptr[w], ptr[w + 1]) for w in w_nodes]
+                    eidx = np.concatenate(segs) if segs else np.array([], dtype="int64")
+                    w_of = es[eidx]
+                    p_of = ed[eidx]
+                    pred = dist[p_of] == lev - 1
+                    contrib = sigma[p_of[pred]] / sigma[w_of[pred]] * (1.0 + delta[w_of[pred]])
+                    np.add.at(delta, p_of[pred], contrib)
+                mask = np.ones(nv, dtype=bool)
+                mask[s_i] = False
+                bc[mask] += delta[mask]
+        if mode == "harmonic":
+            out = pd.DataFrame({"id": vids, "harmonic": harmonic, "n_reached": reached})
+        else:
+            out = pd.DataFrame({"id": vids, "betweenness": bc * 0.5})
+        yield out
+
+    schema = (
+        f"id {id_type}, harmonic double, n_reached long"
+        if mode == "harmonic"
+        else f"id {id_type}, betweenness double"
+    )
+    raw = payload.coalesce(1).mapInPandas(solve, schema=schema).localCheckpoint(eager=True)
+    # round in Spark, not numpy: np.round is half-even while F.round is
+    # half-up — the distributed path and the SQL oracles use the latter
+    if mode == "harmonic":
+        return raw.select("id", F.round("harmonic", 6).alias("harmonic"), "n_reached")
+    return raw.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
 def harmonic_centrality(
     vertices: DataFrame,
     edges: DataFrame,
@@ -193,6 +306,7 @@ def harmonic_centrality(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Sampled-source harmonic centrality, ``rounds``-bounded: unweighted
     BFS distances from each source over the undirected edge set, then
@@ -208,11 +322,24 @@ def harmonic_centrality(
 
     Returns (id, harmonic, n_reached) for every vertex (zeros where no
     source reaches it).
+
+    ``strategy``: like pagerank — "auto" runs the identical recurrence as
+    a single-task numpy solve below LOCAL_SOLVE_MAX_ROWS (the per-round
+    scheduling floor dwarfs the math there); "distributed" forces the
+    per-round DataFrame loop.
     """
+    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS
+
     und = canonical_edges(edges, src, dst)
     e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
         eager=True
     )
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    if strategy == "auto":
+        n_rows = v.count() + e.count()
+        strategy = "local" if n_rows <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _local_bfs_frame(v, e, sources, rounds, "harmonic")
     spark = vertices.sparkSession
     state = spark.createDataFrame([(s, s, 0) for s in sources], "s string, id string, dist int")
     for _ in range(rounds):
@@ -244,6 +371,7 @@ def betweenness_centrality(
     src: str = "src",
     dst: str = "dst",
     halve_undirected: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Sampled-source betweenness centrality (Brandes 2001, the
     pivot-sampling estimator of Brandes/Pich 2007): exact dependency
@@ -267,6 +395,18 @@ def betweenness_centrality(
     e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
         eager=True
     )
+    if not halve_undirected:
+        # the local solver hard-codes the undirected /2; keep the flag's
+        # semantics by forcing the distributed path for the rare caller
+        strategy = "distributed" if strategy == "auto" else strategy
+    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS
+
+    v_in = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    if strategy == "auto":
+        n_rows = v_in.count() + e.count()
+        strategy = "local" if n_rows <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        return _local_bfs_frame(v_in, e, sources, rounds, "betweenness")
     spark = vertices.sparkSession
     state = spark.createDataFrame(
         [(s, s, 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
