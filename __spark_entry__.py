@@ -3171,6 +3171,27 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-10 cosine neighbors of vec 0 among
+    vectors with label = 3 only — the metadata-constrained ANN query every
+    vector store serves.  Exact form here (filter + brute top-k; the
+    filter prunes before scoring); on the IVF index the same filter
+    applies post-probe because the cluster partitions retain metadata
+    columns."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    scored = (
+        emb.filter((F.col("label") == 3) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup (the RefinedWeb/CCNet line-dedup shape at
     chunk granularity): 64-token sliding chunks, identical chunks keep only
@@ -3546,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": q_search_fuzzy,
         "corpus_split_leakfree": q_corpus_split_leakfree,
         "dedup_chunks": q_dedup_chunks,
+        "sim_filtered_topk": q_sim_filtered_topk,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3669,6 +3691,27 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "sim_filtered_topk": """
+            WITH e AS (
+                SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            q AS (SELECT x, i FROM e WHERE vec_id = 0),
+            cand AS (SELECT * FROM e WHERE label = 3 AND vec_id <> 0),
+            dots AS (
+                SELECT c.vec_id, max(c.label) AS label,
+                       sum(c.x * q.x) AS dot,
+                       sqrt(sum(c.x * c.x)) AS nrm
+                FROM cand c JOIN q USING (i)
+                GROUP BY c.vec_id
+            ),
+            qn AS (SELECT sqrt(sum(x * x)) AS qnrm FROM q)
+            SELECT d.vec_id, d.label, round(d.dot / (d.nrm * qn.qnrm), 6) AS cosine
+            FROM dots d, qn
+            ORDER BY cosine DESC, d.vec_id
+            LIMIT 10
+        """,
         "dedup_chunks": f"""
             WITH tk AS (
                 SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100

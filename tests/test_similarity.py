@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from usearch_spark.operators.similarity import (
     cosine_topk,
@@ -199,3 +200,38 @@ def test_int8_quantization_zero_scale_dim(spark):
     rows = quantize_int8(emb, dim_scales(emb)).collect()
     dim0 = [r for r in rows if r["dim"] == 0]
     assert all(r["q"] == 0 and r["err"] == 0.0 for r in dim0)
+
+
+def test_ivf_append_full_probe_stays_exact(spark, tmp_path):
+    """Incremental index maintenance: build on the first 1500 vectors,
+    ivf_append the rest, then a FULL-probe query over the appended index
+    must equal brute force over the whole table — appends are
+    partition-local and lose nothing."""
+    from usearch_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_append,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cut = int(n * 0.75)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < cut), path, n_clusters=8)
+    ivf_append(spark, path, emb.filter(F.col("vec_id") >= cut))
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    got = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_index_topk(spark, path, list(q), k=10, n_probe=8, exclude_ids=[0]).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in cosine_topk(emb, list(q), k=10, exclude_id=0).collect()
+    ]
+    assert got == want
+
+    # appended rows really live in the cluster partitions (no side table)
+    idx = spark.read.parquet(path)
+    assert idx.count() == n and idx.filter(F.col("vec_id") >= cut).count() == n - cut

@@ -470,3 +470,56 @@ def quantize_int8(
         )
         .select(id_col, "dim", "q", "err")
     )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    EXISTING centroids (no quantizer retrain) and append them to the
+    cluster-partitioned parquet — the steady-state ingest path of a vector
+    index at scale (retraining is a periodic offline job; appends are
+    cheap and partition-local).
+
+    Assignment is the same broadcast argmin as the quantizer would apply
+    (euclidean to the persisted ``_centroids.json``), expressed as column
+    ops so no model object or Python loop is needed.  Recall caveat: the
+    centroids drift as the distribution shifts; full-probe queries remain
+    exact regardless (and that's what the parity test pins).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centers = json.load(fh)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, carr array<double>",
+    )
+    vecs = new_vectors.select(
+        F.col(id_col), F.col(vec_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+    j = (
+        vecs.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cdf.withColumn("_one", F.lit(1))), "_one")
+        .drop("_one")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("carr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        j.select(id_col, vec_col, "cluster", d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(
+            F.min_by(F.struct("_d2", "cluster"), F.struct("_d2", "cluster")).alias("_best"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, F.col("_best.cluster").alias("cluster"))
+    )
+    assigned.repartition(F.col("cluster")).write.partitionBy("cluster").mode("append").parquet(path)
