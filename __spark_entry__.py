@@ -3171,6 +3171,46 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the 10
+    anchor vectors (vec_id 0..9), the single most-similar vector with a
+    DIFFERENT label — the pairs that sharpen an embedding model.  Scale
+    shape: anchors broadcast (a handful of rows), one pass over the corpus
+    scores every (anchor, candidate) with a JVM zip_with dot product, and
+    min_by/argmax per anchor needs no window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_vec"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("a_vec")), 6).alias("cosine"),
+        )
+    )
+    best = F.max_by(
+        F.struct("cosine", (-F.col("vec_id")).alias("nid"), "vec_id", "label"),
+        F.struct("cosine", (-F.col("vec_id")).alias("nid")),
+    )
+    return (
+        scored.groupBy("anchor_id", "anchor_label")
+        .agg(best.alias("b"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("b.vec_id").alias("negative_id"),
+            F.col("b.label").alias("negative_label"),
+            F.col("b.cosine").alias("cosine"),
+        )
+    )
+
+
 def q_sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search: top-10 cosine neighbors of vec 0 among
     vectors with label = 3 only — the metadata-constrained ANN query every
@@ -3568,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakfree": q_corpus_split_leakfree,
         "dedup_chunks": q_dedup_chunks,
         "sim_filtered_topk": q_sim_filtered_topk,
+        "sim_hard_negatives": q_sim_hard_negatives,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3691,6 +3732,36 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "sim_hard_negatives": """
+            WITH e AS (
+                SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            an AS (SELECT * FROM e WHERE vec_id < 10),
+            dots AS (
+                SELECT an.vec_id AS anchor_id, max(an.label) AS anchor_label,
+                       c.vec_id AS vec_id, max(c.label) AS label,
+                       sum(an.x * c.x) AS dot
+                FROM an JOIN e c ON an.i = c.i AND c.label <> an.label
+                GROUP BY an.vec_id, c.vec_id
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+            cosv AS (
+                SELECT d.anchor_id, d.anchor_label, d.vec_id, d.label,
+                       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+                FROM dots d
+                JOIN norms na ON na.vec_id = d.anchor_id
+                JOIN norms nb ON nb.vec_id = d.vec_id
+            )
+            SELECT anchor_id, anchor_label, vec_id AS negative_id,
+                   label AS negative_label, cosine
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                             ORDER BY cosine DESC, vec_id) AS rn
+                FROM cosv
+            ) WHERE rn = 1
+        """,
         "sim_filtered_topk": """
             WITH e AS (
                 SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
