@@ -3171,6 +3171,18 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, 2 merge rounds over the corpus word
+    table (operators/text_analysis.bpe_merges): the corpus contributes one
+    word-count pass; each round is vocabulary-sized.  The oracle unrolls
+    both rounds — pair counting, (freq desc, pair) argmax, and the
+    space-wrapped literal-replace merge — so the iterative merge choice
+    itself is hash-checked."""
+    from usearch_spark.operators.text_analysis import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=2)
+
+
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each of the 10
     anchor vectors (vec_id 0..9), the single most-similar vector with a
@@ -3609,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "sim_filtered_topk": q_sim_filtered_topk,
         "sim_hard_negatives": q_sim_hard_negatives,
+        "bpe_learn": q_bpe_learn,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3732,6 +3745,47 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "bpe_learn": f"""
+            WITH words AS (
+                SELECT w, count(*) AS wc
+                FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+            ),
+            s0 AS (
+                SELECT w, wc,
+                       array_to_string(list_transform(range(1, len(w) + 1),
+                                       i -> ' ' || substr(w, i, 1) || ' '), '') AS seq
+                FROM words
+            ),
+            t1 AS (SELECT wc, list_filter(string_split(seq, ' '), x -> x <> '') AS toks FROM s0),
+            p1 AS (
+                SELECT wc, toks[i] || ' ' || toks[i+1] AS pair
+                FROM t1, unnest(range(1, len(toks))) u(i)
+            ),
+            b1 AS (
+                SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p1
+                GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
+            ),
+            s1 AS (
+                SELECT w, wc,
+                       replace(seq,
+                               ' ' || string_split((SELECT pair FROM b1), ' ')[1] || '  '
+                                   || string_split((SELECT pair FROM b1), ' ')[2] || ' ',
+                               ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS seq
+                FROM s0
+            ),
+            t2 AS (SELECT wc, list_filter(string_split(seq, ' '), x -> x <> '') AS toks FROM s1),
+            p2 AS (
+                SELECT wc, toks[i] || ' ' || toks[i+1] AS pair
+                FROM t2, unnest(range(1, len(toks))) u(i)
+            ),
+            b2 AS (
+                SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p2
+                GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
+            )
+            SELECT 1 AS round, pair, freq FROM b1
+            UNION ALL
+            SELECT 2 AS round, pair, freq FROM b2
+        """,
         "sim_hard_negatives": """
             WITH e AS (
                 SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,

@@ -201,3 +201,34 @@ def test_betweenness_sampled_subset(spark):
         for r in betweenness_centrality(v, e, ["a"], rounds=4).collect()
     }
     assert got == {"a": 0.0, "b": 1.5, "c": 1.0, "d": 0.5, "e": 0.0}
+
+
+def test_bfs_family_local_distributed_parity_real_graph(spark):
+    """Beyond the hand goldens: both physical strategies must agree row-
+    for-row on a real (sf0.001 supplier-part) graph for harmonic AND
+    betweenness."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.graph_stats import betweenness_centrality, harmonic_centrality
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    e = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    srcs = ["s1", "s2"]
+    h_loc = {tuple(r) for r in harmonic_centrality(v, e, srcs, rounds=3, strategy="local").collect()}
+    h_dis = {tuple(r) for r in harmonic_centrality(v, e, srcs, rounds=3, strategy="distributed").collect()}
+    assert h_loc == h_dis and len(h_loc) > 100
+
+    b_loc = {tuple(r) for r in betweenness_centrality(v, e, srcs, rounds=3, strategy="local").collect()}
+    b_dis = {tuple(r) for r in betweenness_centrality(v, e, srcs, rounds=3, strategy="distributed").collect()}
+    assert b_loc == b_dis and len(b_loc) > 100

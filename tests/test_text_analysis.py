@@ -121,3 +121,17 @@ def test_analyze_projection(spark):
         "doc_id", "n_chars", "n_tokens", "n_bpe_tokens", "punct_ratio",
         "stopword_ratio", "quality", "lang_pred", "fingerprint",
     }
+
+
+def test_bpe_merges_greedy_overlap(spark):
+    """Hand-checkable BPE: 'aaa' x3 + 'bb' — round 1 learns (a,a) with
+    freq 6 (two overlapping pairs per word, both counted), the merge is
+    greedy left-to-right so 'aaa' becomes [aa, a] (NOT [a, aa] and not a
+    double merge), and round 2 therefore learns (aa, a)."""
+    from usearch_spark.operators.text_analysis import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa bb")], "doc_id long, text string"
+    )
+    got = [(r["round"], r["pair"], r["freq"]) for r in bpe_merges(docs, rounds=2).collect()]
+    assert got == [(1, "a a", 6), (2, "aa a", 3)]

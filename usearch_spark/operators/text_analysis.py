@@ -439,3 +439,70 @@ def top_collocations(
     )
     scored = joined.select("gram", F.col("c2").alias("n"), F.round(pmi, 6).alias("pmi"))
     return scored.orderBy(F.col("pmi").desc(), F.col("gram")).limit(top_k)
+
+
+def bpe_merges(
+    docs: DataFrame,
+    rounds: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction, ``rounds`` merge rounds
+    (Sennrich et al. 2016): count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent pair (ties to the lexicographically
+    smaller pair) in every word, repeat.
+
+    Scale shape — the part that matters at 100 TB: the corpus contributes
+    ONE word-count aggregation; every merge round then runs on the
+    vocabulary-sized (word, count, symbols) table, so learning cost is
+    independent of corpus size after the first pass.  Each round's winning
+    pair is a 1-row aggregate pulled to the driver (bounded, like the
+    phrase-join term map) because the next round's merge expression embeds
+    it as a literal.
+
+    Greedy-merge encoding: symbol sequences live as strings of
+    space-wrapped tokens (" a  b  c " style), so applying a merge is a
+    literal string replace — leftmost non-overlapping replace-all IS the
+    BPE merge rule, and every SQL engine implements the same semantics
+    (this is what lets the DuckDB oracle replay the rounds bit-for-bit).
+
+    Returns (round, pair, freq) — the learned merge table.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    seq = F.array_join(F.transform(chars, lambda c: F.concat(F.lit(" "), c, F.lit(" "))), "")
+    state = words.select("w", "wc", seq.alias("seq")).localCheckpoint(eager=True)
+
+    learned: list[tuple[int, str, int]] = []
+    for r in range(1, rounds + 1):
+        toks = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+        pair_arr = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            state.select("wc", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.col("freq").desc(), "pair")
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        a, b = best["pair"].split(" ")
+        learned.append((r, best["pair"], int(best["freq"])))
+        state = state.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(learned, "round int, pair string, freq long")
