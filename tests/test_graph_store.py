@@ -163,3 +163,64 @@ def test_delta_store_importerror_without_delta(spark, tmp_path):
         _pytest.skip("delta installed; exercised by the lifecycle suite on delta clusters")
     with _pytest.raises(ImportError, match="delta-spark"):
         DeltaGraphStore(spark, str(tmp_path / "delta_store"))
+
+
+class TestVersionedStore:
+    def _store(self, spark, tmp_path):
+        from usearch_spark.sources.graph_store import VersionedGraphStore
+
+        return VersionedGraphStore(spark, str(tmp_path / "vstore"))
+
+    def test_upserts_create_versions_and_time_travel(self, spark, tmp_path):
+        import datetime
+
+        s = self._store(spark, tmp_path)
+        t1 = datetime.datetime(2024, 1, 1)
+        t2 = datetime.datetime(2024, 2, 1)
+        s.upsert_links(spark.createDataFrame([("http://a/", t1)], "url string, retrieved_at timestamp"))
+        s.upsert_links(
+            spark.createDataFrame(
+                [("http://a/", t2), ("http://b/", t1)], "url string, retrieved_at timestamp"
+            )
+        )
+        assert s.current_version(s.links_path) == 2
+        v1 = {r["url"]: r["retrieved_at"] for r in s.links(version=1).collect()}
+        v2 = {r["url"]: r["retrieved_at"] for r in s.links().collect()}
+        assert v1 == {"http://a/": t1}
+        assert v2 == {"http://a/": t2, "http://b/": t1}
+
+    def test_orphan_version_invisible_until_published(self, spark, tmp_path):
+        """Crash simulation: a data directory written WITHOUT the pointer
+        swap must not be visible to readers, and vacuum removes it."""
+        import os
+
+        s = self._store(spark, tmp_path)
+        s.upsert_links(spark.createDataFrame([("http://a/",)], "url string"))
+        # fake a crashed write: v=2 exists, pointer still says 1
+        orphan = os.path.join(s.links_path, "v=2")
+        s.links().write.mode("overwrite").parquet(orphan)
+        assert s.current_version(s.links_path) == 1
+        assert {r["url"] for r in s.links().collect()} == {"http://a/"}
+        removed = s.vacuum(keep_last=2)
+        assert 2 in removed and not os.path.exists(orphan)
+
+    def test_vacuum_keeps_published_and_last_k(self, spark, tmp_path):
+        import os
+
+        s = self._store(spark, tmp_path)
+        for i in range(4):
+            s.upsert_links(spark.createDataFrame([(f"http://{i}/",)], "url string"))
+        assert s.versions(s.links_path) == [1, 2, 3, 4]
+        removed = s.vacuum(keep_last=2)
+        assert sorted(removed) == [1, 2]
+        assert s.versions(s.links_path) == [3, 4]
+        assert s.current_version(s.links_path) == 4
+        assert s.links(version=3).count() == 3
+        # edge lifecycle works on the versioned store too
+        s.upsert_edges(
+            spark.createDataFrame([("http://0/", "http://1/")], "src_url string, dst_url string")
+            .selectExpr(
+                "sha2(src_url, 256) as src", "sha2(dst_url, 256) as dst"
+            ).limit(0)  # empty edge batch: exercises the empty-write path
+        )
+        assert os.path.exists(s._pointer(s.edges_path))

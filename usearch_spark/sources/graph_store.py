@@ -217,6 +217,100 @@ class ParquetGraphStore:
             self._write(remove_stale_edges(edges, src_ids, updated_before), self.edges_path, "src")
 
 
+class VersionedGraphStore(ParquetGraphStore):
+    """Crash-safe, time-travelable persistence on plain parquet: every
+    write lands in a FRESH version directory (``<table>/v=N/``) and is
+    published by atomically swapping a tiny ``_VERSION`` pointer file —
+    the poor-lakehouse form of a Delta/Iceberg snapshot commit.
+
+    Why this matters at scale: ParquetGraphStore's read-join-overwrite has
+    a failure window (a crash mid-overwrite loses the table).  Here a
+    failed write leaves only an unreferenced ``v=N+1`` directory — readers
+    keep resolving the old pointer, and the orphan is collected by the
+    next :meth:`vacuum`.  Old versions stay readable (``links(version=3)``)
+    until vacuumed, which is also what makes concurrent readers safe: they
+    hold a version, not files being rewritten underneath them.
+
+    The pointer swap is ``os.rename`` (atomic on POSIX filesystems); on an
+    object store the equivalent is a conditional put of the pointer key.
+    """
+
+    def _table_dir(self, path: str) -> str:
+        return path
+
+    def _pointer(self, path: str) -> str:
+        return os.path.join(path, "_VERSION")
+
+    def current_version(self, path: str) -> int | None:
+        try:
+            with open(self._pointer(path)) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def versions(self, path: str) -> list[int]:
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for name in os.listdir(path):
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read(self, path: str, version: int | None = None) -> DataFrame | None:
+        v = self.current_version(path) if version is None else version
+        if v is None:
+            return None
+        df = self.spark.read.parquet(os.path.join(path, f"v={v}"))
+        return df.drop("_bucket") if "_bucket" in df.columns else df
+
+    def _write(self, df: DataFrame, path: str, bucket_col: str) -> None:
+        cur = self.current_version(path)
+        nxt = 1 if cur is None else cur + 1
+        vdir = os.path.join(path, f"v={nxt}")
+        materialized = df.withColumn(
+            "_bucket", F.abs(F.hash(F.col(bucket_col))) % self.N_BUCKETS
+        ).localCheckpoint(eager=True)
+        if materialized.isEmpty():
+            materialized.drop("_bucket").write.mode("overwrite").parquet(vdir)
+        else:
+            materialized.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+        # publish: write-temp + rename is the atomic commit point
+        tmp = self._pointer(path) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(nxt))
+        os.rename(tmp, self._pointer(path))
+
+    def links(self, version: int | None = None) -> DataFrame | None:
+        return self._read(self.links_path, version)
+
+    def edges(self, version: int | None = None) -> DataFrame | None:
+        return self._read(self.edges_path, version)
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop version directories older than the newest ``keep_last``
+        (never the published one); returns the versions removed.  Orphan
+        directories from failed writes (newer than the pointer) are also
+        removed — they were never published."""
+        import shutil
+
+        removed = []
+        for path in (self.links_path, self.edges_path):
+            cur = self.current_version(path)
+            if cur is None:
+                continue
+            keep = set(v for v in self.versions(path) if v <= cur)
+            keep = set(sorted(keep)[-keep_last:])
+            for v in self.versions(path):
+                if v not in keep and v != cur:
+                    shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+                    removed.append(v)
+        return removed
+
+
 class DeltaGraphStore(ParquetGraphStore):
     """EXPERIMENTAL: the same store interface on Delta Lake — upserts become
     real MERGE INTO statements (transactional, no read-join-overwrite window)
