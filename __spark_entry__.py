@@ -3171,6 +3171,31 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (the ES aggregations panel): for ALL documents
+    matching the query terms, bucket counts by language, source, and a
+    coarse length band, in one grouping-sets pass over the match set —
+    facets describe the whole result set, not the visible page."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    terms_df = spark.createDataFrame([(t,) for t in sorted(set(SEARCH_TERMS))], "term string")
+    hits = postings.join(F.broadcast(terms_df), "term").select("doc_id").dropDuplicates(["doc_id"])
+    matched = docs.join(hits, "doc_id", "left_semi")
+    band = (
+        F.when(F.col("n_chars") < 200, F.lit("short"))
+        .when(F.col("n_chars") < 400, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    facets = matched.select("lang", "source", band.alias("len_band"))
+    out = None
+    for col in ("lang", "source", "len_band"):
+        part = facets.groupBy(F.col(col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ).select(F.lit(col).alias("facet"), "bucket", "n_docs")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction, 2 merge rounds over the corpus word
     table (operators/text_analysis.bpe_merges): the corpus contributes one
@@ -3622,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_filtered_topk": q_sim_filtered_topk,
         "sim_hard_negatives": q_sim_hard_negatives,
         "bpe_learn": q_bpe_learn,
+        "search_facets": q_search_facets,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3745,6 +3771,25 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "search_facets": f"""
+            WITH hits AS (
+                SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                WHERE term IN (SELECT term FROM (VALUES {terms_values}) t(term))
+            ),
+            m AS (
+                SELECT d.lang, d.source,
+                       CASE WHEN d.n_chars < 200 THEN 'short'
+                            WHEN d.n_chars < 400 THEN 'medium'
+                            ELSE 'long' END AS len_band
+                FROM documents d JOIN hits USING (doc_id)
+            )
+            SELECT 'lang' AS facet, lang AS bucket, count(*) AS n_docs FROM m GROUP BY lang
+            UNION ALL
+            SELECT 'source', source, count(*) FROM m GROUP BY source
+            UNION ALL
+            SELECT 'len_band', len_band, count(*) FROM m GROUP BY len_band
+        """,
         "bpe_learn": f"""
             WITH words AS (
                 SELECT w, count(*) AS wc
