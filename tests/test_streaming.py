@@ -429,3 +429,49 @@ def test_watermark_drop_metric_matches_cohort(spark):
         .count()
     )
     assert expected_groups > 0 and dropped == expected_groups
+
+
+def test_rollup_quarantines_late_rows(spark, tmp_path):
+    """Dead-letter path: a second micro-batch carrying rows older than the
+    horizon behind the rollup's newest hour must land in the quarantine
+    table (with the batch id) and stay OUT of the merged rollup."""
+    import datetime
+
+    from usearch_spark.streaming.events import continuous_hourly_rollup
+
+    src_dir = str(tmp_path / "src")
+    target = str(tmp_path / "rollup")
+    late = str(tmp_path / "late")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 30)
+    old = datetime.datetime(2024, 1, 9, 8, 15)  # 28h behind -> late at horizon 24
+    write_file([(t0, "a", 1.0), (t0, "b", 2.0)], "b0")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = continuous_hourly_rollup(
+        stream, target, ckpt, late_path=late, late_horizon_hours=24
+    )
+    try:
+        q.processAllAvailable()
+        write_file([(old, "a", 5.0), (t0, "a", 3.0)], "b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rollup = {
+        (r["hour"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    hour0 = datetime.datetime(2024, 1, 10, 12)
+    assert rollup[(hour0, "a")] == (2, 4.0)  # batch0 row + on-time batch1 row
+    assert rollup[(hour0, "b")] == (1, 2.0)
+    assert not any(h.day == 9 for h, _ in rollup)  # late hour never merged
+
+    lrows = spark.read.parquet(late).collect()
+    assert len(lrows) == 1 and lrows[0]["ts"] == old and lrows[0]["value"] == 5.0
+    assert lrows[0]["_batch_id"] is not None

@@ -46,6 +46,8 @@ def continuous_hourly_rollup(
     checkpoint_path: str,
     ts_col: str = "ts",
     value_col: str = "value",
+    late_path: str | None = None,
+    late_horizon_hours: int | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate (hypertable-rollup style): a foreachBatch loop
     that incrementally MERGEs each micro-batch's partial hourly sums into a
@@ -63,10 +65,33 @@ def continuous_hourly_rollup(
     batch would double-count.  The batch id is stored alongside and
     batches already applied are skipped — the standard idempotent-sink
     recipe.
+
+    Late-data dead-letter: with ``late_path`` + ``late_horizon_hours``,
+    rows whose hour is more than the horizon behind the rollup's newest
+    stored hour are QUARANTINED (appended to ``late_path`` with the batch
+    id) instead of merged — the manual-merge analog of a watermark drop,
+    except nothing is silently lost: the quarantine table is replayable
+    into a backfill once someone decides what the late rows mean.
     """
     spark = events_stream.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if late_path is not None and late_horizon_hours is not None:
+            try:
+                prev = spark.read.parquet(target_path)
+                max_hour = prev.agg(F.max("hour").alias("m")).first()["m"]
+            except Exception:
+                max_hour = None
+            if max_hour is not None:
+                cutoff = F.lit(max_hour) - F.expr(f"INTERVAL {late_horizon_hours} HOURS")
+                is_late = F.date_trunc("hour", F.col(ts_col)) < cutoff
+                late_rows = batch_df.filter(is_late).withColumn("_batch_id", F.lit(batch_id))
+                # append is idempotence-safe enough for a quarantine (dup
+                # batch ids are filterable on read); keep the main rollup's
+                # stricter skip-replayed-batch guard authoritative
+                if not late_rows.isEmpty():
+                    late_rows.write.mode("append").parquet(late_path)
+                batch_df = batch_df.filter(~is_late)
         part = (
             batch_df.groupBy(
                 F.date_trunc("hour", F.col(ts_col)).alias("hour"), "event_type"
