@@ -3171,6 +3171,34 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: precision/recall of the MinHash-LSH pipeline
+    against EXHAUSTIVE 3-gram Jaccard at the same 0.7 threshold.  The LSH
+    side runs the engine's persisted-index pipeline; the truth side is the
+    all-pairs shingle join.  Expected: precision 1.0 (candidates are
+    exact-verified) and recall < 1 exactly where banding misses a pair —
+    and the oracle recomputes BOTH pipelines, so even the miss set is
+    hash-checked."""
+    from usearch_spark.operators.dedup import minhash_pairs_from_index
+
+    sh, banded = _minhash_index_df(spark, sf_dir)
+    lsh = minhash_pairs_from_index(sh, banded, threshold=0.7).select("a", "b")
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_df=None).select("a", "b")
+    lsh = lsh.localCheckpoint(eager=True)
+    exact = exact.localCheckpoint(eager=True)
+    tp = lsh.join(exact, ["a", "b"], "left_semi").count()
+    n_lsh = lsh.count()
+    n_exact = exact.count()
+    fp, fn = n_lsh - tp, n_exact - tp
+    prec = round(tp / n_lsh, 6) if n_lsh else 1.0
+    rec = round(tp / n_exact, 6) if n_exact else 1.0
+    return spark.createDataFrame(
+        [(n_lsh, n_exact, tp, fp, fn, prec, rec)],
+        "n_lsh long, n_exact long, tp long, fp long, fn long, precision double, recall double",
+    )
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search (the ES aggregations panel): for ALL documents
     matching the query terms, bucket counts by language, source, and a
@@ -3648,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hard_negatives": q_sim_hard_negatives,
         "bpe_learn": q_bpe_learn,
         "search_facets": q_search_facets,
+        "dedup_eval": q_dedup_eval,
         "top_collocations": q_top_collocations,
         "events_watermark_late": q_events_watermark_late,
         "sim_ann_lsh_full": q_sim_ann_lsh_full,
@@ -3771,6 +3800,61 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "dedup_eval": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS term
+                FROM tk
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+                FROM toks ta JOIN toks tb ON ta.term = tb.term AND ta.doc_id < tb.doc_id
+                GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.7
+            ),
+            sigs AS (
+                SELECT doc_id, s.seed, min(md5(s.seed || ':' || term)) AS sig
+                FROM toks, range(16) s(seed)
+                GROUP BY doc_id, s.seed
+            ),
+            bands AS (
+                SELECT doc_id, seed // 4 AS band,
+                       string_agg(seed || '|' || sig, ',' ORDER BY seed || '|' || sig) AS band_sig
+                FROM sigs GROUP BY doc_id, seed // 4
+            ),
+            cands AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+            ),
+            lsh AS (
+                SELECT c.a, c.b FROM cands c
+                JOIN inter i ON i.a = c.a AND i.b = c.b
+                JOIN sizes sa ON sa.doc_id = c.a
+                JOIN sizes sb ON sb.doc_id = c.b
+                WHERE i.inter / (sa.sz + sb.sz - i.inter) >= 0.7
+            ),
+            stats AS (
+                SELECT (SELECT count(*) FROM lsh) AS n_lsh,
+                       (SELECT count(*) FROM exact) AS n_exact,
+                       (SELECT count(*) FROM lsh JOIN exact USING (a, b)) AS tp
+            )
+            SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(n_lsh - tp AS BIGINT) AS fp, CAST(n_exact - tp AS BIGINT) AS fn,
+                   CASE WHEN n_lsh > 0 THEN round(CAST(tp AS DOUBLE) / n_lsh, 6) ELSE 1.0 END AS precision,
+                   CASE WHEN n_exact > 0 THEN round(CAST(tp AS DOUBLE) / n_exact, 6) ELSE 1.0 END AS recall
+            FROM stats
+        """,
         "search_facets": f"""
             WITH hits AS (
                 SELECT DISTINCT doc_id
