@@ -157,3 +157,18 @@ def test_pagerank_pass_warm_start_fewer_steps(engine):
     after = {r["url"]: r["pagerank"] for r in engine.documents().collect()}
     assert set(before) == set(after)
     assert all(abs(before[u] - after[u]) < 1e-3 for u in before)
+
+
+def test_engine_runs_on_versioned_store(spark, tmp_path):
+    """The full crawl -> pagerank -> search flow on the snapshot-commit
+    store: same results, plus a version history left behind."""
+    from usearch_spark.sources.graph_store import VersionedGraphStore
+
+    eng = USearchEngine(spark, str(tmp_path / "veng"), store_cls=VersionedGraphStore)
+    eng.seed([HUB])
+    eng.run_crawl_pass(fetch_fn=static_fetcher(PAGES))
+    eng.run_pagerank_pass()
+    total, page = eng.search("shared term")
+    assert total >= 1 and page.count() >= 1
+    assert eng.graph.current_version(eng.graph.links_path) >= 1
+    assert len(eng.graph.versions(eng.graph.links_path)) >= 1

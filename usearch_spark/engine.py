@@ -25,10 +25,14 @@ from usearch_spark.streaming.crawl import FetchFn, crawl_pass, due_links, stub_f
 
 
 class USearchEngine:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, store_cls: type | None = None):
+        """``store_cls``: the graph-store implementation — defaults to
+        ParquetGraphStore (read-join-overwrite); pass VersionedGraphStore
+        for crash-safe snapshot commits + time travel, or DeltaGraphStore
+        on a Delta-enabled cluster.  All three share one interface."""
         self.spark = spark
         self.root = root
-        self.graph = ParquetGraphStore(spark, root)
+        self.graph = (store_cls or ParquetGraphStore)(spark, root)
         self.docs_path = os.path.join(root, "documents")
         self._index: SearchIndex | None = None
 
