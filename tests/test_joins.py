@@ -50,3 +50,28 @@ def test_salted_join_rejects_unsupported_how(spark):
     left, right = _skewed(spark)
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_salted_join_spreads_exact_duplicate_rows(spark):
+    """Exact-duplicate rows of a hot key must NOT share one salt — the
+    per-row disambiguator spreads them across reduce tasks."""
+    left = spark.range(2000).select(F.lit("hot").alias("k"), F.lit(1).alias("lv"))
+    right = spark.createDataFrame([("hot", 9)], "k string, rv int")
+    out = salted_join(left, right, "k", salts=8)
+    assert out.count() == 2000
+    # reconstruct the salts the join used: >1 distinct value proves spread
+    from pyspark.sql.functions import monotonically_increasing_id, pmod, xxhash64, lit
+
+    salts = (
+        left.select(pmod(xxhash64(monotonically_increasing_id(), "k", "lv"), lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
+def test_salted_join_rejects_salt_column_collision(spark):
+    left = spark.createDataFrame([("a", 0)], "k string, __usearch_salt int")
+    right = spark.createDataFrame([("a", 1)], "k string, rv int")
+    with pytest.raises(ValueError, match="__usearch_salt"):
+        salted_join(left, right, "k")

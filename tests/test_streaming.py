@@ -475,3 +475,46 @@ def test_rollup_quarantines_late_rows(spark, tmp_path):
     lrows = spark.read.parquet(late).collect()
     assert len(lrows) == 1 and lrows[0]["ts"] == old and lrows[0]["value"] == 5.0
     assert lrows[0]["_batch_id"] is not None
+
+
+def test_rollup_replayed_batch_skips_quarantine_append(spark, tmp_path):
+    """A crash-replayed batch (same batch id) must not re-append its late
+    rows to the quarantine table — the idempotence guard runs FIRST."""
+    import datetime
+
+    from usearch_spark.streaming.events import hourly_merge_fn
+
+    target = str(tmp_path / "rollup")
+    late = str(tmp_path / "late")
+    schema = "ts timestamp, event_type string, value double"
+    t0 = datetime.datetime(2024, 1, 10, 12, 30)
+    old = datetime.datetime(2024, 1, 9, 8, 15)
+
+    merge = hourly_merge_fn(spark, target, late_path=late, late_horizon_hours=24)
+    merge(spark.createDataFrame([(t0, "a", 1.0)], schema), 0)
+    b1 = spark.createDataFrame([(old, "a", 5.0), (t0, "a", 3.0)], schema)
+    merge(b1, 1)
+    assert spark.read.parquet(late).count() == 1
+    rollup_before = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    merge(b1, 1)  # replay: no new quarantine rows, rollup unchanged
+    assert spark.read.parquet(late).count() == 1
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == rollup_before
+
+
+def test_rollup_merge_propagates_read_errors(spark, tmp_path):
+    """Only missing-path disables the guard/merge read; a corrupt target
+    must raise, not silently skip quarantine."""
+    import datetime
+
+    import pytest
+
+    from usearch_spark.streaming.events import hourly_merge_fn
+
+    target = tmp_path / "rollup"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not parquet at all")
+    merge = hourly_merge_fn(spark, str(target), late_path=str(tmp_path / "late"), late_horizon_hours=24)
+    t0 = datetime.datetime(2024, 1, 10, 12, 30)
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
+        merge(spark.createDataFrame([(t0, "a", 1.0)], "ts timestamp, event_type string, value double"), 0)

@@ -24,14 +24,21 @@ from pyspark.sql import functions as F
 def rule_violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate every predicate in one aggregate pass over ``df``.
     ``rules`` maps check-name -> violation condition (true = bad row)."""
+    if not rules:
+        raise ValueError("rule_violations requires at least one rule")
     aggs = [
         F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_v{i}")
         for i, cond in enumerate(rules.values())
     ] + [F.count(F.lit(1)).alias("_n")]
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', _v{i}" for i, name in enumerate(rules))
-    return row.selectExpr(
-        f"stack({len(rules)}, {stack}) AS (check, n_violations)", "_n AS n_checked"
+    # check names are user strings — pass them as typed literals via
+    # F.stack, never interpolated into SQL text
+    stack_args: list[Column] = []
+    for i, name in enumerate(rules):
+        stack_args += [F.lit(name), F.col(f"_v{i}")]
+    return row.select(
+        F.stack(F.lit(len(rules)), *stack_args).alias("check", "n_violations"),
+        F.col("_n").alias("n_checked"),
     )
 
 

@@ -341,7 +341,13 @@ def harmonic_centrality(
     if strategy == "local":
         return _local_bfs_frame(v, e, sources, rounds, "harmonic")
     spark = vertices.sparkSession
-    state = spark.createDataFrame([(s, s, 0) for s in sources], "s string, id string, dist int")
+    # state id columns take the VERTEX frame's id type (bigint vertex ids
+    # must not silently coerce to string — join/union coercion can lose
+    # precision on large ids), same as _local_bfs_frame
+    id_type = dict(v.dtypes)["id"]
+    state = spark.createDataFrame(
+        [(str(s), str(s), 0) for s in sources], "s string, id string, dist int"
+    ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist")
     for _ in range(rounds):
         msgs = state.join(e, state.id == e.a).select("s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist"))
         state = (
@@ -408,9 +414,10 @@ def betweenness_centrality(
     if strategy == "local":
         return _local_bfs_frame(v_in, e, sources, rounds, "betweenness")
     spark = vertices.sparkSession
+    id_type = dict(v_in.dtypes)["id"]
     state = spark.createDataFrame(
-        [(s, s, 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
-    )
+        [(str(s), str(s), 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
+    ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist", "sigma")
     for r in range(1, rounds + 1):
         frontier = state.filter(F.col("dist") == r - 1)
         msgs = (

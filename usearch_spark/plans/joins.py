@@ -36,9 +36,20 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
-    lsalted = left.withColumn("_salt", salt)
-    rsalted = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<bigint>"))
+    salt_col = "__usearch_salt"
+    if salt_col in left.columns or salt_col in right.columns:
+        raise ValueError(f"column {salt_col!r} already exists on a join input")
+    # mix a per-row disambiguator into the hash: exact-duplicate rows of a
+    # hot key must NOT share a salt, or they all funnel into one reduce
+    # task anyway.  monotonically_increasing_id is partition-deterministic
+    # (partition_id << 33 | offset), so retries/speculation still see the
+    # same salt for the same row — unlike rand().
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in left.columns]),
+        F.lit(salts),
     )
-    return lsalted.join(rsalted, [on, "_salt"], how).drop("_salt")
+    lsalted = left.withColumn(salt_col, salt)
+    rsalted = right.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<bigint>"))
+    )
+    return lsalted.join(rsalted, [on, salt_col], how).drop(salt_col)

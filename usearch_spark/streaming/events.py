@@ -73,22 +73,53 @@ def continuous_hourly_rollup(
     except nothing is silently lost: the quarantine table is replayable
     into a backfill once someone decides what the late rows mean.
     """
-    spark = events_stream.sparkSession
+    merge_batch = hourly_merge_fn(
+        events_stream.sparkSession,
+        target_path,
+        ts_col=ts_col,
+        value_col=value_col,
+        late_path=late_path,
+        late_horizon_hours=late_horizon_hours,
+    )
+    return (
+        events_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def hourly_merge_fn(
+    spark: SparkSession,
+    target_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    late_path: str | None = None,
+    late_horizon_hours: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch merge behind :func:`continuous_hourly_rollup`,
+    exposed as a factory so the idempotence/quarantine semantics are
+    directly testable (call it twice with the same batch id)."""
+    from pyspark.errors import AnalysisException
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if late_path is not None and late_horizon_hours is not None:
-            try:
-                prev = spark.read.parquet(target_path)
-                max_hour = prev.agg(F.max("hour").alias("m")).first()["m"]
-            except Exception:
-                max_hour = None
+        # read the stored rollup ONCE and check the replayed-batch guard
+        # FIRST: a crash-replayed batch must not re-append quarantine rows
+        # either.  Only missing-path (AnalysisException) means "no rollup
+        # yet" — genuine IO/corruption errors propagate and fail the batch
+        # rather than silently disabling quarantine/merge.
+        try:
+            existing = spark.read.parquet(target_path)
+        except AnalysisException:
+            existing = None
+        if existing is not None:
+            if existing.filter(F.col("_batch_id") == batch_id).limit(1).count() > 0:
+                return  # replayed batch: already applied (idempotence)
+        if late_path is not None and late_horizon_hours is not None and existing is not None:
+            max_hour = existing.agg(F.max("hour").alias("m")).first()["m"]
             if max_hour is not None:
                 cutoff = F.lit(max_hour) - F.expr(f"INTERVAL {late_horizon_hours} HOURS")
                 is_late = F.date_trunc("hour", F.col(ts_col)) < cutoff
                 late_rows = batch_df.filter(is_late).withColumn("_batch_id", F.lit(batch_id))
-                # append is idempotence-safe enough for a quarantine (dup
-                # batch ids are filterable on read); keep the main rollup's
-                # stricter skip-replayed-batch guard authoritative
                 if not late_rows.isEmpty():
                     late_rows.write.mode("append").parquet(late_path)
                 batch_df = batch_df.filter(~is_late)
@@ -100,13 +131,7 @@ def continuous_hourly_rollup(
                 F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
             )
         )
-        try:
-            existing = spark.read.parquet(target_path)
-        except Exception:
-            existing = None
         if existing is not None:
-            if existing.filter(F.col("_batch_id") == batch_id).limit(1).count() > 0:
-                return  # replayed batch: already applied (idempotence)
             merged = (
                 existing.drop("_batch_id")
                 .unionByName(part)
@@ -121,11 +146,7 @@ def continuous_hourly_rollup(
         out = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint(eager=True)
         out.write.mode("overwrite").parquet(target_path)
 
-    return (
-        events_stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_path)
-        .start()
-    )
+    return merge_batch
 
 
 def interval_join_streams(
