@@ -977,6 +977,18 @@ def q_graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
 
 
+def q_graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank_fixed with strategy="distributed" FORCED: the
+    per-superstep join/agg loop that runs above LOCAL_SOLVE_MAX_ROWS —
+    the 100-TB code path — hash-checked against the same unrolled oracle
+    instead of only local↔distributed parity pytest."""
+    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    res = pagerank(
+        vertices, edges, min_sad=0.0, max_steps=10, edges_deduped=True, strategy="distributed"
+    )
+    return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
+
+
 PPR_SOURCES = ["s1"]
 
 
@@ -3134,6 +3146,17 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_centrality(v, e, HARMONIC_SOURCES, rounds=4)
 
 
+def q_graph_harmonic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_harmonic with strategy="distributed" FORCED: the per-superstep
+    join path that runs above LOCAL_SOLVE_MAX_ROWS (the 100-TB code path)
+    under the same unrolled-BFS oracle — hash-checked, not just
+    parity-pinned against the local solve in pytest."""
+    from usearch_spark.plans.graph_stats import harmonic_centrality
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return harmonic_centrality(v, e, HARMONIC_SOURCES, rounds=4, strategy="distributed")
+
+
 def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -> str:
     src_values = ", ".join(f"('{s}')" for s in sources)
     head = f"""
@@ -3493,6 +3516,65 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(v, e, HARMONIC_SOURCES, rounds=3)
 
 
+def q_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition (per-vertex core NUMBER, not a single
+    k's survivors) of the undirected supplier↔part graph via the h-index
+    iteration (plans/graph_stats.coreness) — the distributed-native form
+    of Batagelj–Zaversnik, one edges⋈h shuffle per round.  The oracle
+    unrolls the identical H-index recurrence; consistency with kcore_peel
+    (coreness >= k iff survives the k-peel) is pinned in pytest."""
+    from usearch_spark.plans.graph_stats import coreness
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return coreness(v, e, rounds=8)
+
+
+def _coreness_oracle_sql(rounds: int = 8) -> str:
+    """h-index iteration unrolled: h0 = degree; h_{t+1}(v) = H-index of
+    neighbor values = max over the desc-sorted neighbor list of
+    min(rank, value) (ties in the window don't affect the max-min)."""
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+        ),
+        e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        verts AS (SELECT a AS id FROM e0 UNION SELECT b FROM e0),
+        h0 AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS INT) AS val FROM e GROUP BY src)
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        h{k} AS MATERIALIZED (
+            SELECT a AS id, CAST(max(CASE WHEN val >= rn THEN rn ELSE 0 END) AS INT) AS val
+            FROM (
+                SELECT e.src AS a, h.val,
+                       row_number() OVER (PARTITION BY e.src ORDER BY h.val DESC) AS rn
+                FROM e JOIN h{p} h ON e.dst = h.id
+            ) nb
+            GROUP BY a
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT v.id, coalesce(h.val, 0) AS coreness
+        FROM verts v LEFT JOIN h{rounds} h ON h.id = v.id
+    """
+    )
+    return "".join(parts)
+
+
+def q_graph_betweenness_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_betweenness with strategy="distributed" FORCED: both Brandes
+    sweeps run the per-level DataFrame joins (the at-scale path) under the
+    same unrolled oracle."""
+    from usearch_spark.plans.graph_stats import betweenness_centrality
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return betweenness_centrality(v, e, HARMONIC_SOURCES, rounds=3, strategy="distributed")
+
+
 def _betweenness_oracle_sql(rounds: int = 3, sources: tuple = ("s1", "s2", "s3")) -> str:
     """Brandes unrolled: forward CTEs f1..fR grow the per-source BFS with
     path counts σ (new-frontier-only via NOT EXISTS against the reach so
@@ -3647,64 +3729,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered highest-risk-first: the driver's correctness gate covered
-    only a prefix in round 3, so entries it has never recorded come first —
-    (1) queries new this round, (2) the 59 entries the round-3 gate never
-    reached, (3) the 50 it already verified.  Relative order inside each
-    group is unchanged."""
+    """Ordered least-recently-driver-gated first so the driver's 50-entry
+    cap sweeps the whole surface across rounds: (1) queries new this
+    round, (2) entries no driver gate has ever recorded, (3) entries last
+    gated in round 3, (4) entries gated in round 4.  Relative order inside
+    each group is unchanged."""
     return {
-        # --- new this round (never gated) ---
-        "text_repetition": q_text_repetition,
-        "text_logprob": q_text_logprob,
-        "dedup_semantic": q_dedup_semantic,
-        "topic_kmeans": q_topic_kmeans,
-        "search_hybrid_rrf": q_search_hybrid_rrf,
-        "dedup_incremental": q_dedup_incremental,
-        "graph_harmonic": q_graph_harmonic,
-        "graph_betweenness": q_graph_betweenness,
-        "sessionize_native": q_sessionize_native,
-        "data_quality_audit": q_data_quality_audit,
-        "scd2_history": q_scd2_history,
-        "corpus_mix": q_corpus_mix,
-        "search_mlt": q_search_mlt,
-        "search_suggest": q_search_suggest,
-        "search_proximity": q_search_proximity,
-        "search_fuzzy": q_search_fuzzy,
-        "corpus_split_leakfree": q_corpus_split_leakfree,
-        "dedup_chunks": q_dedup_chunks,
-        "sim_filtered_topk": q_sim_filtered_topk,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "bpe_learn": q_bpe_learn,
-        "search_facets": q_search_facets,
-        "dedup_eval": q_dedup_eval,
-        "top_collocations": q_top_collocations,
-        "events_watermark_late": q_events_watermark_late,
-        "sim_ann_lsh_full": q_sim_ann_lsh_full,
-        "sim_ann_ivf_full": q_sim_ann_ivf_full,
-        # --- not reached by the round-3 driver gate ---
-        "text_winnow": q_text_winnow,
-        "top_terms": q_top_terms,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_boilerplate": q_corpus_boilerplate,
-        "text_scrub": q_text_scrub,
-        "embedding_centroids": q_embedding_centroids,
-        "corpus_funnel": q_corpus_funnel,
-        "local_supplier_revenue": q_local_supplier_revenue,
-        "skew_stats": q_skew_stats,
-        "column_profile": q_column_profile,
-        "range_join": q_range_join,
-        "search_bm25": q_search_bm25,
-        "graph_degrees": q_graph_degrees,
-        "graph_triangles": q_graph_triangles,
-        "retention_cohorts": q_retention_cohorts,
-        "events_moving_avg": q_events_moving_avg,
-        "customer_order_counts": q_customer_order_counts,
-        "idle_customers": q_idle_customers,
-        "text_readability": q_text_readability,
-        "events_gap_stats": q_events_gap_stats,
+        # --- new this round (r5, never gated) ---
+        "graph_coreness": q_graph_coreness,
+        "graph_harmonic_dist": q_graph_harmonic_dist,
+        "graph_betweenness_dist": q_graph_betweenness_dist,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        # --- never reached by any driver gate (r3/r4 50-caps) ---
         "sample_per_source": q_sample_per_source,
         "top_users_per_type": q_top_users_per_type,
         "price_quantity_corr": q_price_quantity_corr,
@@ -3741,7 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_cooccurrence": q_supplier_cooccurrence,
         "doc_keywords": q_doc_keywords,
         "events_anomaly": q_events_anomaly,
-        # --- verified by the round-3 driver gate ---
+        # --- least-recently gated (round 3) ---
         "pricing_summary": q_pricing_summary,
         "link_range_scan": q_link_range_scan,
         "point_lookup": q_point_lookup,
@@ -3792,6 +3828,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
+        # --- most-recently gated (round 4) ---
+        "text_repetition": q_text_repetition,
+        "text_logprob": q_text_logprob,
+        "dedup_semantic": q_dedup_semantic,
+        "topic_kmeans": q_topic_kmeans,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
+        "dedup_incremental": q_dedup_incremental,
+        "graph_harmonic": q_graph_harmonic,
+        "graph_betweenness": q_graph_betweenness,
+        "sessionize_native": q_sessionize_native,
+        "data_quality_audit": q_data_quality_audit,
+        "scd2_history": q_scd2_history,
+        "corpus_mix": q_corpus_mix,
+        "search_mlt": q_search_mlt,
+        "search_suggest": q_search_suggest,
+        "search_proximity": q_search_proximity,
+        "search_fuzzy": q_search_fuzzy,
+        "corpus_split_leakfree": q_corpus_split_leakfree,
+        "dedup_chunks": q_dedup_chunks,
+        "sim_filtered_topk": q_sim_filtered_topk,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "bpe_learn": q_bpe_learn,
+        "search_facets": q_search_facets,
+        "dedup_eval": q_dedup_eval,
+        "top_collocations": q_top_collocations,
+        "events_watermark_late": q_events_watermark_late,
+        "sim_ann_lsh_full": q_sim_ann_lsh_full,
+        "sim_ann_ivf_full": q_sim_ann_ivf_full,
+        "text_winnow": q_text_winnow,
+        "top_terms": q_top_terms,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_boilerplate": q_corpus_boilerplate,
+        "text_scrub": q_text_scrub,
+        "embedding_centroids": q_embedding_centroids,
+        "corpus_funnel": q_corpus_funnel,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "skew_stats": q_skew_stats,
+        "column_profile": q_column_profile,
+        "range_join": q_range_join,
+        "search_bm25": q_search_bm25,
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "retention_cohorts": q_retention_cohorts,
+        "events_moving_avg": q_events_moving_avg,
+        "customer_order_counts": q_customer_order_counts,
+        "idle_customers": q_idle_customers,
+        "text_readability": q_text_readability,
+        "events_gap_stats": q_events_gap_stats,
     }
 
 
@@ -3800,6 +3887,12 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        # the forced-distributed companions compute the identical
+        # recurrence, so they share the unrolled oracles verbatim
+        "graph_harmonic_dist": _harmonic_oracle_sql(),
+        "graph_betweenness_dist": _betweenness_oracle_sql(),
+        "graph_pagerank_dist": _pagerank_oracle_sql(10),
+        "graph_coreness": _coreness_oracle_sql(8),
         "dedup_eval": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             toks AS (

@@ -83,13 +83,19 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_run: dict[str, list[float]] = {name: [] for name in qs}
-    for _ in range(n_runs):
+    for run in range(n_runs):
         for name, fn in qs.items():
             # drop py4j refs from the previous query so the ContextCleaner
             # can release its localCheckpoint blocks — otherwise checkpoint
             # RDDs pile up across the session and late queries pay
             # GC/eviction spikes
             gc.collect()
+            # each timing starts from an empty relation cache so a query's
+            # number does not depend on which queries ran before it (round
+            # 3→4 showed ordering alone moved light queries 2×+); run 0 is
+            # still "colder" (artifact builds, first parquet touch) and is
+            # published separately as cold_sec
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 materialize(fn(spark, sf_dir))
@@ -98,14 +104,16 @@ def main() -> None:
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     # median of n_runs so round-over-round deltas are signal, not the box's
-    # +/-30% wall-clock noise; spread (max-min) published alongside
+    # +/-30% wall-clock noise; cold (run-0) + spread (max-min) alongside
     timings = {
         name: (round(statistics.median(ts), 3) if ts else -1.0) for name, ts in per_run.items()
     }
+    cold = {name: round(ts[0], 3) for name, ts in per_run.items() if ts}
     spread = {
         name: round(max(ts) - min(ts), 3) for name, ts in per_run.items() if len(ts) > 1
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_cold = round(sum(cold.values()), 3)
 
     gc.collect()  # release the query loop's checkpoint blocks before the gate
     try:
@@ -120,6 +128,7 @@ def main() -> None:
     # complete medians/spread to BENCH_DETAIL.json beside this script.
     detail = {
         "queries": timings,
+        "cold_sec": cold,
         "spread_sec": spread,
         "warmup_sec": round(warm, 3),
         "runs": n_runs,
@@ -138,6 +147,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "total_cold_sec": total_cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": n_runs,
                 "pagerank_100k": pr_gate,

@@ -232,3 +232,52 @@ def test_bfs_family_local_distributed_parity_real_graph(spark):
     b_loc = {tuple(r) for r in betweenness_centrality(v, e, srcs, rounds=3, strategy="local").collect()}
     b_dis = {tuple(r) for r in betweenness_centrality(v, e, srcs, rounds=3, strategy="distributed").collect()}
     assert b_loc == b_dis and len(b_loc) > 100
+
+
+def test_coreness_known_graph(spark):
+    """K4 (core 3) + pendant chain (core 1) + isolated vertex (core 0)."""
+    from usearch_spark.plans.graph_stats import coreness
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in "abcdefg"], "id string")
+    got = {r["id"]: r["coreness"] for r in coreness(v, e, rounds=8).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1, "g": 0}
+
+
+def test_coreness_consistent_with_kcore_peel(spark):
+    """coreness(v) >= k  iff  v survives the k-core peel, for every k."""
+    from usearch_spark.plans.graph_stats import coreness, kcore_peel
+
+    # deterministic pseudo-random graph
+    n = 60
+    e = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.explode(F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(5)) + 1)).alias("k"),
+        )
+        .select(
+            F.concat(F.lit("v"), F.col("id")).alias("src"),
+            F.concat(F.lit("v"), F.pmod(F.xxhash64("id", "k"), F.lit(n))).alias("dst"),
+        )
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    core = {r["id"]: r["coreness"] for r in coreness(v, e, rounds=30).collect()}
+    for k in (1, 2, 3, 4):
+        survivors = {r["id"] for r in kcore_peel(v, e, k=k, rounds=30).collect()}
+        expect = {vid for vid, c in core.items() if c >= k}
+        assert survivors == expect, f"k={k}"
+
+
+def test_coreness_numeric_ids(spark):
+    from usearch_spark.plans.graph_stats import coreness
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    got = {r["id"]: r["coreness"] for r in coreness(v, e).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 0}

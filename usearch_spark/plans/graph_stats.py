@@ -156,6 +156,66 @@ def kcore_peel(
     return alive.join(deg, "id", "inner").select("id", "core_degree")
 
 
+def coreness(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 8,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-vertex core NUMBER (full coreness decomposition), rounds-bounded:
+    the h-index iteration of Lü et al. 2016 — h₀(v) = degree(v),
+    h_{t+1}(v) = H-index of {h_t(u) : u ~ v} — which converges to the core
+    number monotonically from above.  The classic Batagelj–Zaversnik peel
+    is inherently sequential (remove ONE min-degree vertex at a time); the
+    h-index form is the distributed-native equivalent: every vertex updates
+    in the same per-round join + per-key window, so one round is one
+    edges⋈h shuffle regardless of |V|.
+
+    Fixed-round form like kcore_peel so a SQL oracle can unroll the
+    identical recurrence; h values only decrease, so an unchanged total is
+    a fixpoint and early exit returns exactly the fixed-round result.
+    Ties inside the per-vertex H-index window don't affect the result
+    (max-min over a multiset), so the row_number tie order is free.
+
+    Relation to :func:`kcore_peel` (pinned in tests): once converged,
+    coreness(v) >= k  iff  v survives the k-core peel.
+
+    Returns (id, coreness) for every vertex, 0 for isolated ones.
+    """
+    from pyspark.sql import Window
+
+    und = canonical_edges(edges, src, dst)
+    e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    h = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).cast("int").alias("val"))
+    h = h.localCheckpoint(eager=True)
+    total = h.agg(F.sum("val")).first()[0]
+    for _ in range(rounds):
+        nb = e.join(h.select(F.col("id").alias("b"), "val"), "b").select("a", "val")
+        w = Window.partitionBy("a").orderBy(F.desc("val"))
+        h = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("a").alias("id"))
+            .agg(
+                F.max(F.when(F.col("val") >= F.col("rn"), F.col("rn")).otherwise(0))
+                .cast("int")
+                .alias("val")
+            )
+            .localCheckpoint(eager=True)
+        )
+        t_next = h.agg(F.sum("val")).first()[0]
+        if t_next == total:
+            break  # h is monotone non-increasing: unchanged total = fixpoint
+        total = t_next
+    return v.join(h, "id", "left").select(
+        "id", F.coalesce(F.col("val"), F.lit(0)).alias("coreness")
+    )
+
+
 def triangles_per_vertex(
     vertices: DataFrame, edges: DataFrame, id_col: str = "id", src: str = "src", dst: str = "dst"
 ) -> DataFrame:
