@@ -3100,6 +3100,78 @@ def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState) under the hard
+    gate: per-user gap sessions over a deterministic THREE-batch replay —
+    batch0 = every real event (fn computes in-data-gap islands, emits
+    closed sessions, holds each user's last session open with an
+    event-time timeout at last+gap), batch1/batch2 = single sentinel rows
+    (user -1/-2) at gmax+2h/gmax+4h whose only job is to advance the
+    watermark so every held-open session FLUSHES via the timeout path
+    (two sentinels because timeouts fire against the PREVIOUS batch's
+    watermark — SPARK-24634, same reason as q_events_watermark_late).
+
+    With all real data in batch0 and full timeout flush, the emitted set
+    is exactly the batch islands decomposition, which the DuckDB oracle
+    computes directly — so what gets hash-checked is the stateful
+    operator's session logic INCLUDING the GroupState timeout path.
+    Micros mode keeps every session boundary an epoch-micros long end to
+    end (timezone-proof; streaming/events.sessionize_stateful)."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.events import sessionize_stateful
+
+    base = os.path.join(_ARTIFACT_DIR, f"sess_replay_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        ev = _events(spark, sf_dir).select("user_id", "ts")
+        gmax_us = ev.agg(
+            F.max(F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)")).alias("m")
+        ).first()["m"]
+        os.makedirs(base, exist_ok=True)
+        batches = [
+            ev.select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)").alias("ts_us"),
+            ),
+            spark.createDataFrame(
+                [(-1, gmax_us + 2 * 3_600_000_000)], "user_id long, ts_us long"
+            ),
+            spark.createDataFrame(
+                [(-2, gmax_us + 4 * 3_600_000_000)], "user_id long, ts_us long"
+            ),
+        ]
+        for i, bdf in enumerate(batches):
+            tmp = os.path.join(base, f"_tmp{i}")
+            bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        now = time.time()
+        for i in range(3):
+            t = now - 120 * (2 - i)
+            os.utime(os.path.join(base, f"batch{i}.parquet"), (t, t))
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    src = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    sess = sessionize_stateful(
+        src, gap_minutes=30, watermark="30 minutes", micros_col="ts_us"
+    )
+    name = f"sess_st_{uuid.uuid4().hex[:8]}"
+    q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (duplicate
     word/2-gram/3-gram fractions, top word/2-gram mass) with a flagged
@@ -3736,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each group is unchanged."""
     return {
         # --- new this round (r5, never gated) ---
+        "sessionize_stateful": q_sessionize_stateful,
         "graph_coreness": q_graph_coreness,
         "graph_harmonic_dist": q_graph_harmonic_dist,
         "graph_betweenness_dist": q_graph_betweenness_dist,
@@ -3893,6 +3966,30 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness_dist": _betweenness_oracle_sql(),
         "graph_pagerank_dist": _pagerank_oracle_sql(10),
         "graph_coreness": _coreness_oracle_sql(8),
+        # sessionize_stateful: full timeout flush makes the stream's output
+        # exactly the batch islands decomposition (see q_ docstring)
+        "sessionize_stateful": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, us,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM s
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, sess_id
+        """,
         "dedup_eval": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             toks AS (

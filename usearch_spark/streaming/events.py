@@ -205,6 +205,7 @@ def sessionize_stateful(
     watermark: str = "10 minutes",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    micros_col: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     sessions that close on a ``gap_minutes`` inactivity gap.
@@ -221,29 +222,45 @@ def sessionize_stateful(
     per CLOSED session (append semantics).  This is the engine's streaming
     extension surface: any per-key stateful program with the same
     (key, batches, state) signature plugs in identically (SURVEY §2.14 U1).
+
+    ``micros_col``: timezone-proof mode for deterministic replay gates —
+    session times are read from this epoch-MICROS long column (``ts_col``
+    still drives the watermark/timeout clock) and emitted as
+    session_start_us/session_end_us longs, so no timestamp crosses the
+    Arrow boundary in either direction.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = (
-        f"{user_col} long, session_start timestamp, session_end timestamp, n_events long"
-    )
+    use_us = micros_col is not None
+    if use_us:
+        out_schema = (
+            f"{user_col} long, session_start_us long, session_end_us long, n_events long"
+        )
+        start_name, end_name = "session_start_us", "session_end_us"
+    else:
+        out_schema = (
+            f"{user_col} long, session_start timestamp, session_end timestamp, n_events long"
+        )
+        start_name, end_name = "session_start", "session_end"
     state_schema = "start long, last long, n long"
-    gap_ns = gap_minutes * 60 * 1_000_000_000
+    # internal unit: micros in micros mode, ns in timestamp mode
+    gap_units = gap_minutes * 60 * (1_000_000 if use_us else 1_000_000_000)
+    to_ms = 1_000 if use_us else 1_000_000
 
     def fn(key, pdfs, state):
         import pandas as pd
+
+        def emit(start, last, n):
+            if use_us:
+                return (user_id, int(start), int(last), n)
+            return (user_id, pd.to_datetime(start), pd.to_datetime(last), n)
 
         (user_id,) = key
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
             yield pd.DataFrame(
-                {
-                    user_col: [user_id],
-                    "session_start": [pd.to_datetime(start)],
-                    "session_end": [pd.to_datetime(last)],
-                    "n_events": [n],
-                }
+                [emit(start, last, n)], columns=[user_col, start_name, end_name, "n_events"]
             )
             return
         if state.exists:
@@ -251,10 +268,13 @@ def sessionize_stateful(
         else:
             start, last, n = None, None, 0
         closed: list[tuple] = []
-        ts_all = sorted(int(t.value) for pdf in pdfs for t in pdf[ts_col] if t is not None)
+        if use_us:
+            ts_all = sorted(int(t) for pdf in pdfs for t in pdf[micros_col] if pd.notna(t))
+        else:
+            ts_all = sorted(int(t.value) for pdf in pdfs for t in pdf[ts_col] if t is not None)
         for t in ts_all:
-            if last is not None and t - last > gap_ns:
-                closed.append((user_id, pd.to_datetime(start), pd.to_datetime(last), n))
+            if last is not None and t - last > gap_units:
+                closed.append(emit(start, last, n))
                 start, n = t, 0
             if start is None:
                 start = t
@@ -262,8 +282,8 @@ def sessionize_stateful(
             last = t
         if last is not None:
             state.update((start, last, n))
-            state.setTimeoutTimestamp(last // 1_000_000 + gap_minutes * 60 * 1000)
-        yield pd.DataFrame(closed, columns=[user_col, "session_start", "session_end", "n_events"])
+            state.setTimeoutTimestamp(last // to_ms + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(closed, columns=[user_col, start_name, end_name, "n_events"])
 
     return (
         events.withWatermark(ts_col, watermark)
