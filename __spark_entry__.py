@@ -3273,12 +3273,49 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs shingle join.  Expected: precision 1.0 (candidates are
     exact-verified) and recall < 1 exactly where banding misses a pair —
     and the oracle recomputes BOTH pipelines, so even the miss set is
-    hash-checked."""
+    hash-checked.
+
+    SCALE NOTE: the truth side here is deliberately EXHAUSTIVE
+    (max_shingle_df=None, all-pairs) — run this form only on corpora
+    where |docs|² pair enumeration is affordable.  At 100 TB use
+    q_dedup_eval_sampled, which estimates the same precision/recall on
+    a deterministic document sample."""
+    return _dedup_eval_frame(spark, sf_dir, sample=False)
+
+
+# deterministic 1/4 document sample: first md5 hex digit of doc_id in 0-3.
+# Hash-based (not rand()) so Spark and the DuckDB oracle reproduce the
+# identical sample, and the same rows are chosen at any parallelism.
+_SAMPLE_PRED_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')"
+
+
+def _sample_pred_spark():
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2", "3")
+
+
+def q_dedup_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-honest form of q_dedup_eval: precision/recall estimated
+    on a deterministic ~25% DOCUMENT sample (md5-digit of doc_id), so the
+    truth side's all-pairs Jaccard runs on ~6% of the pair space.  The
+    LSH side probes the FULL persisted index and keeps pairs with both
+    endpoints sampled — band membership is per-document, so that equals
+    rebuilding the index on the sample, and the estimator converges to
+    the exhaustive numbers as the sample grows."""
+    return _dedup_eval_frame(spark, sf_dir, sample=True)
+
+
+def _dedup_eval_frame(spark: SparkSession, sf_dir: str, sample: bool) -> DataFrame:
     from usearch_spark.operators.dedup import minhash_pairs_from_index
 
     sh, banded = _minhash_index_df(spark, sf_dir)
     lsh = minhash_pairs_from_index(sh, banded, threshold=0.7).select("a", "b")
     docs = _t(spark, sf_dir, "documents")
+    if sample:
+        sample_ids = docs.filter(_sample_pred_spark()).select("doc_id")
+        docs = docs.join(sample_ids, "doc_id", "left_semi")
+        lsh = lsh.join(
+            sample_ids.select(F.col("doc_id").alias("a")), "a", "left_semi"
+        ).join(sample_ids.select(F.col("doc_id").alias("b")), "b", "left_semi")
     exact = ngram_jaccard_pairs(docs, n=3, threshold=0.7, max_shingle_df=None).select("a", "b")
     lsh = lsh.localCheckpoint(eager=True)
     exact = exact.localCheckpoint(eager=True)
@@ -3320,15 +3357,25 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary induction, 2 merge rounds over the corpus word
+    """BPE vocabulary induction, 6 merge rounds over the corpus word
     table (operators/text_analysis.bpe_merges): the corpus contributes one
     word-count pass; each round is vocabulary-sized.  The oracle unrolls
-    both rounds — pair counting, (freq desc, pair) argmax, and the
-    space-wrapped literal-replace merge — so the iterative merge choice
-    itself is hash-checked."""
+    every round — pair counting, (freq desc, pair) argmax, and the
+    space-wrapped literal-replace merge — so each iterative merge choice,
+    including merges built on top of earlier merges, is hash-checked."""
     from usearch_spark.operators.text_analysis import bpe_merges
 
-    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=2)
+    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=6)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER tokenizer-build artifact: the symbol inventory after the
+    6 learned merges (operators/text_analysis.bpe_vocab) — every symbol in
+    the final segmentation with its corpus-weighted frequency.  The oracle
+    replays all 6 merges and unnests the final state."""
+    from usearch_spark.operators.text_analysis import bpe_vocab
+
+    return bpe_vocab(_t(spark, sf_dir, "documents"), rounds=6)
 
 
 def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3810,6 +3857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r5, never gated) ---
         "sessionize_stateful": q_sessionize_stateful,
         "graph_coreness": q_graph_coreness,
+        "dedup_eval_sampled": q_dedup_eval_sampled,
+        "bpe_vocab": q_bpe_vocab,
         "graph_harmonic_dist": q_graph_harmonic_dist,
         "graph_betweenness_dist": q_graph_betweenness_dist,
         "graph_pagerank_dist": q_graph_pagerank_dist,
@@ -3955,43 +4004,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
-    return _with_ann_full_oracles({
-        "graph_harmonic": _harmonic_oracle_sql(),
-        "graph_betweenness": _betweenness_oracle_sql(),
-        # the forced-distributed companions compute the identical
-        # recurrence, so they share the unrolled oracles verbatim
-        "graph_harmonic_dist": _harmonic_oracle_sql(),
-        "graph_betweenness_dist": _betweenness_oracle_sql(),
-        "graph_pagerank_dist": _pagerank_oracle_sql(10),
-        "graph_coreness": _coreness_oracle_sql(8),
-        # sessionize_stateful: full timeout flush makes the stream's output
-        # exactly the batch islands decomposition (see q_ docstring)
-        "sessionize_stateful": """
-            WITH s AS (
-                SELECT user_id,
-                       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS new_sess
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            numbered AS (
-                SELECT user_id, us,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
-                                           ROWS UNBOUNDED PRECEDING) AS sess_id
-                FROM s
-            )
-            SELECT CAST(user_id AS BIGINT) AS user_id,
-                   min(us) AS session_start_us,
-                   max(us) AS session_end_us,
-                   count(*) AS n_events
-            FROM numbered GROUP BY user_id, sess_id
-        """,
-        "dedup_eval": f"""
-            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _bpe_oracle_sql(rounds: int, vocab: bool = False) -> str:
+    """BPE merge learning unrolled: per round k, pair counting over the
+    space-wrapped symbol strings (t/p CTEs), the (freq desc, pair) argmax
+    (b), and the literal-replace merge producing the next state (s).
+    replace() is leftmost-non-overlapping in both engines, which IS the
+    BPE merge rule.  ``vocab=True`` emits the post-merge symbol inventory
+    (symbol, freq) instead of the merges list."""
+    head = f"""
+        WITH words AS (
+            SELECT w, count(*) AS wc
+            FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+        ),
+        s0 AS (
+            SELECT w, wc,
+                   array_to_string(list_transform(range(1, len(w) + 1),
+                                   i -> ' ' || substr(w, i, 1) || ' '), '') AS seq
+            FROM words
+        )"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+        t{k} AS (SELECT wc, list_filter(string_split(seq, ' '), x -> x <> '') AS toks FROM s{p}),
+        p{k} AS (
+            SELECT wc, toks[i] || ' ' || toks[i+1] AS pair
+            FROM t{k}, unnest(range(1, len(toks))) u(i)
+        ),
+        b{k} AS MATERIALIZED (
+            SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p{k}
+            GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
+        )""")
+        if k < rounds or vocab:
+            parts.append(f""",
+        s{k} AS (
+            SELECT w, wc,
+                   replace(seq,
+                           ' ' || string_split((SELECT pair FROM b{k}), ' ')[1] || '  '
+                               || string_split((SELECT pair FROM b{k}), ' ')[2] || ' ',
+                           ' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' ') AS seq
+            FROM s{p}
+        )""")
+    if vocab:
+        parts.append(f"""
+        SELECT symbol, CAST(sum(wc) AS BIGINT) AS freq FROM (
+            SELECT wc, unnest(list_filter(string_split(seq, ' '), x -> x <> '')) AS symbol
+            FROM s{rounds}
+        ) GROUP BY symbol
+    """)
+    else:
+        sel = "\n            UNION ALL ".join(
+            f"SELECT {k} AS round, pair, freq FROM b{k}" for k in range(1, rounds + 1)
+        )
+        parts.append(f"""
+        {sel}
+        ORDER BY round
+    """)
+    return "".join(parts)
+
+
+def _dedup_eval_oracle_sql(sample_pred: str = "TRUE") -> str:
+    """Both dedup pipelines (exhaustive Jaccard truth + banded-LSH
+    candidates with exact verify) recomputed in SQL; ``sample_pred``
+    restricts the DOCUMENT universe first — the sampled form of the
+    eval (see q_dedup_eval_sampled)."""
+    return f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                        WHERE {sample_pred}),
             toks AS (
                 SELECT DISTINCT doc_id,
                        unnest(CASE WHEN len(toks) < 3 THEN []
@@ -4044,7 +4123,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_lsh > 0 THEN round(CAST(tp AS DOUBLE) / n_lsh, 6) ELSE 1.0 END AS precision,
                    CASE WHEN n_exact > 0 THEN round(CAST(tp AS DOUBLE) / n_exact, 6) ELSE 1.0 END AS recall
             FROM stats
+        """
+
+
+def oracle_sql() -> dict[str, str]:
+    terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
+    return _with_ann_full_oracles({
+        "graph_harmonic": _harmonic_oracle_sql(),
+        "graph_betweenness": _betweenness_oracle_sql(),
+        # the forced-distributed companions compute the identical
+        # recurrence, so they share the unrolled oracles verbatim
+        "graph_harmonic_dist": _harmonic_oracle_sql(),
+        "graph_betweenness_dist": _betweenness_oracle_sql(),
+        "graph_pagerank_dist": _pagerank_oracle_sql(10),
+        "graph_coreness": _coreness_oracle_sql(8),
+        # sessionize_stateful: full timeout flush makes the stream's output
+        # exactly the batch islands decomposition (see q_ docstring)
+        "sessionize_stateful": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            numbered AS (
+                SELECT user_id, us,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM s
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, sess_id
         """,
+        "dedup_eval": _dedup_eval_oracle_sql(),
+        "dedup_eval_sampled": _dedup_eval_oracle_sql(_SAMPLE_PRED_SQL),
         "search_facets": f"""
             WITH hits AS (
                 SELECT DISTINCT doc_id
@@ -4064,47 +4182,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'len_band', len_band, count(*) FROM m GROUP BY len_band
         """,
-        "bpe_learn": f"""
-            WITH words AS (
-                SELECT w, count(*) AS wc
-                FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
-            ),
-            s0 AS (
-                SELECT w, wc,
-                       array_to_string(list_transform(range(1, len(w) + 1),
-                                       i -> ' ' || substr(w, i, 1) || ' '), '') AS seq
-                FROM words
-            ),
-            t1 AS (SELECT wc, list_filter(string_split(seq, ' '), x -> x <> '') AS toks FROM s0),
-            p1 AS (
-                SELECT wc, toks[i] || ' ' || toks[i+1] AS pair
-                FROM t1, unnest(range(1, len(toks))) u(i)
-            ),
-            b1 AS (
-                SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p1
-                GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
-            ),
-            s1 AS (
-                SELECT w, wc,
-                       replace(seq,
-                               ' ' || string_split((SELECT pair FROM b1), ' ')[1] || '  '
-                                   || string_split((SELECT pair FROM b1), ' ')[2] || ' ',
-                               ' ' || replace((SELECT pair FROM b1), ' ', '') || ' ') AS seq
-                FROM s0
-            ),
-            t2 AS (SELECT wc, list_filter(string_split(seq, ' '), x -> x <> '') AS toks FROM s1),
-            p2 AS (
-                SELECT wc, toks[i] || ' ' || toks[i+1] AS pair
-                FROM t2, unnest(range(1, len(toks))) u(i)
-            ),
-            b2 AS (
-                SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p2
-                GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
-            )
-            SELECT 1 AS round, pair, freq FROM b1
-            UNION ALL
-            SELECT 2 AS round, pair, freq FROM b2
-        """,
+        "bpe_learn": _bpe_oracle_sql(6),
+        "bpe_vocab": _bpe_oracle_sql(6, vocab=True),
         "sim_hard_negatives": """
             WITH e AS (
                 SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,

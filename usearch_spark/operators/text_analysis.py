@@ -467,6 +467,26 @@ def bpe_merges(
 
     Returns (round, pair, freq) — the learned merge table.
     """
+    learned, _ = _bpe_run(docs, rounds, text_col)
+    return learned
+
+
+def bpe_vocab(docs: DataFrame, rounds: int = 2, text_col: str = "text") -> DataFrame:
+    """Symbol inventory AFTER ``rounds`` BPE merges: (symbol, freq) with
+    freq the corpus-weighted occurrence count of the symbol in the final
+    segmentation — the vocab table a tokenizer build emits alongside the
+    merges list.  Same cost shape as :func:`bpe_merges` (the corpus pays
+    one word-count pass; everything else is vocabulary-sized)."""
+    _, state = _bpe_run(docs, rounds, text_col)
+    toks = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+    return (
+        state.select("wc", F.explode(toks).alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("wc").alias("freq"))
+    )
+
+
+def _bpe_run(docs: DataFrame, rounds: int, text_col: str):
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
@@ -505,4 +525,4 @@ def bpe_merges(
                 F.col("seq"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(learned, "round int, pair string, freq long")
+    return spark.createDataFrame(learned, "round int, pair string, freq long"), state
