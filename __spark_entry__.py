@@ -1255,6 +1255,46 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "cost")
 
 
+def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from supplier s1 over the undirected supplier↔part
+    graph with REAL weights (edge weight = the part's p_size), plus the
+    distributed ``strategy="lookups"`` backwalk pinned in the output: the
+    farthest reachable vertex (max cost, id desc tie-break) is
+    reconstructed hop by hop with O(path-length) point lookups on the
+    distributed state (plans/shortest_path.build_path), and every vertex
+    on that path carries its 0-based position in ``path_pos``.  The
+    oracle unrolls Bellman-Ford WITH the deterministic predecessor
+    tie-break (min cost, then min via) and rebuilds the same path with a
+    recursive prev-pointer walk — so cost, predecessor choice, and the
+    backwalk itself are all hash-checked."""
+    from usearch_spark.plans.shortest_path import build_path, shortest_paths
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("p"), F.col("p_partkey")).alias("dst"),
+        F.col("p_size").cast("long").alias("weight"),
+    )
+    ew = e.join(p, "dst").select("src", "dst", "weight")
+    und = ew.unionByName(
+        ew.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    res = shortest_paths(v, und, "s1")
+    state = res.state.localCheckpoint(eager=True)
+    far = (
+        state.filter(F.col("cost").isNotNull())
+        .orderBy(F.col("cost").desc(), F.col("id").desc())
+        .select("id")
+        .first()["id"]
+    )
+    path, _cost = build_path(state, "s1", far, strategy="lookups")
+    pos_df = spark.createDataFrame(
+        [(vid, i) for i, vid in enumerate(path)], "id string, path_pos int"
+    )
+    return state.join(F.broadcast(pos_df), "id", "left").select(
+        "id", "cost", "prev_in_path", "path_pos"
+    )
+
+
 def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: greedy token coloring of the nation graph (md5 tokens, seed 42).
     FULL SQL oracle: the per-round winner rule is deterministic given the
@@ -1913,6 +1953,89 @@ def _sssp_oracle_sql(rounds: int = 8) -> str:
         )"""
         )
     parts.append(f"\n        SELECT id, cost FROM d{rounds}")
+    return "".join(parts)
+
+
+def _sssp_weighted_oracle_sql(rounds: int = 8) -> str:
+    """Bellman-Ford unrolled WITH predecessor tracking (per step: candidate
+    min cost, then min via among achievers — exactly the engine's
+    F.min(struct(new_cost, via)) tie-break; prev carried forward when no
+    strict improvement), then a prev-pointer backwalk from the farthest
+    reachable vertex mirroring build_path(strategy="lookups").  The walk
+    is UNROLLED (path edge-count <= BF waves <= rounds), NOT a recursive
+    CTE: inside WITH RECURSIVE DuckDB stops honoring MATERIALIZED hints
+    and the d-chain re-inlines exponentially."""
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+        ),
+        ew AS (
+            SELECT e0.src, e0.dst, CAST(p.p_size AS BIGINT) AS w
+            FROM e0 JOIN part p ON 'p' || p.p_partkey = e0.dst
+        ),
+        e AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+        verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+        d0 AS MATERIALIZED (
+            SELECT id, CASE WHEN id = 's1' THEN CAST(0 AS BIGINT) END AS cost,
+                   CAST(NULL AS VARCHAR) AS prev
+            FROM verts
+        )
+    """
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        c{k} AS (
+            SELECT e.dst AS id, d.cost + e.w AS nc, e.src AS via
+            FROM d{p} d JOIN e ON e.src = d.id WHERE d.cost IS NOT NULL
+        ),
+        bv{k} AS (
+            SELECT c.id, c.nc, min(c.via) AS via
+            FROM c{k} c JOIN (SELECT id, min(nc) AS nc FROM c{k} GROUP BY id) b
+              ON b.id = c.id AND b.nc = c.nc
+            GROUP BY c.id, c.nc
+        ),
+        d{k} AS MATERIALIZED (
+            SELECT d.id,
+                   CASE WHEN bv.nc IS NOT NULL AND (d.cost IS NULL OR bv.nc < d.cost)
+                        THEN bv.nc ELSE d.cost END AS cost,
+                   CASE WHEN bv.nc IS NOT NULL AND (d.cost IS NULL OR bv.nc < d.cost)
+                        THEN bv.via ELSE d.prev END AS prev
+            FROM d{p} d LEFT JOIN bv{k} bv ON bv.id = d.id
+        )"""
+        )
+    parts.append(
+        f""",
+        w0 AS MATERIALIZED (
+            SELECT id, 0 AS back_pos FROM d{rounds} WHERE cost IS NOT NULL
+            ORDER BY cost DESC, id DESC LIMIT 1
+        )"""
+    )
+    for j in range(1, rounds + 1):
+        parts.append(
+            f""",
+        w{j} AS MATERIALIZED (
+            SELECT d.prev AS id, {j} AS back_pos
+            FROM w{j - 1} w JOIN d{rounds} d ON d.id = w.id
+            WHERE d.prev IS NOT NULL
+        )"""
+        )
+    walk_union = "\n            UNION ALL ".join(
+        f"SELECT id, back_pos FROM w{j}" for j in range(rounds + 1)
+    )
+    parts.append(
+        f""",
+        walk AS MATERIALIZED (
+            {walk_union}
+        ),
+        plen AS (SELECT max(back_pos) AS mx FROM walk)
+        SELECT d.id, d.cost, d.prev AS prev_in_path,
+               CAST(CASE WHEN w.id IS NOT NULL
+                         THEN (SELECT mx FROM plen) - w.back_pos END AS INT) AS path_pos
+        FROM d{rounds} d LEFT JOIN walk w ON w.id = d.id
+    """
+    )
     return "".join(parts)
 
 
@@ -3859,6 +3982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": q_graph_coreness,
         "dedup_eval_sampled": q_dedup_eval_sampled,
         "bpe_vocab": q_bpe_vocab,
+        "graph_sssp_weighted": q_graph_sssp_weighted,
         "graph_harmonic_dist": q_graph_harmonic_dist,
         "graph_betweenness_dist": q_graph_betweenness_dist,
         "graph_pagerank_dist": q_graph_pagerank_dist,
@@ -5031,6 +5155,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_conv_oracle_sql(12),
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),
+        "graph_sssp_weighted": _sssp_weighted_oracle_sql(8),
         "graph_coloring": _coloring_oracle_sql(8),
         "graph_components": _components_oracle_sql(8),
         "dedup_exact": f"""
