@@ -3295,6 +3295,96 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize step of the trained BPE tokenizer: per-document token
+    counts under the 6 learned merges
+    (operators/text_analysis.bpe_encode_counts) — the vocabulary-sized
+    word→segment-size map broadcasts against the corpus words, so encoding
+    cost is one corpus scan.  The oracle replays the merges and counts the
+    same final segmentations."""
+    from usearch_spark.operators.text_analysis import bpe_encode_counts
+
+    return bpe_encode_counts(_t(spark, sf_dir, "documents"), rounds=6)
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier↔part graph: top-20 supplier pairs
+    by Adamic-Adar score (plans/graph_stats.adamic_adar) — shared rare
+    parts count more than hub parts (1/ln deg weighting).  Deterministic
+    order: rounded score desc, then pair ids."""
+    from usearch_spark.plans.graph_stats import adamic_adar
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    out = adamic_adar(e, edges_deduped=True)
+    return out.orderBy(F.col("aa_score").desc(), "a", "b").limit(20)
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha = 0.5), folded over the (ts, event_id)-ordered event sequence
+    entirely JVM-side: sort_array over structs + F.aggregate — no window,
+    no UDF.  The oracle folds the identical sequence with list_reduce, so
+    both engines run the same IEEE operation chain."""
+    ev = _events(spark, sf_dir)
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    per = ev.groupBy("user_id").agg(arr.alias("seq"))
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return per.select(
+        "user_id",
+        F.round(ewma, 6).alias("ewma_value"),
+        F.size("seq").cast("long").alias("n_events"),
+    )
+
+
+def q_sketch_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/sketch.py): build
+    a depth-4 x 256-bucket CMS over the events user_id stream (the
+    sub-linear heavy-hitter summary — the sketch shuffle is <= 1024 rows
+    no matter the input size), then point-query users 0..19.  Buckets are
+    md5-prefix strings, so the oracle rebuilds the SAME sketch and the
+    estimates — including any collision overcounts — are hash-checked."""
+    from usearch_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = count_min_sketch(ev, "user_id", depth=4, prefix_len=2)
+    probes = ev.filter(F.col("user_id") < 20)
+    return cms_estimate(sk, probes, "user_id", depth=4, prefix_len=2)
+
+
+def q_sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketch.py): a 3-hash, 4096-bit
+    Bloom filter over high-balance customers (c_acctbal > 5000) probes
+    the FULL customer table — the shape that prunes a huge probe side
+    with a broadcastable bit set before an expensive join.  Output: probe
+    count, true members, maybe-hits, and false positives; no false
+    negatives is structural (asserted in pytest), and the exact
+    false-positive set is reproduced by the oracle's identical bits."""
+    from usearch_spark.operators.sketch import bloom_build, bloom_maybe_contains
+
+    cust = _t(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") > 5000)
+    bloom = bloom_build(members, "c_custkey", hashes=3, prefix_len=3)
+    flags = bloom_maybe_contains(bloom, cust, "c_custkey", hashes=3, prefix_len=3)
+    actual = members.select("c_custkey").dropDuplicates(["c_custkey"]).withColumn(
+        "actual", F.lit(1)
+    )
+    j = flags.join(actual, "c_custkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("actual").isNotNull(), 1).otherwise(0)).cast("long").alias("n_actual"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum(F.when((F.col("maybe") == 1) & F.col("actual").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (duplicate
     word/2-gram/3-gram fractions, top word/2-gram mass) with a flagged
@@ -3983,6 +4073,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval_sampled": q_dedup_eval_sampled,
         "bpe_vocab": q_bpe_vocab,
         "graph_sssp_weighted": q_graph_sssp_weighted,
+        "sketch_cms_users": q_sketch_cms_users,
+        "sketch_bloom_prune": q_sketch_bloom_prune,
+        "bpe_encode": q_bpe_encode,
+        "graph_adamic_adar": q_graph_adamic_adar,
+        "events_ewma": q_events_ewma,
         "graph_harmonic_dist": q_graph_harmonic_dist,
         "graph_betweenness_dist": q_graph_betweenness_dist,
         "graph_pagerank_dist": q_graph_pagerank_dist,
@@ -4128,7 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bpe_oracle_sql(rounds: int, vocab: bool = False) -> str:
+def _bpe_oracle_sql(rounds: int, vocab: bool = False, encode: bool = False) -> str:
     """BPE merge learning unrolled: per round k, pair counting over the
     space-wrapped symbol strings (t/p CTEs), the (freq desc, pair) argmax
     (b), and the literal-replace merge producing the next state (s).
@@ -4159,7 +4254,7 @@ def _bpe_oracle_sql(rounds: int, vocab: bool = False) -> str:
             SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p{k}
             GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
         )""")
-        if k < rounds or vocab:
+        if k < rounds or vocab or encode:
             parts.append(f""",
         s{k} AS (
             SELECT w, wc,
@@ -4169,7 +4264,16 @@ def _bpe_oracle_sql(rounds: int, vocab: bool = False) -> str:
                            ' ' || replace((SELECT pair FROM b{k}), ' ', '') || ' ') AS seq
             FROM s{p}
         )""")
-    if vocab:
+    if encode:
+        parts.append(f"""
+        SELECT d.doc_id,
+               CAST(sum(len(list_filter(string_split(s.seq, ' '), x -> x <> ''))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents) d
+        JOIN s{rounds} s ON s.w = d.w
+        GROUP BY d.doc_id
+    """)
+    elif vocab:
         parts.append(f"""
         SELECT symbol, CAST(sum(wc) AS BIGINT) AS freq FROM (
             SELECT wc, unnest(list_filter(string_split(seq, ' '), x -> x <> '')) AS symbol
@@ -4308,6 +4412,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_learn": _bpe_oracle_sql(6),
         "bpe_vocab": _bpe_oracle_sql(6, vocab=True),
+        "bpe_encode": _bpe_oracle_sql(6, encode=True),
+        "graph_adamic_adar": """
+            WITH e AS (
+                SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d FROM lineitem
+            ),
+            deg AS (SELECT d, count(*) AS dg FROM e GROUP BY d),
+            pairs AS (
+                SELECT x.s AS a, y.s AS b,
+                       round(sum(CAST(1 AS DOUBLE) / ln(CAST(deg.dg AS DOUBLE))), 6) AS aa_score,
+                       count(*) AS n_common
+                FROM e x
+                JOIN e y ON x.d = y.d AND x.s < y.s
+                JOIN deg ON deg.d = x.d
+                GROUP BY x.s, y.s
+            )
+            SELECT a, b, aa_score, n_common FROM pairs
+            ORDER BY aa_score DESC, a, b LIMIT 20
+        """,
+        "events_ewma": """
+            WITH seqs AS (
+                SELECT user_id,
+                       list(value ORDER BY ts, event_id) AS vals
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id,
+                   round(list_reduce(vals,
+                         (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x * CAST(0.5 AS DOUBLE)), 6)
+                       AS ewma_value,
+                   CAST(len(vals) AS BIGINT) AS n_events
+            FROM seqs
+        """,
         "sim_hard_negatives": """
             WITH e AS (
                 SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
@@ -5156,6 +5291,50 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_fixed": _pagerank_oracle_sql(10),
         "graph_sssp": _sssp_oracle_sql(8),
         "graph_sssp_weighted": _sssp_weighted_oracle_sql(8),
+        "sketch_cms_users": """
+            WITH cms AS (
+                SELECT s.seed,
+                       substr(md5(s.seed || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+                       count(*) AS cnt
+                FROM events, range(4) s(seed)
+                GROUP BY 1, 2
+            ),
+            probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+            addressed AS (
+                SELECT p.user_id, s.seed,
+                       substr(md5(s.seed || ':' || CAST(p.user_id AS VARCHAR)), 1, 2) AS bucket
+                FROM probes p, range(4) s(seed)
+            )
+            SELECT a.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+            FROM addressed a LEFT JOIN cms c ON c.seed = a.seed AND c.bucket = a.bucket
+            GROUP BY a.user_id
+        """,
+        "sketch_bloom_prune": """
+            WITH members AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000),
+            bits AS (
+                SELECT DISTINCT s.seed || '/' ||
+                       substr(md5(s.seed || ':' || CAST(c_custkey AS VARCHAR)), 1, 3) AS bit
+                FROM members, range(3) s(seed)
+            ),
+            probes AS (SELECT DISTINCT c_custkey FROM customer),
+            addressed AS (
+                SELECT p.c_custkey,
+                       s.seed || '/' ||
+                       substr(md5(s.seed || ':' || CAST(p.c_custkey AS VARCHAR)), 1, 3) AS bit
+                FROM probes p, range(3) s(seed)
+            ),
+            flags AS (
+                SELECT a.c_custkey,
+                       CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS maybe
+                FROM addressed a LEFT JOIN bits b ON b.bit = a.bit
+                GROUP BY a.c_custkey
+            )
+            SELECT count(*) AS n_probes,
+                   CAST(sum(CASE WHEN m.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+                   CAST(sum(maybe) AS BIGINT) AS n_maybe,
+                   CAST(sum(CASE WHEN maybe = 1 AND m.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+            FROM flags f LEFT JOIN members m ON m.c_custkey = f.c_custkey
+        """,
         "graph_coloring": _coloring_oracle_sql(8),
         "graph_components": _components_oracle_sql(8),
         "dedup_exact": f"""

@@ -281,3 +281,27 @@ def test_coreness_numeric_ids(spark):
     v = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
     got = {r["id"]: r["coreness"] for r in coreness(v, e).collect()}
     assert got == {1: 2, 2: 2, 3: 2, 4: 0}
+
+
+def test_adamic_adar_known_graph(spark):
+    """Two sources sharing one rare dst (deg 2) score 1/ln(2); sharing a
+    hub dst (deg 3) scores 1/ln(3) per pair; hub cap drops the hub."""
+    import math
+
+    from usearch_spark.plans.graph_stats import adamic_adar
+
+    e = spark.createDataFrame(
+        [("a", "r"), ("b", "r"), ("a", "h"), ("b", "h"), ("c", "h")],
+        "src string, dst string",
+    )
+    got = {(r["a"], r["b"]): (r["aa_score"], r["n_common"]) for r in adamic_adar(e).collect()}
+    w_r, w_h = 1 / math.log(2), 1 / math.log(3)
+    assert got[("a", "b")] == (round(w_r + w_h, 6), 2)
+    assert got[("a", "c")] == (round(w_h, 6), 1)
+    assert got[("b", "c")] == (round(w_h, 6), 1)
+
+    capped = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in adamic_adar(e, max_dst_degree=2).collect()
+    }
+    assert capped == {("a", "b"): 1}  # hub h dropped entirely

@@ -135,3 +135,26 @@ def test_bpe_merges_greedy_overlap(spark):
     )
     got = [(r["round"], r["pair"], r["freq"]) for r in bpe_merges(docs, rounds=2).collect()]
     assert got == [(1, "a a", 6), (2, "aa a", 3)]
+
+
+def test_bpe_encode_counts_shrink_with_merges(spark):
+    """Each merge can only shrink segmentations; zero merges = per-char
+    counts."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.text_analysis import bpe_encode_counts, tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab banana"), (2, "aaab"), (3, "xy")], "doc_id long, text string"
+    )
+    zero = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode_counts(docs, rounds=0).collect()}
+    chars = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("w")
+        ).groupBy("doc_id").agg(F.sum(F.length("w")).alias("n")).collect()
+    }
+    assert zero == chars
+    merged = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode_counts(docs, rounds=3).collect()}
+    assert all(merged[d] <= zero[d] for d in zero)
+    assert merged[2] < zero[2]  # 'aaab' (freq 3) definitely got merged

@@ -1,0 +1,140 @@
+"""Mergeable frequency sketches: count-min and Bloom membership.
+
+The reference engine's analytics are exact; at 100 TB the first thing a
+pipeline adds is sub-linear summaries — a count-min sketch for heavy-hitter
+frequency estimation and a Bloom filter for membership pruning before an
+expensive join.  Both are built here as plain DataFrames (rows of
+(seed, bucket, cnt) / (bucket,)), which makes them:
+
+  - one partial-aggregated groupBy to build (a shuffle of at most
+    depth x width rows, independent of input size);
+  - mergeable across partitions/days by summing buckets (CMS) or unioning
+    bits (Bloom) — the property that makes sketches work in a
+    map-reduce/streaming setting;
+  - deterministic: buckets are md5-prefix strings of "seed:key", so an
+    external SQL engine reproduces the sketch bit-for-bit (the correctness
+    gate replays sketch construction AND estimation in DuckDB).
+
+Estimate error is the textbook bound: CMS overestimates by at most
+eps * N with probability 1 - delta for width = e/eps, depth = ln(1/delta);
+Bloom false-positive rate ~ (1 - e^{-kn/m})^k.  Tests pin the
+over-estimate-only invariant rather than exact error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(seed: Column, key: Column, prefix_len: int) -> Column:
+    """Deterministic bucket id: first ``prefix_len`` hex chars of
+    md5("<seed>:<key>") — a string bucket, so no engine-specific
+    hex-to-int conversion is needed to replicate it."""
+    return F.substring(
+        F.md5(F.concat(seed.cast("string"), F.lit(":"), key.cast("string"))), 1, prefix_len
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    prefix_len: int = 2,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col``: rows (seed, bucket, cnt),
+    one row per non-empty cell.  ``prefix_len`` hex chars give a width of
+    16^prefix_len buckets (2 -> 256).  ``weight_col`` makes it a weighted
+    frequency sketch (sums instead of counts).
+
+    Cost shape: explode by depth (a cheap JVM-side array explode), one
+    partial-aggregated groupBy on (seed, bucket) — the shuffle carries at
+    most depth x 16^prefix_len rows no matter how large the input is.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.select(F.col(key_col).alias("k"), w.alias("w"))
+        .select("k", "w", seeds)
+        .select("seed", _bucket(F.col("seed"), F.col("k"), prefix_len).alias("bucket"), "w")
+        .groupBy("seed", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``probes``: the estimate is
+    min over seeds of the addressed cell (0 if any cell is empty).
+    Returns (key_col, est) — est >= true count always (CMS never
+    underestimates).  The sketch side is tiny (<= depth x width rows), so
+    the join broadcasts; probing N keys is one map-side join, no shuffle
+    of the probe side."""
+    keys = probes.select(F.col(key_col).alias("k")).dropDuplicates(["k"])
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    addressed = keys.select("k", seeds).select(
+        "k", "seed", _bucket(F.col("seed"), F.col("k"), prefix_len).alias("bucket")
+    )
+    joined = addressed.join(F.broadcast(sketch), ["seed", "bucket"], "left").select(
+        "k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cell")
+    )
+    return joined.groupBy("k").agg(F.min("cell").alias("est")).select(
+        F.col("k").alias(key_col), "est"
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    hashes: int = 3,
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Bloom filter as a DataFrame of set bit ids: rows (bucket,), one per
+    distinct set bit across ``hashes`` md5-prefix hash functions (bit
+    space = 16^prefix_len).  Mergeable by union; size is bounded by the
+    bit space regardless of input."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(hashes)])).alias("seed")
+    return (
+        df.select(F.col(key_col).alias("k"))
+        .select("k", seeds)
+        .select(_bucket(F.col("seed"), F.col("k"), prefix_len).alias("bucket"), F.col("seed"))
+        .select(F.concat(F.col("seed").cast("string"), F.lit("/"), F.col("bucket")).alias("bit"))
+        .dropDuplicates(["bit"])
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    hashes: int = 3,
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Membership test: a probe key 'maybe' belongs iff ALL ``hashes`` of
+    its bits are set (no false negatives; false positives at the textbook
+    rate).  Returns (key_col, maybe int).  The bloom side broadcasts —
+    this is the join-pruning shape: filter a huge probe side with a tiny
+    sketch before the real join."""
+    keys = probes.select(F.col(key_col).alias("k")).dropDuplicates(["k"])
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(hashes)])).alias("seed")
+    addressed = keys.select("k", seeds).select(
+        "k",
+        F.concat(
+            F.col("seed").cast("string"),
+            F.lit("/"),
+            _bucket(F.col("seed"), F.col("k"), prefix_len),
+        ).alias("bit"),
+    )
+    hit = addressed.join(F.broadcast(bloom), "bit", "left_semi").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_set")
+    )
+    return keys.join(hit, "k", "left").select(
+        F.col("k").alias(key_col),
+        (F.coalesce(F.col("n_set"), F.lit(0)) == hashes).cast("int").alias("maybe"),
+    )

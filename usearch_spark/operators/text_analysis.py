@@ -486,6 +486,24 @@ def bpe_vocab(docs: DataFrame, rounds: int = 2, text_col: str = "text") -> DataF
     )
 
 
+def bpe_encode_counts(docs: DataFrame, rounds: int = 2, text_col: str = "text") -> DataFrame:
+    """Apply the learned merges back to the corpus (the tokenize step of a
+    trained BPE tokenizer): per-document token count under the
+    ``rounds``-merge vocabulary.  The word table's final segmentation size
+    is a vocabulary-sized map joined (broadcast) against each document's
+    words — the corpus never re-runs the merges.  Returns
+    (doc_id, n_bpe_tokens); documents with no words drop out."""
+    _, state = _bpe_run(docs, rounds, text_col)
+    toks = F.filter(F.split(F.col("seq"), " "), lambda x: x != "")
+    word_map = state.select("w", F.size(toks).alias("n_tok"))
+    words = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("w"))
+    return (
+        words.join(F.broadcast(word_map), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("long").alias("n_bpe_tokens"))
+    )
+
+
 def _bpe_run(docs: DataFrame, rounds: int, text_col: str):
     spark = docs.sparkSession
     words = (

@@ -106,6 +106,46 @@ def project_bipartite(
     return pairs
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_dst_degree: int | None = None,
+    edges_deduped: bool = False,
+) -> DataFrame:
+    """Link-prediction scores over a bipartite src→dst graph projected on
+    the src side: AA(a,b) = Σ_{shared dst z} 1/ln(deg(z)) — the classic
+    Adamic-Adar weighting where rare shared neighbors count more than
+    hubs.  Returns (a, b, aa_score, n_common) with a < b.
+
+    Same scale shape (and the same hub-cap lever) as
+    :func:`project_bipartite`: the per-dst self-join is the quadratic
+    hazard, and ``max_dst_degree`` drops hub dst vertices before the join
+    — which AA ALSO wants semantically, since a hub's 1/ln(deg) weight is
+    near zero.  deg(z) >= 2 for any shared neighbor, so ln never hits 0.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not edges_deduped:
+        e = e.dropDuplicates(["s", "d"])
+    deg = e.groupBy("d").agg(F.count(F.lit(1)).alias("dg"))
+    if max_dst_degree is not None:
+        deg = deg.filter(F.col("dg") <= max_dst_degree)
+        e = e.join(deg.select("d"), "d", "left_semi")
+    w = deg.select("d", (F.lit(1.0) / F.log(F.col("dg").cast("double"))).alias("w"))
+    left = e.select(F.col("s").alias("a"), "d")
+    right = e.select(F.col("s").alias("b"), "d")
+    return (
+        left.join(right, "d")
+        .filter(F.col("a") < F.col("b"))
+        .join(w, "d")
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.sum("w"), 6).alias("aa_score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+
+
 def kcore_peel(
     vertices: DataFrame,
     edges: DataFrame,
