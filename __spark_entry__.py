@@ -3295,6 +3295,129 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (decorrelated EXISTS): orders placed in 1996Q1 with
+    at least one line item shipped more than 30 days after the order date,
+    counted per priority.  The EXISTS compiles to a left-semi join on
+    orderkey with the ship-lag predicate inside the join condition — one
+    shuffle, lineitem never aggregated."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of March-1996 revenue from PROMO-type parts.
+    Decimal-exact sums (conditional + total in ONE pass over the month's
+    lineitem), cast to double only for the final division; the part side
+    joins on partkey (broadcast at small sf, shuffle-hash at scale)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.coalesce(F.col("promo_rev"), F.lit(0)).cast("double")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the same-region nation graph
+    (the supplier↔part graph is bipartite — zero triangles by parity):
+    3 x triangles / wedges, with wedges = Σ deg(v)·(deg(v)-1)/2 over the
+    undirected deduplicated edge set and triangles enumerated once via
+    the canonical a<b<c join (plans/graph_stats.triangles_per_vertex)."""
+    from usearch_spark.plans.graph_stats import canonical_edges, triangles_per_vertex
+
+    v, e = _nation_graph(spark, sf_dir)
+    und = canonical_edges(e)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    wedges = deg.agg(
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    tri_total = triangles_per_vertex(v, e).agg(
+        (F.sum("n_triangles") / 3).cast("long").alias("n_triangles")
+    )
+    return tri_total.join(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
+        ).alias("clustering_coeff"),
+    )
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup under the hard gate
+    (streaming/events.deduplicate_stream → dropDuplicatesWithinWatermark):
+    batch0 delivers every event, batch1 RE-DELIVERS the identical file (an
+    at-least-once source replay).  Every batch1 row is eliminated — as a
+    within-watermark duplicate or as late data behind batch0's watermark
+    (SPARK-24634 timing) — so the emitted set is exactly the distinct
+    events of batch0, which the oracle states directly.  event_ids are
+    unique in the table, making first-in-batch order irrelevant."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.events import deduplicate_stream
+
+    base = os.path.join(_ARTIFACT_DIR, f"dedup_replay_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        ev = _events(spark, sf_dir).select(
+            "event_id",
+            F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)").alias("ts_us"),
+            "event_type",
+        )
+        os.makedirs(base, exist_ok=True)
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        now = time.time()
+        for i in (0, 1):
+            t = now - 120 * (1 - i)
+            os.utime(os.path.join(base, f"batch{i}.parquet"), (t, t))
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, event_type string")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    src = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    deduped = deduplicate_stream(src, keys=["event_id"], watermark="30 minutes")
+    name = f"ev_dd_{uuid.uuid4().hex[:8]}"
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("event_id", "ts_us", "event_type")
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenize step of the trained BPE tokenizer: per-document token
     counts under the 6 learned merges
@@ -4078,6 +4201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "graph_adamic_adar": q_graph_adamic_adar,
         "events_ewma": q_events_ewma,
+        "order_priority_late": q_order_priority_late,
+        "promo_revenue": q_promo_revenue,
+        "graph_clustering_coeff": q_graph_clustering_coeff,
+        "events_dedup_stream": q_events_dedup_stream,
         "graph_harmonic_dist": q_graph_harmonic_dist,
         "graph_betweenness_dist": q_graph_betweenness_dist,
         "graph_pagerank_dist": q_graph_pagerank_dist,
@@ -4429,6 +4556,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, aa_score, n_common FROM pairs
             ORDER BY aa_score DESC, a, b LIMIT 20
+        """,
+        "order_priority_late": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority
+        """,
+        "promo_revenue": """
+            WITH j AS (
+                SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT round(100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END),
+                                               0) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct,
+                   CAST(sum(rev) AS DOUBLE) AS total_revenue
+            FROM j
+        """,
+        "graph_clustering_coeff": """
+            WITH und AS (
+                SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                       greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+            ),
+            both_dir AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT a, count(*) AS dg FROM both_dir GROUP BY a),
+            wedges AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+            tri AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT n_triangles, n_wedges,
+                   round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) AS clustering_coeff
+            FROM tri, wedges
+        """,
+        "events_dedup_stream": """
+            SELECT event_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+                   event_type
+            FROM events
         """,
         "events_ewma": """
             WITH seqs AS (
