@@ -1306,6 +1306,45 @@ def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "color")
 
 
+def q_graph_sssp_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_sssp with strategy="distributed" FORCED — the per-superstep
+    frontier⋈edges Bellman-Ford loop under the same unrolled oracle."""
+    v, e = _nation_graph(spark, sf_dir)
+    res = shortest_paths(v, e, "n0", strategy="distributed")
+    return res.state.select("id", "cost")
+
+
+def q_graph_coloring_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_coloring with strategy="distributed" FORCED — the per-round
+    winner-election joins (the at-scale path) under the same unrolled
+    oracle."""
+    v, e = _nation_graph(spark, sf_dir)
+    res = color_graph(v, e, seed=42, strategy="distributed")
+    return res.state.select("id", "color")
+
+
+def q_graph_hits_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_hits with strategy="distributed" FORCED — per-phase
+    join + L1-normalize supersteps under the same unrolled oracle."""
+    from usearch_spark.plans.hits import hits
+
+    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    res = hits(vertices, edges, rounds=5, edges_deduped=True, strategy="distributed")
+    return res.state.select(
+        "id",
+        F.round(F.col("hub"), 8).alias("hub"),
+        F.round(F.col("authority"), 8).alias("authority"),
+    )
+
+
+def q_graph_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_components with strategy="distributed" FORCED — the pregel
+    min-label propagation loop under the same unrolled oracle."""
+    v, e = _nation_graph(spark, sf_dir)
+    res = connected_components(v, e, strategy="distributed")
+    return res.state.select("id", F.col("value").alias("component"))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (usearch_spark/operators/asof.py): each purchase event
     paired with the same user's most recent view at-or-before it.  Oracle
@@ -4201,6 +4240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "graph_adamic_adar": q_graph_adamic_adar,
         "events_ewma": q_events_ewma,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "graph_coloring_dist": q_graph_coloring_dist,
+        "graph_hits_dist": q_graph_hits_dist,
+        "graph_components_dist": q_graph_components_dist,
         "order_priority_late": q_order_priority_late,
         "promo_revenue": q_promo_revenue,
         "graph_clustering_coeff": q_graph_clustering_coeff,
@@ -5517,6 +5560,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_coloring": _coloring_oracle_sql(8),
         "graph_components": _components_oracle_sql(8),
+        "graph_sssp_dist": _sssp_oracle_sql(8),
+        "graph_coloring_dist": _coloring_oracle_sql(8),
+        "graph_components_dist": _components_oracle_sql(8),
+        "graph_hits_dist": _hits_oracle_sql(5),
         "dedup_exact": f"""
             WITH fp AS (
                 SELECT doc_id,
