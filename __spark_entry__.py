@@ -3334,6 +3334,35 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style composite quality gate: the keep/drop verdict a
+    pretraining pipeline derives by combining independent signals —
+    Gopher repetition flags, CCNet unigram-LM log-prob (< -3.5), and a
+    minimum-length floor (n_chars < 100) — each already an individually
+    gated operator; here the PIPELINE composition is what's hash-checked.
+    One corpus scan per signal family, all joins on the doc_id spine."""
+    from usearch_spark.operators.text_analysis import repetition_signals, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_signals(docs).select(
+        "doc_id", F.col("flagged").cast("int").alias("flag_repetition")
+    )
+    lp = unigram_logprob(docs).select(
+        "doc_id", (F.col("avg_logprob") < -3.5).cast("int").alias("flag_lowprob")
+    )
+    base = docs.select("doc_id", (F.col("n_chars") < 100).cast("int").alias("flag_short"))
+    j = base.join(rep, "doc_id").join(lp, "doc_id")
+    n_flags = F.col("flag_repetition") + F.col("flag_lowprob") + F.col("flag_short")
+    return j.select(
+        "doc_id",
+        "flag_repetition",
+        "flag_lowprob",
+        "flag_short",
+        n_flags.alias("n_flags"),
+        (n_flags == 0).cast("int").alias("keep"),
+    )
+
+
 def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (decorrelated EXISTS): orders placed in 1996Q1 with
     at least one line item shipped more than 30 days after the order date,
@@ -4244,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "corpus_quality_filter": q_corpus_quality_filter,
         "order_priority_late": q_order_priority_late,
         "promo_revenue": q_promo_revenue,
         "graph_clustering_coeff": q_graph_clustering_coeff,
@@ -4599,6 +4629,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, aa_score, n_common FROM pairs
             ORDER BY aa_score DESC, a, b LIMIT 20
+        """,
+        "corpus_quality_filter": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            lpt AS (
+                SELECT tok,
+                       CAST(round(ln(c / (SELECT sum(c) FROM vocab)), 6) AS DECIMAL(12,6)) AS lp
+                FROM vocab
+            ),
+            lpper AS (
+                SELECT t.doc_id,
+                       round(CAST(sum(l.lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+                FROM tok t JOIN lpt l USING (tok)
+                GROUP BY t.doc_id
+            ),
+            tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g1 AS (SELECT doc_id, 1 AS n, unnest(toks) AS g FROM tk),
+            g2 AS (SELECT doc_id, 2 AS n,
+                          unnest(CASE WHEN len(toks) < 2 THEN []
+                                 ELSE list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1]) END) AS g
+                   FROM tk),
+            g3 AS (SELECT doc_id, 3 AS n,
+                          unnest(CASE WHEN len(toks) < 3 THEN []
+                                 ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+                   FROM tk),
+            allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+            counts AS (SELECT doc_id, n, g, count(*) AS c FROM allg GROUP BY 1, 2, 3),
+            per AS (SELECT doc_id,
+                           sum(c) FILTER (n = 1) AS t1, count(*) FILTER (n = 1) AS d1, max(c) FILTER (n = 1) AS m1,
+                           sum(c) FILTER (n = 2) AS t2, count(*) FILTER (n = 2) AS d2,
+                           sum(c) FILTER (n = 3) AS t3, count(*) FILTER (n = 3) AS d3,
+                           max(c) FILTER (n = 2) AS m2
+                    FROM counts GROUP BY 1),
+            rep AS (
+                SELECT d.doc_id,
+                       CAST((coalesce(round(1 - p.d1 / p.t1, 6), 0.0) > 0.75
+                             OR coalesce(round(1 - p.d2 / p.t2, 6), 0.0) > 0.05
+                             OR coalesce(round(1 - p.d3 / p.t3, 6), 0.0) > 0.02
+                             OR coalesce(round(p.m1 / p.t1, 6), 0.0) > 0.15) AS INT)
+                           AS flag_repetition
+                FROM documents d LEFT JOIN per p USING (doc_id)
+            )
+            SELECT d.doc_id,
+                   r.flag_repetition,
+                   CAST(coalesce(l.avg_logprob, 0.0) < -3.5 AS INT) AS flag_lowprob,
+                   CAST(d.n_chars < 100 AS INT) AS flag_short,
+                   r.flag_repetition + CAST(coalesce(l.avg_logprob, 0.0) < -3.5 AS INT)
+                       + CAST(d.n_chars < 100 AS INT) AS n_flags,
+                   CAST(r.flag_repetition + CAST(coalesce(l.avg_logprob, 0.0) < -3.5 AS INT)
+                        + CAST(d.n_chars < 100 AS INT) = 0 AS INT) AS keep
+            FROM documents d
+            JOIN rep r USING (doc_id)
+            LEFT JOIN lpper l USING (doc_id)
         """,
         "order_priority_late": """
             SELECT o_orderpriority, count(*) AS order_count
