@@ -221,3 +221,41 @@ def test_event_transitions_window_partitioned_by_user(spark):
     assert win_lines, plan
     for ln in win_lines:
         assert "user_id" in ln.split("windowspecdefinition")[1][:60]
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The sketch side (<= depth x width rows) must broadcast — probing N
+    keys must not shuffle the probe side."""
+    plan = plan_of(E.q_sketch_cms_users(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_membership_broadcasts_bits(spark):
+    plan = plan_of(E.q_sketch_bloom_prune(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_adamic_adar_topk_is_take_ordered(spark):
+    """Top-20 pairs must plan as TakeOrderedAndProject, not a global sort
+    or single-partition window."""
+    plan = plan_of(E.q_graph_adamic_adar(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_has_no_python_stage(spark):
+    """The EWMA fold is sort_array + aggregate — pure JVM; no Arrow/Python
+    evaluation may appear in the plan."""
+    plan = plan_of(E.q_events_ewma(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    plan = plan_of(E.q_order_priority_late(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_bpe_encode_broadcasts_word_map(spark):
+    plan = plan_of(E.q_bpe_encode(spark, SF))
+    assert "BroadcastHashJoin" in plan
