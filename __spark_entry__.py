@@ -3334,6 +3334,30 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user and cumulative-distinct-user counts: first-seen day
+    per user (one agg), daily news (one agg), then the running total via a
+    day⋈day triangular join on the TINY per-day frame — deliberately no
+    global-ordered window, which would single-partition the plan; the
+    triangular join is |days|² on an already-aggregated input."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("n_new_users").alias("n2"))
+    cum = (
+        daily.join(d2, F.col("day2") <= F.col("day"))
+        .groupBy("day", "n_new_users")
+        .agg(F.sum("n2").alias("n_cum_users"))
+    )
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_new_users", "n_cum_users"
+    )
+
+
 def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style composite quality gate: the keep/drop verdict a
     pretraining pipeline derives by combining independent signals —
@@ -4273,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "users_cumulative": q_users_cumulative,
         "corpus_quality_filter": q_corpus_quality_filter,
         "order_priority_late": q_order_priority_late,
         "promo_revenue": q_promo_revenue,
@@ -4629,6 +4654,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, aa_score, n_common FROM pairs
             ORDER BY aa_score DESC, a, b LIMIT 20
+        """,
+        "users_cumulative": """
+            WITH fs AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+                FROM events GROUP BY user_id
+            ),
+            daily AS (
+                SELECT first_day AS day, count(*) AS n_new_users FROM fs GROUP BY first_day
+            )
+            SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                   d.n_new_users,
+                   CAST(sum(d2.n_new_users) AS BIGINT) AS n_cum_users
+            FROM daily d JOIN daily d2 ON d2.day <= d.day
+            GROUP BY d.day, d.n_new_users
         """,
         "corpus_quality_filter": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
