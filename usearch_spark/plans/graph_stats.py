@@ -230,14 +230,18 @@ def coreness(
     e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
         eager=True
     )
+    from usearch_spark.plans.iterative import checkpoint_with_metrics
+
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
-    h = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).cast("int").alias("val"))
-    h = h.localCheckpoint(eager=True)
-    total = h.agg(F.sum("val")).first()[0]
+    h0 = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).cast("int").alias("val"))
+    # the fixpoint detector (Σ val) rides inside each round's checkpoint
+    # job — no separate .agg().first() action per round
+    h, m = checkpoint_with_metrics(h0, total=F.coalesce(F.sum("val"), F.lit(0)))
+    total = int(m["total"])
     for _ in range(rounds):
         nb = e.join(h.select(F.col("id").alias("b"), "val"), "b").select("a", "val")
         w = Window.partitionBy("a").orderBy(F.desc("val"))
-        h = (
+        nxt = (
             nb.withColumn("rn", F.row_number().over(w))
             .groupBy(F.col("a").alias("id"))
             .agg(
@@ -245,9 +249,9 @@ def coreness(
                 .cast("int")
                 .alias("val")
             )
-            .localCheckpoint(eager=True)
         )
-        t_next = h.agg(F.sum("val")).first()[0]
+        h, m = checkpoint_with_metrics(nxt, total=F.coalesce(F.sum("val"), F.lit(0)))
+        t_next = int(m["total"])
         if t_next == total:
             break  # h is monotone non-increasing: unchanged total = fixpoint
         total = t_next

@@ -131,7 +131,15 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
         with_auth = current.join(auth_raw, "id", "left").withColumn(
             "a_raw", F.coalesce(F.col("a_raw"), F.lit(0.0))
         )
-        a_sum = float(with_auth.agg(F.sum("a_raw")).first()[0] or 0.0)
+        # fuse the normalizer sum into a checkpoint of the half-step: a bare
+        # .agg().first() would execute the join/agg once for the scalar and
+        # then AGAIN for the hub phase (2x recompute per round); an unfused
+        # broadcast-scalar join is worse still (the scalar branch re-scans
+        # the un-materialized half-step inside the same job — measured)
+        with_auth, m_a = checkpoint_with_metrics(
+            with_auth, asum=F.coalesce(F.sum("a_raw"), F.lit(0.0))
+        )
+        a_sum = float(m_a["asum"])
         with_auth = with_auth.withColumn(
             "authority2", F.col("a_raw") / F.lit(a_sum) if a_sum > 0 else F.lit(0.0)
         )
