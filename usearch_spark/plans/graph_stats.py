@@ -226,35 +226,38 @@ def coreness(
     """
     from pyspark.sql import Window
 
+    from usearch_spark.plans.iterative import checkpoint_with_metrics, loop_tuned_session
+
     und = canonical_edges(edges, src, dst)
     e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
         eager=True
     )
-    from usearch_spark.plans.iterative import checkpoint_with_metrics
-
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    n_rows = v.count() + e.count()
+    spark = vertices.sparkSession
     h0 = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).cast("int").alias("val"))
-    # the fixpoint detector (Σ val) rides inside each round's checkpoint
-    # job — no separate .agg().first() action per round
-    h, m = checkpoint_with_metrics(h0, total=F.coalesce(F.sum("val"), F.lit(0)))
-    total = int(m["total"])
-    for _ in range(rounds):
-        nb = e.join(h.select(F.col("id").alias("b"), "val"), "b").select("a", "val")
-        w = Window.partitionBy("a").orderBy(F.desc("val"))
-        nxt = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("a").alias("id"))
-            .agg(
-                F.max(F.when(F.col("val") >= F.col("rn"), F.col("rn")).otherwise(0))
-                .cast("int")
-                .alias("val")
+    with loop_tuned_session(spark, n_rows):
+        # the fixpoint detector (Σ val) rides inside each round's checkpoint
+        # job — no separate .agg().first() action per round
+        h, m = checkpoint_with_metrics(h0, total=F.coalesce(F.sum("val"), F.lit(0)))
+        total = int(m["total"])
+        for _ in range(rounds):
+            nb = e.join(h.select(F.col("id").alias("b"), "val"), "b").select("a", "val")
+            w = Window.partitionBy("a").orderBy(F.desc("val"))
+            nxt = (
+                nb.withColumn("rn", F.row_number().over(w))
+                .groupBy(F.col("a").alias("id"))
+                .agg(
+                    F.max(F.when(F.col("val") >= F.col("rn"), F.col("rn")).otherwise(0))
+                    .cast("int")
+                    .alias("val")
+                )
             )
-        )
-        h, m = checkpoint_with_metrics(nxt, total=F.coalesce(F.sum("val"), F.lit(0)))
-        t_next = int(m["total"])
-        if t_next == total:
-            break  # h is monotone non-increasing: unchanged total = fixpoint
-        total = t_next
+            h, m = checkpoint_with_metrics(nxt, total=F.coalesce(F.sum("val"), F.lit(0)))
+            t_next = int(m["total"])
+            if t_next == total:
+                break  # h is monotone non-increasing: unchanged total = fixpoint
+            total = t_next
     return v.join(h, "id", "left").select(
         "id", F.coalesce(F.col("val"), F.lit(0)).alias("coreness")
     )
@@ -432,15 +435,15 @@ def harmonic_centrality(
     scheduling floor dwarfs the math there); "distributed" forces the
     per-round DataFrame loop.
     """
-    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS
+    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS, loop_tuned_session
 
     und = canonical_edges(edges, src, dst)
     e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
         eager=True
     )
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    n_rows = v.count() + e.count()
     if strategy == "auto":
-        n_rows = v.count() + e.count()
         strategy = "local" if n_rows <= LOCAL_SOLVE_MAX_ROWS else "distributed"
     if strategy == "local":
         return _local_bfs_frame(v, e, sources, rounds, "harmonic")
@@ -452,14 +455,17 @@ def harmonic_centrality(
     state = spark.createDataFrame(
         [(str(s), str(s), 0) for s in sources], "s string, id string, dist int"
     ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist")
-    for _ in range(rounds):
-        msgs = state.join(e, state.id == e.a).select("s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist"))
-        state = (
-            state.unionByName(msgs)
-            .groupBy("s", "id")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+    with loop_tuned_session(spark, n_rows):
+        for _ in range(rounds):
+            msgs = state.join(e, state.id == e.a).select(
+                "s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist")
+            )
+            state = (
+                state.unionByName(msgs)
+                .groupBy("s", "id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
     per = state.filter(F.col("dist") > 0).groupBy("id").agg(
         F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
         F.count(F.lit(1)).alias("n_reached"),
@@ -509,11 +515,11 @@ def betweenness_centrality(
         # the local solver hard-codes the undirected /2; keep the flag's
         # semantics by forcing the distributed path for the rare caller
         strategy = "distributed" if strategy == "auto" else strategy
-    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS
+    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS, loop_tuned_session
 
     v_in = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    n_rows = v_in.count() + e.count()
     if strategy == "auto":
-        n_rows = v_in.count() + e.count()
         strategy = "local" if n_rows <= LOCAL_SOLVE_MAX_ROWS else "distributed"
     if strategy == "local":
         return _local_bfs_frame(v_in, e, sources, rounds, "betweenness")
@@ -522,49 +528,50 @@ def betweenness_centrality(
     state = spark.createDataFrame(
         [(str(s), str(s), 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
     ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist", "sigma")
-    for r in range(1, rounds + 1):
-        frontier = state.filter(F.col("dist") == r - 1)
-        msgs = (
-            frontier.join(e, frontier.id == e.a)
-            .select("s", F.col("b").alias("id"), F.col("sigma").alias("m"))
-            .groupBy("s", "id")
-            .agg(F.sum("m").alias("sigma"))
-        )
-        fresh = msgs.join(state.select("s", "id"), ["s", "id"], "left_anti").select(
-            "s", "id", F.lit(r).alias("dist"), "sigma"
-        )
-        state = state.unionByName(fresh).localCheckpoint(eager=True)
+    with loop_tuned_session(spark, n_rows):
+        for r in range(1, rounds + 1):
+            frontier = state.filter(F.col("dist") == r - 1)
+            msgs = (
+                frontier.join(e, frontier.id == e.a)
+                .select("s", F.col("b").alias("id"), F.col("sigma").alias("m"))
+                .groupBy("s", "id")
+                .agg(F.sum("m").alias("sigma"))
+            )
+            fresh = msgs.join(state.select("s", "id"), ["s", "id"], "left_anti").select(
+                "s", "id", F.lit(r).alias("dist"), "sigma"
+            )
+            state = state.unionByName(fresh).localCheckpoint(eager=True)
 
-    delta = state.withColumn("delta", F.lit(0.0))
-    for lev in range(rounds, 0, -1):
-        w = delta.filter(F.col("dist") == lev).select(
-            "s", F.col("id").alias("wid"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
-        )
-        contribs = (
-            w.join(e, w.wid == e.b)
-            .select("s", F.col("a").alias("pid"), "sw", "dw")
-            .join(
-                delta.filter(F.col("dist") == lev - 1).select(
-                    "s", F.col("id").alias("pid"), F.col("sigma").alias("sp")
-                ),
-                ["s", "pid"],
+        delta = state.withColumn("delta", F.lit(0.0))
+        for lev in range(rounds, 0, -1):
+            w = delta.filter(F.col("dist") == lev).select(
+                "s", F.col("id").alias("wid"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
             )
-            .groupBy("s", "pid")
-            .agg(F.sum(F.col("sp") / F.col("sw") * (F.lit(1.0) + F.col("dw"))).alias("add"))
-        )
-        delta = (
-            delta.join(
-                contribs.withColumnRenamed("pid", "id"), ["s", "id"], "left"
+            contribs = (
+                w.join(e, w.wid == e.b)
+                .select("s", F.col("a").alias("pid"), "sw", "dw")
+                .join(
+                    delta.filter(F.col("dist") == lev - 1).select(
+                        "s", F.col("id").alias("pid"), F.col("sigma").alias("sp")
+                    ),
+                    ["s", "pid"],
+                )
+                .groupBy("s", "pid")
+                .agg(F.sum(F.col("sp") / F.col("sw") * (F.lit(1.0) + F.col("dw"))).alias("add"))
             )
-            .select(
-                "s",
-                "id",
-                "dist",
-                "sigma",
-                (F.col("delta") + F.when(F.col("dist") == lev - 1, F.coalesce(F.col("add"), F.lit(0.0))).otherwise(F.lit(0.0))).alias("delta"),
+            delta = (
+                delta.join(
+                    contribs.withColumnRenamed("pid", "id"), ["s", "id"], "left"
+                )
+                .select(
+                    "s",
+                    "id",
+                    "dist",
+                    "sigma",
+                    (F.col("delta") + F.when(F.col("dist") == lev - 1, F.coalesce(F.col("add"), F.lit(0.0))).otherwise(F.lit(0.0))).alias("delta"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
     per = (
         delta.filter(F.col("id") != F.col("s"))
         .groupBy("id")
