@@ -3334,6 +3334,18 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts no other part beats on BOTH retail price and
+    size (operators/pareto.pareto_frontier) — two-phase distributed
+    divide-and-conquer (range-partition → local sorted sweep → exact merge
+    of the tiny frontier union), never the quadratic self-join the oracle
+    uses to state the semantics."""
+    from usearch_spark.operators.pareto import pareto_frontier
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return pareto_frontier(p, "p_retailprice", "p_size", num_partitions=8)
+
+
 def q_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new-user and cumulative-distinct-user counts: first-seen day
     per user (one agg), daily news (one agg), then the running total via a
@@ -4297,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "parts_pareto": q_parts_pareto,
         "users_cumulative": q_users_cumulative,
         "corpus_quality_filter": q_corpus_quality_filter,
         "order_priority_late": q_order_priority_late,
@@ -4654,6 +4667,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, aa_score, n_common FROM pairs
             ORDER BY aa_score DESC, a, b LIMIT 20
+        """,
+        "parts_pareto": """
+            SELECT p_partkey, p_retailprice, p_size
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part d
+                WHERE d.p_retailprice <= p.p_retailprice AND d.p_size <= p.p_size
+                  AND (d.p_retailprice < p.p_retailprice OR d.p_size < p.p_size)
+            )
         """,
         "users_cumulative": """
             WITH fs AS (

@@ -1,0 +1,48 @@
+"""Pareto frontier operator (operators/pareto.py) vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from usearch_spark.operators.pareto import pareto_frontier
+
+
+def _brute(rows):
+    out = []
+    for a in rows:
+        dominated = any(
+            d[0] <= a[0] and d[1] <= a[1] and (d[0] < a[0] or d[1] < a[1]) for d in rows
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+def test_pareto_matches_brute_force_with_ties(spark):
+    rows = [
+        (1.0, 9), (2.0, 7), (2.0, 7), (2.0, 8),  # duplicate frontier point + dominated same-x
+        (3.0, 7),  # same y as cheaper point -> dominated
+        (4.0, 5), (5.0, 5),  # second dominated (same y, higher x)
+        (6.0, 1), (9.0, 1), (9.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y int")
+    got = sorted(map(tuple, pareto_frontier(df, "x", "y", num_partitions=3).collect()))
+    assert got == _brute(rows)
+    assert (1.0, 9) in got and got.count((2.0, 7)) == 2
+    assert (3.0, 7) not in got and (5.0, 5) not in got
+
+
+def test_pareto_random_graph_matches_brute(spark):
+    df = spark.range(500).select(
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("double") / 10).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)).cast("int").alias("y"),
+    )
+    rows = [tuple(r) for r in df.collect()]
+    got = sorted(map(tuple, pareto_frontier(df, "x", "y", num_partitions=8).collect()))
+    assert got == _brute(rows)
+
+
+def test_pareto_excludes_null_coordinates(spark):
+    df = spark.createDataFrame([(1.0, 1), (None, 0), (2.0, None)], "x double, y int")
+    got = [tuple(r) for r in pareto_frontier(df, "x", "y").collect()]
+    assert got == [(1.0, 1)]

@@ -1,0 +1,73 @@
+"""Pareto frontier (skyline) operator — 2-D minimization.
+
+The skyline query ("parts that no other part beats on BOTH price and
+size") is the classic can't-express-as-one-aggregation operator: the naive
+form is a quadratic NOT EXISTS self-join.  The distributed shape used here
+is the standard two-phase divide-and-conquer:
+
+  phase 1: repartitionByRange on the x axis, each partition computes its
+           LOCAL frontier in one pass over its sorted rows (mapInPandas,
+           O(n log n) per partition);
+  phase 2: the union of local frontiers — already tiny, bounded by
+           K x |global frontier| in the worst case — runs the identical
+           pass in a single task.
+
+Correctness does not depend on the range boundaries: a globally
+non-dominated row is non-dominated in its own partition, so phase 1 never
+drops a frontier row; phase 2 then applies the exact global rule.  At
+100 TB the quadratic join never happens — the big data is touched once,
+sorted within partitions.
+
+Domination semantics (ties): a dominates b iff a.x <= b.x AND a.y <= b.y
+AND they differ in at least one coordinate.  Exact duplicates of a
+frontier point all survive (neither dominates the other).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _frontier_pass(x: str, y: str):
+    """One sorted sweep: per x group keep rows at the group's min y, and
+    keep the group only while its min y strictly improves on every
+    strictly-smaller-x group's min y."""
+
+    def fn(pdfs):
+        import pandas as pd
+
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values([x, y], kind="mergesort")
+        keep_chunks = []
+        best = None  # strict prefix min of y over smaller x values
+        for _, grp in pdf.groupby(x, sort=True):
+            gmin = grp[y].iloc[0]
+            if best is None or gmin < best:
+                keep_chunks.append(grp[grp[y] == gmin])
+                best = gmin if best is None else min(best, gmin)
+        if keep_chunks:
+            yield pd.concat(keep_chunks, ignore_index=True)
+
+    return fn
+
+def pareto_frontier(
+    df: DataFrame,
+    x: str,
+    y: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rows not dominated on (``x``, ``y``) under 2-D minimization.
+    Null coordinates are excluded (domination is undefined for them).
+    Schema is preserved."""
+    clean = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+    k = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    schema = clean.schema
+    local = clean.repartitionByRange(k, F.col(x), F.col(y)).mapInPandas(
+        _frontier_pass(x, y), schema=schema
+    )
+    # phase 2: exact rule over the (small) union of local frontiers
+    return local.coalesce(1).mapInPandas(_frontier_pass(x, y), schema=schema)
