@@ -3334,6 +3334,19 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential clocks, operators/corpus.weighted_sample): 50
+    parts drawn with probability ∝ p_size — the primitive behind
+    importance-weighted corpus subsampling.  Hash-uniforms are exact
+    rational arithmetic on md5 prefixes, so the oracle reproduces the
+    identical draws; plan is map-side expression + TakeOrdered(k)."""
+    from usearch_spark.operators.corpus import weighted_sample
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    return weighted_sample(p, "p_partkey", "p_size", k=50)
+
+
 def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline query: parts no other part beats on BOTH retail price and
     size (operators/pareto.pareto_frontier) — two-phase distributed
@@ -4309,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
         "parts_pareto": q_parts_pareto,
         "users_cumulative": q_users_cumulative,
         "corpus_quality_filter": q_corpus_quality_filter,
@@ -4667,6 +4681,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, aa_score, n_common FROM pairs
             ORDER BY aa_score DESC, a, b LIMIT 20
+        """,
+        "corpus_weighted_sample": """
+            WITH h AS (
+                SELECT p_partkey, p_size, md5(CAST(p_partkey AS VARCHAR)) AS hh FROM part
+            ),
+            u AS (
+                SELECT p_partkey, p_size,
+                       (list_sum(list_transform(range(1, 9),
+                            i -> (strpos('0123456789abcdef', substr(hh, i, 1)) - 1)
+                                 * power(16.0, 8 - i))) + 0.5) / 4294967296.0 AS uu
+                FROM h
+            )
+            SELECT p_partkey, p_size,
+                   round(-ln(uu) / CAST(p_size AS DOUBLE), 9) AS draw
+            FROM u
+            ORDER BY draw ASC, p_partkey ASC
+            LIMIT 50
         """,
         "parts_pareto": """
             SELECT p_partkey, p_retailprice, p_size

@@ -179,3 +179,26 @@ def test_label_centroids_exact_means(spark):
     assert out[(0, 0)]["centroid"] == 2.0 and out[(0, 1)]["centroid"] == 4.0
     assert out[(1, 0)]["centroid"] == 10.0 and out[(1, 1)]["centroid"] == 20.0
     assert out[(0, 0)]["n_vecs"] == 2 and out[(1, 0)]["n_vecs"] == 1
+
+
+def test_weighted_sample_matches_reference_impl(spark):
+    """The engine's draws equal a hand-computed Efraimidis-Spirakis pass
+    (same md5-prefix uniforms), and the sample is deterministic."""
+    import hashlib
+    import math
+
+    from usearch_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame([(i, (i % 7) + 1) for i in range(200)], "k long, w int")
+    got = [tuple(r) for r in weighted_sample(df, "k", "w", k=20).collect()]
+
+    def draw(key, w):
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 2**32
+        return round(-math.log(u) / w, 9)
+
+    expect = sorted(((k, w, draw(k, w)) for k, w in [(i, (i % 7) + 1) for i in range(200)]),
+                    key=lambda t: (t[2], t[0]))[:20]
+    assert got == expect
+    again = [tuple(r) for r in weighted_sample(df, "k", "w", k=20).collect()]
+    assert again == got

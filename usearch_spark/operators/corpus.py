@@ -318,3 +318,37 @@ def mixture_weights(
             F.floor(rate * F.col("n_tokens")).cast("long").alias("expected_tokens"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    draw_col: str = "draw",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, the exponential-clocks form): each row gets an
+    exponential draw  -ln(u)/w  with u a hash-uniform of its key, and the
+    k SMALLEST draws are the sample — inclusion probability proportional
+    to weight, one pass, fully parallel, and the winner set is mergeable
+    (min-k of min-ks), which is what makes it work as a distributed /
+    streaming reservoir.
+
+    Determinism: u is built from the first 8 md5 hex chars of the key as
+    (int + 0.5) / 2^32 — exactly representable arithmetic, so ANY engine
+    reproduces the identical u (the +0.5 also keeps u > 0, so ln never
+    sees 0).  The draw is rounded before ranking; ties break on the key.
+
+    Cost shape at 100 TB: map-side expression + TakeOrdered(k) — no
+    shuffle of the data, no rand() (retries/speculation keep the sample).
+    """
+    hh = F.md5(F.col(key_col).cast("string"))
+    uint = F.conv(F.substring(hh, 1, 8), 16, 10).cast("double")
+    u = (uint + F.lit(0.5)) / F.lit(4294967296.0)
+    draw = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.withColumn(draw_col, draw)
+        .orderBy(F.col(draw_col).asc(), F.col(key_col).asc())
+        .limit(k)
+    )
