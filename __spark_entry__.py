@@ -3457,6 +3457,75 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the same-region nation graph (plans/graph_stats.ktruss):
+    synchronous edge peeling by triangle support — the edge-analog of
+    k-core and the next cohesion stat above triangle counting.  The
+    oracle unrolls the identical peel rounds."""
+    from usearch_spark.plans.graph_stats import ktruss
+
+    v, e = _nation_graph(spark, sf_dir)
+    return ktruss(v, e, k=4, rounds=3)
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 3) -> str:
+    """Edge peel unrolled: per round, enumerate triangles once on the
+    canonical orientation, credit all three edges, drop support < k-2;
+    final select recomputes support on the survivors."""
+    min_sup = k - 2
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                   greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+        t{r} AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{p} e1
+            JOIN e{p} e2 ON e2.a = e1.b
+            JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        s{r} AS (
+            SELECT a, b, count(*) AS support FROM (
+                SELECT x AS a, y AS b FROM t{r}
+                UNION ALL SELECT y, z FROM t{r}
+                UNION ALL SELECT x, z FROM t{r}
+            ) GROUP BY a, b
+        ),
+        e{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{p} e
+            JOIN s{r} s ON s.a = e.a AND s.b = e.b
+            WHERE s.support >= {min_sup}
+        )"""
+        )
+    parts.append(
+        f""",
+        tf AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{rounds} e1
+            JOIN e{rounds} e2 ON e2.a = e1.b
+            JOIN e{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        sf AS (
+            SELECT a, b, count(*) AS support FROM (
+                SELECT x AS a, y AS b FROM tf
+                UNION ALL SELECT y, z FROM tf
+                UNION ALL SELECT x, z FROM tf
+            ) GROUP BY a, b
+        )
+        SELECT e.a, e.b, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM e{rounds} e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+    """
+    )
+    return "".join(parts)
+
+
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient of the same-region nation graph
     (the supplier↔part graph is bipartite — zero triangles by parity):
@@ -4322,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "graph_ktruss": q_graph_ktruss,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "parts_pareto": q_parts_pareto,
         "users_cumulative": q_users_cumulative,
@@ -4682,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, aa_score, n_common FROM pairs
             ORDER BY aa_score DESC, a, b LIMIT 20
         """,
+        "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "corpus_weighted_sample": """
             WITH h AS (
                 SELECT p_partkey, p_size, md5(CAST(p_partkey AS VARCHAR)) AS hh FROM part

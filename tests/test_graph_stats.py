@@ -305,3 +305,25 @@ def test_adamic_adar_known_graph(spark):
         for r in adamic_adar(e, max_dst_degree=2).collect()
     }
     assert capped == {("a", "b"): 1}  # hub h dropped entirely
+
+
+def test_ktruss_known_graph(spark):
+    """K4 is a 4-truss (every edge in 2 triangles); a pendant triangle
+    hanging off it survives 3-truss but not 4-truss."""
+    from usearch_spark.plans.graph_stats import ktruss
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),  # K4
+        ("d", "e"), ("d", "f"), ("e", "f"),  # pendant triangle
+        ("f", "g"),  # bare edge
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in "abcdefg"], "id string")
+
+    t4 = {(r["a"], r["b"]): r["support"] for r in ktruss(v, e, k=4, rounds=5).collect()}
+    assert set(t4) == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")}
+    assert all(s == 2 for s in t4.values())
+
+    t3 = {(r["a"], r["b"]) for r in ktruss(v, e, k=3, rounds=5).collect()}
+    assert ("d", "e") in t3 and ("e", "f") in t3 and ("f", "g") not in t3
+    assert len(t3) == 9

@@ -263,6 +263,59 @@ def coreness(
     )
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a < b) edge set:
+    (a, b, support).  Each triangle (a<b<c) found once via the two-hop
+    join credits its three edges."""
+    e1 = e.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = e.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = e1.join(e2, "tb", "inner").join(e3, ["ta", "tc"], "inner")
+    sides = (
+        tri.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+        .unionAll(tri.select(F.col("tb").alias("a"), F.col("tc").alias("b")))
+        .unionAll(tri.select(F.col("ta").alias("a"), F.col("tc").alias("b")))
+    )
+    sup = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return e.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss edge peeling, ``rounds`` synchronous rounds: repeatedly drop
+    edges supported by fewer than k-2 triangles among the surviving edges.
+    Returns the surviving canonical edges with their final in-truss
+    support: (a, b, support).
+
+    The edge-analog of :func:`kcore_peel` and the standard cohesion
+    refinement above triangle counting; fixed-round form so a SQL oracle
+    can unroll the identical recurrence (extra rounds past the fixpoint
+    are no-ops, so early exit is exact).  Per round: one triangle
+    enumeration (two joins on the canonical orientation) + one count —
+    everything keyed on vertex ids.  ``vertices`` is unused beyond API
+    symmetry with the other graph stats.
+    """
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = e.count()
+    min_sup = k - 2
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = sup.filter(F.col("support") >= min_sup).select("a", "b").localCheckpoint(eager=True)
+        n_next = e.count()
+        if n_next == n_edges:
+            break  # fixpoint: supports can only drop when edges drop
+        n_edges = n_next
+    return _edge_support(e)
+
+
 def triangles_per_vertex(
     vertices: DataFrame, edges: DataFrame, id_col: str = "id", src: str = "src", dst: str = "dst"
 ) -> DataFrame:
