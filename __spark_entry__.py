@@ -3412,6 +3412,56 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_branded_or_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from line items matching any of three
+    (brand, size-range, quantity-range) OR-groups — the disjunctive
+    predicate Catalyst must keep pushable/codegen'd rather than falling
+    back to a residual filter row loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    g1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col(
+        "l_quantity"
+    ).between(1, 20)
+    g2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col(
+        "l_quantity"
+    ).between(10, 30)
+    g3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col(
+        "l_quantity"
+    ).between(20, 50)
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        j.filter(g1 | g2 | g3)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar subquery in HAVING): suppliers whose
+    lineitem revenue exceeds 0.1% of GLOBAL revenue.  The global total is
+    a one-row aggregate broadcast into the per-supplier HAVING filter —
+    no second scan of the fact table per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("srev"))
+    total = per.agg(F.sum("srev").alias("trev"))
+    return (
+        per.join(F.broadcast(total))
+        .filter(F.col("srev").cast("double") > F.col("trev").cast("double") * 0.001)
+        .select(
+            "l_suppkey",
+            F.col("srev").cast("double").alias("supplier_revenue"),
+            F.round(
+                F.col("srev").cast("double") / F.col("trev").cast("double") * 100, 6
+            ).alias("revenue_pct"),
+        )
+    )
+
+
 def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (decorrelated EXISTS): orders placed in 1996Q1 with
     at least one line item shipped more than 30 days after the order date,
@@ -4391,6 +4441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "branded_or_revenue": q_branded_or_revenue,
+        "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "parts_pareto": q_parts_pareto,
@@ -4753,6 +4805,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY aa_score DESC, a, b LIMIT 20
         """,
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
+        "branded_or_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+            GROUP BY p_brand
+        """,
+        "important_suppliers": """
+            WITH per AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS srev
+                FROM lineitem GROUP BY l_suppkey
+            ),
+            tot AS (SELECT sum(srev) AS trev FROM per)
+            SELECT l_suppkey,
+                   CAST(srev AS DOUBLE) AS supplier_revenue,
+                   round(CAST(srev AS DOUBLE) / CAST(trev AS DOUBLE) * 100, 6) AS revenue_pct
+            FROM per, tot
+            WHERE CAST(srev AS DOUBLE) > CAST(trev AS DOUBLE) * 0.001
+        """,
         "corpus_weighted_sample": """
             WITH h AS (
                 SELECT p_partkey, p_size, md5(CAST(p_partkey AS VARCHAR)) AS hh FROM part
