@@ -202,3 +202,11 @@ def test_weighted_sample_matches_reference_impl(spark):
     assert got == expect
     again = [tuple(r) for r in weighted_sample(df, "k", "w", k=20).collect()]
     assert again == got
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from usearch_spark.operators.corpus import weighted_sample
+
+    df = spark.createDataFrame([(1, 5), (2, 0), (3, -4), (4, 3)], "k long, w int")
+    got = {r["k"] for r in weighted_sample(df, "k", "w", k=10).collect()}
+    assert got == {1, 4}

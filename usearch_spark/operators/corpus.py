@@ -347,8 +347,12 @@ def weighted_sample(
     uint = F.conv(F.substring(hh, 1, 8), 16, 10).cast("double")
     u = (uint + F.lit(0.5)) / F.lit(4294967296.0)
     draw = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    # weight <= 0 has no sampling meaning and would yield -inf/NaN draws
+    # that silently hijack the top-k — excluded, like null coordinates in
+    # the pareto operator
     return (
-        df.withColumn(draw_col, draw)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(draw_col, draw)
         .orderBy(F.col(draw_col).asc(), F.col(key_col).asc())
         .limit(k)
     )
