@@ -3334,6 +3334,77 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64x64 covariance matrix of the embedding corpus
+    (operators/similarity.embedding_covariance): one corpus pass of
+    decimal-quantized d² products + algebraic centering — the PCA /
+    whitening precursor.  The oracle reproduces the identical exact sums
+    via unnest pairs."""
+    from usearch_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by 8 power
+    iterations over the round-6 covariance matrix
+    (operators/similarity.principal_component): corpus-sized work is the
+    one covariance pass; the iteration is d-row broadcast joins.  The
+    oracle unrolls the identical matrix-vector recurrence (join + L2
+    normalize per step) on the same covariance CTE."""
+    from usearch_spark.operators.similarity import principal_component
+
+    return principal_component(_t(spark, sf_dir, "embeddings"), iters=8)
+
+
+def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
+    """Power iteration unrolled on the covariance CTE: w_{t+1} = C·v_t,
+    v_{t+1} = w/‖w‖₂, starting from the uniform unit vector."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(d))
+    head = f"""
+        WITH x AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                   unnest(embedding)::DOUBLE AS xi
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.i AS i, b.i AS j,
+                   sum(CAST(round(a.xi * b.xi, 8) AS DECIMAL(26,8))) AS sij
+            FROM x a JOIN x b USING (vec_id)
+            GROUP BY a.i, b.i
+        ),
+        s AS (SELECT i, sum(CAST(round(xi, 8) AS DECIMAL(26,8))) AS si FROM x GROUP BY i),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        c AS MATERIALIZED (
+            SELECT p.i, p.j,
+                   round((CAST(p.sij AS DOUBLE)
+                          - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE) / nn.n) / nn.n,
+                         6) AS cov
+            FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn
+        ),
+        v0 AS (SELECT DISTINCT i, {v0} AS w FROM c)
+    """
+    parts = [head]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+        w{t} AS MATERIALIZED (
+            SELECT c.i, sum(c.cov * v.w) AS w
+            FROM c JOIN v{t - 1} v ON v.i = c.j
+            GROUP BY c.i
+        ),
+        v{t} AS MATERIALIZED (
+            SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w{t}) AS w FROM w{t}
+        )"""
+        )
+    parts.append(f"""
+        SELECT i, round(w, 6) AS loading FROM v{iters}
+    """)
+    return "".join(parts)
+
+
 def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis exponential clocks, operators/corpus.weighted_sample): 50
@@ -4441,6 +4512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
         "branded_or_revenue": q_branded_or_revenue,
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -4805,6 +4878,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY aa_score DESC, a, b LIMIT 20
         """,
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
+        "embedding_pca": _pca_oracle_sql(8, 64),
+        "embedding_covariance": """
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                       unnest(embedding)::DOUBLE AS xi
+                FROM embeddings
+            ),
+            p AS (
+                SELECT a.i AS i, b.i AS j,
+                       sum(CAST(round(a.xi * b.xi, 8) AS DECIMAL(26,8))) AS sij
+                FROM x a JOIN x b USING (vec_id)
+                GROUP BY a.i, b.i
+            ),
+            s AS (
+                SELECT i, sum(CAST(round(xi, 8) AS DECIMAL(26,8))) AS si FROM x GROUP BY i
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)
+            SELECT p.i, p.j,
+                   round((CAST(p.sij AS DOUBLE)
+                          - CAST(sa.si AS DOUBLE) * CAST(sb.si AS DOUBLE) / nn.n) / nn.n,
+                         6) AS cov
+            FROM p
+            JOIN s sa ON sa.i = p.i
+            JOIN s sb ON sb.i = p.j, nn
+        """,
         "branded_or_revenue": """
             SELECT p_brand,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

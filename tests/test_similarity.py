@@ -235,3 +235,57 @@ def test_ivf_append_full_probe_stays_exact(spark, tmp_path):
     # appended rows really live in the cluster partitions (no side table)
     idx = spark.read.parquet(path)
     assert idx.count() == n and idx.filter(F.col("vec_id") >= cut).count() == n - cut
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """(Sij - Si*Sj/N)/N with decimal-exact sums must agree with numpy's
+    population covariance to well under the quantization error."""
+    import numpy as np
+
+    from usearch_spark.operators.similarity import embedding_covariance
+
+    rng = [[((i * 31 + j * 7) % 13) / 4.0 - 1.5 for j in range(5)] for i in range(40)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df).collect()}
+    m = np.array(rng, dtype=np.float64)
+    expect = np.cov(m, rowvar=False, bias=True)
+    assert len(got) == 25
+    for (i, j), c in got.items():
+        assert abs(c - expect[i][j]) < 1e-5, (i, j, c, expect[i][j])
+    # symmetry comes for free from the pair enumeration
+    assert all(got[(i, j)] == got[(j, i)] for i in range(5) for j in range(5))
+
+
+def test_principal_component_matches_numpy_power_iteration(spark):
+    import math
+
+    import numpy as np
+
+    from usearch_spark.operators.similarity import principal_component
+
+    # noise + a strong rank-1 direction so the eigengap is wide enough for
+    # 8 power iterations to align (the operator's contract is the
+    # fixed-iteration recurrence itself, asserted first)
+    direction = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0]
+    rng = [
+        [((i * 17 + j * 3) % 11) / 3.0 + ((i % 7) - 3) * direction[j] for j in range(6)]
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    got = {r["i"]: r["loading"] for r in principal_component(df, iters=8).collect()}
+
+    m = np.array(rng, dtype=np.float64)
+    mu = m.mean(axis=0)
+    c = np.round((m - mu).T @ (m - mu) / len(m), 6)  # the operator uses round-6 cov
+    v = np.full(6, 1 / math.sqrt(6))
+    for _ in range(8):
+        v = c @ v
+        v = v / np.linalg.norm(v)
+    for i in range(6):
+        assert abs(got[i] - v[i]) < 1e-4, (i, got[i], v[i])
+    # it should align with the true top eigenvector (up to sign)
+    evec = np.linalg.eigh(c)[1][:, -1]
+    cos = abs(float(np.dot(v, evec)))
+    assert cos > 0.99

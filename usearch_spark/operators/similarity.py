@@ -523,3 +523,100 @@ def ivf_append(
         .select(id_col, vec_col, F.col("_best.cluster").alias("cluster"))
     )
     assigned.repartition(F.col("cluster")).write.partitionBy("cluster").mode("append").parquet(path)
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Population covariance matrix of the embedding dimensions:
+    (i, j, cov) with 0-based dims — the one-pass precursor of PCA /
+    whitening over a vector corpus.
+
+    Scale shape: ONE corpus pass emits per-row d² products (a JVM
+    nested-transform explode, no self-join of the exploded table), the
+    d² partial sums partial-aggregate map-side, and centering happens
+    algebraically afterwards (cov = (Sij − Si·Sj/N)/N) on the d²-row
+    result with two broadcast joins of the d-row mean sums.
+
+    Hash-gate determinism: per-row products are decimal-quantized
+    (round 8 → DECIMAL) before summation, so the sums are exact and
+    order-independent — any engine reproduces them bit-for-bit (the
+    same trick as the unigram-LM mean).  Element values are cast to
+    double BEFORE multiplying so both engines do 64-bit math.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # two-parameter transform lambdas receive the element INDEX second —
+    # exactly what the pair enumeration needs here
+    pairs = F.flatten(
+        F.transform(
+            x,
+            lambda xi, i: F.transform(
+                x,
+                lambda xj, j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.round(xi * xj, 8).cast("decimal(26,8)").alias("p"),
+                ),
+            ),
+        )
+    )
+    p = (
+        emb.select(F.explode(pairs).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("sij"))
+    )
+    s = (
+        emb.select(F.posexplode(x).alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.round(F.col("xi"), 8).cast("decimal(26,8)")).alias("si"))
+    )
+    n = float(emb.count())
+    sa = s.select("i", F.col("si").cast("double").alias("sa"))
+    sb = s.select(F.col("i").alias("j"), F.col("si").cast("double").alias("sb"))
+    return (
+        p.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("sij").cast("double") - F.col("sa") * F.col("sb") / F.lit(n))
+                / F.lit(n),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def principal_component(
+    emb: DataFrame, vec_col: str = "embedding", iters: int = 8
+) -> DataFrame:
+    """Top principal component by fixed-iteration power method over the
+    (rounded) covariance matrix: v0 = uniform, v_{t+1} = C·v_t / ‖C·v_t‖₂.
+    Returns (i, loading) for each dimension, round(6).
+
+    The corpus-sized work is :func:`embedding_covariance` (one pass); the
+    iteration itself runs on the d²-row matrix with d-row vectors — tiny
+    broadcast joins regardless of corpus size, kept as DataFrames so the
+    whole computation stays declarative (and a SQL oracle can unroll the
+    same matrix-vector recurrence).  Deterministic: fixed start vector,
+    fixed iteration count, sums of round-6 covariance entries.
+    """
+    import math
+
+    c = embedding_covariance(emb, vec_col).localCheckpoint(eager=True)
+    d = c.agg(F.max("i")).first()[0] + 1
+    v = c.select("i").dropDuplicates(["i"]).withColumn(
+        "w", F.lit(1.0 / math.sqrt(d))
+    )
+    for _ in range(iters):
+        w = (
+            c.join(F.broadcast(v.select(F.col("i").alias("j"), "w")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("w")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.join(F.broadcast(nrm))
+            .select("i", (F.col("w") / F.col("nrm")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select("i", F.round("w", 6).alias("loading"))
