@@ -3405,6 +3405,52 @@ def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
     return "".join(parts)
 
 
+def _pca_scores_oracle_sql(iters: int = 8, d: int = 64, k: int = 20) -> str:
+    """Projection scores on the round-6 loadings: decimal-quantized dot
+    products (same exact-sum trick as the covariance), top-k by |score|."""
+    base = _pca_oracle_sql(iters, d)
+    head, _, _ = base.rpartition("SELECT i, round(w, 6) AS loading FROM")
+    return (
+        head
+        + f""",
+        lo AS (SELECT i, round(w, 6) AS loading FROM v{iters})
+        SELECT x.vec_id,
+               round(CAST(sum(CAST(round(x.xi * lo.loading, 8) AS DECIMAL(26,8))) AS DOUBLE),
+                     6) AS score
+        FROM x JOIN lo USING (i)
+        GROUP BY x.vec_id
+        ORDER BY abs(score) DESC, x.vec_id
+        LIMIT {k}
+    """
+    )
+
+
+def q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the learned top principal component:
+    the 20 most-extreme vectors by |score| — the outlier/diversity lens a
+    curation pipeline gets from PCA.  The d-row loadings broadcast; each
+    score is a decimal-quantized dot product (order-independent, like the
+    covariance sums), so ranking is engine-exact."""
+    from usearch_spark.operators.similarity import principal_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    load = principal_component(emb, iters=8)
+    x = emb.select(
+        "vec_id", F.posexplode(F.transform(F.col("embedding"), lambda v: v.cast("double"))).alias("i", "xi")
+    )
+    scores = (
+        x.join(F.broadcast(load), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("xi") * F.col("loading"), 8).cast("decimal(26,8)"))
+            .cast("double")
+            .alias("score")
+        )
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+    return scores.orderBy(F.abs(F.col("score")).desc(), "vec_id").limit(20)
+
+
 def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis exponential clocks, operators/corpus.weighted_sample): 50
@@ -4514,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_dist": q_graph_components_dist,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
+        "embedding_pca_scores": q_embedding_pca_scores,
         "branded_or_revenue": q_branded_or_revenue,
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -4879,6 +4926,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "embedding_pca": _pca_oracle_sql(8, 64),
+        "embedding_pca_scores": _pca_scores_oracle_sql(8, 64, 20),
         "embedding_covariance": """
             WITH x AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
