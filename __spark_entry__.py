@@ -1337,6 +1337,18 @@ def q_graph_hits_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    contraction (pregel.connected_components_star) — O(log n) rounds
+    independent of graph diameter, the at-scale alternative to min-label
+    propagation (O(diameter) supersteps).  Same converged labels, same
+    oracle."""
+    from usearch_spark.plans.pregel import connected_components_star
+
+    v, e = _nation_graph(spark, sf_dir)
+    return connected_components_star(v, e)
+
+
 def q_graph_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_components with strategy="distributed" FORCED — the pregel
     min-label propagation loop under the same unrolled oracle."""
@@ -4558,6 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring_dist": q_graph_coloring_dist,
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
+        "graph_components_star": q_graph_components_star,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -6035,6 +6048,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp_dist": _sssp_oracle_sql(8),
         "graph_coloring_dist": _coloring_oracle_sql(8),
         "graph_components_dist": _components_oracle_sql(8),
+        "graph_components_star": _components_oracle_sql(8),
         "graph_hits_dist": _hits_oracle_sql(5),
         "dedup_exact": f"""
             WITH fp AS (

@@ -95,3 +95,35 @@ def test_components_empty_graph(spark):
     res = connected_components(v, e)
     assert res.state.count() == 0
     assert res.converged
+
+
+def test_star_components_match_label_prop_random(spark):
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.pregel import connected_components, connected_components_star
+
+    n = 300
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n))).alias("dst"),
+    ).filter(F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10)) < 4)  # sparse: several components
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    ref = {r["id"]: r["value"] for r in connected_components(v, e).state.collect()}
+    got = {r["id"]: r["component"] for r in connected_components_star(v, e).collect()}
+    assert got == ref
+
+
+def test_star_components_path_graph_and_isolated(spark):
+    """A 120-node path (the diameter worst case star-contraction exists
+    for) plus an isolated vertex: one component rooted at the min id,
+    isolated maps to itself."""
+    from usearch_spark.plans.pregel import connected_components_star
+
+    ids = [f"n{i:03d}" for i in range(120)]
+    e = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(119)], "src string, dst string"
+    )
+    v = spark.createDataFrame([(x,) for x in ids + ["zz_alone"]], "id string")
+    got = {r["id"]: r["component"] for r in connected_components_star(v, e, max_rounds=12).collect()}
+    assert all(got[x] == "n000" for x in ids)
+    assert got["zz_alone"] == "zz_alone"
