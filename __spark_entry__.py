@@ -423,6 +423,21 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME pairs as dedup_jaccard, computed by prefix filtering
+    (operators/dedup.ngram_jaccard_pairs_prefix — PPJoin/AllPairs family):
+    the candidate join touches only each document's |d|−⌊t·|d|⌋ rarest
+    shingles, with an exact verify after — the exact-similarity-join
+    shape that scales where the all-shingle join and the df cap both
+    can't.  Shares dedup_jaccard's oracle verbatim (exactness is the
+    claim)."""
+    from usearch_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs_prefix(docs, n=2, threshold=0.6)
+    return pairs.select("a", "b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: exact all-pairs cosine >= 0.4 via blocked
     numpy matmul (usearch_spark/operators/similarity.exact_cosine_pairs);
@@ -4571,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits_dist": q_graph_hits_dist,
         "graph_components_dist": q_graph_components_dist,
         "graph_components_star": q_graph_components_star,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -7119,4 +7135,7 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     oracles["sim_ann_lsh_full"] = oracles["sim_cosine_topk"]
     oracles["sim_ann_ivf_full"] = oracles["sim_cosine_topk"]
     oracles["sessionize_native"] = oracles["sessionize"]
+    # prefix filtering is exact by theorem — same pairs as the all-shingle
+    # join, so it shares dedup_jaccard's oracle verbatim
+    oracles["dedup_jaccard_prefix"] = oracles["dedup_jaccard"]
     return oracles

@@ -145,3 +145,41 @@ def test_minhash_probe_batch_vs_corpus(spark):
         for r in minhash_probe_pairs(b_sh, b_banded, c_sh, c_banded, threshold=0.9, max_bucket=3).collect()
     }
     assert (100, 3) in capped and not any(b >= 30 for _, b in capped)
+
+
+def test_prefix_jaccard_equals_allpairs(spark):
+    """Prefix filtering is exact: identical pair set + scores to the
+    all-pairs join on the same corpus slice."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_prefix
+    from usearch_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    ref = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, max_shingle_df=None).collect()
+    )
+    got = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs_prefix(docs, n=2, threshold=0.5).collect()
+    )
+    assert got == ref and len(ref) > 0
+
+
+def test_prefix_jaccard_prunes_candidates(spark):
+    """The point of the prefix: near-disjoint docs sharing only a COMMON
+    (high-df) shingle never become candidates, but high-overlap pairs
+    survive."""
+    from usearch_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),   # high overlap with 1
+        (3, "alpha zz1 zz2 zz3"),          # shares only ubiquitous 'alpha...' grams
+        (4, "alpha yy1 yy2 yy3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]) for r in ngram_jaccard_pairs_prefix(df, n=2, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
