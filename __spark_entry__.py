@@ -3720,6 +3720,55 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 3) -> str:
     return "".join(parts)
 
 
+def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic maximal matching on the nation graph
+    (plans/graph_stats.maximal_matching): local-minimum edge selection
+    with md5 priorities — the parallel coarsening primitive.  The oracle
+    unrolls the select/remove rounds."""
+    from usearch_spark.plans.graph_stats import maximal_matching
+
+    v, e = _nation_graph(spark, sf_dir)
+    return maximal_matching(v, e, rounds=5)
+
+
+def _matching_oracle_sql(rounds: int = 5) -> str:
+    head = """
+        WITH e0 AS (
+            SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                   greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        )"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+        p{r} AS (SELECT a, b, md5(a || '|' || b) AS pr FROM e{p}),
+        vm{r} AS (
+            SELECT v, min(pr) AS vmin FROM (
+                SELECT a AS v, pr FROM p{r} UNION ALL SELECT b, pr FROM p{r}
+            ) GROUP BY v
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT p.a, p.b FROM p{r} p
+            JOIN vm{r} x ON x.v = p.a AND x.vmin = p.pr
+            JOIN vm{r} y ON y.v = p.b AND y.vmin = p.pr
+        ),
+        t{r} AS (SELECT a AS v FROM s{r} UNION ALL SELECT b FROM s{r}),
+        e{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{p} e
+            WHERE NOT EXISTS (SELECT 1 FROM t{r} t WHERE t.v = e.a)
+              AND NOT EXISTS (SELECT 1 FROM t{r} t WHERE t.v = e.b)
+        )"""
+        )
+    sel = "\n            UNION ALL ".join(f"SELECT a, b FROM s{r}" for r in range(1, rounds + 1))
+    parts.append(f"""
+        {sel}
+    """)
+    return "".join(parts)
+
+
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient of the same-region nation graph
     (the supplier↔part graph is bipartite — zero triangles by parity):
@@ -4587,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_dist": q_graph_components_dist,
         "graph_components_star": q_graph_components_star,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "graph_matching": q_graph_matching,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -4954,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY aa_score DESC, a, b LIMIT 20
         """,
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
+        "graph_matching": _matching_oracle_sql(5),
         "embedding_pca": _pca_oracle_sql(8, 64),
         "embedding_pca_scores": _pca_scores_oracle_sql(8, 64, 20),
         "embedding_covariance": """

@@ -327,3 +327,25 @@ def test_ktruss_known_graph(spark):
     t3 = {(r["a"], r["b"]) for r in ktruss(v, e, k=3, rounds=5).collect()}
     assert ("d", "e") in t3 and ("e", "f") in t3 and ("f", "g") not in t3
     assert len(t3) == 9
+
+
+def test_maximal_matching_is_valid_and_maximal(spark):
+    from usearch_spark.plans.graph_stats import canonical_edges, maximal_matching
+
+    n = 80
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(5)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    m = [(r["a"], r["b"]) for r in maximal_matching(v, e).collect()]
+    used = [x for ab in m for x in ab]
+    assert len(used) == len(set(used)), "a vertex is matched twice"
+    # maximality: every surviving edge must touch a matched vertex
+    alledges = {(r["a"], r["b"]) for r in canonical_edges(e).collect()}
+    mset = set(m)
+    for a, b in alledges:
+        assert a in used or b in used or (a, b) in mset, (a, b)
+    # deterministic
+    again = [(r["a"], r["b"]) for r in maximal_matching(v, e).collect()]
+    assert sorted(again) == sorted(m)

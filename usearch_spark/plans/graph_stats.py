@@ -263,6 +263,58 @@ def coreness(
     )
 
 
+def maximal_matching(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic maximal matching by local-minimum edge selection
+    (the parallel symmetry-breaking pattern of Luby's algorithm, applied
+    to edges): each round, an edge joins the matching iff its priority is
+    the strict minimum among ALL edges sharing either endpoint; matched
+    vertices drop out and the rest re-compete.  Expected O(log n) rounds;
+    a maximal matching is the standard coarsening/contraction primitive
+    (multilevel partitioners, graph sparsifiers).
+
+    Priorities are md5 strings of the canonical edge — one global total
+    order any engine reproduces, no rand(), so the matching is
+    deterministic and SQL-replayable.  Per round: one per-vertex min agg
+    + one anti-join, both keyed on vertex ids.  Returns the matching as
+    canonical (a, b) rows.  Fixed-round form (extra rounds past the empty
+    edge set are no-ops) so an oracle can unroll it.
+    """
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    matching = None
+    for _ in range(rounds):
+        pr = F.md5(F.concat(F.col("a"), F.lit("|"), F.col("b")))
+        ep = e.withColumn("pr", pr)
+        incid = ep.select(F.col("a").alias("v"), "pr").unionAll(
+            ep.select(F.col("b").alias("v"), "pr")
+        )
+        vmin = incid.groupBy("v").agg(F.min("pr").alias("vmin"))
+        sel = (
+            ep.join(vmin.select(F.col("v").alias("a"), F.col("vmin").alias("ma")), "a")
+            .join(vmin.select(F.col("v").alias("b"), F.col("vmin").alias("mb")), "b")
+            .filter((F.col("pr") == F.col("ma")) & (F.col("pr") == F.col("mb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        matching = sel if matching is None else matching.unionAll(sel)
+        touched = sel.select(F.col("a").alias("v")).unionAll(sel.select(F.col("b").alias("v")))
+        e = (
+            e.join(touched.select(F.col("v").alias("a")), "a", "left_anti")
+            .join(touched.select(F.col("v").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            break
+    if matching is None:
+        return e.select("a", "b")  # empty frame with the right schema
+    return matching.select("a", "b")
+
+
 def _edge_support(e: DataFrame) -> DataFrame:
     """Per-edge triangle support over a canonical (a < b) edge set:
     (a, b, support).  Each triangle (a<b<c) found once via the two-hop
