@@ -3769,6 +3769,45 @@ def _matching_oracle_sql(rounds: int = 5) -> str:
     return "".join(parts)
 
 
+def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel coarsening round of the nation graph
+    (plans/graph_stats.coarsen_graph): contract the deterministic maximal
+    matching into supervertices and emit the coarse weighted edge list —
+    the METIS-style contraction step, built ON the gated matching.  The
+    oracle replays matching + contraction."""
+    from usearch_spark.plans.graph_stats import coarsen_graph
+
+    v, e = _nation_graph(spark, sf_dir)
+    return coarsen_graph(v, e, rounds=5)
+
+
+def _coarsen_oracle_sql(rounds: int = 5) -> str:
+    base = _matching_oracle_sql(rounds)
+    head, _, tail = base.rpartition("SELECT a, b FROM s1")
+    sel = "\n            UNION ALL ".join(f"SELECT a, b FROM s{r}" for r in range(1, rounds + 1))
+    return (
+        head
+        + f""",
+        mm AS ({sel}),
+        verts AS (SELECT 'n' || n_nationkey AS v FROM nation),
+        pmap AS (
+            SELECT b AS v, a AS rep FROM mm UNION ALL SELECT a, a FROM mm
+        ),
+        mapping AS (
+            SELECT verts.v, coalesce(pmap.rep, verts.v) AS rep
+            FROM verts LEFT JOIN pmap ON pmap.v = verts.v
+        )
+        SELECT least(ma.rep, mb.rep) AS sa, greatest(ma.rep, mb.rep) AS sb,
+               count(*) AS weight
+        FROM e0 e
+        JOIN mapping ma ON ma.v = e.a
+        JOIN mapping mb ON mb.v = e.b
+        WHERE ma.rep <> mb.rep
+        GROUP BY 1, 2
+    """
+    )
+
+
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient of the same-region nation graph
     (the supplier↔part graph is bipartite — zero triangles by parity):
@@ -4637,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_star": q_graph_components_star,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "graph_matching": q_graph_matching,
+        "graph_coarsen": q_graph_coarsen,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -5005,6 +5045,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "graph_matching": _matching_oracle_sql(5),
+        "graph_coarsen": _coarsen_oracle_sql(5),
         "embedding_pca": _pca_oracle_sql(8, 64),
         "embedding_pca_scores": _pca_scores_oracle_sql(8, 64, 20),
         "embedding_covariance": """

@@ -349,3 +349,21 @@ def test_maximal_matching_is_valid_and_maximal(spark):
     # deterministic
     again = [(r["a"], r["b"]) for r in maximal_matching(v, e).collect()]
     assert sorted(again) == sorted(m)
+
+
+def test_coarsen_halves_vertices_and_conserves_weight(spark):
+    from usearch_spark.plans.graph_stats import canonical_edges, coarsen_graph
+
+    n = 60
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    coarse = coarsen_graph(v, e).collect()
+    supers = {r["sa"] for r in coarse} | {r["sb"] for r in coarse}
+    n_orig_edges = canonical_edges(e).count()
+    # weight conservation: collapsed edges + dropped intra-pair self loops
+    assert sum(r["weight"] for r in coarse) <= n_orig_edges
+    assert sum(r["weight"] for r in coarse) >= n_orig_edges - n  # <= n/2 matched pairs
+    assert len(supers) < n  # strictly coarser

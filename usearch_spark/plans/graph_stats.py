@@ -315,6 +315,45 @@ def maximal_matching(
     return matching.select("a", "b")
 
 
+def coarsen_graph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 8,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One multilevel coarsening round: contract the deterministic maximal
+    matching — each matched pair becomes one supervertex (named by its
+    smaller member), unmatched vertices survive as themselves — and
+    return the coarse weighted edge list (sa, sb, weight) with weight =
+    number of original edges collapsed onto the supervertex pair
+    (self-loops dropped).  Roughly halves the graph per level; this is
+    the contraction step of METIS-style multilevel partitioners and of
+    graph sparsification pipelines."""
+    m = maximal_matching(vertices, edges, rounds=rounds, src=src, dst=dst)
+    v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
+    pair_map = m.select(F.col("b").alias("v"), F.col("a").alias("rep")).unionByName(
+        m.select(F.col("a").alias("v"), F.col("a").alias("rep"))
+    )
+    mapping = v.join(pair_map, "v", "left").select(
+        "v", F.coalesce(F.col("rep"), F.col("v")).alias("rep")
+    )
+    e = canonical_edges(edges, src, dst)
+    mapped = (
+        e.join(mapping.select(F.col("v").alias("a"), F.col("rep").alias("ra")), "a")
+        .join(mapping.select(F.col("v").alias("b"), F.col("rep").alias("rb")), "b")
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    return (
+        mapped.select(
+            F.least("ra", "rb").alias("sa"), F.greatest("ra", "rb").alias("sb")
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def _edge_support(e: DataFrame) -> DataFrame:
     """Per-edge triangle support over a canonical (a < b) edge set:
     (a, b, support).  Each triangle (a<b<c) found once via the two-hop
