@@ -3606,6 +3606,36 @@ def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_churn_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator semantics under the gate (SURVEY §2.8): 1996 vs 1997
+    ordering customers via INTERSECT / EXCEPT (distinct set semantics,
+    compiled to left-semi/left-anti aggregates) — (cohort, n_customers)
+    for retained / churned / new."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = (
+        o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    y97 = (
+        o.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rows = [
+        ("retained", y96.intersect(y97)),
+        ("churned", y96.exceptAll(y97)),
+        ("new", y97.exceptAll(y96)),
+    ]
+    out = None
+    for label, df in rows:
+        part = df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (decorrelated EXISTS): orders placed in 1996Q1 with
     at least one line item shipped more than 30 days after the order date,
@@ -4677,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "graph_matching": q_graph_matching,
         "graph_coarsen": q_graph_coarsen,
+        "customer_churn_set": q_customer_churn_set,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -5046,6 +5077,27 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "graph_matching": _matching_oracle_sql(5),
         "graph_coarsen": _coarsen_oracle_sql(5),
+        "customer_churn_set": """
+            WITH y96 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            ),
+            y97 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT 'retained' AS cohort,
+                   (SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97))
+                       AS n_customers
+            UNION ALL
+            SELECT 'churned',
+                   (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97))
+            UNION ALL
+            SELECT 'new',
+                   (SELECT count(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96))
+        """,
         "embedding_pca": _pca_oracle_sql(8, 64),
         "embedding_pca_scores": _pca_scores_oracle_sql(8, 64, 20),
         "embedding_covariance": """
