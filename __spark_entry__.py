@@ -4024,6 +4024,77 @@ def q_sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hard gate
+    (streaming/events.interval_join_streams): view events joined to the
+    same user's purchases landing within [view, view+2h], both sides
+    replayed as real file streams with watermarks (the state-eviction
+    requirement of stream-stream joins).  Each side is one deterministic
+    batch, so every qualifying pair is emitted and the result equals the
+    batch interval join the oracle states directly.  Timestamps ride as
+    epoch-micros longs (timezone-proof, as in the other replay gates)."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.events import interval_join_streams
+
+    base = os.path.join(_ARTIFACT_DIR, f"ivj_replay_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        ev = _events(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)").alias("ts_us"),
+        )
+        os.makedirs(base, exist_ok=True)
+        for name, pred in (("views", "view"), ("purchases", "purchase")):
+            tmp = os.path.join(base, f"_tmp_{name}")
+            (
+                ev.filter(F.col("event_type") == pred)
+                .select("event_id", "user_id", "ts_us")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            os.makedirs(os.path.join(base, name), exist_ok=True)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, name, "batch0.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    schema = "event_id long, user_id long, ts_us long"
+
+    def _stream(sub: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "batch*.parquet")
+            .parquet(os.path.join(base, sub))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+
+    joined = interval_join_streams(
+        _stream("views"),
+        _stream("purchases"),
+        on="user_id",
+        lower="0 seconds",
+        upper="2 hours",
+        watermark="30 minutes",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_event"),
+        F.col("r.event_id").alias("purchase_event"),
+        (F.col("r.ts_us") - F.col("l.ts_us")).alias("lag_us"),
+    )
+    name = f"ivj_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (duplicate
     word/2-gram/3-gram fractions, top word/2-gram mass) with a flagged
@@ -4726,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching": q_graph_matching,
         "graph_coarsen": q_graph_coarsen,
         "customer_churn_set": q_customer_churn_set,
+        "events_interval_join_stream": q_events_interval_join_stream,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -5095,6 +5167,21 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "graph_matching": _matching_oracle_sql(5),
         "graph_coarsen": _coarsen_oracle_sql(5),
+        "events_interval_join_stream": """
+            WITH ev AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+                FROM events
+            )
+            SELECT v.user_id,
+                   v.event_id AS view_event,
+                   p.event_id AS purchase_event,
+                   p.ts_us - v.ts_us AS lag_us
+            FROM ev v JOIN ev p
+              ON p.user_id = v.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + 7200000000
+        """,
         "customer_churn_set": """
             WITH y96 AS (
                 SELECT DISTINCT o_custkey FROM orders
