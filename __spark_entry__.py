@@ -3450,6 +3450,61 @@ def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
     return "".join(parts)
 
 
+def q_embedding_pca2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal component by Hotelling deflation
+    (operators/similarity.principal_component2): λ = round-6 Rayleigh
+    quotient of the learned first component, C₂ = round(C − λ·vvᵀ, 6),
+    then 8 more power iterations — the whole deflation chain on d²-row
+    frames, and the oracle replays every rounded intermediate."""
+    from usearch_spark.operators.similarity import principal_component2
+
+    return principal_component2(
+        _t(spark, sf_dir, "embeddings"), iters=8, cov=_covariance_df(spark, sf_dir)
+    )
+
+
+def _pca2_oracle_sql(iters: int = 8, d: int = 64) -> str:
+    """Deflation unrolled: first component chain (from _pca_oracle_sql),
+    round-6 loadings → Rayleigh λ → deflated matrix → second power
+    chain."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(d))
+    base = _pca_oracle_sql(iters, d)
+    head, _, _ = base.rpartition("SELECT i, round(w, 6) AS loading FROM")
+    parts = [
+        head
+        + f""",
+        lo1 AS MATERIALIZED (SELECT i, round(w, 6) AS loading FROM v{iters}),
+        lam AS MATERIALIZED (
+            SELECT round(sum(a.loading * c.cov * b.loading), 6) AS lam
+            FROM c JOIN lo1 a ON a.i = c.i JOIN lo1 b ON b.i = c.j
+        ),
+        c2 AS MATERIALIZED (
+            SELECT c.i, c.j,
+                   round(c.cov - lam.lam * a.loading * b.loading, 6) AS cov
+            FROM c JOIN lo1 a ON a.i = c.i JOIN lo1 b ON b.i = c.j, lam
+        ),
+        u0 AS (SELECT DISTINCT i, {v0} AS w FROM c2)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+        x{t} AS MATERIALIZED (
+            SELECT c.i, sum(c.cov * v.w) AS w
+            FROM c2 c JOIN u{t - 1} v ON v.i = c.j
+            GROUP BY c.i
+        ),
+        u{t} AS MATERIALIZED (
+            SELECT i, w / (SELECT sqrt(sum(w * w)) FROM x{t}) AS w FROM x{t}
+        )"""
+        )
+    parts.append(f"""
+        SELECT i, round(w, 6) AS loading FROM u{iters}
+    """)
+    return "".join(parts)
+
+
 def _pca_scores_oracle_sql(iters: int = 8, d: int = 64, k: int = 20) -> str:
     """Projection scores on the round-6 loadings: decimal-quantized dot
     products (same exact-sum trick as the covariance), top-k by |score|."""
@@ -4801,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
+        "embedding_pca2": q_embedding_pca2,
         "branded_or_revenue": q_branded_or_revenue,
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -5205,6 +5261,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_pca": _pca_oracle_sql(8, 64),
         "embedding_pca_scores": _pca_scores_oracle_sql(8, 64, 20),
+        "embedding_pca2": _pca2_oracle_sql(8, 64),
         "embedding_covariance": """
             WITH x AS (
                 SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,

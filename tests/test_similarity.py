@@ -289,3 +289,50 @@ def test_principal_component_matches_numpy_power_iteration(spark):
     evec = np.linalg.eigh(c)[1][:, -1]
     cos = abs(float(np.dot(v, evec)))
     assert cos > 0.99
+
+
+def test_principal_component2_orthogonal_and_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    from usearch_spark.operators.similarity import principal_component, principal_component2
+
+    # two strong orthogonal-ish directions + noise
+    d1 = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0]
+    d2 = [-2.0, 1.0, 3.0, -1.0, 0.0, 1.5]
+    rng = [
+        [
+            ((i * 17 + j * 3) % 11) / 5.0
+            + ((i % 7) - 3) * d1[j]
+            + (((i * 5) % 9) - 4) * d2[j]
+            for j in range(6)
+        ]
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    v1 = {r["i"]: r["loading"] for r in principal_component(df, iters=8).collect()}
+    v2 = {r["i"]: r["loading"] for r in principal_component2(df, iters=8).collect()}
+
+    # mirror the operator's rounded deflation in numpy
+    m = np.array(rng, dtype=np.float64)
+    mu = m.mean(axis=0)
+    c = np.round((m - mu).T @ (m - mu) / len(m), 6)
+    v = np.full(6, 1 / math.sqrt(6))
+    for _ in range(8):
+        v = c @ v
+        v = v / np.linalg.norm(v)
+    v = np.round(v, 6)
+    lam = round(float(v @ c @ v), 6)
+    c2 = np.round(c - lam * np.outer(v, v), 6)
+    u = np.full(6, 1 / math.sqrt(6))
+    for _ in range(8):
+        u = c2 @ u
+        u = u / np.linalg.norm(u)
+    for i in range(6):
+        assert abs(v2[i] - u[i]) < 1e-4, (i, v2[i], u[i])
+    # near-orthogonality of the two learned components
+    dot = abs(sum(v1[i] * v2[i] for i in range(6)))
+    assert dot < 0.05, dot

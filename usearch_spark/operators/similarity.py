@@ -610,11 +610,18 @@ def principal_component(
     same matrix-vector recurrence).  Deterministic: fixed start vector,
     fixed iteration count, sums of round-6 covariance entries.
     """
-    import math
-
     c = (cov if cov is not None else embedding_covariance(emb, vec_col)).localCheckpoint(
         eager=True
     )
+    return _power_iterate(c, iters)
+
+
+def _power_iterate(c: DataFrame, iters: int) -> DataFrame:
+    """Fixed-iteration power method over a (i, j, cov) matrix frame:
+    v0 uniform unit, v_{t+1} = C·v_t / ‖C·v_t‖₂; returns (i, loading)
+    rounded at 6."""
+    import math
+
     d = c.agg(F.max("i")).first()[0] + 1
     v = c.select("i").dropDuplicates(["i"]).withColumn(
         "w", F.lit(1.0 / math.sqrt(d))
@@ -632,3 +639,43 @@ def principal_component(
             .localCheckpoint(eager=True)
         )
     return v.select("i", F.round("w", 6).alias("loading"))
+
+
+def principal_component2(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    cov: DataFrame | None = None,
+) -> DataFrame:
+    """SECOND principal component by Hotelling deflation: with the round-6
+    first component v, deflate C₂ = round(C − λ·vvᵀ, 6) where
+    λ = round(vᵀCv, 6) (the Rayleigh quotient), and power-iterate the
+    deflated matrix.  Everything stays on the d²-row frame with d-row
+    broadcast joins; the rounded v/λ/C₂ intermediates are exactly what a
+    SQL oracle reproduces, so the whole deflation chain is
+    hash-checkable.  Returns (i, loading)."""
+    c = (cov if cov is not None else embedding_covariance(emb, vec_col)).localCheckpoint(
+        eager=True
+    )
+    v1 = _power_iterate(c, iters)
+    va = F.broadcast(v1.select(F.col("i").alias("_vi"), F.col("loading").alias("li")))
+    vb = F.broadcast(v1.select(F.col("i").alias("_vj"), F.col("loading").alias("lj")))
+    lam = (
+        c.join(va, c.i == F.col("_vi"))
+        .join(vb, c.j == F.col("_vj"))
+        .agg(F.round(F.sum(F.col("li") * F.col("cov") * F.col("lj")), 6).alias("lam"))
+    )
+    c2 = (
+        c.join(va, c.i == F.col("_vi"))
+        .join(vb, c.j == F.col("_vj"))
+        .join(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("cov") - F.col("lam") * F.col("li") * F.col("lj"), 6
+            ).alias("cov"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _power_iterate(c2, iters)
