@@ -3576,6 +3576,21 @@ def q_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier(p, "p_retailprice", "p_size", num_partitions=8)
 
 
+def q_parts_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (operators/pareto.pareto_frontier_kd): parts
+    non-dominated on (retail price, size, name length) — the k-dim
+    generalization with a vectorized per-partition dominance pass; the
+    quadratic NOT-EXISTS stays oracle-only."""
+    from usearch_spark.operators.pareto import pareto_frontier_kd
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size", F.length("p_name").alias("name_len")
+    )
+    return pareto_frontier_kd(
+        p, ["p_retailprice", "p_size", "name_len"], num_partitions=8
+    )
+
+
 def q_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new-user and cumulative-distinct-user counts: first-seen day
     per user (one agg), daily news (one agg), then the running total via a
@@ -4862,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "parts_pareto": q_parts_pareto,
+        "parts_pareto_3d": q_parts_pareto_3d,
         "users_cumulative": q_users_cumulative,
         "corpus_quality_filter": q_corpus_quality_filter,
         "order_priority_late": q_order_priority_late,
@@ -5328,6 +5344,24 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             ORDER BY draw ASC, p_partkey ASC
             LIMIT 50
+        """,
+        "parts_pareto_3d": """
+            WITH p3 AS (
+                SELECT p_partkey, p_retailprice, p_size,
+                       CAST(length(p_name) AS INT) AS name_len
+                FROM part
+            )
+            SELECT p_partkey, p_retailprice, p_size, name_len
+            FROM p3 p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p3 d
+                WHERE d.p_retailprice <= p.p_retailprice
+                  AND d.p_size <= p.p_size
+                  AND d.name_len <= p.name_len
+                  AND (d.p_retailprice < p.p_retailprice
+                       OR d.p_size < p.p_size
+                       OR d.name_len < p.name_len)
+            )
         """,
         "parts_pareto": """
             SELECT p_partkey, p_retailprice, p_size

@@ -46,3 +46,26 @@ def test_pareto_excludes_null_coordinates(spark):
     df = spark.createDataFrame([(1.0, 1), (None, 0), (2.0, None)], "x double, y int")
     got = [tuple(r) for r in pareto_frontier(df, "x", "y").collect()]
     assert got == [(1.0, 1)]
+
+
+def test_pareto_kd_matches_brute_force(spark):
+    from usearch_spark.operators.pareto import pareto_frontier_kd
+
+    rows = []
+    for i in range(1, 400):
+        rows.append((
+            1 + float((i * 31) % 97), 1 + float((i * 17) % 89), 1 + float((i * 7) % 83),
+        ))
+    rows += [(0.5, 0.5, 0.5), (0.5, 0.5, 0.5)]  # duplicate frontier point
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = sorted(map(tuple, pareto_frontier_kd(df, ["x", "y", "z"], num_partitions=5).collect()))
+
+    def dominated(a, all_rows):
+        return any(
+            all(d[k] <= a[k] for k in range(3)) and any(d[k] < a[k] for k in range(3))
+            for d in all_rows
+        )
+
+    expect = sorted(r for r in rows if not dominated(r, rows))
+    assert got == expect
+    assert got.count((0.5, 0.5, 0.5)) == 2

@@ -71,3 +71,60 @@ def pareto_frontier(
     )
     # phase 2: exact rule over the (small) union of local frontiers
     return local.coalesce(1).mapInPandas(_frontier_pass(x, y), schema=schema)
+
+
+def pareto_frontier_kd(
+    df: DataFrame,
+    cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-dimensional skyline (minimization on every column of ``cols``):
+    same two-phase shape as :func:`pareto_frontier` — per-partition local
+    frontier, then the exact rule on the (small) union — but the local
+    pass is a vectorized dominance check instead of a sorted sweep (a
+    single sweep only works in 2-D).  Per-partition cost is
+    O(n_part · |local frontier|) with numpy row-vs-matrix comparisons;
+    phase 2 re-runs the identical check on the union.
+
+    Dominance: a ≼ b iff a ≤ b on every column and a < b on at least one;
+    exact duplicates of a frontier point all survive.  Rows with any null
+    coordinate are excluded.
+    """
+    cond = None
+    for c in cols:
+        cnd = F.col(c).isNotNull()
+        cond = cnd if cond is None else (cond & cnd)
+    clean = df.filter(cond)
+    k = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    schema = clean.schema
+
+    def fr(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(pdfs)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        m = pdf[cols].to_numpy(dtype="float64")
+        # sort lexicographically: a dominator always precedes its victims,
+        # so one forward pass against the kept set is complete
+        order = np.lexsort(tuple(m[:, j] for j in reversed(range(len(cols)))))
+        m = m[order]
+        kept_rows: list[int] = []
+        kept: np.ndarray | None = None
+        for r in range(len(m)):
+            x = m[r]
+            if kept is not None and len(kept_rows):
+                le = (kept <= x).all(axis=1)
+                lt = (kept < x).any(axis=1)
+                if (le & lt).any():
+                    continue
+            kept_rows.append(r)
+            kept = m[kept_rows]
+        yield pdf.iloc[order[kept_rows]]
+
+    local = clean.repartitionByRange(k, *[F.col(c) for c in cols]).mapInPandas(
+        fr, schema=schema
+    )
+    return local.coalesce(1).mapInPandas(fr, schema=schema)
