@@ -3926,6 +3926,99 @@ def _coarsen_oracle_sql(rounds: int = 5) -> str:
     )
 
 
+def q_graph_coarsen_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level contraction hierarchy of the nation graph
+    (plans/graph_stats.coarsen_levels): recurse the deterministic
+    matching + contraction and label every original vertex with its
+    top-level supervertex — the multilevel-partitioner hierarchy.  The
+    oracle replays BOTH levels (matching rounds on the contracted edge
+    set too) and composes the mappings."""
+    from usearch_spark.plans.graph_stats import coarsen_levels
+
+    v, e = _nation_graph(spark, sf_dir)
+    return coarsen_levels(v, e, levels=2, rounds=5)
+
+
+def _match_rounds_sql(prefix: str, base_cte: str, rounds: int) -> str:
+    """CTE chain for one matching level: {prefix}e0 = base edges;
+    per round r: priorities, per-vertex minima, selected edges
+    {prefix}s{r}, surviving edges {prefix}e{r}; then {prefix}mm =
+    the whole matching."""
+    parts = [f""",
+        {prefix}e0 AS (SELECT a, b FROM {base_cte})"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+        {prefix}p{r} AS (SELECT a, b, md5(a || '|' || b) AS pr FROM {prefix}e{p}),
+        {prefix}vm{r} AS (
+            SELECT v, min(pr) AS vmin FROM (
+                SELECT a AS v, pr FROM {prefix}p{r}
+                UNION ALL SELECT b, pr FROM {prefix}p{r}
+            ) GROUP BY v
+        ),
+        {prefix}s{r} AS MATERIALIZED (
+            SELECT p.a, p.b FROM {prefix}p{r} p
+            JOIN {prefix}vm{r} x ON x.v = p.a AND x.vmin = p.pr
+            JOIN {prefix}vm{r} y ON y.v = p.b AND y.vmin = p.pr
+        ),
+        {prefix}t{r} AS (SELECT a AS v FROM {prefix}s{r} UNION ALL SELECT b FROM {prefix}s{r}),
+        {prefix}e{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM {prefix}e{p} e
+            WHERE NOT EXISTS (SELECT 1 FROM {prefix}t{r} t WHERE t.v = e.a)
+              AND NOT EXISTS (SELECT 1 FROM {prefix}t{r} t WHERE t.v = e.b)
+        )"""
+        )
+    sel = "\n            UNION ALL ".join(
+        f"SELECT a, b FROM {prefix}s{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f""",
+        {prefix}mm AS MATERIALIZED ({sel})""")
+    return "".join(parts)
+
+
+def _hierarchy_oracle_sql(rounds: int = 5) -> str:
+    """Two matching levels + mapping composition on the nation graph."""
+    head = """
+        WITH base AS (
+            SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                   greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS v FROM nation)"""
+    lvl1 = _match_rounds_sql("A", "base", rounds)
+    mid = """,
+        map1 AS MATERIALIZED (
+            SELECT verts.v, coalesce(pm.rep, verts.v) AS rep
+            FROM verts LEFT JOIN (
+                SELECT b AS v, a AS rep FROM Amm UNION ALL SELECT a, a FROM Amm
+            ) pm ON pm.v = verts.v
+        ),
+        ec1 AS MATERIALIZED (
+            SELECT DISTINCT least(ma.rep, mb.rep) AS a, greatest(ma.rep, mb.rep) AS b
+            FROM base e
+            JOIN map1 ma ON ma.v = e.a
+            JOIN map1 mb ON mb.v = e.b
+            WHERE ma.rep <> mb.rep
+        ),
+        verts2 AS (SELECT DISTINCT rep AS v FROM map1)"""
+    lvl2 = _match_rounds_sql("B", "ec1", rounds)
+    tail = """,
+        map2 AS MATERIALIZED (
+            SELECT verts2.v, coalesce(pm.rep, verts2.v) AS rep
+            FROM verts2 LEFT JOIN (
+                SELECT b AS v, a AS rep FROM Bmm UNION ALL SELECT a, a FROM Bmm
+            ) pm ON pm.v = verts2.v
+        )
+        SELECT verts.v AS id, m2.rep AS cluster
+        FROM verts
+        JOIN map1 m1 ON m1.v = verts.v
+        JOIN map2 m2 ON m2.v = m1.rep
+    """
+    return head + lvl1 + mid + lvl2 + tail
+
+
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient of the same-region nation graph
     (the supplier↔part graph is bipartite — zero triangles by parity):
@@ -4868,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coarsen": q_graph_coarsen,
         "customer_churn_set": q_customer_churn_set,
         "events_interval_join_stream": q_events_interval_join_stream,
+        "graph_coarsen_levels": q_graph_coarsen_levels,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -5239,6 +5333,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "graph_matching": _matching_oracle_sql(5),
         "graph_coarsen": _coarsen_oracle_sql(5),
+        "graph_coarsen_levels": _hierarchy_oracle_sql(5),
         "events_interval_join_stream": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

@@ -367,3 +367,31 @@ def test_coarsen_halves_vertices_and_conserves_weight(spark):
     assert sum(r["weight"] for r in coarse) <= n_orig_edges
     assert sum(r["weight"] for r in coarse) >= n_orig_edges - n  # <= n/2 matched pairs
     assert len(supers) < n  # strictly coarser
+
+
+def test_coarsen_levels_hierarchy(spark):
+    """2-level contraction: clusters nest (level-2 is a coarsening of
+    level-1), every member shares a component with its representative,
+    and the hierarchy is deterministic."""
+    from usearch_spark.plans.graph_stats import coarsen_levels
+    from usearch_spark.plans.pregel import connected_components
+
+    n = 100
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(13)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    l1 = {r["id"]: r["cluster"] for r in coarsen_levels(v, e, levels=1).collect()}
+    l2 = {r["id"]: r["cluster"] for r in coarsen_levels(v, e, levels=2).collect()}
+    assert len(set(l2.values())) <= len(set(l1.values())) < n
+    # nesting: same level-1 cluster => same level-2 cluster
+    for a in l1:
+        for b in l1:
+            if l1[a] == l1[b]:
+                assert l2[a] == l2[b]
+    comp = {r["id"]: r["value"] for r in connected_components(v, e).state.collect()}
+    for vid, c in l2.items():
+        assert comp[vid] == comp[c], (vid, c)
+    again = {r["id"]: r["cluster"] for r in coarsen_levels(v, e, levels=2).collect()}
+    assert again == l2

@@ -726,3 +726,53 @@ def betweenness_centrality(
     return v.join(per, "id", "left").select(
         "id", F.round(F.coalesce(F.col("bc"), F.lit(0.0)) * F.lit(scale), 6).alias("betweenness")
     )
+
+
+def coarsen_levels(
+    vertices: DataFrame,
+    edges: DataFrame,
+    levels: int = 2,
+    rounds: int = 8,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Hierarchical contraction: recurse maximal-matching contraction
+    ``levels`` times and return (id, cluster) mapping every ORIGINAL
+    vertex to its top-level supervertex — the multilevel hierarchy a
+    METIS-style partitioner builds before k-way assignment (each level
+    roughly halves the graph, so L levels shrink it ~2^L x before any
+    expensive algorithm runs).
+
+    Deterministic end to end: each level's matching uses md5 edge
+    priorities on the CURRENT level's supervertex names, and mappings
+    compose by joins — no rand(), no driver loops over data."""
+    v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    mapping = v.select("id", F.col("id").alias("rep"))
+    cur_v = v.select(F.col("id").alias("v"))
+    cur_e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(levels):
+        m = maximal_matching(
+            cur_v.select(F.col("v").alias("id")), cur_e, rounds=rounds, src="a", dst="b"
+        ).localCheckpoint(eager=True)
+        pair_map = m.select(F.col("b").alias("v"), F.col("a").alias("lrep")).unionByName(
+            m.select(F.col("a").alias("v"), F.col("a").alias("lrep"))
+        )
+        lmap = cur_v.join(pair_map, "v", "left").select(
+            "v", F.coalesce(F.col("lrep"), F.col("v")).alias("lrep")
+        ).localCheckpoint(eager=True)
+        mapping = (
+            mapping.join(lmap, mapping.rep == lmap.v)
+            .select("id", F.col("lrep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        cur_e = (
+            cur_e.join(lmap.select(F.col("v").alias("a"), F.col("lrep").alias("ra")), "a")
+            .join(lmap.select(F.col("v").alias("b"), F.col("lrep").alias("rb")), "b")
+            .filter(F.col("ra") != F.col("rb"))
+            .select(F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b"))
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+        cur_v = lmap.select(F.col("lrep").alias("v")).dropDuplicates(["v"])
+    return mapping.select("id", F.col("rep").alias("cluster"))
