@@ -3694,6 +3694,35 @@ def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dormant_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, the count and total balance of
+    customers holding MORE than the average positive account balance yet
+    DORMANT (no orders since 1999) — a scalar-subquery threshold feeding
+    an anti-join against the recent-order set.  The scalar aggregate
+    broadcasts; the anti-join is one shuffle on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    # avg as exact-decimal sum / count in DOUBLE: engines disagree on the
+    # result scale of avg(DECIMAL), and the threshold comparison must be
+    # bit-identical on both sides
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich_idle = (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return rich_idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+    )
+
+
 def q_customer_churn_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operator semantics under the gate (SURVEY §2.8): 1996 vs 1997
     ordering customers via INTERSECT / EXCEPT (distinct set semantics,
@@ -4962,6 +4991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_churn_set": q_customer_churn_set,
         "events_interval_join_stream": q_events_interval_join_stream,
         "graph_coarsen_levels": q_graph_coarsen_levels,
+        "dormant_capital": q_dormant_capital,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_scores": q_embedding_pca_scores,
@@ -5334,6 +5364,21 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_oracle_sql(5),
         "graph_coarsen": _coarsen_oracle_sql(5),
         "graph_coarsen_levels": _hierarchy_oracle_sql(5),
+        "dormant_capital": """
+            WITH th AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                           AS avg_bal
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+            FROM customer c, th
+            WHERE CAST(c.c_acctbal AS DOUBLE) > th.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_mktsegment
+        """,
         "events_interval_join_stream": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,
