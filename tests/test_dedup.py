@@ -167,6 +167,40 @@ def test_prefix_jaccard_equals_allpairs(spark):
     assert got == ref and len(ref) > 0
 
 
+def test_ppjoin_equals_allpairs_and_prunes(spark):
+    """PPJoin's length + positional filters are lossless (identical pair
+    set + scores to the all-pairs join) AND candidate count is <= the
+    prefix-only candidate count on the same corpus slice."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.dedup import (
+        _doc_shingles,
+        _prefix_candidates,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_ppjoin,
+        ppjoin_candidates,
+    )
+    from usearch_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    ref = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, max_shingle_df=None).collect()
+    )
+    got = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs_ppjoin(docs, n=2, threshold=0.5).collect()
+    )
+    assert got == ref and len(ref) > 0
+
+    sh = _doc_shingles(docs, "doc_id", "text", 2)
+    n_prefix = _prefix_candidates(sh, 0.5).count()
+    n_pp = ppjoin_candidates(sh, 0.5).count()
+    assert n_pp <= n_prefix
+    # the filters must actually bite on this corpus, not just not-lose
+    assert n_pp < n_prefix
+
+
 def test_prefix_jaccard_prunes_candidates(spark):
     """The point of the prefix: near-disjoint docs sharing only a COMMON
     (high-df) shingle never become candidates, but high-overlap pairs

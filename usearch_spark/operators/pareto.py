@@ -89,6 +89,10 @@ def pareto_frontier_kd(
     Dominance: a ≼ b iff a ≤ b on every column and a < b on at least one;
     exact duplicates of a frontier point all survive.  Rows with any null
     coordinate are excluded.
+
+    Comparisons run on each column's ORIGINAL dtype (no float64
+    collapse): int64/decimal coordinates beyond 2^53 keep their exact
+    ordering, so high-precision keys can't be wrongly judged dominated.
     """
     cond = None
     for c in cols:
@@ -106,22 +110,25 @@ def pareto_frontier_kd(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        m = pdf[cols].to_numpy(dtype="float64")
+        # per-column arrays in their native dtypes — exact comparisons
+        arrs = [pdf[c].to_numpy() for c in cols]
         # sort lexicographically: a dominator always precedes its victims,
         # so one forward pass against the kept set is complete
-        order = np.lexsort(tuple(m[:, j] for j in reversed(range(len(cols)))))
-        m = m[order]
+        order = np.lexsort(tuple(arrs[j] for j in reversed(range(len(cols)))))
+        arrs = [a[order] for a in arrs]
+        n_rows = len(pdf)
         kept_rows: list[int] = []
-        kept: np.ndarray | None = None
-        for r in range(len(m)):
-            x = m[r]
-            if kept is not None and len(kept_rows):
-                le = (kept <= x).all(axis=1)
-                lt = (kept < x).any(axis=1)
+        for r in range(n_rows):
+            if kept_rows:
+                le = np.ones(len(kept_rows), dtype=bool)
+                lt = np.zeros(len(kept_rows), dtype=bool)
+                for a in arrs:
+                    ka = a[kept_rows]
+                    le &= ka <= a[r]
+                    lt |= ka < a[r]
                 if (le & lt).any():
                     continue
             kept_rows.append(r)
-            kept = m[kept_rows]
         yield pdf.iloc[order[kept_rows]]
 
     local = clean.repartitionByRange(k, *[F.col(c) for c in cols]).mapInPandas(

@@ -541,6 +541,17 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     order-independent — any engine reproduces them bit-for-bit (the
     same trick as the unigram-LM mean).  Element values are cast to
     double BEFORE multiplying so both engines do 64-bit math.
+
+    Centering is EXACT-DECIMAL: the numerator N·Sij − Si·Sj is computed
+    entirely in decimal (types sized so no Spark precision-loss
+    adjustment fires — sij(18,8)·N(10,0) → (29,8) → cast (37,16);
+    si(18,8)·sj(18,8) → (37,16); difference → (38,16), all lossless),
+    then ONE double conversion, ONE division by N², ONE round(6).  The
+    round-5 driver gate showed that rounding the double expression
+    (sij − sa·sb/n)/n is boundary-unstable across engines (expression
+    reordering can flip the 6th decimal by 1 ulp); with an exact
+    numerator both engines perform the identical single IEEE divide, so
+    the quotient is bit-identical before rounding.
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     # two-parameter transform lambdas receive the element INDEX second —
@@ -575,20 +586,21 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
         .groupBy("i")
         .agg(F.sum(F.round(F.col("xi"), 8).cast("decimal(26,8)")).alias("si"))
     )
-    n = float(emb.count())
-    sa = s.select("i", F.col("si").cast("double").alias("sa"))
-    sb = s.select(F.col("i").alias("j"), F.col("si").cast("double").alias("sb"))
+    n = int(emb.count())
+    sa = s.select("i", F.col("si").cast("decimal(18,8)").alias("sa"))
+    sb = s.select(F.col("i").alias("j"), F.col("si").cast("decimal(18,8)").alias("sb"))
+    num = (
+        (F.col("sij").cast("decimal(18,8)") * F.lit(n).cast("decimal(10,0)"))
+        .cast("decimal(37,16)")
+        - F.col("sa") * F.col("sb")
+    )
     return (
         p.join(F.broadcast(sa), "i")
         .join(F.broadcast(sb), "j")
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("sij").cast("double") - F.col("sa") * F.col("sb") / F.lit(n))
-                / F.lit(n),
-                6,
-            ).alias("cov"),
+            F.round(num.cast("double") / F.lit(float(n) * float(n)), 6).alias("cov"),
         )
     )
 

@@ -46,14 +46,20 @@ def count_min_sketch(
     """Build a count-min sketch over ``key_col``: rows (seed, bucket, cnt),
     one row per non-empty cell.  ``prefix_len`` hex chars give a width of
     16^prefix_len buckets (2 -> 256).  ``weight_col`` makes it a weighted
-    frequency sketch (sums instead of counts).
+    frequency sketch (sums instead of counts); NULL weights contribute 0
+    (coalesced), matching the unweighted form's count-every-row
+    semantics instead of silently dropping nullable-weight rows.
 
     Cost shape: explode by depth (a cheap JVM-side array explode), one
     partial-aggregated groupBy on (seed, bucket) — the shuffle carries at
     most depth x 16^prefix_len rows no matter how large the input is.
     """
     seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
-    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    w = (
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+        if weight_col
+        else F.lit(1).cast("long")
+    )
     return (
         df.select(F.col(key_col).alias("k"), w.alias("w"))
         .select("k", "w", seeds)

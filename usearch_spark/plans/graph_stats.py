@@ -278,17 +278,29 @@ def maximal_matching(
     a maximal matching is the standard coarsening/contraction primitive
     (multilevel partitioners, graph sparsifiers).
 
-    Priorities are md5 strings of the canonical edge — one global total
-    order any engine reproduces, no rand(), so the matching is
-    deterministic and SQL-replayable.  Per round: one per-vertex min agg
-    + one anti-join, both keyed on vertex ids.  Returns the matching as
-    canonical (a, b) rows.  Fixed-round form (extra rounds past the empty
-    edge set are no-ops) so an oracle can unroll it.
+    Priorities are md5 strings of the LENGTH-PREFIXED canonical edge
+    ("len(a):a|len(b):b") — length prefixes make the encoding injective
+    for arbitrary id strings (a bare "a|b" concat would alias e.g.
+    ('x|','y') and ('x','|y'), letting two edges that share a vertex
+    both pass the strict-min filter).  One global total order any engine
+    reproduces, no rand(), so the matching is deterministic and
+    SQL-replayable.  Null-id edges never reach the priority: canonical
+    orientation collapses them to a == b and they are filtered.  Per
+    round: one per-vertex min agg + one anti-join, both keyed on vertex
+    ids.  Returns the matching as canonical (a, b) rows.  Fixed-round
+    form (extra rounds past the empty edge set are no-ops) so an oracle
+    can unroll it.
     """
     e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     matching = None
     for _ in range(rounds):
-        pr = F.md5(F.concat(F.col("a"), F.lit("|"), F.col("b")))
+        pr = F.md5(
+            F.concat(
+                F.length("a").cast("string"), F.lit(":"), F.col("a"),
+                F.lit("|"),
+                F.length("b").cast("string"), F.lit(":"), F.col("b"),
+            )
+        )
         ep = e.withColumn("pr", pr)
         incid = ep.select(F.col("a").alias("v"), "pr").unionAll(
             ep.select(F.col("b").alias("v"), "pr")
