@@ -4079,6 +4079,172 @@ def _hierarchy_oracle_sql(rounds: int = 5) -> str:
     return head + lvl1 + mid + lvl2 + tail
 
 
+def q_graph_partition_kway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METIS-style multilevel 4-way edge-cut partitioning of the nation
+    graph (plans/graph_stats.partition_kway): 2 matching-contraction
+    levels, weighted prefix-range assignment on the coarsest graph, and
+    one balance-capped boundary-refinement round per level on the way
+    back up — T1's 100-TB form (the reference range-shards the crawl;
+    edge-cut partitioning shards the GRAPH).  The oracle replays the
+    whole chain: both matching levels, the weighted coarse graphs, the
+    assignment window, and each refinement round's gain/capacity
+    windows.  Output pins assignment, balance, and cut."""
+    from usearch_spark.plans.graph_stats import partition_kway
+
+    v, e = _nation_graph(spark, sf_dir)
+    return partition_kway(v, e, k=4, levels=2, match_rounds=5, refine_rounds=1)
+
+
+def _refine_round_sql(o: str, ew: str, vw: str, p: str, cap: int) -> str:
+    """One synchronous boundary-refinement round as CTEs (prefix ``o``):
+    per-vertex edge weight into each neighboring part, max-gain proposal
+    (ties: smaller part), per-destination acceptance capped at
+    ``cap`` − current size by (gain desc, md5(v)).  Mirrors
+    graph_stats._refine_round exactly."""
+    return f""",
+        {o}ej AS (
+            SELECT e.a, e.b, e.weight, pa.part AS part_a, pb.part AS part_b
+            FROM {ew} e JOIN {p} pa ON pa.v = e.a JOIN {p} pb ON pb.v = e.b
+        ),
+        {o}wvq AS (
+            SELECT v, q, CAST(sum(weight) AS BIGINT) AS wq FROM (
+                SELECT a AS v, part_b AS q, weight FROM {o}ej
+                UNION ALL SELECT b, part_a, weight FROM {o}ej
+            ) GROUP BY v, q
+        ),
+        {o}iw AS (
+            SELECT pp.v, pp.part, coalesce(w.wq, 0) AS int_w
+            FROM {p} pp LEFT JOIN {o}wvq w ON w.v = pp.v AND w.q = pp.part
+        ),
+        {o}cand AS (
+            SELECT w.v, w.q, w.wq - i.int_w AS gain
+            FROM {o}wvq w JOIN {o}iw i ON i.v = w.v
+            WHERE w.q <> i.part AND w.wq - i.int_w > 0
+        ),
+        {o}best AS (
+            SELECT v, q, gain FROM (
+                SELECT v, q, gain,
+                       row_number() OVER (PARTITION BY v ORDER BY gain DESC, q) AS rn
+                FROM {o}cand
+            ) WHERE rn = 1
+        ),
+        {o}sz AS (
+            SELECT pp.part, CAST(sum(vv.w) AS BIGINT) AS sz
+            FROM {p} pp JOIN {vw} vv ON vv.v = pp.v GROUP BY pp.part
+        ),
+        {o}acc AS (
+            SELECT v, q FROM (
+                SELECT b.v, b.q, coalesce(s.sz, 0) AS sz,
+                       sum(vv.w) OVER (PARTITION BY b.q
+                                       ORDER BY b.gain DESC, md5(b.v)
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cumw
+                FROM {o}best b
+                JOIN {vw} vv ON vv.v = b.v
+                LEFT JOIN {o}sz s ON s.part = b.q
+            ) WHERE cumw <= {cap} - sz
+        ),
+        {o}out AS MATERIALIZED (
+            SELECT pp.v, CAST(coalesce(a.q, pp.part) AS INT) AS part
+            FROM {p} pp LEFT JOIN {o}acc a ON a.v = pp.v
+        )"""
+
+
+def _partition_kway_oracle_sql(k: int = 4, rounds: int = 5) -> str:
+    """Full multilevel replay on the nation graph (25 vertices, so
+    wsum = 25 and cap = ceil(1.3·25/k) are compile-time constants):
+    2 matching levels (reusing _match_rounds_sql), weighted coarse
+    graphs, the prefix-range assignment window, one refinement round per
+    level, then balance + cut."""
+    import math
+
+    wsum, cap = 25, math.ceil(1.3 * 25 / k)
+    head = """
+        WITH base AS (
+            SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                   greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        ew0 AS (SELECT a, b, CAST(1 AS BIGINT) AS weight FROM base),
+        vw0 AS (SELECT 'n' || n_nationkey AS v, CAST(1 AS BIGINT) AS w FROM nation),
+        verts AS (SELECT v FROM vw0)"""
+    lvl1 = _match_rounds_sql("A", "base", rounds)
+    mid = """,
+        map1 AS MATERIALIZED (
+            SELECT verts.v, coalesce(pm.rep, verts.v) AS rep
+            FROM verts LEFT JOIN (
+                SELECT b AS v, a AS rep FROM Amm UNION ALL SELECT a, a FROM Amm
+            ) pm ON pm.v = verts.v
+        ),
+        vw1 AS MATERIALIZED (
+            SELECT rep AS v, CAST(count(*) AS BIGINT) AS w FROM map1 GROUP BY rep
+        ),
+        ew1 AS MATERIALIZED (
+            SELECT least(ma.rep, mb.rep) AS a, greatest(ma.rep, mb.rep) AS b,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM base e
+            JOIN map1 ma ON ma.v = e.a JOIN map1 mb ON mb.v = e.b
+            WHERE ma.rep <> mb.rep GROUP BY 1, 2
+        ),
+        ec1 AS (SELECT a, b FROM ew1),
+        verts2 AS (SELECT v FROM vw1)"""
+    lvl2 = _match_rounds_sql("B", "ec1", rounds)
+    assign = f""",
+        map2 AS MATERIALIZED (
+            SELECT verts2.v, coalesce(pm.rep, verts2.v) AS rep
+            FROM verts2 LEFT JOIN (
+                SELECT b AS v, a AS rep FROM Bmm UNION ALL SELECT a, a FROM Bmm
+            ) pm ON pm.v = verts2.v
+        ),
+        vw2 AS MATERIALIZED (
+            SELECT m2.rep AS v, CAST(sum(vw1.w) AS BIGINT) AS w
+            FROM vw1 JOIN map2 m2 ON m2.v = vw1.v GROUP BY m2.rep
+        ),
+        ew2 AS MATERIALIZED (
+            SELECT least(ma.rep, mb.rep) AS a, greatest(ma.rep, mb.rep) AS b,
+                   CAST(sum(e.weight) AS BIGINT) AS weight
+            FROM ew1 e
+            JOIN map2 ma ON ma.v = e.a JOIN map2 mb ON mb.v = e.b
+            WHERE ma.rep <> mb.rep GROUP BY 1, 2
+        ),
+        p2 AS MATERIALIZED (
+            SELECT v, CAST(least({k - 1},
+                        floor(CAST({k} * cumb AS DOUBLE) / {wsum}.0)) AS INT) AS part
+            FROM (
+                SELECT v, sum(w) OVER (ORDER BY w DESC, v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS cumb
+                FROM vw2
+            )
+        ),
+        p1 AS MATERIALIZED (
+            SELECT vw1.v, p2.part FROM vw1
+            JOIN map2 ON map2.v = vw1.v JOIN p2 ON p2.v = map2.rep
+        )"""
+    r1 = _refine_round_sql("R1", "ew1", "vw1", "p1", cap)
+    proj0 = """,
+        p0 AS MATERIALIZED (
+            SELECT verts.v, r.part FROM verts
+            JOIN map1 ON map1.v = verts.v JOIN R1out r ON r.v = map1.rep
+        )"""
+    r0 = _refine_round_sql("R0", "ew0", "vw0", "p0", cap)
+    tail = f""",
+        fsz AS (
+            SELECT part, CAST(count(*) AS BIGINT) AS part_weight
+            FROM R0out GROUP BY part
+        ),
+        fcut AS (
+            SELECT CAST(coalesce(sum(CASE WHEN pa.part <> pb.part THEN 1 END), 0)
+                        AS BIGINT) AS edge_cut
+            FROM base e
+            JOIN R0out pa ON pa.v = e.a JOIN R0out pb ON pb.v = e.b
+        )
+        SELECT p.v AS id, p.part, fsz.part_weight, fcut.edge_cut
+        FROM R0out p JOIN fsz USING (part), fcut
+    """
+    return head + lvl1 + mid + lvl2 + assign + r1 + proj0 + r0 + tail
+
+
 def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient of the same-region nation graph
     (the supplier↔part graph is bipartite — zero triangles by parity):
@@ -5004,6 +5170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (r6, never gated) ---
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
+        "graph_partition_kway": q_graph_partition_kway,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5398,6 +5565,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "graph_matching": _matching_oracle_sql(5),
+        "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_coarsen": _coarsen_oracle_sql(5),
         "graph_coarsen_levels": _hierarchy_oracle_sql(5),
         "dormant_capital": """

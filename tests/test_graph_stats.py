@@ -395,3 +395,39 @@ def test_coarsen_levels_hierarchy(spark):
         assert comp[vid] == comp[c], (vid, c)
     again = {r["id"]: r["cluster"] for r in coarsen_levels(v, e, levels=2).collect()}
     assert again == l2
+
+
+def test_partition_kway_invariants(spark):
+    """Multilevel k-way partitioning: total assignment (every vertex,
+    exactly once), parts in [0,k), every part within the (1+eps) balance
+    cap, part_weight/edge_cut columns consistent with the assignment,
+    and the whole chain deterministic."""
+    import math
+
+    from usearch_spark.plans.graph_stats import canonical_edges, partition_kway
+
+    n, k, eps = 100, 4, 0.3
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(17)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    rows = partition_kway(v, e, k=k, eps=eps).collect()
+    assert len(rows) == n and len({r["id"] for r in rows}) == n
+    parts = {r["id"]: r["part"] for r in rows}
+    assert all(0 <= p < k for p in parts.values())
+    cap = math.ceil((1 + eps) * n / k)
+    sizes: dict[int, int] = {}
+    for p in parts.values():
+        sizes[p] = sizes.get(p, 0) + 1
+    assert all(s <= cap for s in sizes.values()), sizes
+    for r in rows:
+        assert r["part_weight"] == sizes[r["part"]]
+    cut = sum(
+        1
+        for r in canonical_edges(e).collect()
+        if parts[r["a"]] != parts[r["b"]]
+    )
+    assert rows[0]["edge_cut"] == cut
+    again = {r["id"]: r["part"] for r in partition_kway(v, e, k=k, eps=eps).collect()}
+    assert again == parts

@@ -366,6 +366,208 @@ def coarsen_graph(
     )
 
 
+def partition_kway(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int,
+    levels: int = 2,
+    match_rounds: int = 5,
+    refine_rounds: int = 1,
+    eps: float = 0.3,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """METIS-style multilevel k-way edge-cut partitioning — T1's 100-TB
+    form: the reference shards the CRAWL by URL range
+    (monolith/partition/range.go:21-95); sharding the GRAPH itself needs
+    an edge-cut partitioner so BSP supersteps ship few cross-shard
+    messages.  Three phases, all deterministic and SQL-replayable:
+
+    1. COARSEN ``levels`` times via the deterministic maximal matching
+       (:func:`maximal_matching`): matched pairs contract into weighted
+       supervertices (weight = member count), parallel edges merge their
+       weights.  Each level roughly halves the graph, so the expensive
+       phases run on a ~2^levels-times-smaller graph.
+    2. INITIAL ASSIGNMENT on the coarsest graph by weighted prefix
+       ranges: supervertices sorted by (weight desc, id), each assigned
+       part = floor(k · cum_weight_before / total_weight) — balanced by
+       construction, one window over the (tiny, coarsened) frame.
+    3. UNCOARSEN + REFINE: walking back up the hierarchy, each level
+       projects parts through its contraction map, then runs
+       ``refine_rounds`` synchronous boundary-refinement rounds: every
+       vertex scores its edge weight into each neighboring part,
+       proposes the max-gain move (ties: smaller part id), and per
+       destination part only the top-(capacity slack) movers by
+       (gain desc, md5(v)) are accepted — the balance cap is
+       ceil((1+eps)·total/k).  Jacobi-style parallel moves (standard for
+       distributed refinement): per round one edges⋈parts join + two
+       bounded windows, no driver data loop.
+
+    Returns (id, part, part_weight, edge_cut): every ORIGINAL vertex
+    with its 0-based part, the part's total vertex weight (balance is
+    hash-gated), and the global edge cut as a constant column.
+
+    Balance guarantee: refinement is weight-cumulative against the cap,
+    so it never pushes a part past ceil((1+eps)·|V|/k).  The prefix-range
+    initial assignment can overshoot a part by at most
+    (max supervertex weight − 1) <= 2^levels − 1 when a heavy
+    supervertex straddles a range boundary — choose
+    eps >= k·(2^levels − 1)/|V| for a hard end-to-end cap.
+    """
+    import math
+
+    v0 = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
+    wsum = v0.count()
+    cap = math.ceil((1.0 + eps) * wsum / k)
+    cur_v = v0.withColumn("w", F.lit(1).cast("long")).localCheckpoint(eager=True)
+    cur_e = (
+        canonical_edges(edges, src, dst)
+        .withColumn("weight", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    hierarchy: list[tuple[DataFrame, DataFrame, DataFrame]] = []
+    for _ in range(levels):
+        m = maximal_matching(
+            cur_v.select(F.col("v").alias("id")),
+            cur_e,
+            rounds=match_rounds,
+            src="a",
+            dst="b",
+        )
+        pair_map = m.select(F.col("b").alias("v"), F.col("a").alias("rep")).unionByName(
+            m.select(F.col("a").alias("v"), F.col("a").alias("rep"))
+        )
+        lmap = (
+            cur_v.select("v")
+            .join(pair_map, "v", "left")
+            .select("v", F.coalesce(F.col("rep"), F.col("v")).alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        hierarchy.append((cur_v, cur_e, lmap))
+        new_v = (
+            cur_v.join(lmap, "v")
+            .groupBy(F.col("rep").alias("v"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        new_e = (
+            cur_e.join(lmap.select(F.col("v").alias("a"), F.col("rep").alias("ra")), "a")
+            .join(lmap.select(F.col("v").alias("b"), F.col("rep").alias("rb")), "b")
+            .filter(F.col("ra") != F.col("rb"))
+            .select(
+                F.least("ra", "rb").alias("a"),
+                F.greatest("ra", "rb").alias("b"),
+                "weight",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+        cur_v, cur_e = new_v, new_e
+
+    # phase 2: weighted prefix-range assignment on the coarsest frame.
+    # The window is single-partition BY DESIGN: the input is the
+    # coarsened graph (~|V|/2^levels supervertices), bounded by phase 1.
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("w").desc(), F.col("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    parts = cur_v.select(
+        "v",
+        F.least(
+            F.lit(k - 1),
+            F.floor(F.lit(k) * (F.sum("w").over(win) - F.col("w")) / F.lit(wsum)),
+        )
+        .cast("int")
+        .alias("part"),
+    ).localCheckpoint(eager=True)
+
+    # phase 3: project down + refine at every level
+    for lvl_v, lvl_e, lmap in reversed(hierarchy):
+        parts = lmap.join(
+            parts.withColumnRenamed("v", "rep"), "rep"
+        ).select("v", "part")
+        for _ in range(refine_rounds):
+            parts = _refine_round(lvl_v, lvl_e, parts, k, cap).localCheckpoint(eager=True)
+
+    sizes = (
+        parts.join(hierarchy[0][0], "v")
+        .groupBy("part")
+        .agg(F.sum("w").alias("part_weight"))
+    )
+    e_orig = hierarchy[0][1]
+    cut = (
+        e_orig.join(parts.select(F.col("v").alias("a"), F.col("part").alias("pa")), "a")
+        .join(parts.select(F.col("v").alias("b"), F.col("part").alias("pb")), "b")
+        .filter(F.col("pa") != F.col("pb"))
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("edge_cut"))
+    )
+    return (
+        parts.join(F.broadcast(sizes), "part")
+        .crossJoin(F.broadcast(cut))
+        .select(F.col("v").alias("id"), "part", "part_weight", "edge_cut")
+    )
+
+
+def _refine_round(
+    lvl_v: DataFrame, lvl_e: DataFrame, parts: DataFrame, k: int, cap: int
+) -> DataFrame:
+    """One synchronous boundary-refinement round at one hierarchy level
+    (see :func:`partition_kway` phase 3).  All windows partition by a
+    vertex or a part — never a global sort over unbounded data."""
+    from pyspark.sql import Window
+
+    pe = lvl_e
+    pa = parts.select(F.col("v").alias("a"), F.col("part").alias("part_a"))
+    pb = parts.select(F.col("v").alias("b"), F.col("part").alias("part_b"))
+    ej = pe.join(pa, "a").join(pb, "b")
+    wvq = (
+        ej.select(F.col("a").alias("v"), F.col("part_b").alias("q"), "weight")
+        .unionByName(ej.select(F.col("b").alias("v"), F.col("part_a").alias("q"), "weight"))
+        .groupBy("v", "q")
+        .agg(F.sum("weight").alias("wq"))
+    )
+    internal = (
+        parts.join(wvq, (parts.v == wvq.v) & (parts.part == wvq.q), "left")
+        .select(parts.v.alias("v"), "part", F.coalesce(F.col("wq"), F.lit(0)).alias("int_w"))
+    )
+    cand = (
+        wvq.join(internal, "v")
+        .filter(F.col("q") != F.col("part"))
+        .withColumn("gain", F.col("wq") - F.col("int_w"))
+        .filter(F.col("gain") > 0)
+    )
+    best = cand.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("v").orderBy(F.col("gain").desc(), "q"))
+    ).filter(F.col("rn") == 1)
+    sizes = (
+        parts.join(lvl_v, "v").groupBy("part").agg(F.sum("w").alias("sz"))
+    )
+    # acceptance is WEIGHT-cumulative, not row-counted: movers into q are
+    # admitted in (gain desc, md5(v)) order while their cumulative vertex
+    # weight still fits the part's slack — a weight-4 supervertex consumes
+    # 4 units of capacity, so a refined part never exceeds the cap
+    accepted = (
+        best.join(lvl_v, "v")
+        .join(sizes.select(F.col("part").alias("q"), "sz"), "q", "left")
+        .withColumn(
+            "cumw",
+            F.sum("w").over(
+                Window.partitionBy("q")
+                .orderBy(F.col("gain").desc(), F.md5(F.col("v")))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cumw") <= F.lit(cap) - F.coalesce(F.col("sz"), F.lit(0)))
+        .select("v", F.col("q").alias("new_part"))
+    )
+    return parts.join(accepted, "v", "left").select(
+        "v", F.coalesce(F.col("new_part"), F.col("part")).alias("part")
+    )
+
+
 def _edge_support(e: DataFrame) -> DataFrame:
     """Per-edge triangle support over a canonical (a < b) edge set:
     (a, b, support).  Each triangle (a<b<c) found once via the two-hop
