@@ -4578,6 +4578,83 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
     return "".join(parts)
 
 
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate harmonic centrality for EVERY vertex of the
+    undirected supplier↔part graph (plans/graph_stats.hyperball_harmonic,
+    Boldi & Vigna 2013): 16-register HLL counters advance one
+    edges⋈state shuffle per round, so cost is O(|V|·m) per round
+    regardless of ball sizes — the SF-independent form of the harmonic
+    family (graph_harmonic/graph_harmonic_dist are the exact
+    sampled-source companions).  Registers are md5-derived and the HLL
+    sum is an exact integer, so the oracle replays the register
+    recurrence and the estimator bit-for-bit."""
+    from usearch_spark.plans.graph_stats import hyperball_harmonic
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return hyperball_harmonic(v, e, rounds=4)
+
+
+def _hyperball_oracle_sql(rounds: int = 4) -> str:
+    """Register-BFS unrolled: st0 = every vertex's own (reg, rho) from
+    the SAME md5 SQL text the engine evaluates; per round, neighbor
+    registers union in and max-combine per (v, reg); per-round estimate
+    e = alpha_c / S_scaled with S_scaled the exact integer
+    Σ 2^(58−rho) (+ 2^58 per empty register); the harmonic accumulation
+    mirrors the engine's op order term by term."""
+    from usearch_spark.plans.graph_stats import (
+        _HLL_SHIFT,
+        hll_estimate_sql,
+        hll_reg_sql,
+        hll_rho_sql,
+    )
+
+    est_of = lambda st: (  # noqa: E731 — tiny local template
+        f"SELECT v, {hll_estimate_sql()} AS e FROM ("
+        f"SELECT v, sum(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - rho)) AS s_present, "
+        f"count(*) AS nreg FROM {st} GROUP BY v)"
+    )
+    head = f"""
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
+        ),
+        und AS (SELECT a AS x, b AS y FROM e0 UNION ALL SELECT b, a FROM e0),
+        verts AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+        st0 AS MATERIALIZED (
+            SELECT v, CAST({hll_reg_sql('v')} AS INT) AS reg,
+                   CAST({hll_rho_sql('v')} AS INT) AS rho
+            FROM verts
+        ),
+        est0 AS ({est_of('st0')}),
+        h0 AS MATERIALIZED (
+            SELECT v, e, CAST(0.0 AS DOUBLE) AS h FROM est0
+        )"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""",
+        st{t} AS MATERIALIZED (
+            SELECT v, reg, max(rho) AS rho FROM (
+                SELECT v, reg, rho FROM st{p}
+                UNION ALL
+                SELECT u.x AS v, s.reg, s.rho FROM und u JOIN st{p} s ON s.v = u.y
+            ) GROUP BY v, reg
+        ),
+        est{t} AS ({est_of(f'st{t}')}),
+        h{t} AS MATERIALIZED (
+            SELECT h.v, h.h + (est.e - h.e) / {t}.0 AS h, est.e AS e
+            FROM h{p} h JOIN est{t} est ON est.v = h.v
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT v AS id, round(h, 6) AS harmonic_approx, round(e, 6) AS ball_approx
+        FROM h{rounds}
+    """
+    )
+    return "".join(parts)
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure, don't guess: precision/recall of the MinHash-LSH pipeline
     against EXHAUSTIVE 3-gram Jaccard at the same 0.7 threshold.  The LSH
@@ -5171,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r6, never gated) ---
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "graph_partition_kway": q_graph_partition_kway,
+        "graph_hyperball": q_graph_hyperball,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5566,6 +5644,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle_sql(4, 3),
         "graph_matching": _matching_oracle_sql(5),
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
+        "graph_hyperball": _hyperball_oracle_sql(4),
         "graph_coarsen": _coarsen_oracle_sql(5),
         "graph_coarsen_levels": _hierarchy_oracle_sql(5),
         "dormant_capital": """

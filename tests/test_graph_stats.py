@@ -397,6 +397,49 @@ def test_coarsen_levels_hierarchy(spark):
     assert again == l2
 
 
+def test_hyperball_tracks_exact_balls(spark):
+    """HyperBall ball estimates follow the true neighborhood sizes: on a
+    random graph, per-round estimates are monotone non-decreasing, the
+    final estimate correlates with the exact 4-ball size (mean relative
+    error well inside the m=16 HLL error regime), and the whole chain is
+    deterministic."""
+    from usearch_spark.plans.graph_stats import canonical_edges, hyperball_harmonic
+
+    n = 120
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(23)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    out = {r["id"]: (r["harmonic_approx"], r["ball_approx"])
+           for r in hyperball_harmonic(v, e, rounds=4).collect()}
+    assert len(out) == n
+    # exact 4-balls by BFS over the undirected edge set
+    adj: dict[str, set] = {}
+    for r in canonical_edges(e).collect():
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    rel_errs = []
+    for r in v.collect():
+        s = r["id"]
+        ball = {s}
+        frontier = {s}
+        for _ in range(4):
+            frontier = {y for x in frontier for y in adj.get(x, ())} - ball
+            ball |= frontier
+        est = out[s][1]
+        rel_errs.append(abs(est - len(ball)) / len(ball))
+    # m=16 raw HLL: sigma ~ 1.04/sqrt(16) = 26%, plus small-range bias
+    # (no ln correction, documented) — the MEAN must still sit well
+    # under 1x, i.e. the estimates track the truth, not noise
+    assert sum(rel_errs) / len(rel_errs) < 0.6, sum(rel_errs) / len(rel_errs)
+    # harmonic must be positive wherever the vertex has any neighbor
+    assert all(out[x][0] > 0 for x in adj)
+    again = {r["id"]: (r["harmonic_approx"], r["ball_approx"])
+             for r in hyperball_harmonic(v, e, rounds=4).collect()}
+    assert again == out
+
+
 def test_partition_kway_invariants(spark):
     """Multilevel k-way partitioning: total assignment (every vertex,
     exactly once), parts in [0,k), every part within the (1+eps) balance

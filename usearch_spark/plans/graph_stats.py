@@ -366,6 +366,153 @@ def coarsen_graph(
     )
 
 
+HLL_M = 16  # registers per HyperBall counter (b = 4 index bits)
+HLL_RHO_CAP = 57  # 14 hex chars = 56 rank bits; 57 = "all zero" sentinel
+_HLL_SHIFT = 58  # scaled S uses 2^(58 - rho): 16 * 2^58 = 2^62 < int64 max
+# alpha_16 * m^2 * 2^58 — the whole estimator collapses to ONE double
+# division alpha_c / S_scaled, with S_scaled an exact integer
+HLL_ALPHA_C = 0.673 * (HLL_M * HLL_M) * float(1 << _HLL_SHIFT)
+
+
+def hll_estimate_sql() -> str:
+    """Estimator SQL over an aggregated row exposing ``s_present``
+    (Σ 2^(58−rho) of the present registers, exact integer) and ``nreg``
+    (count of present registers): raw = alpha_c / S_scaled; when
+    raw <= 2.5m and empty registers exist, the standard linear-counting
+    small-range correction m·ln(m/V) applies — V only takes values
+    1..15, so the ln() values are PRECOMPUTED Python doubles baked into
+    a CASE lookup (no engine log() whose ulp behavior could differ).
+    Identical text runs on Spark SQL and DuckDB."""
+    import math
+
+    full = 1 << _HLL_SHIFT
+    raw = (
+        f"{HLL_ALPHA_C!r} / CAST(s_present + ({HLL_M} - nreg) * "
+        f"CAST({full} AS BIGINT) AS DOUBLE)"
+    )
+    lut = " ".join(
+        f"WHEN {v} THEN {HLL_M * math.log(HLL_M / v)!r}" for v in range(1, HLL_M)
+    )
+    return (
+        f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND nreg < {HLL_M} "
+        f"THEN (CASE ({HLL_M} - nreg) {lut} END) ELSE {raw} END"
+    )
+
+
+def hll_reg_sql(col: str) -> str:
+    """Register index 0..15 from the first md5 hex digit — identical SQL
+    text evaluates in Spark SQL and DuckDB (instr is 1-based in both)."""
+    return f"instr('0123456789abcdef', substring(md5({col}), 1, 1)) - 1"
+
+
+def hll_rho_sql(col: str) -> str:
+    """HLL rank rho = leading zero BITS of the next 14 hex chars (56
+    bits) + 1, capped at {HLL_RHO_CAP}: hex-char leading zeros count 4
+    bits each, the first non-zero hex digit contributes its own leading
+    zeros (1->3, 2-3->2, 4-7->1, 8-f->0).  Identical text runs on both
+    engines (TRIM(LEADING...) is standard SQL)."""
+    z = f"substring(md5({col}), 2, 14)"
+    t = f"trim(LEADING '0' FROM {z})"
+    c = f"substring({t}, 1, 1)"
+    return (
+        f"CASE WHEN {t} = '' THEN {HLL_RHO_CAP} ELSE "
+        f"4 * (14 - length({t})) + "
+        f"(CASE WHEN {c} = '1' THEN 3 WHEN {c} IN ('2','3') THEN 2 "
+        f"WHEN {c} IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1 END"
+    )
+
+
+def hyperball_harmonic(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): approximate harmonic centrality
+    for EVERY vertex via HyperLogLog-counter BFS —
+    harmonic(v) = Σ_t (|B(v,t)| − |B(v,t−1)|)/t with ball sizes |B(v,t)|
+    estimated by a 16-register HLL per vertex.  This is the form that is
+    SF-INDEPENDENT at 100 TB: state is O(|V|·m) rows regardless of how
+    many vertices each ball contains (the exact sampled-source
+    :func:`harmonic_centrality` costs one traversal per sample source;
+    HyperBall covers all sources at once, trading exactness for the HLL
+    error ~1.04/√m).
+
+    Scale shape: per round, ONE edges⋈state shuffle ships neighbor
+    registers and a (v, reg) max-combine folds them — identical cost
+    profile to the h-index coreness loop; no per-source dimension.
+
+    Hash-gate determinism (no rand(), no platform math):
+      * registers are md5-derived — index = first hex digit, rank =
+        leading zero bits of the next 14 hex chars (:func:`hll_reg_sql` /
+        :func:`hll_rho_sql` emit the SAME SQL text both engines run);
+      * the HLL sum Σ 2^(−M_j) is computed as the exact INTEGER
+        Σ 2^(58−M_j) (empty registers contribute 2^58), so no
+        float-summation-order dependence exists; the estimate is one
+        double division alpha_c / S_scaled;
+      * the small-range linear-counting correction m·ln(m/V) uses
+        PRECOMPUTED ln constants (V has only 15 possible values) baked
+        into the shared estimator SQL (:func:`hll_estimate_sql`) — no
+        engine log() whose ulp behavior could differ; the harmonic
+        ACCUMULATION mirrors the oracle's op order term by term, so the
+        result is bit-identical.
+
+    Returns (id, harmonic_approx, ball_approx) with both estimates
+    rounded at 6.
+    """
+    v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
+    e = canonical_edges(edges, src, dst)
+    und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    state = v.select(
+        "v",
+        F.expr(hll_reg_sql("v")).cast("int").alias("reg"),
+        F.expr(hll_rho_sql("v")).cast("int").alias("rho"),
+    ).localCheckpoint(eager=True)
+
+    def estimate(st: DataFrame) -> DataFrame:
+        # shiftleft's Python API wants a literal bit count; the SQL form
+        # takes an expression (and mirrors the oracle's `<<` exactly).
+        # The estimator itself is ONE shared SQL text (hll_estimate_sql)
+        # evaluated verbatim by both engines.
+        return st.groupBy("v").agg(
+            F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - rho))").alias(
+                "s_present"
+            ),
+            F.count(F.lit(1)).alias("nreg"),
+        ).select("v", F.expr(hll_estimate_sql()).alias("e"))
+
+    h = estimate(state).select("v", F.lit(0.0).alias("h"), F.col("e").alias("e_prev"))
+    for t in range(1, rounds + 1):
+        shipped = und.join(state.withColumnRenamed("v", "y"), "y").select(
+            F.col("x").alias("v"), "reg", "rho"
+        )
+        state = (
+            state.unionByName(shipped)
+            .groupBy("v", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        est = estimate(state)
+        h = (
+            h.join(est, "v")
+            .select(
+                "v",
+                (F.col("h") + (F.col("e") - F.col("e_prev")) / F.lit(float(t))).alias("h"),
+                F.col("e").alias("e_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.select(
+        F.col("v").alias("id"),
+        F.round("h", 6).alias("harmonic_approx"),
+        F.round("e_prev", 6).alias("ball_approx"),
+    )
+
+
 def partition_kway(
     vertices: DataFrame,
     edges: DataFrame,
