@@ -5187,6 +5187,63 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-against-corpus (streaming/dedup.
+    dedup_stream_against_index): docs 400-499 arrive as two replayed
+    micro-batch files; each foreachBatch hashes only its own docs and
+    probes the persisted corpus index (doc_id < 400), appending verdicts
+    to a parquet sink.  After the stream drains, a SECOND query on the
+    same checkpoint runs — restart-resume must append NOTHING (ST4
+    frontier semantics), so the hash gate pins exactly-once delivery:
+    any reprocessing would duplicate sink rows and break the row count.
+    Batch-vs-corpus probes are per-doc independent, so the union of the
+    two micro-batches equals the one-shot batch probe and the query
+    shares dedup_incremental's oracle verbatim."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.dedup import dedup_stream_against_index
+
+    base = os.path.join(_ARTIFACT_DIR, f"dedup_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for i, (lo, hi) in enumerate(((400, 450), (450, 500))):
+            tmp = os.path.join(base, f"_tmp{i}")
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    sh, banded = _minhash_index_df(spark, sf_dir)
+    corpus_sh = sh.filter(F.col("id") < 400)
+    corpus_banded = banded.filter(F.col("id") < 400)
+    run = os.path.join(_ARTIFACT_DIR, f"dedup_stream_run_{uuid.uuid4().hex[:8]}")
+    sink, ckpt = os.path.join(run, "sink"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = dedup_stream_against_index(stream, corpus_sh, corpus_banded, sink, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = (
+        spark.read.schema("batch_id long, corpus_id long, jaccard double")
+        .parquet(sink)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-search rank fusion: reciprocal-rank fusion (k=60) of the
     tf-idf MATCH ranking and the Okapi BM25 ranking over the same query
@@ -5249,6 +5306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "graph_partition_kway": q_graph_partition_kway,
         "graph_hyperball": q_graph_hyperball,
+        "dedup_stream": q_dedup_stream,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -7904,4 +7962,7 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # join, so it shares dedup_jaccard's oracle verbatim
     oracles["dedup_jaccard_prefix"] = oracles["dedup_jaccard"]
     oracles["dedup_jaccard_ppjoin"] = oracles["dedup_jaccard"]
+    # streamed micro-batch probes are per-doc independent, so the drained
+    # sink equals the one-shot batch-vs-corpus probe
+    oracles["dedup_stream"] = oracles["dedup_incremental"]
     return oracles

@@ -32,7 +32,12 @@ def pagerank_100k(spark) -> dict:
     The graph is generated JVM-side (xxhash64 pseudo-randomness, seed 42)
     instead of as driver-built Python tuples: at any real scale the input
     would be generated/read distributively, and driver pickling of 700k
-    tuples was dominating the gate's wall clock, hiding the algorithm."""
+    tuples was dominating the gate's wall clock, hiding the algorithm.
+
+    Also MEASURES the incremental claim instead of asserting it: a second
+    run warm-started from the converged scores (the engine's periodic
+    re-rank path, ST3) must re-converge in far fewer steps — the
+    warm/cold step counts and times are published side by side."""
     from pyspark.sql import functions as F
 
     from usearch_spark.plans.pagerank import pagerank
@@ -50,10 +55,17 @@ def pagerank_100k(spark) -> dict:
     )
     t0 = time.time()
     res = pagerank(v, e, max_steps=80)
+    cold_sec = round(time.time() - t0, 3)
+    scores = res.state.localCheckpoint(eager=True)
+    t1 = time.time()
+    warm = pagerank(v, e, max_steps=80, init_scores=scores)
     return {
-        "sec": round(time.time() - t0, 3),
+        "sec": cold_sec,
         "steps": res.steps,
         "converged": res.converged,
+        "warm_sec": round(time.time() - t1, 3),
+        "warm_steps": warm.steps,
+        "warm_converged": warm.converged,
     }
 
 

@@ -518,3 +518,73 @@ def test_rollup_merge_propagates_read_errors(spark, tmp_path):
     t0 = datetime.datetime(2024, 1, 10, 12, 30)
     with pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
         merge(spark.createDataFrame([(t0, "a", 1.0)], "ts timestamp, event_type string, value double"), 0)
+
+
+def test_dedup_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming dedup-against-corpus: the drained sink equals the
+    one-shot batch probe, and a restarted query on the same checkpoint
+    appends NOTHING (exactly-once over committed source files)."""
+    from usearch_spark.operators.dedup import minhash_index, minhash_probe_pairs
+    from usearch_spark.streaming.dedup import dedup_stream_against_index
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 3} eta theta iota kappa")
+        for i in range(8)
+    ] + [(100 + i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota kappa")
+         for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    c_sh, c_banded = minhash_index(corpus, shingle_n=2)
+    c_sh = c_sh.localCheckpoint(eager=True)
+    c_banded = c_banded.localCheckpoint(eager=True)
+
+    src = str(tmp_path / "src")
+    batch.filter(F.col("doc_id") < 102).coalesce(1).write.parquet(src + "/b0")
+    batch.filter(F.col("doc_id") >= 102).coalesce(1).write.parquet(src + "/b1")
+    import glob
+    import shutil
+
+    srcdir = str(tmp_path / "stream_src")
+    import os
+    os.makedirs(srcdir)
+    for i, d in enumerate((src + "/b0", src + "/b1")):
+        part = glob.glob(d + "/part-*.parquet")[0]
+        shutil.copy(part, f"{srcdir}/batch{i}.parquet")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcdir)
+    )
+    q = dedup_stream_against_index(
+        stream, c_sh, c_banded, sink, ckpt, threshold=0.5, shingle_n=2
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert len(first) > 0
+
+    # restart against the same checkpoint: nothing new to process
+    q2 = dedup_stream_against_index(
+        stream, c_sh, c_banded, sink, ckpt, threshold=0.5, shingle_n=2
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == first
+
+    # equivalence with the one-shot batch probe
+    b_sh, b_banded = minhash_index(batch, shingle_n=2)
+    b_sh = b_sh.localCheckpoint(eager=True)
+    ref = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 4))
+        for r in minhash_probe_pairs(
+            b_sh, b_banded, c_sh, c_banded, threshold=0.5
+        ).collect()
+    )
+    assert sorted((a, b, round(j, 4)) for a, b, j in first) == ref

@@ -1,0 +1,77 @@
+"""Streaming dedup-against-corpus: the ingest-time form of MinHash/LSH
+near-duplicate detection.
+
+The batch form (operators/dedup.minhash_probe_pairs over the persisted
+index) answers "is this new batch a dup of the corpus?" one batch at a
+time; a live ingest pipeline runs the same probe CONTINUOUSLY.  This
+module wires it as Structured Streaming `foreachBatch`:
+
+  * each micro-batch hashes ONLY its own documents (minhash_index on the
+    batch — per-doc signatures are independent, so no corpus re-hash);
+  * the micro-batch probes the STATIC persisted index (bucket joins +
+    exact verify, corpus-side bucket caps);
+  * verdicts append to a parquet sink.
+
+Restart-resume rides the streaming checkpoint exactly like the crawl
+frontier (ST4 semantics, streaming/crawl.py): a restarted query skips
+already-committed source files, so re-running against the same
+checkpoint appends NOTHING — the driver gate hashes the sink after a
+deliberate second run, pinning exactly-once delivery, not just the math.
+
+Reference parity: the reference's dedup surface is upsert-by-key on
+ingest (linkgraph/store/memory/memory.go:42-87 — every ingested link
+dedupes against the stored corpus); this is the content-similarity
+analog of that ingest-time check at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def dedup_stream_against_index(
+    stream_docs: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_banded: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> StreamingQuery:
+    """Start the foreachBatch probe stream: ``stream_docs`` (a streaming
+    DataFrame of (id_col, text_col)) is hashed per micro-batch and probed
+    against the static (corpus_sh, corpus_banded) index; near-dup
+    verdicts (batch_id, corpus_id, jaccard round-4) append to
+    ``sink_path`` as parquet.  The caller owns the query lifecycle
+    (processAllAvailable/stop) and the checkpoint directory."""
+    from usearch_spark.operators.dedup import minhash_index, minhash_probe_pairs
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sh, banded = minhash_index(batch_df, id_col, text_col, shingle_n=shingle_n)
+        sh = sh.localCheckpoint(eager=True)
+        pairs = minhash_probe_pairs(
+            sh, banded, corpus_sh, corpus_banded,
+            threshold=threshold, max_bucket=max_bucket,
+        )
+        (
+            pairs.select(
+                F.col("a").alias("batch_id"),
+                F.col("b").alias("corpus_id"),
+                F.round(F.col("jaccard"), 4).alias("jaccard"),
+            )
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
