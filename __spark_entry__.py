@@ -453,6 +453,20 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-text substring containment over the whole corpus
+    (operators/dedup.substring_containment_pairs): docs wholly embedded
+    in longer docs — the redundancy class neither exact-hash nor
+    Jaccard-threshold dedup catches.  Rare-gram candidate pruning (the
+    containment analog of the prefix filter) keeps the join linear in
+    posting sizes; the oracle states the quadratic NOT-EXISTS-free
+    semantics directly with contains()."""
+    from usearch_spark.operators.dedup import substring_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_containment_pairs(docs).orderBy("inner_id", "outer_id")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: exact all-pairs cosine >= 0.4 via blocked
     numpy matmul (usearch_spark/operators/similarity.exact_cosine_pairs);
@@ -5307,6 +5321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition_kway": q_graph_partition_kway,
         "graph_hyperball": q_graph_hyperball,
         "dedup_stream": q_dedup_stream,
+        "dedup_substring": q_dedup_substring,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5703,6 +5718,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_oracle_sql(5),
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_hyperball": _hyperball_oracle_sql(4),
+        "dedup_substring": """
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+            FROM documents a JOIN documents b
+              ON a.doc_id <> b.doc_id AND contains(b.text, a.text)
+        """,
         "graph_coarsen": _coarsen_oracle_sql(5),
         "graph_coarsen_levels": _hierarchy_oracle_sql(5),
         "dormant_capital": """

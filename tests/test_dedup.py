@@ -201,6 +201,39 @@ def test_ppjoin_equals_allpairs_and_prunes(spark):
     assert n_pp < n_prefix
 
 
+def test_substring_containment_exact(spark):
+    """Rare-gram containment equals brute-force contains(): known
+    containments found (including a short doc below the gram size and a
+    chain A ⊂ B ⊂ C), non-containments absent, both directions for
+    equal texts."""
+    from usearch_spark.operators.dedup import substring_containment_pairs
+
+    body = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, body),
+        (2, f"PREFIX {body} SUFFIX"),                      # 1 ⊂ 2
+        (3, f"AA PREFIX {body} SUFFIX ZZ"),                # 2 ⊂ 3 (and 1 ⊂ 3)
+        (4, "completely unrelated text about graph partitioning algorithms"),
+        (5, "lazy dog"),                                   # short (< 16 chars), ⊂ 1,2,3
+        (6, body),                                         # equal text: 1<->6 both ways
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in substring_containment_pairs(docs).collect()
+    }
+    expect = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a != b and ta in tb
+    }
+    assert got == expect
+    assert (1, 2) in got and (2, 3) in got and (5, 1) in got
+    assert (1, 6) in got and (6, 1) in got
+    assert not any(x == 4 or y == 4 for x, y in got)
+
+
 def test_prefix_jaccard_prunes_candidates(spark):
     """The point of the prefix: near-disjoint docs sharing only a COMMON
     (high-df) shingle never become candidates, but high-overlap pairs

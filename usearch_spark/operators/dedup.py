@@ -551,6 +551,82 @@ def _verify_jaccard(
     )
 
 
+def substring_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """EXACT full-text substring containment: (inner_id, outer_id) pairs
+    where inner's ENTIRE text occurs verbatim inside outer's — the dedup
+    gap between chunk-level (exact hash) and shingle-level (Jaccard)
+    dedup: a doc wholly embedded in a longer one shares no fingerprint
+    with it and can sit below any Jaccard threshold, yet is pure
+    redundancy for a training corpus.
+
+    A suffix automaton answers this in one machine's RAM; the
+    DISTRIBUTED shape used here is rare-gram candidate pruning: if
+    contains(B, A) then every char ``k``-gram of A — including its
+    globally RAREST — is also a k-gram of B, so candidates join each
+    doc's single rarest gram against the gram postings (the containment
+    analog of the Jaccard prefix filter), and an exact contains() verify
+    runs on candidates only.  The quadratic blowup lives only in the
+    rarest grams' postings, never in |docs|².
+
+    Docs shorter than ``k`` have no k-gram; they are few and tiny by
+    construction, so they broadcast and verify directly against every
+    doc (a map-side contains(), no shuffle).  Self-pairs and duplicate
+    candidates are removed; equal texts yield both directions.
+    """
+    from usearch_spark.session import spread_small_scan
+
+    d = spread_small_scan(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    long_docs = d.filter(F.length("text") >= k)
+    grams = long_docs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {k} + 1),"
+                f" i -> substring(text, i, {k}))"
+            )
+        ).alias("gram"),
+    ).dropDuplicates(["id", "gram"])
+    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rarest = (
+        grams.join(dfc, "gram")
+        .groupBy("id")
+        .agg(F.min(F.struct("df", "gram")).alias("_r"))
+        .select("id", F.col("_r.gram").alias("gram"))
+    )
+    cands = (
+        rarest.select(F.col("id").alias("inner_id"), "gram")
+        .join(grams.select(F.col("id").alias("outer_id"), "gram"), "gram")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+    )
+    ta = d.select(F.col("id").alias("inner_id"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("id").alias("outer_id"), F.col("text").alias("_tb"))
+    verified = (
+        cands.join(ta, "inner_id")
+        .join(tb, "outer_id")
+        .filter(F.expr("instr(_tb, _ta) > 0"))
+        .select("inner_id", "outer_id")
+    )
+    shorts = d.filter(F.length("text") < k)
+    short_pairs = (
+        tb.crossJoin(
+            F.broadcast(
+                shorts.select(F.col("id").alias("inner_id"), F.col("text").alias("_ta"))
+            )
+        )
+        .filter((F.col("inner_id") != F.col("outer_id")) & F.expr("instr(_tb, _ta) > 0"))
+        .select("inner_id", "outer_id")
+    )
+    return verified.unionByName(short_pairs)
+
+
 def ppjoin_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """Prefix candidates tightened by PPJoin's LENGTH and POSITIONAL
     filters (Xiao et al. 2008) — both provably lossless for J >= t:
