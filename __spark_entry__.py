@@ -4399,6 +4399,76 @@ def q_sketch_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sk, probes, "user_id", depth=4, prefix_len=2)
 
 
+def _hll_users_oracle_sql() -> str:
+    """Register replay for the portable HLL sketch: identical md5
+    register/rank SQL text, integer register sums, shared estimator."""
+    from usearch_spark.functions.hll import (
+        HLL_SHIFT,
+        hll_estimate_sql,
+        hll_reg_sql,
+        hll_rho_sql,
+    )
+
+    agg = (
+        f"sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho)) AS s_present, "
+        f"count(*) AS nreg"
+    )
+    return f"""
+        WITH k AS (SELECT event_type, CAST(user_id AS VARCHAR) AS _k FROM events),
+        r AS (
+            SELECT event_type, CAST({hll_reg_sql('_k')} AS INT) AS reg,
+                   CAST({hll_rho_sql('_k')} AS INT) AS rho
+            FROM k
+        ),
+        s AS MATERIALIZED (
+            SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT event_type, round({hll_estimate_sql()}, 6) AS est
+            FROM (SELECT event_type, {agg} FROM s GROUP BY event_type)
+        ),
+        ex AS (
+            SELECT event_type, count(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY 1
+        ),
+        g AS (SELECT reg, max(rho) AS rho FROM s GROUP BY reg),
+        gest AS (
+            SELECT round({hll_estimate_sql()}, 6) AS est
+            FROM (SELECT {agg} FROM g)
+        ),
+        gex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events)
+        SELECT per.event_type, per.est, ex.exact_users
+        FROM per JOIN ex USING (event_type)
+        UNION ALL
+        SELECT 'ALL', gest.est, gex.exact_users FROM gest, gex
+    """
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-user sketch (operators/sketch.
+    hll_sketch): per-event_type register sketches (<= 16 rows per type,
+    input-size independent), estimated next to the exact countDistinct,
+    PLUS the mergeability proof — the per-type sketches roll up via
+    hll_merge into one 'ALL' row without touching raw data.  Unlike
+    approx_distinct's engine-private HLL++ (tolerance-flag gated), these
+    registers are md5-derived, so the oracle replays sketch, merge, and
+    estimate bit-for-bit."""
+    from usearch_spark.operators.sketch import hll_estimate, hll_merge, hll_sketch
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    sk = hll_sketch(ev, "user_id", ["event_type"]).localCheckpoint(eager=True)
+    per = hll_estimate(sk, ["event_type"]).join(
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users")),
+        "event_type",
+    )
+    merged = (
+        hll_estimate(hll_merge(sk, []), [])
+        .select(F.lit("ALL").alias("event_type"), "est")
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_users")))
+    )
+    return per.unionByName(merged)
+
+
 def q_sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (operators/sketch.py): a 3-hash, 4096-bit
     Bloom filter over high-balance customers (c_acctbal > 5000) probes
@@ -4615,8 +4685,8 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
     e = alpha_c / S_scaled with S_scaled the exact integer
     Σ 2^(58−rho) (+ 2^58 per empty register); the harmonic accumulation
     mirrors the engine's op order term by term."""
-    from usearch_spark.plans.graph_stats import (
-        _HLL_SHIFT,
+    from usearch_spark.functions.hll import (
+        HLL_SHIFT,
         hll_estimate_sql,
         hll_reg_sql,
         hll_rho_sql,
@@ -4624,7 +4694,7 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
 
     est_of = lambda st: (  # noqa: E731 — tiny local template
         f"SELECT v, {hll_estimate_sql()} AS e FROM ("
-        f"SELECT v, sum(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - rho)) AS s_present, "
+        f"SELECT v, sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho)) AS s_present, "
         f"count(*) AS nreg FROM {st} GROUP BY v)"
     )
     head = f"""
@@ -5322,6 +5392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hyperball": q_graph_hyperball,
         "dedup_stream": q_dedup_stream,
         "dedup_substring": q_dedup_substring,
+        "sketch_hll_users": q_sketch_hll_users,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5723,6 +5794,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b
               ON a.doc_id <> b.doc_id AND contains(b.text, a.text)
         """,
+        "sketch_hll_users": _hll_users_oracle_sql(),
         "graph_coarsen": _coarsen_oracle_sql(5),
         "graph_coarsen_levels": _hierarchy_oracle_sql(5),
         "dormant_capital": """

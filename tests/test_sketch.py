@@ -67,3 +67,27 @@ def test_bloom_no_false_negatives(spark):
     # so the non-member half should be nearly all 0
     fps = sum(flags[i] for i in range(1, 200, 2))
     assert fps <= 5
+
+
+def test_hll_sketch_accuracy_and_mergeability(spark):
+    """HLL sketch: estimates land inside the m=16 error regime on known
+    cardinalities, merging per-group sketches equals sketching the whole
+    input (the defining HLL property), and registers are deterministic."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.sketch import hll_estimate, hll_merge, hll_sketch
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    sk = hll_sketch(df, "k", ["g"])
+    per = {r["g"]: r["est"] for r in hll_estimate(sk, ["g"]).collect()}
+    # each group holds 1000 distinct keys; m=16 sigma ~26%
+    for g, est in per.items():
+        assert 400 < est < 2500, (g, est)
+    merged_est = hll_estimate(hll_merge(sk, []), []).collect()[0]["est"]
+    whole_est = hll_estimate(hll_sketch(df, "k", []), []).collect()[0]["est"]
+    assert merged_est == whole_est  # merge-of-parts == sketch-of-whole
+    assert 1200 < merged_est < 7500
+    again = {r["g"]: r["est"] for r in hll_estimate(hll_sketch(df, "k", ["g"]), ["g"]).collect()}
+    assert again == per

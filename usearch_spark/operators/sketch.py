@@ -144,3 +144,59 @@ def bloom_maybe_contains(
         F.col("k").alias(key_col),
         (F.coalesce(F.col("n_set"), F.lit(0)) == hashes).cast("int").alias("maybe"),
     )
+
+
+def hll_sketch(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """HyperLogLog distinct-count sketch as a DataFrame: one register row
+    (group..., reg, rho) per (group, register) — at most 16 rows per
+    group no matter how many keys flow in.  MERGEABLE by construction:
+    sketches over any partition of the data combine via
+    :func:`hll_merge` (max per register), the defining property that lets
+    per-day / per-shard sketches roll up without touching raw data.
+
+    Registers come from the shared portable core (functions/hll.py): the
+    key is cast to its canonical string and md5-hashed, so any engine —
+    and a SQL oracle — reproduces the register values bit-for-bit
+    (unlike Spark's built-in approx_count_distinct, whose sketch is
+    engine-private; see the approx_distinct query's tolerance-flag gate
+    for that one).  Shuffle carries only register rows: the groupBy
+    partial-aggregates map-side to <= 16 rows per group per partition.
+    """
+    from usearch_spark.functions.hll import hll_reg_sql, hll_rho_sql
+
+    base = df.select(*group_cols, F.col(key_col).cast("string").alias("_k"))
+    return (
+        base.select(
+            *group_cols,
+            F.expr(hll_reg_sql("_k")).cast("int").alias("reg"),
+            F.expr(hll_rho_sql("_k")).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register rows down to ``group_cols`` (possibly []): max per
+    register — the HLL union.  Rolling per-shard sketches into a global
+    one is this single tiny aggregation."""
+    return sketch.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-count estimates from register rows: (group..., est) with
+    est rounded at 6.  One double division per group over an exact
+    integer register sum; the linear-counting small-range branch uses
+    precomputed constants (functions/hll.hll_estimate_sql), so the
+    estimate is engine-portable and hash-gateable."""
+    from usearch_spark.functions.hll import HLL_SHIFT, hll_estimate_sql
+
+    agg = sketch.groupBy(*group_cols).agg(
+        F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - rho))").alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    return agg.select(
+        *group_cols, F.round(F.expr(hll_estimate_sql()), 6).alias("est")
+    )

@@ -366,60 +366,12 @@ def coarsen_graph(
     )
 
 
-HLL_M = 16  # registers per HyperBall counter (b = 4 index bits)
-HLL_RHO_CAP = 57  # 14 hex chars = 56 rank bits; 57 = "all zero" sentinel
-_HLL_SHIFT = 58  # scaled S uses 2^(58 - rho): 16 * 2^58 = 2^62 < int64 max
-# alpha_16 * m^2 * 2^58 — the whole estimator collapses to ONE double
-# division alpha_c / S_scaled, with S_scaled an exact integer
-HLL_ALPHA_C = 0.673 * (HLL_M * HLL_M) * float(1 << _HLL_SHIFT)
-
-
-def hll_estimate_sql() -> str:
-    """Estimator SQL over an aggregated row exposing ``s_present``
-    (Σ 2^(58−rho) of the present registers, exact integer) and ``nreg``
-    (count of present registers): raw = alpha_c / S_scaled; when
-    raw <= 2.5m and empty registers exist, the standard linear-counting
-    small-range correction m·ln(m/V) applies — V only takes values
-    1..15, so the ln() values are PRECOMPUTED Python doubles baked into
-    a CASE lookup (no engine log() whose ulp behavior could differ).
-    Identical text runs on Spark SQL and DuckDB."""
-    import math
-
-    full = 1 << _HLL_SHIFT
-    raw = (
-        f"{HLL_ALPHA_C!r} / CAST(s_present + ({HLL_M} - nreg) * "
-        f"CAST({full} AS BIGINT) AS DOUBLE)"
-    )
-    lut = " ".join(
-        f"WHEN {v} THEN {HLL_M * math.log(HLL_M / v)!r}" for v in range(1, HLL_M)
-    )
-    return (
-        f"CASE WHEN {raw} <= {2.5 * HLL_M!r} AND nreg < {HLL_M} "
-        f"THEN (CASE ({HLL_M} - nreg) {lut} END) ELSE {raw} END"
-    )
-
-
-def hll_reg_sql(col: str) -> str:
-    """Register index 0..15 from the first md5 hex digit — identical SQL
-    text evaluates in Spark SQL and DuckDB (instr is 1-based in both)."""
-    return f"instr('0123456789abcdef', substring(md5({col}), 1, 1)) - 1"
-
-
-def hll_rho_sql(col: str) -> str:
-    """HLL rank rho = leading zero BITS of the next 14 hex chars (56
-    bits) + 1, capped at {HLL_RHO_CAP}: hex-char leading zeros count 4
-    bits each, the first non-zero hex digit contributes its own leading
-    zeros (1->3, 2-3->2, 4-7->1, 8-f->0).  Identical text runs on both
-    engines (TRIM(LEADING...) is standard SQL)."""
-    z = f"substring(md5({col}), 2, 14)"
-    t = f"trim(LEADING '0' FROM {z})"
-    c = f"substring({t}, 1, 1)"
-    return (
-        f"CASE WHEN {t} = '' THEN {HLL_RHO_CAP} ELSE "
-        f"4 * (14 - length({t})) + "
-        f"(CASE WHEN {c} = '1' THEN 3 WHEN {c} IN ('2','3') THEN 2 "
-        f"WHEN {c} IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1 END"
-    )
+from usearch_spark.functions.hll import (  # noqa: E402 — shared HLL core
+    HLL_SHIFT,
+    hll_estimate_sql,
+    hll_reg_sql,
+    hll_rho_sql,
+)
 
 
 def hyperball_harmonic(
@@ -479,7 +431,7 @@ def hyperball_harmonic(
         # The estimator itself is ONE shared SQL text (hll_estimate_sql)
         # evaluated verbatim by both engines.
         return st.groupBy("v").agg(
-            F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - rho))").alias(
+            F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - rho))").alias(
                 "s_present"
             ),
             F.count(F.lit(1)).alias("nreg"),
