@@ -357,6 +357,52 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_bydate_path(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Per-sf DATE-PARTITIONED events artifact (hive layout day=YYYY-MM-DD/)
+    plus the earliest day, persisted at build time so later reads are
+    metadata-only.  The same artifact pattern as the bucketed postings:
+    lay the data out ONCE so every later query prunes instead of scans."""
+    base = os.path.join(_ARTIFACT_DIR, f"events_bydate_{_sf_token(sf_dir)}")
+    day_file = os.path.join(base, "_DAY0")
+    if not (os.path.exists(os.path.join(base, "_SUCCESS")) and os.path.exists(day_file)):
+        ev = _events(spark, sf_dir).select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+            _dec("value").alias("value_dec"),
+        )
+        ev.repartition(F.col("day")).write.partitionBy("day").mode("overwrite").parquet(base)
+        day0 = _events(spark, sf_dir).agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d")
+        ).first()["d"]
+        with open(day_file, "w") as f:
+            f.write(day0)
+    with open(day_file) as f:
+        return base, f.read().strip()
+
+
+def q_events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned hourly rollup: events live DATE-PARTITIONED in the
+    warehouse (one-time layout, _events_bydate_path) and the query reads
+    ONE day — the scan touches only that day's files (PartitionFilters,
+    plan-asserted in tests/test_plan_quality.py), which is THE difference
+    between scanning 100 TB and scanning one day of it.  The oracle
+    recomputes the same day's rollup from the raw table, so pruning is
+    proven not to drop or duplicate rows."""
+    base, day0 = _events_bydate_path(spark, sf_dir)
+    return (
+        spark.read.parquet(base)
+        .filter(F.col("day") == day0)
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 bag-of-words fingerprint groupBy
     (usearch_spark/operators/dedup.py)."""
@@ -5020,6 +5066,22 @@ def q_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.more_like_this(postings, dfreq, docs.count(), query_doc=0, id_col="doc_id", top_k=10)
 
 
+def q_doc_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide topic near-duplicates: top-20 document pairs by tf-idf
+    COSINE over the persistent bucketed postings
+    (operators/search.tfidf_cosine_pairs) — the all-pairs form of
+    more_like_this, catching same-vocabulary/different-wording pairs the
+    shingle family misses.  The postings self-join is df-capped (<=100)
+    BEFORE the quadratic surface; dot products and norms are
+    decimal-quantized exact sums, so the oracle replays the ranking
+    bit-for-bit."""
+    from usearch_spark.operators.search import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    return tfidf_cosine_pairs(postings, docs.count(), id_col="doc_id", max_df=100, k=20)
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build: each order is an update to
     its customer's current priority, effective at o_orderdate; emit
@@ -5393,6 +5455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": q_dedup_stream,
         "dedup_substring": q_dedup_substring,
         "sketch_hll_users": q_sketch_hll_users,
+        "events_partition_pruned": q_events_partition_pruned,
+        "doc_tfidf_pairs": q_doc_tfidf_pairs,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5795,6 +5859,54 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id <> b.doc_id AND contains(b.text, a.text)
         """,
         "sketch_hll_users": _hll_users_oracle_sql(),
+        "doc_tfidf_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            dfc AS (SELECT term, df FROM dfreq WHERE df <= 100),
+            w AS (
+                SELECT doc_id, t.term,
+                       round(t.tf * ln(1 + (n.n - df + 0.5) / (df + 0.5)), 8) AS w
+                FROM tf t JOIN dfc USING (term), n
+            ),
+            nrm AS (
+                SELECT doc_id,
+                       sqrt(CAST(sum(CAST(round(w * w, 8) AS DECIMAL(26,8))) AS DOUBLE))
+                           AS nrm
+                FROM w GROUP BY doc_id
+            ),
+            dots AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       sum(CAST(round(a.w * b.w, 8) AS DECIMAL(26,8))) AS dot
+                FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT d.a, d.b,
+                   round(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots d
+            JOIN nrm na ON na.doc_id = d.a
+            JOIN nrm nb ON nb.doc_id = d.b
+            ORDER BY cosine DESC, d.a, d.b
+            LIMIT 20
+        """,
+        "events_partition_pruned": """
+            WITH d0 AS (
+                SELECT strftime(min(date_trunc('day', ts)), '%Y-%m-%d') AS day
+                FROM events
+            )
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events, d0
+            WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = d0.day
+            GROUP BY 1, 2
+        """,
         "graph_coarsen": _coarsen_oracle_sql(5),
         "graph_coarsen_levels": _hierarchy_oracle_sql(5),
         "dormant_capital": """

@@ -259,3 +259,17 @@ def test_order_priority_exists_is_semi_join(spark):
 def test_bpe_encode_broadcasts_word_map(spark):
     plan = plan_of(E.q_bpe_encode(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark):
+    """The date-partitioned events rollup must PRUNE: the scan carries a
+    PartitionFilters entry binding the day column to the queried literal
+    — reading one day of a 100-TB table instead of all of it — and only
+    that day's directory is listed."""
+    df = E.q_events_partition_pruned(spark, SF)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "day" in pf[0] and "=" in pf[0], pf[0]
+    # the pruned filter must NOT fall back to a post-scan Filter on day
+    assert "PartitionFilters: []" not in pf[0]

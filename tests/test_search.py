@@ -265,3 +265,31 @@ def test_tfidf_keywords_per_doc_topk(docs):
     # rank-1 must be a d2-exclusive term, not 'spark'
     d2_terms = dict((rk, t) for rk, t, _ in sorted(by_doc["d2"]))
     assert d2_terms[1] != "spark"
+
+
+def test_tfidf_cosine_pairs_ranks_topic_duplicates(spark):
+    """All-pairs tf-idf cosine: docs sharing rare vocabulary rank above
+    docs sharing only stop-terms; the df cap removes stop-term-only
+    pairs entirely; output is deterministic."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.search import build_postings, tfidf_cosine_pairs
+
+    # "the and of" appear in EVERY doc -> df = 5 > cap, dropped before the
+    # self-join; docs 3/4 share ONLY those, so they never pair at all
+    rows = [
+        (1, "the and of quantum entanglement superposition qubit decoherence"),
+        (2, "the and of qubit decoherence quantum superposition experiments"),  # ~ 1
+        (3, "the and of alpha"),
+        (4, "the and of beta"),
+        (5, "the and of gardening tomato seedling compost mulch"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = build_postings(docs, id_col="doc_id", text_cols=("text",))
+    got = tfidf_cosine_pairs(postings, 5, id_col="doc_id", max_df=2, k=5).collect()
+    pairs = [(r["a"], r["b"]) for r in got]
+    assert pairs and pairs[0] == (1, 2)
+    assert (3, 4) not in pairs
+    assert all(r["cosine"] <= 1.000001 for r in got)
+    again = [(r["a"], r["b"]) for r in tfidf_cosine_pairs(postings, 5, id_col="doc_id", max_df=2, k=5).collect()]
+    assert again == pairs

@@ -466,6 +466,72 @@ def more_like_this(
     return paginate(scored, [F.col("similarity").desc(), F.col(id_col)], 0, top_k)
 
 
+def tfidf_cosine_pairs(
+    postings: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most-similar document pairs by tf-idf COSINE over the
+    sparse postings — the all-pairs form of more_like_this: instead of
+    ranking neighbors of one document, surface the corpus's most similar
+    pairs (near-topic-duplicates the shingle/Jaccard family misses when
+    wording differs but vocabulary overlaps).
+
+    Scale shape: the only quadratic surface is the postings SELF-JOIN on
+    term, and ``max_df`` drops stop-terms before it (the same df-cap
+    lever as the dedup shingle join) — a term in d docs contributes
+    O(d²) pairs and ~zero idf weight, so the cap is what the weighting
+    already wants.  Everything else is narrow aggs; the final top-k is a
+    TakeOrdered, never a global sort.
+
+    Hash-gate determinism (the covariance trick): weights are
+    round-8 doubles, every product is round-8 quantized to
+    DECIMAL(26,8) BEFORE summation, so dot products and squared norms
+    are exact order-independent decimals; one double division per pair,
+    cosine rounded at 6, ties broken by (a, b).
+    """
+    dfreq = doc_frequencies(postings, id_col=id_col)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    w = (
+        postings.join(dfreq, "term")
+        .select(
+            F.col(id_col).alias("id"),
+            "term",
+            F.round(F.col("tf") * idf_column(n_docs, F.col("df")), 8).alias("w"),
+        )
+    )
+    norm = (
+        w.groupBy("id")
+        .agg(F.sum(F.round(F.col("w") * F.col("w"), 8).cast("decimal(26,8)")).alias("n2"))
+        .select("id", F.sqrt(F.col("n2").cast("double")).alias("nrm"))
+    )
+    wa = w.select(F.col("id").alias("a"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("id").alias("b"), "term", F.col("w").alias("wb"))
+    dots = (
+        wa.join(wb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.round(F.col("wa") * F.col("wb"), 8).cast("decimal(26,8)")).alias("dot")
+        )
+    )
+    cos = (
+        dots.join(norm.select(F.col("id").alias("a"), F.col("nrm").alias("na")), "a")
+        .join(norm.select(F.col("id").alias("b"), F.col("nrm").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    return cos.orderBy(F.col("cosine").desc(), "a", "b").limit(k)
+
+
 def save_postings_bucketed(
     postings: DataFrame, table: str, buckets: int = 16, path: str | None = None
 ) -> None:
