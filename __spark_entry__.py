@@ -4785,6 +4785,104 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def q_graph_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate densest subgraph (plans/graph_stats.densest_subgraph):
+    Bahmani-style parallel peeling — per round, every vertex of degree
+    <= 2(1+eps)·density drops at once, answer = max-density round's
+    survivors.  O(log n) rounds of kcore-shaped semi-joins, the
+    MapReduce-native densest-core lens next to k-core/k-truss.  The graph
+    is the nation clique graph PLUS a planted K8 on the top-8 customers
+    by (acctbal desc, custkey) — denser than the cliques, so the argmax
+    lands on a LATER round (the peel must actually find the core, not
+    return the input).  The oracle unrolls every round and picks the same
+    best round; densities are exact integer-ratio doubles, so the gate is
+    bit-for-bit."""
+    from usearch_spark.plans.graph_stats import densest_subgraph
+
+    v, e = _nation_graph(spark, sf_dir)
+    top8 = (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(8)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    k8 = (
+        top8.select(F.col("id").alias("src"))
+        .crossJoin(F.broadcast(top8.select(F.col("id").alias("dst"))))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    vv = v.select("id").unionByName(top8)
+    ee = e.select("src", "dst").unionByName(k8)
+    return densest_subgraph(vv, ee, rounds=8, eps=0.1)
+
+
+def _densest_oracle_sql(rounds: int = 8, eps: float = 0.1) -> str:
+    """Parallel peel unrolled: per round, edges among survivors, (m, n)
+    counts, density, degree agg, threshold filter; then the best (density
+    desc, round asc) round's survivor list joined back."""
+    c_thr = 2.0 * (1.0 + eps)
+    head = """
+        WITH top8 AS (
+            SELECT 'c' || c_custkey AS id FROM customer
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 8
+        ),
+        e0 AS (
+            SELECT DISTINCT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS a,
+                   greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+            UNION
+            SELECT x.id AS a, y.id AS b FROM top8 x JOIN top8 y ON x.id < y.id
+        ),
+        s0 AS (
+            SELECT 'n' || n_nationkey AS id FROM nation
+            UNION SELECT id FROM top8
+        )"""
+    parts = [head]
+    for r in range(rounds):
+        parts.append(
+            f""",
+        es{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e0 e
+            WHERE EXISTS (SELECT 1 FROM s{r} s WHERE s.id = e.a)
+              AND EXISTS (SELECT 1 FROM s{r} s WHERE s.id = e.b)
+        ),
+        d{r} AS MATERIALIZED (
+            SELECT (SELECT count(*) FROM es{r}) AS m,
+                   (SELECT count(*) FROM s{r}) AS n,
+                   CASE WHEN (SELECT count(*) FROM s{r}) > 0
+                        THEN CAST((SELECT count(*) FROM es{r}) AS DOUBLE)
+                             / (SELECT count(*) FROM s{r}) END AS d
+        ),
+        deg{r} AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM es{r} UNION ALL SELECT b FROM es{r}
+            ) GROUP BY id
+        ),
+        s{r + 1} AS MATERIALIZED (
+            SELECT s.id FROM s{r} s LEFT JOIN deg{r} g ON g.id = s.id, d{r}
+            WHERE coalesce(g.deg, 0) > {c_thr!r} * d{r}.d
+        )"""
+        )
+    rl = "\n            UNION ALL ".join(
+        f"SELECT {r} AS r, d FROM d{r} WHERE n > 0" for r in range(rounds)
+    )
+    mem = "\n            UNION ALL ".join(
+        f"SELECT {r} AS r, id FROM s{r}" for r in range(rounds)
+    )
+    parts.append(
+        f""",
+        rl AS ({rl}),
+        best AS (SELECT r, d FROM rl ORDER BY d DESC, r LIMIT 1),
+        mem AS ({mem})
+        SELECT mem.id, best.d AS density
+        FROM mem JOIN best ON mem.r = best.r
+    """
+    )
+    return "".join(parts)
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure, don't guess: precision/recall of the MinHash-LSH pipeline
     against EXHAUSTIVE 3-gram Jaccard at the same 0.7 threshold.  The LSH
@@ -5457,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_users": q_sketch_hll_users,
         "events_partition_pruned": q_events_partition_pruned,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
+        "graph_densest": q_graph_densest,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5853,6 +5952,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_oracle_sql(5),
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_hyperball": _hyperball_oracle_sql(4),
+        "graph_densest": _densest_oracle_sql(8, 0.1),
         "dedup_substring": """
             SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
             FROM documents a JOIN documents b

@@ -474,3 +474,32 @@ def test_partition_kway_invariants(spark):
     assert rows[0]["edge_cut"] == cut
     again = {r["id"]: r["part"] for r in partition_kway(v, e, k=k, eps=eps).collect()}
     assert again == parts
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    """Parallel peeling recovers a planted K10 inside a sparse random
+    background: the returned set is exactly the clique with density
+    |E|/|V| = 4.5, and the chain is deterministic."""
+    from usearch_spark.plans.graph_stats import densest_subgraph
+
+    n = 200
+    bg = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(31)), F.lit(n))).alias("dst"),
+    )
+    cl = spark.createDataFrame(
+        [(f"c{i}", f"c{j}") for i in range(10) for j in range(i + 1, 10)],
+        "src string, dst string",
+    )
+    v = (
+        spark.range(n)
+        .select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+        .unionByName(spark.createDataFrame([(f"c{i}",) for i in range(10)], "id string"))
+    )
+    e = bg.unionByName(cl)
+    rows = densest_subgraph(v, e, rounds=8, eps=0.1).collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [f"c{i}" for i in range(10)]
+    assert abs(rows[0]["density"] - 4.5) < 1e-12
+    again = sorted(r["id"] for r in densest_subgraph(v, e, rounds=8, eps=0.1).collect())
+    assert again == ids

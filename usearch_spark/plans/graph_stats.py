@@ -465,6 +465,69 @@ def hyperball_harmonic(
     )
 
 
+def densest_subgraph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 8,
+    eps: float = 0.1,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Approximate DENSEST SUBGRAPH by parallel peeling (Charikar 2000 /
+    Bahmani, Kumar & Vassilvitskii 2012): per round, with survivors S and
+    density ρ = |E(S)|/|S|, every vertex of degree <= 2(1+eps)·ρ is
+    removed AT ONCE; the answer is the survivor set of the round with the
+    maximum density seen (ties: earliest round).  Guarantees density
+    >= ρ*/(2(1+eps)) in O(log n) rounds — the MapReduce-native form of
+    the greedy peel (the sequential remove-one-min-degree variant is
+    O(|V|) rounds, a non-starter at scale).
+
+    The dense core is the "community nucleus" lens next to k-core /
+    k-truss: k-core fixes the degree bound, densest-subgraph OPTIMIZES
+    average degree.  Per round: two semi-joins (edges among survivors) +
+    one degree agg — the kcore_peel cost shape; the per-round density and
+    threshold are driver-side arithmetic on two counts, so the loop is
+    deterministic and a SQL oracle unrolls the identical recurrence
+    (union every round's survivor list, pick the best round's).
+
+    Returns (id, density): the best round's survivors, each carrying that
+    round's exact |E|/|S| double (no rounding — both engines compute the
+    identical IEEE division of two integers).
+    """
+    und = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    s = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(
+        eager=True
+    )
+    c_thr = 2.0 * (1.0 + eps)
+    best_density, best_members = -1.0, s
+    for _ in range(rounds):
+        e_s = und.join(s.select(F.col("id").alias("a")), "a", "left_semi").join(
+            s.select(F.col("id").alias("b")), "b", "left_semi"
+        ).localCheckpoint(eager=True)
+        n = s.count()
+        if n == 0:
+            break
+        m = e_s.count()
+        density = m / n  # IEEE double of two ints — identical in any engine
+        if density > best_density:
+            best_density, best_members = density, s
+        thr = c_thr * density
+        deg = (
+            e_s.select(F.col("a").alias("id"))
+            .unionAll(e_s.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        s = (
+            s.join(deg, "id", "left")
+            .filter(F.coalesce(F.col("deg"), F.lit(0)) > thr)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+    return best_members.select("id", F.lit(best_density).alias("density"))
+
+
 def partition_kway(
     vertices: DataFrame,
     edges: DataFrame,
