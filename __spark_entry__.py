@@ -542,35 +542,43 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: random-hyperplane LSH with multi-probe against the
     PERSISTED signature-partitioned index — signatures are computed once at
     build; a query reads only the partitions within its Hamming budget
-    (partition pruning).  Rows-only check; approximation has no SQL oracle.
-    Same plane family/params as the per-query form, so results match
-    lsh_bucketed_topk exactly."""
+    (partition pruning).  UNDER THE FULL ORACLE since r6: sign bits are
+    exact int64 dot products of md5-derived integer planes with the
+    1e8-quantized vector, so the oracle recomputes every corpus
+    signature, applies the same Hamming-1 probe around vec 0's
+    signature, and reproduces the approximate result bit-for-bit — the
+    approximation itself is hash-checked, not just row-counted."""
     from usearch_spark.operators.similarity import build_lsh_index, lsh_index_topk
 
-    path = os.path.join(_ARTIFACT_DIR, f"ann_lsh_{_sf_token(sf_dir)}")
+    path = os.path.join(_ARTIFACT_DIR, f"ann_lshq_{_sf_token(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_lsh_index(_t(spark, sf_dir, "embeddings"), path, n_planes=8)
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = lsh_index_topk(spark, path, qv, k=10, n_planes=8, max_probe_hamming=1)
+    out = lsh_index_topk(
+        spark, path, qv, k=10, n_planes=8, max_probe_hamming=1, exclude_ids=[0]
+    )
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN, IVF path against the PERSISTED index: the k-means
-    coarse quantizer is trained once at build time, the assignment is
-    written partitioned by cluster, and a query probes the 2 nearest of 8
+    """Approximate NN, IVF path against the PERSISTED index: the coarse
+    quantizer is trained once at build time, the assignment is written
+    partitioned by cluster, and a query probes the 2 nearest of 8
     inverted lists by reading only those partitions (partition pruning).
-    Rows-only check; pytest pins full-probe == brute-force and probed
-    recall.  Same quantizer seed/params as the per-query form."""
+    UNDER THE FULL ORACLE since r6: the quantizer is the deterministic
+    fixed-iteration k-means (smallest-k init, round-6 means — the
+    topic_kmeans trainer, not an engine-private one), so the oracle
+    replays training, assignment, the 2-probe choice, and the probed
+    top-k; pytest still pins full-probe == brute-force."""
     from usearch_spark.operators.similarity import build_ivf_index, ivf_index_topk
 
-    path = os.path.join(_ARTIFACT_DIR, f"ann_ivf_{_sf_token(sf_dir)}")
+    path = os.path.join(_ARTIFACT_DIR, f"ann_ivfd_{_sf_token(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_centroids.json")):
         build_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_clusters=8)
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = ivf_index_topk(spark, path, qv, k=10, n_probe=2)
+    out = ivf_index_topk(spark, path, qv, k=10, n_probe=2, exclude_ids=[0])
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -582,7 +590,7 @@ def q_sim_ann_lsh_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force query)."""
     from usearch_spark.operators.similarity import build_lsh_index, lsh_index_topk
 
-    path = os.path.join(_ARTIFACT_DIR, f"ann_lsh_{_sf_token(sf_dir)}")
+    path = os.path.join(_ARTIFACT_DIR, f"ann_lshq_{_sf_token(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_lsh_index(_t(spark, sf_dir, "embeddings"), path, n_planes=8)
     emb = _t(spark, sf_dir, "embeddings")
@@ -599,13 +607,132 @@ def q_sim_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN path under sim_cosine_topk's full DuckDB oracle."""
     from usearch_spark.operators.similarity import build_ivf_index, ivf_index_topk
 
-    path = os.path.join(_ARTIFACT_DIR, f"ann_ivf_{_sf_token(sf_dir)}")
+    path = os.path.join(_ARTIFACT_DIR, f"ann_ivfd_{_sf_token(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_centroids.json")):
         build_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_clusters=8)
     emb = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = ivf_index_topk(spark, path, qv, k=10, n_probe=8, exclude_ids=[0])
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Full replay of the LSH probe: the md5-derived INTEGER plane matrix
+    is injected as literals; corpus signatures are exact int64 sign
+    tests (floor(x*1e8 + 0.5) quantization — the identical IEEE steps
+    the engine's numpy path performs); the probe set is every vector
+    within Hamming 1 of vec 0's signature; cosine top-k mirrors
+    sim_cosine_topk."""
+    from usearch_spark.operators.similarity import _plane_components
+
+    rows = ", ".join(
+        f"({p}, {d + 1}, {c})"
+        for p in range(n_planes)
+        for d, c in enumerate(_plane_components(p, dim))
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substring(s.sig, {p + 1}, 1) <> substring(q.sig, {p + 1}, 1)"
+        f" THEN 1 ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH planes(p, i, c) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        bits AS (
+            SELECT e.vec_id, pl.p,
+                   CASE WHEN sum(pl.c * CAST(floor(e.x * 100000000.0 + 0.5) AS BIGINT)) >= 0
+                        THEN '1' ELSE '0' END AS b
+            FROM e JOIN planes pl ON pl.i = e.i
+            GROUP BY 1, 2
+        ),
+        sig AS MATERIALIZED (
+            SELECT vec_id, string_agg(b, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id
+        ),
+        q AS (SELECT sig FROM sig WHERE vec_id = 0),
+        probed AS (
+            SELECT s.vec_id FROM sig s, q
+            WHERE s.vec_id <> 0 AND ({ham}) <= 1
+        ),
+        qe AS (SELECT x, i FROM e WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS na
+            FROM e JOIN qe USING (i)
+            WHERE e.vec_id IN (SELECT vec_id FROM probed)
+            GROUP BY e.vec_id
+        ),
+        nq AS (SELECT sqrt(sum(x * x)) AS n FROM qe)
+        SELECT vec_id, round(dot / (na * nq.n), 6) AS cosine
+        FROM dots, nq
+        ORDER BY cosine DESC, vec_id
+        LIMIT {k}
+    """
+
+
+def _ann_ivf_oracle_sql(n_clusters: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    """Full replay of the IVF probe: the deterministic 2-iteration k-means
+    (smallest-k init, round-6 means, ties to lower cid — the topic_kmeans
+    chain with k = n_clusters), the final assignment, the n_probe nearest
+    cells to vec 0, and the probed cosine top-k."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(vec_id AS INT) AS cid, i, x FROM e
+            WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+        ),
+        d1 AS (
+            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+            FROM e JOIN c0 c USING (i) GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        c1 AS MATERIALIZED (
+            SELECT a1.cid, e.i, round(avg(e.x), 6) AS x
+            FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+            FROM e JOIN c1 c USING (i) GROUP BY 1, 2
+        ),
+        a2 AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        qe AS (SELECT i, x FROM e WHERE vec_id = 0),
+        dq AS (
+            SELECT c.cid, sum((qe.x - c.x) * (qe.x - c.x)) AS d
+            FROM c1 c JOIN qe USING (i) GROUP BY c.cid
+        ),
+        pr AS (SELECT cid FROM dq ORDER BY d, cid LIMIT {n_probe}),
+        cand AS (
+            SELECT vec_id FROM a2
+            WHERE cid IN (SELECT cid FROM pr) AND vec_id <> 0
+        ),
+        dots AS (
+            SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS na
+            FROM e JOIN qe USING (i)
+            WHERE e.vec_id IN (SELECT vec_id FROM cand)
+            GROUP BY e.vec_id
+        ),
+        nq AS (SELECT sqrt(sum(x * x)) AS n FROM qe)
+        SELECT vec_id, round(dot / (na * nq.n), 6) AS cosine
+        FROM dots, nq
+        ORDER BY cosine DESC, vec_id
+        LIMIT {k}
+    """
 
 
 def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5180,6 +5307,40 @@ def q_doc_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(postings, docs.count(), id_col="doc_id", max_df=100, k=20)
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join under the hard gate: per-nation revenue
+    computed through plans/joins.salted_join — every lineitem row picks a
+    deterministic salt, the supplier side replicates once per salt, and
+    the join keys on (suppkey, salt), spreading a hot key across 8 reduce
+    tasks.  Semantics are identical to the plain join (the salted-join
+    contract), so the oracle is the ordinary SQL join — the gate proves
+    the skew lever changes the SHUFFLE, never the answer.  (pytest
+    test_skew.py covers hot-key distribution; this row covers results.)"""
+    from usearch_spark.plans.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _dec("l_extendedprice").alias("_px"), _dec("l_discount").alias("_dc")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(
+        li.withColumnRenamed("l_suppkey", "suppkey"),
+        supp.withColumnRenamed("s_suppkey", "suppkey"),
+        on="suppkey",
+        salts=8,
+    )
+    return (
+        joined.join(F.broadcast(nat), joined.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("_px") * (F.lit(1).cast("decimal(18,2)") - F.col("_dc")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build: each order is an update to
     its customer's current priority, effective at o_orderdate; emit
@@ -5556,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_pruned": q_events_partition_pruned,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "graph_densest": q_graph_densest,
+        "salted_join_revenue": q_salted_join_revenue,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5953,6 +6115,17 @@ def oracle_sql() -> dict[str, str]:
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_hyperball": _hyperball_oracle_sql(4),
         "graph_densest": _densest_oracle_sql(8, 0.1),
+        "salted_join_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
         "dedup_substring": """
             SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
             FROM documents a JOIN documents b
@@ -8261,6 +8434,10 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     form, so it shares sessionize's oracle."""
     oracles["sim_ann_lsh_full"] = oracles["sim_cosine_topk"]
     oracles["sim_ann_ivf_full"] = oracles["sim_cosine_topk"]
+    # r6: the PROBED forms are now oracle-replayable too — integer-exact
+    # LSH signatures and the deterministic k-means quantizer
+    oracles["sim_ann_lsh"] = _ann_lsh_oracle_sql(8, 64, 10)
+    oracles["sim_ann_ivf"] = _ann_ivf_oracle_sql(8, 2, 10)
     oracles["sessionize_native"] = oracles["sessionize"]
     # prefix filtering is exact by theorem — same pairs as the all-shingle
     # join, so it shares dedup_jaccard's oracle verbatim

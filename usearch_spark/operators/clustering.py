@@ -74,18 +74,38 @@ def kmeans_fixed(
 
     Returns the final assignment (vec_id, cid, dist).
     """
-    vecs = emb.select(
+    vecs = _as_vecs(emb, id_col, vec_col)
+    return kmeans_assign(vecs, kmeans_centroids(emb, k, iters, id_col, vec_col))
+
+
+def _as_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("varr"),
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FINAL centroid frame (cid int, carr array<double>) of the
+    :func:`kmeans_fixed` chain — same deterministic contract (smallest-k
+    init, round-6 means, ties to lower cid).  Exposed separately so a
+    persisted coarse quantizer (the IVF index) can reuse the exact
+    oracle-replayable training instead of an engine-private trainer."""
+    vecs = _as_vecs(emb, id_col, vec_col)
     centroids = (
         vecs.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("varr").alias("carr"))
         .localCheckpoint(eager=True)
     )
-    assigned = kmeans_assign(vecs, centroids)
     for _ in range(iters - 1):
+        assigned = kmeans_assign(vecs, centroids)
         centroids = (
             assigned.join(vecs, "vec_id")
             .select("cid", F.posexplode("varr").alias("i", "x"))
@@ -99,8 +119,7 @@ def kmeans_fixed(
             )
             .localCheckpoint(eager=True)  # tiny (k rows); truncates the per-iter lineage
         )
-        assigned = kmeans_assign(vecs, centroids)
-    return assigned
+    return centroids
 
 
 def kmeans_summary(assigned: DataFrame) -> DataFrame:

@@ -51,12 +51,16 @@ def cosine_topk(
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def _plane_components(plane: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane: component (plane, d) =
-    uniform(-0.5, 0.5) derived from md5 — reproducible anywhere, no RNG
-    state."""
+def _plane_components(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane as INTEGERS: component
+    (plane, d) = top 16 bits of md5("{plane}_{d}"), centered to
+    [-32768, 32768) — reproducible anywhere, no RNG state.  Integer
+    components (with the integer vector quantization below) make the
+    sign decision EXACT int64 arithmetic: no float summation order can
+    flip a boundary bit, so a SQL oracle replays signatures
+    bit-for-bit."""
     return [
-        int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[:8], 16) / float(16**8) - 0.5
+        (int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[:8], 16) >> 16) - 32768
         for d in range(dim)
     ]
 
@@ -64,15 +68,28 @@ def _plane_components(plane: int, dim: int) -> list[float]:
 def plane_matrix(n_planes: int, dim: int):
     import numpy as np
 
-    return np.array([_plane_components(p, dim) for p in range(n_planes)])  # (planes, dim)
+    return np.array(
+        [_plane_components(p, dim) for p in range(n_planes)], dtype="int64"
+    )  # (planes, dim)
+
+
+def _quantize_vec(mat):
+    """floor(v * 1e8 + 0.5) as int64 — the vector quantization of the
+    sign test.  The float ops (widen to float64, one multiply, one add,
+    floor) are identical IEEE steps in numpy and SQL, so both produce
+    the same integers; overflow headroom: |c| < 2^15, |q| <= ~1e10 for
+    |v| <= 100, times 4096 dims stays under 2^62."""
+    import numpy as np
+
+    return np.floor(np.asarray(mat, dtype="float64") * 1e8 + 0.5).astype("int64")
 
 
 def lsh_signature_py(vec: list[float], n_planes: int) -> str:
     """Driver-side signature of one vector (for the query point)."""
-    import numpy as np
-
     planes = plane_matrix(n_planes, len(vec))
-    return "".join("1" if s >= 0 else "0" for s in planes @ np.asarray(vec, dtype="float64"))
+    return "".join(
+        "1" if s >= 0 else "0" for s in planes @ _quantize_vec(vec)
+    )
 
 
 def with_lsh_signature(
@@ -98,7 +115,8 @@ def with_lsh_signature(
             import pandas as pd
 
             return pd.Series([], dtype="object")
-        signs = (mat @ planes.T) >= 0  # (batch, planes)
+        q = np.floor(mat * 1e8 + 0.5).astype("int64")  # _quantize_vec, batched
+        signs = (q @ planes.T) >= 0  # (batch, planes) — exact int64
         import pandas as pd
 
         return pd.Series(["".join("1" if b else "0" for b in row) for row in signs])
@@ -141,14 +159,14 @@ def ivf_topk(
     k: int = 10,
     n_clusters: int = 16,
     n_probe: int = 2,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_iter: int = 8,
+    max_iter: int = 2,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a k-means coarse quantizer (Spark ML)
-    partitions the corpus into ``n_clusters`` inverted lists; a query scores
-    only the ``n_probe`` lists whose centroids are nearest to it.
+    """IVF-style approximate top-k: a deterministic fixed-iteration
+    k-means coarse quantizer (operators/clustering.kmeans_centroids)
+    partitions the corpus into ``n_clusters`` inverted lists; a query
+    scores only the ``n_probe`` lists whose centroids are nearest to it.
 
     The scale shape: training samples the corpus once; assignment is one
     vectorized pass; a probed query touches ~n_probe/n_clusters of the data.
@@ -158,26 +176,36 @@ def ivf_topk(
     lists partition the corpus) — the property the tests pin down.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    feat = embeddings.withColumn("_feat", array_to_vector(F.col(vec_col).cast("array<double>")))
+    from usearch_spark.operators.clustering import kmeans_assign, kmeans_centroids
+
     # a coarse quantizer needs balanced cells, not converged centroids —
-    # cap the iterations (recall comes from n_probe, not centroid polish)
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_feat", predictionCol="_cluster"
-    ).fit(feat)
-    centers = np.array(model.clusterCenters())  # (n_clusters, dim)
+    # cap the iterations (recall comes from n_probe, not centroid polish).
+    # The deterministic kmeans (smallest-k init, round-6 means) replaces an
+    # engine-private trainer so the whole chain is SQL-oracle-replayable.
+    cent = kmeans_centroids(
+        embeddings, k=n_clusters, iters=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    crows = sorted(cent.collect(), key=lambda r: r["cid"])
+    centers = np.array([r["carr"] for r in crows])
 
     q = np.asarray(query_vec, dtype="float64")
     # nearest centroids by euclidean distance, matching the quantizer's metric
     order = np.argsort(((centers - q) ** 2).sum(axis=1))
-    probe = [int(c) for c in order[:n_probe]]
+    probe = [int(crows[int(c)]["cid"]) for c in order[:n_probe]]
 
-    assigned = model.transform(feat)
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("varr"),
+    )
+    assigned = kmeans_assign(
+        vecs.select(F.col(id_col).alias("vec_id"), "varr"), cent
+    ).select(F.col("vec_id").alias(id_col), F.col("cid").alias("_cluster"))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        assigned.filter(F.col("_cluster").isin(probe))
+        vecs.join(assigned, id_col)
+        .filter(F.col("_cluster").isin(probe))
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -342,31 +370,48 @@ def build_ivf_index(
     embeddings: DataFrame,
     path: str,
     n_clusters: int = 16,
-    seed: int = 42,
-    max_iter: int = 8,
+    max_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Persist the IVF index: train the k-means coarse quantizer ONCE, write
-    the assignment parquet PARTITIONED BY cluster plus the centroids as a
-    ``_centroids.json`` sidecar (the underscore keeps it out of partition
-    discovery).  Probing then = read centroids (tiny), pick n_probe cells,
-    scan only those partitions."""
+    """Persist the IVF index: train the coarse quantizer ONCE with the
+    deterministic fixed-iteration k-means (smallest-k init, round-6
+    means — the oracle-replayable trainer, not an engine-private one),
+    write the assignment parquet PARTITIONED BY cluster plus the
+    centroids as a ``_centroids.json`` sidecar (the underscore keeps it
+    out of partition discovery).  Probing then = read centroids (tiny),
+    pick n_probe cells, scan only those partitions.
+
+    Cluster ids are the init seeds' vec_ids (the k smallest), so the
+    sidecar stores centers indexed by cluster id; a cluster that loses
+    every member mid-training would break that indexing and raises."""
     import json
     import os
 
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from usearch_spark.operators.clustering import kmeans_assign, kmeans_centroids
 
-    feat = embeddings.withColumn("_feat", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="_feat", predictionCol="cluster"
-    ).fit(feat)
-    assigned = model.transform(feat).select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+    cent = kmeans_centroids(
+        embeddings, k=n_clusters, iters=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    crows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if [r["cid"] for r in crows] != list(range(n_clusters)):
+        raise ValueError(
+            f"IVF quantizer lost a cluster: cids={[r['cid'] for r in crows]}"
+        )
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("varr"),
+    )
+    assigned = (
+        kmeans_assign(vecs.select(F.col(id_col).alias("vec_id"), "varr"), cent)
+        .select(F.col("vec_id").alias(id_col), F.col("cid").alias("cluster"))
+        .join(embeddings.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+    )
     # one writer task per cluster dir (see build_lsh_index)
     assigned.repartition(F.col("cluster")).write.partitionBy("cluster").mode("overwrite").parquet(path)
-    centers = np.array(model.clusterCenters()).tolist()
+    centers = [[float(x) for x in r["carr"]] for r in crows]
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump(centers, fh)
 
