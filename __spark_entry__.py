@@ -5718,6 +5718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "graph_densest": q_graph_densest,
         "salted_join_revenue": q_salted_join_revenue,
+        # r6: first-ever FULL-oracle gates for the ANN probes (previously
+        # rows-only) — re-front-loaded like a new query
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -5793,8 +5797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
         "corpus_prep": q_corpus_prep,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
