@@ -5341,6 +5341,140 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between NATION_0 and NATION_1 (both
+    directions) per ship year, 1996-1997.  Supplier/nation dims broadcast;
+    the lineitem⋈orders join carries only the two filtered nations'
+    rows — predicate pushdown trims both fact scans before the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+              supp.s_nationkey == nat.n_nationkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("_cn"), F.col("n_name").alias("cust_nation")
+                )
+            ),
+            cust.c_nationkey == F.col("_cn"),
+        )
+    )
+    pair = ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")) | (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0")
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_type_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ECONOMY-part revenue delivered
+    into ASIA-region customers, per order year.  One conditional + total
+    decimal sum pair per year; all dimension joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    asian_cust = cust.join(
+        F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select("n_nationkey")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asian_cust, orders.o_custkey == asian_cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("_sn"), F.col("n_name").alias("supp_nation"))),
+            supp.s_nationkey == F.col("_sn"),
+        )
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", rev)).alias("nation_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.coalesce(F.col("nation_rev"), F.lit(0)).cast("double")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') on Q1-1996 orders — the churn-risk report.
+    Decimal-exact revenue, TakeOrderedAndProject top-k, nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_returned_items"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 350 with their
+    customer — the large-volume-buyer screen.  The quantity HAVING filter
+    runs on the partial-aggregated lineitem rollup BEFORE the joins, so
+    only qualifying orders join; top-20 by (total price desc, orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 350)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build: each order is an update to
     its customer's current priority, effective at o_orderdate; emit
@@ -5722,6 +5856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only) — re-front-loaded like a new query
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "nation_trade_volume": q_nation_trade_volume,
+        "type_market_share": q_type_market_share,
+        "returned_revenue": q_returned_revenue,
+        "large_orders": q_large_orders,
         # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
         "orders_monthly_growth": q_orders_monthly_growth,
         "region_revenue_share": q_region_revenue_share,
@@ -6117,6 +6255,81 @@ def oracle_sql() -> dict[str, str]:
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_hyperball": _hyperball_oracle_sql(4),
         "graph_densest": _densest_oracle_sql(8, 0.1),
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+                OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+            GROUP BY 1, 2, 3
+        """,
+        "type_market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s_nationkey
+                WHERE o_custkey IN (
+                    SELECT c_custkey FROM customer
+                    JOIN nation ON n_nationkey = c_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+                    WHERE r_name = 'ASIA'
+                )
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev END),
+                                       0) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+            FROM j GROUP BY 1
+        """,
+        "returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_returned_items
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 350
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+                   CAST(qty AS DOUBLE) AS total_qty
+            FROM big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
+        """,
         "salted_join_revenue": """
             SELECT n_name,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
