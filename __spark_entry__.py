@@ -5813,6 +5813,18 @@ def q_topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(kmeans_fixed(emb, k=4, iters=2))
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score with Jelinek-Mercer unigram interpolation
+    (operators/text_analysis.bigram_logprob): per-document mean
+    log p(w2|w1) — the sharper step up from the gated unigram CCNet
+    proxy, same broadcast-lookup cost shape.  Per-position log-probs are
+    round-6 decimals, so the mean is order-independent and the oracle
+    replays model + scoring exactly."""
+    from usearch_spark.operators.text_analysis import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score: corpus unigram distribution →
     broadcast per-token log-prob lookup → per-document mean log-prob
@@ -5857,6 +5869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "nation_trade_volume": q_nation_trade_volume,
+        "text_bigram_logprob": q_text_bigram_logprob,
         "type_market_share": q_type_market_share,
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -6255,6 +6268,33 @@ def oracle_sql() -> dict[str, str]:
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_hyperball": _hyperball_oracle_sql(4),
         "graph_densest": _densest_oracle_sql(8, 0.1),
+        "text_bigram_logprob": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            bi AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM tk, unnest(range(1, len(toks))) u(i)
+            ),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+            uni AS (SELECT unnest(toks) AS w2 FROM tk),
+            cu AS (SELECT w2, count(*) AS cu FROM uni GROUP BY 1),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+            lp AS (
+                SELECT cb.w1, cb.w2,
+                       CAST(round(ln({0.7!r} * (cb.cb / c1.c1)
+                                     + {1.0 - 0.7!r} * (cu.cu / nt.n)), 6)
+                            AS DECIMAL(12,6)) AS lp
+                FROM cb JOIN c1 USING (w1) JOIN cu USING (w2), nt
+            ),
+            per AS (
+                SELECT bi.doc_id, count(*) AS n_bigrams,
+                       CAST(sum(lp.lp) AS DOUBLE) / count(*) AS avg_logprob
+                FROM bi JOIN lp USING (w1, w2) GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+                   coalesce(per.avg_logprob, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,

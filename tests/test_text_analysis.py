@@ -158,3 +158,27 @@ def test_bpe_encode_counts_shrink_with_merges(spark):
     merged = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode_counts(docs, rounds=3).collect()}
     assert all(merged[d] <= zero[d] for d in zero)
     assert merged[2] < zero[2]  # 'aaab' (freq 3) definitely got merged
+
+
+def test_bigram_logprob_ranks_fluency(spark):
+    """Interpolated bigram LM: a document made of the corpus's dominant
+    bigram pattern outscores one with the same unigrams shuffled into
+    unseen bigrams; < 2-token docs score 0; deterministic."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.text_analysis import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the mat"),
+        (4, "mat the on sat cat the"),  # same unigrams, unseen bigrams
+        (5, "word"),                    # single token -> no bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in bigram_logprob(docs).collect()}
+    assert got[5] == (0, 0.0)
+    assert got[1][0] == 5 and got[1] == got[2] == got[3]
+    assert got[1][1] > got[4][1]
+    again = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in bigram_logprob(docs).collect()}
+    assert again == got

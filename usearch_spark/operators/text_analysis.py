@@ -386,6 +386,86 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Bigram language-model quality score with unigram interpolation —
+    the next step up from :func:`unigram_logprob`'s CCNet proxy: score
+    each document by its mean log p(w2|w1) where
+    p(w2|w1) = lam·c(w1w2)/c(w1·) + (1−lam)·c(w2)/N (Jelinek-Mercer
+    smoothing; c(w1·) counts w1 as a bigram LEFT context, so the model
+    is self-consistent on corpus edges).  Repetitive/templated text
+    scores high, shuffled or out-of-distribution text scores low — a
+    sharper fluency signal than unigrams at identical cost shape.
+
+    Scale shape: bigram and unigram tables are partial-agg shuffles with
+    vocab-sized results, so the per-position probability lookup is a
+    BROADCAST join; per-token log-probs round to 6dp and sum as DECIMAL
+    (order-independent, the hash-gate requirement), one double division
+    per document at the end.  Documents with < 2 tokens score 0 with
+    n_bigrams 0.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    zipped = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.size("_toks") - 1).alias("w1"),
+        F.slice(F.col("_toks"), 2, F.size("_toks") - 1).alias("w2"),
+    )
+    bi = (
+        toks.filter(F.size("_toks") >= 2)
+        .select("doc_id", F.explode(zipped).alias("_b"))
+        .select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = docs.select(F.explode(tokenize(F.col(text_col))).alias("w2"))
+    cu = uni.groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = uni.count()
+    lp = (
+        cb.join(c1, "w1")
+        .join(cu, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(lam) * (F.col("cb") / F.col("c1"))
+                    + F.lit(1.0 - lam) * (F.col("cu") / F.lit(float(n_tok)))
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("lp"),
+        )
+    )
+    per = (
+        bi.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            # decimal sum -> double BEFORE dividing (engine-portable IEEE).
+            # NO round on the quotient: the inputs are exact (decimal sum,
+            # integer count) so the single division is bit-identical on
+            # both engines, whereas round(q, 6) can disagree by 1e-6 when
+            # q lands on a .5 boundary (engines' double-round differs
+            # there — observed on this exact query at sf0.01).
+            (F.col("lp_sum").cast("double") / F.col("n_bigrams")).alias("avg_logprob"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return spine.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+    )
+
+
 def top_collocations(
     docs: DataFrame,
     id_col: str = "doc_id",
