@@ -367,6 +367,7 @@ def coarsen_graph(
 
 
 from usearch_spark.functions.hll import (  # noqa: E402 — shared HLL core
+    HLL_M,
     HLL_SHIFT,
     hll_estimate_sql,
     hll_reg_sql,
@@ -414,11 +415,22 @@ def hyperball_harmonic(
     Returns (id, harmonic_approx, ball_approx) with both estimates
     rounded at 6.
     """
-    v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
+    from usearch_spark.plans.iterative import loop_tuned_session
+
+    v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"]).localCheckpoint(
+        eager=True
+    )
     e = canonical_edges(edges, src, dst)
     und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    )
+    ).localCheckpoint(eager=True)
+    # per-round work is |V|*m register rows — size the shuffle to it (the
+    # default partition count turns each tiny round into scheduling floor)
+    with loop_tuned_session(v.sparkSession, v.count() * HLL_M) as _:
+        return _hyperball_loop(v, und, rounds)
+
+
+def _hyperball_loop(v: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
     state = v.select(
         "v",
         F.expr(hll_reg_sql("v")).cast("int").alias("reg"),
@@ -438,31 +450,51 @@ def hyperball_harmonic(
         ).select("v", F.expr(hll_estimate_sql()).alias("e"))
 
     h = estimate(state).select("v", F.lit(0.0).alias("h"), F.col("e").alias("e_prev"))
+    # DELTA propagation (Boldi & Vigna's systolic optimization): only
+    # registers that IMPROVED last round ship along edges this round — by
+    # monotonicity of max-combine the per-round states are identical to
+    # full re-shipping, but late rounds (when most balls have saturated)
+    # move a fraction of the register volume.
+    delta = state
     for t in range(1, rounds + 1):
-        shipped = und.join(state.withColumnRenamed("v", "y"), "y").select(
+        shipped = und.join(delta.withColumnRenamed("v", "y"), "y").select(
             F.col("x").alias("v"), "reg", "rho"
         )
-        state = (
-            state.unionByName(shipped)
-            .groupBy("v", "reg")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
-        )
-        est = estimate(state)
-        h = (
-            h.join(est, "v")
+        cand = shipped.groupBy("v", "reg").agg(F.max("rho").alias("crho"))
+        merged = (
+            state.join(cand, ["v", "reg"], "full")
             .select(
                 "v",
-                (F.col("h") + (F.col("e") - F.col("e_prev")) / F.lit(float(t))).alias("h"),
-                F.col("e").alias("e_prev"),
+                "reg",
+                F.greatest(
+                    F.coalesce(F.col("rho"), F.lit(-1)), F.coalesce(F.col("crho"), F.lit(-1))
+                ).alias("rho"),
+                (
+                    F.coalesce(F.col("crho"), F.lit(-1))
+                    > F.coalesce(F.col("rho"), F.lit(-1))
+                ).alias("_new"),
             )
             .localCheckpoint(eager=True)
         )
+        state = merged.select("v", "reg", "rho")
+        delta = merged.filter(F.col("_new")).select("v", "reg", "rho")
+        est = estimate(state)
+        # h stays LAZY: the accumulation is a shallow chain of |rounds|
+        # joins over |V|-row frames — checkpointing it per round cost one
+        # extra action each (a third of the query's wall clock at sf0.1)
+        h = h.join(est, "v").select(
+            "v",
+            (F.col("h") + (F.col("e") - F.col("e_prev")) / F.lit(float(t))).alias("h"),
+            F.col("e").alias("e_prev"),
+        )
+    # ONE materialization of the whole lazy chain inside the tuned session
+    # (the caller's context restores partition confs on exit — an unlazy
+    # return would execute the joins under the untuned settings)
     return h.select(
         F.col("v").alias("id"),
         F.round("h", 6).alias("harmonic_approx"),
         F.round("e_prev", 6).alias("ball_approx"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 def densest_subgraph(
