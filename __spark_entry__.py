@@ -4642,6 +4642,59 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(merged)
 
 
+def q_sketch_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS count-min maintenance (streaming/sketches.
+    cms_stream_merge): the events table arrives as two replayed
+    micro-batch files; each foreachBatch builds its partial CMS and
+    merges into the running parquet sketch by cell addition.  After the
+    drain a SECOND query runs against the same checkpoint — exactly-once
+    must add nothing.  Cell-wise merge commutes with the one-shot build,
+    so probing users 0..19 from the merged sketch shares
+    sketch_cms_users' oracle verbatim: the whole merge loop is
+    hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.sketch import cms_estimate
+    from usearch_spark.streaming.sketches import cms_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"cms_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select("event_id", "user_id")
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"cms_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "sketch"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = cms_stream_merge(stream, "user_id", target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sketch = spark.read.parquet(target)
+    probes = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = cms_estimate(sketch, probes, "user_id", depth=4, prefix_len=2).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def q_sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning (operators/sketch.py): a 3-hash, 4096-bit
     Bloom filter over high-balance customers (c_acctbal > 5000) probes
@@ -5870,6 +5923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "nation_trade_volume": q_nation_trade_volume,
         "text_bigram_logprob": q_text_bigram_logprob,
+        "sketch_cms_stream": q_sketch_cms_stream,
         "type_market_share": q_type_market_share,
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -8701,4 +8755,6 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # streamed micro-batch probes are per-doc independent, so the drained
     # sink equals the one-shot batch-vs-corpus probe
     oracles["dedup_stream"] = oracles["dedup_incremental"]
+    # cell-wise CMS merge commutes with the one-shot build
+    oracles["sketch_cms_stream"] = oracles["sketch_cms_users"]
     return oracles

@@ -588,3 +588,41 @@ def test_dedup_stream_matches_batch_and_resumes(spark, tmp_path):
         ).collect()
     )
     assert sorted((a, b, round(j, 4)) for a, b, j in first) == ref
+
+
+def test_cms_stream_merge_equals_batch_and_resumes(spark, tmp_path):
+    """Continuous CMS maintenance: the merged sketch after draining two
+    micro-batches equals the one-shot batch sketch cell-for-cell, and a
+    restart against the same checkpoint changes nothing."""
+    from usearch_spark.operators.sketch import count_min_sketch
+    from usearch_spark.streaming.sketches import cms_stream_merge
+
+    df = spark.range(500).select(
+        F.col("id").alias("event_id"), F.pmod(F.col("id"), F.lit(37)).alias("user_id")
+    )
+    src = str(tmp_path / "src")
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = str(tmp_path / f"t{i}")
+        df.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for _ in range(2):  # second run = restart; checkpoint must skip both files
+        q = cms_stream_merge(stream, "user_id", target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    merged = sorted(map(tuple, spark.read.parquet(target).collect()))
+    batch = sorted(map(tuple, count_min_sketch(df, "user_id").collect()))
+    assert merged == batch and len(merged) > 0
