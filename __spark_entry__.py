@@ -10,7 +10,14 @@ Determinism rules used throughout (so Spark and DuckDB value-hashes match):
     final CAST TO DOUBLE — identical bits in both engines;
   - float expressions with few summands (tf-idf, cosine) are rounded;
   - timestamps are emitted as formatted strings, never raw;
-  - every ORDER BY ... LIMIT has a full deterministic tie-break.
+  - every ORDER BY ... LIMIT has a full deterministic tie-break;
+  - a round() whose input can differ by a ulp across engines is a bug:
+    build the pre-round value exactly (lossless DECIMAL numerator, one
+    cast + one divide — embedding_covariance) or skip the round when the
+    quotient itself is bit-identical (text_bigram_logprob);
+  - discrete decisions (LSH sign bits, sketch buckets, matching
+    priorities) never ride float sums — they are exact int64 arithmetic
+    or md5 strings, so candidate SETS match before any scoring does.
 """
 
 from __future__ import annotations
