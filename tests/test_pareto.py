@@ -69,3 +69,32 @@ def test_pareto_kd_matches_brute_force(spark):
     expect = sorted(r for r in rows if not dominated(r, rows))
     assert got == expect
     assert got.count((0.5, 0.5, 0.5)) == 2
+
+
+def test_kd_frontier_exact_beyond_double_precision(spark):
+    """Regression for the float64-collapse bug: int64 coordinates beyond
+    2^53 that would alias as doubles must still be compared exactly —
+    the point dominated by 1 unit is dropped, its non-dominated twin
+    kept; result equals the O(n^2) brute force."""
+    from usearch_spark.operators.pareto import pareto_frontier_kd
+
+    base = 2**60
+    rows = [
+        (1, base, base),
+        (2, base + 1, base),          # dominated by 1 (worse x, equal y)
+        (3, base, base + 1),          # dominated by 1
+        (4, base - 1, base + 7),      # incomparable with 1
+        (5, base + 7, base - 1),      # incomparable with 1
+        (6, base + 1, base + 1),      # dominated
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(r["id"] for r in pareto_frontier_kd(df, ["x", "y"]).collect())
+
+    def dominated(a, b):  # b dominates a
+        return all(bv <= av for av, bv in zip(a, b)) and any(bv < av for av, bv in zip(a, b))
+
+    brute = sorted(
+        i for i, *p in rows
+        if not any(dominated(p, q) for j, *q in rows if j != i)
+    )
+    assert got == brute == [1, 4, 5]

@@ -121,3 +121,33 @@ def test_url_resolution_parity_with_urllib(spark):
             t = rel_to.split(":")[0] + ":" + t
         expected = urljoin(rel_to, t).split("#")[0]
         assert got == expected, (page, base, target, got, expected)
+
+
+@given(st.lists(st.text(min_size=0, max_size=24), min_size=1, max_size=32, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_hll_register_sql_matches_python_reference(keys):
+    """The shared HLL register SQL (functions/hll.py) evaluated by DuckDB
+    equals a from-scratch Python reference: index = first md5 hex digit,
+    rho = leading zero BITS of the next 14 hex chars + 1, capped."""
+    import hashlib
+
+    import duckdb
+
+    from usearch_spark.functions.hll import HLL_RHO_CAP, hll_reg_sql, hll_rho_sql
+
+    def ref(k: str) -> tuple[int, int]:
+        h = hashlib.md5(k.encode()).hexdigest()
+        reg = int(h[0], 16)
+        bits = bin(int(h[1:15], 16))[2:].zfill(56)
+        nz = bits.find("1")
+        rho = HLL_RHO_CAP if nz == -1 else nz + 1
+        return reg, rho
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    got = con.execute(
+        f"SELECT k, CAST({hll_reg_sql('k')} AS INT), CAST({hll_rho_sql('k')} AS INT) FROM t"
+    ).fetchall()
+    for k, reg, rho in got:
+        assert (reg, rho) == ref(k), (k, reg, rho, ref(k))
