@@ -4663,7 +4663,7 @@ def q_sketch_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from usearch_spark.operators.sketch import cms_estimate
-    from usearch_spark.streaming.sketches import cms_stream_merge
+    from usearch_spark.streaming.sketches import cms_stream_merge, read_cms
 
     base = os.path.join(_ARTIFACT_DIR, f"cms_stream_src_{_sf_token(sf_dir)}")
     if not os.path.exists(os.path.join(base, "_DONE")):
@@ -4693,7 +4693,7 @@ def q_sketch_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    sketch = spark.read.parquet(target)
+    sketch = read_cms(spark, target)
     probes = _events(spark, sf_dir).filter(F.col("user_id") < 20)
     out = cms_estimate(sketch, probes, "user_id", depth=4, prefix_len=2).localCheckpoint(
         eager=True

@@ -595,7 +595,7 @@ def test_cms_stream_merge_equals_batch_and_resumes(spark, tmp_path):
     micro-batches equals the one-shot batch sketch cell-for-cell, and a
     restart against the same checkpoint changes nothing."""
     from usearch_spark.operators.sketch import count_min_sketch
-    from usearch_spark.streaming.sketches import cms_stream_merge
+    from usearch_spark.streaming.sketches import cms_stream_merge, read_cms
 
     df = spark.range(500).select(
         F.col("id").alias("event_id"), F.pmod(F.col("id"), F.lit(37)).alias("user_id")
@@ -623,6 +623,10 @@ def test_cms_stream_merge_equals_batch_and_resumes(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
-    merged = sorted(map(tuple, spark.read.parquet(target).collect()))
+    merged = sorted(map(tuple, read_cms(spark, target).collect()))
     batch = sorted(map(tuple, count_min_sketch(df, "user_id").collect()))
     assert merged == batch and len(merged) > 0
+    # pointer committed the LAST epoch's version
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(target, "_CURRENT"))
