@@ -4911,13 +4911,13 @@ def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_harmonic(v, e, rounds=4)
 
 
-def _hyperball_oracle_sql(rounds: int = 4) -> str:
-    """Register-BFS unrolled: st0 = every vertex's own (reg, rho) from
-    the SAME md5 SQL text the engine evaluates; per round, neighbor
+def _hyperball_cte_chain(rounds: int = 4) -> str:
+    """Shared register-BFS CTE chain: st0 = every vertex's own (reg, rho)
+    from the SAME md5 SQL text the engine evaluates; per round, neighbor
     registers union in and max-combine per (v, reg); per-round estimate
     e = alpha_c / S_scaled with S_scaled the exact integer
-    Σ 2^(58−rho) (+ 2^58 per empty register); the harmonic accumulation
-    mirrors the engine's op order term by term."""
+    Σ 2^(58−rho) (+ 2^58 per empty register).  Produces st{t}/est{t} for
+    t = 0..rounds; callers append their own tails."""
     from usearch_spark.functions.hll import (
         HLL_SHIFT,
         hll_estimate_sql,
@@ -4930,7 +4930,7 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
         f"SELECT v, sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho)) AS s_present, "
         f"count(*) AS nreg FROM {st} GROUP BY v)"
     )
-    head = f"""
+    parts = [f"""
         WITH e0 AS (
             SELECT DISTINCT 's' || l_suppkey AS a, 'p' || l_partkey AS b FROM lineitem
         ),
@@ -4941,11 +4941,7 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
                    CAST({hll_rho_sql('v')} AS INT) AS rho
             FROM verts
         ),
-        est0 AS ({est_of('st0')}),
-        h0 AS MATERIALIZED (
-            SELECT v, e, CAST(0.0 AS DOUBLE) AS h FROM est0
-        )"""
-    parts = [head]
+        est0 AS ({est_of('st0')})"""]
     for t in range(1, rounds + 1):
         p = t - 1
         parts.append(
@@ -4957,10 +4953,27 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
                 SELECT u.x AS v, s.reg, s.rho FROM und u JOIN st{p} s ON s.v = u.y
             ) GROUP BY v, reg
         ),
-        est{t} AS ({est_of(f'st{t}')}),
+        est{t} AS ({est_of(f'st{t}')})"""
+        )
+    return "".join(parts)
+
+
+def _hyperball_oracle_sql(rounds: int = 4) -> str:
+    """The harmonic accumulation over the shared register chain, mirroring
+    the engine's op order term by term."""
+    parts = [
+        _hyperball_cte_chain(rounds),
+        """,
+        h0 AS MATERIALIZED (
+            SELECT v, e, CAST(0.0 AS DOUBLE) AS h FROM est0
+        )""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
         h{t} AS MATERIALIZED (
             SELECT h.v, h.h + (est.e - h.e) / {t}.0 AS h, est.e AS e
-            FROM h{p} h JOIN est{t} est ON est.v = h.v
+            FROM h{t - 1} h JOIN est{t} est ON est.v = h.v
         )"""
         )
     parts.append(
@@ -4970,6 +4983,56 @@ def _hyperball_oracle_sql(rounds: int = 4) -> str:
     """
     )
     return "".join(parts)
+
+
+def _neighborhood_oracle_sql(rounds: int = 4, coverage: float = 0.9) -> str:
+    """Neighborhood function over the shared register chain: per-round
+    decimal-exact N(t) sums, then the interpolated effective diameter
+    with the engine's exact op order."""
+    parts = [_hyperball_cte_chain(rounds)]
+    for t in range(rounds + 1):
+        parts.append(
+            f""",
+        nf{t} AS MATERIALIZED (
+            SELECT CAST(sum(CAST(round(e, 6) AS DECIMAL(24,6))) AS DOUBLE) AS nf
+            FROM est{t}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT {t} AS t, nf FROM nf{t}" for t in range(rounds + 1)
+    )
+    parts.append(
+        f""",
+        nfs AS ({union}),
+        tgt AS (SELECT {coverage!r} * nf AS target FROM nf{rounds}),
+        ft AS (SELECT min(t) AS t FROM nfs, tgt WHERE nfs.nf >= tgt.target),
+        deff AS (
+            SELECT CASE WHEN ft.t = 0 THEN 0.0
+                   ELSE (ft.t - 1)
+                        + (tgt.target - (SELECT nf FROM nfs WHERE t = ft.t - 1))
+                          / ((SELECT nf FROM nfs WHERE t = ft.t)
+                             - (SELECT nf FROM nfs WHERE t = ft.t - 1))
+                   END AS d
+            FROM ft, tgt
+        )
+        SELECT CAST(nfs.t AS INT) AS t, nfs.nf, deff.d AS eff_diameter
+        FROM nfs, deff
+    """
+    )
+    return "".join(parts)
+
+
+def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function N(t) + 90%-effective diameter of the
+    supplier↔part graph (plans/graph_stats.hyperball_neighborhood) —
+    HyperBall's headline use (distance distributions at graph scale).
+    Per-vertex ball estimates quantize to round-6 decimals before the
+    corpus sum, so every N(t) and the interpolated diameter replay
+    bit-for-bit in the oracle's identical op order."""
+    from usearch_spark.plans.graph_stats import hyperball_neighborhood
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    return hyperball_neighborhood(v, e, rounds=4, coverage=0.9)
 
 
 def q_graph_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5931,6 +5994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": q_nation_trade_volume,
         "text_bigram_logprob": q_text_bigram_logprob,
         "sketch_cms_stream": q_sketch_cms_stream,
+        "graph_neighborhood": q_graph_neighborhood,
         "type_market_share": q_type_market_share,
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -6328,6 +6392,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_oracle_sql(5),
         "graph_partition_kway": _partition_kway_oracle_sql(4, 5),
         "graph_hyperball": _hyperball_oracle_sql(4),
+        "graph_neighborhood": _neighborhood_oracle_sql(4, 0.9),
         "graph_densest": _densest_oracle_sql(8, 0.1),
         "text_bigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

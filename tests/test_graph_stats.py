@@ -503,3 +503,32 @@ def test_densest_subgraph_finds_planted_clique(spark):
     assert abs(rows[0]["density"] - 4.5) < 1e-12
     again = sorted(r["id"] for r in densest_subgraph(v, e, rounds=8, eps=0.1).collect())
     assert again == ids
+
+
+def test_hyperball_neighborhood_curve(spark):
+    """Neighborhood function: N(t) is non-decreasing, N(0) tracks |V|
+    (every 0-ball is one vertex), the effective diameter lies in
+    [0, rounds] and is small on a dense random graph; deterministic."""
+    from usearch_spark.plans.graph_stats import hyperball_neighborhood
+
+    n = 150
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(41)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    rows = sorted(
+        (r["t"], r["nf"], r["eff_diameter"])
+        for r in hyperball_neighborhood(v, e, rounds=4).collect()
+    )
+    assert [t for t, _, _ in rows] == [0, 1, 2, 3, 4]
+    nfs = [nf for _, nf, _ in rows]
+    assert all(b >= a for a, b in zip(nfs, nfs[1:]))
+    assert 0.7 * n < nfs[0] < 1.4 * n  # small-range-corrected singletons
+    d = rows[0][2]
+    assert 0.0 <= d <= 4.0 and all(x[2] == d for x in rows)
+    again = sorted(
+        (r["t"], r["nf"], r["eff_diameter"])
+        for r in hyperball_neighborhood(v, e, rounds=4).collect()
+    )
+    assert again == rows

@@ -430,31 +430,33 @@ def hyperball_harmonic(
         return _hyperball_loop(v, und, rounds)
 
 
-def _hyperball_loop(v: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
+def _hll_estimate_frame(st: DataFrame) -> DataFrame:
+    """(v, e) ball estimates from a register state frame.  shiftleft's
+    Python API wants a literal bit count; the SQL form takes an
+    expression (and mirrors the oracle's `<<` exactly).  The estimator
+    itself is ONE shared SQL text (hll_estimate_sql) evaluated verbatim
+    by both engines."""
+    return st.groupBy("v").agg(
+        F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - rho))").alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("nreg"),
+    ).select("v", F.expr(hll_estimate_sql()).alias("e"))
+
+
+def _hll_states(v: DataFrame, und: DataFrame, rounds: int):
+    """Yield (t, register-state frame) for t = 0..rounds, each state
+    checkpointed.  DELTA propagation (Boldi & Vigna's systolic
+    optimization): only registers that IMPROVED last round ship along
+    edges this round — by monotonicity of max-combine the per-round
+    states are identical to full re-shipping, but late rounds (when most
+    balls have saturated) move a fraction of the register volume."""
     state = v.select(
         "v",
         F.expr(hll_reg_sql("v")).cast("int").alias("reg"),
         F.expr(hll_rho_sql("v")).cast("int").alias("rho"),
     ).localCheckpoint(eager=True)
-
-    def estimate(st: DataFrame) -> DataFrame:
-        # shiftleft's Python API wants a literal bit count; the SQL form
-        # takes an expression (and mirrors the oracle's `<<` exactly).
-        # The estimator itself is ONE shared SQL text (hll_estimate_sql)
-        # evaluated verbatim by both engines.
-        return st.groupBy("v").agg(
-            F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - rho))").alias(
-                "s_present"
-            ),
-            F.count(F.lit(1)).alias("nreg"),
-        ).select("v", F.expr(hll_estimate_sql()).alias("e"))
-
-    h = estimate(state).select("v", F.lit(0.0).alias("h"), F.col("e").alias("e_prev"))
-    # DELTA propagation (Boldi & Vigna's systolic optimization): only
-    # registers that IMPROVED last round ship along edges this round — by
-    # monotonicity of max-combine the per-round states are identical to
-    # full re-shipping, but late rounds (when most balls have saturated)
-    # move a fraction of the register volume.
+    yield 0, state
     delta = state
     for t in range(1, rounds + 1):
         shipped = und.join(delta.withColumnRenamed("v", "y"), "y").select(
@@ -478,7 +480,16 @@ def _hyperball_loop(v: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
         )
         state = merged.select("v", "reg", "rho")
         delta = merged.filter(F.col("_new")).select("v", "reg", "rho")
-        est = estimate(state)
+        yield t, state
+
+
+def _hyperball_loop(v: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
+    h = None
+    for t, state in _hll_states(v, und, rounds):
+        est = _hll_estimate_frame(state)
+        if t == 0:
+            h = est.select("v", F.lit(0.0).alias("h"), F.col("e").alias("e_prev"))
+            continue
         # h stays LAZY: the accumulation is a shallow chain of |rounds|
         # joins over |V|-row frames — checkpointing it per round cost one
         # extra action each (a third of the query's wall clock at sf0.1)
@@ -495,6 +506,60 @@ def _hyperball_loop(v: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
         F.round("h", 6).alias("harmonic_approx"),
         F.round("e_prev", 6).alias("ball_approx"),
     ).localCheckpoint(eager=True)
+
+
+def hyperball_neighborhood(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    coverage: float = 0.9,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The NEIGHBORHOOD FUNCTION and effective diameter — what HyperBall
+    was built for (Boldi & Vigna ran it on the Facebook graph for the
+    "four degrees of separation" result): N(t) = Σ_v |B(v,t)| estimated
+    per round from the same HLL register states as
+    :func:`hyperball_harmonic`, and the ``coverage``-effective diameter
+    = the interpolated t at which N(t) reaches coverage·N(rounds).
+
+    Returns one row per round: (t, nf, eff_diameter) with the diameter
+    as a constant column.  Per-vertex estimates quantize to round-6
+    decimals before the corpus-wide sum, so N(t) is order-independent
+    and the whole curve replays in the oracle; the interpolation
+    d = (t−1) + (cov·N(R) − N(t−1)) / (N(t) − N(t−1)) mirrors the
+    oracle's op order exactly.  The per-round scalar collect is
+    metadata-scale (one decimal per round)."""
+    from usearch_spark.plans.iterative import loop_tuned_session
+
+    spark = vertices.sparkSession
+    v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"]).localCheckpoint(
+        eager=True
+    )
+    e = canonical_edges(edges, src, dst)
+    und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).localCheckpoint(eager=True)
+    nf: list[float] = []
+    with loop_tuned_session(spark, v.count() * HLL_M) as _:
+        for t, state in _hll_states(v, und, rounds):
+            dec = (
+                _hll_estimate_frame(state)
+                .agg(F.sum(F.round("e", 6).cast("decimal(24,6)")).alias("nf"))
+                .first()["nf"]
+            )
+            nf.append(float(dec))  # decimal -> double, correctly rounded
+    target = coverage * nf[rounds]
+    t_star = next(t for t in range(rounds + 1) if nf[t] >= target)
+    if t_star == 0:
+        d_eff = 0.0
+    else:
+        d_eff = (t_star - 1) + (target - nf[t_star - 1]) / (nf[t_star] - nf[t_star - 1])
+    return spark.createDataFrame(
+        [(t, nf[t], d_eff) for t in range(rounds + 1)],
+        "t int, nf double, eff_diameter double",
+    )
 
 
 def densest_subgraph(
