@@ -30,3 +30,31 @@ def test_csv_roundtrip_exact(spark, tmp_path):
     _df(spark).write.option("header", True).csv(p)
     back = spark.read.schema(SCHEMA).option("header", True).csv(p)
     assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_orc_roundtrip_exact(spark, tmp_path):
+    """ORC is the third columnar format Spark ships natively; same exact
+    round-trip contract as parquet (plus predicate pushdown on read)."""
+    p = str(tmp_path / "o")
+    _df(spark).write.orc(p)
+    back = spark.read.schema(SCHEMA).orc(p)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+    pushed = spark.read.schema(SCHEMA).orc(p).filter(F.col("id") >= 3)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,3)" in plan
+    assert sorted(r["id"] for r in pushed.collect()) == [3, 4]
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    """Hive-layout partitioned write/read: partition column round-trips
+    through the directory name and prunes on read."""
+    p = str(tmp_path / "part")
+    _df(spark).withColumn("bucket", F.col("id") % 2).write.partitionBy(
+        "bucket"
+    ).parquet(p)
+    back = spark.read.parquet(p)
+    assert back.count() == len(ROWS)
+    pruned = back.filter(F.col("bucket") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3]
