@@ -3339,6 +3339,76 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.col("value").alias("community")).orderBy("id")
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the gated label-propagation communities on the
+    nation graph (plans/graph_stats.modularity): per-community
+    Q-contributions plus the global Q — the quality score that closes the
+    community-detection loop (detect → measure).  The oracle replays the
+    LP rounds AND the modularity arithmetic; contributions quantize to
+    round-12 decimals before the global sum, so Q is order-independent."""
+    from usearch_spark.plans.graph_stats import modularity
+    from usearch_spark.plans.pregel import label_propagation
+
+    v, e = _nation_graph(spark, sf_dir)
+    comm = (
+        label_propagation(v, e, rounds=4)
+        .state.select("id", F.col("value").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    return modularity(comm, e)
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """LP chain (from _label_prop_oracle_sql) + the modularity arithmetic
+    in the engine's exact op order."""
+    base = _label_prop_oracle_sql(rounds)
+    head, _, _ = base.rpartition("SELECT id, lbl AS community FROM")
+    return (
+        head
+        + f""",
+        comm AS (SELECT id AS v, lbl AS c FROM l{rounds}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst
+        ),
+        mm AS (SELECT count(*) AS m FROM und),
+        internal AS (
+            SELECT ca.c, count(*) AS internal_edges
+            FROM und
+            JOIN comm ca ON ca.v = und.a
+            JOIN comm cb ON cb.v = und.b
+            WHERE ca.c = cb.c
+            GROUP BY ca.c
+        ),
+        deg AS (
+            SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY v
+        ),
+        dsum AS (
+            SELECT comm.c, count(*) AS n_members,
+                   CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS degree_sum
+            FROM comm LEFT JOIN deg ON deg.v = comm.v
+            GROUP BY comm.c
+        ),
+        per AS (
+            SELECT dsum.c AS community, dsum.n_members,
+                   coalesce(internal.internal_edges, 0) AS internal_edges,
+                   dsum.degree_sum,
+                   round(coalesce(internal.internal_edges, 0) / mm.m
+                         - (dsum.degree_sum / (2 * mm.m))
+                           * (dsum.degree_sum / (2 * mm.m)), 12) AS q_contrib
+            FROM dsum LEFT JOIN internal ON internal.c = dsum.c, mm
+        ),
+        tot AS (
+            SELECT CAST(sum(CAST(q_contrib AS DECIMAL(16,12))) AS DOUBLE) AS modularity
+            FROM per
+        )
+        SELECT per.*, tot.modularity FROM per, tot
+    """
+    )
+
+
 def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite projection: the 50 supplier pairs sharing the most parts
     (plans/graph_stats.project_bipartite — co-occurrence with the hub-cap
@@ -6028,6 +6098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         # --- gated r5 but RED (hash) — re-gate the decimal-exact fix ---
         "embedding_covariance": q_embedding_covariance,
+        # --- new r6, queued BEHIND the re-gates (first driver row in r7
+        #     if the 50-window is full this round) ---
+        "graph_modularity": q_graph_modularity,
         # --- least-recently gated (round 3) ---
         "pricing_summary": q_pricing_summary,
         "link_range_scan": q_link_range_scan,
@@ -8752,6 +8825,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(30, 4),
         "graph_hits": _hits_oracle_sql(5),
         "graph_label_prop": _label_prop_oracle_sql(4),
+        "graph_modularity": _modularity_oracle_sql(4),
         "supplier_cooccurrence": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d

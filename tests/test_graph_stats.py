@@ -532,3 +532,23 @@ def test_hyperball_neighborhood_curve(spark):
         for r in hyperball_neighborhood(v, e, rounds=4).collect()
     )
     assert again == rows
+
+
+def test_modularity_known_anchors(spark):
+    """Closed-form anchors: two disjoint equal cliques with their natural
+    communities give Q = 0.5; everything in ONE community gives Q = 0;
+    per-community columns reconcile."""
+    from usearch_spark.plans.graph_stats import modularity
+
+    cl = [(f"{p}{i}", f"{p}{j}") for p in ("x", "y") for i in range(4) for j in range(i + 1, 4)]
+    e = spark.createDataFrame(cl, "src string, dst string")
+    good = spark.createDataFrame(
+        [(f"{p}{i}", p) for p in ("x", "y") for i in range(4)], "id string, community string"
+    )
+    rows = modularity(good, e).collect()
+    assert abs(rows[0]["modularity"] - 0.5) < 1e-9
+    for r in rows:
+        assert r["n_members"] == 4 and r["internal_edges"] == 6 and r["degree_sum"] == 12
+    one = good.select("id", F.lit("all").alias("community"))
+    rows1 = modularity(one, e).collect()
+    assert abs(rows1[0]["modularity"]) < 1e-9

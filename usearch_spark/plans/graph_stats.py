@@ -562,6 +562,81 @@ def hyperball_neighborhood(
     )
 
 
+def modularity(
+    communities: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    community_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a community assignment over the undirected
+    edge set: Q = Σ_c [ e_c/m − (d_c/(2m))² ] — the standard quality
+    score for any partitioner's output (label propagation, k-way parts,
+    dedup clusters).  Returns one row per community
+    (community, n_members, internal_edges, degree_sum, q_contrib) with
+    the global Q as a constant ``modularity`` column.
+
+    Scale shape: two joins of the edge list against the (vertex →
+    community) map plus two narrow aggs — nothing quadratic; the
+    community map broadcasts when small.  Hash-gate determinism: each
+    community's contribution is computed with one fixed op chain of
+    integer-derived doubles and quantized to a round-12 decimal before
+    the global sum, so Q is order-independent.
+    """
+    und = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    m = und.count()
+    comm = communities.select(
+        F.col(id_col).alias("v"), F.col(community_col).alias("c")
+    )
+    ca = comm.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    cb = comm.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    tagged = und.join(ca, "a").join(cb, "b")
+    internal = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dsum = (
+        comm.join(deg, "v", "left")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("degree_sum"),
+        )
+    )
+    per = (
+        dsum.join(internal, "c", "left")
+        .select(
+            F.col("c").alias("community"),
+            "n_members",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+        )
+        .withColumn(
+            "q_contrib",
+            F.round(
+                F.col("internal_edges") / F.lit(m)
+                - (F.col("degree_sum") / F.lit(2 * m))
+                * (F.col("degree_sum") / F.lit(2 * m)),
+                12,
+            ),
+        )
+    )
+    total = per.agg(
+        F.sum(F.col("q_contrib").cast("decimal(16,12)"))
+        .cast("double")
+        .alias("modularity")
+    )
+    return per.crossJoin(F.broadcast(total))
+
+
 def densest_subgraph(
     vertices: DataFrame,
     edges: DataFrame,
