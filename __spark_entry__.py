@@ -6006,6 +6006,19 @@ def q_topic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(kmeans_fixed(emb, k=4, iters=2))
 
 
+def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary
+    (operators/text_analysis.zipf_fit): ln(freq) ~ ln(rank) least squares
+    on the top-100 terms — the distribution-health diagnostic (natural
+    text sits near slope −1).  Regression sums are round-8 decimal-exact
+    and the slope's numerator/denominator stay in lossless decimal until
+    one double division (the covariance pattern), so the oracle replays
+    the ranking AND the fit."""
+    from usearch_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency score with Jelinek-Mercer unigram interpolation
     (operators/text_analysis.bigram_logprob): per-document mean
@@ -6101,6 +6114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new r6, queued BEHIND the re-gates (first driver row in r7
         #     if the 50-window is full this round) ---
         "graph_modularity": q_graph_modularity,
+        "vocab_zipf": q_vocab_zipf,
         # --- least-recently gated (round 3) ---
         "pricing_summary": q_pricing_summary,
         "link_range_scan": q_link_range_scan,
@@ -6467,6 +6481,55 @@ def oracle_sql() -> dict[str, str]:
         "graph_hyperball": _hyperball_oracle_sql(4),
         "graph_neighborhood": _neighborhood_oracle_sql(4, 0.9),
         "graph_densest": _densest_oracle_sql(8, 0.1),
+        "vocab_zipf": f"""
+            WITH tf AS (
+                SELECT term, count(*) AS freq
+                FROM (SELECT unnest({_TOKS}) AS term FROM documents) GROUP BY term
+            ),
+            top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 100),
+            ranked AS (
+                SELECT term, freq,
+                       row_number() OVER (ORDER BY freq DESC, term) AS rank
+                FROM top
+            ),
+            pts AS (
+                SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+                       ln(CAST(freq AS DOUBLE)) AS y
+                FROM ranked
+            ),
+            sums AS (
+                SELECT count(*) AS n,
+                       sum(CAST(round(x, 8) AS DECIMAL(19,8))) AS sx,
+                       sum(CAST(round(y, 8) AS DECIMAL(19,8))) AS sy,
+                       sum(CAST(round(x * y, 8) AS DECIMAL(19,8))) AS sxy,
+                       sum(CAST(round(x * x, 8) AS DECIMAL(19,8))) AS sxx
+                FROM pts
+            ),
+            fit AS (
+                SELECT
+                    round(CAST(CAST(CAST(sxy AS DECIMAL(19,8)) * CAST(n AS DECIMAL(10,0))
+                                    AS DECIMAL(38,16))
+                               - CAST(sx AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(19,8))
+                               AS DOUBLE)
+                          / CAST(CAST(CAST(sxx AS DECIMAL(19,8)) * CAST(n AS DECIMAL(10,0))
+                                      AS DECIMAL(38,16))
+                                 - CAST(sx AS DECIMAL(19,8)) * CAST(sx AS DECIMAL(19,8))
+                                 AS DOUBLE), 6) AS slope,
+                    round((CAST(sy AS DOUBLE)
+                           - (CAST(CAST(CAST(sxy AS DECIMAL(19,8)) * CAST(n AS DECIMAL(10,0))
+                                        AS DECIMAL(38,16))
+                                   - CAST(sx AS DECIMAL(19,8)) * CAST(sy AS DECIMAL(19,8))
+                                   AS DOUBLE)
+                              / CAST(CAST(CAST(sxx AS DECIMAL(19,8)) * CAST(n AS DECIMAL(10,0))
+                                          AS DECIMAL(38,16))
+                                     - CAST(sx AS DECIMAL(19,8)) * CAST(sx AS DECIMAL(19,8))
+                                     AS DOUBLE))
+                             * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+                FROM sums
+            )
+            SELECT ranked.rank, ranked.term, ranked.freq, fit.slope, fit.intercept
+            FROM ranked, fit WHERE rank <= 10
+        """,
         "text_bigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             bi AS (

@@ -182,3 +182,23 @@ def test_bigram_logprob_ranks_fluency(spark):
     assert got[1][1] > got[4][1]
     again = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in bigram_logprob(docs).collect()}
     assert again == got
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A synthetic corpus with freq(rank) = 1000/rank must fit slope ~ -1
+    with intercept ~ ln(1000); ranking is (freq desc, term) deterministic."""
+    import math
+
+    from usearch_spark.operators.text_analysis import zipf_fit
+
+    words = []
+    for i in range(1, 51):
+        words += [f"w{i:03d}"] * round(1000 / i)
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = zipf_fit(docs, top_n=50, show_top=5).collect()
+    assert len(rows) == 5
+    assert rows[0]["slope"] == rows[4]["slope"]
+    assert abs(rows[0]["slope"] + 1.0) < 0.02, rows[0]["slope"]
+    assert abs(rows[0]["intercept"] - math.log(1000)) < 0.05
+    top = {r["rank"]: (r["term"], r["freq"]) for r in rows}
+    assert top[1] == ("w001", 1000) and top[2] == ("w002", 500)

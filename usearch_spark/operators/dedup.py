@@ -576,7 +576,10 @@ def substring_containment_pairs(
     Docs shorter than ``k`` have no k-gram; they are few and tiny by
     construction, so they broadcast and verify directly against every
     doc (a map-side contains(), no shuffle).  Self-pairs and duplicate
-    candidates are removed; equal texts yield both directions.
+    candidates are removed; equal texts yield both directions.  An
+    EMPTY text is (vacuously) contained in every other doc — Spark's
+    instr(x, '') = 1 and DuckDB's contains(x, '') agree, so the edge is
+    engine-consistent.
     """
     from usearch_spark.session import spread_small_scan
 

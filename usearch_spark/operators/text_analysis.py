@@ -466,6 +466,82 @@ def bigram_logprob(
     )
 
 
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    show_top: int = 10,
+) -> DataFrame:
+    """Zipf's-law diagnostic of the corpus vocabulary: least-squares fit
+    of ln(freq) against ln(rank) over the ``top_n`` most frequent terms —
+    natural corpora sit near slope −1; synthetic/templated or
+    deduplicated-to-death corpora drift away, making the slope a cheap
+    distribution-health signal for a training-data pipeline.
+
+    Returns the ``show_top`` head of the rank table (rank, term, freq)
+    with the fitted ``slope`` and ``intercept`` as constant columns.
+
+    Determinism (the covariance trick applied to regression): the point
+    coordinates x = ln(rank), y = ln(freq) are engine-portable doubles;
+    every regression sum (Sx, Sy, Sxy, Sxx) quantizes round-8 to DECIMAL
+    before summation, and the slope numerator/denominator
+    n·Sxy − Sx·Sy / n·Sxx − Sx² are computed entirely in lossless
+    decimal (the embedding_covariance type sizing) with ONE double
+    division at the end — bit-identical on any engine.  The rank window
+    runs over the top_n frame only (bounded by the TakeOrdered before
+    it), never the vocabulary.
+    """
+    tf = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(top_n)
+    from pyspark.sql import Window
+
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "term"))
+    ).localCheckpoint(eager=True)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    dec = lambda c: F.round(c, 8).cast("decimal(18,8)")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).alias("sx"),
+        F.sum(dec(y)).alias("sy"),
+        F.sum(dec(x * y)).alias("sxy"),
+        F.sum(dec(x * x)).alias("sxx"),
+    )
+    # Spark operands stay (18,8) so every product/difference is lossless
+    # ((18,8)^2 -> (37,16), no precision-loss adjustment); the DuckDB
+    # oracle uses (19,8)/(38,16) instead — width > 18 forces its int128
+    # decimal lane (int64 multiplication overflows), and both chains are
+    # exact so the VALUES agree even though the type names differ
+    nd = F.col("n").cast("decimal(10,0)")
+    num = (F.col("sxy").cast("decimal(18,8)") * nd).cast("decimal(37,16)") - F.col(
+        "sx"
+    ).cast("decimal(18,8)") * F.col("sy").cast("decimal(18,8)")
+    den = (F.col("sxx").cast("decimal(18,8)") * nd).cast("decimal(37,16)") - F.col(
+        "sx"
+    ).cast("decimal(18,8)") * F.col("sx").cast("decimal(18,8)")
+    fit = sums.select(
+        (num.cast("double") / den.cast("double")).alias("_slope"),
+        F.col("sy").cast("double").alias("_sy"),
+        F.col("sx").cast("double").alias("_sx"),
+        F.col("n").alias("_n"),
+    ).select(
+        F.round("_slope", 6).alias("slope"),
+        F.round(
+            (F.col("_sy") - F.col("_slope") * F.col("_sx")) / F.col("_n"), 6
+        ).alias("intercept"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= show_top)
+        .select("rank", "term", "freq")
+        .crossJoin(F.broadcast(fit))
+    )
+
+
 def top_collocations(
     docs: DataFrame,
     id_col: str = "doc_id",

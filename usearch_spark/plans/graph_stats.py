@@ -583,6 +583,10 @@ def modularity(
     community's contribution is computed with one fixed op chain of
     integer-derived doubles and quantized to a round-12 decimal before
     the global sum, so Q is order-independent.
+
+    ``communities`` must COVER every edge endpoint (any partitioner's
+    total assignment does): an edge with an unmapped endpoint silently
+    drops from the internal-edge count via the inner join, skewing Q.
     """
     und = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     m = und.count()
