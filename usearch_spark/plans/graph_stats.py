@@ -382,6 +382,7 @@ def hyperball_harmonic(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    states_hint: list | None = None,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013): approximate harmonic centrality
     for EVERY vertex via HyperLogLog-counter BFS —
@@ -413,8 +414,39 @@ def hyperball_harmonic(
         result is bit-identical.
 
     Returns (id, harmonic_approx, ball_approx) with both estimates
-    rounded at 6.
+    rounded at 6.  ``states_hint``: pre-materialized register states from
+    :func:`hll_register_states`, so callers running several
+    HyperBall-family queries on the same graph pay the register BFS once.
     """
+    from usearch_spark.plans.iterative import loop_tuned_session
+
+    states = states_hint if states_hint is not None else hll_register_states(
+        vertices, edges, rounds, id_col, src, dst
+    )
+    with loop_tuned_session(vertices.sparkSession, _states_rows(states)) as _:
+        return _hyperball_loop(states)
+
+
+def _states_rows(states) -> int:
+    """Shuffle-sizing hint for the accumulation joins: the register-state
+    row count of the final round (already materialized — count is
+    metadata-cheap on a checkpointed frame)."""
+    return states[-1][1].count()
+
+
+def hll_register_states(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> list:
+    """Materialize the per-round HLL register states ONCE as a list of
+    (t, checkpointed frame) — the expensive register-BFS shared by
+    :func:`hyperball_harmonic` and :func:`hyperball_neighborhood` (pass
+    the list via ``states_hint``, the same share-the-corpus-pass pattern
+    as the covariance/PCA trio)."""
     from usearch_spark.plans.iterative import loop_tuned_session
 
     v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"]).localCheckpoint(
@@ -427,7 +459,7 @@ def hyperball_harmonic(
     # per-round work is |V|*m register rows — size the shuffle to it (the
     # default partition count turns each tiny round into scheduling floor)
     with loop_tuned_session(v.sparkSession, v.count() * HLL_M) as _:
-        return _hyperball_loop(v, und, rounds)
+        return list(_hll_states(v, und, rounds))
 
 
 def _hll_estimate_frame(st: DataFrame) -> DataFrame:
@@ -483,9 +515,9 @@ def _hll_states(v: DataFrame, und: DataFrame, rounds: int):
         yield t, state
 
 
-def _hyperball_loop(v: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
+def _hyperball_loop(states: list) -> DataFrame:
     h = None
-    for t, state in _hll_states(v, und, rounds):
+    for t, state in states:
         est = _hll_estimate_frame(state)
         if t == 0:
             h = est.select("v", F.lit(0.0).alias("h"), F.col("e").alias("e_prev"))
@@ -516,6 +548,7 @@ def hyperball_neighborhood(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    states_hint: list | None = None,
 ) -> DataFrame:
     """The NEIGHBORHOOD FUNCTION and effective diameter — what HyperBall
     was built for (Boldi & Vigna ran it on the Facebook graph for the
@@ -530,20 +563,18 @@ def hyperball_neighborhood(
     and the whole curve replays in the oracle; the interpolation
     d = (t−1) + (cov·N(R) − N(t−1)) / (N(t) − N(t−1)) mirrors the
     oracle's op order exactly.  The per-round scalar collect is
-    metadata-scale (one decimal per round)."""
+    metadata-scale (one decimal per round).  ``states_hint``: share the
+    register BFS with :func:`hyperball_harmonic` via
+    :func:`hll_register_states`."""
     from usearch_spark.plans.iterative import loop_tuned_session
 
     spark = vertices.sparkSession
-    v = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"]).localCheckpoint(
-        eager=True
+    states = states_hint if states_hint is not None else hll_register_states(
+        vertices, edges, rounds, id_col, src, dst
     )
-    e = canonical_edges(edges, src, dst)
-    und = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
-        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    ).localCheckpoint(eager=True)
     nf: list[float] = []
-    with loop_tuned_session(spark, v.count() * HLL_M) as _:
-        for t, state in _hll_states(v, und, rounds):
+    with loop_tuned_session(spark, _states_rows(states)) as _:
+        for t, state in states:
             dec = (
                 _hll_estimate_frame(state)
                 .agg(F.sum(F.round("e", 6).cast("decimal(24,6)")).alias("nf"))
