@@ -552,3 +552,27 @@ def test_modularity_known_anchors(spark):
     one = good.select("id", F.lit("all").alias("community"))
     rows1 = modularity(one, e).collect()
     assert abs(rows1[0]["modularity"]) < 1e-9
+
+
+def test_hyperball_states_hint_parity(spark):
+    """Passing pre-materialized register states must not change either
+    consumer's output (the share-the-pass contract)."""
+    from usearch_spark.plans.graph_stats import (
+        hll_register_states,
+        hyperball_harmonic,
+        hyperball_neighborhood,
+    )
+
+    n = 80
+    e = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), F.pmod(F.xxhash64("id", F.lit(47)), F.lit(n))).alias("dst"),
+    )
+    v = spark.range(n).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    states = hll_register_states(v, e, rounds=3)
+    a = sorted(map(tuple, hyperball_harmonic(v, e, rounds=3).collect()))
+    b = sorted(map(tuple, hyperball_harmonic(v, e, rounds=3, states_hint=states).collect()))
+    assert a == b
+    c = sorted(map(tuple, hyperball_neighborhood(v, e, rounds=3).collect()))
+    d = sorted(map(tuple, hyperball_neighborhood(v, e, rounds=3, states_hint=states).collect()))
+    assert c == d
