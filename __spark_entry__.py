@@ -3391,20 +3391,43 @@ def _modularity_oracle_sql(rounds: int = 4) -> str:
             FROM comm LEFT JOIN deg ON deg.v = comm.v
             GROUP BY comm.c
         ),
-        per AS (
+        perq AS (
+            -- exact-integer round-12 (mirrors plans/graph_stats.modularity):
+            -- num_u = (4m*1e12)*e_c - 1e12*d_c^2, half-away division by 4m^2
             SELECT dsum.c AS community, dsum.n_members,
                    coalesce(internal.internal_edges, 0) AS internal_edges,
                    dsum.degree_sum,
-                   round(coalesce(internal.internal_edges, 0) / mm.m
-                         - (dsum.degree_sum / (2 * mm.m))
-                           * (dsum.degree_sum / (2 * mm.m)), 12) AS q_contrib
+                   (CASE WHEN 4::HUGEINT * mm.m * 1000000000000::HUGEINT
+                                 * coalesce(internal.internal_edges, 0)
+                             - 1000000000000::HUGEINT
+                                 * dsum.degree_sum * dsum.degree_sum < 0
+                         THEN -1 ELSE 1 END)
+                   * (abs(4::HUGEINT * mm.m * 1000000000000::HUGEINT
+                              * coalesce(internal.internal_edges, 0)
+                          - 1000000000000::HUGEINT
+                              * dsum.degree_sum * dsum.degree_sum)
+                          // (4::HUGEINT * mm.m * mm.m)
+                      + CASE WHEN 2 * (abs(4::HUGEINT * mm.m * 1000000000000::HUGEINT
+                                               * coalesce(internal.internal_edges, 0)
+                                           - 1000000000000::HUGEINT
+                                               * dsum.degree_sum * dsum.degree_sum)
+                                       % (4::HUGEINT * mm.m * mm.m))
+                                  >= 4::HUGEINT * mm.m * mm.m
+                             THEN 1 ELSE 0 END) AS q12
             FROM dsum LEFT JOIN internal ON internal.c = dsum.c, mm
         ),
+        per AS (
+            SELECT community, n_members, internal_edges, degree_sum,
+                   CAST(q12 AS DOUBLE) / 1000000000000.0 AS q_contrib, q12
+            FROM perq
+        ),
         tot AS (
-            SELECT CAST(sum(CAST(q_contrib AS DECIMAL(16,12))) AS DOUBLE) AS modularity
+            SELECT CAST(sum(q12) AS DOUBLE) / 1000000000000.0 AS modularity
             FROM per
         )
-        SELECT per.*, tot.modularity FROM per, tot
+        SELECT community, n_members, internal_edges, degree_sum, q_contrib,
+               tot.modularity
+        FROM per, tot
     """
     )
 
@@ -3689,13 +3712,20 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
-    """Power iteration unrolled on the covariance CTE: w_{t+1} = C·v_t,
-    v_{t+1} = w/‖w‖₂, starting from the uniform unit vector."""
-    import math
-
-    v0 = repr(1.0 / math.sqrt(d))
-    head = f"""
+def _cov_cte_sql() -> str:
+    """Shared DuckDB CTE chain `x, p, s, nn, u, c` ending in the round-6
+    covariance matrix `c(i, j, cov)` — the exact mirror of
+    ``operators/similarity.embedding_covariance``: the centered numerator
+    N·Sij − Si·Sj is carried as HUGEINT units of 1e-16 (the inputs are
+    round-8 decimals, so the units are exact integers), round-6 of
+    num/N² is an integer long division with a half-away-from-zero bump
+    (2·remainder vs divisor), and only the small final integer q casts
+    to double for the single IEEE divide by 1e6.  No double is rounded
+    anywhere, so no cross-engine rounding boundary exists (the r5–r7
+    red-cell class).  The 1e8 shifts multiply by a BIGINT so DuckDB
+    widens to DECIMAL(37,8) (a DECIMAL(9,0) multiplier keeps width 18
+    and overflows); casts to HUGEINT are of integral values, so exact."""
+    return """
         WITH x AS (
             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                    unnest(embedding)::DOUBLE AS xi
@@ -3708,16 +3738,38 @@ def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
             GROUP BY a.i, b.i
         ),
         s AS (SELECT i, sum(CAST(round(xi, 8) AS DECIMAL(26,8))) AS si FROM x GROUP BY i),
-        nn AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS nd,
-                      CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-        c AS MATERIALIZED (
+        nn AS (SELECT count(*) AS n FROM embeddings),
+        u AS (
             SELECT p.i, p.j,
-                   round(CAST(CAST(CAST(p.sij AS DECIMAL(18,8)) * nn.nd AS DECIMAL(37,16))
-                              - CAST(sa.si AS DECIMAL(18,8)) * CAST(sb.si AS DECIMAL(18,8))
-                              AS DOUBLE)
-                         / (nn.n * nn.n), 6) AS cov
+                   CAST(nn.n AS HUGEINT) * 100000000::HUGEINT
+                       * CAST(CAST(p.sij AS DECIMAL(18,8)) * 100000000::BIGINT AS HUGEINT)
+                   - CAST(CAST(sa.si AS DECIMAL(18,8)) * 100000000::BIGINT AS HUGEINT)
+                     * CAST(CAST(sb.si AS DECIMAL(18,8)) * 100000000::BIGINT AS HUGEINT)
+                       AS num_u,
+                   CAST(nn.n AS HUGEINT) * CAST(nn.n AS HUGEINT)
+                       * 10000000000::HUGEINT AS d_u
             FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn
         ),
+        c AS MATERIALIZED (
+            SELECT i, j,
+                   CAST((CASE WHEN num_u < 0 THEN -1 ELSE 1 END)
+                        * (abs(num_u) // d_u
+                           + CASE WHEN 2 * (abs(num_u) % d_u) >= d_u
+                             THEN 1 ELSE 0 END)
+                        AS DOUBLE) / 1000000.0 AS cov
+            FROM u
+        )
+    """
+
+
+def _pca_oracle_sql(iters: int = 8, d: int = 64) -> str:
+    """Power iteration unrolled on the covariance CTE: w_{t+1} = C·v_t,
+    v_{t+1} = w/‖w‖₂, starting from the uniform unit vector."""
+    import math
+
+    v0 = repr(1.0 / math.sqrt(d))
+    head = f"""
+        {_cov_cte_sql()},
         v0 AS (SELECT DISTINCT i, {v0} AS w FROM c)
     """
     parts = [head]
@@ -5945,11 +5997,14 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING dedup-against-corpus (streaming/dedup.
     dedup_stream_against_index): docs 400-499 arrive as two replayed
     micro-batch files; each foreachBatch hashes only its own docs and
-    probes the persisted corpus index (doc_id < 400), appending verdicts
-    to a parquet sink.  After the stream drains, a SECOND query on the
-    same checkpoint runs — restart-resume must append NOTHING (ST4
-    frontier semantics), so the hash gate pins exactly-once delivery:
-    any reprocessing would duplicate sink rows and break the row count.
+    probes the persisted corpus index (doc_id < 400), writing verdicts
+    to an epoch-keyed sink partition (idempotent overwrite — a
+    crash-replayed epoch rewrites its own partition instead of
+    double-appending).  After the stream drains, a SECOND query on the
+    same checkpoint runs — restart-resume must add NOTHING (ST4
+    frontier semantics), so the hash gate pins the exactly-once effect:
+    any reprocessing of uncommitted files would re-emit epochs, and a
+    non-idempotent sink would break the row count.
     Batch-vs-corpus probes are per-doc independent, so the union of the
     two micro-batches equals the one-shot batch probe and the query
     shares dedup_incremental's oracle verbatim."""
@@ -5990,8 +6045,9 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     out = (
-        spark.read.schema("batch_id long, corpus_id long, jaccard double")
+        spark.read.schema("batch_id long, corpus_id long, jaccard double, epoch_id int")
         .parquet(sink)
+        .select("batch_id", "corpus_id", "jaccard")
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(run, ignore_errors=True)
@@ -6074,71 +6130,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds: (1) queries new this
-    round (r6), (2) the 27 entries no driver gate has ever recorded,
-    (3) embedding_covariance — gated r5 but RED (the one hash mismatch),
-    re-front-loaded so r6 records the fixed version, (4) entries last
-    gated in round 3, (5) round 4, (6) round 5.  Relative order inside
-    each group is unchanged."""
+    cap sweeps the whole surface across rounds.  Round-8 rotation:
+    (1) the four queries whose CODE changed this round — the
+    exact-integer embedding_covariance fix (driver-red r5-r7), the
+    exact-decimal graph_modularity hardening, and the two streaming
+    queries whose sinks became crash-replay idempotent; (2) the round-3
+    cohort (last driver gate three windows ago — 47 entries, 46 fit);
+    (3) round-4, (4) round-5, (5) round-7 cohorts, least-recently gated
+    first, original relative order inside each group.  Entries past 50
+    get their next gate in round 9 (the window advances every round;
+    position math: qs.index(name) < 50 is the gated set)."""
     return {
-        # --- new this round (r6, never gated) ---
-        "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
-        "graph_partition_kway": q_graph_partition_kway,
-        "graph_hyperball": q_graph_hyperball,
-        "dedup_stream": q_dedup_stream,
-        "dedup_substring": q_dedup_substring,
-        "sketch_hll_users": q_sketch_hll_users,
-        "events_partition_pruned": q_events_partition_pruned,
-        "doc_tfidf_pairs": q_doc_tfidf_pairs,
-        "graph_densest": q_graph_densest,
-        "salted_join_revenue": q_salted_join_revenue,
-        # r6: first-ever FULL-oracle gates for the ANN probes (previously
-        # rows-only) — re-front-loaded like a new query
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
-        "nation_trade_volume": q_nation_trade_volume,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "sketch_cms_stream": q_sketch_cms_stream,
-        "graph_neighborhood": q_graph_neighborhood,
-        "type_market_share": q_type_market_share,
-        "returned_revenue": q_returned_revenue,
-        "large_orders": q_large_orders,
-        # --- never reached by any driver gate (r3/r4/r5 50-caps) ---
-        "orders_monthly_growth": q_orders_monthly_growth,
-        "region_revenue_share": q_region_revenue_share,
-        "user_first_last": q_user_first_last,
-        "user_modal_event": q_user_modal_event,
-        "part_price_histogram": q_part_price_histogram,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "sql_grouping_sets": q_sql_grouping_sets,
-        "events_dow_heatmap": q_events_dow_heatmap,
-        "customer_running_spend": q_customer_running_spend,
-        "balance_quartiles": q_balance_quartiles,
-        "brand_basket_lift": q_brand_basket_lift,
-        "ship_latency": q_ship_latency,
-        "cube_revenue": q_cube_revenue,
-        "returning_customers": q_returning_customers,
-        "events_funnel": q_events_funnel,
-        "corpus_chunks": q_corpus_chunks,
-        "events_median": q_events_median,
-        "orders_reconcile": q_orders_reconcile,
-        "events_hourly_stream": q_events_hourly_stream,
-        "corpus_split": q_corpus_split,
-        "embedding_quantize": q_embedding_quantize,
-        "events_twa": q_events_twa,
-        "event_transitions": q_event_transitions,
-        "graph_label_prop": q_graph_label_prop,
-        "supplier_cooccurrence": q_supplier_cooccurrence,
-        "doc_keywords": q_doc_keywords,
-        "events_anomaly": q_events_anomaly,
-        # --- gated r5 but RED (hash) — re-gate the decimal-exact fix ---
+        # --- changed this round: re-gate first ---
         "embedding_covariance": q_embedding_covariance,
-        # --- new r6, queued BEHIND the re-gates (first driver row in r7
-        #     if the 50-window is full this round) ---
         "graph_modularity": q_graph_modularity,
-        "vocab_zipf": q_vocab_zipf,
-        # --- least-recently gated (round 3) ---
-        "pricing_summary": q_pricing_summary,
+        "dedup_stream": q_dedup_stream,
+        "sketch_cms_stream": q_sketch_cms_stream,
+        # --- round-3 cohort (last gated r03) ---
         "link_range_scan": q_link_range_scan,
         "point_lookup": q_point_lookup,
         "upsert_latest": q_upsert_latest,
@@ -6185,8 +6193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
+        # ---------- 50-entry window boundary (round 8) ----------
         "text_analyze": q_text_analyze,
-        # --- most-recently gated (round 4) ---
+        # --- round-4 cohort ---
         "text_repetition": q_text_repetition,
         "text_logprob": q_text_logprob,
         "dedup_semantic": q_dedup_semantic,
@@ -6237,7 +6246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "text_readability": q_text_readability,
         "events_gap_stats": q_events_gap_stats,
-        # --- most-recently gated (round 5) ---
+        # --- round-5 cohort ---
         "sessionize_stateful": q_sessionize_stateful,
         "graph_coreness": q_graph_coreness,
         "dedup_eval_sampled": q_dedup_eval_sampled,
@@ -6287,6 +6296,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_rate": q_events_error_rate,
         "discount_bands": q_discount_bands,
         "supplier_reach": q_supplier_reach,
+        # --- round-7 cohort (freshest) ---
+        "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
+        "graph_partition_kway": q_graph_partition_kway,
+        "graph_hyperball": q_graph_hyperball,
+        "dedup_substring": q_dedup_substring,
+        "sketch_hll_users": q_sketch_hll_users,
+        "events_partition_pruned": q_events_partition_pruned,
+        "doc_tfidf_pairs": q_doc_tfidf_pairs,
+        "graph_densest": q_graph_densest,
+        "salted_join_revenue": q_salted_join_revenue,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "nation_trade_volume": q_nation_trade_volume,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "graph_neighborhood": q_graph_neighborhood,
+        "type_market_share": q_type_market_share,
+        "returned_revenue": q_returned_revenue,
+        "large_orders": q_large_orders,
+        "orders_monthly_growth": q_orders_monthly_growth,
+        "region_revenue_share": q_region_revenue_share,
+        "user_first_last": q_user_first_last,
+        "user_modal_event": q_user_modal_event,
+        "part_price_histogram": q_part_price_histogram,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "events_dow_heatmap": q_events_dow_heatmap,
+        "customer_running_spend": q_customer_running_spend,
+        "balance_quartiles": q_balance_quartiles,
+        "brand_basket_lift": q_brand_basket_lift,
+        "ship_latency": q_ship_latency,
+        "cube_revenue": q_cube_revenue,
+        "returning_customers": q_returning_customers,
+        "events_funnel": q_events_funnel,
+        "corpus_chunks": q_corpus_chunks,
+        "events_median": q_events_median,
+        "orders_reconcile": q_orders_reconcile,
+        "events_hourly_stream": q_events_hourly_stream,
+        "corpus_split": q_corpus_split,
+        "embedding_quantize": q_embedding_quantize,
+        "events_twa": q_events_twa,
+        "event_transitions": q_event_transitions,
+        "graph_label_prop": q_graph_label_prop,
+        "supplier_cooccurrence": q_supplier_cooccurrence,
+        "doc_keywords": q_doc_keywords,
+        "events_anomaly": q_events_anomaly,
+        "vocab_zipf": q_vocab_zipf,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -6775,32 +6831,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": _pca_oracle_sql(8, 64),
         "embedding_pca_scores": _pca_scores_oracle_sql(8, 64, 20),
         "embedding_pca2": _pca2_oracle_sql(8, 64),
-        "embedding_covariance": """
-            WITH x AS (
-                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-                       unnest(embedding)::DOUBLE AS xi
-                FROM embeddings
-            ),
-            p AS (
-                SELECT a.i AS i, b.i AS j,
-                       sum(CAST(round(a.xi * b.xi, 8) AS DECIMAL(26,8))) AS sij
-                FROM x a JOIN x b USING (vec_id)
-                GROUP BY a.i, b.i
-            ),
-            s AS (
-                SELECT i, sum(CAST(round(xi, 8) AS DECIMAL(26,8))) AS si FROM x GROUP BY i
-            ),
-            nn AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS nd,
-                          CAST(count(*) AS DOUBLE) AS n FROM embeddings)
-            SELECT p.i, p.j,
-                   round(CAST(CAST(CAST(p.sij AS DECIMAL(18,8)) * nn.nd AS DECIMAL(37,16))
-                              - CAST(sa.si AS DECIMAL(18,8)) * CAST(sb.si AS DECIMAL(18,8))
-                              AS DOUBLE)
-                         / (nn.n * nn.n), 6) AS cov
-            FROM p
-            JOIN s sa ON sa.i = p.i
-            JOIN s sb ON sb.i = p.j, nn
-        """,
+        "embedding_covariance": _cov_cte_sql() + "SELECT i, j, cov FROM c",
         "branded_or_revenue": """
             SELECT p_brand,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

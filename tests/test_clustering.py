@@ -43,3 +43,17 @@ def test_kmeans_empty_cluster_vanishes(spark):
     out = kmeans_summary(kmeans_fixed(_emb(spark, rows), k=2, iters=2))
     rows_out = {r["cid"]: r["n_vecs"] for r in out.collect()}
     assert rows_out == {0: 12}
+
+
+def test_kmeans_cids_dense_for_any_id_domain(spark):
+    """Cluster ids are densified ranks of the init seeds, not raw vec_ids:
+    1-based and sparse id domains still yield cids 0..k-1."""
+    rows = [(1, [0.0, 0.0]), (500, [10.0, 10.0])]
+    rows += [(1000 + i, [0.1, 0.0]) for i in range(8)]
+    rows += [(2000 + i, [9.9, 10.0]) for i in range(8)]
+    out = kmeans_fixed(_emb(spark, rows), k=2, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in out.collect()}
+    assert set(got.values()) == {0, 1}
+    assert got[1] == 0 and got[500] == 1  # rank order of the seeds
+    assert all(got[1000 + i] == 0 for i in range(8))
+    assert all(got[2000 + i] == 1 for i in range(8))

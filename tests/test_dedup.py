@@ -234,6 +234,42 @@ def test_substring_containment_exact(spark):
     assert not any(x == 4 or y == 4 for x, y in got)
 
 
+def test_substring_containment_hub_gram_cap(spark):
+    """Templated-corpus skew guard: docs made ENTIRELY of template text
+    (rarest-gram df > max_gram_df) are dropped from inner-side candidate
+    generation instead of degenerating toward an all-pairs join, while
+    docs with any distinctive gram still pair exactly."""
+    from usearch_spark.operators.dedup import substring_containment_pairs
+
+    template = "this boilerplate header repeats verbatim in every single document"
+    rows = [(i, template) for i in range(30)] + [
+        (100, "a genuinely distinctive passage about hyperball counters"),
+        (101, "PRE a genuinely distinctive passage about hyperball counters POST"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: 30 identical template docs -> 30*29 mutual pairs + the
+    # distinctive containment
+    got_all = {
+        (r["inner_id"], r["outer_id"])
+        for r in substring_containment_pairs(docs, max_gram_df=10**9).collect()
+    }
+    assert (100, 101) in got_all
+    assert sum(1 for a, b in got_all if a < 100 and b < 100) == 30 * 29
+
+    # capped at 10: every template gram has df=30 > 10, so template docs
+    # produce NO inner-side candidates (bounded recall loss on pure
+    # boilerplate); the distinctive doc (rarest df=2) still pairs.
+    got_cap = {
+        (r["inner_id"], r["outer_id"])
+        for r in substring_containment_pairs(docs, max_gram_df=10).collect()
+    }
+    assert (100, 101) in got_cap
+    assert not any(a < 100 for a, b in got_cap)
+    # the CANDIDATE bound is what matters at scale: with the cap the
+    # inner side is 2 docs x df<=cap, not 32 docs x df~30
+
+
 def test_prefix_jaccard_prunes_candidates(spark):
     """The point of the prefix: near-disjoint docs sharing only a COMMON
     (high-df) shingle never become candidates, but high-overlap pairs

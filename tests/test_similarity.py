@@ -336,3 +336,24 @@ def test_principal_component2_orthogonal_and_matches_numpy(spark):
     # near-orthogonality of the two learned components
     dot = abs(sum(v1[i] * v2[i] for i in range(6)))
     assert dot < 0.05, dot
+
+
+def test_ivf_index_string_ids(spark, tmp_path):
+    """The IVF quantizer densifies cluster ids, so a STRING id column
+    builds, persists, and probes correctly (cids 0..k-1, positional
+    centroid sidecar intact)."""
+    from usearch_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    rows = [(f"doc-{i:03d}", [float(i % 4), float((i * 3) % 5), 0.5]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    path = str(tmp_path / "ivf_str")
+    build_ivf_index(emb, path, n_clusters=3)
+    got = ivf_index_topk(spark, path, [1.0, 2.0, 0.5], k=5, n_probe=3).collect()
+    assert len(got) == 5
+    assert all(isinstance(r["vec_id"], str) for r in got)
+    # full probe (n_probe = k) equals brute-force cosine top-5
+    brute = [
+        r["vec_id"]
+        for r in ivf_topk(emb, [1.0, 2.0, 0.5], k=5, n_clusters=3, n_probe=3).collect()
+    ]
+    assert [r["vec_id"] for r in got] == brute

@@ -88,3 +88,87 @@ def test_no_shadowed_defs_or_unused_imports(path):
     if path.name != "__init__.py":  # __init__ imports are the public API
         unused = _unused_imports(tree)
         assert not unused, f"unused imports: {unused}"
+
+
+# --- round-boundary lint -------------------------------------------------
+# Every lifetime driver-red cell was the same defect class: F.round over a
+# DOUBLE division, where the pre-round quotient can differ by 1 ulp between
+# engines and the half-up decision then flips the last digit.  The fixed
+# pattern is exact arithmetic on a decimal/integer numerator with an
+# integer half-away bump (embedding_covariance, graph_modularity,
+# text_bigram_logprob).  This lint freezes the legacy sites (each reviewed:
+# they round far above their accumulated ulp, or quantize values that are
+# exact multiples of the rounding step) and fails on ANY NEW
+# ``F.round(<expr containing />, n)``.  The allow-list may only shrink —
+# new code must compute the numerator exactly instead.
+ROUND_OVER_DIV_ALLOWED = {
+    ("__spark_entry__.py", "q_price_quantity_corr"),
+    ("__spark_entry__.py", "q_events_error_rate"),
+    ("__spark_entry__.py", "q_region_revenue_share"),
+    ("__spark_entry__.py", "q_brand_basket_lift"),
+    ("__spark_entry__.py", "q_events_twa"),
+    ("__spark_entry__.py", "q_important_suppliers"),
+    ("__spark_entry__.py", "q_promo_revenue"),
+    ("__spark_entry__.py", "q_graph_clustering_coeff"),
+    ("__spark_entry__.py", "q_type_market_share"),
+    ("usearch_spark/operators/corpus.py", "decontaminate"),
+    ("usearch_spark/operators/corpus.py", "weighted_sample"),
+    ("usearch_spark/operators/corpus.py", "boilerplate_coverage"),
+    ("usearch_spark/operators/corpus.py", "label_centroids"),
+    ("usearch_spark/operators/profile.py", "key_skew_stats"),
+    ("usearch_spark/operators/search.py", "more_like_this"),
+    ("usearch_spark/operators/search.py", "tfidf_cosine_pairs"),
+    ("usearch_spark/operators/similarity.py", "quantize_int8"),
+    ("usearch_spark/operators/text_analysis.py", "winnow_pairs"),
+    ("usearch_spark/operators/text_analysis.py", "repetition_signals"),
+    ("usearch_spark/operators/text_analysis.py", "unigram_logprob"),
+    ("usearch_spark/operators/text_analysis.py", "bigram_logprob"),
+    ("usearch_spark/operators/text_analysis.py", "zipf_fit"),
+    ("usearch_spark/plans/graph_stats.py", "harmonic_centrality"),
+}
+
+
+def _round_over_div_sites(tree: ast.Module, relpath: str) -> list[str]:
+    func_of: dict[ast.AST, str] = {}
+
+    def assign(node: ast.AST, fname: str) -> None:
+        for child in ast.iter_child_nodes(node):
+            nf = child.name if isinstance(
+                child, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) else fname
+            func_of[child] = nf
+            assign(child, nf)
+
+    assign(tree, "<module>")
+
+    def has_div(node: ast.AST) -> bool:
+        return any(
+            isinstance(n, ast.BinOp) and isinstance(n.op, ast.Div)
+            for n in ast.walk(node)
+        )
+
+    out = []
+    for n in ast.walk(tree):
+        if (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "round"
+            and isinstance(n.func.value, ast.Name)
+            and n.func.value.id == "F"
+            and n.args
+            and has_div(n.args[0])
+            and (relpath, func_of.get(n, "<module>")) not in ROUND_OVER_DIV_ALLOWED
+        ):
+            out.append(f"{relpath}:{n.lineno} in {func_of.get(n, '<module>')}")
+    return out
+
+
+@pytest.mark.parametrize("path", SOURCES, ids=lambda p: str(p.relative_to(REPO)))
+def test_no_new_round_over_double_division(path):
+    tree = ast.parse(path.read_text(), filename=str(path))
+    sites = _round_over_div_sites(tree, str(path.relative_to(REPO)))
+    assert not sites, (
+        "F.round over a double division is the cross-engine red-cell class; "
+        "compute the numerator exactly (decimal/integer units + half-away "
+        f"integer division) instead: {sites}"
+    )

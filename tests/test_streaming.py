@@ -565,7 +565,9 @@ def test_dedup_stream_matches_batch_and_resumes(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    first = sorted(
+        map(tuple, spark.read.parquet(sink).select("batch_id", "corpus_id", "jaccard").collect())
+    )
     assert len(first) > 0
 
     # restart against the same checkpoint: nothing new to process
@@ -576,7 +578,15 @@ def test_dedup_stream_matches_batch_and_resumes(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == first
+    assert (
+        sorted(
+            map(
+                tuple,
+                spark.read.parquet(sink).select("batch_id", "corpus_id", "jaccard").collect(),
+            )
+        )
+        == first
+    )
 
     # equivalence with the one-shot batch probe
     b_sh, b_banded = minhash_index(batch, shingle_n=2)
@@ -630,3 +640,110 @@ def test_cms_stream_merge_equals_batch_and_resumes(spark, tmp_path):
     import os as _os
 
     assert _os.path.exists(_os.path.join(target, "_CURRENT"))
+
+
+def test_cms_stream_replay_is_idempotent(spark, tmp_path):
+    """Crash-window replay (foreachBatch is at-least-once): re-delivering
+    already-committed epoch ids — simulated by wiping the checkpoint so a
+    fresh query replays every source file under the same epoch ids — must
+    NOT double-count cells: the committed-version guard in cms_stream_merge
+    no-ops any epoch <= the version _CURRENT points at."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.operators.sketch import count_min_sketch
+    from usearch_spark.streaming.sketches import cms_stream_merge, read_cms
+
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"), F.pmod(F.col("id"), F.lit(23)).alias("user_id")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = str(tmp_path / f"t{i}")
+        df.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target = str(tmp_path / "sketch")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for run, ckpt in enumerate(("ckpt_a", "ckpt_b")):
+        # run 1: normal drain.  run 2: FRESH checkpoint against the same
+        # target — every epoch (same ids 0,1) is re-delivered, which is
+        # byte-for-byte what a crash between pointer swap and checkpoint
+        # commit replays.
+        q = cms_stream_merge(stream, "user_id", target, str(tmp_path / ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if run == 0:
+            first = sorted(map(tuple, read_cms(spark, target).collect()))
+    batch = sorted(map(tuple, count_min_sketch(df, "user_id").collect()))
+    assert first == batch
+    replayed = sorted(map(tuple, read_cms(spark, target).collect()))
+    assert replayed == first  # replay merged nothing: no double-count
+
+
+def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """Crash-window replay of the dedup probe stream: a fresh checkpoint
+    re-delivers both epochs against the same sink; the epoch-keyed
+    overwrite rewrites the same partitions with identical verdicts instead
+    of appending a duplicate copy of every row."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.operators.dedup import minhash_index
+    from usearch_spark.streaming.dedup import dedup_stream_against_index
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 3} eta theta iota kappa")
+        for i in range(8)
+    ] + [(100 + i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota kappa")
+         for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c_sh, c_banded = minhash_index(docs.filter(F.col("doc_id") < 100), shingle_n=2)
+    c_sh = c_sh.localCheckpoint(eager=True)
+    c_banded = c_banded.localCheckpoint(eager=True)
+
+    srcdir = str(tmp_path / "stream_src")
+    os.makedirs(srcdir)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    for i, flt in enumerate((F.col("doc_id") < 102, F.col("doc_id") >= 102)):
+        tmp = str(tmp_path / f"b{i}")
+        batch.filter(flt).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{srcdir}/batch{i}.parquet")
+
+    sink = str(tmp_path / "sink")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcdir)
+    )
+    out = None
+    for ckpt in ("ckpt_a", "ckpt_b"):  # second pass = full replay, same epoch ids
+        q = dedup_stream_against_index(
+            stream, c_sh, c_banded, sink, str(tmp_path / ckpt),
+            threshold=0.5, shingle_n=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(sink)
+                .select("batch_id", "corpus_id", "jaccard")
+                .collect(),
+            )
+        )
+        if out is None:
+            out = got
+            assert len(out) > 0
+    assert got == out  # replay rewrote, never duplicated

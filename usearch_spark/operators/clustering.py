@@ -96,12 +96,25 @@ def kmeans_centroids(
     :func:`kmeans_fixed` chain — same deterministic contract (smallest-k
     init, round-6 means, ties to lower cid).  Exposed separately so a
     persisted coarse quantizer (the IVF index) can reuse the exact
-    oracle-replayable training instead of an engine-private trainer."""
+    oracle-replayable training instead of an engine-private trainer.
+
+    Cluster ids are DENSIFIED at init — cid = rank of the seed among the
+    k smallest vec_ids (row_number − 1), NOT the vec_id itself — so any
+    id domain works (ids starting at 1, string ids, sparse ids); on a
+    0-based contiguous id column the two definitions coincide, which is
+    what the SQL oracles replay.  The k-row window is a single-partition
+    sort of k rows, not a corpus-wide window."""
+    from pyspark.sql import Window
+
     vecs = _as_vecs(emb, id_col, vec_col)
     centroids = (
         vecs.orderBy("vec_id")
         .limit(k)
-        .select(F.col("vec_id").cast("int").alias("cid"), F.col("varr").alias("carr"))
+        .withColumn(
+            "cid",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int"),
+        )
+        .select("cid", F.col("varr").alias("carr"))
         .localCheckpoint(eager=True)
     )
     for _ in range(iters - 1):

@@ -556,6 +556,7 @@ def substring_containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 16,
+    max_gram_df: int = 5000,
 ) -> DataFrame:
     """EXACT full-text substring containment: (inner_id, outer_id) pairs
     where inner's ENTIRE text occurs verbatim inside outer's — the dedup
@@ -580,6 +581,19 @@ def substring_containment_pairs(
     EMPTY text is (vacuously) contained in every other doc — Spark's
     instr(x, '') = 1 and DuckDB's contains(x, '') agree, so the edge is
     engine-consistent.
+
+    SKEW ESCAPE HATCH (``max_gram_df``): on templated/boilerplate
+    corpora the rarest gram's df approaches |docs| and the candidate
+    join degenerates toward all-pairs — the exact blowup ``max_bucket``
+    guards in the LSH path.  A doc whose RAREST gram has df >
+    ``max_gram_df`` consists entirely of hub grams (the rarest is
+    minimal over the doc), i.e. it is pure template text; such docs are
+    dropped from inner-side candidate generation (bounded recall loss on
+    boilerplate only — the same declarative cap-and-drop contract as
+    ``lsh_candidate_pairs``; count the dropped docs by comparing
+    ``docs`` against the inner ids if you need the audit number).  The
+    candidate row bound becomes Σ_docs min(df(rarest), max_gram_df) <=
+    |docs|·max_gram_df — linear in the corpus, never quadratic.
     """
     from usearch_spark.session import spread_small_scan
 
@@ -601,6 +615,7 @@ def substring_containment_pairs(
         grams.join(dfc, "gram")
         .groupBy("id")
         .agg(F.min(F.struct("df", "gram")).alias("_r"))
+        .filter(F.col("_r.df") <= max_gram_df)
         .select("id", F.col("_r.gram").alias("gram"))
     )
     cands = (

@@ -382,9 +382,12 @@ def build_ivf_index(
     out of partition discovery).  Probing then = read centroids (tiny),
     pick n_probe cells, scan only those partitions.
 
-    Cluster ids are the init seeds' vec_ids (the k smallest), so the
-    sidecar stores centers indexed by cluster id; a cluster that loses
-    every member mid-training would break that indexing and raises."""
+    Cluster ids are DENSE RANKS of the init seeds (row_number − 1 over
+    the k smallest vec_ids — kmeans_centroids densifies them), so any id
+    domain works (1-based, sparse, string) and the sidecar's positional
+    list is indexed by cid directly; the ValueError below fires only for
+    a cluster that genuinely lost every member mid-training, which would
+    leave a hole in 0..k-1 and break the positional indexing."""
     import json
     import os
 
@@ -587,16 +590,25 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     same trick as the unigram-LM mean).  Element values are cast to
     double BEFORE multiplying so both engines do 64-bit math.
 
-    Centering is EXACT-DECIMAL: the numerator N·Sij − Si·Sj is computed
-    entirely in decimal (types sized so no Spark precision-loss
-    adjustment fires — sij(18,8)·N(10,0) → (29,8) → cast (37,16);
-    si(18,8)·sj(18,8) → (37,16); difference → (38,16), all lossless),
-    then ONE double conversion, ONE division by N², ONE round(6).  The
-    round-5 driver gate showed that rounding the double expression
-    (sij − sa·sb/n)/n is boundary-unstable across engines (expression
-    reordering can flip the 6th decimal by 1 ulp); with an exact
-    numerator both engines perform the identical single IEEE divide, so
-    the quotient is bit-identical before rounding.
+    Centering + quantization are EXACT-INTEGER end to end: the numerator
+    N·Sij − Si·Sj is an exact multiple of 1e-16 (the inputs are round-8
+    decimals), so it is carried as INTEGER UNITS of 1e-16 (scale-0
+    decimals, values far below 1e38 — no precision-loss adjustment, no
+    fractional digit to lose), and round-6 of num/N² is computed by
+    integer long division with a half-away-from-zero bump:
+    ``q = sgn·(|num_u| div D + [2·(|num_u| mod D) ≥ D])`` where
+    ``D = N²·1e10`` converts 1e-16 units to 1e-6 steps of the quotient.
+    Only THEN does the (small, ≤2^53) integer q cast to double and divide
+    by 1e6 — one exact conversion + one IEEE divide, bit-identical on any
+    engine.  The r5–r7 driver gates showed the earlier tails —
+    round(double expr, 6) in r5, and DECIMAL(38,16)→double cast +
+    round(double, 6) in r6/r7 — are both boundary-unstable across
+    engines (Spark's correctly-rounded BigDecimal.doubleValue() vs
+    DuckDB's two-step int128 path can differ by 1 ulp for unscaled
+    values > 2^53, and round-half on a double is then ulp-sensitive);
+    with the rounding DECISION made in integers neither boundary exists.
+    Width bounds: sums |Si|, Sij ≤ 1e10 and N ≤ 1e9 keep every
+    intermediate ≤ DECIMAL(37,0) — sized for billions of vectors.
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     # two-parameter transform lambdas receive the element INDEX second —
@@ -632,20 +644,58 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
         .agg(F.sum(F.round(F.col("xi"), 8).cast("decimal(26,8)")).alias("si"))
     )
     n = int(emb.count())
-    sa = s.select("i", F.col("si").cast("decimal(18,8)").alias("sa"))
-    sb = s.select(F.col("i").alias("j"), F.col("si").cast("decimal(18,8)").alias("sb"))
-    num = (
-        (F.col("sij").cast("decimal(18,8)") * F.lit(n).cast("decimal(10,0)"))
-        .cast("decimal(37,16)")
-        - F.col("sa") * F.col("sb")
+    # integer units of 1e-16: shift the round-8 decimals up by 1e8 (the
+    # (18,8)*(9,0)→(27,8) product is lossless; the →(18,0) cast is of an
+    # integral value, so exact).  With Sij_u = Sij·1e8 and Si_u = Si·1e8,
+    # num·1e16 = (N·1e8)·Sij_u − Sa_u·Sb_u; N·1e8 folds into one int64
+    # literal so both products are (18,0)×(18,0)→(37,0) and the
+    # difference (38,0) — every step inside DECIMAL(38) at scale 0.
+    shift8 = F.lit(100000000).cast("decimal(9,0)")
+    sij_u = (F.col("sij").cast("decimal(18,8)") * shift8).cast("decimal(18,0)")
+    sa = s.select(
+        "i", (F.col("si").cast("decimal(18,8)") * shift8).cast("decimal(18,0)").alias("sa_u")
+    )
+    sb = s.select(
+        F.col("i").alias("j"),
+        (F.col("si").cast("decimal(18,8)") * shift8).cast("decimal(18,0)").alias("sb_u"),
+    )
+    d_units = n * n * 10**10  # 1e-16 units per 1e-6 step of num/N²
+    num_u = (
+        F.lit(n * 10**8).cast("decimal(18,0)") * sij_u - F.col("sa_u") * F.col("sb_u")
     )
     return (
         p.join(F.broadcast(sa), "i")
         .join(F.broadcast(sb), "j")
+        .select("i", "j", num_u.alias("num_u"))
         .select(
             "i",
             "j",
-            F.round(num.cast("double") / F.lit(float(n) * float(n)), 6).alias("cov"),
+            F.abs(F.col("num_u")).alias("a_u"),
+            F.when(F.col("num_u") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sgn"),
+        )
+        .select(
+            "i",
+            "j",
+            "sgn",
+            F.expr(f"a_u DIV CAST('{d_units}' AS DECIMAL(32,0))").alias("qa"),
+            F.expr(f"a_u % CAST('{d_units}' AS DECIMAL(32,0))").alias("ra"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("sgn")
+                    * (
+                        F.col("qa")
+                        + F.expr(
+                            f"CASE WHEN ra * 2 >= CAST('{d_units}' AS DECIMAL(33,0))"
+                            " THEN 1 ELSE 0 END"
+                        )
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("cov"),
         )
     )
 

@@ -610,10 +610,16 @@ def modularity(
 
     Scale shape: two joins of the edge list against the (vertex →
     community) map plus two narrow aggs — nothing quadratic; the
-    community map broadcasts when small.  Hash-gate determinism: each
-    community's contribution is computed with one fixed op chain of
-    integer-derived doubles and quantized to a round-12 decimal before
-    the global sum, so Q is order-independent.
+    community map broadcasts when small.  Hash-gate determinism: every
+    input is an integer (e_c, d_c, m), so each contribution is computed
+    EXACTLY — Q_c = (4m·e_c − d_c²)/(4m²) quantized at 1e-12 by integer
+    long division with a half-away-from-zero bump (2·remainder vs
+    divisor), never by rounding a double quotient (the boundary class
+    behind every lifetime red cell; see embedding_covariance).  The
+    rounded contributions are exact 1e-12 integers, so the global Q is
+    an exact integer sum + ONE double divide — order-independent and
+    bit-identical on any engine.  Widths: all scale-0 decimals, exact
+    for m up to ~2.5e12 edges (4m²·1e12 < 1e38).
 
     ``communities`` must COVER every edge endpoint (any partitioner's
     total assignment does): an edge with an unmapped endpoint silently
@@ -646,6 +652,10 @@ def modularity(
             F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("degree_sum"),
         )
     )
+    # exact-integer round-12: num_u = (4m·1e12)·e_c − 1e12·d_c² is the
+    # contribution numerator in 1e-12·(4m²) units; q12 = half-away
+    # integer division by 4m² gives round(Q_c, 12)·1e12 exactly.
+    d_units = 4 * m * m
     per = (
         dsum.join(internal, "c", "left")
         .select(
@@ -655,21 +665,37 @@ def modularity(
             "degree_sum",
         )
         .withColumn(
-            "q_contrib",
-            F.round(
-                F.col("internal_edges") / F.lit(m)
-                - (F.col("degree_sum") / F.lit(2 * m))
-                * (F.col("degree_sum") / F.lit(2 * m)),
-                12,
+            "num_u",
+            F.expr(f"CAST('{4 * m * 10**12}' AS DECIMAL(38,0))")
+            * F.col("internal_edges").cast("decimal(18,0)")
+            - F.expr("CAST('1000000000000' AS DECIMAL(13,0))")
+            * F.col("degree_sum").cast("decimal(18,0)")
+            * F.col("degree_sum").cast("decimal(18,0)"),
+        )
+        .withColumn("a_u", F.abs(F.col("num_u")))
+        .withColumn("sgn", F.when(F.col("num_u") < 0, F.lit(-1)).otherwise(F.lit(1)))
+        .withColumn(
+            "q12",
+            F.col("sgn")
+            * (
+                F.expr(f"a_u DIV CAST('{d_units}' AS DECIMAL(32,0))")
+                + F.expr(
+                    f"CASE WHEN (a_u % CAST('{d_units}' AS DECIMAL(32,0))) * 2"
+                    f" >= CAST('{d_units}' AS DECIMAL(33,0)) THEN 1 ELSE 0 END"
+                )
             ),
         )
     )
     total = per.agg(
-        F.sum(F.col("q_contrib").cast("decimal(16,12)"))
-        .cast("double")
-        .alias("modularity")
+        (F.sum("q12").cast("double") / F.lit(1e12)).alias("modularity")
     )
-    return per.crossJoin(F.broadcast(total))
+    return per.select(
+        "community",
+        "n_members",
+        "internal_edges",
+        "degree_sum",
+        (F.col("q12").cast("double") / F.lit(1e12)).alias("q_contrib"),
+    ).crossJoin(F.broadcast(total))
 
 
 def densest_subgraph(

@@ -10,13 +10,21 @@ module wires it as Structured Streaming `foreachBatch`:
     batch — per-doc signatures are independent, so no corpus re-hash);
   * the micro-batch probes the STATIC persisted index (bucket joins +
     exact verify, corpus-side bucket caps);
-  * verdicts append to a parquet sink.
+  * verdicts land in an EPOCH-KEYED parquet partition
+    (``sink/epoch_id=<n>/``), overwritten whole per epoch.
 
 Restart-resume rides the streaming checkpoint exactly like the crawl
 frontier (ST4 semantics, streaming/crawl.py): a restarted query skips
 already-committed source files, so re-running against the same
-checkpoint appends NOTHING — the driver gate hashes the sink after a
-deliberate second run, pinning exactly-once delivery, not just the math.
+checkpoint appends NOTHING.  foreachBatch itself is only
+AT-LEAST-ONCE — a crash after the sink write but before the checkpoint
+commit re-delivers the same epoch — so sink-side idempotence comes from
+the epoch-keyed overwrite: the replayed epoch rewrites its own
+partition with byte-identical verdicts (per-doc probes are
+deterministic) instead of appending a duplicate copy, and a partial
+directory from a mid-write crash is replaced wholesale.  The driver
+gate hashes the sink after a deliberate second run, pinning the
+end-to-end exactly-once EFFECT, not just the math.
 
 Reference parity: the reference's dedup surface is upsert-by-key on
 ingest (linkgraph/store/memory/memory.go:42-87 — every ingested link
@@ -46,10 +54,16 @@ def dedup_stream_against_index(
     """Start the foreachBatch probe stream: ``stream_docs`` (a streaming
     DataFrame of (id_col, text_col)) is hashed per micro-batch and probed
     against the static (corpus_sh, corpus_banded) index; near-dup
-    verdicts (batch_id, corpus_id, jaccard round-4) append to
-    ``sink_path`` as parquet.  The caller owns the query lifecycle
-    (processAllAvailable/stop) and the checkpoint directory."""
+    verdicts (batch_id, corpus_id, jaccard round-4) land under
+    ``sink_path/epoch_id=<n>/`` — one overwritten partition per epoch,
+    so a crash-replayed epoch is idempotent (see module docstring).
+    Readers take ``spark.read.parquet(sink_path)`` and get an extra
+    ``epoch_id`` partition column; select it away if unwanted.  The
+    caller owns the query lifecycle (processAllAvailable/stop) and the
+    checkpoint directory."""
     from usearch_spark.operators.dedup import minhash_index, minhash_probe_pairs
+
+    import os
 
     def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -66,8 +80,10 @@ def dedup_stream_against_index(
                 F.col("b").alias("corpus_id"),
                 F.round(F.col("jaccard"), 4).alias("jaccard"),
             )
-            .write.mode("append")
-            .parquet(sink_path)
+            # epoch-keyed overwrite, NOT append: replay rewrites the same
+            # partition with identical rows instead of double-appending.
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink_path, f"epoch_id={int(epoch_id)}"))
         )
 
     return (

@@ -9,10 +9,14 @@ forms; this module keeps one alive under foreachBatch).
 The merged sketch after draining N batches equals the one-shot sketch
 over all N batches' rows (cell-wise sums commute), so the gated query
 shares the batch query's oracle verbatim — the merge loop is
-hash-checked, not just row-counted.  Exactly-once rides the streaming
-checkpoint: a restarted query skips committed source files, so a
-deliberate second run adds nothing (same discipline as
-streaming/dedup.py).
+hash-checked, not just row-counted.  Exactly-once is the streaming
+checkpoint (a restarted query skips committed source files) PLUS an
+idempotent epoch commit: the ``_CURRENT`` pointer records the last
+merged epoch, and a replayed epoch (crash after the pointer swap but
+before the checkpoint commit — foreachBatch alone is only
+at-least-once) is detected by ``committed_version >= epoch_id`` and
+skipped, so the batch is never double-counted and the replay never
+reads the very version directory it is about to overwrite.
 """
 
 from __future__ import annotations
@@ -43,9 +47,18 @@ def cms_stream_merge(
     ``_CURRENT`` file at it (os.replace).  A crash mid-write leaves the
     previous version intact and the un-committed batch replays — the
     merge never reads a half-written sketch and never loses prior
-    batches.  The sketch is bounded (<= depth x 16^prefix_len rows), so
-    rewriting a full version per batch is trivially small regardless of
-    stream volume."""
+    batches.  The commit is IDEMPOTENT under replay: foreachBatch is
+    at-least-once (a crash after the pointer swap but before the
+    checkpoint commit re-delivers the same epoch_id), so the merge
+    first parses ``_CURRENT`` and no-ops when the committed version is
+    already >= this epoch — without the guard a replay would (a) merge
+    the batch into a sketch that already contains it, double-counting
+    every cell, and (b) lazily read ``v<epoch>`` while overwriting that
+    same path, which Spark rejects.  Epoch ids are monotonic per
+    checkpoint, so ">= epoch_id" is exactly "already merged".  The
+    sketch is bounded (<= depth x 16^prefix_len rows), so rewriting a
+    full version per batch is trivially small regardless of stream
+    volume."""
     from usearch_spark.operators.sketch import count_min_sketch
 
     ptr = os.path.join(target_path, "_CURRENT")
@@ -54,10 +67,15 @@ def cms_stream_merge(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        sk = count_min_sketch(batch_df, key_col, depth=depth, prefix_len=prefix_len)
+        committed = -1
         if os.path.exists(ptr):
             with open(ptr) as fh:
-                cur = spark.read.parquet(os.path.join(target_path, fh.read().strip()))
+                committed = int(fh.read().strip().lstrip("v"))
+            if committed >= int(epoch_id):
+                return  # replayed epoch: already merged and committed
+        sk = count_min_sketch(batch_df, key_col, depth=depth, prefix_len=prefix_len)
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
             sk = (
                 cur.unionByName(sk)
                 .groupBy("seed", "bucket")
