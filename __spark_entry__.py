@@ -589,6 +589,31 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-PQ path (operators/similarity.build_ivfpq_index
+    / ivfpq_index_topk): coarse IVF pruning (2 of 8 inverted lists read
+    via partition pruning) + product-quantization ADC scoring — each
+    candidate costs m=8 integer table lookups over its codes instead of
+    a 64-dim vector op, the memory/IO shape of billion-vector ANN
+    (Jégou et al., TPAMI 2011).  UNDER THE FULL ORACLE: both quantizers
+    are the deterministic fixed-iteration k-means, code assignment and
+    the ADC table are EXACT 1e-6 fixed-point integers (floor(x·1e6+0.5)
+    both engines), per-candidate scores are exact int64 sums, and the
+    reported d2 is one int→double cast + one divide — the oracle
+    replays training, encoding, the probe choice, and the scored top-k
+    end-to-end with no float boundary anywhere in a discrete decision."""
+    from usearch_spark.operators.similarity import build_ivfpq_index, ivfpq_index_topk
+
+    path = os.path.join(_ARTIFACT_DIR, f"ann_ivfpq_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_pq.json")):
+        build_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"), path, n_clusters=8, m=8, k_sub=16
+        )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_index_topk(spark, path, qv, k=10, n_probe=2, exclude_ids=[0])
+
+
 def q_sim_ann_lsh_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-signal companion to sim_ann_lsh: with the Hamming budget opened
     to all n_planes flips, every signature partition is probed, so the ANN
@@ -739,6 +764,130 @@ def _ann_ivf_oracle_sql(n_clusters: int = 8, n_probe: int = 2, k: int = 10) -> s
         FROM dots, nq
         ORDER BY cosine DESC, vec_id
         LIMIT {k}
+    """
+
+
+def _ann_ivfpq_oracle_sql(
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    m: int = 8,
+    k_sub: int = 16,
+    dsub: int = 8,
+) -> str:
+    """Full replay of the IVF-PQ probe: the coarse k-means chain (same
+    CTEs as sim_ann_ivf), per-subspace PQ codebook training (the same
+    deterministic Lloyd contract with (sub) as an extra grouping key),
+    EXACT 1e-6 fixed-point integer code assignment, the integer probe
+    choice, and the ADC-scored top-k.  Every discrete decision (codes,
+    probe cells, ranking) is integer arithmetic; the only doubles are
+    the (empirically engine-identical) round-6 centroid means and the
+    single d2 = int/1e12 output divide."""
+    fx = "CAST(floor({v} * 1000000 + 0.5) AS BIGINT)"
+    exq = fx.format(v="es.x")
+    ecq = fx.format(v="c.x")
+    return f"""
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(vec_id AS INT) AS cid, i, x FROM e
+            WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+        ),
+        d1 AS (
+            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+            FROM e JOIN c0 c USING (i) GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        c1 AS MATERIALIZED (
+            SELECT a1.cid, e.i, round(avg(e.x), 6) AS x
+            FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+            FROM e JOIN c1 c USING (i) GROUP BY 1, 2
+        ),
+        a2 AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        qe AS (SELECT i, x FROM e WHERE vec_id = 0),
+        prq AS (
+            SELECT c.cid,
+                   sum(({fx.format(v='qe.x')} - {fx.format(v='c.x')})
+                       * ({fx.format(v='qe.x')} - {fx.format(v='c.x')})) AS d
+            FROM c1 c JOIN qe USING (i) GROUP BY c.cid
+        ),
+        pr AS (SELECT cid FROM prq ORDER BY d, cid LIMIT {n_probe}),
+        es AS (
+            SELECT vec_id, CAST((i - 1) // {dsub} AS INT) AS s,
+                   (i - 1) % {dsub} AS j, x
+            FROM e
+        ),
+        seeds AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_sub})
+        ),
+        pcb0 AS (
+            SELECT es.s, seeds.cid, es.j, es.x FROM es JOIN seeds USING (vec_id)
+        ),
+        pd1 AS (
+            SELECT es.vec_id, c.s, c.cid, sum((es.x - c.x) * (es.x - c.x)) AS dist
+            FROM es JOIN pcb0 c ON c.s = es.s AND c.j = es.j
+            GROUP BY 1, 2, 3
+        ),
+        pa1 AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+                FROM pd1
+            ) WHERE rn = 1
+        ),
+        pcb1 AS MATERIALIZED (
+            SELECT pa1.s, pa1.cid, es.j, round(avg(es.x), 6) AS x
+            FROM pa1 JOIN es ON es.vec_id = pa1.vec_id AND es.s = pa1.s
+            GROUP BY 1, 2, 3
+        ),
+        enc AS (
+            SELECT es.vec_id, c.s, c.cid,
+                   sum(({exq} - {ecq}) * ({exq} - {ecq})) AS di
+            FROM es JOIN pcb1 c ON c.s = es.s AND c.j = es.j
+            GROUP BY 1, 2, 3
+        ),
+        codes AS MATERIALIZED (
+            SELECT vec_id, s, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY di, cid) AS rn
+                FROM enc
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT vec_id FROM a2
+            WHERE cid IN (SELECT cid FROM pr) AND vec_id <> 0
+        ),
+        qs AS (
+            SELECT CAST((i - 1) // {dsub} AS INT) AS s, (i - 1) % {dsub} AS j,
+                   {fx.format(v='x')} AS qq
+            FROM qe
+        ),
+        appx AS (
+            SELECT codes.vec_id,
+                   sum((qs.qq - {ecq}) * (qs.qq - {ecq})) AS a
+            FROM codes
+            JOIN pcb1 c ON c.s = codes.s AND c.cid = codes.code
+            JOIN qs ON qs.s = codes.s AND qs.j = c.j
+            WHERE codes.vec_id IN (SELECT vec_id FROM cand)
+            GROUP BY codes.vec_id
+        )
+        SELECT vec_id, CAST(a AS DOUBLE) / 1000000000000.0 AS d2
+        FROM appx ORDER BY a, vec_id LIMIT {k}
     """
 
 
@@ -3358,15 +3507,142 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(comm, e)
 
 
-def _modularity_oracle_sql(rounds: int = 4) -> str:
-    """LP chain (from _label_prop_oracle_sql) + the modularity arithmetic
-    in the engine's exact op order."""
-    base = _label_prop_oracle_sql(rounds)
-    head, _, _ = base.rpartition("SELECT id, lbl AS community FROM")
-    return (
-        head
-        + f""",
-        comm AS (SELECT id AS v, lbl AS c FROM l{rounds}),
+def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain modularity ascent on the nation graph
+    (plans/graph_stats.louvain): 4 synchronous local-move rounds with
+    exact-integer gain argmax and round-parity direction alternation
+    (the swap-oscillation guard), one aggregation into a weighted coarse
+    graph, 4 coarse rounds, projected back — then scored with the
+    exact-integer modularity operator (same output shape as
+    graph_modularity, so detect→measure closes over the BETTER
+    partitioner).  The oracle unrolls every round, the aggregation, and
+    the modularity arithmetic; pytest pins Q(louvain) >= Q(label_prop)."""
+    from usearch_spark.plans.graph_stats import louvain, modularity
+
+    v, e = _nation_graph(spark, sf_dir)
+    comm = louvain(v, e, rounds=4, coarse_rounds=4).localCheckpoint(eager=True)
+    return modularity(comm, e)
+
+
+def _louvain_round_sql(p: str, t: int, inc: str, deg: str) -> str:
+    """One synchronous Louvain local-move round as CTEs: neighbor-community
+    weights, own-community union, integer gain scores, direction-gated
+    argmax, label update.  ``p``: level prefix ('g' fine / 'h' coarse)."""
+    op = "<" if t % 2 == 0 else ">"
+    return f""",
+        kvc_{p}{t} AS (
+            SELECT i.v, l.c, CAST(sum(i.w) AS BIGINT) AS kvc
+            FROM {inc} i JOIN {p}{t} l ON l.v = i.nb
+            GROUP BY i.v, l.c
+        ),
+        cand_{p}{t} AS (
+            SELECT v, c, CAST(sum(kvc) AS BIGINT) AS kvc FROM (
+                SELECT v, c, kvc FROM kvc_{p}{t}
+                UNION ALL SELECT v, c, 0 FROM {p}{t}
+            ) GROUP BY v, c
+        ),
+        sig_{p}{t} AS (
+            SELECT l.c, CAST(sum(d.k) AS BIGINT) AS tot
+            FROM {p}{t} l JOIN {deg} d ON d.v = l.v GROUP BY l.c
+        ),
+        best_{p}{t} AS (
+            SELECT v, c FROM (
+                SELECT s.v, s.c,
+                       row_number() OVER (PARTITION BY s.v
+                                          ORDER BY s.score DESC, s.c) AS rn
+                FROM (
+                    SELECT cand.v, cand.c, l.c AS own,
+                           2 * lm.m * cand.kvc
+                           - d.k * (sig.tot
+                                    - CASE WHEN cand.c = l.c THEN d.k ELSE 0 END)
+                               AS score
+                    FROM cand_{p}{t} cand
+                    JOIN sig_{p}{t} sig ON sig.c = cand.c
+                    JOIN {p}{t} l ON l.v = cand.v
+                    JOIN {deg} d ON d.v = cand.v, lm
+                ) s
+                WHERE s.c = s.own OR s.c {op} s.own
+            ) WHERE rn = 1
+        ),
+        {p}{t + 1} AS MATERIALIZED (
+            SELECT l.v, coalesce(b.c, l.c) AS c
+            FROM {p}{t} l LEFT JOIN best_{p}{t} b ON b.v = l.v
+        )"""
+
+
+def _louvain_oracle_sql(rounds: int = 4, coarse_rounds: int = 4) -> str:
+    """Full Louvain replay on the nation graph: fine local-move rounds
+    (unit weights), community aggregation into a weighted coarse graph
+    (self-loops folded into coarse degrees), coarse rounds, projection,
+    then the shared exact-integer modularity tail."""
+    parts = [
+        """
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS id FROM nation),
+        uw AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst
+        ),
+        lm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM uw),
+        dg AS (
+            SELECT verts.id AS v, CAST(coalesce(d.k, 0) AS BIGINT) AS k
+            FROM verts LEFT JOIN (
+                SELECT v, count(*) AS k FROM (
+                    SELECT a AS v FROM uw UNION ALL SELECT b FROM uw
+                ) GROUP BY v
+            ) d ON d.v = verts.id
+        ),
+        iw AS (
+            SELECT a AS v, b AS nb, CAST(1 AS BIGINT) AS w FROM uw
+            UNION ALL SELECT b, a, 1 FROM uw
+        ),
+        g0 AS (SELECT v, v AS c FROM dg)"""
+    ]
+    for t in range(rounds):
+        parts.append(_louvain_round_sql("g", t, "iw", "dg"))
+    parts.append(
+        f""",
+        cw AS (
+            SELECT least(la.c, lb.c) AS a, greatest(la.c, lb.c) AS b,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM uw
+            JOIN g{rounds} la ON la.v = uw.a
+            JOIN g{rounds} lb ON lb.v = uw.b
+            WHERE la.c <> lb.c
+            GROUP BY 1, 2
+        ),
+        cdg AS (
+            SELECT g.c AS v, CAST(sum(d.k) AS BIGINT) AS k
+            FROM g{rounds} g JOIN dg d ON d.v = g.v GROUP BY g.c
+        ),
+        ciw AS (
+            SELECT a AS v, b AS nb, w FROM cw
+            UNION ALL SELECT b, a, w FROM cw
+        ),
+        h0 AS (SELECT v, v AS c FROM cdg)"""
+    )
+    for t in range(coarse_rounds):
+        parts.append(_louvain_round_sql("h", t, "ciw", "cdg"))
+    parts.append(
+        f""",
+        comm AS (
+            SELECT g.v, h.c FROM g{rounds} g JOIN h{coarse_rounds} h ON h.v = g.c
+        )"""
+    )
+    return "".join(parts) + _modularity_tail_sql()
+
+
+def _modularity_tail_sql() -> str:
+    """Modularity arithmetic appended after CTEs ``comm(v, c)`` (the
+    community assignment) and ``e(src, dst)`` (the edge list) — the
+    exact-integer round-12 contract of plans/graph_stats.modularity,
+    shared by the label-prop gate (graph_modularity) and the Louvain
+    gate (graph_louvain)."""
+    return """,
         und AS (
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM e WHERE src <> dst
@@ -3429,6 +3705,18 @@ def _modularity_oracle_sql(rounds: int = 4) -> str:
                tot.modularity
         FROM per, tot
     """
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """LP chain (from _label_prop_oracle_sql) + the modularity arithmetic
+    in the engine's exact op order."""
+    base = _label_prop_oracle_sql(rounds)
+    head, _, _ = base.rpartition("SELECT id, lbl AS community FROM")
+    return (
+        head
+        + f""",
+        comm AS (SELECT id AS v, lbl AS c FROM l{rounds})"""
+        + _modularity_tail_sql()
     )
 
 
@@ -6146,6 +6434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "dedup_stream": q_dedup_stream,
         "sketch_cms_stream": q_sketch_cms_stream,
+        # --- new this round (never gated) ---
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
+        "graph_louvain": q_graph_louvain,
         # --- round-3 cohort (last gated r03) ---
         "link_range_scan": q_link_range_scan,
         "point_lookup": q_point_lookup,
@@ -6191,9 +6482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "corpus_prep": q_corpus_prep,
+        # ---------- 50-entry window boundary (round 8) ----------
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
-        # ---------- 50-entry window boundary (round 8) ----------
         "text_analyze": q_text_analyze,
         # --- round-4 cohort ---
         "text_repetition": q_text_repetition,
@@ -8942,6 +9233,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_oracle_sql(5),
         "graph_label_prop": _label_prop_oracle_sql(4),
         "graph_modularity": _modularity_oracle_sql(4),
+        "graph_louvain": _louvain_oracle_sql(4, 4),
         "supplier_cooccurrence": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
@@ -9009,6 +9301,9 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # LSH signatures and the deterministic k-means quantizer
     oracles["sim_ann_lsh"] = _ann_lsh_oracle_sql(8, 64, 10)
     oracles["sim_ann_ivf"] = _ann_ivf_oracle_sql(8, 2, 10)
+    # r8: IVF-PQ — coarse chain + per-subspace Lloyd + integer
+    # fixed-point encode/probe/ADC replayed end-to-end
+    oracles["sim_ann_ivfpq"] = _ann_ivfpq_oracle_sql(8, 2, 10, 8, 16, 8)
     oracles["sessionize_native"] = oracles["sessionize"]
     # prefix filtering is exact by theorem — same pairs as the all-shingle
     # join, so it shares dedup_jaccard's oracle verbatim

@@ -576,3 +576,50 @@ def test_hyperball_states_hint_parity(spark):
     c = sorted(map(tuple, hyperball_neighborhood(v, e, rounds=3).collect()))
     d = sorted(map(tuple, hyperball_neighborhood(v, e, rounds=3, states_hint=states).collect()))
     assert c == d
+
+
+def test_louvain_recovers_planted_communities(spark):
+    """One Louvain level (local-move + aggregation + coarse local-move)
+    recovers two planted cliques joined by a single bridge edge, and its
+    modularity is >= label propagation's on the same graph — the ascent
+    claim, pinned with the exact-integer modularity scorer."""
+    from usearch_spark.plans.graph_stats import louvain, modularity
+    from usearch_spark.plans.pregel import label_propagation
+
+    eds = [(a, b) for a in range(5) for b in range(5) if a < b]
+    eds += [(a, b) for a in range(5, 10) for b in range(5, 10) if a < b]
+    eds += [(4, 5)]  # bridge
+    edges = spark.createDataFrame(eds, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+
+    comm = louvain(verts, edges, rounds=4, coarse_rounds=4)
+    got = {r["id"]: r["community"] for r in comm.collect()}
+    assert len(set(got.values())) == 2
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(5, 10)}) == 1
+
+    q_louvain = modularity(
+        comm.withColumnRenamed("id", "id"), edges, id_col="id"
+    ).first()["modularity"]
+    lp = label_propagation(verts, edges, rounds=4).state.select(
+        "id", F.col("value").alias("community")
+    )
+    q_lp = modularity(lp, edges, id_col="id").first()["modularity"]
+    assert q_louvain >= q_lp
+    assert q_louvain > 0.3  # two-clique planted structure
+
+
+def test_louvain_isolated_and_empty(spark):
+    """Isolated vertices keep singleton communities; an edgeless graph
+    returns every vertex alone (m = 0 guard)."""
+    from usearch_spark.plans.graph_stats import louvain
+
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r["id"]: r["community"] for r in louvain(verts, edges).collect()}
+    assert got[0] == got[1]
+    assert got[2] != got[0] and got[3] != got[0] and got[2] != got[3]
+
+    none = spark.createDataFrame([], "src long, dst long")
+    got0 = {r["id"]: r["community"] for r in louvain(verts, none).collect()}
+    assert len(set(got0.values())) == 4

@@ -786,3 +786,328 @@ def principal_component2(
         .localCheckpoint(eager=True)
     )
     return _power_iterate(c2, iters)
+
+
+# --- IVF-PQ: product quantization over the IVF coarse layout ------------
+
+
+def _pq_subs(
+    emb: DataFrame, m: int, dsub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, sub, varr): the corpus split into m contiguous subvectors
+    of dsub dims each — one JVM transform + posexplode, no shuffle."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> transform(slice({vec_col}, s * {dsub} + 1, {dsub}),"
+                " x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("sub", "varr"),
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-subspace PQ codebooks (sub, cid, carr) — Jégou et al. 2011
+    product quantization, trained with the SAME deterministic
+    fixed-iteration Lloyd contract as the coarse quantizer
+    (operators/clustering.kmeans_centroids): init from the k_sub
+    smallest vec_ids (cids are densified ranks), argmin assignment with
+    ties to the lower cid, per-dimension means ROUNDED to 6dp.  All m
+    subspaces train in ONE set of DataFrame passes (the subspace id is
+    just another grouping key), so training cost is the same corpus
+    scans as a single k-means, not m of them.
+
+    Scale shape per iteration: assignment joins the (vec, sub) frame
+    against a BROADCAST m·k_sub-row codebook on the subspace key and
+    arg-mins k_sub candidate rows map-side; the update is one
+    posexplode + partial-agg shuffle keyed by (sub, cid, dim).  The
+    codebook frame is m·k_sub rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    subs = _pq_subs(emb, m, dsub, id_col, vec_col)
+    seed_ids = emb.select(F.col(id_col).alias("vec_id")).orderBy("vec_id").limit(k_sub)
+    cb = (
+        subs.join(F.broadcast(seed_ids), "vec_id")
+        .withColumn(
+            "cid",
+            (
+                F.row_number().over(Window.partitionBy("sub").orderBy("vec_id")) - 1
+            ).cast("int"),
+        )
+        .select("sub", "cid", F.col("varr").alias("carr"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters - 1):
+        assigned = (
+            subs.join(F.broadcast(cb), "sub")
+            .select(
+                "vec_id",
+                "sub",
+                "cid",
+                _dist2_arr(F.col("varr"), F.col("carr")).alias("dist"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(F.min_by(F.struct("dist", "cid"), F.struct("dist", "cid")).alias("b"))
+            .select("vec_id", "sub", F.col("b.cid").alias("cid"))
+        )
+        cb = (
+            assigned.join(subs, ["vec_id", "sub"])
+            .select("sub", "cid", F.posexplode("varr").alias("j", "x"))
+            .groupBy("sub", "cid", "j")
+            .agg(F.round(F.avg("x"), 6).alias("x"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "x"))), lambda s: s["x"]
+                ).alias("carr")
+            )
+            .localCheckpoint(eager=True)  # m*k_sub rows; truncates lineage
+        )
+    return cb
+
+
+def _dist2_arr(a: Column, b: Column) -> Column:
+    """Squared L2 between two array columns — ordered fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _fx6(col: Column) -> Column:
+    """floor(x*1e6 + 0.5): the fixed-point 1e-6 quantizer (BIGINT) — the
+    same IEEE step sequence on any engine, so downstream INTEGER
+    arithmetic is engine-exact (the LSH sign-test recipe)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, codes array<int>): each vector's per-subspace nearest
+    codebook entry.  The argmin runs in EXACT 1e-6 fixed-point integers
+    (floor(x·1e6 + 0.5) on both the subvector and the round-6 codebook
+    entry), so the discrete code decision has no cross-engine float
+    boundary — distances are exact int64 sums (<= dsub·(4e6)² per
+    subspace), ties break to the lower cid."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    dsub = dim // m
+    subs = _pq_subs(emb, m, dsub, id_col, vec_col)
+    qsubs = subs.select(
+        "vec_id", "sub", F.transform("varr", _fx6).alias("xq")
+    )
+    qcb = codebooks.select("sub", "cid", F.transform("carr", _fx6).alias("cq"))
+    return (
+        qsubs.join(F.broadcast(qcb), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("di"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by(F.struct("di", "cid"), F.struct("di", "cid")).alias("b"))
+        .select("vec_id", "sub", F.col("b.cid").alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index: coarse quantizer (the deterministic
+    kmeans_centroids trainer, cluster-partitioned assignment — exactly
+    build_ivf_index's layout) PLUS per-subspace PQ codes per vector, so
+    a probe reads only the probed cluster partitions and scores
+    CODES (m bytes of information per vector) instead of raw vectors —
+    the memory/IO shape that makes billion-vector ANN feasible.  The
+    full vectors are kept alongside the codes in the same partitioned
+    parquet (reranking fodder); sidecars ``_centroids.json`` (coarse,
+    positional by cid) and ``_pq.json`` ({m, k_sub, dim, codebooks
+    positional by [sub][cid][j]}) carry the tiny model.
+
+    Citing the reference surface: this is the scale path beyond the flat
+    IVF probe — same inverted-list pruning, plus asymmetric-distance
+    scoring over quantized codes (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011)."""
+    import json
+    import os
+
+    from usearch_spark.operators.clustering import kmeans_assign, kmeans_centroids
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    cent = kmeans_centroids(
+        embeddings, k=n_clusters, iters=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    crows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if [r["cid"] for r in crows] != list(range(n_clusters)):
+        raise ValueError(
+            f"IVF-PQ coarse quantizer lost a cluster: cids={[r['cid'] for r in crows]}"
+        )
+    cb = pq_train(
+        embeddings, m=m, k_sub=k_sub, iters=max_iter,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    ).localCheckpoint(eager=True)
+    cbrows = sorted(cb.collect(), key=lambda r: (r["sub"], r["cid"]))
+    if len(cbrows) != m * k_sub:
+        raise ValueError(
+            f"PQ codebook lost an entry: {len(cbrows)} != {m}*{k_sub}"
+        )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("varr"),
+    )
+    assigned = kmeans_assign(vecs.select("vec_id", "varr"), cent).select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
+    codes = pq_encode(
+        embeddings, cb, m=m, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    out = (
+        vecs.select("vec_id", F.col(vec_col))
+        .join(assigned, "vec_id")
+        .join(codes, "vec_id")
+    )
+    out.repartition(F.col("cluster")).write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump([[float(x) for x in r["carr"]] for r in crows], fh)
+    with open(os.path.join(path, "_pq.json"), "w") as fh:
+        json.dump(
+            {
+                "m": m,
+                "k_sub": k_sub,
+                "dim": dim,
+                "codebooks": [
+                    [float(x) for x in r["carr"]] for r in cbrows
+                ],  # positional: index = sub * k_sub + cid
+            },
+            fh,
+        )
+
+
+def _fx6_py(x: float) -> int:
+    import math
+
+    return int(math.floor(x * 1000000.0 + 0.5))
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index by asymmetric distance computation
+    (ADC): pick the ``n_probe`` nearest coarse cells, build the m×k_sub
+    distance TABLE between the query's subvectors and every codebook
+    entry once on the driver, then score each candidate as a SUM OF m
+    TABLE LOOKUPS over its codes — no per-candidate vector arithmetic,
+    and the scan reads only the probed cluster partitions (partition
+    pruning) and only (vec_id, cluster, codes) columns.
+
+    Fully deterministic: the probe choice and the table are exact 1e-6
+    fixed-point INTEGER math (floor(x·1e6+0.5) — python ints on the
+    driver, the identical quantizer the encoder used), per-candidate
+    scores are exact int64 sums of table entries, ties break by vec_id,
+    and the reported ``d2`` is the single exact int→double cast divided
+    by 1e12."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centers = json.load(fh)
+    with open(os.path.join(path, "_pq.json")) as fh:
+        pq = json.load(fh)
+    m, k_sub, dim = pq["m"], pq["k_sub"], pq["dim"]
+    dsub = dim // m
+    qq = [_fx6_py(float(x)) for x in query_vec]
+    # integer coarse probe: nearest n_probe cells in fixed-point L2
+    cd = sorted(
+        (sum((qq[j] - _fx6_py(c[j])) ** 2 for j in range(dim)), ci)
+        for ci, c in enumerate(centers)
+    )
+    probe = [ci for _, ci in cd[:n_probe]]
+    # m x k_sub ADC table, exact ints
+    table = [
+        [
+            sum(
+                (qq[s * dsub + j] - _fx6_py(pq["codebooks"][s * k_sub + c][j])) ** 2
+                for j in range(dsub)
+            )
+            for c in range(k_sub)
+        ]
+        for s in range(m)
+    ]
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), "codes")
+    )
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(exclude_ids))
+    t_lit = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in row]) for row in table]
+    )
+    appx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            t_lit,
+            lambda c, t: F.element_at(t, (c + F.lit(1)).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), appx.alias("appx"))
+        .orderBy("appx", id_col)
+        .limit(k)
+        .select(
+            F.col(id_col),
+            (F.col("appx").cast("double") / F.lit(1e12)).alias("d2"),
+        )
+    )

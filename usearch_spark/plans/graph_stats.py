@@ -1394,3 +1394,174 @@ def coarsen_levels(
         )
         cur_v = lmap.select(F.col("lrep").alias("v")).dropDuplicates(["v"])
     return mapping.select("id", F.col("rep").alias("cluster"))
+
+
+def _louvain_local_move(
+    und_w: DataFrame, deg: DataFrame, m: int, labels: DataFrame, rounds: int
+) -> DataFrame:
+    """Synchronous Louvain local-move rounds over a WEIGHTED undirected
+    edge list: every vertex simultaneously adopts the neighboring (or
+    own) community maximizing the modularity gain of joining it after
+    notionally leaving its own — argmax_c of the EXACT INTEGER score
+    2m·k_{v,c} − k_v·(Σtot_c − k_v·[c = c_v])  (ΔQ·2m², constants
+    dropped), ties to the smaller community id.  Integer scores mean no
+    float boundary in the move decision, so a SQL oracle replays every
+    round bit-for-bit; widths: fits int64 for total edge weight up to
+    ~1e9 (score <= 2m·k_v <= 4m²).
+
+    Synchronous updates can SWAP-oscillate (two mutually-attracted
+    vertices trade communities forever — the classic parallel-Louvain
+    pathology), so moves alternate direction by round parity: even
+    rounds admit only moves to a SMALLER community id, odd rounds only
+    to a larger one (staying put is always admitted).  A swap needs both
+    directions in the same round, so it cannot happen; each admitted
+    move is still the argmax over its half-space, so gain stays >= 0.
+    The gate is a function of the ROUND INDEX, not of data, which keeps
+    the recurrence trivially SQL-replayable.
+
+    ``und_w``: (a, b, w) canonical weighted edges; ``deg``: (v, k)
+    weighted degrees (2·self-loop weight already included for coarse
+    graphs — self-loops must NOT appear in und_w, they are constant
+    under any move); ``labels``: (v, c) initial assignment."""
+    inc = und_w.select(
+        F.col("a").alias("v"), F.col("b").alias("nb"), "w"
+    ).unionAll(und_w.select(F.col("b").alias("v"), F.col("a").alias("nb"), "w"))
+    for t in range(rounds):
+        lab_nb = labels.select(F.col("v").alias("nb"), F.col("c").alias("nc"))
+        kvc = (
+            inc.join(lab_nb, "nb")
+            .groupBy("v", F.col("nc").alias("c"))
+            .agg(F.sum("w").alias("kvc"))
+        )
+        sig = (
+            labels.join(deg, "v")
+            .groupBy("c")
+            .agg(F.sum("k").alias("tot"))
+        )
+        own = labels.select("v", "c", F.lit(0).cast("long").alias("kvc_own"))
+        cand = (
+            kvc.join(own.select("v", "c", "kvc_own"), ["v", "c"], "full")
+            .select(
+                "v",
+                "c",
+                F.coalesce(F.col("kvc"), F.col("kvc_own"), F.lit(0)).alias("kvc"),
+            )
+        )
+        scored = (
+            cand.join(sig, "c")
+            .join(labels.select("v", F.col("c").alias("own_c")), "v")
+            .join(deg, "v")
+            .select(
+                "v",
+                "c",
+                "own_c",
+                (
+                    F.lit(2 * m).cast("long") * F.col("kvc")
+                    - F.col("k")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("own_c"), F.col("k")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("score"),
+            )
+        )
+        gate = (
+            (F.col("c") < F.col("own_c"))
+            if t % 2 == 0
+            else (F.col("c") > F.col("own_c"))
+        )
+        best = (
+            scored.filter((F.col("c") == F.col("own_c")) | gate)
+            .groupBy("v")
+            .agg(F.min_by(F.struct((-F.col("score")).alias("ns"), "c"),
+                          F.struct((-F.col("score")).alias("ns"), "c")).alias("b"))
+            .select("v", F.col("b.c").alias("newc"))
+        )
+        labels = (
+            labels.join(best, "v", "left")
+            .select("v", F.coalesce(F.col("newc"), F.col("c")).alias("c"))
+            .localCheckpoint(eager=True)  # |V| rows; truncates round lineage
+        )
+    return labels
+
+
+def louvain(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    coarse_rounds: int = 4,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One full Louvain level (Blondel et al. 2008): synchronous
+    local-move rounds on the unit-weight graph, AGGREGATION of the
+    result (communities become weighted super-vertices; internal edges
+    become self-loop weight folded into the coarse degree), then
+    local-move rounds on the coarse graph, projected back to
+    (id, community).  Modularity never decreases across the aggregation
+    (same partition, same Q), and each integer-argmax move is greedy on
+    ΔQ — the standard ascent, made deterministic by synchronous updates,
+    exact integer scores, and smaller-community-id tie-breaks (the same
+    contract as the label_prop / modularity gates).
+
+    Scale shape per round: one edges⋈labels shuffle for the
+    neighbor-community weights, two narrow aggs (community strength,
+    per-vertex argmax) — the Pregel-family cost envelope; aggregation is
+    one groupBy over the edge list.  The coarse graph is |communities|
+    vertices, so phase-2 rounds cost a fraction of phase 1."""
+    und = (
+        canonical_edges(edges, src, dst)
+        .select("a", "b", F.lit(1).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    m = int(und.agg(F.sum("w")).first()[0] or 0)
+    verts = vertices.select(F.col(id_col).alias("v")).dropDuplicates(["v"])
+    deg = (
+        und.select(F.col("a").alias("v"), "w")
+        .unionAll(und.select(F.col("b").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.sum("w").alias("k"))
+    )
+    deg = verts.join(deg, "v", "left").select(
+        "v", F.coalesce(F.col("k"), F.lit(0).cast("long")).alias("k")
+    )
+    labels = verts.select("v", F.col("v").alias("c"))
+    if m == 0:
+        return labels.select(F.col("v").alias(id_col), F.col("c").alias("community"))
+    labels = _louvain_local_move(und_w=und, deg=deg, m=m, labels=labels, rounds=rounds)
+    # aggregation: communities -> weighted coarse graph (self-loops folded
+    # into the coarse degree, NOT into the coarse edge list)
+    la = labels.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    lb = labels.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    coarse_edges = (
+        tagged.filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    coarse_deg = (
+        labels.join(deg, "v")
+        .groupBy(F.col("c").alias("v"))
+        .agg(F.sum("k").alias("k"))  # includes 2*self_loop: sum of member degrees
+    )
+    coarse_labels = coarse_deg.select("v", F.col("v").alias("c"))
+    coarse_labels = _louvain_local_move(
+        und_w=coarse_edges, deg=coarse_deg, m=m, labels=coarse_labels,
+        rounds=coarse_rounds,
+    )
+    return (
+        labels.join(
+            coarse_labels.select(F.col("v").alias("c"), F.col("c").alias("cc")),
+            "c",
+        )
+        .select(F.col("v").alias(id_col), F.col("cc").alias("community"))
+    )
