@@ -6397,6 +6397,18 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM fluency with full backoff through bigram and unigram
+    levels (operators/text_analysis.trigram_logprob): per-document mean
+    log p(w3|w1,w2) under Jelinek-Mercer l3/l2/l1 = 0.5/0.3/0.2 — the
+    longest-context rung of the LM-quality family (unigram -> bigram ->
+    trigram), same broadcast-lookup cost shape.  Round-6 decimal
+    per-position log-probs, exact decimal sum, one double divide."""
+    from usearch_spark.operators.text_analysis import trigram_logprob
+
+    return trigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score: corpus unigram distribution →
     broadcast per-token log-prob lookup → per-document mean log-prob
@@ -6483,6 +6495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "corpus_prep": q_corpus_prep,
         # ---------- 50-entry window boundary (round 8) ----------
+        # (new r8, never gated: first in line for the round-9 window)
+        "text_trigram_logprob": q_text_trigram_logprob,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
@@ -6898,6 +6912,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ranked.rank, ranked.term, ranked.freq, fit.slope, fit.intercept
             FROM ranked, fit WHERE rank <= 10
+        """,
+        "text_trigram_logprob": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tri AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+                FROM tk, unnest(range(1, len(toks) - 1)) u(i)
+            ),
+            bi AS (
+                SELECT toks[i] AS u, toks[i + 1] AS v
+                FROM tk, unnest(range(1, len(toks))) u(i)
+            ),
+            c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM tri GROUP BY 1, 2),
+            cb AS (SELECT u AS w2, v AS w3, count(*) AS cb FROM bi GROUP BY 1, 2),
+            c1 AS (SELECT u AS w2, count(*) AS c1 FROM bi GROUP BY 1),
+            uni AS (SELECT unnest(toks) AS w3 FROM tk),
+            cu AS (SELECT w3, count(*) AS cu FROM uni GROUP BY 1),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+            lp AS (
+                SELECT c3.w1, c3.w2, c3.w3,
+                       CAST(round(ln({0.5!r} * (c3.c3 / c12.c12)
+                                     + {0.3!r} * (cb.cb / c1.c1)
+                                     + {0.2!r} * (cu.cu / nt.n)), 6)
+                            AS DECIMAL(12,6)) AS lp
+                FROM c3
+                JOIN c12 USING (w1, w2)
+                JOIN cb USING (w2, w3)
+                JOIN c1 USING (w2)
+                JOIN cu USING (w3), nt
+            ),
+            per AS (
+                SELECT tri.doc_id, count(*) AS n_trigrams,
+                       CAST(sum(lp.lp) AS DOUBLE) / count(*) AS avg_logprob
+                FROM tri JOIN lp USING (w1, w2, w3) GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams,
+                   coalesce(per.avg_logprob, 0.0) AS avg_logprob
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "text_bigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

