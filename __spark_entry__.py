@@ -852,9 +852,15 @@ def _ann_ivfpq_oracle_sql(
             ) WHERE rn = 1
         ),
         pcb1 AS MATERIALIZED (
-            SELECT pa1.s, pa1.cid, es.j, round(avg(es.x), 6) AS x
-            FROM pa1 JOIN es ON es.vec_id = pa1.vec_id AND es.s = pa1.s
-            GROUP BY 1, 2, 3
+            -- empty (s, cid) cells keep their previous centroid (the
+            -- carry-forward convention of pq_train), so the codebook
+            -- stays dense for the positional encode below
+            SELECT p0.s, p0.cid, p0.j, coalesce(upd.x, p0.x) AS x
+            FROM pcb0 p0 LEFT JOIN (
+                SELECT pa1.s, pa1.cid, es.j, round(avg(es.x), 6) AS x
+                FROM pa1 JOIN es ON es.vec_id = pa1.vec_id AND es.s = pa1.s
+                GROUP BY 1, 2, 3
+            ) upd ON upd.s = p0.s AND upd.cid = p0.cid AND upd.j = p0.j
         ),
         enc AS (
             SELECT es.vec_id, c.s, c.cid,

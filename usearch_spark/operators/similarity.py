@@ -831,7 +831,13 @@ def pq_train(
     against a BROADCAST m·k_sub-row codebook on the subspace key and
     arg-mins k_sub candidate rows map-side; the update is one
     posexplode + partial-agg shuffle keyed by (sub, cid, dim).  The
-    codebook frame is m·k_sub rows regardless of corpus size."""
+    codebook frame is m·k_sub rows regardless of corpus size.
+
+    Empty-cluster handling: a (sub, cid) cell that attracts no vectors
+    in a round KEEPS its previous centroid (the FAISS convention) — the
+    codebook stays dense, so the positional sidecar indexing and the
+    fixed-point encoder never see a hole; on degenerate/tiny corpora
+    the stale entry simply goes unreferenced by any code."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -865,7 +871,7 @@ def pq_train(
             .agg(F.min_by(F.struct("dist", "cid"), F.struct("dist", "cid")).alias("b"))
             .select("vec_id", "sub", F.col("b.cid").alias("cid"))
         )
-        cb = (
+        upd = (
             assigned.join(subs, ["vec_id", "sub"])
             .select("sub", "cid", F.posexplode("varr").alias("j", "x"))
             .groupBy("sub", "cid", "j")
@@ -874,7 +880,15 @@ def pq_train(
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("j", "x"))), lambda s: s["x"]
-                ).alias("carr")
+                ).alias("ncarr")
+            )
+        )
+        cb = (
+            cb.join(upd, ["sub", "cid"], "left")
+            .select(
+                "sub",
+                "cid",
+                F.coalesce(F.col("ncarr"), F.col("carr")).alias("carr"),
             )
             .localCheckpoint(eager=True)  # m*k_sub rows; truncates lineage
         )
