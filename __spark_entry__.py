@@ -614,6 +614,30 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_index_topk(spark, path, qv, k=10, n_probe=2, exclude_ids=[0])
 
 
+def q_sim_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval (ivfpq_index_topk with rerank): ADC
+    shortlists the top-50 candidates from the probed partitions by
+    integer table lookups, then ONLY those 50 are re-scored with the
+    exact cosine against their stored vectors — quantization error
+    cancels on the shortlist while the scan cost stays
+    n_probe/n_clusters of the corpus.  The production ANN shape
+    (coarse prune -> compressed scan -> exact refine); oracle replays
+    all three stages."""
+    from usearch_spark.operators.similarity import build_ivfpq_index, ivfpq_index_topk
+
+    path = os.path.join(_ARTIFACT_DIR, f"ann_ivfpq_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_pq.json")):
+        build_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"), path, n_clusters=8, m=8, k_sub=16
+        )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivfpq_index_topk(
+        spark, path, qv, k=10, n_probe=2, exclude_ids=[0], rerank=50
+    )
+    return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
 def q_sim_ann_lsh_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-signal companion to sim_ann_lsh: with the Hamming budget opened
     to all n_planes flips, every signature partition is probed, so the ANN
@@ -774,6 +798,7 @@ def _ann_ivfpq_oracle_sql(
     m: int = 8,
     k_sub: int = 16,
     dsub: int = 8,
+    rerank: int | None = None,
 ) -> str:
     """Full replay of the IVF-PQ probe: the coarse k-means chain (same
     CTEs as sim_ann_ivf), per-subspace PQ codebook training (the same
@@ -786,7 +811,7 @@ def _ann_ivfpq_oracle_sql(
     fx = "CAST(floor({v} * 1000000 + 0.5) AS BIGINT)"
     exq = fx.format(v="es.x")
     ecq = fx.format(v="c.x")
-    return f"""
+    body = f"""
         WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                    unnest(embedding)::DOUBLE AS x
@@ -895,6 +920,24 @@ def _ann_ivfpq_oracle_sql(
         SELECT vec_id, CAST(a AS DOUBLE) / 1000000000000.0 AS d2
         FROM appx ORDER BY a, vec_id LIMIT {k}
     """
+    if rerank is None:
+        return body
+    head, _, _ = body.rpartition("SELECT vec_id, CAST(a AS DOUBLE)")
+    return (
+        head
+        + f""",
+        short AS (SELECT vec_id FROM appx ORDER BY a, vec_id LIMIT {rerank}),
+        dots AS (
+            SELECT e.vec_id, sum(e.x * qe.x) AS dot, sqrt(sum(e.x * e.x)) AS na
+            FROM e JOIN qe USING (i)
+            WHERE e.vec_id IN (SELECT vec_id FROM short)
+            GROUP BY e.vec_id
+        ),
+        nq AS (SELECT sqrt(sum(x * x)) AS n FROM qe)
+        SELECT vec_id, round(dot / (na * nq.n), 6) AS cosine
+        FROM dots, nq ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+    )
 
 
 def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6503,6 +6546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------- 50-entry window boundary (round 8) ----------
         # (new r8, never gated: first in line for the round-9 window)
         "text_trigram_logprob": q_text_trigram_logprob,
+        "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
@@ -9362,6 +9406,7 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # r8: IVF-PQ — coarse chain + per-subspace Lloyd + integer
     # fixed-point encode/probe/ADC replayed end-to-end
     oracles["sim_ann_ivfpq"] = _ann_ivfpq_oracle_sql(8, 2, 10, 8, 16, 8)
+    oracles["sim_ann_ivfpq_rerank"] = _ann_ivfpq_oracle_sql(8, 2, 10, 8, 16, 8, rerank=50)
     oracles["sessionize_native"] = oracles["sessionize"]
     # prefix filtering is exact by theorem — same pairs as the all-shingle
     # join, so it shares dedup_jaccard's oracle verbatim

@@ -389,3 +389,27 @@ def test_ivfpq_index_probe_and_recall(spark, embeddings, tmp_path):
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters: [" in plan and "cluster#" in plan
+
+
+def test_ivfpq_rerank_recovers_exact_order(spark, embeddings, tmp_path):
+    """Two-stage probe: with the shortlist covering every probed row, the
+    reranked result equals the exact cosine ranking over the probed
+    partitions — quantization error fully cancels."""
+    from usearch_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    path = str(tmp_path / "ivfpq_rr")
+    build_ivfpq_index(embeddings, path, n_clusters=4, m=2, k_sub=4)
+    got = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivfpq_index_topk(
+            spark, path, _vec(0.0), k=5, n_probe=4, rerank=1000
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_topk(embeddings, _vec(0.0), k=5, n_clusters=4, n_probe=4).collect()
+    ]
+    assert got == brute

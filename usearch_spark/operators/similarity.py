@@ -1055,6 +1055,8 @@ def ivfpq_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     exclude_ids: list | None = None,
+    rerank: int | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Query a persisted IVF-PQ index by asymmetric distance computation
     (ADC): pick the ``n_probe`` nearest coarse cells, build the m×k_sub
@@ -1069,7 +1071,14 @@ def ivfpq_index_topk(
     driver, the identical quantizer the encoder used), per-candidate
     scores are exact int64 sums of table entries, ties break by vec_id,
     and the reported ``d2`` is the single exact int→double cast divided
-    by 1e12."""
+    by 1e12.
+
+    ``rerank``: two-stage retrieval (SIFT-style refine): take the top
+    ``rerank`` candidates by ADC, then re-score ONLY those with the
+    exact cosine against the stored full vectors and return the top k —
+    quantization error cancels on the shortlist while the scan still
+    reads only the probed partitions; returns (id, cosine) instead of
+    (id, d2)."""
     import json
     import os
 
@@ -1097,11 +1106,10 @@ def ivfpq_index_topk(
         ]
         for s in range(m)
     ]
-    df = (
-        spark.read.parquet(path)
-        .filter(F.col("cluster").isin(probe))
-        .select(F.col(id_col), "codes")
+    cols = [F.col(id_col), F.col("codes")] + (
+        [F.col(vec_col)] if rerank is not None else []
     )
+    df = spark.read.parquet(path).filter(F.col("cluster").isin(probe)).select(*cols)
     if exclude_ids:
         df = df.filter(~F.col(id_col).isin(exclude_ids))
     t_lit = F.array(
@@ -1116,12 +1124,26 @@ def ivfpq_index_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return (
-        df.select(F.col(id_col), appx.alias("appx"))
-        .orderBy("appx", id_col)
-        .limit(k)
-        .select(
-            F.col(id_col),
-            (F.col("appx").cast("double") / F.lit(1e12)).alias("d2"),
+    if rerank is None:
+        return (
+            df.select(F.col(id_col), appx.alias("appx"))
+            .orderBy("appx", id_col)
+            .limit(k)
+            .select(
+                F.col(id_col),
+                (F.col("appx").cast("double") / F.lit(1e12)).alias("d2"),
+            )
         )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    shortlist = (
+        df.select(F.col(id_col), F.col(vec_col), appx.alias("appx"))
+        .orderBy("appx", id_col)
+        .limit(int(rerank))
+    )
+    return (
+        shortlist.select(
+            F.col(id_col), cosine(F.col(vec_col), qcol).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
     )
