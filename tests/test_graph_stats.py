@@ -623,3 +623,22 @@ def test_louvain_isolated_and_empty(spark):
     none = spark.createDataFrame([], "src long, dst long")
     got0 = {r["id"]: r["community"] for r in louvain(verts, none).collect()}
     assert len(set(got0.values())) == 4
+
+
+def test_louvain_local_matches_distributed(spark):
+    """The size-switched driver solve replays the distributed recurrence
+    bit-for-bit (same integer scores, parity gates, tie-breaks)."""
+    from usearch_spark.plans.graph_stats import louvain
+
+    eds = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9), (2, 7)]
+    edges = spark.createDataFrame(eds, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    loc = sorted(
+        (r["id"], r["community"])
+        for r in louvain(verts, edges, strategy="local").collect()
+    )
+    dist = sorted(
+        (r["id"], r["community"])
+        for r in louvain(verts, edges, strategy="distributed").collect()
+    )
+    assert loc == dist
