@@ -3573,6 +3573,22 @@ def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(comm, e)
 
 
+def q_graph_louvain_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style refinement of the Louvain partition
+    (plans/graph_stats.refine_communities): connected components over the
+    internal-edge subgraph split any internally disconnected community —
+    the well-connectedness guarantee Louvain lacks (Traag et al. 2019) —
+    then the exact-integer modularity scores the result (Q can only go
+    up: splits preserve internal edges and shrink degree-sum squares).
+    Oracle replays Louvain, the CC refinement, and the modularity tail."""
+    from usearch_spark.plans.graph_stats import louvain, modularity, refine_communities
+
+    v, e = _nation_graph(spark, sf_dir)
+    comm = louvain(v, e, rounds=4, coarse_rounds=4)
+    refined = refine_communities(comm, e).localCheckpoint(eager=True)
+    return modularity(refined, e)
+
+
 def _louvain_round_sql(p: str, t: int, inc: str, deg: str) -> str:
     """One synchronous Louvain local-move round as CTEs: neighbor-community
     weights, own-community union, integer gain scores, direction-gated
@@ -3619,11 +3635,13 @@ def _louvain_round_sql(p: str, t: int, inc: str, deg: str) -> str:
         )"""
 
 
-def _louvain_oracle_sql(rounds: int = 4, coarse_rounds: int = 4) -> str:
+def _louvain_comm_sql(
+    rounds: int = 4, coarse_rounds: int = 4, comm_name: str = "comm"
+) -> str:
     """Full Louvain replay on the nation graph: fine local-move rounds
     (unit weights), community aggregation into a weighted coarse graph
-    (self-loops folded into coarse degrees), coarse rounds, projection,
-    then the shared exact-integer modularity tail."""
+    (self-loops folded into coarse degrees), coarse rounds, projection
+    into the CTE named ``comm_name``."""
     parts = [
         """
         WITH e AS (
@@ -3678,9 +3696,53 @@ def _louvain_oracle_sql(rounds: int = 4, coarse_rounds: int = 4) -> str:
         parts.append(_louvain_round_sql("h", t, "ciw", "cdg"))
     parts.append(
         f""",
-        comm AS (
+        {comm_name} AS (
             SELECT g.v, h.c FROM g{rounds} g JOIN h{coarse_rounds} h ON h.v = g.c
         )"""
+    )
+    return "".join(parts)
+
+
+def _louvain_oracle_sql(rounds: int = 4, coarse_rounds: int = 4) -> str:
+    """Louvain chain + the shared exact-integer modularity tail."""
+    return _louvain_comm_sql(rounds, coarse_rounds) + _modularity_tail_sql()
+
+
+def _louvain_refined_oracle_sql(
+    rounds: int = 4, coarse_rounds: int = 4, cc_rounds: int = 8
+) -> str:
+    """Louvain chain -> Leiden-style refinement (min-label connected
+    components over the INTERNAL-edge subgraph, unrolled like
+    _components_oracle_sql) -> modularity tail."""
+    parts = [_louvain_comm_sql(rounds, coarse_rounds, comm_name="lcomm")]
+    parts.append(
+        """,
+        ie AS (
+            SELECT uw.a, uw.b FROM uw
+            JOIN lcomm la ON la.v = uw.a
+            JOIN lcomm lb ON lb.v = uw.b
+            WHERE la.c = lb.c
+        ),
+        ie2 AS (SELECT a AS src, b AS dst FROM ie UNION ALL SELECT b, a FROM ie),
+        rv AS (SELECT v AS id FROM lcomm),
+        r0 AS (SELECT id, id AS comp FROM rv)"""
+    )
+    for k in range(1, cc_rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+        r{k} AS MATERIALIZED (
+            SELECT v.id, least(cp.comp, coalesce(min(nb.comp), cp.comp)) AS comp
+            FROM rv v
+            JOIN r{p} cp ON cp.id = v.id
+            LEFT JOIN ie2 ON ie2.dst = v.id
+            LEFT JOIN r{p} nb ON nb.id = ie2.src
+            GROUP BY v.id, cp.comp
+        )"""
+        )
+    parts.append(
+        f""",
+        comm AS (SELECT id AS v, comp AS c FROM r{cc_rounds})"""
     )
     return "".join(parts) + _modularity_tail_sql()
 
@@ -6547,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new r8, never gated: first in line for the round-9 window)
         "text_trigram_logprob": q_text_trigram_logprob,
         "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
+        "graph_louvain_refined": q_graph_louvain_refined,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
@@ -9336,6 +9399,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_label_prop": _label_prop_oracle_sql(4),
         "graph_modularity": _modularity_oracle_sql(4),
         "graph_louvain": _louvain_oracle_sql(4, 4),
+        "graph_louvain_refined": _louvain_refined_oracle_sql(4, 4, 8),
         "supplier_cooccurrence": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d

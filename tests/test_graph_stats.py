@@ -642,3 +642,26 @@ def test_louvain_local_matches_distributed(spark):
         for r in louvain(verts, edges, strategy="distributed").collect()
     )
     assert loc == dist
+
+
+def test_refine_splits_disconnected_community(spark):
+    """A community containing two cliques with NO internal bridge splits
+    into its connected parts, and modularity strictly improves; an
+    already-connected assignment is left untouched."""
+    from usearch_spark.plans.graph_stats import modularity, refine_communities
+
+    eds = [(a, b) for a in range(4) for b in range(4) if a < b]
+    eds += [(a, b) for a in range(4, 8) for b in range(4, 8) if a < b]
+    edges = spark.createDataFrame(eds, "src long, dst long")
+    # one label for everything: internally disconnected
+    comm = spark.createDataFrame([(i, 0) for i in range(8)], "id long, community long")
+    refined = refine_communities(comm, edges)
+    got = {r["id"]: r["community"] for r in refined.collect()}
+    assert len(set(got.values())) == 2
+    assert len({got[i] for i in range(4)}) == 1 and len({got[i] for i in range(4, 8)}) == 1
+    q_before = modularity(comm, edges).first()["modularity"]
+    q_after = modularity(refined, edges).first()["modularity"]
+    assert q_after > q_before
+    # idempotent on a connected assignment
+    again = {r["id"]: r["community"] for r in refine_communities(refined, edges).collect()}
+    assert again == got

@@ -1658,3 +1658,45 @@ def louvain(
         )
         .select(F.col("v").alias(id_col), F.col("cc").alias("community"))
     )
+
+
+def refine_communities(
+    communities: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    community_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Leiden-style refinement (Traag et al. 2019, the guarantee Louvain
+    lacks): split every INTERNALLY DISCONNECTED community into its
+    connected parts — connected components over the internal-edge
+    subgraph only, each part labeled by its minimum vertex id (parts of
+    different communities can never merge, so min-ids stay unique).
+    Modularity never decreases: each part keeps its internal edges while
+    the degree-sum square strictly shrinks on any real split
+    (Σ dᵢ² < (Σ dᵢ)²), so Q(refined) >= Q(input) always — pinned in
+    pytest and scored by the exact-integer :func:`modularity`.
+
+    Scale shape: one edges⋈labels tag to drop cross-community edges,
+    then the existing :func:`~usearch_spark.plans.pregel.
+    connected_components` machinery (size-switched local solve /
+    distributed min-label propagation) on the remaining subgraph."""
+    from usearch_spark.plans.pregel import connected_components
+
+    comm = communities.select(
+        F.col(id_col).alias("v"), F.col(community_col).alias("c")
+    )
+    und = canonical_edges(edges, src, dst)
+    la = comm.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    lb = comm.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    internal = (
+        und.join(la, "a").join(lb, "b").filter(F.col("ca") == F.col("cb"))
+        .select("a", "b")
+    )
+    res = connected_components(
+        comm.select(F.col("v").alias("id")), internal, src_col="a", dst_col="b"
+    )
+    return res.state.select(
+        F.col("id").alias(id_col), F.col("value").alias("community")
+    )
