@@ -3589,6 +3589,21 @@ def q_graph_louvain_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(refined, e)
 
 
+def q_graph_louvain_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced-DISTRIBUTED companion of graph_louvain (the *_dist family
+    contract): the same Louvain recurrence executed as the per-round
+    DataFrame plan — edges⋈labels shuffle, integer argmax, parity gate,
+    aggregation level — under the identical oracle, so the at-scale path
+    is hash-gated, not just the driver-side small-graph solve."""
+    from usearch_spark.plans.graph_stats import louvain, modularity
+
+    v, e = _nation_graph(spark, sf_dir)
+    comm = louvain(
+        v, e, rounds=4, coarse_rounds=4, strategy="distributed"
+    ).localCheckpoint(eager=True)
+    return modularity(comm, e)
+
+
 def _louvain_round_sql(p: str, t: int, inc: str, deg: str) -> str:
     """One synchronous Louvain local-move round as CTEs: neighbor-community
     weights, own-community union, integer gain scores, direction-gated
@@ -6610,6 +6625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_logprob": q_text_trigram_logprob,
         "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
         "graph_louvain_refined": q_graph_louvain_refined,
+        "graph_louvain_dist": q_graph_louvain_dist,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
@@ -9400,6 +9416,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": _modularity_oracle_sql(4),
         "graph_louvain": _louvain_oracle_sql(4, 4),
         "graph_louvain_refined": _louvain_refined_oracle_sql(4, 4, 8),
+        "graph_louvain_dist": _louvain_oracle_sql(4, 4),
         "supplier_cooccurrence": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
