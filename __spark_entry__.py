@@ -5185,6 +5185,43 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(merged)
 
 
+def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable LOG-HISTOGRAM quantile sketch (operators/sketch.
+    log_hist_sketch) — the quantile member of the portable sketch family
+    (HLL distincts, CMS frequencies, Bloom membership): per-returnflag
+    price sketches built on l_linenumber-parity PARTS, merged by bin
+    addition, then p50/p90/p99 estimated from the merged sketch next to
+    the same quantiles from a whole-input sketch — hash-equality of the
+    two columns IS the merge-of-parts == sketch-of-whole proof.  Every
+    decision is integer (fixed-point cents, binary bit length, top-3-bit
+    sub-buckets, exact rank thresholds); the only float op per estimate
+    is one divide, so the oracle replays sketch, merge, and quantile
+    extraction bit-for-bit."""
+    from usearch_spark.operators.sketch import (
+        log_hist_merge,
+        log_hist_quantile,
+        log_hist_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"), F.col("l_extendedprice"), F.col("l_linenumber")
+    ).withColumn("part", F.pmod(F.col("l_linenumber"), F.lit(2)))
+    parts = log_hist_sketch(li, "l_extendedprice", ["l_returnflag", "part"])
+    merged = log_hist_merge(parts, ["l_returnflag"]).localCheckpoint(eager=True)
+    whole = log_hist_sketch(li, "l_extendedprice", ["l_returnflag"]).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for qn, qd, col in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
+        est = log_hist_quantile(merged, ["l_returnflag"], qn, qd, out_col=col)
+        est = est.select("l_returnflag", col) if out is not None else est
+        out = est if out is None else out.join(est, "l_returnflag")
+    w50 = log_hist_quantile(whole, ["l_returnflag"], 1, 2, out_col="p50_whole").select(
+        "l_returnflag", "p50_whole"
+    )
+    return out.join(w50, "l_returnflag")
+
+
 def q_sketch_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS count-min maintenance (streaming/sketches.
     cms_stream_merge): the events table arrives as two replayed
@@ -6626,6 +6663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
         "graph_louvain_refined": q_graph_louvain_refined,
         "graph_louvain_dist": q_graph_louvain_dist,
+        "sketch_quantile_hist": q_sketch_quantile_hist,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
@@ -7041,6 +7079,68 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ranked.rank, ranked.term, ranked.freq, fit.slope, fit.intercept
             FROM ranked, fit WHERE rank <= 10
+        """,
+        "sketch_quantile_hist": """
+            WITH src AS (
+                SELECT l_returnflag AS g, l_linenumber % 2 AS part,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+                FROM lineitem
+            ),
+            b AS (
+                SELECT g, part,
+                       CASE WHEN v <= 0 THEN 0
+                            ELSE length(to_base(v, 2)) END AS blen,
+                       CASE WHEN v <= 0 THEN 0
+                            ELSE v >> greatest(length(to_base(v, 2)) - 3, 0)
+                       END AS sub3
+                FROM src
+            ),
+            parts AS (
+                SELECT g, part, blen, sub3, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4
+            ),
+            merged AS (
+                SELECT g, blen, sub3, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM parts GROUP BY 1, 2, 3
+            ),
+            whole AS (
+                SELECT g, blen, sub3, CAST(count(*) AS BIGINT) AS cnt
+                FROM b GROUP BY 1, 2, 3
+            ),
+            mcum AS (
+                SELECT g, blen, sub3, cnt,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY blen, sub3) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS n
+                FROM merged
+            ),
+            wcum AS (
+                SELECT g, blen, sub3, cnt,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY blen, sub3) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS n
+                FROM whole
+            ),
+            pick AS (
+                SELECT g, n,
+                       CAST(min(CASE WHEN cum >= (1 * n + 1) // 2
+                                     THEN (sub3 << greatest(blen - 3, 0)) END)
+                            AS DOUBLE) / 100.0 AS p50,
+                       CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                                     THEN (sub3 << greatest(blen - 3, 0)) END)
+                            AS DOUBLE) / 100.0 AS p90,
+                       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100
+                                     THEN (sub3 << greatest(blen - 3, 0)) END)
+                            AS DOUBLE) / 100.0 AS p99
+                FROM mcum GROUP BY g, n
+            ),
+            wpick AS (
+                SELECT g,
+                       CAST(min(CASE WHEN cum >= (1 * n + 1) // 2
+                                     THEN (sub3 << greatest(blen - 3, 0)) END)
+                            AS DOUBLE) / 100.0 AS p50_whole
+                FROM wcum GROUP BY g
+            )
+            SELECT pick.g AS l_returnflag, pick.n, pick.p50, pick.p90, pick.p99,
+                   wpick.p50_whole
+            FROM pick JOIN wpick USING (g)
         """,
         "text_trigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -91,3 +91,41 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     assert 1200 < merged_est < 7500
     again = {r["g"]: r["est"] for r in hll_estimate(hll_sketch(df, "k", ["g"]), ["g"]).collect()}
     assert again == per
+
+
+def test_log_hist_sketch_merge_and_quantiles(spark):
+    """Log-histogram quantile sketch: merge-of-parts equals
+    sketch-of-whole cell-for-cell; the p50/p90 estimates are bin lower
+    bounds within 25% below the true rank value; sketch size is bounded
+    by bins, not rows."""
+    from usearch_spark.operators.sketch import (
+        log_hist_merge,
+        log_hist_quantile,
+        log_hist_sketch,
+    )
+
+    rows = [(i % 3, float(1 + (i * 37) % 1000) + 0.25) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g int, x double").withColumn(
+        "part", F.pmod(F.monotonically_increasing_id(), F.lit(4))
+    )
+    parts = log_hist_sketch(df, "x", ["g", "part"])
+    merged = sorted(
+        map(tuple, log_hist_merge(parts, ["g"]).collect())
+    )
+    whole = sorted(map(tuple, log_hist_sketch(df, "x", ["g"]).collect()))
+    assert merged == whole and len(merged) > 0
+    assert len(merged) <= 3 * 4 * 24  # bounded bins, not 3000 rows
+
+    sk = log_hist_sketch(df, "x", ["g"])
+    for qn, qd in ((1, 2), (9, 10)):
+        est = {
+            r["g"]: r["est"]
+            for r in log_hist_quantile(sk, ["g"], qn, qd).collect()
+        }
+        import math
+
+        for g in (0, 1, 2):
+            vals = sorted(x for gg, x in rows if gg == g)
+            true = vals[math.ceil(qn * len(vals) / qd) - 1]
+            assert est[g] <= true + 0.01
+            assert true < est[g] * 1.25 + 0.01, (g, qn, qd, est[g], true)

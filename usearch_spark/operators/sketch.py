@@ -200,3 +200,90 @@ def hll_estimate(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
     return agg.select(
         *group_cols, F.round(F.expr(hll_estimate_sql()), 6).alias("est")
     )
+
+
+# --- mergeable log-histogram quantile sketch ----------------------------
+
+
+def log_hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    cents: int = 100,
+) -> DataFrame:
+    """Mergeable quantile sketch as a log-scaled histogram: values are
+    fixed-pointed (floor(x·cents + 0.5)), then binned by (bit length,
+    top-3-bits) — ~4 sub-buckets per octave, <= ~4·log2(max) rows per
+    group regardless of input size, giving a guaranteed relative-error
+    quantile summary (estimate = bin lower bound, within 12.5% of the
+    true value by construction).  The quantile cousin of the HLL/CMS/
+    Bloom family: counts are plain integers, so sketches MERGE by bin
+    addition (merge-of-parts == sketch-of-whole exactly), and every
+    decision — fixed-point, bit length via the binary string, shifts —
+    is exact integer arithmetic any engine reproduces bit-for-bit.
+
+    Returns (group_cols..., blen, sub3, cnt): sub3 is the top 3 bits
+    (in [4, 7] for blen >= 3, the raw value below), so (blen, sub3)
+    ascending is exactly bin-lower-bound ascending.  Non-positive
+    values land in bin (0, 0) — count them, estimate them as 0."""
+    v = F.floor(F.col(value_col).cast("double") * F.lit(float(cents)) + F.lit(0.5))
+    # expressions below go through selectExpr so the shift amounts can be
+    # column-valued (F.shiftright wants literals)
+    return (
+        df.select(*group_cols, v.alias("_v"))
+        .selectExpr(
+            *group_cols,
+            "CASE WHEN _v <= 0 THEN 0 ELSE length(bin(_v)) END AS blen",
+            "CASE WHEN _v <= 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftright(_v, greatest(length(bin(_v)) - 3, 0)) END AS sub3",
+        )
+        .groupBy(*group_cols, "blen", "sub3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log_hist_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches over finer groupings (days, partitions) by bin
+    addition — exact, the defining sketch property."""
+    return sketch.groupBy(*group_cols, "blen", "sub3").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def log_hist_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q_num: int,
+    q_den: int,
+    cents: int = 100,
+    out_col: str = "est",
+) -> DataFrame:
+    """Quantile estimate from a (blen, sub3, cnt) sketch: the lower bound
+    of the first bin (in value order) whose cumulative count reaches
+    ceil(q·N) — the rank threshold is exact integer arithmetic
+    ((q_num·N + q_den − 1) div q_den), the bin lower bound
+    reconstructs as sub3 << (blen − 3) (an exact integer), and the ONLY
+    float op is the final single divide by ``cents``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("blen", "sub3")
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w))
+    tot = sketch.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    thr = F.expr(f"CAST(({q_num} * n + {q_den} - 1) DIV {q_den} AS BIGINT)")
+    return (
+        cum.join(tot, group_cols)
+        .filter(F.col("cum") >= thr)
+        .groupBy(*group_cols)
+        .agg(
+            F.min_by(F.struct("blen", "sub3"), F.struct("blen", "sub3")).alias("_b"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            (
+                F.expr("shiftleft(_b.sub3, greatest(_b.blen - 3, 0))").cast("double")
+                / F.lit(float(cents))
+            ).alias(out_col),
+        )
+    )
