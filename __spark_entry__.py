@@ -5185,6 +5185,47 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(merged)
 
 
+def q_sketch_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS quantile-sketch maintenance (streaming/sketches.
+    log_hist_stream_merge): the events table arrives as the two replayed
+    micro-batch files (shared with sketch_cms_stream); each foreachBatch
+    builds its partial log-histogram and merges by bin addition under
+    the idempotent snapshot pointer.  A SECOND run against the same
+    checkpoint must change nothing.  Bin addition commutes with the
+    one-shot build, so p50/p90 of user_id per user-parity group from the
+    drained sketch replay as a plain batch oracle over events — the
+    whole merge loop is hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.sketch import log_hist_quantile
+    from usearch_spark.streaming.sketches import log_hist_stream_merge, read_cms
+
+    base = os.path.join(_ARTIFACT_DIR, f"cms_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        q_sketch_cms_stream(spark, sf_dir)  # builds + gates the shared source
+    run = os.path.join(_ARTIFACT_DIR, f"qh_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "sketch"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+        .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = log_hist_stream_merge(stream, "user_id", ["g"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sk = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    p50 = log_hist_quantile(sk, ["g"], 1, 2, out_col="p50")
+    p90 = log_hist_quantile(sk, ["g"], 9, 10, out_col="p90").select("g", "p90")
+    return p50.join(p90, "g")
+
+
 def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable LOG-HISTOGRAM quantile sketch (operators/sketch.
     log_hist_sketch) — the quantile member of the portable sketch family
@@ -6664,6 +6705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain_refined": q_graph_louvain_refined,
         "graph_louvain_dist": q_graph_louvain_dist,
         "sketch_quantile_hist": q_sketch_quantile_hist,
+        "sketch_quantile_stream": q_sketch_quantile_stream,
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
@@ -7079,6 +7121,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ranked.rank, ranked.term, ranked.freq, fit.slope, fit.intercept
             FROM ranked, fit WHERE rank <= 10
+        """,
+        "sketch_quantile_stream": """
+            WITH src AS (
+                SELECT user_id % 2 AS g,
+                       CAST(floor(user_id * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ),
+            b AS (
+                SELECT g,
+                       CASE WHEN v <= 0 THEN 0
+                            ELSE length(to_base(v, 2)) END AS blen,
+                       CASE WHEN v <= 0 THEN 0
+                            ELSE v >> greatest(length(to_base(v, 2)) - 3, 0)
+                       END AS sub3
+                FROM src
+            ),
+            h AS (SELECT g, blen, sub3, CAST(count(*) AS BIGINT) AS cnt
+                  FROM b GROUP BY 1, 2, 3),
+            c AS (
+                SELECT g, blen, sub3,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY blen, sub3) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS n
+                FROM h
+            )
+            SELECT g, max(n) AS n,
+                   CAST(min(CASE WHEN cum >= (1 * n + 1) // 2
+                                 THEN (sub3 << greatest(blen - 3, 0)) END)
+                        AS DOUBLE) / 100.0 AS p50,
+                   CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                                 THEN (sub3 << greatest(blen - 3, 0)) END)
+                        AS DOUBLE) / 100.0 AS p90
+            FROM c GROUP BY g
         """,
         "sketch_quantile_hist": """
             WITH src AS (

@@ -747,3 +747,54 @@ def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
             out = got
             assert len(out) > 0
     assert got == out  # replay rewrote, never duplicated
+
+
+def test_quantile_stream_merge_equals_batch_and_replays(spark, tmp_path):
+    """Continuous quantile-sketch maintenance: the drained sketch equals
+    the one-shot batch histogram cell-for-cell, and a full replay (fresh
+    checkpoint, same epoch ids) merges nothing twice."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.operators.sketch import log_hist_sketch
+    from usearch_spark.streaming.sketches import log_hist_stream_merge, read_cms
+
+    df = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.pmod(F.col("id") * 37, F.lit(997)) + 1).alias("user_id"),
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = str(tmp_path / f"t{i}")
+        df.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target = str(tmp_path / "sketch")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    for run, ckpt in enumerate(("ck_a", "ck_b")):
+        q = log_hist_stream_merge(stream, "user_id", ["g"], target, str(tmp_path / ckpt))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if run == 0:
+            first = sorted(map(tuple, read_cms(spark, target).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            log_hist_sketch(
+                df.withColumn("g", F.pmod(F.col("user_id"), F.lit(2))),
+                "user_id",
+                ["g"],
+            ).collect(),
+        )
+    )
+    assert first == batch and len(first) > 0
+    assert sorted(map(tuple, read_cms(spark, target).collect())) == first

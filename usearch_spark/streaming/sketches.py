@@ -99,3 +99,60 @@ def read_cms(spark, target_path: str) -> DataFrame:
     """The current committed sketch (follow the ``_CURRENT`` pointer)."""
     with open(os.path.join(target_path, "_CURRENT")) as fh:
         return spark.read.parquet(os.path.join(target_path, fh.read().strip()))
+
+
+def log_hist_stream_merge(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    target_path: str,
+    checkpoint_path: str,
+    cents: int = 100,
+) -> StreamingQuery:
+    """Continuous quantile-sketch maintenance: each micro-batch builds its
+    partial log-histogram (operators/sketch.log_hist_sketch) and merges
+    into the running parquet sketch by BIN ADDITION — the same
+    mergeability/commutativity contract as :func:`cms_stream_merge`, so
+    the drained stream sketch equals the one-shot batch sketch
+    cell-for-cell and shares its oracle.
+
+    Crash safety is the identical snapshot-pointer pattern with the
+    idempotent epoch guard: versions advance monotonically under
+    ``_CURRENT``, and a replayed epoch (foreachBatch is at-least-once)
+    no-ops when the committed version is already >= its epoch_id —
+    never double-counting a bin, never reading the directory it is
+    overwriting."""
+    from usearch_spark.operators.sketch import log_hist_sketch
+
+    ptr = os.path.join(target_path, "_CURRENT")
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        committed = -1
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                committed = int(fh.read().strip().lstrip("v"))
+            if committed >= int(epoch_id):
+                return  # replayed epoch: already merged and committed
+        sk = log_hist_sketch(batch_df, value_col, group_cols, cents=cents)
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
+            sk = (
+                cur.unionByName(sk)
+                .groupBy(*group_cols, "blen", "sub3")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        version = f"v{epoch_id}"
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, version))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, ptr)  # atomic pointer swap commits the epoch
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
