@@ -6634,82 +6634,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-8 rotation:
-    (1) the four queries whose CODE changed this round — the
-    exact-integer embedding_covariance fix (driver-red r5-r7), the
-    exact-decimal graph_modularity hardening, and the two streaming
-    queries whose sinks became crash-replay idempotent; (2) the round-3
-    cohort (last driver gate three windows ago — 47 entries, 46 fit);
-    (3) round-4, (4) round-5, (5) round-7 cohorts, least-recently gated
-    first, original relative order inside each group.  Entries past 50
-    get their next gate in round 9 (the window advances every round;
-    position math: qs.index(name) < 50 is the gated set)."""
+    cap sweeps the whole surface across rounds.  Round-9 rotation:
+    (1) the six round-8 queries that have never had a driver gate
+    (trigram LM, IVF-PQ rerank, Leiden/distributed Louvain, quantile
+    sketch batch + stream); (2) the three round-3 stragglers that missed
+    the r8 window (corpus_pack/sample, text_analyze); (3) the round-4
+    cohort, least-recently gated first, original relative order — 41 of
+    its 50 fit.  Past the boundary: new round-9 entries (first in line
+    for the round-10 window), the round-4 remainder, then the round-5,
+    round-7 and round-8 cohorts in gate order.  Position math:
+    qs.index(name) < 50 is the gated set."""
     return {
-        # --- changed this round: re-gate first ---
-        "embedding_covariance": q_embedding_covariance,
-        "graph_modularity": q_graph_modularity,
-        "dedup_stream": q_dedup_stream,
-        "sketch_cms_stream": q_sketch_cms_stream,
-        # --- new this round (never gated) ---
-        "sim_ann_ivfpq": q_sim_ann_ivfpq,
-        "graph_louvain": q_graph_louvain,
-        # --- round-3 cohort (last gated r03) ---
-        "link_range_scan": q_link_range_scan,
-        "point_lookup": q_point_lookup,
-        "upsert_latest": q_upsert_latest,
-        "anti_join_stale": q_anti_join_stale,
-        "top_k_paged": q_top_k_paged,
-        "revenue_by_nation": q_revenue_by_nation,
-        "shipping_priority": q_shipping_priority,
-        "top_supplier": q_top_supplier,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "search_match": q_search_match,
-        "search_phrase": q_search_phrase,
-        "search_phrase_positional": q_search_phrase_positional,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "topk_per_group": q_topk_per_group,
-        "rollup_revenue": q_rollup_revenue,
-        "json_extract": q_json_extract,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantiles": q_approx_quantiles,
-        "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
-        "pivot_daily": q_pivot_daily,
-        "store_links_upsert": q_store_links_upsert,
-        "store_edges_lifecycle": q_store_edges_lifecycle,
-        "index_lifecycle": q_index_lifecycle,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_pagerank_fixed": q_graph_pagerank_fixed,
-        "graph_ppr": q_graph_ppr,
-        "graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "graph_kcore": q_graph_kcore,
-        "graph_hits": q_graph_hits,
-        "graph_sssp": q_graph_sssp,
-        "graph_coloring": q_graph_coloring,
-        "graph_components": q_graph_components,
-        "search_results_page": q_search_results_page,
-        "search_highlight": q_search_highlight,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_embedding": q_dedup_embedding,
-        "sim_cosine_topk": q_sim_cosine_topk,
-        "corpus_prep": q_corpus_prep,
-        # ---------- 50-entry window boundary (round 8) ----------
-        # (new r8, never gated: first in line for the round-9 window)
+        # --- new r8, never driver-gated: gate first ---
         "text_trigram_logprob": q_text_trigram_logprob,
         "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
         "graph_louvain_refined": q_graph_louvain_refined,
         "graph_louvain_dist": q_graph_louvain_dist,
         "sketch_quantile_hist": q_sketch_quantile_hist,
         "sketch_quantile_stream": q_sketch_quantile_stream,
+        # --- round-3 stragglers (missed the r8 window) ---
         "corpus_pack": q_corpus_pack,
         "corpus_sample": q_corpus_sample,
         "text_analyze": q_text_analyze,
-        # --- round-4 cohort ---
+        # --- round-4 cohort (last gated r04; first 41 fit) ---
         "text_repetition": q_text_repetition,
         "text_logprob": q_text_logprob,
         "dedup_semantic": q_dedup_semantic,
@@ -6751,6 +6698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "column_profile": q_column_profile,
         "range_join": q_range_join,
+        # ---------- 50-entry window boundary (round 9) ----------
+        # --- round-4 remainder (first in line for the round-10 window) ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
@@ -6857,6 +6806,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
         "pricing_summary": q_pricing_summary,
+        # --- round-8 cohort (freshest gate) ---
+        "embedding_covariance": q_embedding_covariance,
+        "graph_modularity": q_graph_modularity,
+        "dedup_stream": q_dedup_stream,
+        "sketch_cms_stream": q_sketch_cms_stream,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
+        "graph_louvain": q_graph_louvain,
+        "link_range_scan": q_link_range_scan,
+        "point_lookup": q_point_lookup,
+        "upsert_latest": q_upsert_latest,
+        "anti_join_stale": q_anti_join_stale,
+        "top_k_paged": q_top_k_paged,
+        "revenue_by_nation": q_revenue_by_nation,
+        "shipping_priority": q_shipping_priority,
+        "top_supplier": q_top_supplier,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "search_match": q_search_match,
+        "search_phrase": q_search_phrase,
+        "search_phrase_positional": q_search_phrase_positional,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "rollup_revenue": q_rollup_revenue,
+        "json_extract": q_json_extract,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
+        "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
+        "pivot_daily": q_pivot_daily,
+        "store_links_upsert": q_store_links_upsert,
+        "store_edges_lifecycle": q_store_edges_lifecycle,
+        "index_lifecycle": q_index_lifecycle,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_fixed": q_graph_pagerank_fixed,
+        "graph_ppr": q_graph_ppr,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_kcore": q_graph_kcore,
+        "graph_hits": q_graph_hits,
+        "graph_sssp": q_graph_sssp,
+        "graph_coloring": q_graph_coloring,
+        "graph_components": q_graph_components,
+        "search_results_page": q_search_results_page,
+        "search_highlight": q_search_highlight,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "corpus_prep": q_corpus_prep,
     }
 
 
