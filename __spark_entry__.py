@@ -2999,8 +2999,11 @@ def q_top_brand_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly error rate: errors vs total per hour from ONE conditional
-    aggregation pass (no self-join of the hourly table), rate as a single
-    rounded float division of exact counts."""
+    aggregation pass (no self-join of the hourly table).  The rate is an
+    exact-integer rational round (the embedding_covariance recipe): q =
+    (errors·1e6) DIV total with the twice-remainder half-up bump, then
+    ONE int→double cast + ONE divide — no engine ever rounds a double
+    quotient, so the 6dp boundary cannot flip cross-engine."""
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
         F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour_bucket")
@@ -3012,7 +3015,16 @@ def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_bucket",
         "n_events",
         F.col("n_errors").cast("long").alias("n_errors"),
-        F.round(F.col("n_errors").cast("double") / F.col("n_events"), 6).alias("error_rate"),
+        (
+            (
+                F.expr("(n_errors * 1000000) DIV n_events")
+                + F.expr(
+                    "CASE WHEN 2 * ((n_errors * 1000000) % n_events) >= n_events"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("error_rate"),
     )
 
 

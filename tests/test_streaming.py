@@ -642,12 +642,28 @@ def test_cms_stream_merge_equals_batch_and_resumes(spark, tmp_path):
     assert _os.path.exists(_os.path.join(target, "_CURRENT"))
 
 
+def _drop_last_commit(ckpt: str) -> None:
+    """Simulate the foreachBatch crash window: the epoch RAN (pointer
+    swapped, sink written) but the checkpoint commit was never recorded,
+    so a restart re-delivers the SAME epoch id with the same data —
+    exactly what deleting the newest ``commits/<n>`` file reproduces."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    last = max(
+        (f for f in os.listdir(commits) if f.isdigit()), key=int
+    )
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def test_cms_stream_replay_is_idempotent(spark, tmp_path):
-    """Crash-window replay (foreachBatch is at-least-once): re-delivering
-    already-committed epoch ids — simulated by wiping the checkpoint so a
-    fresh query replays every source file under the same epoch ids — must
-    NOT double-count cells: the committed-version guard in cms_stream_merge
-    no-ops any epoch <= the version _CURRENT points at."""
+    """Crash-window replay (foreachBatch is at-least-once): deleting the
+    newest checkpoint commit makes the restart re-deliver the last epoch
+    under the SAME lineage and epoch id — the true at-least-once window.
+    The lineage-aware guard must no-op it: no cell is double-counted."""
     import glob
     import os
     import shutil
@@ -665,35 +681,88 @@ def test_cms_stream_replay_is_idempotent(spark, tmp_path):
         df.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
         shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
 
-    target = str(tmp_path / "sketch")
+    target, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
     stream = (
         spark.readStream.schema("event_id long, user_id long")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    for run, ckpt in enumerate(("ckpt_a", "ckpt_b")):
-        # run 1: normal drain.  run 2: FRESH checkpoint against the same
-        # target — every epoch (same ids 0,1) is re-delivered, which is
-        # byte-for-byte what a crash between pointer swap and checkpoint
-        # commit replays.
-        q = cms_stream_merge(stream, "user_id", target, str(tmp_path / ckpt))
+    for run in range(2):
+        # run 0: normal drain (epochs 0,1 merged, pointer committed).
+        # run 1: crash-window replay — commits/1 deleted, the restart
+        # re-delivers epoch 1 against a pointer that already merged it.
+        q = cms_stream_merge(stream, "user_id", target, ckpt)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
         if run == 0:
             first = sorted(map(tuple, read_cms(spark, target).collect()))
+            _drop_last_commit(ckpt)
     batch = sorted(map(tuple, count_min_sketch(df, "user_id").collect()))
     assert first == batch
     replayed = sorted(map(tuple, read_cms(spark, target).collect()))
     assert replayed == first  # replay merged nothing: no double-count
 
 
+def test_cms_stream_lineage_mismatch_raises_or_adopts(spark, tmp_path):
+    """A FRESH checkpoint against an existing target restarts epoch ids
+    at 0; an epoch-only guard would silently drop every new batch (data
+    loss).  The lineage guard turns that into an explicit error, and
+    on_mismatch='adopt' explicitly continues merging on top of the
+    committed sketch (cells double here because the source is re-read)."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.streaming.sketches import cms_stream_merge, read_cms
+
+    df = spark.range(200).select(
+        F.col("id").alias("event_id"), F.pmod(F.col("id"), F.lit(11)).alias("user_id")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "t0")
+    df.coalesce(1).write.parquet(tmp)
+    shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch0.parquet")
+
+    target = str(tmp_path / "sketch")
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+    q = cms_stream_merge(stream, "user_id", target, str(tmp_path / "ckpt_a"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {(r["seed"], r["bucket"]): r["cnt"] for r in read_cms(spark, target).collect()}
+
+    # default: a new lineage against the committed target FAILS FAST
+    q = cms_stream_merge(stream, "user_id", target, str(tmp_path / "ckpt_b"))
+    try:
+        with pytest.raises(Exception, match="lineage mismatch"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(r["seed"], r["bucket"]): r["cnt"] for r in read_cms(spark, target).collect()} == first
+
+    # explicit adoption: the new lineage's batches MERGE (not dropped)
+    q = cms_stream_merge(
+        stream, "user_id", target, str(tmp_path / "ckpt_c"), on_mismatch="adopt"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    adopted = {(r["seed"], r["bucket"]): r["cnt"] for r in read_cms(spark, target).collect()}
+    assert adopted == {k: 2 * v for k, v in first.items()}
+
+
 def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
-    """Crash-window replay of the dedup probe stream: a fresh checkpoint
-    re-delivers both epochs against the same sink; the epoch-keyed
-    overwrite rewrites the same partitions with identical verdicts instead
-    of appending a duplicate copy of every row."""
+    """Crash-window replay of the dedup probe stream: deleting the newest
+    checkpoint commit re-delivers the last epoch (same lineage, same id)
+    against the same sink; the epoch-keyed overwrite rewrites that
+    partition with identical verdicts instead of appending a duplicate
+    copy — and a genuinely DIFFERENT checkpoint raises on the lineage
+    marker instead of clobbering unrelated partitions."""
     import glob
     import os
     import shutil
@@ -726,10 +795,10 @@ def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
         .parquet(srcdir)
     )
     out = None
-    for ckpt in ("ckpt_a", "ckpt_b"):  # second pass = full replay, same epoch ids
+    ckpt = str(tmp_path / "ckpt_a")
+    for run in range(2):  # run 1 = crash-window replay of the last epoch
         q = dedup_stream_against_index(
-            stream, c_sh, c_banded, sink, str(tmp_path / ckpt),
-            threshold=0.5, shingle_n=2,
+            stream, c_sh, c_banded, sink, ckpt, threshold=0.5, shingle_n=2,
         )
         try:
             q.processAllAvailable()
@@ -746,13 +815,36 @@ def test_dedup_stream_replay_is_idempotent(spark, tmp_path):
         if out is None:
             out = got
             assert len(out) > 0
+            _drop_last_commit(ckpt)
     assert got == out  # replay rewrote, never duplicated
+
+    # a DIFFERENT checkpoint against the populated sink fails fast: its
+    # restarted epoch ids would overwrite unrelated epoch_id=N partitions
+    q = dedup_stream_against_index(
+        stream, c_sh, c_banded, sink, str(tmp_path / "ckpt_b"),
+        threshold=0.5, shingle_n=2,
+    )
+    try:
+        with pytest.raises(Exception, match="lineage mismatch"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    still = sorted(
+        map(
+            tuple,
+            spark.read.parquet(sink)
+            .select("batch_id", "corpus_id", "jaccard")
+            .collect(),
+        )
+    )
+    assert still == out  # nothing clobbered
 
 
 def test_quantile_stream_merge_equals_batch_and_replays(spark, tmp_path):
     """Continuous quantile-sketch maintenance: the drained sketch equals
-    the one-shot batch histogram cell-for-cell, and a full replay (fresh
-    checkpoint, same epoch ids) merges nothing twice."""
+    the one-shot batch histogram cell-for-cell, and a crash-window replay
+    (newest checkpoint commit deleted, same lineage + epoch id) merges
+    nothing twice."""
     import glob
     import os
     import shutil
@@ -778,14 +870,16 @@ def test_quantile_stream_merge_equals_batch_and_replays(spark, tmp_path):
         .parquet(src)
         .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
     )
-    for run, ckpt in enumerate(("ck_a", "ck_b")):
-        q = log_hist_stream_merge(stream, "user_id", ["g"], target, str(tmp_path / ckpt))
+    ckpt = str(tmp_path / "ck_a")
+    for run in range(2):
+        q = log_hist_stream_merge(stream, "user_id", ["g"], target, ckpt)
         try:
             q.processAllAvailable()
         finally:
             q.stop()
         if run == 0:
             first = sorted(map(tuple, read_cms(spark, target).collect()))
+            _drop_last_commit(ckpt)
     batch = sorted(
         map(
             tuple,

@@ -556,7 +556,7 @@ def substring_containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 16,
-    max_gram_df: int = 5000,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """EXACT full-text substring containment: (inner_id, outer_id) pairs
     where inner's ENTIRE text occurs verbatim inside outer's — the dedup
@@ -582,18 +582,21 @@ def substring_containment_pairs(
     instr(x, '') = 1 and DuckDB's contains(x, '') agree, so the edge is
     engine-consistent.
 
-    SKEW ESCAPE HATCH (``max_gram_df``): on templated/boilerplate
-    corpora the rarest gram's df approaches |docs| and the candidate
-    join degenerates toward all-pairs — the exact blowup ``max_bucket``
-    guards in the LSH path.  A doc whose RAREST gram has df >
-    ``max_gram_df`` consists entirely of hub grams (the rarest is
-    minimal over the doc), i.e. it is pure template text; such docs are
-    dropped from inner-side candidate generation (bounded recall loss on
-    boilerplate only — the same declarative cap-and-drop contract as
-    ``lsh_candidate_pairs``; count the dropped docs by comparing
-    ``docs`` against the inner ids if you need the audit number).  The
-    candidate row bound becomes Σ_docs min(df(rarest), max_gram_df) <=
-    |docs|·max_gram_df — linear in the corpus, never quadratic.
+    SKEW ESCAPE HATCH (``max_gram_df``, OPT-IN, default None = exact):
+    on templated/boilerplate corpora the rarest gram's df approaches
+    |docs| and the candidate join degenerates toward all-pairs — the
+    exact blowup ``max_bucket`` guards in the LSH path.  When a cap is
+    SET, a doc whose RAREST gram has df > ``max_gram_df`` consists
+    entirely of hub grams (the rarest is minimal over the doc), i.e. it
+    is pure template text; such docs are dropped from inner-side
+    candidate generation (bounded recall loss on boilerplate only — the
+    same declarative cap-and-drop contract as ``lsh_candidate_pairs``;
+    count the dropped docs by comparing ``docs`` against the inner ids
+    if you need the audit number).  The candidate row bound becomes
+    Σ_docs min(df(rarest), max_gram_df) <= |docs|·max_gram_df — linear
+    in the corpus, never quadratic.  With the cap active the result is
+    no longer exhaustive, so the EXACT headline above holds only for
+    the default ``max_gram_df=None``.
     """
     from usearch_spark.session import spread_small_scan
 
@@ -615,9 +618,10 @@ def substring_containment_pairs(
         grams.join(dfc, "gram")
         .groupBy("id")
         .agg(F.min(F.struct("df", "gram")).alias("_r"))
-        .filter(F.col("_r.df") <= max_gram_df)
-        .select("id", F.col("_r.gram").alias("gram"))
     )
+    if max_gram_df is not None:
+        rarest = rarest.filter(F.col("_r.df") <= max_gram_df)
+    rarest = rarest.select("id", F.col("_r.gram").alias("gram"))
     cands = (
         rarest.select(F.col("id").alias("inner_id"), "gram")
         .join(grams.select(F.col("id").alias("outer_id"), "gram"), "gram")

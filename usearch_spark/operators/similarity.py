@@ -847,6 +847,13 @@ def pq_train(
     dsub = dim // m
     subs = _pq_subs(emb, m, dsub, id_col, vec_col)
     seed_ids = emb.select(F.col(id_col).alias("vec_id")).orderBy("vec_id").limit(k_sub)
+    n_seeds = seed_ids.count()  # bounded by k_sub: a LIMIT-k scan, not a full count
+    if n_seeds < k_sub:
+        raise ValueError(
+            f"corpus smaller than k_sub: {n_seeds} vectors cannot seed "
+            f"{k_sub} PQ cells per subspace — pass k_sub <= corpus size "
+            f"(build_ivfpq_index clamps automatically)"
+        )
     cb = (
         subs.join(F.broadcast(seed_ids), "vec_id")
         .withColumn(
@@ -989,6 +996,13 @@ def build_ivfpq_index(
     from usearch_spark.operators.clustering import kmeans_assign, kmeans_centroids
 
     dim = len(embeddings.select(vec_col).first()[0])
+    # degenerate-corpus clamp: PQ seeding can only fill |corpus| cells per
+    # subspace, so k_sub > |corpus| would abort in pq_train with a
+    # misleading "lost an entry"; a LIMIT-k count bounds the check cost.
+    n_avail = embeddings.select(id_col).limit(k_sub).count()
+    if n_avail == 0:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    k_sub = min(k_sub, n_avail)
     cent = kmeans_centroids(
         embeddings, k=n_clusters, iters=max_iter, id_col=id_col, vec_col=vec_col
     )

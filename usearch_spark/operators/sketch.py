@@ -215,8 +215,10 @@ def log_hist_sketch(
     fixed-pointed (floor(x·cents + 0.5)), then binned by (bit length,
     top-3-bits) — ~4 sub-buckets per octave, <= ~4·log2(max) rows per
     group regardless of input size, giving a guaranteed relative-error
-    quantile summary (estimate = bin lower bound, within 12.5% of the
-    true value by construction).  The quantile cousin of the HLL/CMS/
+    quantile summary: the estimate is the bin LOWER bound, and a bin at
+    sub-bucket width 1/4 octave spans up to 25% above that bound (the
+    widest case is sub3=4, lower bound 2^b, next boundary 1.25·2^b), so
+    the worst-case relative error is 25% by construction.  The quantile cousin of the HLL/CMS/
     Bloom family: counts are plain integers, so sketches MERGE by bin
     addition (merge-of-parts == sketch-of-whole exactly), and every
     decision — fixed-point, bit length via the binary string, shifts —

@@ -482,7 +482,12 @@ def trigram_logprob(
     positions.  Longer context sharpens the fluency signal (templated
     text saturates the trigram table; shuffled text collapses to the
     unigram floor) at the same cost shape: three vocab-sized count
-    tables, one broadcast probability join.
+    tables joined back onto trigram positions.  Unlike the unigram and
+    bigram levels, the distinct-TRIGRAM probability table grows toward
+    the corpus token count itself, so it is NOT broadcast-hinted: the
+    join stays a plain equi-join and AQE picks broadcast only when the
+    table is measured small at runtime (forcing it would OOM the driver
+    at corpus scale).
 
     Hash-gate contract (identical to the bigram form): per-position
     log-probs round to 6dp and sum as DECIMAL (order-independent), ONE
@@ -546,7 +551,7 @@ def trigram_logprob(
         )
     )
     per = (
-        tri.join(F.broadcast(lp), ["w1", "w2", "w3"])
+        tri.join(lp, ["w1", "w2", "w3"])  # no broadcast hint: see docstring
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_trigrams"), F.sum("lp").alias("lp_sum"))
         .select(

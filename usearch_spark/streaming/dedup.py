@@ -26,6 +26,13 @@ directory from a mid-write crash is replaced wholesale.  The driver
 gate hashes the sink after a deliberate second run, pinning the
 end-to-end exactly-once EFFECT, not just the math.
 
+The epoch-keyed overwrite is only safe WITHIN one checkpoint lineage:
+a fresh checkpoint restarts epoch ids at 0, so pointing a new query at
+an existing sink would overwrite unrelated prior ``epoch_id=N``
+partitions with new data — silent destruction.  The sink therefore
+records its checkpoint lineage in a ``_LINEAGE`` marker and a
+mismatched query fails fast instead of clobbering.
+
 Reference parity: the reference's dedup surface is upsert-by-key on
 ingest (linkgraph/store/memory/memory.go:42-87 — every ingested link
 dedupes against the stored corpus); this is the content-similarity
@@ -60,14 +67,37 @@ def dedup_stream_against_index(
     Readers take ``spark.read.parquet(sink_path)`` and get an extra
     ``epoch_id`` partition column; select it away if unwanted.  The
     caller owns the query lifecycle (processAllAvailable/stop) and the
-    checkpoint directory."""
+    checkpoint directory.  A sink already populated by a DIFFERENT
+    checkpoint lineage raises instead of overwriting its partitions
+    (``_LINEAGE`` marker — see module docstring)."""
     from usearch_spark.operators.dedup import minhash_index, minhash_probe_pairs
+    from usearch_spark.streaming.sketches import _lineage_id
 
     import os
+
+    lineage = _lineage_id(checkpoint_path)
 
     def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker = os.path.join(sink_path, "_LINEAGE")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                existing = fh.read().strip()
+            if existing != lineage:
+                raise ValueError(
+                    f"streaming lineage mismatch at {sink_path}: sink was "
+                    f"written by checkpoint lineage {existing}, this query is "
+                    f"{lineage}; its restarted epoch ids would overwrite "
+                    f"unrelated epoch_id=N partitions.  Resume with the "
+                    f"original checkpoint or use a fresh sink_path."
+                )
+        else:
+            os.makedirs(sink_path, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(lineage)
+            os.replace(tmp, marker)
         sh, banded = minhash_index(batch_df, id_col, text_col, shingle_n=shingle_n)
         sh = sh.localCheckpoint(eager=True)
         pairs = minhash_probe_pairs(

@@ -11,21 +11,88 @@ over all N batches' rows (cell-wise sums commute), so the gated query
 shares the batch query's oracle verbatim — the merge loop is
 hash-checked, not just row-counted.  Exactly-once is the streaming
 checkpoint (a restarted query skips committed source files) PLUS an
-idempotent epoch commit: the ``_CURRENT`` pointer records the last
-merged epoch, and a replayed epoch (crash after the pointer swap but
-before the checkpoint commit — foreachBatch alone is only
-at-least-once) is detected by ``committed_version >= epoch_id`` and
-skipped, so the batch is never double-counted and the replay never
-reads the very version directory it is about to overwrite.
+idempotent epoch commit: the ``_CURRENT`` pointer records the merged
+version, the CHECKPOINT LINEAGE it belongs to, and the last merged
+epoch.  A replayed epoch (crash after the pointer swap but before the
+checkpoint commit — foreachBatch alone is only at-least-once) carries
+the SAME lineage and an epoch id <= the committed one, so it is
+skipped: the batch is never double-counted and the replay never reads
+the very version directory it is about to overwrite.  Epoch ids are
+only monotonic WITHIN one checkpoint lineage — a different checkpoint
+(fresh lineage) restarts them at 0, so an epoch-only guard would
+silently discard every new batch: the lineage check turns that data
+loss into an explicit error (``on_mismatch="error"``) or an explicit
+adoption (``on_mismatch="adopt"``: keep the committed sketch, reset
+the epoch counter, keep version numbers monotonic).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def _lineage_id(checkpoint_path: str) -> str:
+    """Stable id for one checkpoint lineage: epoch ids are comparable only
+    between runs that share a checkpoint directory, so the lineage IS the
+    (absolute) checkpoint path, hashed to keep the pointer file tidy."""
+    return hashlib.sha256(os.path.abspath(checkpoint_path).encode()).hexdigest()[:16]
+
+
+def _read_current(ptr: str) -> tuple[int, str | None, int]:
+    """Parse ``_CURRENT`` -> (version, lineage, last_epoch).
+
+    Returns (-1, None, -1) when no commit exists.  The legacy single-line
+    format ("v<epoch>") predates the lineage field; it is read as
+    lineage-unknown with version == last_epoch (its version naming WAS
+    the epoch id)."""
+    if not os.path.exists(ptr):
+        return -1, None, -1
+    with open(ptr) as fh:
+        lines = [ln.strip() for ln in fh.read().splitlines() if ln.strip()]
+    version = int(lines[0].lstrip("v"))
+    if len(lines) < 3:
+        return version, None, version
+    return version, lines[1], int(lines[2])
+
+
+def _commit_current(ptr: str, version: int, lineage: str, last_epoch: int) -> None:
+    """Atomically re-point ``_CURRENT`` (write temp + os.replace)."""
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"v{version}\n{lineage}\n{last_epoch}\n")
+    os.replace(tmp, ptr)
+
+
+def _guard_epoch(
+    ptr: str, lineage: str, epoch_id: int, target_path: str, on_mismatch: str
+) -> tuple[int, int] | None:
+    """Shared commit-pointer admission check for a delivered epoch.
+
+    Returns None when the epoch must be SKIPPED (true replay: same
+    lineage, epoch already merged), else (committed_version,
+    next_version).  A DIFFERENT lineage against an existing target is
+    never silently dropped: it raises (default) or adopts the committed
+    state under the new lineage (versions stay monotonic because the
+    version counter is independent of the epoch id)."""
+    committed, cur_lin, last_epoch = _read_current(ptr)
+    if committed >= 0 and cur_lin is not None and cur_lin != lineage:
+        if on_mismatch != "adopt":
+            raise ValueError(
+                f"streaming lineage mismatch at {target_path}: committed state "
+                f"belongs to checkpoint lineage {cur_lin}, this query is "
+                f"{lineage}.  Resume with the ORIGINAL checkpoint directory, "
+                f"point the new query at a fresh target_path, or pass "
+                f'on_mismatch="adopt" to continue merging on top of the '
+                f"committed sketch."
+            )
+    elif committed >= 0 and int(epoch_id) <= last_epoch:
+        return None  # replayed epoch: already merged and committed
+    return committed, committed + 1
 
 
 def cms_stream_merge(
@@ -35,6 +102,7 @@ def cms_stream_merge(
     checkpoint_path: str,
     depth: int = 4,
     prefix_len: int = 2,
+    on_mismatch: str = "error",
 ) -> StreamingQuery:
     """Start the continuous count-min maintenance stream: each micro-batch
     builds its partial sketch (operators/sketch.count_min_sketch) and
@@ -43,36 +111,37 @@ def cms_stream_merge(
 
     Crash safety uses the snapshot-pointer pattern
     (sources/graph_store.VersionedGraphStore): each epoch writes a NEW
-    version directory (``v<epoch>``), then atomically re-points the
-    ``_CURRENT`` file at it (os.replace).  A crash mid-write leaves the
-    previous version intact and the un-committed batch replays — the
-    merge never reads a half-written sketch and never loses prior
-    batches.  The commit is IDEMPOTENT under replay: foreachBatch is
-    at-least-once (a crash after the pointer swap but before the
-    checkpoint commit re-delivers the same epoch_id), so the merge
-    first parses ``_CURRENT`` and no-ops when the committed version is
-    already >= this epoch — without the guard a replay would (a) merge
-    the batch into a sketch that already contains it, double-counting
-    every cell, and (b) lazily read ``v<epoch>`` while overwriting that
-    same path, which Spark rejects.  Epoch ids are monotonic per
-    checkpoint, so ">= epoch_id" is exactly "already merged".  The
-    sketch is bounded (<= depth x 16^prefix_len rows), so rewriting a
-    full version per batch is trivially small regardless of stream
-    volume."""
+    version directory (``v<n>``, n monotonic and independent of the
+    epoch id), then atomically re-points the ``_CURRENT`` file at it
+    (os.replace).  A crash mid-write leaves the previous version intact
+    and the un-committed batch replays — the merge never reads a
+    half-written sketch and never loses prior batches.  The commit is
+    IDEMPOTENT under replay: foreachBatch is at-least-once (a crash
+    after the pointer swap but before the checkpoint commit re-delivers
+    the same epoch_id), so the merge first parses ``_CURRENT`` and
+    no-ops when this epoch of THIS CHECKPOINT LINEAGE is already merged
+    — without the guard a replay would (a) merge the batch into a
+    sketch that already contains it, double-counting every cell, and
+    (b) lazily read the version it is about to overwrite, which Spark
+    rejects.  Epoch ids are monotonic only WITHIN a lineage; a
+    different checkpoint against the same target raises (or adopts the
+    committed sketch with ``on_mismatch="adopt"``) instead of silently
+    dropping its batches — see :func:`_guard_epoch`.  The sketch is
+    bounded (<= depth x 16^prefix_len rows), so rewriting a full
+    version per batch is trivially small regardless of stream volume."""
     from usearch_spark.operators.sketch import count_min_sketch
 
     ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        committed = -1
-        if os.path.exists(ptr):
-            with open(ptr) as fh:
-                committed = int(fh.read().strip().lstrip("v"))
-            if committed >= int(epoch_id):
-                return  # replayed epoch: already merged and committed
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
         sk = count_min_sketch(batch_df, key_col, depth=depth, prefix_len=prefix_len)
         if committed >= 0:
             cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
@@ -81,12 +150,8 @@ def cms_stream_merge(
                 .groupBy("seed", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        version = f"v{epoch_id}"
-        sk.write.mode("overwrite").parquet(os.path.join(target_path, version))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, ptr)  # atomic pointer swap commits the epoch
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
 
     return (
         stream_df.writeStream.foreachBatch(merge)
@@ -97,8 +162,8 @@ def cms_stream_merge(
 
 def read_cms(spark, target_path: str) -> DataFrame:
     """The current committed sketch (follow the ``_CURRENT`` pointer)."""
-    with open(os.path.join(target_path, "_CURRENT")) as fh:
-        return spark.read.parquet(os.path.join(target_path, fh.read().strip()))
+    version, _, _ = _read_current(os.path.join(target_path, "_CURRENT"))
+    return spark.read.parquet(os.path.join(target_path, f"v{version}"))
 
 
 def log_hist_stream_merge(
@@ -108,6 +173,7 @@ def log_hist_stream_merge(
     target_path: str,
     checkpoint_path: str,
     cents: int = 100,
+    on_mismatch: str = "error",
 ) -> StreamingQuery:
     """Continuous quantile-sketch maintenance: each micro-batch builds its
     partial log-histogram (operators/sketch.log_hist_sketch) and merges
@@ -117,25 +183,25 @@ def log_hist_stream_merge(
     cell-for-cell and shares its oracle.
 
     Crash safety is the identical snapshot-pointer pattern with the
-    idempotent epoch guard: versions advance monotonically under
-    ``_CURRENT``, and a replayed epoch (foreachBatch is at-least-once)
-    no-ops when the committed version is already >= its epoch_id —
-    never double-counting a bin, never reading the directory it is
-    overwriting."""
+    idempotent LINEAGE-AWARE epoch guard (:func:`_guard_epoch`): a
+    replayed epoch of the same checkpoint no-ops — never
+    double-counting a bin, never reading the directory it is
+    overwriting — while a different checkpoint against the same target
+    raises (or adopts with ``on_mismatch="adopt"``) instead of silently
+    dropping batches."""
     from usearch_spark.operators.sketch import log_hist_sketch
 
     ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        committed = -1
-        if os.path.exists(ptr):
-            with open(ptr) as fh:
-                committed = int(fh.read().strip().lstrip("v"))
-            if committed >= int(epoch_id):
-                return  # replayed epoch: already merged and committed
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
         sk = log_hist_sketch(batch_df, value_col, group_cols, cents=cents)
         if committed >= 0:
             cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
@@ -144,12 +210,8 @@ def log_hist_stream_merge(
                 .groupBy(*group_cols, "blen", "sub3")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        version = f"v{epoch_id}"
-        sk.write.mode("overwrite").parquet(os.path.join(target_path, version))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, ptr)  # atomic pointer swap commits the epoch
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
 
     return (
         stream_df.writeStream.foreachBatch(merge)
