@@ -2889,9 +2889,20 @@ def q_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of extendedprice vs quantity per return flag,
-    computed from EXACT decimal co-moments (n·Σxy − ΣxΣy over exact sums,
-    one float sqrt at the end) — order-independent, unlike a naive
-    float-accumulated corr()."""
+    computed from EXACT decimal co-moments (n·Σxy − ΣxΣy over exact
+    sums) — order-independent, unlike a naive float-accumulated corr().
+
+    Cross-engine determinism without ever rounding a double quotient
+    (the sqrt denominator is irrational, so the pure-rational DIV recipe
+    cannot apply): the three co-moments are computed as SCALE-0 decimal
+    integers (exact), half-away-quantized by integer DIV to units that
+    fit int64 (num/1e4, A/1e6, B/1e2 — the units cancel because
+    sqrt(1e6·1e2)=1e4), and only then cast to double.  int64→double is
+    one correctly-rounded IEEE conversion and the remaining chain
+    (sqrt, multiply, divide, floor(x·1e8+0.5)) is identical
+    correctly-rounded IEEE ops in both engines, so the result is
+    bit-identical by construction — floor is exact, never a
+    double-round."""
     li = _t(spark, sf_dir, "lineitem")
     x = _dec("l_extendedprice")
     y = _dec("l_quantity")
@@ -2903,11 +2914,51 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # unscaled-integer co-moments: every operand re-cast tight enough
+    # that no Spark decimal step exceeds precision 38 (scale stays 0, so
+    # the precision-loss adjustment can never drop digits)
+    u = agg.select(
+        "returnflag",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(8,0)) * CAST(sxy * 10000 AS DECIMAL(29,0))"
+            " - CAST(sx * 100 AS DECIMAL(18,0)) * CAST(sy * 100 AS DECIMAL(18,0))"
+        ).alias("num_u"),
+        F.expr(
+            "CAST(n AS DECIMAL(8,0)) * CAST(sxx * 10000 AS DECIMAL(29,0))"
+            " - CAST(sx * 100 AS DECIMAL(18,0)) * CAST(sx * 100 AS DECIMAL(18,0))"
+        ).alias("a_u"),
+        F.expr(
+            "CAST(n AS DECIMAL(8,0)) * CAST(syy * 10000 AS DECIMAL(29,0))"
+            " - CAST(sy * 100 AS DECIMAL(18,0)) * CAST(sy * 100 AS DECIMAL(18,0))"
+        ).alias("b_u"),
     )
-    return agg.select("returnflag", "n", F.round(num / den, 8).alias("corr_price_qty"))
+    q = u.select(
+        "returnflag",
+        "n",
+        F.expr(
+            "(CASE WHEN num_u < 0 THEN -1 ELSE 1 END)"
+            " * (abs(num_u) DIV 100000000"
+            "    + CASE WHEN 2 * (abs(num_u) % 100000000) >= 100000000 THEN 1 ELSE 0 END)"
+        ).alias("qn"),
+        F.expr(
+            "a_u DIV 10000000000"
+            " + CASE WHEN 2 * (a_u % 10000000000) >= 10000000000 THEN 1 ELSE 0 END"
+        ).alias("qa"),
+        F.expr(
+            "b_u DIV 1000000"
+            " + CASE WHEN 2 * (b_u % 1000000) >= 1000000 THEN 1 ELSE 0 END"
+        ).alias("qb"),
+    )
+    return q.select(
+        "returnflag",
+        "n",
+        F.expr(
+            "CAST(floor(CAST(qn AS DOUBLE)"
+            " / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE)))"
+            " * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0"
+        ).alias("corr_price_qty"),
+    )
 
 
 def q_events_hourly_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3092,8 +3143,12 @@ def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue share per region: exact decimal region sums against the
-    exact total (single-row broadcast cross join, share as one final
-    float division — no window over the region set)."""
+    exact total (single-row broadcast cross join, no window over the
+    region set).  The share is an exact-integer rational round: both
+    sums shift losslessly to CENT units (scale-0 decimals), q =
+    (rev_c·1e8) DIV tot_c with the twice-remainder half-up bump, then
+    ONE cast + ONE divide — the 8dp boundary cannot flip cross-engine
+    because no double quotient is ever rounded."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -3106,10 +3161,31 @@ def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )
     total = F.broadcast(per_region.agg(F.sum("rev").alias("tot")))
-    return per_region.crossJoin(total).select(
-        "region",
-        F.col("rev").cast("double").alias("revenue"),
-        F.round(F.col("rev").cast("double") / F.col("tot").cast("double"), 8).alias("share"),
+    # cent units: scale-2 decimal * 100 is integral, so the (·,0) cast is
+    # exact; num = rev_c * 1e8 stays inside DECIMAL(38,0) at any SF the
+    # gate runs (total revenue < 1e28 cents)
+    rev_c = F.expr("CAST(rev * 100 AS DECIMAL(28,0))")
+    tot_c = F.expr("CAST(tot * 100 AS DECIMAL(28,0))")
+    num = (rev_c * F.lit(100000000).cast("decimal(9,0)")).alias("num")
+    return (
+        per_region.crossJoin(total)
+        .select(
+            "region",
+            F.col("rev").cast("double").alias("revenue"),
+            num,
+            tot_c.alias("d"),
+        )
+        .select(
+            "region",
+            "revenue",
+            (
+                (
+                    F.expr("num DIV d")
+                    + F.expr("CASE WHEN 2 * (num % d) >= d THEN 1 ELSE 0 END")
+                ).cast("double")
+                / F.lit(100000000.0)
+            ).alias("share"),
+        )
     )
 
 
@@ -3277,6 +3353,10 @@ def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
+    # exact-integer rational round: lift counts are all integers, so
+    # q = (c_ab·n·1e6) DIV (c_a·c_b) + twice-remainder bump (decimal
+    # intermediates keep the products overflow-safe at any SF), then one
+    # cast + one divide — never a rounded double quotient.
     out = (
         pairs.join(F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_a").withColumnRenamed("c", "c_a")), "brand_a")
         .join(F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_b").withColumnRenamed("c", "c_b")), "brand_b")
@@ -3284,9 +3364,21 @@ def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "c_ab",
-            F.round(
-                (F.col("c_ab") * F.lit(n_orders)).cast("double") / (F.col("c_a") * F.col("c_b")),
-                6,
+            F.expr(
+                f"CAST(c_ab AS DECIMAL(20,0)) * {n_orders} * 1000000"
+            ).alias("num"),
+            F.expr("CAST(c_a AS DECIMAL(18,0)) * c_b").alias("d"),
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            (
+                (
+                    F.expr("num DIV d")
+                    + F.expr("CASE WHEN 2 * (num % d) >= d THEN 1 ELSE 0 END")
+                ).cast("double")
+                / F.lit(1000000.0)
             ).alias("lift"),
         )
     )
@@ -3518,9 +3610,14 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of ``value`` per event type (the TSDB
     operator: each reading weighted by how long it was current, i.e. until
     the type's next event).  Lead over a type-partitioned window in the
-    exact integer microsecond domain; the weighted sum is float but spans
-    exact-integer weights, and the result is rounded well above the
-    accumulated ulp noise."""
+    exact integer microsecond domain.
+
+    Determinism: values quantize to scale-8 decimals (a double→decimal
+    round both engines perform identically), the weighted sum is an
+    EXACT decimal accumulation over integer-µs weights
+    (order-independent, unlike a float sum), and the 6dp average is the
+    integer-DIV rational round — sgn·(|num_u| DIV (den·100) + bump), one
+    cast, one divide."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir).select(
@@ -3529,11 +3626,35 @@ def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
     dt = (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us")
     spans = ev.select("event_type", "value", dt).filter(F.col("dt_us").isNotNull())
-    return spans.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        F.round(
-            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
-        ).alias("twa_value"),
+    return (
+        spans.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.expr("CAST(value AS DECIMAL(20,8)) * CAST(dt_us AS DECIMAL(15,0))")
+            ).alias("num"),
+            F.sum("dt_us").alias("den"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            F.expr("CAST(CAST(num AS DECIMAL(28,8)) * 100000000 AS DECIMAL(38,0))").alias(
+                "num_u"
+            ),
+            F.expr("CAST(den AS DECIMAL(18,0)) * 100").alias("d"),
+        )
+        .select(
+            "event_type",
+            "n_intervals",
+            (
+                F.expr(
+                    "(CASE WHEN num_u < 0 THEN -1 ELSE 1 END)"
+                    " * (abs(num_u) DIV d"
+                    "    + CASE WHEN 2 * (abs(num_u) % d) >= d THEN 1 ELSE 0 END)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("twa_value"),
+        )
     )
 
 
@@ -4448,14 +4569,36 @@ def q_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("srev"))
     total = per.agg(F.sum("srev").alias("trev"))
+    # both the HAVING threshold and the pct round are exact integer
+    # arithmetic in 1e-4 revenue units: srev·1000 > trev replaces the
+    # double threshold compare, and pct = 100·srev/trev rounds as
+    # q = (sr_u·1e8) DIV tr_u + twice-remainder bump — no double is
+    # compared or rounded anywhere near a boundary
     return (
         per.join(F.broadcast(total))
-        .filter(F.col("srev").cast("double") > F.col("trev").cast("double") * 0.001)
         .select(
             "l_suppkey",
             F.col("srev").cast("double").alias("supplier_revenue"),
-            F.round(
-                F.col("srev").cast("double") / F.col("trev").cast("double") * 100, 6
+            F.expr("CAST(CAST(srev AS DECIMAL(24,4)) * 10000 AS DECIMAL(30,0))").alias(
+                "sr_u"
+            ),
+            F.expr("CAST(CAST(trev AS DECIMAL(24,4)) * 10000 AS DECIMAL(30,0))").alias(
+                "tr_u"
+            ),
+        )
+        .filter(F.expr("sr_u * 1000 > tr_u"))
+        .select(
+            "l_suppkey",
+            "supplier_revenue",
+            (
+                (
+                    F.expr("(sr_u * 100000000) DIV tr_u")
+                    + F.expr(
+                        "CASE WHEN 2 * ((sr_u * 100000000) % tr_u) >= tr_u"
+                        " THEN 1 ELSE 0 END"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
             ).alias("revenue_pct"),
         )
     )
@@ -4555,13 +4698,28 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_rev"),
         F.sum(rev).alias("total_rev"),
     )
+    # exact-integer rational round (the type_market_share recipe): scale-4
+    # sums shift losslessly to 1e-4 units, pct = 100·promo/total rounds as
+    # q = (pr_u·1e8) DIV tr_u + twice-remainder bump, one cast, one divide
     return agg.select(
-        F.round(
-            F.lit(100.0) * F.coalesce(F.col("promo_rev"), F.lit(0)).cast("double")
-            / F.col("total_rev").cast("double"),
-            6,
-        ).alias("promo_pct"),
+        F.expr(
+            "CAST(CAST(coalesce(promo_rev, 0) AS DECIMAL(24,4)) * 10000 AS DECIMAL(30,0))"
+        ).alias("pr_u"),
+        F.expr("CAST(CAST(total_rev AS DECIMAL(24,4)) * 10000 AS DECIMAL(30,0))").alias(
+            "tr_u"
+        ),
         F.col("total_rev").cast("double").alias("total_revenue"),
+    ).select(
+        (
+            (
+                F.expr("(pr_u * 100000000) DIV tr_u")
+                + F.expr(
+                    "CASE WHEN 2 * ((pr_u * 100000000) % tr_u) >= tr_u THEN 1 ELSE 0 END"
+                )
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("promo_pct"),
+        "total_revenue",
     )
 
 
@@ -5005,11 +5163,21 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri_total = triangles_per_vertex(v, e).agg(
         (F.sum("n_triangles") / 3).cast("long").alias("n_triangles")
     )
+    # exact-integer rational round: 3·tri/wedges over plain integers — q =
+    # (3·tri·1e6) DIV wedges + twice-remainder half-up bump, one cast, one
+    # divide; the 6dp boundary cannot flip cross-engine
     return tri_total.join(wedges).select(
         "n_triangles",
         "n_wedges",
-        F.round(
-            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
+        (
+            (
+                F.expr("(3 * n_triangles * 1000000) DIV n_wedges")
+                + F.expr(
+                    "CASE WHEN 2 * ((3 * n_triangles * 1000000) % n_wedges)"
+                    " >= n_wedges THEN 1 ELSE 0 END"
+                )
+            ).cast("double")
+            / F.lit(1000000.0)
         ).alias("clustering_coeff"),
     )
 
@@ -6180,12 +6348,29 @@ def q_type_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("supp_nation") == "NATION_2", rev)).alias("nation_rev"),
         F.sum(rev).alias("total_rev"),
     )
+    # exact-integer rational round (the embedding_covariance recipe):
+    # scale-4 revenue sums shift losslessly to 1e-4 units (the tight
+    # DECIMAL(24,4) re-cast keeps Spark's precision-loss adjustment from
+    # firing), q = (nr_u·1e6) DIV tr_u + twice-remainder bump, one cast,
+    # one divide — no rounded double quotient anywhere.
     return agg.select(
         "o_year",
-        F.round(
-            F.coalesce(F.col("nation_rev"), F.lit(0)).cast("double")
-            / F.col("total_rev").cast("double"),
-            6,
+        F.expr(
+            "CAST(CAST(coalesce(nation_rev, 0) AS DECIMAL(24,4)) * 10000 AS DECIMAL(30,0))"
+        ).alias("nr_u"),
+        F.expr("CAST(CAST(total_rev AS DECIMAL(24,4)) * 10000 AS DECIMAL(30,0))").alias(
+            "tr_u"
+        ),
+    ).select(
+        "o_year",
+        (
+            (
+                F.expr("(nr_u * 1000000) DIV tr_u")
+                + F.expr(
+                    "CASE WHEN 2 * ((nr_u * 1000000) % tr_u) >= tr_u THEN 1 ELSE 0 END"
+                )
+            ).cast("double")
+            / F.lit(1000000.0)
         ).alias("mkt_share"),
     )
 
@@ -7329,11 +7514,17 @@ def oracle_sql() -> dict[str, str]:
                     WHERE r_name = 'ASIA'
                 )
             )
-            SELECT CAST(o_year AS INT) AS o_year,
-                   round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev END),
-                                       0) AS DOUBLE)
-                         / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
-            FROM j GROUP BY 1
+            , a AS (
+                SELECT CAST(o_year AS INT) AS o_year,
+                       CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev END),
+                                     0) * 10000 AS HUGEINT) * 1000000 AS num,
+                       CAST(sum(rev) * 10000 AS HUGEINT) AS d
+                FROM j GROUP BY 1
+            )
+            SELECT o_year,
+                   CAST(num // d + CASE WHEN 2 * (num % d) >= d THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS mkt_share
+            FROM a
         """,
         "returned_revenue": """
             SELECT c_custkey, c_name, n_name,
@@ -7510,11 +7701,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY l_suppkey
             ),
             tot AS (SELECT sum(srev) AS trev FROM per)
-            SELECT l_suppkey,
-                   CAST(srev AS DOUBLE) AS supplier_revenue,
-                   round(CAST(srev AS DOUBLE) / CAST(trev AS DOUBLE) * 100, 6) AS revenue_pct
-            FROM per, tot
-            WHERE CAST(srev AS DOUBLE) > CAST(trev AS DOUBLE) * 0.001
+            , u AS (
+                SELECT l_suppkey,
+                       CAST(srev AS DOUBLE) AS supplier_revenue,
+                       CAST(srev * 10000 AS HUGEINT) AS sr_u,
+                       CAST(trev * 10000 AS HUGEINT) AS tr_u
+                FROM per, tot
+            )
+            SELECT l_suppkey, supplier_revenue,
+                   CAST((sr_u * 100000000) // tr_u
+                        + CASE WHEN 2 * ((sr_u * 100000000) % tr_u) >= tr_u
+                               THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS revenue_pct
+            FROM u
+            WHERE sr_u * 1000 > tr_u
         """,
         "corpus_weighted_sample": """
             WITH h AS (
@@ -7528,7 +7728,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM h
             )
             SELECT p_partkey, p_size,
-                   round(-ln(uu) / CAST(p_size AS DOUBLE), 9) AS draw
+                   CAST(floor(-ln(uu) / CAST(p_size AS DOUBLE) * 1000000000.0 + 0.5)
+                    AS DOUBLE) / 1000000000.0 AS draw
             FROM u
             ORDER BY draw ASC, p_partkey ASC
             LIMIT 50
@@ -7650,11 +7851,17 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
                   AND l_shipdate < TIMESTAMP '1996-04-01'
             )
-            SELECT round(100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END),
-                                               0) AS DOUBLE)
-                         / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct,
-                   CAST(sum(rev) AS DOUBLE) AS total_revenue
-            FROM j
+            , a AS (
+                SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0)
+                            * 10000 AS HUGEINT) * 100000000 AS num,
+                       CAST(sum(rev) * 10000 AS HUGEINT) AS d,
+                       CAST(sum(rev) AS DOUBLE) AS total_revenue
+                FROM j
+            )
+            SELECT CAST(num // d + CASE WHEN 2 * (num % d) >= d THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS promo_pct,
+                   total_revenue
+            FROM a
         """,
         "graph_clustering_coeff": """
             WITH und AS (
@@ -7673,7 +7880,10 @@ def oracle_sql() -> dict[str, str]:
                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
             )
             SELECT n_triangles, n_wedges,
-                   round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) AS clustering_coeff
+                   CAST((3 * n_triangles * 1000000) // n_wedges
+                        + CASE WHEN 2 * ((3 * n_triangles * 1000000) % n_wedges)
+                               >= n_wedges THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS clustering_coeff
             FROM tri, wedges
         """,
         "events_dedup_stream": """
@@ -8885,10 +9095,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM tr LEFT JOIN ev ON tr.gram = ev.gram
                 GROUP BY tr.doc_id
             )
-            SELECT doc_id, n_grams, n_hits,
-                   round(n_hits / greatest(n_grams, 1), 4) AS contamination,
-                   CAST(round(n_hits / greatest(n_grams, 1), 4) >= 0.5 AS INT) AS contaminated
-            FROM agg
+            , c AS (
+                SELECT doc_id, n_grams, n_hits,
+                       CAST((n_hits * 10000) // greatest(n_grams, 1)
+                            + CASE WHEN 2 * ((n_hits * 10000) % greatest(n_grams, 1))
+                                   >= greatest(n_grams, 1) THEN 1 ELSE 0 END
+                        AS DOUBLE) / 10000.0 AS contamination
+                FROM agg
+            )
+            SELECT doc_id, n_grams, n_hits, contamination,
+                   CAST(contamination >= 0.5 AS INT) AS contaminated
+            FROM c
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE tk AS (
@@ -8936,13 +9153,19 @@ def oracle_sql() -> dict[str, str]:
                                    i -> toks[i] || ' ' || toks[i+1]) END) AS gram
                 FROM tk
             ),
-            dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
-            SELECT g.doc_id, count(*) AS n_grams,
-                   CAST(sum(CASE WHEN dfreq.df >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-                   round(CAST(sum(CASE WHEN dfreq.df >= 100 THEN 1 ELSE 0 END) AS BIGINT)
-                         / greatest(count(*), 1), 4) AS boiler_ratio
-            FROM g JOIN dfreq USING (gram)
-            GROUP BY g.doc_id
+            dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+            agg AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       CAST(sum(CASE WHEN dfreq.df >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+                FROM g JOIN dfreq USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT doc_id, n_grams, n_boiler,
+                   CAST((n_boiler * 10000) // greatest(n_grams, 1)
+                        + CASE WHEN 2 * ((n_boiler * 10000) % greatest(n_grams, 1))
+                               >= greatest(n_grams, 1) THEN 1 ELSE 0 END
+                    AS DOUBLE) / 10000.0 AS boiler_ratio
+            FROM agg
         """,
         "text_scrub": """
             SELECT event_id,
@@ -8963,10 +9186,21 @@ def oracle_sql() -> dict[str, str]:
                        unnest(embedding) AS x
                 FROM embeddings
             )
+            , a AS (
+                SELECT label, pos,
+                       CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,9)))
+                            * 1000000000 AS HUGEINT) AS sum_u,
+                       CAST(count(*) AS HUGEINT) * 1000 AS d,
+                       count(*) AS n_vecs
+                FROM e GROUP BY label, pos
+            )
             SELECT label, pos,
-                   round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS centroid,
-                   count(*) AS n_vecs
-            FROM e GROUP BY label, pos
+                   CAST((CASE WHEN sum_u < 0 THEN -1 ELSE 1 END)
+                        * (abs(sum_u) // d
+                           + CASE WHEN 2 * (abs(sum_u) % d) >= d THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 1000000.0 AS centroid,
+                   n_vecs
+            FROM a
         """,
         "corpus_funnel": f"""
             WITH m AS (
@@ -9031,8 +9265,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rk
                 FROM counts ORDER BY cnt DESC, key LIMIT 10
             )
-            SELECT rk, key, cnt, round(cnt / tot.total, 6) AS share,
-                   round(cnt * tot.nkeys / tot.total, 4) AS ratio_to_mean
+            SELECT rk, key, cnt,
+                   CAST((cnt * 1000000) // tot.total
+                        + CASE WHEN 2 * ((cnt * 1000000) % tot.total) >= tot.total
+                               THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS share,
+                   CAST((cnt * tot.nkeys * 10000) // tot.total
+                        + CASE WHEN 2 * ((cnt * tot.nkeys * 10000) % tot.total) >= tot.total
+                               THEN 1 ELSE 0 END
+                    AS DOUBLE) / 10000.0 AS ratio_to_mean
             FROM top, tot
         """,
         "column_profile": """
@@ -9240,11 +9481,36 @@ def oracle_sql() -> dict[str, str]:
                            * CAST(l_quantity AS DECIMAL(18,2))) AS syy
                 FROM lineitem GROUP BY l_returnflag
             )
+            , u AS (
+                SELECT returnflag, n,
+                       CAST(n AS HUGEINT) * CAST(sxy * 10000 AS HUGEINT)
+                         - CAST(sx * 100 AS HUGEINT) * CAST(sy * 100 AS HUGEINT) AS num_u,
+                       CAST(n AS HUGEINT) * CAST(sxx * 10000 AS HUGEINT)
+                         - CAST(sx * 100 AS HUGEINT) * CAST(sx * 100 AS HUGEINT) AS a_u,
+                       CAST(n AS HUGEINT) * CAST(syy * 10000 AS HUGEINT)
+                         - CAST(sy * 100 AS HUGEINT) * CAST(sy * 100 AS HUGEINT) AS b_u
+                FROM a
+            ),
+            q AS (
+                SELECT returnflag, n,
+                       (CASE WHEN num_u < 0 THEN -1 ELSE 1 END)
+                         * (abs(num_u) // 100000000
+                            + CASE WHEN 2 * (abs(num_u) % 100000000) >= 100000000
+                                   THEN 1 ELSE 0 END) AS qn,
+                       a_u // 10000000000
+                         + CASE WHEN 2 * (a_u % 10000000000) >= 10000000000
+                                THEN 1 ELSE 0 END AS qa,
+                       b_u // 1000000
+                         + CASE WHEN 2 * (b_u % 1000000) >= 1000000
+                                THEN 1 ELSE 0 END AS qb
+                FROM u
+            )
             SELECT returnflag, n,
-                   round(CAST(n * sxy - sx * sy AS DOUBLE)
-                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8) AS corr_price_qty
-            FROM a
+                   CAST(floor(CAST(qn AS DOUBLE)
+                              / (sqrt(CAST(qa AS DOUBLE)) * sqrt(CAST(qb AS DOUBLE)))
+                              * 100000000.0 + 0.5) AS DOUBLE) / 100000000.0
+                       AS corr_price_qty
+            FROM q
         """,
         "events_hourly_json": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
@@ -9275,13 +9541,19 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "events_error_rate": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
-                   count(*) AS n_events,
-                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-                   round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
-                         / count(*), 6) AS error_rate
-            FROM events
-            GROUP BY 1
+            WITH h AS (
+                SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+                       count(*) AS n_events,
+                       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+                FROM events
+                GROUP BY 1
+            )
+            SELECT hour_bucket, n_events, n_errors,
+                   CAST((n_errors * 1000000) // n_events
+                        + CASE WHEN 2 * ((n_errors * 1000000) % n_events) >= n_events
+                               THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS error_rate
+            FROM h
         """,
         "discount_bands": """
             SELECT CAST(round(l_discount * 100, 0) AS INT) AS discount_pct,
@@ -9324,10 +9596,17 @@ def oracle_sql() -> dict[str, str]:
                 JOIN region ON n_regionkey = r_regionkey
                 GROUP BY r_name
             ),
-            t AS (SELECT sum(rev) AS tot FROM pr)
-            SELECT region, CAST(rev AS DOUBLE) AS revenue,
-                   round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS share
-            FROM pr, t
+            t AS (SELECT sum(rev) AS tot FROM pr),
+            u AS (
+                SELECT region, CAST(rev AS DOUBLE) AS revenue,
+                       CAST(rev * 100 AS HUGEINT) * 100000000 AS num,
+                       CAST(tot * 100 AS HUGEINT) AS d
+                FROM pr, t
+            )
+            SELECT region, revenue,
+                   CAST(num // d + CASE WHEN 2 * (num % d) >= d THEN 1 ELSE 0 END
+                    AS DOUBLE) / 100000000.0 AS share
+            FROM u
         """,
         "user_first_last": """
             WITH ev AS (
@@ -9434,11 +9713,18 @@ def oracle_sql() -> dict[str, str]:
                   ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
                 GROUP BY 1, 2
             )
+            , u AS (
+                SELECT brand_a, brand_b, c_ab,
+                       CAST(c_ab AS HUGEINT) * n.n_orders * 1000000 AS num,
+                       CAST(ba.c AS HUGEINT) * bb.c AS d
+                FROM pairs, n
+                JOIN bn ba ON ba.p_brand = brand_a
+                JOIN bn bb ON bb.p_brand = brand_b
+            )
             SELECT brand_a, brand_b, c_ab,
-                   round(CAST(c_ab * n.n_orders AS DOUBLE) / (ba.c * bb.c), 6) AS lift
-            FROM pairs, n
-            JOIN bn ba ON ba.p_brand = brand_a
-            JOIN bn bb ON bb.p_brand = brand_b
+                   CAST(num // d + CASE WHEN 2 * (num % d) >= d THEN 1 ELSE 0 END
+                    AS DOUBLE) / 1000000.0 AS lift
+            FROM u
             ORDER BY lift DESC, brand_a, brand_b
             LIMIT 25
         """,
@@ -9581,10 +9867,21 @@ def oracle_sql() -> dict[str, str]:
                          - epoch_us(ts) AS dt_us
                 FROM events
             )
-            SELECT event_type, count(*) AS n_intervals,
-                   round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value
-            FROM s WHERE dt_us IS NOT NULL
-            GROUP BY event_type
+            , a AS (
+                SELECT event_type, count(*) AS n_intervals,
+                       CAST(sum(CAST(value AS DECIMAL(20,8))
+                                * CAST(dt_us AS DECIMAL(15,0))) * 100000000
+                        AS HUGEINT) AS num_u,
+                       CAST(sum(dt_us) AS HUGEINT) * 100 AS d
+                FROM s WHERE dt_us IS NOT NULL
+                GROUP BY event_type
+            )
+            SELECT event_type, n_intervals,
+                   CAST((CASE WHEN num_u < 0 THEN -1 ELSE 1 END)
+                        * (abs(num_u) // d
+                           + CASE WHEN 2 * (abs(num_u) % d) >= d THEN 1 ELSE 0 END)
+                    AS DOUBLE) / 1000000.0 AS twa_value
+            FROM a
         """,
         "event_transitions": """
             SELECT prev_type, curr_type, count(*) AS n_transitions FROM (

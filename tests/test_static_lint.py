@@ -107,20 +107,6 @@ def test_no_shadowed_defs_or_unused_imports(path):
 # sum as exact decimals afterwards.
 ROUND_OVER_DIV_ALLOWED = {
     ("usearch_spark/operators/text_analysis.py", "trigram_logprob"),
-    ("__spark_entry__.py", "q_price_quantity_corr"),
-    ("__spark_entry__.py", "q_events_error_rate"),
-    ("__spark_entry__.py", "q_region_revenue_share"),
-    ("__spark_entry__.py", "q_brand_basket_lift"),
-    ("__spark_entry__.py", "q_events_twa"),
-    ("__spark_entry__.py", "q_important_suppliers"),
-    ("__spark_entry__.py", "q_promo_revenue"),
-    ("__spark_entry__.py", "q_graph_clustering_coeff"),
-    ("__spark_entry__.py", "q_type_market_share"),
-    ("usearch_spark/operators/corpus.py", "decontaminate"),
-    ("usearch_spark/operators/corpus.py", "weighted_sample"),
-    ("usearch_spark/operators/corpus.py", "boilerplate_coverage"),
-    ("usearch_spark/operators/corpus.py", "label_centroids"),
-    ("usearch_spark/operators/profile.py", "key_skew_stats"),
     ("usearch_spark/operators/search.py", "more_like_this"),
     ("usearch_spark/operators/search.py", "tfidf_cosine_pairs"),
     ("usearch_spark/operators/similarity.py", "quantize_int8"),

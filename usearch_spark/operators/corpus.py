@@ -74,7 +74,17 @@ def decontaminate(
         F.count(F.lit(1)).alias("n_grams"),
         F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
     )
-    contamination = F.round(F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 4)
+    # exact-integer rational round (counts are ints): q = (hits·1e4) DIV
+    # grams + twice-remainder half-up bump, one cast + one divide — the
+    # 4dp boundary cannot flip cross-engine
+    contamination = (
+        F.expr(
+            "(n_hits * 10000) DIV greatest(n_grams, 1)"
+            " + CASE WHEN 2 * ((n_hits * 10000) % greatest(n_grams, 1))"
+            " >= greatest(n_grams, 1) THEN 1 ELSE 0 END"
+        ).cast("double")
+        / F.lit(10000.0)
+    )
     return out.select(
         F.col("id").alias(id_col),
         "n_grams",
@@ -159,7 +169,15 @@ def boilerplate_coverage(
         F.col("id").alias(id_col),
         "n_grams",
         "n_boiler",
-        F.round(F.col("n_boiler") / F.greatest(F.col("n_grams"), F.lit(1)), 4).alias("boiler_ratio"),
+        # exact-integer rational round, same recipe as decontaminate
+        (
+            F.expr(
+                "(n_boiler * 10000) DIV greatest(n_grams, 1)"
+                " + CASE WHEN 2 * ((n_boiler * 10000) % greatest(n_grams, 1))"
+                " >= greatest(n_grams, 1) THEN 1 ELSE 0 END"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("boiler_ratio"),
     )
 
 
@@ -266,10 +284,24 @@ def label_centroids(
         F.sum(F.col("x").cast("double").cast("decimal(28,9)")).alias("_sum"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+    if not 0 <= round_to <= 9:
+        raise ValueError("round_to must be within the sum's 9-digit scale")
+    # exact-integer rational round: the scale-9 decimal sum shifts
+    # losslessly to 1e-9 units, q = sgn·(|sum_u| DIV (n·10^(9-k)) + bump),
+    # one cast + one divide — never a rounded double quotient
+    d = f"(CAST(n_vecs AS DECIMAL(20,0)) * {10 ** (9 - round_to)})"
+    # the tight (28,9) re-cast keeps the *1e9 shift inside precision 38
+    # with scale 9 intact (no precision-loss adjustment can fire)
+    su = "CAST(CAST(abs(_sum) AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0))"
+    q = F.expr(
+        "(CASE WHEN _sum < 0 THEN -1 ELSE 1 END)"
+        f" * ({su} DIV {d}"
+        f"    + CASE WHEN 2 * ({su} % {d}) >= {d} THEN 1 ELSE 0 END)"
+    )
     return out.select(
         "label",
         "pos",
-        F.round(F.col("_sum").cast("double") / F.col("n_vecs"), round_to).alias("centroid"),
+        (q.cast("double") / F.lit(float(10**round_to))).alias("centroid"),
         "n_vecs",
     )
 
@@ -338,7 +370,11 @@ def weighted_sample(
     Determinism: u is built from the first 8 md5 hex chars of the key as
     (int + 0.5) / 2^32 — exactly representable arithmetic, so ANY engine
     reproduces the identical u (the +0.5 also keeps u > 0, so ln never
-    sees 0).  The draw is rounded before ranking; ties break on the key.
+    sees 0).  The draw is fixed-pointed to 1e-9 via floor(x·1e9 + 0.5)
+    before ranking — ln/divide/multiply are correctly-rounded IEEE ops
+    on identical inputs and floor is exact, so every engine produces the
+    bit-identical draw (a double round(x, 9) could disagree at ties).
+    Ties break on the key.
 
     Cost shape at 100 TB: map-side expression + TakeOrdered(k) — no
     shuffle of the data, no rand() (retries/speculation keep the sample).
@@ -346,7 +382,13 @@ def weighted_sample(
     hh = F.md5(F.col(key_col).cast("string"))
     uint = F.conv(F.substring(hh, 1, 8), 16, 10).cast("double")
     u = (uint + F.lit(0.5)) / F.lit(4294967296.0)
-    draw = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    draw = (
+        F.floor(
+            -F.log(u) / F.col(weight_col).cast("double") * F.lit(1000000000.0)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1000000000.0)
+    )
     # weight <= 0 has no sampling meaning and would yield -inf/NaN draws
     # that silently hijack the top-k — excluded, like null coordinates in
     # the pareto operator

@@ -37,12 +37,29 @@ def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     joined = top.crossJoin(F.broadcast(totals))
     # window ranks only the already-reduced top_n rows, not the key space
     w_rank = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("key")))
+    # exact-integer rational rounds (counts are ints): q = (num·10^k) DIV
+    # total + twice-remainder half-up bump, one cast + one divide each —
+    # the decimal boundary cannot flip cross-engine
     return joined.select(
         w_rank.alias("rk"),
         "key",
         "cnt",
-        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
-        F.round(F.col("cnt") * F.col("_nkeys") / F.col("_total"), 4).alias("ratio_to_mean"),
+        (
+            F.expr(
+                "(cnt * 1000000) DIV _total"
+                " + CASE WHEN 2 * ((cnt * 1000000) % _total) >= _total"
+                " THEN 1 ELSE 0 END"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("share"),
+        (
+            F.expr(
+                "(cnt * _nkeys * 10000) DIV _total"
+                " + CASE WHEN 2 * ((cnt * _nkeys * 10000) % _total) >= _total"
+                " THEN 1 ELSE 0 END"
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("ratio_to_mean"),
     )
 
 
