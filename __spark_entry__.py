@@ -957,6 +957,18 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
 
 
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated language-ID operator (operators/langid.py): Cavnar &
+    Trenkle 1994 rank-order character-n-gram classification against the
+    in-repo 4-language seed profiles.  Every decision is exact integer
+    arithmetic (counts, row_number ranks, |Δrank| out-of-place sums,
+    (distance, lang) argmin), so the oracle replays the classifier
+    bit-for-bit from the identical injected profile literals."""
+    from usearch_spark.operators.langid import langid
+
+    return langid(_t(spark, sf_dir, "documents"))
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=3-gram md5 hashes, window
     w=4): document pairs among doc_id < 200 sharing >= 2 selected hashes,
@@ -6896,7 +6908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "range_join": q_range_join,
         # ---------- 50-entry window boundary (round 9) ----------
-        # --- round-4 remainder (first in line for the round-10 window) ---
+        # --- new round 9, never gated (first in line for the r10 window) ---
+        "text_langid": q_text_langid,
+        # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
@@ -7125,6 +7139,61 @@ def _bpe_oracle_sql(rounds: int, vocab: bool = False, encode: bool = False) -> s
     return "".join(parts)
 
 
+def _langid_oracle_sql() -> str:
+    """Cavnar-Trenkle replay: the (lang, gram, rank) profiles are injected
+    as literals from the same pure-Python derivation the Spark plan uses
+    (operators/langid.lang_profiles), then doc profiling, out-of-place
+    distances, and the (distance, lang) argmin are recomputed in exact
+    integer SQL."""
+    from usearch_spark.operators.langid import PENALTY, PROFILE_K, lang_profiles
+
+    values = ", ".join(
+        f"('{lang}', '{gram}', {rk})" for lang, gram, rk in lang_profiles()
+    )
+    return f"""
+        WITH prof(lang, gram, lrk) AS (VALUES {values}),
+        norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                                       ' +', ' ', 'g')) AS s
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest(list_concat(
+                CASE WHEN length(s) >= 2
+                     THEN list_transform(range(1, length(s)), i -> substr(s, i, 2))
+                     ELSE [] END,
+                CASE WHEN length(s) >= 3
+                     THEN list_transform(range(1, length(s) - 1), i -> substr(s, i, 3))
+                     ELSE [] END)) AS gram
+            FROM norm
+        ),
+        c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        r AS (
+            SELECT doc_id, gram,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+            FROM c
+        ),
+        rt AS (SELECT * FROM r WHERE rk <= {PROFILE_K}),
+        langs AS (SELECT DISTINCT lang FROM prof),
+        sc AS (
+            SELECT rt.doc_id, l.lang,
+                   coalesce(abs(rt.rk - p.lrk), {PENALTY}) AS oop
+            FROM rt CROSS JOIN langs l
+            LEFT JOIN prof p ON p.lang = l.lang AND p.gram = rt.gram
+        ),
+        d AS (SELECT doc_id, lang, CAST(sum(oop) AS BIGINT) AS dist FROM sc GROUP BY 1, 2),
+        b AS (
+            SELECT doc_id, min(struct_pack(d := dist, l := lang)) AS bs
+            FROM d GROUP BY doc_id
+        )
+        SELECT doc.doc_id,
+               coalesce(b.bs.l, 'unknown') AS lang_pred,
+               CAST(coalesce(b.bs.d, 0) AS BIGINT) AS oop_distance
+        FROM documents doc LEFT JOIN b ON b.doc_id = doc.doc_id
+    """
+
+
 def _dedup_eval_oracle_sql(sample_pred: str = "TRUE") -> str:
     """Both dedup pipelines (exhaustive Jaccard truth + banded-LSH
     candidates with exact verify) recomputed in SQL; ``sample_pred``
@@ -7191,6 +7260,7 @@ def _dedup_eval_oracle_sql(sample_pred: str = "TRUE") -> str:
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
+        "text_langid": _langid_oracle_sql(),
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
         # the forced-distributed companions compute the identical
