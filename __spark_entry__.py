@@ -672,6 +672,65 @@ def q_sim_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+def q_sim_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF-index maintenance (streaming/ann.ivf_stream_maintain):
+    the embeddings table arrives as two replayed micro-batch files —
+    epoch 0 (even vec_ids) TRAINS the coarse quantizer and writes its
+    posting fragment; epoch 1 (odd vec_ids) ASSIGNS against the existing
+    centroids and appends its fragment (the incremental hot path, no
+    retrain).  A SECOND run against the same checkpoint must change
+    nothing (pointer + lineage guard).  The probe (n_probe=2 of 8 cells,
+    query = vec 0) then depends on the trained centroids AND both
+    fragments' assignments, and the oracle replays the whole chain: the
+    deterministic k-means on the EVEN half, assignment of every vector,
+    cell choice, and the probed cosine top-k."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.ann import ivf_stream_maintain, ivf_stream_topk
+
+    base = os.path.join(_ARTIFACT_DIR, f"ann_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+            # epoch ORDER matters here (epoch 0 trains): pin strictly
+            # increasing mtimes so the file source schedules batch0 first
+            os.utime(os.path.join(base, f"batch{i}.parquet"), (1000000 + i * 100,) * 2)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    run = os.path.join(_ARTIFACT_DIR, f"ann_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "index"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = ivf_stream_maintain(stream, target, ckpt, n_clusters=8)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = (
+        ivf_stream_topk(spark, target, qv, k=10, n_probe=2, exclude_ids=[0])
+        .select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
     """Full replay of the LSH probe: the md5-derived INTEGER plane matrix
     is injected as literals; corpus signatures are exact int64 sign
@@ -728,24 +787,32 @@ def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
     """
 
 
-def _ann_ivf_oracle_sql(n_clusters: int = 8, n_probe: int = 2, k: int = 10) -> str:
+def _ann_ivf_oracle_sql(
+    n_clusters: int = 8, n_probe: int = 2, k: int = 10, train_pred: str = "TRUE"
+) -> str:
     """Full replay of the IVF probe: the deterministic 2-iteration k-means
     (smallest-k init, round-6 means, ties to lower cid — the topic_kmeans
     chain with k = n_clusters), the final assignment, the n_probe nearest
-    cells to vec 0, and the probed cosine top-k."""
+    cells to vec 0, and the probed cosine top-k.  ``train_pred``
+    restricts the QUANTIZER-TRAINING vector set (the streaming
+    maintainer trains on its first batch only); the final assignment and
+    the probe always cover every vector."""
     return f"""
         WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                    unnest(embedding)::DOUBLE AS x
             FROM embeddings
         ),
-        c0 AS (
-            SELECT CAST(vec_id AS INT) AS cid, i, x FROM e
-            WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+        et AS (SELECT * FROM e WHERE {train_pred}),
+        seeds AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+            FROM (SELECT vec_id FROM embeddings WHERE {train_pred}
+                  ORDER BY vec_id LIMIT {n_clusters})
         ),
+        c0 AS (SELECT s.cid, e.i, e.x FROM e JOIN seeds s USING (vec_id)),
         d1 AS (
-            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
-            FROM e JOIN c0 c USING (i) GROUP BY 1, 2
+            SELECT et.vec_id, c.cid, sum((et.x - c.x) * (et.x - c.x)) AS dist
+            FROM et JOIN c0 c USING (i) GROUP BY 1, 2
         ),
         a1 AS (
             SELECT vec_id, cid FROM (
@@ -6910,6 +6977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------- 50-entry window boundary (round 9) ----------
         # --- new round 9, never gated (first in line for the r10 window) ---
         "text_langid": q_text_langid,
+        "sim_ann_stream": q_sim_ann_stream,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -10037,6 +10105,11 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # LSH signatures and the deterministic k-means quantizer
     oracles["sim_ann_lsh"] = _ann_lsh_oracle_sql(8, 64, 10)
     oracles["sim_ann_ivf"] = _ann_ivf_oracle_sql(8, 2, 10)
+    # r9: stream-maintained IVF — quantizer trained on the epoch-0 (even
+    # vec_id) batch, every vector assigned, probe replayed end-to-end
+    oracles["sim_ann_stream"] = _ann_ivf_oracle_sql(
+        8, 2, 10, train_pred="vec_id % 2 = 0"
+    )
     # r8: IVF-PQ — coarse chain + per-subspace Lloyd + integer
     # fixed-point encode/probe/ADC replayed end-to-end
     oracles["sim_ann_ivfpq"] = _ann_ivfpq_oracle_sql(8, 2, 10, 8, 16, 8)
