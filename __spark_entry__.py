@@ -1036,6 +1036,22 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-aware pretraining-mixture planning — the pipeline
+    composition langid feeds: classify every document
+    (operators/langid), then plan per-LANGUAGE sampling with the
+    corpus_mix arithmetic (operators/corpus.mixture_weights; English
+    weighted 3, every other language 1; 50k-token budget).  Per
+    language: supply, target share, sampling rate, expected yield."""
+    from usearch_spark.operators.corpus import mixture_weights
+    from usearch_spark.operators.langid import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.join(langid(docs).select("doc_id", "lang_pred"), "doc_id")
+    w = F.when(F.col("lang_pred") == "en", F.lit(3.0)).otherwise(F.lit(1.0))
+    return mixture_weights(tagged, w, token_budget=50_000, source_col="lang_pred")
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=3-gram md5 hashes, window
     w=4): document pairs among doc_id < 200 sharing >= 2 selected hashes,
@@ -6978,6 +6994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 9, never gated (first in line for the r10 window) ---
         "text_langid": q_text_langid,
         "sim_ann_stream": q_sim_ann_stream,
+        "corpus_lang_mix": q_corpus_lang_mix,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -7207,12 +7224,15 @@ def _bpe_oracle_sql(rounds: int, vocab: bool = False, encode: bool = False) -> s
     return "".join(parts)
 
 
-def _langid_oracle_sql() -> str:
-    """Cavnar-Trenkle replay: the (lang, gram, rank) profiles are injected
-    as literals from the same pure-Python derivation the Spark plan uses
+def _langid_cte() -> str:
+    """The Cavnar-Trenkle classification chain as a WITH-body fragment
+    ending in ``b`` (doc_id -> best (distance, lang) struct): the (lang,
+    gram, rank) profiles are injected as literals from the same
+    pure-Python derivation the Spark plan uses
     (operators/langid.lang_profiles), then doc profiling, out-of-place
-    distances, and the (distance, lang) argmin are recomputed in exact
-    integer SQL."""
+    distances, and the argmin are recomputed in exact integer SQL.
+    Consumers append their own final SELECT (and may join ``b`` back to
+    documents — the left join supplies the 'unknown' fallback)."""
     from usearch_spark.operators.langid import PENALTY, PROFILE_K, lang_profiles
 
     values = ", ".join(
@@ -7254,12 +7274,47 @@ def _langid_oracle_sql() -> str:
         b AS (
             SELECT doc_id, min(struct_pack(d := dist, l := lang)) AS bs
             FROM d GROUP BY doc_id
-        )
+        )"""
+
+
+def _langid_oracle_sql() -> str:
+    """text_langid: the classification chain plus the per-doc projection."""
+    return (
+        _langid_cte()
+        + """
         SELECT doc.doc_id,
                coalesce(b.bs.l, 'unknown') AS lang_pred,
                CAST(coalesce(b.bs.d, 0) AS BIGINT) AS oop_distance
         FROM documents doc LEFT JOIN b ON b.doc_id = doc.doc_id
     """
+    )
+
+
+def _lang_mix_oracle_sql() -> str:
+    """corpus_lang_mix: the classification chain feeding the corpus_mix
+    mixture arithmetic, grouped by predicted language."""
+    return (
+        _langid_cte()
+        + f""",
+        lp AS (
+            SELECT doc.doc_id, doc.text, coalesce(b.bs.l, 'unknown') AS lang_pred
+            FROM documents doc LEFT JOIN b ON b.doc_id = doc.doc_id
+        ),
+        per AS (
+            SELECT lang_pred AS source, count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   max(CASE WHEN lang_pred = 'en' THEN 3.0 ELSE 1.0 END) AS w
+            FROM lp GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(w) AS DOUBLE) AS tw FROM per)
+        SELECT source, n_docs, n_tokens,
+               round(w / tw, 6) AS target_share,
+               round(least(CAST(1.0 AS DOUBLE), (w / tw) * 50000 / n_tokens), 6) AS sample_rate,
+               CAST(floor(least(CAST(1.0 AS DOUBLE), (w / tw) * 50000 / n_tokens) * n_tokens) AS BIGINT)
+                   AS expected_tokens
+        FROM per, tot
+    """
+    )
 
 
 def _dedup_eval_oracle_sql(sample_pred: str = "TRUE") -> str:
@@ -7329,6 +7384,7 @@ def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
     return _with_ann_full_oracles({
         "text_langid": _langid_oracle_sql(),
+        "corpus_lang_mix": _lang_mix_oracle_sql(),
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
         # the forced-distributed companions compute the identical

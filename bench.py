@@ -116,16 +116,25 @@ def main() -> None:
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
 
     # median of n_runs so round-over-round deltas are signal, not the box's
-    # +/-30% wall-clock noise; cold (run-0) + spread (max-min) alongside
+    # +/-30% wall-clock noise; cold (run-0), the WARM median (runs 1..,
+    # excluding run-0's artifact builds / first parquet touch — the number
+    # that isolates plan changes from JIT/cache noise) and spread (max-min)
+    # are published alongside
     timings = {
         name: (round(statistics.median(ts), 3) if ts else -1.0) for name, ts in per_run.items()
     }
     cold = {name: round(ts[0], 3) for name, ts in per_run.items() if ts}
+    warm_med = {
+        name: round(statistics.median(ts[1:]), 3)
+        for name, ts in per_run.items()
+        if len(ts) > 1
+    }
     spread = {
         name: round(max(ts) - min(ts), 3) for name, ts in per_run.items() if len(ts) > 1
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_cold = round(sum(cold.values()), 3)
+    total_warm = round(sum(warm_med.values()), 3)
 
     gc.collect()  # release the query loop's checkpoint blocks before the gate
     try:
@@ -141,6 +150,7 @@ def main() -> None:
     detail = {
         "queries": timings,
         "cold_sec": cold,
+        "warm_sec": warm_med,
         "spread_sec": spread,
         "warmup_sec": round(warm, 3),
         "runs": n_runs,
@@ -160,6 +170,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "total_cold_sec": total_cold,
+                "total_warm_sec": total_warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": n_runs,
                 "pagerank_100k": pr_gate,

@@ -125,3 +125,133 @@ def test_pagerank_hub_key_partial_aggregation(spark):
     hub = rows["0"]
     assert hub == max(rows.values()) and hub > 0.2
     assert errors(lint_plan(ranks)) == []
+
+
+# ---------------------------------------------------------------------------
+# sf1-scale smoke (10x the bench corpus): the caps exist to matter at a
+# scale the fast suite never reaches.  Env-gated so CI-fast skips it —
+# run with SPARK_GRAFT_SLOW=1 (takes a few minutes on local[8]).
+
+import os  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def _templated_corpus_sf1(spark):
+    """~55k docs, hub-heavy: 30k docs of ONE boilerplate template (every
+    LSH band bucket = 30k docs -> 4.5e8 potential pairs per band
+    uncapped; every substring k-gram df >= 30k), 2x10k docs of two other
+    templates, 5k distinct docs, and 40 planted containment/near-dup
+    pairs of distinct content."""
+    t0 = "terms of service apply all rights reserved contact us about privacy"
+    t1 = "subscribe to our newsletter for updates and exclusive offers today"
+    t2 = "copyright notice all trademarks belong to their respective owners"
+    base = (
+        spark.range(30_000).select(F.col("id"), F.lit(t0).alias("text"))
+        .unionAll(spark.range(30_000, 40_000).select(F.col("id"), F.lit(t1).alias("text")))
+        .unionAll(spark.range(40_000, 50_000).select(F.col("id"), F.lit(t2).alias("text")))
+    )
+    # 5k distinct docs: 12 hash-derived pseudo-words each (JVM-side
+    # generation — no driver-built 50k-tuple pickling)
+    distinct = spark.range(50_000, 55_000).select(
+        "id",
+        F.expr(
+            "array_join(transform(sequence(1, 12),"
+            " k -> concat('w', conv(substring(md5(concat(cast(id as string), ':', k)), 1, 6), 16, 10))), ' ')"
+        ).alias("text"),
+    )
+    planted = spark.range(60_000, 60_040, 2).select(
+        "id",
+        F.expr(
+            "array_join(transform(sequence(1, 10),"
+            " k -> concat('p', conv(substring(md5(concat(cast(id as string), '/', k)), 1, 6), 16, 10))), ' ')"
+        ).alias("text"),
+    )
+    planted_outer = planted.select(
+        (F.col("id") + 1).alias("id"),
+        F.concat(F.lit("PREFIX "), F.col("text"), F.lit(" SUFFIX")).alias("text"),
+    )
+    return (
+        base.unionAll(distinct).unionAll(planted).unionAll(planted_outer)
+        .select(F.col("id").alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale skew smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_caps_bound_candidates_at_sf1_scale(spark):
+    from usearch_spark.operators.dedup import substring_containment_pairs
+
+    docs = _templated_corpus_sf1(spark)
+    n_docs = docs.count()
+    assert n_docs == 55_040
+
+    # --- MinHash LSH under max_bucket: the 30k-doc hub bucket (4.5e8
+    # pairs per band uncapped) must drop whole; planted near-content
+    # (identical planted/outer shingle overlap is below 0.7 here, so just
+    # assert the CANDIDATE bound and completion)
+    cap = 1000
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs, max_bucket=cap)
+    n_cands = cands.count()
+    # every surviving bucket holds <= cap docs -> per band at most
+    # (n_docs/cap) * C(cap,2) pairs; the real number is far below —
+    # assert the hard wall that proves no hub bucket leaked
+    assert n_cands <= 4 * (n_docs // cap + 1) * (cap * (cap - 1) // 2)
+    assert cands.filter((F.col("a") < 30_000) & (F.col("b") < 30_000)).count() == 0
+
+    # --- substring containment under max_gram_df: template docs' rarest
+    # gram has df >= 10k > cap, so the inner side shrinks to the distinct
+    # tail; the planted containments must still pair exactly
+    gcap = 2000
+    pairs = substring_containment_pairs(docs, max_gram_df=gcap)
+    got = {(r["inner_id"], r["outer_id"]) for r in pairs.collect()}
+    for inner in range(60_000, 60_040, 2):
+        assert (inner, inner + 1) in got
+    # no template doc appears as an inner candidate (their rarest gram is
+    # a hub gram), so the quadratic template block never materialized
+    assert all(a >= 50_000 for a, _ in got)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale skew smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_substring_inner_side_bound_at_sf1_scale(spark):
+    """The documented candidate-row bound Σ min(df(rarest), cap) <=
+    |inner|·cap, measured on the actual rarest-gram table at scale."""
+    from usearch_spark.session import spread_small_scan
+
+    docs = _templated_corpus_sf1(spark)
+    gcap = 2000
+    d = spread_small_scan(docs).select(F.col("doc_id").alias("id"), "text")
+    grams = (
+        d.filter(F.length("text") >= 16)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 15), i -> substring(text, i, 16))"
+                )
+            ).alias("gram"),
+        )
+        .dropDuplicates(["id", "gram"])
+    )
+    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    rarest = (
+        grams.join(dfc, "gram")
+        .groupBy("id")
+        .agg(F.min(F.struct("df", "gram")).alias("_r"))
+        .filter(F.col("_r.df") <= gcap)
+        .select("id", F.col("_r.df").alias("df"))
+    )
+    stats = rarest.agg(
+        F.count(F.lit(1)).alias("n_inner"), F.sum("df").alias("cand_rows")
+    ).collect()[0]
+    # the inner side is the 5k distinct tail + 40 planted docs only, and
+    # the candidate join is linear: Σ df(rarest) <= n_inner * cap
+    assert stats["n_inner"] <= 5_040 + 40
+    assert stats["cand_rows"] <= stats["n_inner"] * gcap
