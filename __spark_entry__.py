@@ -1036,6 +1036,26 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring SPANS (operators/dedup.duplicate_spans): the
+    maximal token ranges whose every 8-token window repeats somewhere in
+    the corpus — the Lee et al. 2022 ExactSubstr form of dedup that
+    removes redundant spans instead of whole documents.  One
+    window-hash shuffle (counts only, hub windows never pair up) + a
+    per-document islands pass; all-integer span arithmetic, so the
+    oracle replays spans bit-for-bit."""
+    from usearch_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, min_len=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 def q_corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-aware pretraining-mixture planning — the pipeline
     composition langid feeds: classify every document
@@ -6995,6 +7015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "sim_ann_stream": q_sim_ann_stream,
         "corpus_lang_mix": q_corpus_lang_mix,
+        "dedup_spans": q_dedup_spans,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -7385,6 +7406,33 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "text_langid": _langid_oracle_sql(),
         "corpus_lang_mix": _lang_mix_oracle_sql(),
+        "dedup_spans": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            w AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+                FROM tk, unnest(range(1, len(toks) - 6)) u(i)
+                WHERE len(toks) >= 8
+            ),
+            dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            dp AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+            flg AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                            THEN 1 ELSE 0 END AS nw
+                FROM dp
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM flg
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, g
+        """,
         "graph_harmonic": _harmonic_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
         # the forced-distributed companions compute the identical

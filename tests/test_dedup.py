@@ -286,3 +286,41 @@ def test_prefix_jaccard_prunes_candidates(spark):
     pairs = {(r["a"], r["b"]) for r in ngram_jaccard_pairs_prefix(df, n=2, threshold=0.5).collect()}
     assert (1, 2) in pairs
     assert (3, 4) not in pairs
+
+
+def test_duplicate_spans_exact_substr(spark):
+    """Lee et al. ExactSubstr span semantics: a 10-token phrase shared by
+    two docs yields one maximal 10-token span in EACH (at min_len=8,
+    positions 0..2 of the phrase window all duplicate and merge); a doc
+    repeating its own 8-token phrase twice self-duplicates; unique docs
+    emit nothing; nearby windows merge into ONE maximal span."""
+    from usearch_spark.operators.dedup import duplicate_spans
+
+    phrase = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        # shared phrase at token offset 2 (A) and 0 (B)
+        (1, "intro words " + phrase + " tail one two"),
+        (2, phrase + " different ending here"),
+        # self-repetition: the same 8 tokens twice within one doc
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 filler x1 x2 x3 x4 x5 x6 x7 x8"),
+        # unique doc: no duplicated window anywhere
+        (4, "unique u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(docs, min_len=8).collect()
+    }
+    # doc 1: phrase tokens 2..11; windows at pos 2,3,4 merge to one span
+    assert got[1] == (2, 11, 10)
+    # doc 2: phrase tokens 0..9
+    assert got[2] == (0, 9, 10)
+    # doc 3: both copies self-duplicate; the only dup windows sit at pos 0
+    # and pos 9, and 9 - 0 = 9 > 8 means the intervals [0,7] and [9,16]
+    # don't touch -> two separate maximal spans
+    spans3 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, min_len=8).filter(F.col("doc_id") == 3).collect()
+    )
+    assert spans3 == [(0, 7), (9, 16)]
+    assert 4 not in got

@@ -700,3 +700,75 @@ def ngram_jaccard_pairs_ppjoin(
     sh = _doc_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return _verify_jaccard(sh, sizes, ppjoin_candidates(sh, threshold), threshold)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """EXACT duplicated-substring SPANS: per document, the maximal token
+    ranges whose every ``min_len``-token window occurs at least twice in
+    the corpus (counting within-document repeats) — the span-level dedup
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr): training pipelines REMOVE the
+    duplicated span and keep the rest of the document, where doc-level
+    dedup would either keep the redundancy or drop unique text.
+
+    Distributed shape (the suffix-array of the paper is single-machine):
+    one tokenize+sliding-window explode emits (doc, pos, window-hash)
+    rows — n_tokens rows per doc, linear; ONE shuffle counts global
+    window multiplicity (partial-agg safe: hub windows aggregate to a
+    single count row, never materializing their occurrence pairs); the
+    duplicated positions join back co-partitioned by hash and collapse
+    into maximal spans with an islands pass over a PER-DOCUMENT
+    partitioned window (two overlapping windows [p, p+L-1], [q, q+L-1]
+    merge iff q − p <= L).  Window identity is the md5 of the joined
+    tokens so shuffle rows stay fixed-width regardless of L.
+
+    Output: (id_col, span_start, span_end, span_tokens) — 0-based
+    inclusive TOKEN offsets, ordered within each doc.  Every decision is
+    exact integer arithmetic over deterministic hashes, so a SQL oracle
+    replays the spans bit-for-bit."""
+    from pyspark.sql import Window
+
+    from usearch_spark.session import spread_small_scan
+
+    toks = spread_small_scan(docs).select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("_toks")
+    )
+    wins = toks.filter(F.size("_toks") >= min_len).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {min_len} + 1),"
+                f" i -> md5(array_join(slice(_toks, i, {min_len}), ' ')))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    dup_pos = wins.join(dup_h, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > min_len, 1).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
