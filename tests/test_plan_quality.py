@@ -273,3 +273,25 @@ def test_partition_pruned_scan_has_partition_filters(spark):
     assert "day" in pf[0] and "=" in pf[0], pf[0]
     # the pruned filter must NOT fall back to a post-scan Filter on day
     assert "PartitionFilters: []" not in pf[0]
+
+
+def test_langid_profile_join_broadcasts(spark):
+    """The |langs|*K profile table must broadcast into the doc-gram side
+    (a shuffle join on 'gram' would move the corpus for a kilobyte dim);
+    the tiny langs list fans out as a broadcast nested-loop cross.  The
+    only sort-merge join allowed is the doc-spine left join, whose both
+    sides are corpus-sized by construction."""
+    df = E.q_text_langid(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # (lang, gram) -> profile rank
+    assert "BroadcastNestedLoopJoin" in plan  # doc-gram x langs fan-out
+    assert plan.count("SortMergeJoin") <= 1  # the spine join only
+
+
+def test_dedup_spans_counts_partial_aggregate(spark):
+    """The window-multiplicity count must partial-aggregate map-side: hub
+    windows (boilerplate) reduce to one count row per map task instead of
+    shuffling every occurrence to one reducer."""
+    df = E.q_dedup_spans(spark, SF)
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan[:2000]
