@@ -1056,6 +1056,23 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed text classification (operators/classify.py): train a
+    multinomial Naive Bayes source classifier on the EVEN-doc_id half of
+    the corpus, score the odd half, emit per-doc (argmax label, max
+    log-posterior) — the fastText/CCNet-style domain-filter stage of a
+    training-data pipeline.  Log-probs are integer micro-nats
+    (floor(ln·1e6 + 0.5)), all scoring is exact integer sums/argmax, so
+    the oracle replays training AND inference bit-for-bit."""
+    from usearch_spark.operators.classify import nb_classify, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    test = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    token_lp, class_stats = nb_train(train)
+    return nb_classify(test, token_lp, class_stats)
+
+
 def q_corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-aware pretraining-mixture planning — the pipeline
     composition langid feeds: classify every document
@@ -7016,6 +7033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_stream": q_sim_ann_stream,
         "corpus_lang_mix": q_corpus_lang_mix,
         "dedup_spans": q_dedup_spans,
+        "text_nb_classify": q_text_nb_classify,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -7406,6 +7424,52 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "text_langid": _langid_oracle_sql(),
         "corpus_lang_mix": _lang_mix_oracle_sql(),
+        "text_nb_classify": f"""
+            WITH tr AS (
+                SELECT source AS label, unnest({_TOKS}) AS tok
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            ctc AS (SELECT label, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+            cc AS (SELECT label, count(*) AS n FROM tr GROUP BY 1),
+            vx AS (SELECT count(DISTINCT tok) AS v FROM tr),
+            lp AS (
+                SELECT label, tok,
+                       CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (n + v)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS lp_u
+                FROM ctc JOIN cc USING (label), vx
+            ),
+            nd AS (SELECT source AS label, count(*) AS nd
+                   FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            nt AS (SELECT count(*) AS nt FROM documents WHERE doc_id % 2 = 0),
+            cs AS (
+                SELECT cc.label,
+                       CAST(floor(ln(CAST(nd AS DOUBLE) / nt) * 1000000.0 + 0.5)
+                        AS BIGINT) AS prior_u,
+                       CAST(floor(ln(1.0 / (n + v)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS floor_u
+                FROM cc JOIN nd USING (label), nt, vx
+            ),
+            tf AS (
+                SELECT doc_id AS id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                      FROM documents WHERE doc_id % 2 = 1)
+                GROUP BY 1, 2
+            ),
+            sc AS (
+                SELECT tf.id, cs.label,
+                       cs.prior_u + sum(tf.tf * coalesce(lp.lp_u, cs.floor_u)) AS score_u
+                FROM tf CROSS JOIN cs
+                LEFT JOIN lp ON lp.label = cs.label AND lp.tok = tf.tok
+                GROUP BY tf.id, cs.label, cs.prior_u
+            ),
+            b AS (
+                SELECT id, min(struct_pack(neg := -score_u, l := label)) AS bs
+                FROM sc GROUP BY id
+            )
+            SELECT id AS doc_id, b.bs.l AS label_pred,
+                   CAST(-(b.bs.neg) AS DOUBLE) / 1000000.0 AS score
+            FROM b
+        """,
         "dedup_spans": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             w AS (
