@@ -1056,6 +1056,64 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING edge ingest + periodic re-rank (streaming/graph.
+    pagerank_stream_rerank — the reference's ST3 hourly-PageRank loop
+    made streaming-native): the supplier→part edges arrive as two
+    micro-batch files split by supplier parity; each epoch UPSERTS new
+    edges (anti-join, the S5/S6 identity contract) into epoch-keyed
+    fragments and re-ranks the full committed graph with the
+    deterministic fixed-10-step PageRank under the lineage-aware
+    snapshot pointer.  A SECOND run against the same checkpoint changes
+    nothing.  The drained state's edge set equals the batch graph, so
+    the scores share graph_pagerank_fixed's unrolled oracle verbatim —
+    the whole ingest→merge→re-rank pipeline is hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.graph import (
+        pagerank_stream_rerank,
+        read_stream_scores,
+    )
+
+    base = os.path.join(_ARTIFACT_DIR, f"pr_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        _, edges = _supplier_part_graph(spark, sf_dir)
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            edges.filter(
+                F.pmod(F.substring("src", 2, 12).cast("long"), F.lit(2)) == i
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+            os.utime(os.path.join(base, f"batch{i}.parquet"), (1000000 + i * 100,) * 2)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"pr_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "graph"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("src string, dst string")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = pagerank_stream_rerank(stream, target, ckpt, steps=10)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = (
+        read_stream_scores(spark, target)
+        .select("id", F.round(F.col("score"), 8).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def q_text_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed text classification (operators/classify.py): train a
     multinomial Naive Bayes source classifier on the EVEN-doc_id half of
@@ -7034,6 +7092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_mix": q_corpus_lang_mix,
         "dedup_spans": q_dedup_spans,
         "text_nb_classify": q_text_nb_classify,
+        "graph_pagerank_stream": q_graph_pagerank_stream,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -10292,4 +10351,7 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     oracles["dedup_stream"] = oracles["dedup_incremental"]
     # cell-wise CMS merge commutes with the one-shot build
     oracles["sketch_cms_stream"] = oracles["sketch_cms_users"]
+    # r9: the streamed edge upserts reconstruct the batch edge set, and
+    # the re-rank is the same cold fixed-10-step recurrence
+    oracles["graph_pagerank_stream"] = oracles["graph_pagerank_fixed"]
     return oracles
