@@ -1056,6 +1056,19 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (operators/layout.py): Morton-interleave
+    (l_partkey, l_suppkey) and report each of the 256 keyspace buckets'
+    per-dimension bounding rectangle — the measurable form of "will
+    min/max file skipping fire for BOTH columns after OPTIMIZE ZORDER".
+    Pure shift/AND/OR integer bit arithmetic end to end, so the oracle
+    replays every Morton bit."""
+    from usearch_spark.operators.layout import zorder_locality_report
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return zorder_locality_report(li, "l_partkey", "l_suppkey", bits=16, bucket_bits=8)
+
+
 def q_graph_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING edge ingest + periodic re-rank (streaming/graph.
     pagerank_stream_rerank — the reference's ST3 hourly-PageRank loop
@@ -7093,6 +7106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "text_nb_classify": q_text_nb_classify,
         "graph_pagerank_stream": q_graph_pagerank_stream,
+        "layout_zorder": q_layout_zorder,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -7415,6 +7429,36 @@ def _lang_mix_oracle_sql() -> str:
     )
 
 
+def _zorder_oracle_sql(bits: int = 16, bucket_bits: int = 8) -> str:
+    """Morton interleave replayed bit for bit: DuckDB's >>/&/<< match
+    Spark's shiftright/&/shiftleft exactly on BIGINT."""
+    top = (1 << bits) - 1
+    terms = " | ".join(
+        f"(((aq >> {j}) & 1) << {2 * j})"
+        f" | (((bq >> {j}) & 1) << {2 * j + 1})"
+        for j in range(bits)
+    )
+    shift = 2 * bits - bucket_bits
+    return f"""
+        WITH r AS (
+            SELECT min(l_partkey) AS alo, max(l_partkey) AS ahi,
+                   min(l_suppkey) AS blo, max(l_suppkey) AS bhi
+            FROM lineitem
+        ),
+        q AS (
+            SELECT l_partkey AS a, l_suppkey AS b,
+                   ((l_partkey - r.alo) * {top}) // greatest(r.ahi - r.alo, 1) AS aq,
+                   ((l_suppkey - r.blo) * {top}) // greatest(r.bhi - r.blo, 1) AS bq
+            FROM lineitem, r
+        ),
+        z AS (SELECT a, b, ({terms}) AS z FROM q)
+        SELECT z >> {shift} AS zbucket, count(*) AS n_rows,
+               min(a) AS a_min, max(a) AS a_max,
+               min(b) AS b_min, max(b) AS b_max
+        FROM z GROUP BY 1
+    """
+
+
 def _dedup_eval_oracle_sql(sample_pred: str = "TRUE") -> str:
     """Both dedup pipelines (exhaustive Jaccard truth + banded-LSH
     candidates with exact verify) recomputed in SQL; ``sample_pred``
@@ -7483,6 +7527,7 @@ def oracle_sql() -> dict[str, str]:
     return _with_ann_full_oracles({
         "text_langid": _langid_oracle_sql(),
         "corpus_lang_mix": _lang_mix_oracle_sql(),
+        "layout_zorder": _zorder_oracle_sql(16, 8),
         "text_nb_classify": f"""
             WITH tr AS (
                 SELECT source AS label, unnest({_TOKS}) AS tok
