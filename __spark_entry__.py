@@ -1056,6 +1056,58 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING weighted reservoir (streaming/sample.
+    weighted_sample_stream): the part table arrives as two micro-batch
+    files; each epoch folds its local weighted top-50 into the committed
+    reservoir (min-k of min-ks — the Efraimidis-Spirakis mergeability)
+    under the lineage-aware snapshot pointer, and a SECOND run against
+    the same checkpoint changes nothing.  Min-k merging commutes with
+    the one-shot draw, so the drained reservoir shares
+    corpus_weighted_sample's oracle verbatim."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.sample import read_reservoir, weighted_sample_stream
+
+    base = os.path.join(_ARTIFACT_DIR, f"res_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            p.filter(F.pmod(F.col("p_partkey"), F.lit(2)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+            os.utime(os.path.join(base, f"batch{i}.parquet"), (1000000 + i * 100,) * 2)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"res_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "reservoir"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("p_partkey long, p_size int")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = weighted_sample_stream(stream, "p_partkey", "p_size", 50, target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = (
+        read_reservoir(spark, target)
+        .orderBy(F.col("draw").asc(), F.col("p_partkey").asc())
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering audit (operators/layout.py): Morton-interleave
     (l_partkey, l_suppkey) and report each of the 256 keyspace buckets'
@@ -7107,6 +7159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_classify": q_text_nb_classify,
         "graph_pagerank_stream": q_graph_pagerank_stream,
         "layout_zorder": q_layout_zorder,
+        "sample_stream_reservoir": q_sample_stream_reservoir,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -10399,4 +10452,6 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     # r9: the streamed edge upserts reconstruct the batch edge set, and
     # the re-rank is the same cold fixed-10-step recurrence
     oracles["graph_pagerank_stream"] = oracles["graph_pagerank_fixed"]
+    # min-k of per-batch min-ks == the one-shot weighted top-k
+    oracles["sample_stream_reservoir"] = oracles["corpus_weighted_sample"]
     return oracles
