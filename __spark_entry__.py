@@ -1056,6 +1056,60 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items summary (operators/sketch.mg_summary /
+    mg_merge — Agarwal et al. 2012 mergeable form): per-event-parity MG
+    summaries of user_id (k=20) merged into one corpus answer, every
+    user above N/21 guaranteed present.  All-integer counter arithmetic
+    with (count DESC, key) total order, so the oracle unrolls both
+    summaries and the merge bit-for-bit."""
+    from usearch_spark.operators.sketch import mg_merge, mg_summary
+
+    ev = _events(spark, sf_dir)
+    a = mg_summary(ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0), "user_id", 20)
+    b = mg_summary(ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1), "user_id", 20)
+    return mg_merge(a, b, 20).select("key", F.col("est").cast("long").alias("est"))
+
+
+def q_sketch_mg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS Misra-Gries maintenance (streaming/sketches.
+    mg_stream_merge): the two replayed event micro-batches (shared with
+    sketch_cms_stream) fold their per-batch MG summaries into the
+    committed <= k-row state under the lineage-aware snapshot pointer; a
+    SECOND run against the same checkpoint changes nothing.  The fold
+    order equals the batch query's merge order, so the drained summary
+    shares sketch_heavy_hitters' oracle verbatim."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.sketches import mg_stream_merge, read_cms
+
+    base = os.path.join(_ARTIFACT_DIR, f"cms_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        q_sketch_cms_stream(spark, sf_dir)  # builds + gates the shared source
+    run = os.path.join(_ARTIFACT_DIR, f"mg_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "summary"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = mg_stream_merge(stream, "user_id", 20, target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = (
+        read_cms(spark, target)
+        .select("key", F.col("est").cast("long").alias("est"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def q_sample_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING weighted reservoir (streaming/sample.
     weighted_sample_stream): the part table arrives as two micro-batch
@@ -7160,6 +7214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_stream": q_graph_pagerank_stream,
         "layout_zorder": q_layout_zorder,
         "sample_stream_reservoir": q_sample_stream_reservoir,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_mg_stream": q_sketch_mg_stream,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -7581,6 +7637,30 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle_sql(),
         "corpus_lang_mix": _lang_mix_oracle_sql(),
         "layout_zorder": _zorder_oracle_sql(16, 8),
+        "sketch_heavy_hitters": """
+            WITH c0 AS (
+                SELECT user_id AS key, count(*) AS cnt FROM events
+                WHERE event_id % 2 = 0 GROUP BY 1
+            ),
+            t0 AS (SELECT * FROM c0 ORDER BY cnt DESC, key LIMIT 21),
+            h0 AS (SELECT CASE WHEN count(*) = 21 THEN min(cnt) ELSE 0 END AS thr FROM t0),
+            s0 AS (SELECT key, cnt - thr AS est FROM t0, h0 WHERE cnt - thr > 0),
+            c1 AS (
+                SELECT user_id AS key, count(*) AS cnt FROM events
+                WHERE event_id % 2 = 1 GROUP BY 1
+            ),
+            t1 AS (SELECT * FROM c1 ORDER BY cnt DESC, key LIMIT 21),
+            h1 AS (SELECT CASE WHEN count(*) = 21 THEN min(cnt) ELSE 0 END AS thr FROM t1),
+            s1 AS (SELECT key, cnt - thr AS est FROM t1, h1 WHERE cnt - thr > 0),
+            m AS (
+                SELECT key, sum(est) AS cnt
+                FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) GROUP BY key
+            ),
+            tm AS (SELECT * FROM m ORDER BY cnt DESC, key LIMIT 21),
+            hm AS (SELECT CASE WHEN count(*) = 21 THEN min(cnt) ELSE 0 END AS thr FROM tm)
+            SELECT key, CAST(cnt - thr AS BIGINT) AS est
+            FROM tm, hm WHERE cnt - thr > 0
+        """,
         "text_nb_classify": f"""
             WITH tr AS (
                 SELECT source AS label, unnest({_TOKS}) AS tok
@@ -10454,4 +10534,6 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     oracles["graph_pagerank_stream"] = oracles["graph_pagerank_fixed"]
     # min-k of per-batch min-ks == the one-shot weighted top-k
     oracles["sample_stream_reservoir"] = oracles["corpus_weighted_sample"]
+    # the stream folds the same per-parity MG summaries the batch merges
+    oracles["sketch_mg_stream"] = oracles["sketch_heavy_hitters"]
     return oracles

@@ -289,3 +289,53 @@ def log_hist_quantile(
             ).alias(out_col),
         )
     )
+
+
+def mg_summary(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Misra-Gries heavy-hitter summary: at most ``k`` (key, est) counters
+    with est = count − c_(k+1), where c_(k+1) is the (k+1)-th largest
+    exact count (0 when the key space is <= k).  The classic guarantee
+    holds: count − N/(k+1) <= est <= count, so every key with frequency
+    above N/(k+1) survives — the deterministic frequent-items summary
+    of the portable sketch family (HLL distincts, CMS frequencies,
+    Bloom membership, log-hist quantiles).
+
+    Distributed shape: ONE partial-aggregated count shuffle, then a
+    TakeOrderedAndProject of k+1 rows (never a global window) and a
+    broadcast threshold subtraction; ties at the threshold compress to
+    zero and drop, which is exactly what caps the summary at k rows.
+    All-integer arithmetic with (count DESC, key) total order — any
+    engine replays the summary bit for bit (Agarwal et al. 2012's
+    mergeable-summaries formulation)."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(k + 1)
+    top = top.localCheckpoint(eager=True)  # tiny; feeds both threshold + output
+    thr = top.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("cnt")).otherwise(F.lit(0)).alias("thr")
+    )
+    return (
+        top.crossJoin(F.broadcast(thr))
+        .select("key", (F.col("cnt") - F.col("thr")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+
+
+def mg_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Merge two Misra-Gries summaries (Agarwal et al. 2012): add
+    counters by key, subtract the merged (k+1)-th largest, drop <= 0.
+    The merged summary carries the combined-stream guarantee
+    (est >= count − (N_a + N_b)/(k+1)), which is what lets per-batch
+    summaries fold into one corpus-wide frequent-items answer."""
+    summed = (
+        a.unionByName(b).groupBy("key").agg(F.sum("est").alias("cnt"))
+    )
+    top = summed.orderBy(F.col("cnt").desc(), F.col("key")).limit(k + 1)
+    top = top.localCheckpoint(eager=True)
+    thr = top.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("cnt")).otherwise(F.lit(0)).alias("thr")
+    )
+    return (
+        top.crossJoin(F.broadcast(thr))
+        .select("key", (F.col("cnt") - F.col("thr")).alias("est"))
+        .filter(F.col("est") > 0)
+    )

@@ -218,3 +218,46 @@ def log_hist_stream_merge(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def mg_stream_merge(
+    stream_df: DataFrame,
+    key_col: str,
+    k: int,
+    target_path: str,
+    checkpoint_path: str,
+    on_mismatch: str = "error",
+) -> StreamingQuery:
+    """Continuous Misra-Gries heavy-hitter maintenance: each micro-batch
+    builds its MG summary (operators/sketch.mg_summary — one count
+    shuffle + a k+1-row TakeOrdered) and folds into the committed
+    summary via mg_merge, under the same lineage-aware snapshot pointer
+    as the CMS/quantile streams.  State is <= k rows forever; the folded
+    summary carries the combined-stream guarantee
+    est >= count - N_total/(k+1), so the corpus-wide frequent items
+    survive any batch arrival order the merge is applied in."""
+    from usearch_spark.operators.sketch import mg_merge, mg_summary
+
+    ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
+        sk = mg_summary(batch_df, key_col, k)
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
+            sk = mg_merge(cur, sk, k)
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
