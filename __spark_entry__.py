@@ -1056,6 +1056,67 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_table(spark, sf_dir, name, ddl_cols, key, build):
+    """Register (or build once per sf) a bucketed+sorted fact table —
+    the co-located-join layout (16 buckets on the join key).  Files
+    survive across processes; the session catalog re-registers the
+    bucket spec via DDL so later joins still plan Exchange-free."""
+    tbl = f"{name}_{_sf_token(sf_dir)}"
+    path = os.path.join(_ARTIFACT_DIR, tbl)
+    if not spark.catalog.tableExists(tbl):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl_cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 16 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            try:
+                build().write.bucketBy(16, key).sortBy(key).option(
+                    "path", path
+                ).mode("overwrite").saveAsTable(tbl)
+            except Exception:
+                return build().localCheckpoint(eager=True)
+    return spark.table(tbl)
+
+
+def q_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the 100-TB layout answer to
+    the biggest shuffle in the schema: lineitem and orders are persisted
+    bucketed+sorted by orderkey into the SAME bucket count, so the
+    revenue-per-priority join plans with ZERO Exchange on either side
+    (asserted in tests/test_plan_quality.py) — at scale that is the
+    difference between moving 100 TB twice per query and never.
+    Results are layout-independent, so the oracle is the plain join."""
+    li = _bucketed_table(
+        spark,
+        sf_dir,
+        "li_bkt",
+        "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+        "l_orderkey",
+        lambda: _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+    )
+    o = _bucketed_table(
+        spark,
+        sf_dir,
+        "ord_bkt",
+        "o_orderkey BIGINT, o_orderpriority STRING",
+        "o_orderkey",
+        lambda: _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+    )
+    net = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(net).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent-items summary (operators/sketch.mg_summary /
     mg_merge — Agarwal et al. 2012 mergeable form): per-event-parity MG
@@ -7216,6 +7277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stream_reservoir": q_sample_stream_reservoir,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_mg_stream": q_sketch_mg_stream,
+        "join_colocated": q_join_colocated,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -7637,6 +7699,14 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_oracle_sql(),
         "corpus_lang_mix": _lang_mix_oracle_sql(),
         "layout_zorder": _zorder_oracle_sql(16, 8),
+        "join_colocated": """
+            SELECT o_orderpriority AS priority, count(*) AS n_lines,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
         "sketch_heavy_hitters": """
             WITH c0 AS (
                 SELECT user_id AS key, count(*) AS cnt FROM events

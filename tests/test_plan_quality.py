@@ -295,3 +295,22 @@ def test_dedup_spans_counts_partial_aggregate(spark):
     df = E.q_dedup_spans(spark, SF)
     plan = plan_of(df)
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_colocated_join_has_no_exchange(spark):
+    """The bucketed-by-orderkey layout must join WITHOUT shuffling either
+    fact side (the 100-TB point of bucketing).  At bench SFs AQE
+    broadcasts the small side — also exchange-free — so the test forces
+    the fact-fact SortMergeJoin path by disabling broadcast and asserts
+    the bucketed scans feed it with NO Exchange on either join key."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = E.q_join_colocated(spark, SF)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:3000]
