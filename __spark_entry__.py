@@ -5710,6 +5710,83 @@ def _hll_users_oracle_sql() -> str:
     """
 
 
+def _hll_stream_oracle_sql() -> str:
+    """The drained stream sketch == the one-shot sketch (max-per-register
+    commutes), so the oracle replays the batch form over the same
+    user-parity grouping."""
+    from usearch_spark.functions.hll import (
+        HLL_SHIFT,
+        hll_estimate_sql,
+        hll_reg_sql,
+        hll_rho_sql,
+    )
+
+    agg = (
+        f"sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - rho)) AS s_present, "
+        f"count(*) AS nreg"
+    )
+    return f"""
+        WITH k AS (SELECT user_id % 2 AS g, CAST(user_id AS VARCHAR) AS _k FROM events),
+        r AS (
+            SELECT g, CAST({hll_reg_sql('_k')} AS INT) AS reg,
+                   CAST({hll_rho_sql('_k')} AS INT) AS rho
+            FROM k
+        ),
+        s AS MATERIALIZED (SELECT g, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+        per AS (
+            SELECT g, round({hll_estimate_sql()}, 6) AS est
+            FROM (SELECT g, {agg} FROM s GROUP BY g)
+        ),
+        ex AS (
+            SELECT user_id % 2 AS g, count(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT per.g, per.est, ex.exact_users FROM per JOIN ex USING (g)
+    """
+
+
+def q_sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS HyperLogLog maintenance (streaming/sketches.
+    hll_stream_merge): the two replayed event micro-batches fold their
+    per-user-parity register sketches by max-per-register under the
+    lineage-aware snapshot pointer; a SECOND run against the same
+    checkpoint changes nothing.  Register max commutes with the one-shot
+    build, so the drained estimates replay as a plain batch oracle next
+    to the exact distinct counts."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.sketch import hll_estimate
+    from usearch_spark.streaming.sketches import hll_stream_merge, read_cms
+
+    base = os.path.join(_ARTIFACT_DIR, f"cms_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        q_sketch_cms_stream(spark, sf_dir)  # builds + gates the shared source
+    run = os.path.join(_ARTIFACT_DIR, f"hll_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "sketch"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+        .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = hll_stream_merge(stream, "user_id", ["g"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sk = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    exact = (
+        _events(spark, sf_dir)
+        .groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("g"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return hll_estimate(sk, ["g"]).join(exact, "g")
+
+
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE HyperLogLog distinct-user sketch (operators/sketch.
     hll_sketch): per-event_type register sketches (<= 16 rows per type,
@@ -7278,6 +7355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_mg_stream": q_sketch_mg_stream,
         "join_colocated": q_join_colocated,
+        "sketch_hll_stream": q_sketch_hll_stream,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -8189,6 +8267,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id <> b.doc_id AND contains(b.text, a.text)
         """,
         "sketch_hll_users": _hll_users_oracle_sql(),
+        "sketch_hll_stream": _hll_stream_oracle_sql(),
         "doc_tfidf_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, unnest({_TOKS}) AS term FROM documents

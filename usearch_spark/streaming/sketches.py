@@ -261,3 +261,45 @@ def mg_stream_merge(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def hll_stream_merge(
+    stream_df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    target_path: str,
+    checkpoint_path: str,
+    on_mismatch: str = "error",
+) -> StreamingQuery:
+    """Continuous HyperLogLog maintenance: each micro-batch builds its
+    register sketch (operators/sketch.hll_sketch) and merges into the
+    running parquet sketch by MAX PER REGISTER — the HLL union, which
+    commutes with the one-shot build exactly like the CMS/quantile/MG
+    folds, so the drained sketch shares a batch oracle.  Same
+    lineage-aware snapshot-pointer commit as :func:`cms_stream_merge`;
+    state is <= 16 register rows per group forever."""
+    from usearch_spark.operators.sketch import hll_merge, hll_sketch
+
+    ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
+        sk = hll_sketch(batch_df, key_col, group_cols)
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
+            sk = hll_merge(cur.unionByName(sk), group_cols)
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
