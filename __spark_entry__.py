@@ -5787,6 +5787,71 @@ def q_sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, ["g"]).join(exact, "g")
 
 
+def q_sketch_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS Bloom-filter maintenance (streaming/sketches.
+    bloom_stream_merge): the high-balance member keys arrive as two
+    micro-batch files (custkey parity); each epoch unions its set bits
+    into the committed filter under the lineage-aware snapshot pointer,
+    and a SECOND run against the same checkpoint changes nothing.  Bit
+    union commutes with the one-shot build, so probing the full
+    customer table against the drained filter shares
+    sketch_bloom_prune's oracle verbatim — including the exact
+    false-positive count."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.sketch import bloom_maybe_contains
+    from usearch_spark.streaming.sketches import bloom_stream_merge, read_cms
+
+    cust = _t(spark, sf_dir, "customer")
+    base = os.path.join(_ARTIFACT_DIR, f"bloom_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        members = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            members.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"bloom_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "bloom"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("c_custkey long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = bloom_stream_merge(stream, "c_custkey", target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    bloom = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    flags = bloom_maybe_contains(bloom, cust, "c_custkey", hashes=3, prefix_len=3)
+    actual = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+        .dropDuplicates(["c_custkey"])
+        .withColumn("actual", F.lit(1))
+    )
+    j = flags.join(actual, "c_custkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("actual").isNotNull(), 1).otherwise(0)).cast("long").alias("n_actual"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum(F.when((F.col("maybe") == 1) & F.col("actual").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE HyperLogLog distinct-user sketch (operators/sketch.
     hll_sketch): per-event_type register sketches (<= 16 rows per type,
@@ -7356,6 +7421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_mg_stream": q_sketch_mg_stream,
         "join_colocated": q_join_colocated,
         "sketch_hll_stream": q_sketch_hll_stream,
+        "sketch_bloom_stream": q_sketch_bloom_stream,
         # --- round-4 remainder ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
@@ -10685,4 +10751,6 @@ def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:
     oracles["sample_stream_reservoir"] = oracles["corpus_weighted_sample"]
     # the stream folds the same per-parity MG summaries the batch merges
     oracles["sketch_mg_stream"] = oracles["sketch_heavy_hitters"]
+    # bit union commutes with the one-shot Bloom build
+    oracles["sketch_bloom_stream"] = oracles["sketch_bloom_prune"]
     return oracles

@@ -941,3 +941,42 @@ def test_hll_stream_merge_equals_batch_and_replays(spark, tmp_path):
     )
     assert first == batch and len(first) > 0
     assert sorted(map(tuple, read_cms(spark, target).collect())) == first
+
+
+def test_bloom_stream_merge_equals_batch_and_replays(spark, tmp_path):
+    """Continuous Bloom maintenance: the drained bit set equals the
+    one-shot batch filter bit-for-bit, and a crash-window replay merges
+    nothing twice."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.operators.sketch import bloom_build
+    from usearch_spark.streaming.sketches import bloom_stream_merge, read_cms
+
+    df = spark.range(500).select((F.col("id") * 3 + 1).alias("key"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = str(tmp_path / f"t{i}")
+        df.filter(F.pmod(F.col("key"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target, ckpt = str(tmp_path / "bloom"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for run in range(2):
+        q = bloom_stream_merge(stream, "key", target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if run == 0:
+            first = sorted(r["bit"] for r in read_cms(spark, target).collect())
+            _drop_last_commit(ckpt)
+    batch = sorted(r["bit"] for r in bloom_build(df, "key").collect())
+    assert first == batch and len(first) > 0
+    assert sorted(r["bit"] for r in read_cms(spark, target).collect()) == first

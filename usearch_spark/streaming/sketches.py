@@ -303,3 +303,47 @@ def hll_stream_merge(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def bloom_stream_merge(
+    stream_df: DataFrame,
+    key_col: str,
+    target_path: str,
+    checkpoint_path: str,
+    hashes: int = 3,
+    prefix_len: int = 3,
+    on_mismatch: str = "error",
+) -> StreamingQuery:
+    """Continuous Bloom-filter maintenance: each micro-batch's set bits
+    (operators/sketch.bloom_build) UNION into the committed bit set —
+    the Bloom merge, bounded by the bit space (hashes · 16^prefix_len
+    rows) forever and commuting with the one-shot build, so the drained
+    filter shares a batch oracle.  Same lineage-aware snapshot-pointer
+    commit as :func:`cms_stream_merge`.  This is the ingest-time form of
+    join pruning: the filter stays queryable (broadcastable) while the
+    member stream keeps flowing."""
+    from usearch_spark.operators.sketch import bloom_build
+
+    ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
+        bits = bloom_build(batch_df, key_col, hashes=hashes, prefix_len=prefix_len)
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
+            bits = cur.unionByName(bits).dropDuplicates(["bit"])
+        bits.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
