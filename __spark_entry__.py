@@ -8099,7 +8099,7 @@ def oracle_sql() -> dict[str, str]:
                        sum(cnt) OVER (PARTITION BY g) AS n
                 FROM h
             )
-            SELECT g, max(n) AS n,
+            SELECT g, CAST(max(n) AS BIGINT) AS n,
                    CAST(min(CASE WHEN cum >= (1 * n + 1) // 2
                                  THEN (sub3 << greatest(blen - 3, 0)) END)
                         AS DOUBLE) / 100.0 AS p50,
@@ -8166,8 +8166,8 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) / 100.0 AS p50_whole
                 FROM wcum GROUP BY g
             )
-            SELECT pick.g AS l_returnflag, pick.n, pick.p50, pick.p90, pick.p99,
-                   wpick.p50_whole
+            SELECT pick.g AS l_returnflag, CAST(pick.n AS BIGINT) AS n,
+                   pick.p50, pick.p90, pick.p99, wpick.p50_whole
             FROM pick JOIN wpick USING (g)
         """,
         "text_trigram_logprob": f"""
