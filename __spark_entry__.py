@@ -7343,72 +7343,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-9 rotation:
-    (1) the six round-8 queries that have never had a driver gate
-    (trigram LM, IVF-PQ rerank, Leiden/distributed Louvain, quantile
-    sketch batch + stream); (2) the three round-3 stragglers that missed
-    the r8 window (corpus_pack/sample, text_analyze); (3) the round-4
-    cohort, least-recently gated first, original relative order — 41 of
-    its 50 fit.  Past the boundary: new round-9 entries (first in line
-    for the round-10 window), the round-4 remainder, then the round-5,
-    round-7 and round-8 cohorts in gate order.  Position math:
+    cap sweeps the whole surface across rounds.  Round-10 rotation:
+    (1) the two round-9 RED cells (quantile sketch batch + stream, fixed
+    this round — the oracle left a HUGEINT window-sum uncast) re-gate
+    first; (2) the thirteen round-9 queries that have never had a driver
+    gate; (3) the round-4 remainder; (4) the round-5 cohort front — 26
+    fit.  Past the boundary: new round-10 entries (first in line for the
+    round-11 window), the round-5 remainder, then the round-7, round-8
+    and round-9 cohorts in gate order.  Position math:
     qs.index(name) < 50 is the gated set."""
     return {
-        # --- new r8, never driver-gated: gate first ---
-        "text_trigram_logprob": q_text_trigram_logprob,
-        "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
-        "graph_louvain_refined": q_graph_louvain_refined,
-        "graph_louvain_dist": q_graph_louvain_dist,
+        # --- changed this round (r9 red cells, oracle HUGEINT fix): re-gate first ---
         "sketch_quantile_hist": q_sketch_quantile_hist,
         "sketch_quantile_stream": q_sketch_quantile_stream,
-        # --- round-3 stragglers (missed the r8 window) ---
-        "corpus_pack": q_corpus_pack,
-        "corpus_sample": q_corpus_sample,
-        "text_analyze": q_text_analyze,
-        # --- round-4 cohort (last gated r04; first 41 fit) ---
-        "text_repetition": q_text_repetition,
-        "text_logprob": q_text_logprob,
-        "dedup_semantic": q_dedup_semantic,
-        "topic_kmeans": q_topic_kmeans,
-        "search_hybrid_rrf": q_search_hybrid_rrf,
-        "dedup_incremental": q_dedup_incremental,
-        "graph_harmonic": q_graph_harmonic,
-        "graph_betweenness": q_graph_betweenness,
-        "sessionize_native": q_sessionize_native,
-        "data_quality_audit": q_data_quality_audit,
-        "scd2_history": q_scd2_history,
-        "corpus_mix": q_corpus_mix,
-        "search_mlt": q_search_mlt,
-        "search_suggest": q_search_suggest,
-        "search_proximity": q_search_proximity,
-        "search_fuzzy": q_search_fuzzy,
-        "corpus_split_leakfree": q_corpus_split_leakfree,
-        "dedup_chunks": q_dedup_chunks,
-        "sim_filtered_topk": q_sim_filtered_topk,
-        "sim_hard_negatives": q_sim_hard_negatives,
-        "bpe_learn": q_bpe_learn,
-        "search_facets": q_search_facets,
-        "dedup_eval": q_dedup_eval,
-        "top_collocations": q_top_collocations,
-        "events_watermark_late": q_events_watermark_late,
-        "sim_ann_lsh_full": q_sim_ann_lsh_full,
-        "sim_ann_ivf_full": q_sim_ann_ivf_full,
-        "text_winnow": q_text_winnow,
-        "top_terms": q_top_terms,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_boilerplate": q_corpus_boilerplate,
-        "text_scrub": q_text_scrub,
-        "embedding_centroids": q_embedding_centroids,
-        "corpus_funnel": q_corpus_funnel,
-        "local_supplier_revenue": q_local_supplier_revenue,
-        "skew_stats": q_skew_stats,
-        "column_profile": q_column_profile,
-        "range_join": q_range_join,
-        # ---------- 50-entry window boundary (round 9) ----------
-        # --- new round 9, never gated (first in line for the r10 window) ---
+        # --- new round 9, never driver-gated ---
         "text_langid": q_text_langid,
         "sim_ann_stream": q_sim_ann_stream,
         "corpus_lang_mix": q_corpus_lang_mix,
@@ -7422,7 +7370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_colocated": q_join_colocated,
         "sketch_hll_stream": q_sketch_hll_stream,
         "sketch_bloom_stream": q_sketch_bloom_stream,
-        # --- round-4 remainder ---
+        # --- round-4 remainder (last gated r04) ---
         "search_bm25": q_search_bm25,
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
@@ -7432,7 +7380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "text_readability": q_text_readability,
         "events_gap_stats": q_events_gap_stats,
-        # --- round-5 cohort ---
+        # --- round-5 cohort (first 26 fit) ---
         "sessionize_stateful": q_sessionize_stateful,
         "graph_coreness": q_graph_coreness,
         "dedup_eval_sampled": q_dedup_eval_sampled,
@@ -7459,6 +7407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_scores": q_embedding_pca_scores,
         "embedding_pca2": q_embedding_pca2,
         "branded_or_revenue": q_branded_or_revenue,
+        # ---------- 50-entry window boundary (round 10) ----------
+        # --- new round 10 entries land here (first in line for the r11 window) ---
+        # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
         "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -7482,7 +7433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_rate": q_events_error_rate,
         "discount_bands": q_discount_bands,
         "supplier_reach": q_supplier_reach,
-        # --- round-7 cohort (freshest) ---
+        # --- round-7 cohort ---
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "graph_partition_kway": q_graph_partition_kway,
         "graph_hyperball": q_graph_hyperball,
@@ -7529,7 +7480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
         "pricing_summary": q_pricing_summary,
-        # --- round-8 cohort (freshest gate) ---
+        # --- round-8 cohort ---
         "embedding_covariance": q_embedding_covariance,
         "graph_modularity": q_graph_modularity,
         "dedup_stream": q_dedup_stream,
@@ -7580,6 +7531,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "corpus_prep": q_corpus_prep,
+        # --- round-9 cohort (freshest gate) ---
+        "text_trigram_logprob": q_text_trigram_logprob,
+        "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
+        "graph_louvain_refined": q_graph_louvain_refined,
+        "graph_louvain_dist": q_graph_louvain_dist,
+        "corpus_pack": q_corpus_pack,
+        "corpus_sample": q_corpus_sample,
+        "text_analyze": q_text_analyze,
+        "text_repetition": q_text_repetition,
+        "text_logprob": q_text_logprob,
+        "dedup_semantic": q_dedup_semantic,
+        "topic_kmeans": q_topic_kmeans,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
+        "dedup_incremental": q_dedup_incremental,
+        "graph_harmonic": q_graph_harmonic,
+        "graph_betweenness": q_graph_betweenness,
+        "sessionize_native": q_sessionize_native,
+        "data_quality_audit": q_data_quality_audit,
+        "scd2_history": q_scd2_history,
+        "corpus_mix": q_corpus_mix,
+        "search_mlt": q_search_mlt,
+        "search_suggest": q_search_suggest,
+        "search_proximity": q_search_proximity,
+        "search_fuzzy": q_search_fuzzy,
+        "corpus_split_leakfree": q_corpus_split_leakfree,
+        "dedup_chunks": q_dedup_chunks,
+        "sim_filtered_topk": q_sim_filtered_topk,
+        "sim_hard_negatives": q_sim_hard_negatives,
+        "bpe_learn": q_bpe_learn,
+        "search_facets": q_search_facets,
+        "dedup_eval": q_dedup_eval,
+        "top_collocations": q_top_collocations,
+        "events_watermark_late": q_events_watermark_late,
+        "sim_ann_lsh_full": q_sim_ann_lsh_full,
+        "sim_ann_ivf_full": q_sim_ann_ivf_full,
+        "text_winnow": q_text_winnow,
+        "top_terms": q_top_terms,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_boilerplate": q_corpus_boilerplate,
+        "text_scrub": q_text_scrub,
+        "embedding_centroids": q_embedding_centroids,
+        "corpus_funnel": q_corpus_funnel,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "skew_stats": q_skew_stats,
+        "column_profile": q_column_profile,
+        "range_join": q_range_join,
     }
 
 
