@@ -7916,10 +7916,18 @@ def oracle_sql() -> dict[str, str]:
             b AS (
                 SELECT id, min(struct_pack(neg := -score_u, l := label)) AS bs
                 FROM sc GROUP BY id
+            ),
+            -- score-every-document contract: token-less docs (no tf rows)
+            -- fall back to the prior-only argmax via the doc spine
+            spine AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 1),
+            pb AS (
+                SELECT min(struct_pack(neg := -prior_u, l := label)) AS pbs FROM cs
             )
-            SELECT id AS doc_id, b.bs.l AS label_pred,
-                   CAST(-(b.bs.neg) AS DOUBLE) / 1000000.0 AS score
-            FROM b
+            SELECT spine.id AS doc_id,
+                   coalesce(b.bs.l, pb.pbs.l) AS label_pred,
+                   CAST(-(coalesce(b.bs.neg, pb.pbs.neg)) AS DOUBLE)
+                       / 1000000.0 AS score
+            FROM spine LEFT JOIN b ON b.id = spine.id, pb
         """,
         "dedup_spans": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

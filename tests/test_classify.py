@@ -61,3 +61,24 @@ def test_nb_score_is_micro_nat_exact(spark):
     assert len(out) == 40
     for r in out:
         assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-6
+
+
+def test_nb_scores_token_less_documents_with_prior(spark):
+    """The 'score every document' contract: a doc whose text tokenizes to
+    nothing still gets a row — the prior-only argmax (ties to the
+    smaller label), not a silent drop."""
+    import math
+
+    docs = _corpus(spark).union(
+        spark.createDataFrame(
+            [(300, "finance", "market fund"), (301, "finance", "")],
+            "doc_id long, source string, text string",
+        )
+    )
+    token_lp, class_stats = nb_train(_corpus(spark))
+    out = {r["doc_id"]: r for r in nb_classify(docs, token_lp, class_stats).collect()}
+    assert set(out) == {r["doc_id"] for r in docs.collect()}  # nothing dropped
+    empty = out[301]
+    # equal priors (20/40 each) -> tie -> lexicographically smaller label
+    assert empty["label_pred"] == "finance"
+    assert empty["score"] == math.floor(math.log(0.5) * 1e6 + 0.5) / 1e6

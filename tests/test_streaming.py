@@ -980,3 +980,31 @@ def test_bloom_stream_merge_equals_batch_and_replays(spark, tmp_path):
     batch = sorted(r["bit"] for r in bloom_build(df, "key").collect())
     assert first == batch and len(first) > 0
     assert sorted(r["bit"] for r in read_cms(spark, target).collect()) == first
+
+
+def test_legacy_pointer_is_lineage_mismatch(tmp_path):
+    """A legacy single-line ``_CURRENT`` carries no lineage, so epoch ids
+    are not comparable to it: the guard must treat it as a mismatch
+    (raise, or upgrade via adopt) instead of falling through to the
+    epoch-only comparison and silently dropping every epoch <= the
+    legacy version — the exact data-loss mode the lineage field closed."""
+    import os
+
+    import pytest
+
+    from usearch_spark.streaming.sketches import _guard_epoch, _read_current
+
+    target = str(tmp_path / "sketch")
+    os.makedirs(target)
+    ptr = os.path.join(target, "_CURRENT")
+    with open(ptr, "w") as fh:
+        fh.write("v3\n")  # legacy format: version WAS the epoch id
+
+    with pytest.raises(ValueError, match="lineage-unknown"):
+        _guard_epoch(ptr, "newlineage", 0, target, "error")
+
+    # adopt: the epoch is ADMITTED (not dropped by 0 <= 3) and versions
+    # stay monotonic past the legacy counter
+    adm = _guard_epoch(ptr, "newlineage", 0, target, "adopt")
+    assert adm == (3, 4)
+    assert _read_current(ptr) == (3, None, 3)

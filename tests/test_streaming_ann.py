@@ -84,7 +84,7 @@ def test_incremental_assign_matches_batch_assign(spark, tmp_path):
     assert _postings(spark, target) == want
     # two fragments on disk: the trained epoch + the appended epoch
     meta_frags = sorted(os.listdir(os.path.join(target, "epochs")))
-    assert meta_frags == ["e0", "e1"]
+    assert meta_frags == ["v0", "v1"]
 
 
 def test_replay_is_idempotent_and_restart_adds_nothing(spark, tmp_path):
@@ -159,3 +159,33 @@ def test_retrain_compacts_to_batch_build(spark, tmp_path):
         for r in ivf_index_topk(spark, bpath, qv, k=5, n_probe=4, exclude_ids=[0]).collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_adopt_never_overwrites_adopted_fragments(spark, tmp_path):
+    """The advisor's data-corruption scenario: a FRESH checkpoint adopting
+    a committed index restarts its epoch ids at 0 — with epoch-keyed
+    fragments its first epoch would overwrite epochs/e0, a directory the
+    adopted manifest still lists.  Version-keyed fragments make the
+    collision impossible: the adopted lineage's epochs land in NEW
+    version dirs and the original fragment bytes stay untouched."""
+    df, src = _write_batches(spark, tmp_path)
+    target = str(tmp_path / "idx")
+    _drain(_stream(spark, src), target, str(tmp_path / "ckpt_a"))
+    v0 = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(os.path.join(target, "epochs", "v0")).collect()
+    )
+    _drain(_stream(spark, src), target, str(tmp_path / "ckpt_b"), on_mismatch="adopt")
+    from usearch_spark.streaming.ann import _read_current, _read_meta
+
+    version, _, _ = _read_current(os.path.join(target, "_CURRENT"))
+    meta = _read_meta(target, version)
+    # 4 fragments: the two original epochs + the adopted lineage's two
+    assert meta["fragments"] == ["v0", "v1", "v2", "v3"]
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(os.path.join(target, "epochs", "v0")).collect()
+    )
+    assert got == v0  # the adopted fragment was not clobbered
+    # every vector now indexed twice (append semantics under adopt)
+    assert len(_postings(spark, target)) == 2 * df.count()

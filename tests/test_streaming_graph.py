@@ -79,7 +79,7 @@ def test_upsert_dedups_and_scores_match_batch(spark, tmp_path):
         f: spark.read.parquet(os.path.join(target, "edges", f)).count()
         for f in sorted(os.listdir(os.path.join(target, "edges")))
     }
-    assert frags == {"e0": 30, "e1": 30}  # the replayed even slice was absorbed
+    assert frags == {"v0": 30, "v1": 30}  # the replayed even slice was absorbed
     got = {r["id"]: round(r["score"], 8) for r in read_stream_scores(spark, target).collect()}
     verts = e.select(F.col("src").alias("id")).unionByName(e.select(F.col("dst").alias("id"))).distinct()
     want_res = pagerank(verts, e, min_sad=0.0, max_steps=8, edges_deduped=True)
@@ -96,7 +96,7 @@ def test_replay_and_lineage(spark, tmp_path):
     _drop_last_commit(ckpt)  # crash window: epoch 1 re-delivered, same lineage
     _drain(_stream(spark, src), target, ckpt)
     assert sorted(map(tuple, read_stream_scores(spark, target).collect())) == first
-    assert sorted(os.listdir(os.path.join(target, "edges"))) == ["e0", "e1"]
+    assert sorted(os.listdir(os.path.join(target, "edges"))) == ["v0", "v1"]
 
     q = pagerank_stream_rerank(_stream(spark, src), target, str(tmp_path / "ckpt_b"), steps=8)
     try:
@@ -115,7 +115,7 @@ def test_rerank_cadence_carries_scores(spark, tmp_path):
     _drain(_stream(spark, src), target, ckpt, rerank_every=2)
     meta = read_stream_meta(target)
     assert meta["ranked"] is False and meta["epochs_since_rerank"] == 1
-    assert meta["fragments"] == ["e0", "e1"]  # the merge itself DID commit
+    assert meta["fragments"] == ["v0", "v1"]  # the merge itself DID commit
     # carried scores = epoch-0 re-rank over the 30 even-src edges' graph
     assert read_stream_scores(spark, target).count() == 60  # ring: evens touch all
 

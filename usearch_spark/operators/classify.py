@@ -104,7 +104,11 @@ def nb_classify(
     (ties to the lexicographically smaller label): (id_col, label_pred,
     score) with score = max log-posterior in nats (one cast + one divide
     from the exact integer sum).  Unseen (label, tok) pairs pay the
-    class's smoothed floor."""
+    class's smoothed floor.  A document whose text tokenizes to ZERO
+    tokens still gets a row (the "score every document" contract): its
+    log-posterior has no token term, so it scores the prior-only argmax
+    — delivered by a left join from the doc spine onto the token scores
+    plus a 1-row broadcast of the best prior."""
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
         .groupBy("id", "tok")
@@ -127,8 +131,21 @@ def nb_classify(
     best = scores.groupBy("id").agg(
         F.min(F.struct((-F.col("score_u")).alias("neg"), F.col("label").alias("l"))).alias("b")
     )
-    return best.select(
-        F.col("id").alias(id_col),
-        F.col("b.l").alias("label_pred"),
-        ((-F.col("b.neg")).cast("double") / F.lit(_MICRO)).alias("score"),
+    spine = docs.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
+    prior_best = class_stats.agg(
+        F.min(
+            F.struct((-F.col("prior_u")).alias("neg"), F.col("label").alias("l"))
+        ).alias("pb")
+    )
+    return (
+        spine.join(best, "id", "left")
+        .crossJoin(F.broadcast(prior_best))
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("b.l"), F.col("pb.l")).alias("label_pred"),
+            (
+                (-F.coalesce(F.col("b.neg"), F.col("pb.neg"))).cast("double")
+                / F.lit(_MICRO)
+            ).alias("score"),
+        )
     )

@@ -708,10 +708,16 @@ def duplicate_spans(
     text_col: str = "text",
     min_len: int = 8,
 ) -> DataFrame:
-    """EXACT duplicated-substring SPANS: per document, the maximal token
-    ranges whose every ``min_len``-token window occurs at least twice in
-    the corpus (counting within-document repeats) — the span-level dedup
-    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    """EXACT duplicated-substring SPANS: per document, each maximal
+    contiguous union of duplicated ``min_len``-token windows — every
+    token in a reported span is covered by at least one window that
+    occurs twice or more in the corpus (counting within-document
+    repeats), and consecutive duplicated windows whose starts are
+    <= ``min_len`` apart merge into one span.  (A span may therefore
+    contain interior ``min_len``-windows that occur only once — the
+    guarantee is coverage by duplicated windows, not duplication of
+    every sub-window.)  This is the span-level removal semantics of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better" (ExactSubstr): training pipelines REMOVE the
     duplicated span and keep the rest of the document, where doc-level
     dedup would either keep the redundancy or drop unique text.

@@ -10,9 +10,11 @@ drift accumulates.  This module wires that contract into Structured
 Streaming `foreachBatch` with the same crash-safety machinery as the
 sketch streams (streaming/sketches.py):
 
-  * every epoch appends ONE fragment directory
-    (``epochs/e<epoch>/`` — epoch-keyed overwrite, so a replayed epoch
-    rewrites identical rows instead of duplicating);
+  * every epoch appends ONE fragment directory (``epochs/v<version>/``
+    — keyed by the monotonic, lineage-independent version counter, so a
+    replayed un-committed epoch rewrites its own fragment identically
+    and an adopted lineage restarting epoch ids can never overwrite a
+    fragment an adopted manifest still lists);
   * the committed state is a VERSIONED manifest
     (``v<n>/_meta.json``: centroids + fragment list + epochs since the
     last retrain) published by the atomic ``_CURRENT`` pointer swap;
@@ -130,7 +132,15 @@ def ivf_stream_maintain(
         if adm is None:
             return  # replayed epoch: already merged and committed
         committed, version = adm
-        frag = os.path.join(target_path, "epochs", f"e{int(epoch_id)}")
+        # Fragments are keyed by the monotonic VERSION counter, not the
+        # epoch id: versions are unique across checkpoint lineages, so an
+        # adopted lineage restarting its epoch ids at 0 can never
+        # overwrite a fragment the adopted manifest still lists.  The
+        # crash window stays idempotent: a replayed un-committed epoch
+        # gets the same version (pointer unchanged) and rewrites its own
+        # fragment byte-identically.
+        frag_name = f"v{version}"
+        frag = os.path.join(target_path, "epochs", frag_name)
         if committed < 0:
             cent, centers = _train(batch_df, n_clusters, max_iter, id_col, vec_col)
             _assign(batch_df, cent, id_col, vec_col).repartition(
@@ -138,7 +148,7 @@ def ivf_stream_maintain(
             ).write.partitionBy("cluster").mode("overwrite").parquet(frag)
             meta = {
                 "centroids": centers,
-                "fragments": [f"e{int(epoch_id)}"],
+                "fragments": [frag_name],
                 "epochs_since_retrain": 0,
             }
         else:
@@ -179,7 +189,7 @@ def ivf_stream_maintain(
                 ).write.partitionBy("cluster").mode("overwrite").parquet(frag)
                 meta = {
                     "centroids": meta["centroids"],
-                    "fragments": meta["fragments"] + [f"e{int(epoch_id)}"],
+                    "fragments": meta["fragments"] + [frag_name],
                     "epochs_since_retrain": since,
                 }
         _write_meta(target_path, version, meta)

@@ -10,8 +10,10 @@ stages).  This module wires that loop into Structured Streaming
 
   * each epoch UPSERTS its batch into the edge store: new edges only
     (one anti-join against the committed set — linear in the batch, the
-    S5/S6 identity contract) land in an epoch-keyed fragment directory,
-    so a crash-replayed epoch rewrites identical rows;
+    S5/S6 identity contract) land in a version-keyed fragment directory
+    (``edges/v<n>`` — the monotonic, lineage-independent counter), so a
+    crash-replayed epoch rewrites identical rows and an adopted lineage
+    can never collide with fragments the adopted manifest lists;
   * after the merge the epoch RE-RANKS the full edge set with the
     deterministic fixed-step PageRank (plans/pagerank.pagerank,
     min_sad=0 — the oracle-replayable form) and writes the scores into
@@ -95,7 +97,13 @@ def pagerank_stream_rerank(
             .filter(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
         )
-        frag = f"e{int(epoch_id)}"
+        # version-keyed fragment (not epoch-keyed): versions are unique
+        # across checkpoint lineages, so an adopted lineage restarting
+        # its epoch ids at 0 can neither overwrite a manifest-listed
+        # fragment nor anti-join against the directory it is writing;
+        # a replayed un-committed epoch reuses its version and rewrites
+        # the same fragment identically.
+        frag = f"v{version}"
         if committed < 0:
             fragments, since = [], 0
             new_edges = batch

@@ -80,11 +80,23 @@ def _guard_epoch(
     state under the new lineage (versions stay monotonic because the
     version counter is independent of the epoch id)."""
     committed, cur_lin, last_epoch = _read_current(ptr)
-    if committed >= 0 and cur_lin is not None and cur_lin != lineage:
+    if committed >= 0 and cur_lin != lineage:
+        # A lineage-UNKNOWN pointer (legacy single-line format) is a
+        # mismatch too: epoch ids are only comparable within a known
+        # lineage, so falling through to the epoch-only guard would
+        # silently drop every epoch <= last_epoch of a brand-new
+        # checkpoint — the exact data-loss mode this guard closes.
+        # "adopt" upgrades the pointer to the lineage format on the
+        # next successful commit.
         if on_mismatch != "adopt":
+            whose = (
+                f"belongs to checkpoint lineage {cur_lin}"
+                if cur_lin is not None
+                else "has a legacy lineage-unknown pointer"
+            )
             raise ValueError(
                 f"streaming lineage mismatch at {target_path}: committed state "
-                f"belongs to checkpoint lineage {cur_lin}, this query is "
+                f"{whose}, this query is "
                 f"{lineage}.  Resume with the ORIGINAL checkpoint directory, "
                 f"point the new query at a fresh target_path, or pass "
                 f'on_mismatch="adopt" to continue merging on top of the '
