@@ -7332,6 +7332,128 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (operators/sketch.kmv_sketch —
+    Beyer et al. 2007): per-event-type distinct-user sketches built on
+    event_id-parity PARTS, merged by min-k of the union, estimated next
+    to a whole-input sketch's estimate AND the exact distinct count —
+    est == est_whole in the gated output IS the merge-of-parts ==
+    sketch-of-whole proof (the k smallest of a union are among the
+    parts' k smallest).  Hashes are exact 60-bit md5 integers; the only
+    float op per estimate is one literal-numerator divide, so the
+    oracle replays sketch, merge, and estimator bit-for-bit."""
+    from usearch_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = _events(spark, sf_dir).withColumn(
+        "part", F.pmod(F.col("event_id"), F.lit(2))
+    )
+    parts = kmv_sketch(ev, "user_id", ["event_type", "part"], k=64)
+    merged = kmv_merge(parts, ["event_type"], k=64).localCheckpoint(eager=True)
+    whole = kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    est = kmv_estimate(merged, ["event_type"], k=64)
+    est_w = kmv_estimate(whole, ["event_type"], k=64, out_col="est_whole").select(
+        "event_type", "est_whole"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(est_w, "event_type").join(exact, "event_type")
+
+
+def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimation from KMV sketches — the question HLL
+    registers cannot answer: how many users both CLICKED and PURCHASED.
+    Two per-type bottom-64 sketches, K = the 64 smallest of their
+    union, jaccard = |K ∩ A ∩ B| / |K|, intersection = jaccard ×
+    union-estimate (operators/sketch.kmv_intersect_estimate), gated
+    next to the exact distinct intersection.  Everything is O(k) after
+    the sketch build; every discrete decision is exact-integer."""
+    from usearch_spark.operators.sketch import kmv_intersect_estimate, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    ska = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"), "user_id", ["event_type"], k=64
+    ).select("hv")
+    skb = kmv_sketch(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", ["event_type"], k=64
+    ).select("hv")
+    est = kmv_intersect_estimate(ska, skb, k=64)
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .join(
+            ev.filter(F.col("event_type") == "purchase").select("user_id"),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.countDistinct("user_id").alias("exact_intersect"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS KMV maintenance (streaming/sketches.kmv_stream_merge):
+    the events table arrives as the two replayed micro-batch files
+    (shared with sketch_cms_stream); each foreachBatch folds its
+    per-group bottom-32 into the committed sketch as min-k of the
+    union under the lineage-aware idempotent snapshot pointer.  A
+    SECOND run against the same checkpoint must change nothing.  Min-k
+    folding commutes with the one-shot build, so the distinct-user
+    estimate per user-parity group from the drained sketch replays as
+    a plain batch oracle over events — the whole merge loop is
+    hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.sketch import kmv_estimate
+    from usearch_spark.streaming.sketches import kmv_stream_merge, read_cms
+
+    base = os.path.join(_ARTIFACT_DIR, f"cms_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        q_sketch_cms_stream(spark, sf_dir)  # builds + gates the shared source
+    run = os.path.join(_ARTIFACT_DIR, f"kmv_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "sketch"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+        .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = kmv_stream_merge(stream, "user_id", ["g"], 32, target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sk = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    return kmv_estimate(sk, ["g"], k=32)
+
+
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend double exponential smoothing
+    (operators/forecast.holt_forecast): per-event-type daily counts
+    folded through the level/trend recurrence (alpha=0.5, beta=0.25 —
+    exact binary fractions), 7-day-ahead forecast.  The corpus-sized
+    work is one partial-aggregated (type, day) count shuffle; the fold
+    runs JVM-side over the bounded day array (sort_array +
+    F.aggregate, no window over raw events, no UDF).  The oracle
+    replays the identical IEEE chain with list_reduce over the same
+    day-ordered counts — bit-identical by the events_ewma contract."""
+    from usearch_spark.operators.forecast import holt_forecast
+
+    ev = _events(spark, sf_dir)
+    return holt_forecast(
+        ev.select("event_type", "ts"),
+        ["event_type"],
+        F.to_date("ts"),
+        alpha=0.5,
+        beta=0.25,
+        horizon=7,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 
@@ -7409,6 +7531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branded_or_revenue": q_branded_or_revenue,
         # ---------- 50-entry window boundary (round 10) ----------
         # --- new round 10 entries land here (first in line for the r11 window) ---
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_intersect": q_sketch_kmv_intersect,
+        "sketch_kmv_stream": q_sketch_kmv_stream,
+        "events_holt": q_events_holt,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -8177,6 +8303,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT pick.g AS l_returnflag, CAST(pick.n AS BIGINT) AS n,
                    pick.p50, pick.p90, pick.p99, wpick.p50_whole
             FROM pick JOIN wpick USING (g)
+        """,
+        "sketch_kmv": """
+            WITH hv AS (
+                SELECT DISTINCT event_type AS g, event_id % 2 AS part,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                FROM events
+            ),
+            psk AS (
+                SELECT g, part, hv FROM (
+                    SELECT g, part, hv,
+                           row_number() OVER (PARTITION BY g, part ORDER BY hv) AS r
+                    FROM hv) WHERE r <= 64
+            ),
+            msk AS (
+                SELECT g, hv FROM (
+                    SELECT g, hv,
+                           row_number() OVER (PARTITION BY g ORDER BY hv) AS r
+                    FROM (SELECT DISTINCT g, hv FROM psk)) WHERE r <= 64
+            ),
+            wsk AS (
+                SELECT g, hv FROM (
+                    SELECT g, hv,
+                           row_number() OVER (PARTITION BY g ORDER BY hv) AS r
+                    FROM (SELECT DISTINCT g, hv FROM hv)) WHERE r <= 64
+            ),
+            me AS (SELECT g, count(*) AS n_sketch, max(hv) AS hk FROM msk GROUP BY g),
+            we AS (SELECT g, count(*) AS wn, max(hv) AS whk FROM wsk GROUP BY g),
+            ex AS (SELECT event_type AS g, count(DISTINCT user_id) AS exact_distinct
+                   FROM events GROUP BY 1)
+            SELECT me.g AS event_type,
+                   CAST(me.n_sketch AS BIGINT) AS n_sketch,
+                   CASE WHEN me.n_sketch < 64 THEN CAST(me.n_sketch AS DOUBLE)
+                        ELSE 7.263405479023136e+19 / CAST(me.hk AS DOUBLE) END AS est,
+                   CASE WHEN we.wn < 64 THEN CAST(we.wn AS DOUBLE)
+                        ELSE 7.263405479023136e+19 / CAST(we.whk AS DOUBLE) END AS est_whole,
+                   CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+            FROM me JOIN we ON me.g = we.g JOIN ex ON me.g = ex.g
+        """,
+        "sketch_kmv_intersect": """
+            WITH ha AS (
+                SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                FROM events WHERE event_type = 'click'
+            ),
+            hb AS (
+                SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                FROM events WHERE event_type = 'purchase'
+            ),
+            ska AS (SELECT hv FROM (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM ha) WHERE r <= 64),
+            skb AS (SELECT hv FROM (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM hb) WHERE r <= 64),
+            uk AS (SELECT hv FROM (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM (
+                    SELECT DISTINCT hv FROM (
+                        SELECT hv FROM ska UNION ALL SELECT hv FROM skb)))
+                WHERE r <= 64),
+            mk AS (
+                SELECT count(*) AS m,
+                       sum(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+                                THEN 1 ELSE 0 END) AS c,
+                       max(uk.hv) AS hk
+                FROM uk LEFT JOIN ska a ON uk.hv = a.hv
+                        LEFT JOIN skb b ON uk.hv = b.hv
+            ),
+            ex AS (
+                SELECT count(*) AS exact_intersect FROM (
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+                    INTERSECT
+                    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            )
+            SELECT CAST(m AS BIGINT) AS m, CAST(c AS BIGINT) AS c,
+                   CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                        ELSE 7.263405479023136e+19 / CAST(hk AS DOUBLE) END AS union_est,
+                   CAST(c AS DOUBLE) / CAST(m AS DOUBLE) AS jaccard,
+                   (CAST(c AS DOUBLE) / CAST(m AS DOUBLE))
+                       * (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                               ELSE 7.263405479023136e+19 / CAST(hk AS DOUBLE) END) AS intersect_est,
+                   CAST(exact_intersect AS BIGINT) AS exact_intersect
+            FROM mk, ex
+        """,
+        "sketch_kmv_stream": """
+            WITH hv AS (
+                SELECT DISTINCT user_id % 2 AS g,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                FROM events
+            ),
+            sk AS (SELECT g, hv FROM (
+                SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS r
+                FROM hv) WHERE r <= 32),
+            ag AS (SELECT g, count(*) AS n_sketch, max(hv) AS hk FROM sk GROUP BY g)
+            SELECT g, CAST(n_sketch AS BIGINT) AS n_sketch,
+                   CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+                        ELSE 3.5740566642812256e+19 / CAST(hk AS DOUBLE) END AS est
+            FROM ag
+        """,
+        "events_holt": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            seqs AS (SELECT g, list(n ORDER BY d) AS vals FROM daily GROUP BY g),
+            -- accumulator is a 2-element LIST [level, trend]: DuckDB 1.0's
+            -- list_reduce mis-binds multi-field STRUCT accumulators (field
+            -- cross-talk), while list accumulators fold correctly
+            f AS (
+                SELECT g, len(vals) AS n_days,
+                       list_reduce(
+                           list_prepend(
+                               [vals[2], vals[2] - vals[1]],
+                               list_transform(list_slice(vals, 3, len(vals)),
+                                   x -> [x, CAST(0 AS DOUBLE)])),
+                           (acc, e) -> [
+                               CAST(0.5 AS DOUBLE) * e[1]
+                                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                               CAST(0.25 AS DOUBLE)
+                                   * (CAST(0.5 AS DOUBLE) * e[1]
+                                      + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                                      - acc[1])
+                                   + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
+                FROM seqs WHERE len(vals) >= 2
+            )
+            SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                   st[1] AS level, st[2] AS trend,
+                   st[1] + CAST(7 AS DOUBLE) * st[2] AS forecast
+            FROM f
         """,
         "text_trigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -129,3 +129,78 @@ def test_log_hist_sketch_merge_and_quantiles(spark):
             true = vals[math.ceil(qn * len(vals) / qd) - 1]
             assert est[g] <= true + 0.01
             assert true < est[g] * 1.25 + 0.01, (g, qn, qd, est[g], true)
+
+
+def test_kmv_exact_below_k_and_estimator_accuracy(spark):
+    """Below k the sketch holds every distinct hash (estimate == exact
+    count); above k the (k-1)·2^60/h_k estimator lands within the
+    ~1/sqrt(k-2) relative-error regime."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.range(5000).select(
+        (F.col("id") % 2).alias("g"),
+        # group 0: 30 distinct keys (< k); group 1: 2500 distinct
+        F.when(F.col("id") % 2 == 0, F.col("id") % 60).otherwise(F.col("id")).alias("k"),
+    )
+    sk = kmv_sketch(df, "k", ["g"], k=64)
+    est = {r["g"]: (r["n_sketch"], r["est"]) for r in kmv_estimate(sk, ["g"], k=64).collect()}
+    assert est[0] == (30, 30.0)  # exact path
+    n1, e1 = est[1]
+    assert n1 == 64 and abs(e1 - 2500) / 2500 < 0.5  # estimator path
+
+
+def test_kmv_merge_equals_whole(spark):
+    """min-k of the parts' min-ks == the whole input's min-k, row for
+    row — the defining bottom-k mergeability."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k"),
+        (F.col("id") % 4).alias("part"),
+    )
+    parts = kmv_sketch(df, "k", ["g", "part"], k=32)
+    merged = sorted(map(tuple, kmv_merge(parts, ["g"], k=32).collect()))
+    whole = sorted(map(tuple, kmv_sketch(df, "k", ["g"], k=32).collect()))
+    assert merged == whole and len(whole) == 3 * 32
+
+
+def test_kmv_intersect_exact_when_sketch_holds_everything(spark):
+    """m < k collapses the estimator chain to the exact intersection."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.sketch import kmv_intersect_estimate, kmv_sketch
+
+    a = spark.range(0, 30).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    b = spark.range(20, 50).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    ska = kmv_sketch(a, "k", ["g"], k=64).select("hv")
+    skb = kmv_sketch(b, "k", ["g"], k=64).select("hv")
+    row = kmv_intersect_estimate(ska, skb, k=64).collect()[0]
+    assert row["m"] == 50 and row["c"] == 10
+    assert row["intersect_est"] == 10.0 and row["union_est"] == 50.0
+
+
+def test_holt_recovers_planted_linear_trend(spark):
+    """On an exactly linear daily series y_t = 10 + 3t the recurrence is
+    exact: level == last value, trend == slope, forecast == the true
+    extrapolation — closed-form anchor for the fold."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import holt_forecast
+
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for t in range(12):
+        # (10 + 3t) events on day t
+        rows += [("a", d0 + datetime.timedelta(days=t))] * (10 + 3 * t)
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = holt_forecast(df, ["g"], F.col("d"), horizon=7).collect()[0]
+    assert out["n_days"] == 12
+    assert out["level"] == 10.0 + 3 * 11
+    assert out["trend"] == 3.0
+    assert out["forecast"] == 43.0 + 7 * 3.0

@@ -982,6 +982,58 @@ def test_bloom_stream_merge_equals_batch_and_replays(spark, tmp_path):
     assert sorted(r["bit"] for r in read_cms(spark, target).collect()) == first
 
 
+def test_kmv_stream_merge_equals_batch_and_replays(spark, tmp_path):
+    """Continuous KMV maintenance: the drained bottom-k sketch equals the
+    one-shot batch sketch row-for-row (min-k folding commutes), and a
+    crash-window replay merges nothing twice."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.operators.sketch import kmv_sketch
+    from usearch_spark.streaming.sketches import kmv_stream_merge, read_cms
+
+    df = spark.range(600).select(
+        F.col("id").alias("event_id"), F.pmod(F.col("id") * 7, F.lit(211)).alias("user_id")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = str(tmp_path / f"t{i}")
+        df.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    for run in range(2):
+        q = kmv_stream_merge(stream, "user_id", ["g"], 16, target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if run == 0:
+            first = sorted(map(tuple, read_cms(spark, target).collect()))
+            _drop_last_commit(ckpt)
+    batch = sorted(
+        map(
+            tuple,
+            kmv_sketch(
+                df.withColumn("g", F.pmod(F.col("user_id"), F.lit(2))),
+                "user_id",
+                ["g"],
+                k=16,
+            ).collect(),
+        )
+    )
+    assert first == batch and len(first) == 32  # 2 groups x k
+    assert sorted(map(tuple, read_cms(spark, target).collect())) == first
+
+
 def test_legacy_pointer_is_lineage_mismatch(tmp_path):
     """A legacy single-line ``_CURRENT`` carries no lineage, so epoch ids
     are not comparable to it: the guard must treat it as a mismatch

@@ -339,3 +339,148 @@ def mg_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
         .select("key", (F.col("cnt") - F.col("thr")).alias("est"))
         .filter(F.col("est") > 0)
     )
+
+
+# --- KMV / bottom-k distinct sketch -------------------------------------
+
+_KMV_BITS = 60  # 15 hex digits of md5 -> uniform integers in [0, 16^15)
+_KMV_SPACE = 16 ** 15
+
+
+def _kmv_hash(key: Column) -> Column:
+    """Uniform 60-bit integer hash: the first 15 hex chars of md5(key) as
+    a base-10 BIGINT — exact integer both engines (DuckDB:
+    CAST('0x'||substr(md5(k),1,15) AS BIGINT)), no float in sight."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+_KMV_SALT = 32
+
+
+def _bottom_k(hv: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """k smallest DISTINCT hash values per group, computed as a two-level
+    tree top-k so no single task ever sorts a whole group: dedup (one
+    partial-aggregated shuffle), then bottom-k within each of
+    ``_KMV_SALT`` hash-salt slices of the group (parallel per-slice
+    window sorts), then bottom-k of the <= SALT·k survivors per group
+    (a tiny partitioned window).  The k smallest of a group are the k
+    smallest of its slices' k smallest, so the result is EXACTLY the
+    direct per-group bottom-k — an oracle can replay it with one plain
+    row_number.  Never a global window."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy("hv")
+    w2 = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hv.dropDuplicates([*group_cols, "hv"])
+        .withColumn("_salt", F.pmod(F.col("hv"), F.lit(_KMV_SALT)))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_salt", "_r", "_r2")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch: per group, the
+    ``k`` smallest distinct 60-bit hashes of ``key_col`` — Beyer et al.
+    2007, "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations".  The member of the portable sketch family (HLL / CMS /
+    Bloom / log-hist / Misra-Gries) that supports SET OPERATIONS: unlike
+    HLL registers, bottom-k sketches compose under union (min-k of the
+    parts' min-ks) AND support intersection estimation via the k-smallest
+    of the union (:func:`kmv_intersect_estimate`) — the "how many users
+    did BOTH" question HLL cannot answer without inclusion-exclusion
+    error blowup.
+
+    Rows: (group_cols..., hv), <= k per group.  Every value is an exact
+    integer, so sketches replay bit-for-bit in any engine and MERGE by
+    re-ranking the union (:func:`kmv_merge` — merge-of-parts ==
+    sketch-of-whole exactly, since the k smallest of a union are among
+    the parts' k smallest)."""
+    hv = df.select(*group_cols, _kmv_hash(F.col(key_col)).alias("hv"))
+    return _bottom_k(hv, group_cols, k)
+
+
+def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge sketches over finer groupings (days, partitions): min-k of
+    the unioned rows — exact, the defining bottom-k property."""
+    return _bottom_k(sketch.select(*group_cols, "hv"), group_cols, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64, out_col: str = "est"
+) -> DataFrame:
+    """Distinct-count estimate per group: EXACT n when the group holds
+    fewer than ``k`` hashes (the sketch saw every distinct value), else
+    the unbiased KMV estimator (k-1)·2^60 / h_k with h_k the k-th
+    smallest hash.  The numerator is a single exact double literal
+    ((k-1)·2^60 is an integer times a power of two), h_k casts
+    correctly-rounded, one IEEE divide — bit-identical across engines.
+    Returns (group_cols..., n_sketch, est)."""
+    num = float((k - 1) * _KMV_SPACE)
+    assert num == (k - 1) * _KMV_SPACE  # exact double literal
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("_hk")
+    )
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        F.when(F.col("n_sketch") < k, F.col("n_sketch").cast("double"))
+        .otherwise(F.lit(num) / F.col("_hk").cast("double"))
+        .alias(out_col),
+    )
+
+
+def kmv_intersect_estimate(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Intersection estimate from two single-group KMV sketches (column
+    ``hv``): K = the k smallest of the DISTINCT union, m = |K|,
+    c = |{v in K : v in A and v in B}|; then jaccard = c/m,
+    union_est = m if m < k else (k-1)·2^60/h_k, and
+    intersect_est = jaccard · union_est (Beyer et al. 2007 §4).  When
+    m < k the sketches saw everything and the chain collapses to the
+    exact c.  One divide + one multiply of engine-identical doubles.
+
+    Returns one row: (m, c, union_est, jaccard, intersect_est).  Scale
+    shape: both sketches are <= k rows — every join here broadcasts and
+    the whole estimate is O(k)."""
+    num = float((k - 1) * _KMV_SPACE)
+    union_k = (
+        sk_a.select("hv")
+        .unionByName(sk_b.select("hv"))
+        .dropDuplicates(["hv"])
+        .orderBy("hv")
+        .limit(k)
+    )
+    marked = (
+        union_k.join(
+            F.broadcast(sk_a.select("hv", F.lit(1).alias("_a"))), "hv", "left"
+        )
+        .join(F.broadcast(sk_b.select("hv", F.lit(1).alias("_b"))), "hv", "left")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+        ).alias("c"),
+        F.max("hv").alias("_hk"),
+    )
+    return agg.select(
+        "m",
+        "c",
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(F.lit(num) / F.col("_hk").cast("double"))
+        .alias("union_est"),
+        (F.col("c").cast("double") / F.col("m").cast("double")).alias("jaccard"),
+        (
+            (F.col("c").cast("double") / F.col("m").cast("double"))
+            * F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+                F.lit(num) / F.col("_hk").cast("double")
+            )
+        ).alias("intersect_est"),
+    )

@@ -359,3 +359,48 @@ def bloom_stream_merge(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def kmv_stream_merge(
+    stream_df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int,
+    target_path: str,
+    checkpoint_path: str,
+    on_mismatch: str = "error",
+) -> StreamingQuery:
+    """Continuous KMV (bottom-k) distinct-sketch maintenance: each
+    micro-batch computes its per-group k smallest distinct hashes
+    (operators/sketch.kmv_sketch — O(k·groups) rows) and folds into the
+    committed sketch as min-k of the union (kmv_merge).  The k smallest
+    of a union are among the parts' k smallest, so the drained stream
+    sketch equals the one-shot batch sketch row-for-row and shares its
+    oracle — the same merge-equals-batch contract as every stream in
+    this family.  Crash safety: the shared lineage-aware idempotent
+    snapshot pointer (:func:`_guard_epoch`)."""
+    from usearch_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
+        sk = kmv_sketch(batch_df, key_col, group_cols, k=k)
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
+            sk = kmv_merge(cur.unionByName(sk), group_cols, k=k)
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
