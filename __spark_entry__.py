@@ -7332,6 +7332,147 @@ def q_text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS materialized rollup + forecast (streaming/sketches.
+    rollup_stream_merge): the events table arrives as two replayed
+    micro-batch files of (event_type, day); each foreachBatch counts its
+    cells and merges into the committed daily rollup by ADDITION under
+    the lineage-aware idempotent snapshot pointer — the streaming form
+    of events_rollup_incremental.  A SECOND run against the same
+    checkpoint must change nothing.  Count addition commutes with the
+    Holt fold's input, so folding the drained rollup
+    (operators/forecast.holt_from_daily) replays events_holt's batch
+    oracle VERBATIM — the whole maintenance loop is hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.forecast import holt_from_daily
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"holt_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select(
+            "event_id", "event_type", F.to_date("ts").alias("d")
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).drop(
+                "event_id"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"holt_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, d date")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    daily = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    return holt_from_daily(daily, ["event_type"], alpha=0.5, beta=0.25, horizon=7)
+
+
+def q_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, a supplier "waits" an order when its shipment is late
+    (> 60 days after the order date — this dataset carries no
+    commit/receipt dates), the order has at least one OTHER supplier,
+    and no other supplier was late — Q21's EXISTS / NOT EXISTS pair
+    re-expressed as one per-order aggregation (distinct suppliers,
+    distinct late suppliers), which replaces the two correlated
+    re-scans with a single partial-aggregated pass over the one
+    orderkey-co-partitioned fact-fact join.  Top 20 by (numwait DESC,
+    s_name) — a deterministic total order."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        (F.col("l_shipdate") > F.expr("timestampadd(DAY, 60, o_orderdate)")).cast(
+            "int"
+        ),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        l.filter(F.col("late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), "l_suppkey")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .select("s_name", "numwait")
+        .limit(20)
+    )
+
+
+def _holt_oracle_sql() -> str:
+    """Holt fold replay: daily counts -> list-accumulator fold (see the
+    events_holt docstring); shared verbatim by the streaming rollup form
+    (count addition commutes with the fold's input)."""
+    return """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            seqs AS (SELECT g, list(n ORDER BY d) AS vals FROM daily GROUP BY g),
+            -- accumulator is a 2-element LIST [level, trend]: DuckDB 1.0's
+            -- list_reduce mis-binds multi-field STRUCT accumulators (field
+            -- cross-talk), while list accumulators fold correctly
+            f AS (
+                SELECT g, len(vals) AS n_days,
+                       list_reduce(
+                           list_prepend(
+                               [vals[2], vals[2] - vals[1]],
+                               list_transform(list_slice(vals, 3, len(vals)),
+                                   x -> [x, CAST(0 AS DOUBLE)])),
+                           (acc, e) -> [
+                               CAST(0.5 AS DOUBLE) * e[1]
+                                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                               CAST(0.25 AS DOUBLE)
+                                   * (CAST(0.5 AS DOUBLE) * e[1]
+                                      + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                                      - acc[1])
+                                   + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
+                FROM seqs WHERE len(vals) >= 2
+            )
+            SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                   st[1] AS level, st[2] AS trend,
+                   st[1] + CAST(7 AS DOUBLE) * st[2] AS forecast
+            FROM f
+        """
+
+
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / bottom-k distinct sketch (operators/sketch.kmv_sketch —
     Beyer et al. 2007): per-event-type distinct-user sketches built on
@@ -7535,6 +7676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_intersect": q_sketch_kmv_intersect,
         "sketch_kmv_stream": q_sketch_kmv_stream,
         "events_holt": q_events_holt,
+        "events_holt_stream": q_events_holt_stream,
+        "supplier_waiting": q_supplier_waiting,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -8398,37 +8541,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 3.5740566642812256e+19 / CAST(hk AS DOUBLE) END AS est
             FROM ag
         """,
-        "events_holt": """
-            WITH daily AS (
-                SELECT event_type AS g, CAST(ts AS DATE) AS d,
-                       CAST(count(*) AS DOUBLE) AS n
-                FROM events GROUP BY 1, 2
+        "events_holt": _holt_oracle_sql(),
+        "events_holt_stream": _holt_oracle_sql(),
+        "supplier_waiting": """
+            WITH l AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
             ),
-            seqs AS (SELECT g, list(n ORDER BY d) AS vals FROM daily GROUP BY g),
-            -- accumulator is a 2-element LIST [level, trend]: DuckDB 1.0's
-            -- list_reduce mis-binds multi-field STRUCT accumulators (field
-            -- cross-talk), while list accumulators fold correctly
-            f AS (
-                SELECT g, len(vals) AS n_days,
-                       list_reduce(
-                           list_prepend(
-                               [vals[2], vals[2] - vals[1]],
-                               list_transform(list_slice(vals, 3, len(vals)),
-                                   x -> [x, CAST(0 AS DOUBLE)])),
-                           (acc, e) -> [
-                               CAST(0.5 AS DOUBLE) * e[1]
-                                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
-                               CAST(0.25 AS DOUBLE)
-                                   * (CAST(0.5 AS DOUBLE) * e[1]
-                                      + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
-                                      - acc[1])
-                                   + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
-                FROM seqs WHERE len(vals) >= 2
+            po AS (
+                SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                           AS n_late_supp
+                FROM l GROUP BY 1
+            ),
+            w AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM l JOIN po USING (l_orderkey)
+                WHERE l.late = 1 AND po.n_supp >= 2 AND po.n_late_supp = 1
             )
-            SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
-                   st[1] AS level, st[2] AS trend,
-                   st[1] + CAST(7 AS DOUBLE) * st[2] AS forecast
-            FROM f
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 20
         """,
         "text_trigram_logprob": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

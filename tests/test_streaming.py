@@ -1034,6 +1034,52 @@ def test_kmv_stream_merge_equals_batch_and_replays(spark, tmp_path):
     assert sorted(map(tuple, read_cms(spark, target).collect())) == first
 
 
+def test_rollup_stream_merge_equals_batch_and_replays(spark, tmp_path):
+    """Continuous additive rollup: the drained cell counts equal the
+    one-shot groupBy over all delivered rows, and a crash-window replay
+    adds nothing twice."""
+    import glob
+    import os
+    import shutil
+
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    df = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).cast("string").alias("t"),
+        (F.col("id") % 5).alias("d"),
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = str(tmp_path / f"t{i}")
+        df.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).drop(
+            "event_id"
+        ).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("t string, d long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for run in range(2):
+        q = rollup_stream_merge(stream, ["t", "d"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if run == 0:
+            first = sorted(map(tuple, read_cms(spark, target).collect()))
+            _drop_last_commit(ckpt)
+    batch = sorted(
+        map(tuple, df.groupBy("t", "d").agg(F.count(F.lit(1)).alias("n")).collect())
+    )
+    assert first == batch and len(first) == 15
+    assert sorted(map(tuple, read_cms(spark, target).collect())) == first
+
+
 def test_legacy_pointer_is_lineage_mismatch(tmp_path):
     """A legacy single-line ``_CURRENT`` carries no lineage, so epoch ids
     are not comparable to it: the guard must treat it as a mismatch

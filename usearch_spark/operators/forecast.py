@@ -48,14 +48,28 @@ def holt_forecast(
     ``horizon``-step-ahead linear extrapolation.  ``alpha``/``beta``
     must be exact binary fractions for the cross-engine bit-identity
     contract (asserted)."""
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return holt_from_daily(daily, group_cols, alpha=alpha, beta=beta, horizon=horizon)
+
+
+def holt_from_daily(
+    daily: DataFrame,
+    group_cols: list[str],
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """The Holt fold over PRE-AGGREGATED (group_cols..., d, n) daily
+    counts — the entry point for incrementally-maintained rollups (a
+    streaming daily rollup merged by count addition feeds this
+    unchanged, since integer addition commutes with the fold's input)."""
     for p in (alpha, beta):
         assert p == float.fromhex(float(p).hex()) and (p * 1024) == int(p * 1024), (
             "alpha/beta must be exact binary fractions (k/1024) for the "
             "cross-engine determinism contract"
         )
-    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
     per = daily.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
     )

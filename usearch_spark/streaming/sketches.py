@@ -404,3 +404,50 @@ def kmv_stream_merge(
         .option("checkpointLocation", checkpoint_path)
         .start()
     )
+
+
+def rollup_stream_merge(
+    stream_df: DataFrame,
+    group_cols: list[str],
+    target_path: str,
+    checkpoint_path: str,
+    on_mismatch: str = "error",
+) -> StreamingQuery:
+    """Continuous ADDITIVE ROLLUP maintenance: each micro-batch counts
+    its rows per ``group_cols`` cell and merges into the committed
+    rollup by cell addition — the streaming materialized-view form of a
+    groupBy-count (events_rollup_incremental's batch contract made
+    continuous).  The drained rollup equals the one-shot groupBy over
+    all delivered rows (integer addition commutes), so any consumer of
+    the batch rollup — a quantile read, a Holt forecast fold — runs on
+    the streamed state unchanged and shares the batch oracle.  State is
+    bounded by the cell count (|groups|), not the stream volume.  Crash
+    safety: the shared lineage-aware idempotent snapshot pointer
+    (:func:`_guard_epoch`)."""
+    ptr = os.path.join(target_path, "_CURRENT")
+    lineage = _lineage_id(checkpoint_path)
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        adm = _guard_epoch(ptr, lineage, epoch_id, target_path, on_mismatch)
+        if adm is None:
+            return  # replayed epoch: already merged and committed
+        committed, version = adm
+        sk = batch_df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+        if committed >= 0:
+            cur = spark.read.parquet(os.path.join(target_path, f"v{committed}"))
+            sk = (
+                cur.unionByName(sk)
+                .groupBy(*group_cols)
+                .agg(F.sum("n").alias("n"))
+            )
+        sk.write.mode("overwrite").parquet(os.path.join(target_path, f"v{version}"))
+        _commit_current(ptr, version, lineage, int(epoch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
