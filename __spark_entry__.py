@@ -7435,6 +7435,34 @@ def q_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MAXIMUM INNER PRODUCT top-10 for vec_id 0
+    (operators/similarity.mips_topk) — ranks by the raw dot product,
+    the two-tower/recommender retrieval metric where norm carries
+    learned signal; cosine's normalization would erase it.  Map-side
+    zip_with dot + TakeOrderedAndProject; the rounded score with a
+    vec_id tie-break makes the cut deterministic.  The norm-augmentation
+    reduction (Bachrach et al. 2014) that serves MIPS from the
+    module's ANN indexes is pinned by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(F.col("q_vec"), lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot, 6).alias("dot"))
+    )
+    return scored.orderBy(F.col("dot").desc(), F.col("vec_id")).limit(10)
+
+
 def _holt_oracle_sql() -> str:
     """Holt fold replay: daily counts -> list-accumulator fold (see the
     events_holt docstring); shared verbatim by the streaming rollup form
@@ -7678,6 +7706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt": q_events_holt,
         "events_holt_stream": q_events_holt_stream,
         "supplier_waiting": q_supplier_waiting,
+        "sim_mips_topk": q_sim_mips_topk,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -10082,6 +10111,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms na ON na.vec_id = d.a
             JOIN norms nb ON nb.vec_id = d.b
             WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+        """,
+        "sim_mips_topk": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            q AS (SELECT x, i FROM e WHERE vec_id = 0),
+            dots AS (
+                SELECT e.vec_id, round(sum(e.x * q.x), 6) AS dot
+                FROM e JOIN q USING (i) WHERE e.vec_id <> 0 GROUP BY e.vec_id
+            )
+            SELECT vec_id, dot FROM dots
+            ORDER BY dot DESC, vec_id
+            LIMIT 10
         """,
         "sim_cosine_topk": """
             WITH e AS (

@@ -413,3 +413,33 @@ def test_ivfpq_rerank_recovers_exact_order(spark, embeddings, tmp_path):
         for r in ivf_topk(embeddings, _vec(0.0), k=5, n_clusters=4, n_probe=4).collect()
     ]
     assert got == brute
+
+
+def test_mips_reduction_preserves_order(spark):
+    """The norm-augmentation reduction: cosine order on vectors
+    augmented with sqrt(M^2 - |x|^2) (query augmented with 0) equals
+    raw inner-product order — so every ANN index here serves MIPS
+    unchanged (Bachrach et al. 2014)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.similarity import cosine_topk, mips_topk
+
+    rows = [
+        (i, [float((i * 3 + j) % 7) - 2.0 + (0.5 * i if j == 0 else 0.0) for j in range(4)])
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [1.0, 0.5, -0.25, 2.0]
+    got = [r["vec_id"] for r in mips_topk(df, qv, k=8).collect()]
+
+    # augment driver-side with exact python doubles
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    m2 = max(sum(x * x for x in v) for v in vecs.values())
+    aug = [
+        (i, v + [math.sqrt(m2 - sum(x * x for x in v))]) for i, v in vecs.items()
+    ]
+    adf = spark.createDataFrame(aug, "vec_id long, embedding array<float>")
+    want = [r["vec_id"] for r in cosine_topk(adf, qv + [0.0], k=8).collect()]
+    assert got == want

@@ -51,6 +51,38 @@ def cosine_topk(
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def mips_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """Exact brute-force MAXIMUM INNER PRODUCT top-k: ranks by the raw
+    dot product, NOT the normalized cosine — the retrieval metric of
+    recommender/two-tower models, where a vector's norm carries learned
+    popularity and must not be divided away.  Map-side expression +
+    TakeOrderedAndProject, same scale shape as cosine_topk.
+
+    For sub-linear MIPS at scale, the norm-augmentation reduction
+    (Bachrach et al. RecSys 2014) maps each corpus vector x to
+    [x, sqrt(M^2 − |x|^2)] (M = max norm) and the query to [q, 0]:
+    cosine order on the augmented vectors equals inner-product order on
+    the originals, so every ANN index in this module (LSH / IVF /
+    IVF-PQ) serves MIPS unchanged — pinned by pytest
+    (test_similarity.test_mips_reduction_preserves_order)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qd = F.transform(q, lambda x: x.cast("double"))
+    out = embeddings.select(
+        F.col(id_col),
+        _dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), qd).alias("dot"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("dot").desc(), F.col(id_col)).limit(k)
+
+
 def _plane_components(plane: int, dim: int) -> list[int]:
     """Deterministic pseudo-random hyperplane as INTEGERS: component
     (plane, d) = top 16 bits of md5("{plane}_{d}"), centered to
