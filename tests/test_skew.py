@@ -255,3 +255,34 @@ def test_substring_inner_side_bound_at_sf1_scale(spark):
     # the candidate join is linear: Σ df(rarest) <= n_inner * cap
     assert stats["n_inner"] <= 5_040 + 40
     assert stats["cand_rows"] <= stats["n_inner"] * gcap
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale skew smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_kmv_bottom_k_at_scale_one_hot_group(spark):
+    """One group holding 1M distinct keys (the hot-group case the
+    two-level salted bottom-k exists for): the result must equal a
+    direct global bottom-k computed by an independent plan
+    (TakeOrdered), and stay exactly k rows — no slice may lose a
+    survivor, no task sorts the whole group."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.sketch import _kmv_hash, kmv_estimate, kmv_sketch
+
+    n = 1_000_000
+    df = spark.range(n).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    sk = kmv_sketch(df, "k", ["g"], k=64)
+    got = sorted(r["hv"] for r in sk.collect())
+    want = [
+        r["hv"]
+        for r in df.select(_kmv_hash(F.col("k")).alias("hv"))
+        .dropDuplicates(["hv"])
+        .orderBy("hv")
+        .limit(64)
+        .collect()
+    ]
+    assert got == want and len(got) == 64
+    est = kmv_estimate(sk, ["g"], k=64).collect()[0]["est"]
+    assert abs(est - n) / n < 0.5  # ~1/sqrt(62) regime
