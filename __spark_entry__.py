@@ -7463,6 +7463,66 @@ def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("dot").desc(), F.col("vec_id")).limit(10)
 
 
+_WALK_STARTS = [f"s{i}" for i in range(1, 13)]
+
+
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (plans/walks.random_walks — DeepWalk's
+    corpus generator, Perozzi et al. 2014): 4-step walks from 12
+    supplier vertices over the SYMMETRIZED supplier<->part graph, every
+    step a hash-chain neighbor choice (md5(start:t:cur) mod degree over
+    the dst-ranked adjacency).  All-integer decisions on portable md5
+    prefixes, so the oracle unrolls the four steps and replays every
+    trajectory bit-for-bit; per step the walk state joins the ranked
+    adjacency co-partitioned on the current vertex — |starts| rows in
+    flight, graph-size-independent."""
+    from usearch_spark.plans.walks import random_walks
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = spark.createDataFrame([(s,) for s in _WALK_STARTS], "id string")
+    return random_walks(sym, starts, steps=4)
+
+
+def _walks_oracle_sql(steps: int = 4) -> str:
+    """Unrolled hash-chain walk replay: ranked adjacency + degree CTEs,
+    one join per step with the identical md5-mod choice."""
+    starts = ", ".join(f"('{s}')" for s in _WALK_STARTS)
+    parts = [f"""
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+        ),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        nbr AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+            FROM e
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        s0 AS (SELECT id AS start, id AS cur FROM (VALUES {starts}) v(id))"""]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(f""",
+        s{t} AS (
+            SELECT s{p}.start, nbr.dst AS cur
+            FROM s{p}
+            JOIN deg ON deg.src = s{p}.cur
+            JOIN nbr ON nbr.src = s{p}.cur
+             AND nbr.idx = CAST(('0x' || substr(
+                     md5(s{p}.start || ':{t}:' || s{p}.cur), 1, 15)) AS BIGINT)
+                 % deg.deg
+        )""")
+    sel = "\n            UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS node FROM s{t}" for t in range(steps + 1)
+    )
+    parts.append(f"""
+        {sel}""")
+    return "".join(parts)
+
+
 def _holt_oracle_sql() -> str:
     """Holt fold replay: daily counts -> list-accumulator fold (see the
     events_holt docstring); shared verbatim by the streaming rollup form
@@ -7707,6 +7767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_stream": q_events_holt_stream,
         "supplier_waiting": q_supplier_waiting,
         "sim_mips_topk": q_sim_mips_topk,
+        "graph_random_walks": q_graph_random_walks,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -8572,6 +8633,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_holt": _holt_oracle_sql(),
         "events_holt_stream": _holt_oracle_sql(),
+        "graph_random_walks": _walks_oracle_sql(4),
         "supplier_waiting": """
             WITH l AS (
                 SELECT l.l_orderkey, l.l_suppkey,

@@ -1,0 +1,61 @@
+"""Deterministic hash-chain random walks (plans/walks.py): trajectory
+validity, python replay of the chain, and dead-end termination."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from usearch_spark.plans.walks import random_walks
+
+
+def _edges(spark):
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _pick(start, t, cur, nbrs):
+    h = int(hashlib.md5(f"{start}:{t}:{cur}".encode()).hexdigest()[:15], 16)
+    return sorted(nbrs)[h % len(nbrs)]
+
+
+def test_walks_replay_the_hash_chain_exactly(spark):
+    e = _edges(spark)
+    adj = {}
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    starts = spark.createDataFrame([("a",), ("b",)], "id string")
+    got = {
+        (r["start"], r["step"]): r["node"]
+        for r in random_walks(e, starts, steps=3).collect()
+    }
+    for s in ("a", "b"):
+        cur = s
+        assert got[(s, 0)] == s
+        for t in range(1, 4):
+            if cur not in adj:
+                assert (s, t) not in got
+                break
+            cur = _pick(s, t, cur, adj[cur])
+            assert got[(s, t)] == cur
+
+
+def test_walks_end_at_dead_ends(spark):
+    e = _edges(spark)  # 'd' has no out-edges
+    starts = spark.createDataFrame([("d",)], "id string")
+    out = random_walks(e, starts, steps=3).collect()
+    assert [(r["start"], r["step"], r["node"]) for r in out] == [("d", 0, "d")]
+
+
+def test_walk_steps_follow_edges(spark):
+    e = _edges(spark)
+    starts = spark.createDataFrame([("a",), ("c",)], "id string")
+    out = random_walks(e, starts, steps=4)
+    edges = {(r["src"], r["dst"]) for r in e.collect()}
+    walks = {}
+    for r in out.collect():
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    for s, path in walks.items():
+        for t in range(1, max(path) + 1):
+            assert (path[t - 1], path[t]) in edges
