@@ -44,6 +44,9 @@ def random_walks(
     there (no row for later steps)."""
     from pyspark.sql import Window
 
+    # materialize the ranked adjacency + degrees ONCE: every step joins
+    # against them, and without the checkpoint Spark would lazily re-run
+    # the per-src ranking window for each of the ``steps`` joins
     nbr = edges.select(
         F.col("src").alias("n_src"),
         F.col("dst").alias("n_dst"),
@@ -53,10 +56,10 @@ def random_walks(
             )
             - 1
         ).alias("idx"),
-    )
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("d_src")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint(eager=True)
     state = starts.select(
         F.col(id_col).alias("start"), F.col(id_col).alias("cur")
     )
