@@ -7523,6 +7523,97 @@ def _walks_oracle_sql(steps: int = 4) -> str:
     return "".join(parts)
 
 
+def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD2 maintenance (streaming/scd2.scd2_stream_merge):
+    the <300-custkey order changes arrive as two replayed micro-batch
+    files; each epoch merges into the MATERIALIZED type-2 dimension
+    with bucket-level copy-on-write — only the key-hash buckets the
+    batch touches are rebuilt (per-key lead window over those buckets
+    alone), untouched buckets carry forward by manifest reference, the
+    lakehouse MERGE shape on plain parquet.  A SECOND run against the
+    same checkpoint must change nothing.  Stored rows keep raw
+    effective-micros + tiebreak, so the rebuilt dimension equals the
+    one-shot batch build over all delivered changes regardless of
+    arrival order — scd2_history's oracle is shared VERBATIM and
+    hash-checks the whole merge loop."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.scd2 import read_scd2, scd2_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"scd2_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ch = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") < 300)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.expr(
+                    f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, o_orderdate)"
+                ).alias("eff_us"),
+                F.col("o_orderkey").alias("okey"),
+            )
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ch.filter(F.pmod(F.col("okey"), F.lit(2)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"scd2_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "dim"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("custkey long, priority string, eff_us long, okey long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = scd2_stream_merge(
+            stream, "custkey", "priority", "eff_us", "okey", target, ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    dim = read_scd2(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    eff_ts = F.expr(f"timestampadd(MICROSECOND, eff_us, {_EPOCH_NTZ})")
+    nxt_ts = F.expr(f"timestampadd(MICROSECOND, next_us, {_EPOCH_NTZ})")
+    return dim.select(
+        F.col("key").alias("custkey"),
+        F.col("attr").alias("priority"),
+        F.date_format(eff_ts, "yyyy-MM-dd").alias("valid_from"),
+        F.when(F.col("next_us").isNull(), F.lit("9999-12-31"))
+        .otherwise(F.date_format(nxt_ts, "yyyy-MM-dd"))
+        .alias("valid_to"),
+        F.col("is_current"),
+    )
+
+
+def _scd2_oracle_sql() -> str:
+    """SCD2 build replay (per-customer lead window); shared verbatim by
+    the streaming CDC merge (the rebuilt dimension equals the one-shot
+    build over every delivered change)."""
+    return """
+            SELECT o_custkey AS custkey,
+                   o_orderpriority AS priority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                   coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+                            '9999-12-31') AS valid_to,
+                   CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+            FROM orders
+            WHERE o_custkey < 300
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+
+
 def _holt_oracle_sql() -> str:
     """Holt fold replay: daily counts -> list-accumulator fold (see the
     events_holt docstring); shared verbatim by the streaming rollup form
@@ -7768,6 +7859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_waiting": q_supplier_waiting,
         "sim_mips_topk": q_sim_mips_topk,
         "graph_random_walks": q_graph_random_walks,
+        "scd2_stream": q_scd2_stream,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9363,17 +9455,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY similarity DESC, d.doc_id
             LIMIT 10
         """,
-        "scd2_history": """
-            SELECT o_custkey AS custkey,
-                   o_orderpriority AS priority,
-                   strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
-                   coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
-                            '9999-12-31') AS valid_to,
-                   CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
-            FROM orders
-            WHERE o_custkey < 300
-            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        """,
+        "scd2_history": _scd2_oracle_sql(),
+        "scd2_stream": _scd2_oracle_sql(),
         "data_quality_audit": """
             SELECT 'orders.nonpositive_total' AS check,
                    CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_violations,

@@ -1080,6 +1080,82 @@ def test_rollup_stream_merge_equals_batch_and_replays(spark, tmp_path):
     assert sorted(map(tuple, read_cms(spark, target).collect())) == first
 
 
+def test_scd2_stream_merge_equals_batch_and_rewrites_only_touched(spark, tmp_path):
+    """Streaming SCD2 with bucket copy-on-write: the drained dimension
+    equals the one-shot batch build over all delivered changes (even
+    with out-of-order per-key arrivals), a crash-window replay changes
+    nothing, and an epoch that touches a subset of key buckets carries
+    the rest forward BY REFERENCE (manifest points into the older
+    version)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from usearch_spark.streaming.scd2 import read_scd2, scd2_stream_merge
+
+    # keys 0..9; key changes at times (key*10 + j); batch 1 carries the
+    # EARLIER times of keys 0..4 (out-of-order arrival for those keys)
+    rows = [(k, f"p{j}", (k * 10 + j) * 1_000_000, k * 100 + j)
+            for k in range(10) for j in range(4)]
+    df = spark.createDataFrame(rows, "key long, attr string, eff_us long, tb long")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = df.filter((F.col("key") >= 5) | (F.col("tb") % 100 >= 2))
+    b1 = df.subtract(b0)
+    for i, b in enumerate((b0, b1)):
+        tmp = str(tmp_path / f"t{i}")
+        b.coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch{i}.parquet")
+
+    target, ckpt = str(tmp_path / "dim"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("key long, attr string, eff_us long, tb long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for run in range(2):
+        q = scd2_stream_merge(stream, "key", "attr", "eff_us", "tb", target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if run == 0:
+            first = sorted(
+                map(tuple, read_scd2(spark, target)
+                    .select("key", "attr", "eff_us", "next_us", "is_current")
+                    .collect())
+            )
+            _drop_last_commit(ckpt)
+
+    # one-shot batch build over ALL changes
+    w = W.partitionBy("key").orderBy("eff_us", "tb")
+    nxt = F.lead("eff_us").over(w)
+    want = sorted(
+        map(tuple, df.select(
+            "key", "attr", "eff_us", nxt.alias("next_us"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        ).collect())
+    )
+    assert first == want and len(first) == 40
+    got2 = sorted(
+        map(tuple, read_scd2(spark, target)
+            .select("key", "attr", "eff_us", "next_us", "is_current").collect())
+    )
+    assert got2 == first  # crash-window replay merged nothing
+
+    # copy-on-write: epoch 1 touched only keys 0..4's buckets — the
+    # final manifest must still reference at least one v0 bucket dir
+    from usearch_spark.streaming.scd2 import _read_current, _read_meta
+
+    version, _, _ = _read_current(os.path.join(target, "_CURRENT"))
+    manifest = _read_meta(target, version)
+    assert any(rel.startswith("v0/") for rel in manifest.values())
+    assert any(rel.startswith(f"v{version}/") for rel in manifest.values())
+
+
 def test_legacy_pointer_is_lineage_mismatch(tmp_path):
     """A legacy single-line ``_CURRENT`` carries no lineage, so epoch ids
     are not comparable to it: the guard must treat it as a mismatch

@@ -24,7 +24,6 @@ sys.path.insert(0, "/root/repo")
 
 from usearch_spark.schema import TESTDATA_TABLES
 from usearch_spark.session import get_spark
-from tools.check_correctness import table_hash
 
 
 def canon_pd(v):
