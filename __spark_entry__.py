@@ -7778,6 +7778,26 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 
 
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EDIT-DISTANCE similarity join over document heads
+    (operators/dedup.edit_distance_pairs — Gravano et al. VLDB 2001
+    count filtering): every unordered pair of 64-char document heads
+    within Levenshtein distance 8, found by a positional q-gram
+    count-filter join (q=3) + length filter, with the O(n*d) DP verify
+    paid only by candidates.  The filter is a proven necessary
+    condition, so the oracle is the NAIVE all-pairs truth — any
+    candidate the filter wrongly dropped hash-mismatches.  Distances
+    are exact integers; no float decision anywhere."""
+    from usearch_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 64).alias("head")
+    )
+    return edit_distance_pairs(
+        docs, id_col="doc_id", text_col="head", q=3, max_dist=8
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -7860,6 +7880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mips_topk": q_sim_mips_topk,
         "graph_random_walks": q_graph_random_walks,
         "scd2_stream": q_scd2_stream,
+        "dedup_edit": q_dedup_edit,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9457,6 +9478,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scd2_history": _scd2_oracle_sql(),
         "scd2_stream": _scd2_oracle_sql(),
+        "dedup_edit": """
+            -- naive all-pairs truth: the count filter in the Spark plan is a
+            -- proven necessary condition, so outputs must match exactly
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 64) AS head FROM documents
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.head, b.head) <= 8
+            ORDER BY doc_id_a, doc_id_b
+        """,
         "data_quality_audit": """
             SELECT 'orders.nonpositive_total' AS check,
                    CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS n_violations,

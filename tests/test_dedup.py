@@ -324,3 +324,49 @@ def test_duplicate_spans_exact_substr(spark):
     )
     assert spans3 == [(0, 7), (9, 16)]
     assert 4 not in got
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_pairs_matches_naive(spark):
+    """Gravano count-filter join == naive all-pairs truth, on a corpus
+    of seeded mutations (substitutions/inserts/deletes at distances that
+    straddle the threshold) plus SHORT strings that must flow through
+    the dense bucket (LB <= 0 path), plus an identical pair."""
+    from usearch_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack")),            # dist 2 (subst)
+        (3, base[:-8]),                                 # dist 8 (deletes)
+        (4, base.replace("brown fox", "green wolf")),   # several substs
+        (5, "completely unrelated text that shares almost nothing at all"),
+        (6, base),                                      # exact duplicate of 1
+        # shorts (<= q*(d+1)-1 = 14 chars at q=3, d=4): dense-bucket path
+        (7, "short str one"),
+        (8, "short str two"),
+        (9, "zz"),
+    ]
+    q, d = 3, 4
+    truth = sorted(
+        (a, b, _lev(sa, sb))
+        for i, (a, sa) in enumerate(rows)
+        for (b, sb) in rows[i + 1 :]
+        if _lev(sa, sb) <= d
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["dist"])
+        for r in edit_distance_pairs(docs, q=q, max_dist=d).collect()
+    )
+    assert got == truth
+    assert (1, 6, 0) in got and (7, 8, 3) in got  # filtered path + dense path

@@ -778,3 +778,107 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q: int = 3,
+    max_dist: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs EDIT-DISTANCE join: every unordered pair with
+    ``levenshtein(text_a, text_b) <= max_dist``, found without the
+    quadratic verify — the positional-gram COUNT FILTER of Gravano et
+    al. 2001 ("Approximate String Joins in a Database (Almost) for
+    Free", VLDB).  A single edit destroys at most ``q`` of a string's
+    overlapping q-grams, so any pair within distance ``d`` shares at
+    least ``LB = max(n1, n2) - q + 1 - q*d`` q-gram occurrences
+    (multiset semantics); pairs are generated from a gram-postings
+    self-join, reduced by a partial-aggregated min-count sum, and only
+    survivors pay the O(n*d) banded-DP verify.
+
+    Exactness: the count filter is a proven NECESSARY condition, so
+    output is identical to the naive all-pairs join (the oracle runs
+    the naive form).  Strings short enough that LB <= 0 for a
+    same-length partner — ``n <= q*(d+1) - 1`` — carry no filtering
+    guarantee among THEMSELVES, so the (by contract tiny, e.g. <= 26
+    chars at the defaults) short bucket is verified densely via a
+    broadcast loop; short-vs-long pairs keep LB > 0 and stay on the
+    filtered path.  The length filter ``|n1 - n2| <= d`` (edit distance
+    is at least the length gap) prunes before aggregation.
+
+    Distributed shape at 100 TB: gram postings shuffle once on the gram
+    value; the min-count candidate sum is partial-agg safe; hub grams
+    cost |posting|^2 rows ONLY in the pre-aggregation join — cap them
+    with the same df-quarantine as :func:`substring_containment_pairs`
+    when the corpus is templated (not needed for exactness here, so not
+    defaulted).  Verify touches candidates only.
+
+    Output: (id_col + ``_a``, id_col + ``_b``, dist), a < b.
+    """
+    s = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).withColumn("n", F.length("s"))
+    short_max = q * (max_dist + 1) - 1
+
+    grams = (
+        s.filter(F.col("n") >= q)
+        .select(
+            "id",
+            "n",
+            F.explode(
+                F.expr(f"transform(sequence(1, n - {q} + 1), i -> substring(s, i, {q}))")
+            ).alias("gram"),
+        )
+        .groupBy("id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ga = grams.select(
+        F.col("id").alias("a"), F.col("n").alias("n_a"), "gram", F.col("cnt").alias("cnt_a")
+    )
+    gb = grams.select(
+        F.col("id").alias("b"), F.col("n").alias("n_b"), "gram", F.col("cnt").alias("cnt_b")
+    )
+    lb = F.greatest(F.col("n_a"), F.col("n_b")) - F.lit(q - 1) - F.lit(q * max_dist)
+    cand = (
+        ga.join(gb, "gram")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("n_a") - F.col("n_b")) <= max_dist)
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.least("cnt_a", "cnt_b")).alias("common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .filter(F.col("common") >= lb)
+        .select("a", "b")
+    )
+    shorts = s.filter(F.col("n") <= short_max)
+    dense = (
+        shorts.select(F.col("id").alias("a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(shorts.select(F.col("id").alias("b"), F.col("n").alias("n_b")))
+        )
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("n_a") - F.col("n_b")) <= max_dist)
+        )
+        .select("a", "b")
+    )
+    cands = cand.unionByName(dense).dropDuplicates(["a", "b"])
+    ta = s.select(F.col("id").alias("a"), F.col("s").alias("s_a"))
+    tb = s.select(F.col("id").alias("b"), F.col("s").alias("s_b"))
+    return (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a").alias(f"{id_col}_a"),
+            F.col("b").alias(f"{id_col}_b"),
+            "dist",
+        )
+    )
