@@ -7798,6 +7798,60 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id_a", "doc_id_b")
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid RESAMPLE with last-observation-carried-forward: each of
+    the first 8 users gets a regular hourly grid spanning their first to
+    last event hour, and every grid point carries the value of the
+    latest event at-or-before it (ties on ts broken by event_id; grid
+    points before the first event stay NULL).  The gap-fill is the
+    union-not-join shape: event rows and grid rows interleave in ONE
+    per-user ordered window and `last(value, ignorenulls)` carries
+    forward — a single shuffle on user_id, no asof join, no
+    per-grid-point probe; the grid explode is bounded by span/step.
+    The carried value is a stored double (no arithmetic), timestamps
+    stay NTZ and leave as formatted strings, so the hash is
+    engine-exact."""
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 8)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("ts"),
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_grid"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    u = ev.select(
+        "user_id", "ts", F.lit(0).alias("is_grid"), "event_id", "value"
+    ).unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("v", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_ts"),
+            F.col("v").alias("value_locf"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -7881,6 +7935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": q_graph_random_walks,
         "scd2_stream": q_scd2_stream,
         "dedup_edit": q_dedup_edit,
+        "events_resample": q_events_resample,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9489,6 +9544,39 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.head, b.head) <= 8
             ORDER BY doc_id_a, doc_id_b
+        """,
+        "events_resample": """
+            WITH ev AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+                FROM events WHERE user_id < 8
+            ),
+            b AS (
+                SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                       date_trunc('hour', max(ts)) AS h1
+                FROM ev GROUP BY 1
+            ),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+                FROM b
+            ),
+            u AS (
+                SELECT user_id, ts, 0 AS is_grid, event_id, value FROM ev
+                UNION ALL
+                SELECT user_id, ts, 1, CAST(-1 AS BIGINT), CAST(NULL AS DOUBLE)
+                FROM grid
+            ),
+            f AS (
+                SELECT user_id, ts, is_grid,
+                       last_value(value IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts, is_grid, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+                FROM u
+            )
+            SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS hour_ts,
+                   v AS value_locf
+            FROM f WHERE is_grid = 1
+            ORDER BY user_id, hour_ts
         """,
         "data_quality_audit": """
             SELECT 'orders.nonpositive_total' AS check,
