@@ -7852,6 +7852,32 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive HOLT-WINTERS triple exponential smoothing
+    (operators/forecast.holt_winters_forecast, Winters 1960):
+    per-event-type daily counts through the level/trend/seasonal
+    recurrence with a 7-day season (alpha=0.5, beta=gamma=0.25 — exact
+    binary fractions), two-season textbook init, 7-day-ahead forecast
+    l + 7b + s_T.  Corpus-sized work is the same single (type, day)
+    count shuffle as events_holt; the fold's accumulator is the
+    9-element [l, b, s1..s7] array rotated by slicing, JVM-side.  The
+    oracle replays the identical IEEE chain via list_reduce with a
+    LIST accumulator (DuckDB struct accumulators mis-bind), so every
+    level/trend/season value hashes bit-exact."""
+    from usearch_spark.operators.forecast import holt_winters_forecast
+
+    ev = _events(spark, sf_dir)
+    return holt_winters_forecast(
+        ev.select("event_type", "ts"),
+        ["event_type"],
+        F.to_date("ts"),
+        m=7,
+        alpha=0.5,
+        beta=0.25,
+        gamma=0.25,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -7936,6 +7962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_stream": q_scd2_stream,
         "dedup_edit": q_dedup_edit,
         "events_resample": q_events_resample,
+        "events_holt_winters": q_events_holt_winters,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9577,6 +9604,57 @@ def oracle_sql() -> dict[str, str]:
                    v AS value_locf
             FROM f WHERE is_grid = 1
             ORDER BY user_id, hour_ts
+        """,
+        "events_holt_winters": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            seqs AS (SELECT g, list(n ORDER BY d) AS vals FROM daily GROUP BY g),
+            ini AS (
+                SELECT g, vals, len(vals) AS n_days,
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE), list_slice(vals, 1, 7)),
+                           (acc, x) -> acc + x) / CAST(7 AS DOUBLE) AS l0,
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(range(1, 8), i -> vals[7 + i] - vals[i])),
+                           (acc, x) -> acc + x)
+                           / CAST(7 AS DOUBLE) / CAST(7 AS DOUBLE) AS b0
+                FROM seqs WHERE len(vals) >= 14
+            ),
+            -- accumulator is the 9-element LIST [l, b, s1..s7] (DuckDB 1.0
+            -- list_reduce mis-binds multi-field STRUCT accumulators); the
+            -- seasonal queue rotates by slicing, exactly as the Spark fold
+            f AS (
+                SELECT g, n_days,
+                       list_reduce(
+                           list_prepend(
+                               list_concat([l0, b0],
+                                   list_transform(list_slice(vals, 1, 7),
+                                                  x -> x - l0)),
+                               list_transform(list_slice(vals, 8, len(vals)),
+                                              x -> [x])),
+                           (acc, e) -> list_concat(
+                               [CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                                    + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                                CAST(0.25 AS DOUBLE)
+                                    * (CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                                       + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                                       - acc[1])
+                                    + CAST(0.75 AS DOUBLE) * acc[2]],
+                               list_concat(
+                                   list_slice(acc, 4, 9),
+                                   [CAST(0.25 AS DOUBLE)
+                                        * (e[1] - acc[1] - acc[2])
+                                        + CAST(0.75 AS DOUBLE) * acc[3]]))) AS st
+                FROM ini
+            )
+            SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                   st[1] AS level, st[2] AS trend, st[9] AS season_last,
+                   st[1] + CAST(7 AS DOUBLE) * st[2] + st[9] AS forecast
+            FROM f
         """,
         "data_quality_audit": """
             SELECT 'orders.nonpositive_total' AS check,

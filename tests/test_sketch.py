@@ -204,3 +204,53 @@ def test_holt_recovers_planted_linear_trend(spark):
     assert out["level"] == 10.0 + 3 * 11
     assert out["trend"] == 3.0
     assert out["forecast"] == 43.0 + 7 * 3.0
+
+
+def test_holt_winters_periodic_fixpoint_and_python_replay(spark):
+    """Two anchors for the triple-smoothing fold: (1) on an exactly
+    7-periodic zero-trend series the recurrence is a fixpoint — level
+    stays at the seasonal mean, trend at 0, and the m-ahead forecast
+    reproduces the season; (2) an irregular integer series must match a
+    pure-Python replay of the identical IEEE chain bit-for-bit."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import holt_winters_forecast
+
+    pattern = [4, 8, 6, 10, 2, 12, 7]  # mean 49/7 = 7 exactly
+    irregular = [9, 3, 14, 7, 7, 11, 2, 10, 4, 13, 8, 6, 12, 3, 9, 9, 15, 1]
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for t in range(21):
+        rows += [("per", d0 + datetime.timedelta(days=t))] * pattern[t % 7]
+    for t, y in enumerate(irregular):
+        rows += [("irr", d0 + datetime.timedelta(days=t))] * y
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = {
+        r["g"]: r
+        for r in holt_winters_forecast(df, ["g"], F.col("d"), m=7).collect()
+    }
+    per = out["per"]
+    assert per["n_days"] == 21
+    assert per["level"] == 7.0 and per["trend"] == 0.0
+    assert per["season_last"] == 0.0  # day 20 is pattern[6] == the mean
+    assert per["forecast"] == 7.0
+
+    # pure-Python replay of the same chain (Python floats are IEEE doubles)
+    vals = [float(v) for v in irregular]
+    l = sum(vals[:7], 0.0) / 7.0
+    b = sum((vals[7 + i] - vals[i] for i in range(7)), 0.0) / 7.0 / 7.0
+    seas = [x - l for x in vals[:7]]
+    for y in vals[7:]:
+        s_old = seas.pop(0)
+        lv = 0.5 * (y - s_old) + 0.5 * (l + b)
+        bv = 0.25 * (0.5 * (y - s_old) + 0.5 * (l + b) - l) + 0.75 * b
+        sv = 0.25 * (y - l - b) + 0.75 * s_old
+        seas.append(sv)
+        l, b = lv, bv
+    irr = out["irr"]
+    assert irr["n_days"] == 18
+    assert irr["level"] == l and irr["trend"] == b
+    assert irr["season_last"] == seas[-1]
+    assert irr["forecast"] == l + 7.0 * b + seas[-1]

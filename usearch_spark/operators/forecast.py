@@ -104,3 +104,119 @@ def holt_from_daily(
             (folded["l"] + F.lit(float(horizon)) * folded["b"]).alias("forecast"),
         )
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    m: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Per-group additive HOLT-WINTERS (triple exponential smoothing,
+    Winters 1960) of daily counts: Holt's level/trend recurrence plus a
+    rotating length-``m`` seasonal queue.  Same distributed shape as
+    :func:`holt_forecast` — one partial-aggregated (group, day) count
+    shuffle does the corpus-sized work; the fold is a bounded in-row
+    ``F.aggregate`` whose accumulator is the (m+2)-element array
+    ``[l, b, s_1..s_m]``."""
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return holt_winters_from_daily(
+        daily, group_cols, m=m, alpha=alpha, beta=beta, gamma=gamma
+    )
+
+
+def holt_winters_from_daily(
+    daily: DataFrame,
+    group_cols: list[str],
+    m: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Additive Holt-Winters over pre-aggregated (group..., d, n) rows.
+
+        l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(y_t - l_{t-1} - b_{t-1}) + (1-gamma)*s_{t-m}
+
+    Initialization is the textbook two-season start (groups with fewer
+    than 2m days are excluded by both engines): l_0 = mean(y_1..y_m),
+    b_0 = mean of the m season-over-season diffs / m, s_i = y_i - l_0,
+    folding from y_{m+1}.  Forecast is the m-step-ahead
+    ``l_T + m*b_T + s_T``.
+
+    Determinism: smoothing constants must be exact binary fractions
+    (asserted) so each fold step is the same correctly-rounded IEEE
+    chain on both engines; the two init means are left-associated
+    ``F.aggregate`` sums each closed by ONE divide, which DuckDB's
+    ``list_reduce`` replays in the identical order.  The seasonal queue
+    rotates by array slicing — no index arithmetic on floats anywhere.
+    """
+    for p in (alpha, beta, gamma):
+        assert (p * 1024) == int(p * 1024), (
+            "alpha/beta/gamma must be exact binary fractions (k/1024) for "
+            "the cross-engine determinism contract"
+        )
+    per = daily.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["n"].cast("double"))
+    a, bb, g = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+    one = F.lit(1.0)
+    md = F.lit(float(m))
+
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    l0 = fsum(F.slice(vals, 1, m)) / md
+    b0 = (
+        fsum(
+            F.zip_with(
+                F.slice(vals, m + 1, m), F.slice(vals, 1, m), lambda x, y: x - y
+            )
+        )
+        / md
+        / md
+    )
+    per = (
+        per.filter(F.size("seq") >= 2 * m)
+        .withColumn("_vals", vals)
+        .withColumn("_l0", l0)
+        .withColumn("_b0", b0)
+    )
+    seasons0 = F.transform(
+        F.slice(F.col("_vals"), 1, m), lambda x: x - F.col("_l0")
+    )
+    init = F.concat(F.array(F.col("_l0"), F.col("_b0")), seasons0)
+    rest = F.slice(
+        F.col("_vals"), m + 1, F.greatest(F.size("_vals") - m, F.lit(0))
+    )
+
+    def step(acc, y):
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        s_old = F.element_at(acc, 3)
+        lv = a * (y - s_old) + (one - a) * (l + b)
+        # l' is re-derived inline for b' (fold lambdas can't bind
+        # locals); the oracle repeats the identical expression
+        bv = bb * (a * (y - s_old) + (one - a) * (l + b) - l) + (one - bb) * b
+        sv = g * (y - l - b) + (one - g) * s_old
+        return F.concat(
+            F.array(lv, bv), F.slice(acc, 4, m - 1), F.array(sv)
+        )
+
+    folded = F.aggregate(rest, init, step)
+    return per.select(
+        *group_cols,
+        F.size("_vals").cast("long").alias("n_days"),
+        F.element_at(folded, 1).alias("level"),
+        F.element_at(folded, 2).alias("trend"),
+        F.element_at(folded, m + 2).alias("season_last"),
+        (
+            F.element_at(folded, 1)
+            + md * F.element_at(folded, 2)
+            + F.element_at(folded, m + 2)
+        ).alias("forecast"),
+    )
