@@ -7878,6 +7878,25 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution DRIFT between the even- and odd-numbered
+    document sources (operators/text_analysis.corpus_js_drift):
+    Jensen-Shannon divergence in bits plus the top-15 drift tokens —
+    the snapshot-over-snapshot distribution-shift monitor of a
+    training-data pipeline.  Two token-count shuffles, one full-outer
+    join, broadcast totals, TakeOrdered.  Per-token JS terms quantize
+    at 9 dp (transcendental-or-exactly-zero, never boundary), the total
+    is their exact decimal sum, and the ranking key is exact
+    |cnt_a*tot_b - cnt_b*tot_a| — so the oracle hashes bit-exact."""
+    from usearch_spark.operators.text_analysis import corpus_js_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    even = F.expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+    return corpus_js_drift(
+        docs.filter(even), docs.filter(~even), text_col="text", top_n=15
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -7963,6 +7982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit": q_dedup_edit,
         "events_resample": q_events_resample,
         "events_holt_winters": q_events_holt_winters,
+        "corpus_drift": q_corpus_drift,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9655,6 +9675,51 @@ def oracle_sql() -> dict[str, str]:
                    st[1] AS level, st[2] AS trend, st[9] AS season_last,
                    st[1] + CAST(7 AS DOUBLE) * st[2] + st[9] AS forecast
             FROM f
+        """,
+        "corpus_drift": f"""
+            WITH ta AS (
+                SELECT unnest({_TOKS}) AS token FROM documents
+                WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0
+            ),
+            ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY 1),
+            tb0 AS (
+                SELECT unnest({_TOKS}) AS token FROM documents
+                WHERE NOT (CAST(substr(source, 4) AS INTEGER) % 2 = 0)
+            ),
+            cb AS (SELECT token, count(*) AS cnt_b FROM tb0 GROUP BY 1),
+            j AS (
+                SELECT coalesce(ca.token, cb.token) AS token,
+                       coalesce(cnt_a, 0) AS cnt_a,
+                       coalesce(cnt_b, 0) AS cnt_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+            ),
+            tot AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j),
+            terms AS (
+                SELECT token, cnt_a, cnt_b, tot_a, tot_b,
+                       CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p,
+                       CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS q
+                FROM j, tot
+            ),
+            c AS (
+                SELECT token, cnt_a, cnt_b,
+                       CAST(round(CAST(0.5 AS DOUBLE) * (
+                           (CASE WHEN cnt_a = 0 THEN CAST(0 AS DOUBLE)
+                                 ELSE p * log2((CAST(2 AS DOUBLE) * p) / (p + q))
+                            END)
+                           + (CASE WHEN cnt_b = 0 THEN CAST(0 AS DOUBLE)
+                                   ELSE q * log2((CAST(2 AS DOUBLE) * q) / (p + q))
+                              END)), 9) AS DECIMAL(18,9)) AS contrib,
+                       abs(CAST(cnt_a AS DECIMAL(18,0)) * CAST(tot_b AS DECIMAL(18,0))
+                           - CAST(cnt_b AS DECIMAL(18,0)) * CAST(tot_a AS DECIMAL(18,0)))
+                           AS dk
+                FROM terms
+            ),
+            tot2 AS (SELECT CAST(sum(contrib) AS DOUBLE) AS js_total FROM c)
+            SELECT token, cnt_a, cnt_b,
+                   CAST(contrib AS DOUBLE) AS js_contrib, js_total
+            FROM c, tot2
+            ORDER BY dk DESC, token
+            LIMIT 15
         """,
         "data_quality_audit": """
             SELECT 'orders.nonpositive_total' AS check,

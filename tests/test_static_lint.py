@@ -104,8 +104,13 @@ def test_no_shadowed_defs_or_unused_imports(path):
 # Reviewed additions only: trigram_logprob repeats bigram_logprob's
 # round(log(mix of count ratios), 6) — log of a ratio mix is
 # transcendental, never at a decimal boundary, and the per-token values
-# sum as exact decimals afterwards.
+# sum as exact decimals afterwards.  corpus_js_drift rounds a per-token
+# JS term that is transcendental except when EXACTLY 0.0 (p == q folds
+# through log2(1.0) == 0.0; a missing side is a CASE literal), so it
+# never sits on a rounding boundary either; terms sum as exact decimals
+# and the top-n ranking uses an exact-decimal key, not the floats.
 ROUND_OVER_DIV_ALLOWED = {
+    ("usearch_spark/operators/text_analysis.py", "corpus_js_drift"),
     ("usearch_spark/operators/text_analysis.py", "trigram_logprob"),
     ("usearch_spark/operators/search.py", "more_like_this"),
     ("usearch_spark/operators/search.py", "tfidf_cosine_pairs"),

@@ -222,3 +222,47 @@ def test_trigram_logprob_backoff_ladder(spark):
     # four verbatim copies saturate the trigram table; the shuffle falls
     # back to bigram/unigram mass and must score strictly lower
     assert got[0]["avg_logprob"] > got[10]["avg_logprob"]
+
+
+def test_corpus_js_drift_closed_forms(spark):
+    """JS divergence anchors: disjoint vocabularies give exactly 1.0
+    bit; identical corpora give exactly 0.0; a mixed case matches a
+    pure-Python replay of the identical IEEE chain after the same 9 dp
+    quantization; the drift ranking key is count-based, so the top
+    token is the most-lopsided one."""
+    import math
+
+    from usearch_spark.operators.text_analysis import corpus_js_drift
+
+    mk = lambda texts: spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # disjoint: every token one-sided -> q*log2(2) sums to 0.5 + 0.5
+    out = corpus_js_drift(mk(["aa aa bb"]), mk(["cc cc dd"]), top_n=10).collect()
+    assert out and all(r["js_total"] == 1.0 for r in out)
+    # identical: p == q for every token -> log2(1.0) == 0.0 exactly
+    out = corpus_js_drift(mk(["aa bb cc"]), mk(["cc bb aa"]), top_n=10).collect()
+    assert out and all(r["js_total"] == 0.0 for r in out)
+    assert all(r["js_contrib"] == 0.0 for r in out)
+    # mixed: replay the chain in Python (floats are IEEE doubles)
+    a_counts = {"x": 3, "y": 1}        # tot_a = 4
+    b_counts = {"x": 1, "y": 2, "z": 1}  # tot_b = 4
+    exp_total = 0.0
+    exp = {}
+    for tok in sorted(set(a_counts) | set(b_counts)):
+        p = float(a_counts.get(tok, 0)) / 4.0
+        q = float(b_counts.get(tok, 0)) / 4.0
+        tp = 0.0 if not a_counts.get(tok) else p * math.log2((2.0 * p) / (p + q))
+        tq = 0.0 if not b_counts.get(tok) else q * math.log2((2.0 * q) / (p + q))
+        c = round(0.5 * (tp + tq), 9)
+        exp[tok] = c
+        exp_total += c
+    got = corpus_js_drift(
+        mk(["x x x y"]), mk(["x y y z"]), top_n=10
+    ).collect()
+    for r in got:
+        assert r["js_contrib"] == exp[r["token"]]
+        assert abs(r["js_total"] - exp_total) < 1e-15
+    # ranking: |cnt_a*tot_b - cnt_b*tot_a| = x:8, y:4, z:4 -> x first,
+    # then y/z tie broken by token
+    assert [r["token"] for r in got] == ["x", "y", "z"]

@@ -804,3 +804,88 @@ def _bpe_run(docs: DataFrame, rounds: int, text_col: str):
             ),
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(learned, "round int, pair string, freq long"), state
+
+
+def corpus_js_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    top_n: int = 15,
+) -> DataFrame:
+    """Vocabulary DRIFT between two corpora: Jensen-Shannon divergence
+    (in bits) between their unigram distributions, with the ``top_n``
+    tokens ranked by drift — the distribution-shift monitor a training
+    pipeline runs between ingest snapshots, data sources, or train/eval
+    mixtures (JS rather than KL: symmetric, bounded [0, 1], defined
+    when a token is missing on one side).
+
+        JS = 0.5*KL(P||M) + 0.5*KL(Q||M),  M = (P + Q)/2
+           = Σ_t 0.5*( p·log2(2p/(p+q)) + q·log2(2q/(p+q)) )
+
+    Distributed shape: two partial-aggregated token-count shuffles, one
+    full-outer join on token, totals as broadcast scalars, TakeOrdered
+    for the top-n — no collect, no window.
+
+    Determinism contract: each token's contribution is an identical
+    IEEE chain on both engines (two exact total-divides, one log2),
+    quantized to DECIMAL(18,9) by round-at-9 — the value is
+    transcendental except when it is EXACTLY zero (p == q gives
+    log2(1.0) == 0.0; a missing side folds to a CASE literal), so it
+    never sits on a rounding boundary — and the corpus total is the
+    EXACT decimal sum of the quantized terms (order-free), closed by
+    one double cast.  The drift ranking never touches floats: the sort
+    key is |cnt_a·tot_b − cnt_b·tot_a| in exact DECIMAL(37,0).
+
+    Output: (token, cnt_a, cnt_b, js_contrib, js_total), top_n rows.
+    """
+    ca = (
+        docs_a.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cb = (
+        docs_b.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    j = (
+        ca.join(cb, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")
+    )
+    t = j.crossJoin(F.broadcast(tot))
+    p = F.col("cnt_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("cnt_b").cast("double") / F.col("tot_b").cast("double")
+    term_p = F.when(F.col("cnt_a") == 0, F.lit(0.0)).otherwise(
+        p * F.log2((F.lit(2.0) * p) / (p + q))
+    )
+    term_q = F.when(F.col("cnt_b") == 0, F.lit(0.0)).otherwise(
+        q * F.log2((F.lit(2.0) * q) / (p + q))
+    )
+    contrib = F.round(F.lit(0.5) * (term_p + term_q), 9).cast("decimal(18,9)")
+    dk = F.abs(
+        F.col("cnt_a").cast("decimal(18,0)") * F.col("tot_b").cast("decimal(18,0)")
+        - F.col("cnt_b").cast("decimal(18,0)") * F.col("tot_a").cast("decimal(18,0)")
+    )
+    c = t.select(
+        "token", "cnt_a", "cnt_b", contrib.alias("_contrib"), dk.alias("_dk")
+    )
+    total = c.agg(F.sum("_contrib").cast("double").alias("js_total"))
+    return (
+        c.orderBy(F.col("_dk").desc(), "token")
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            F.col("_contrib").cast("double").alias("js_contrib"),
+            "js_total",
+        )
+    )
