@@ -7523,6 +7523,97 @@ def _walks_oracle_sql(steps: int = 4) -> str:
     return "".join(parts)
 
 
+def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks (plans/walks.node2vec_walks,
+    Grover & Leskovec 2016): 4-step walks from the same 12 supplier
+    vertices as graph_random_walks, but after the uniform first step
+    each neighbor is weighed 1:4:2 (return : common-neighbor : far —
+    the integer-scaled 1/p : 1 : 1/q), and the draw is the 60-bit
+    md5(start:t:cur) landing in the neighbor's cumulative-weight
+    interval over the dst order.  Every decision is exact integer
+    arithmetic, so the unrolled oracle (per step: adjacency join +
+    LEFT common-neighbor join + two per-start window sums + the
+    interval pick) replays every trajectory bit-for-bit.  Per step the
+    |starts|-row state joins the adjacency co-partitioned on the
+    current vertex — graph-size-independent state."""
+    from usearch_spark.plans.walks import node2vec_walks
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    starts = spark.createDataFrame([(s,) for s in _WALK_STARTS], "id string")
+    return node2vec_walks(sym, starts, steps=4, w_return=1, w_common=4, w_far=2)
+
+
+def _node2vec_oracle_sql(
+    steps: int = 4, wr: int = 1, wc: int = 4, wf: int = 2
+) -> str:
+    """Unrolled second-order walk replay: uniform step 1, then per step
+    a common-neighbor LEFT join, per-start cumulative-weight windows,
+    and the identical md5-mod interval pick."""
+    starts = ", ".join(f"('{s}')" for s in _WALK_STARTS)
+    parts = [f"""
+        WITH e0 AS (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+        ),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        nbr AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+            FROM e
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        s0 AS (SELECT id AS start, id AS cur FROM (VALUES {starts}) v(id)),
+        s1 AS (
+            SELECT s0.start, s0.cur AS prev, nbr.dst AS cur
+            FROM s0
+            JOIN deg ON deg.src = s0.cur
+            JOIN nbr ON nbr.src = s0.cur
+             AND nbr.idx = CAST(('0x' || substr(
+                     md5(s0.start || ':1:' || s0.cur), 1, 15)) AS BIGINT)
+                 % deg.deg
+        )"""]
+    for t in range(2, steps + 1):
+        p = t - 1
+        draw = (
+            f"CAST(('0x' || substr(md5(start || ':{t}:' || cur), 1, 15)) "
+            f"AS BIGINT) % tot"
+        )
+        parts.append(f""",
+        c{t} AS (
+            SELECT s{p}.start, s{p}.prev, s{p}.cur, nbr.dst AS x,
+                   CASE WHEN nbr.dst = s{p}.prev THEN {wr}
+                        WHEN ce.dst IS NOT NULL THEN {wc}
+                        ELSE {wf} END AS w
+            FROM s{p}
+            JOIN nbr ON nbr.src = s{p}.cur
+            LEFT JOIN e ce ON ce.src = s{p}.prev AND ce.dst = nbr.dst
+        ),
+        p{t} AS (
+            SELECT start, cur, x, w,
+                   sum(w) OVER (PARTITION BY start ORDER BY x) AS cum,
+                   sum(w) OVER (PARTITION BY start) AS tot
+            FROM c{t}
+        ),
+        s{t} AS (
+            SELECT start, cur AS prev, x AS cur
+            FROM p{t}
+            WHERE {draw} >= cum - w AND {draw} < cum
+        )""")
+    sel = "\n            UNION ALL ".join(
+        ["SELECT start, 0 AS step, cur AS node FROM s0"]
+        + [
+            f"SELECT start, {t} AS step, cur AS node FROM s{t}"
+            for t in range(1, steps + 1)
+        ]
+    )
+    parts.append(f"""
+        {sel}""")
+    return "".join(parts)
+
+
 def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING SCD2 maintenance (streaming/scd2.scd2_stream_merge):
     the <300-custkey order changes arrive as two replayed micro-batch
@@ -7983,6 +8074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": q_events_resample,
         "events_holt_winters": q_events_holt_winters,
         "corpus_drift": q_corpus_drift,
+        "graph_node2vec": q_graph_node2vec,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -8849,6 +8941,7 @@ def oracle_sql() -> dict[str, str]:
         "events_holt": _holt_oracle_sql(),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
+        "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),
         "supplier_waiting": """
             WITH l AS (
                 SELECT l.l_orderkey, l.l_suppkey,

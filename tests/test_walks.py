@@ -59,3 +59,57 @@ def test_walk_steps_follow_edges(spark):
     for s, path in walks.items():
         for t in range(1, max(path) + 1):
             assert (path[t - 1], path[t]) in edges
+
+
+def test_node2vec_walks_replay_python_simulation(spark):
+    """Full-trajectory equality with a pure-Python simulation of the
+    second-order rule: uniform first step, then the 1:4:2
+    return/common/far weights with the md5 draw landing in the
+    cumulative-weight interval over the dst order."""
+    from usearch_spark.plans.walks import node2vec_walks
+
+    rows = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
+        ("c", "b"), ("c", "d"), ("d", "c"), ("d", "e"), ("e", "d"),
+        ("b", "e"), ("e", "b"),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    adj = {}
+    edges = set()
+    for s, d in rows:
+        adj.setdefault(s, []).append(d)
+        edges.add((s, d))
+    wr, wc, wf = 1, 4, 2
+    steps = 5
+
+    def draw(start, t, cur):
+        return int(hashlib.md5(f"{start}:{t}:{cur}".encode()).hexdigest()[:15], 16)
+
+    def simulate(start):
+        path = {0: start}
+        cur = start
+        nbrs = sorted(adj[cur])
+        cur, prev = nbrs[draw(start, 1, cur) % len(nbrs)], cur
+        path[1] = cur
+        for t in range(2, steps + 1):
+            cands = sorted(adj[cur])
+            ws = [
+                wr if x == prev else (wc if (prev, x) in edges else wf)
+                for x in cands
+            ]
+            r = draw(start, t, cur) % sum(ws)
+            cum = 0
+            for x, w in zip(cands, ws):
+                cum += w
+                if r < cum:
+                    cur, prev = x, cur
+                    break
+            path[t] = cur
+        return path
+
+    starts = spark.createDataFrame([("a",), ("c",), ("e",)], "id string")
+    got = {}
+    for r in node2vec_walks(e, starts, steps=steps, w_return=wr, w_common=wc, w_far=wf).collect():
+        got.setdefault(r["start"], {})[r["step"]] = r["node"]
+    for s in ("a", "c", "e"):
+        assert got[s] == simulate(s), f"start {s}: {got[s]} != {simulate(s)}"

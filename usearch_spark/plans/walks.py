@@ -84,3 +84,123 @@ def random_walks(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 4,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    id_col: str = "id",
+) -> DataFrame:
+    """Second-order BIASED walks (node2vec, Grover & Leskovec KDD 2016):
+    after a uniform first step, the walk at ``cur`` having arrived from
+    ``prev`` weighs each neighbor x by
+
+        w_return  if x == prev          (the 1/p "return" bias)
+        w_common  if edge(prev, x)      (distance 1 from prev — BFS-ish)
+        w_far     otherwise             (distance 2 — the 1/q DFS bias)
+
+    with the weights as EXACT INTEGERS (w_return/w_common/w_far play
+    1/p : 1 : 1/q, scaled to a common denominator) so the sampling
+    decision is ``md5(start:t:cur) mod total_weight`` landing in a
+    cumulative-weight interval — all integer arithmetic on the portable
+    60-bit hash, replayable by a SQL oracle like :func:`random_walks`.
+
+    Per step: state joins the adjacency on the current vertex, a LEFT
+    join against the edge set on (prev, x) marks common neighbors, and
+    a per-start cumulative-sum window (bounded by deg(cur) rows per
+    walk) picks the interval containing the hash draw.  Two
+    co-partitioned shuffles per step, |starts| walk rows in flight —
+    graph-size-independent, no collect.
+    """
+    from pyspark.sql import Window
+
+    nbr = edges.select(
+        F.col("src").alias("n_src"), F.col("dst").alias("n_dst")
+    ).localCheckpoint(eager=True)
+    deg = nbr.groupBy(F.col("n_src").alias("d_src")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranked = nbr.select(
+        "n_src",
+        "n_dst",
+        (
+            F.row_number().over(Window.partitionBy("n_src").orderBy("n_dst"))
+            - 1
+        ).alias("idx"),
+    )
+    state = starts.select(
+        F.col(id_col).alias("start"), F.col(id_col).alias("cur")
+    )
+    frames = [
+        state.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    ]
+    # step 1: uniform (no previous vertex yet — the paper's convention)
+    state = (
+        state.join(deg, state["cur"] == deg["d_src"])
+        .withColumn("_pick", _choice(F.col("start"), 1, F.col("cur"), F.col("deg")))
+        .join(
+            ranked,
+            (F.col("cur") == F.col("n_src")) & (F.col("_pick") == F.col("idx")),
+        )
+        .select("start", F.col("cur").alias("prev"), F.col("n_dst").alias("cur"))
+    )
+    frames.append(
+        state.select("start", F.lit(1).alias("step"), F.col("cur").alias("node"))
+    )
+    e2 = nbr.select(F.col("n_src").alias("c_src"), F.col("n_dst").alias("c_dst"))
+    for t in range(2, steps + 1):
+        cand = (
+            state.join(nbr, state["cur"] == nbr["n_src"])
+            .join(
+                e2,
+                (F.col("prev") == F.col("c_src"))
+                & (F.col("n_dst") == F.col("c_dst")),
+                "left",
+            )
+            .withColumn(
+                "w",
+                F.when(F.col("n_dst") == F.col("prev"), F.lit(w_return))
+                .when(F.col("c_dst").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_far)),
+            )
+        )
+        wcum = Window.partitionBy("start").orderBy("n_dst")
+        # full-frame ordered spec, not a bare partitionBy: the plan lint
+        # can't tell an unordered-partitioned Window (2 printed lists)
+        # from a global one; the ordered full frame sums identically
+        wall = wcum.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        picked = (
+            cand.withColumn("cum", F.sum("w").over(wcum))
+            .withColumn("tot", F.sum("w").over(wall))
+            .withColumn(
+                "r",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("start"), F.lit(str(t)), F.col("cur")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("tot"),
+            )
+            .filter(
+                (F.col("r") >= F.col("cum") - F.col("w")) & (F.col("r") < F.col("cum"))
+            )
+        )
+        state = picked.select(
+            "start", F.col("cur").alias("prev"), F.col("n_dst").alias("cur")
+        )
+        frames.append(
+            state.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
