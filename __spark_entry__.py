@@ -7988,6 +7988,62 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overstock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential excess-stock suppliers): suppliers
+    who DOMINATE supply of a red part — their shipped quantity of that
+    part exceeds 10% of everyone's shipped quantity of it — surfaced
+    as Q20's nested-aggregate EXISTS, re-expressed join-first: one
+    (part, supplier) partial-aggregated rollup, a broadcast of the
+    per-part totals back onto it, and a semi-join-free distinct-count
+    per supplier.  TPC-H quantities are integers stored as double, so
+    every sum is exact (< 2^53) and the 10·qty > total threshold is
+    an exact-integer decision — no summation-order sensitivity.
+    Ordered by supplier name (unique)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    rli = li.join(F.broadcast(red), "l_partkey")
+    ps = rli.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty_ps")
+    )
+    pt = rli.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty_p"))
+    dom = ps.join(pt, "l_partkey").filter(
+        F.lit(10.0) * F.col("qty_ps") > F.col("qty_p")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .join(F.broadcast(s), "l_suppkey")
+        .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "n_dominant_parts")
+        .orderBy("s_name")
+    )
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection
+    (operators/forecast.cusum_changepoints, Page 1954): per-event-type
+    cumulative sum of positive deviations of the daily count from the
+    type's mean, reset at zero — reporting the peak statistic and the
+    day it peaked, the "when did this metric start running hot"
+    monitor.  One (type, day) count shuffle, then a bounded in-row
+    fold with the [s, best, best_idx, idx] array accumulator.  Counts
+    are integral doubles, the mean is one exact-sum divide, every step
+    is an identical IEEE chain, and the argmax is earliest-strict-max
+    — the oracle's list_reduce replays it bit-for-bit."""
+    from usearch_spark.operators.forecast import cusum_changepoints
+
+    ev = _events(spark, sf_dir)
+    return cusum_changepoints(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -8075,6 +8131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_winters": q_events_holt_winters,
         "corpus_drift": q_corpus_drift,
         "graph_node2vec": q_graph_node2vec,
+        "overstock_suppliers": q_overstock_suppliers,
+        "events_cusum": q_events_cusum,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -8942,6 +9000,80 @@ def oracle_sql() -> dict[str, str]:
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),
+        "overstock_suppliers": """
+            WITH rli AS (
+                SELECT l_partkey, l_suppkey, l_quantity
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'red%'
+            ),
+            ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_ps
+                FROM rli GROUP BY 1, 2
+            ),
+            pt AS (
+                SELECT l_partkey, sum(l_quantity) AS qty_p
+                FROM rli GROUP BY 1
+            ),
+            dom AS (
+                SELECT ps.l_suppkey
+                FROM ps JOIN pt USING (l_partkey)
+                WHERE CAST(10 AS DOUBLE) * qty_ps > qty_p
+            )
+            SELECT s_suppkey, s_name, count(*) AS n_dominant_parts
+            FROM dom JOIN supplier ON s_suppkey = l_suppkey
+            GROUP BY 1, 2
+            ORDER BY s_name
+        """,
+        "events_cusum": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            seqs AS (
+                SELECT g, list(n ORDER BY d) AS vals,
+                       list(d ORDER BY d) AS days
+                FROM daily GROUP BY g
+            ),
+            m AS (
+                SELECT g, vals, days, len(vals) AS n_days,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                                   (acc, x) -> acc + x)
+                           / CAST(len(vals) AS DOUBLE) AS mu
+                FROM seqs
+            ),
+            -- accumulator is the 4-element LIST [s, best, best_idx, idx]
+            -- (list, not struct: DuckDB 1.0 list_reduce mis-binds struct
+            -- accumulators); s' is recomputed inline exactly as the Spark
+            -- fold does
+            f AS (
+                SELECT g, days, n_days, mu,
+                       list_reduce(
+                           list_prepend(
+                               [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                               list_transform(vals, x -> [x])),
+                           (acc, e) -> [
+                               greatest(CAST(0 AS DOUBLE), acc[1] + (e[1] - mu)),
+                               CASE WHEN greatest(CAST(0 AS DOUBLE),
+                                                  acc[1] + (e[1] - mu)) > acc[2]
+                                    THEN greatest(CAST(0 AS DOUBLE),
+                                                  acc[1] + (e[1] - mu))
+                                    ELSE acc[2] END,
+                               CASE WHEN greatest(CAST(0 AS DOUBLE),
+                                                  acc[1] + (e[1] - mu)) > acc[2]
+                                    THEN acc[4] + CAST(1 AS DOUBLE)
+                                    ELSE acc[3] END,
+                               acc[4] + CAST(1 AS DOUBLE)]) AS st
+                FROM m
+            )
+            SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                   mu AS mean_daily, st[2] AS cusum_max,
+                   CASE WHEN st[2] > CAST(0 AS DOUBLE)
+                        THEN strftime(days[CAST(st[3] AS INTEGER)], '%Y-%m-%d')
+                   END AS change_day
+            FROM f
+        """,
         "supplier_waiting": """
             WITH l AS (
                 SELECT l.l_orderkey, l.l_suppkey,

@@ -254,3 +254,29 @@ def test_holt_winters_periodic_fixpoint_and_python_replay(spark):
     assert irr["level"] == l and irr["trend"] == b
     assert irr["season_last"] == seas[-1]
     assert irr["forecast"] == l + 7.0 * b + seas[-1]
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """Closed-form CUSUM anchors: a 5/day -> 15/day shift halfway
+    through 20 days has mean 10, stays pinned at 0 through the low
+    half, then climbs +5/day to peak 50 on the last day; a constant
+    series never deviates -> max 0 and a NULL change day."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import cusum_changepoints
+
+    rows = []
+    d0 = datetime.date(2024, 3, 1)
+    for t in range(20):
+        rows += [("shift", d0 + datetime.timedelta(days=t))] * (5 if t < 10 else 15)
+        rows += [("flat", d0 + datetime.timedelta(days=t))] * 7
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = {r["g"]: r for r in cusum_changepoints(df, ["g"], F.col("d")).collect()}
+    s = out["shift"]
+    assert s["n_days"] == 20 and s["mean_daily"] == 10.0
+    assert s["cusum_max"] == 50.0
+    assert s["change_day"] == "2024-03-20"
+    f = out["flat"]
+    assert f["cusum_max"] == 0.0 and f["change_day"] is None

@@ -220,3 +220,77 @@ def holt_winters_from_daily(
             + F.element_at(folded, m + 2)
         ).alias("forecast"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+) -> DataFrame:
+    """Per-group one-sided CUSUM drift detection (Page 1954) over daily
+    counts: the cumulative sum of positive deviations from the group
+    mean, reset at zero —
+
+        s_t = max(0, s_{t-1} + (y_t - mean))
+
+    — reporting the peak statistic and the day it peaked (the classic
+    "when did this metric start running hot" monitor).  Same shape as
+    the forecast folds: one partial-aggregated (group, day) count
+    shuffle, then a bounded in-row fold whose accumulator is the
+    4-element array [s, best, best_day_idx, idx].
+
+    Determinism: counts are integral doubles, the mean is one exact
+    integer-sum divide, each fold step is an identical IEEE chain both
+    engines, the argmax takes the EARLIEST strict maximum, and a group
+    that never deviates positively reports a NULL change day."""
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = daily.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["n"].cast("double"))
+    days = F.transform(F.col("seq"), lambda s: s["d"])
+    mu = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x) / F.size(
+        "seq"
+    ).cast("double")
+    per = per.withColumn("_mu", mu).withColumn("_days", days).withColumn("_vals", vals)
+
+    def step(acc, x):
+        s, best = F.element_at(acc, 1), F.element_at(acc, 2)
+        bidx, idx = F.element_at(acc, 3), F.element_at(acc, 4)
+        # s' is re-derived inline (fold lambdas can't bind locals); the
+        # oracle repeats the identical expression
+        sp = F.greatest(F.lit(0.0), s + (x - F.col("_mu")))
+        return F.array(
+            sp,
+            F.when(
+                F.greatest(F.lit(0.0), s + (x - F.col("_mu"))) > best,
+                F.greatest(F.lit(0.0), s + (x - F.col("_mu"))),
+            ).otherwise(best),
+            F.when(
+                F.greatest(F.lit(0.0), s + (x - F.col("_mu"))) > best,
+                idx + F.lit(1.0),
+            ).otherwise(bidx),
+            idx + F.lit(1.0),
+        )
+
+    folded = F.aggregate(
+        F.col("_vals"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        step,
+    )
+    per = per.withColumn("_st", folded)
+    best, bidx = F.element_at("_st", 2), F.element_at("_st", 3)
+    return per.select(
+        *group_cols,
+        F.size("_vals").cast("long").alias("n_days"),
+        F.col("_mu").alias("mean_daily"),
+        best.alias("cusum_max"),
+        F.when(
+            best > F.lit(0.0),
+            F.date_format(
+                F.element_at(F.col("_days"), bidx.cast("int")), "yyyy-MM-dd"
+            ),
+        ).alias("change_day"),
+    )
