@@ -8044,6 +8044,116 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: every purchase is credited to the most
+    recent click/view by the same user within a 24h lookback — the
+    marketing-analytics join done WITHOUT a join: one per-user ordered
+    window over the interleaved event stream carries the latest touch
+    forward (`last(..., ignorenulls)` over rows to 1 PRECEDING — the
+    three carried fields share one frame and one nullity pattern, so
+    they name the same touch row), and the lookback is a post-filter.
+    Single shuffle on user_id; ties at the same microsecond break by
+    event_id; purchases with no in-window touch keep NULL credit.
+    Every value is an integer or string — no float anywhere."""
+    from pyspark.sql import Window
+
+    base = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+    )
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = (
+        base.withColumn(
+            "t_id", F.last(F.when(touch, F.col("event_id")), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "t_ts", F.last(F.when(touch, F.col("ts_us")), ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "t_ty",
+            F.last(F.when(touch, F.col("event_type")), ignorenulls=True).over(w),
+        )
+    )
+    day_us = 86_400_000_000
+    within = F.col("t_ts").isNotNull() & (
+        F.col("ts_us") - F.col("t_ts") <= F.lit(day_us)
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_us").alias("purchase_us"),
+            F.when(within, F.col("t_id")).alias("touch_id"),
+            F.when(within, F.col("t_ty")).alias("touch_type"),
+            F.when(within, F.col("ts_us") - F.col("t_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary): each customer
+    scores 1-4 on each axis by ntile(4) WITHIN THEIR MARKET SEGMENT
+    (segment-partitioned windows with total (metric, custkey) orderings
+    — deterministic tiles, no global window), and cells aggregate to
+    (segment, rfm_cell) counts and monetary totals.  Recency is integer
+    days from the global max order date (broadcast scalar); frequency
+    is an integer count; monetary is an exact DECIMAL(18,2) sum — so
+    every tile assignment is an exact-value sort and the only float ops
+    are the final cast-and-divide."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(_dec("o_totalprice")).alias("mon"),
+    )
+    gmax = o.agg(F.max("last_d").alias("gmax"))
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = (
+        o.crossJoin(F.broadcast(gmax))
+        .withColumn("rec_days", F.datediff("gmax", "last_d"))
+        .join(c, "o_custkey")
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rec_days").desc(), "o_custkey"
+    )
+    wf = Window.partitionBy("c_mktsegment").orderBy("freq", "o_custkey")
+    wm = Window.partitionBy("c_mktsegment").orderBy("mon", "o_custkey")
+    s = j.select(
+        "c_mktsegment",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+        "mon",
+    )
+    return (
+        s.groupBy(
+            "c_mktsegment",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("rfm_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("mon").cast("double").alias("total_monetary"),
+            (
+                F.sum("mon").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_monetary"),
+        )
+        .orderBy("c_mktsegment", "rfm_cell")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -8133,6 +8243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec": q_graph_node2vec,
         "overstock_suppliers": q_overstock_suppliers,
         "events_cusum": q_events_cusum,
+        "events_attribution": q_events_attribution,
+        "customer_rfm": q_customer_rfm,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9073,6 +9185,69 @@ def oracle_sql() -> dict[str, str]:
                         THEN strftime(days[CAST(st[3] AS INTEGER)], '%Y-%m-%d')
                    END AS change_day
             FROM f
+        """,
+        "events_attribution": """
+            WITH base AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+                FROM events
+            ),
+            wnd AS (
+                SELECT user_id, event_id, event_type, ts_us,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_id END IGNORE NULLS)
+                           OVER w AS t_id,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN ts_us END IGNORE NULLS)
+                           OVER w AS t_ts,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_type END IGNORE NULLS)
+                           OVER w AS t_ty
+                FROM base
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us,
+                   CASE WHEN t_ts IS NOT NULL AND ts_us - t_ts <= 86400000000
+                        THEN t_id END AS touch_id,
+                   CASE WHEN t_ts IS NOT NULL AND ts_us - t_ts <= 86400000000
+                        THEN t_ty END AS touch_type,
+                   CASE WHEN t_ts IS NOT NULL AND ts_us - t_ts <= 86400000000
+                        THEN ts_us - t_ts END AS gap_us
+            FROM wnd WHERE event_type = 'purchase'
+            ORDER BY purchase_id
+        """,
+        "customer_rfm": """
+            WITH o AS (
+                SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+                       count(*) AS freq,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+                FROM orders GROUP BY 1
+            ),
+            g AS (SELECT max(last_d) AS gmax FROM o),
+            j AS (
+                SELECT c_mktsegment, o.o_custkey,
+                       datediff('day', last_d, gmax) AS rec_days, freq, mon
+                FROM o CROSS JOIN g
+                JOIN customer ON c_custkey = o_custkey
+            ),
+            s AS (
+                SELECT c_mktsegment,
+                       ntile(4) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY rec_days DESC, o_custkey) AS r,
+                       ntile(4) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY freq, o_custkey) AS f,
+                       ntile(4) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY mon, o_custkey) AS m,
+                       mon
+                FROM j
+            )
+            SELECT c_mktsegment, CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_cell,
+                   count(*) AS n_custs,
+                   CAST(sum(mon) AS DOUBLE) AS total_monetary,
+                   CAST(sum(mon) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avg_monetary
+            FROM s GROUP BY 1, 2
+            ORDER BY c_mktsegment, rfm_cell
         """,
         "supplier_waiting": """
             WITH l AS (
