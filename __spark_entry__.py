@@ -7871,21 +7871,23 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact EDIT-DISTANCE similarity join over document heads
-    (operators/dedup.edit_distance_pairs — Gravano et al. VLDB 2001
-    count filtering): every unordered pair of 64-char document heads
-    within Levenshtein distance 8, found by a positional q-gram
-    count-filter join (q=3) + length filter, with the O(n*d) DP verify
-    paid only by candidates.  The filter is a proven necessary
-    condition, so the oracle is the NAIVE all-pairs truth — any
-    candidate the filter wrongly dropped hash-mismatches.  Distances
-    are exact integers; no float decision anywhere."""
+    (operators/dedup.edit_distance_pairs — the Ed-Join prefix filter,
+    Xiao et al. PVLDB 2008): every unordered pair of 64-char document
+    heads within Levenshtein distance 4, candidates generated from each
+    head's q*d+1 globally-rarest gram-occurrences only (q=5 — the
+    word-salad corpus has a tiny vocabulary, so a larger q widens the
+    gram space and keeps the rare-tail postings short), with the
+    O(n*d) DP verify paid only by candidates.  The prefix filter is a
+    proven necessary condition, so the oracle is the NAIVE all-pairs
+    truth — any candidate the filter wrongly dropped hash-mismatches.
+    Distances are exact integers; no float decision anywhere."""
     from usearch_spark.operators.dedup import edit_distance_pairs
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 64).alias("head")
     )
     return edit_distance_pairs(
-        docs, id_col="doc_id", text_col="head", q=3, max_dist=8
+        docs, id_col="doc_id", text_col="head", q=5, max_dist=4
     ).orderBy("doc_id_a", "doc_id_b")
 
 
@@ -9989,7 +9991,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
             FROM d a JOIN d b ON a.doc_id < b.doc_id
-            WHERE levenshtein(a.head, b.head) <= 8
+            WHERE levenshtein(a.head, b.head) <= 4
             ORDER BY doc_id_a, doc_id_b
         """,
         "events_resample": """

@@ -337,7 +337,7 @@ def _lev(a: str, b: str) -> int:
 
 
 def test_edit_distance_pairs_matches_naive(spark):
-    """Gravano count-filter join == naive all-pairs truth, on a corpus
+    """Ed-Join prefix-filter join == naive all-pairs truth, on a corpus
     of seeded mutations (substitutions/inserts/deletes at distances that
     straddle the threshold) plus SHORT strings that must flow through
     the dense bucket (LB <= 0 path), plus an identical pair."""

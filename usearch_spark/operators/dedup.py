@@ -789,16 +789,23 @@ def edit_distance_pairs(
 ) -> DataFrame:
     """EXACT all-pairs EDIT-DISTANCE join: every unordered pair with
     ``levenshtein(text_a, text_b) <= max_dist``, found without the
-    quadratic verify — the positional-gram COUNT FILTER of Gravano et
-    al. 2001 ("Approximate String Joins in a Database (Almost) for
-    Free", VLDB).  A single edit destroys at most ``q`` of a string's
-    overlapping q-grams, so any pair within distance ``d`` shares at
-    least ``LB = max(n1, n2) - q + 1 - q*d`` q-gram occurrences
-    (multiset semantics); pairs are generated from a gram-postings
-    self-join, reduced by a partial-aggregated min-count sum, and only
-    survivors pay the O(n*d) banded-DP verify.
+    quadratic verify — the PREFIX FILTER of Ed-Join (Xiao, Wang & Lin,
+    PVLDB 2008, building on Gravano et al. 2001's q-gram bound).  A
+    single edit destroys at most ``q`` of a string's overlapping
+    q-grams, so a pair within distance ``d`` shares at least
+    ``LB = max(n1, n2) - q + 1 - q*d`` gram OCCURRENCES (multiset
+    semantics — occurrences are made set-like by tagging each gram with
+    its within-string repeat index).  By the AllPairs/PPJoin prefix
+    lemma, two multisets overlapping in >= LB elements must then share
+    an element among each side's first ``q*d + 1`` elements of ANY
+    common total order — so candidate generation joins ONLY each
+    string's ``q*d + 1`` globally-RAREST gram-occurrences
+    ((df, elem)-ordered), and only candidates pay the O(n*d) banded-DP
+    verify.  Rarity-first ordering is what bounds the join: hub grams
+    (templated/small-vocabulary corpora) sort to the back and never
+    enter a posting list unless a string has nothing rarer.
 
-    Exactness: the count filter is a proven NECESSARY condition, so
+    Exactness: the prefix filter is a proven NECESSARY condition, so
     output is identical to the naive all-pairs join (the oracle runs
     the naive form).  Strings short enough that LB <= 0 for a
     same-length partner — ``n <= q*(d+1) - 1`` — carry no filtering
@@ -806,54 +813,57 @@ def edit_distance_pairs(
     chars at the defaults) short bucket is verified densely via a
     broadcast loop; short-vs-long pairs keep LB > 0 and stay on the
     filtered path.  The length filter ``|n1 - n2| <= d`` (edit distance
-    is at least the length gap) prunes before aggregation.
+    is at least the length gap) prunes candidates at the join.
 
-    Distributed shape at 100 TB: gram postings shuffle once on the gram
-    value; the min-count candidate sum is partial-agg safe; hub grams
-    cost |posting|^2 rows ONLY in the pre-aggregation join — cap them
-    with the same df-quarantine as :func:`substring_containment_pairs`
-    when the corpus is templated (not needed for exactness here, so not
-    defaulted).  Verify touches candidates only.
+    Distributed shape at 100 TB: the element-df count and the per-string
+    rarity ranking are one shuffle each (the ranking window partitions
+    by string id — bounded by grams-per-string); the candidate join
+    touches only prefix postings, whose lists stay short precisely
+    because they hold the rare tail of the df distribution.  Verify
+    touches candidates only.
 
     Output: (id_col + ``_a``, id_col + ``_b``, dist), a < b.
     """
+    from pyspark.sql import Window
+
     s = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s")
     ).withColumn("n", F.length("s"))
     short_max = q * (max_dist + 1) - 1
+    prefix_len = q * max_dist + 1
 
-    grams = (
+    elems = (
         s.filter(F.col("n") >= q)
         .select(
             "id",
             "n",
-            F.explode(
+            F.posexplode(
                 F.expr(f"transform(sequence(1, n - {q} + 1), i -> substring(s, i, {q}))")
-            ).alias("gram"),
+            ).alias("pos", "gram"),
         )
-        .groupBy("id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "occ",
+            F.row_number().over(Window.partitionBy("id", "gram").orderBy("pos")),
+        )
+        .withColumn("elem", F.concat_ws("#", "gram", "occ"))
     )
-    ga = grams.select(
-        F.col("id").alias("a"), F.col("n").alias("n_a"), "gram", F.col("cnt").alias("cnt_a")
+    dfc = elems.groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        elems.join(dfc, "elem")
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("id").orderBy("df", "elem"))
+        )
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "n", "elem")
     )
-    gb = grams.select(
-        F.col("id").alias("b"), F.col("n").alias("n_b"), "gram", F.col("cnt").alias("cnt_b")
-    )
-    lb = F.greatest(F.col("n_a"), F.col("n_b")) - F.lit(q - 1) - F.lit(q * max_dist)
+    pa = prefix.select(F.col("id").alias("a"), F.col("n").alias("n_a"), "elem")
+    pb = prefix.select(F.col("id").alias("b"), F.col("n").alias("n_b"), "elem")
     cand = (
-        ga.join(gb, "gram")
+        pa.join(pb, "elem")
         .filter(
             (F.col("a") < F.col("b"))
             & (F.abs(F.col("n_a") - F.col("n_b")) <= max_dist)
         )
-        .groupBy("a", "b")
-        .agg(
-            F.sum(F.least("cnt_a", "cnt_b")).alias("common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
-        .filter(F.col("common") >= lb)
         .select("a", "b")
     )
     shorts = s.filter(F.col("n") <= short_max)
@@ -874,8 +884,11 @@ def edit_distance_pairs(
     return (
         cands.join(ta, "a")
         .join(tb, "b")
-        .withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_dist)
+        # threshold form = the BANDED O(n*d) DP (returns -1 past the
+        # threshold) — the verify is the hot loop, and the band cuts it
+        # ~n/(2d+1)-fold vs the full matrix
+        .withColumn("dist", F.expr(f"levenshtein(s_a, s_b, {max_dist})"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             F.col("a").alias(f"{id_col}_a"),
             F.col("b").alias(f"{id_col}_b"),
