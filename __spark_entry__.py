@@ -8156,6 +8156,40 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric EVALUATION (operators/evaluate.group_auc): exact
+    per-segment ROC AUC, via the Mann-Whitney U statistic, of account
+    balance as a predictor of "customer has ever ordered" — the
+    validate-your-quality-score step every filtering pipeline needs
+    before trusting a scorer.  Scores are exact integer cents
+    (double→decimal(20,2) rounds identically on both engines), ranks
+    are never materialized per row (one (segment, score) collapse + a
+    running-count window gives midrank blocks), 2·R1 and 2·U1 stay in
+    exact integers, and the single final long→double divide is
+    correctly rounded on both engines — bit-exact by construction."""
+    from usearch_spark.operators.evaluate import group_auc
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(1))
+    )
+    lab = c.join(buyers, "c_custkey", "left").withColumn(
+        "label", F.coalesce("has_order", F.lit(0))
+    )
+    return group_auc(lab, ["c_mktsegment"], "cents", "label").orderBy(
+        "c_mktsegment"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -8247,6 +8281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "events_attribution": q_events_attribution,
         "customer_rfm": q_customer_rfm,
+        "eval_auc": q_eval_auc,
         # --- round-5 remainder ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
@@ -9250,6 +9285,49 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_monetary
             FROM s GROUP BY 1, 2
             ORDER BY c_mktsegment, rfm_cell
+        """,
+        "eval_auc": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT)
+                           AS cents
+                FROM customer
+            ),
+            lab AS (
+                SELECT c_mktsegment, cents,
+                       CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                         WHERE o.o_custkey = c.c_custkey)
+                            THEN 1 ELSE 0 END AS label
+                FROM c
+            ),
+            agg AS (
+                SELECT c_mktsegment, cents, count(*) AS cnt,
+                       CAST(sum(label) AS BIGINT) AS pos
+                FROM lab GROUP BY 1, 2
+            ),
+            rk AS (
+                SELECT c_mktsegment, cnt, pos,
+                       CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment
+                                           ORDER BY cents
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) - cnt
+                            AS BIGINT) AS lower
+                FROM agg
+            ),
+            g AS (
+                SELECT c_mktsegment,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                       CAST(sum(pos * (2 * lower + cnt + 1)) AS BIGINT)
+                           AS two_r1
+                FROM rk GROUP BY 1
+            )
+            SELECT c_mktsegment, n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE)
+                             / CAST(2 * n_pos * n_neg AS DOUBLE)
+                        ELSE NULL END AS auc
+            FROM g ORDER BY c_mktsegment
         """,
         "supplier_waiting": """
             WITH l AS (

@@ -1,0 +1,66 @@
+"""Ranking-metric evaluation: exact Mann-Whitney AUC."""
+
+import itertools
+
+import pytest
+
+
+def _naive_auc(pairs):
+    """AUC = mean over (pos, neg) pairs of 1[sp > sn] + 0.5*1[sp == sn]."""
+    ps = [s for s, y in pairs if y == 1]
+    ns = [s for s, y in pairs if y == 0]
+    if not ps or not ns:
+        return None
+    num = sum(1.0 if sp > sn else 0.5 if sp == sn else 0.0 for sp in ps for sn in ns)
+    return num / (len(ps) * len(ns))
+
+
+def test_group_auc_matches_naive_pairwise(spark):
+    """group_auc == the O(n1*n0) pairwise definition, per group, on a
+    fixture with heavy ties, a perfect ranker, an inverted ranker, and a
+    degenerate all-positive group (NULL auc)."""
+    from usearch_spark.operators.evaluate import group_auc
+
+    rows = []
+    # group A: mixed with ties straddling the labels
+    a = [(10, 1), (10, 0), (8, 1), (7, 0), (7, 1), (7, 0), (3, 0), (3, 1), (1, 0)]
+    # group B: perfect separation -> auc 1.0
+    b = [(9, 1), (8, 1), (2, 0), (1, 0)]
+    # group C: perfectly inverted -> auc 0.0
+    c = [(1, 1), (2, 1), (8, 0), (9, 0)]
+    # group D: all positive -> NULL
+    d = [(5, 1), (6, 1)]
+    for g, data in [("A", a), ("B", b), ("C", c), ("D", d)]:
+        rows += [(g, s, y) for s, y in data]
+    df = spark.createDataFrame(rows, "g string, score long, label int")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in group_auc(df, ["g"], "score", "label").collect()
+    }
+    for g, data in [("A", a), ("B", b), ("C", c), ("D", d)]:
+        n1 = sum(y for _, y in data)
+        n0 = len(data) - n1
+        want = _naive_auc(data)
+        assert got[g][0] == n1 and got[g][1] == n0
+        if want is None:
+            assert got[g][2] is None
+        else:
+            assert got[g][2] == pytest.approx(want, abs=0)  # exact, not approx
+    assert got["B"][2] == 1.0 and got["C"][2] == 0.0
+
+
+def test_group_auc_permutation_invariant(spark):
+    """Row order never changes the result (the rank math is order-free:
+    integer rank-block sums, not a float sweep)."""
+    from usearch_spark.operators.evaluate import group_auc
+
+    data = [(4, 1), (4, 0), (2, 1), (9, 0), (9, 1), (1, 0)]
+    seen = set()
+    for perm in itertools.islice(itertools.permutations(data), 0, 24, 7):
+        df = spark.createDataFrame(
+            [("g", s, y) for s, y in perm], "g string, score long, label int"
+        )
+        r = group_auc(df, ["g"], "score", "label").collect()[0]
+        seen.add((r["n_pos"], r["n_neg"], r["auc"]))
+    assert len(seen) == 1
+    assert next(iter(seen))[2] == pytest.approx(_naive_auc(data), abs=0)
