@@ -8197,72 +8197,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-10 rotation:
-    (1) the two round-9 RED cells (quantile sketch batch + stream, fixed
-    this round — the oracle left a HUGEINT window-sum uncast) re-gate
-    first; (2) the thirteen round-9 queries that have never had a driver
-    gate; (3) the round-4 remainder; (4) the round-5 cohort front — 26
-    fit.  Past the boundary: new round-10 entries (first in line for the
-    round-11 window), the round-5 remainder, then the round-7, round-8
-    and round-9 cohorts in gate order.  Position math:
-    qs.index(name) < 50 is the gated set."""
+    cap sweeps the whole surface across rounds.  Round-11 rotation:
+    (1) the nineteen round-10 queries that have never had a driver gate
+    (sketch_kmv .. eval_auc — graph_node2vec also picked up the
+    multigraph-dedupe fix this round, so its re-gate lands inside the
+    window); (2) the round-5 remainder (23); (3) the round-7 cohort
+    front — 8 fit.  Past the boundary: new round-11 entries (first in
+    line for the round-12 window), the round-7 remainder, then the
+    round-8, round-9 and round-10 cohorts in gate order.  Position
+    math: qs.index(name) < 50 is the gated set."""
     return {
-        # --- changed this round (r9 red cells, oracle HUGEINT fix): re-gate first ---
-        "sketch_quantile_hist": q_sketch_quantile_hist,
-        "sketch_quantile_stream": q_sketch_quantile_stream,
-        # --- new round 9, never driver-gated ---
-        "text_langid": q_text_langid,
-        "sim_ann_stream": q_sim_ann_stream,
-        "corpus_lang_mix": q_corpus_lang_mix,
-        "dedup_spans": q_dedup_spans,
-        "text_nb_classify": q_text_nb_classify,
-        "graph_pagerank_stream": q_graph_pagerank_stream,
-        "layout_zorder": q_layout_zorder,
-        "sample_stream_reservoir": q_sample_stream_reservoir,
-        "sketch_heavy_hitters": q_sketch_heavy_hitters,
-        "sketch_mg_stream": q_sketch_mg_stream,
-        "join_colocated": q_join_colocated,
-        "sketch_hll_stream": q_sketch_hll_stream,
-        "sketch_bloom_stream": q_sketch_bloom_stream,
-        # --- round-4 remainder (last gated r04) ---
-        "search_bm25": q_search_bm25,
-        "graph_degrees": q_graph_degrees,
-        "graph_triangles": q_graph_triangles,
-        "retention_cohorts": q_retention_cohorts,
-        "events_moving_avg": q_events_moving_avg,
-        "customer_order_counts": q_customer_order_counts,
-        "idle_customers": q_idle_customers,
-        "text_readability": q_text_readability,
-        "events_gap_stats": q_events_gap_stats,
-        # --- round-5 cohort (first 26 fit) ---
-        "sessionize_stateful": q_sessionize_stateful,
-        "graph_coreness": q_graph_coreness,
-        "dedup_eval_sampled": q_dedup_eval_sampled,
-        "bpe_vocab": q_bpe_vocab,
-        "graph_sssp_weighted": q_graph_sssp_weighted,
-        "sketch_cms_users": q_sketch_cms_users,
-        "sketch_bloom_prune": q_sketch_bloom_prune,
-        "bpe_encode": q_bpe_encode,
-        "graph_adamic_adar": q_graph_adamic_adar,
-        "events_ewma": q_events_ewma,
-        "graph_sssp_dist": q_graph_sssp_dist,
-        "graph_coloring_dist": q_graph_coloring_dist,
-        "graph_hits_dist": q_graph_hits_dist,
-        "graph_components_dist": q_graph_components_dist,
-        "graph_components_star": q_graph_components_star,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "graph_matching": q_graph_matching,
-        "graph_coarsen": q_graph_coarsen,
-        "customer_churn_set": q_customer_churn_set,
-        "events_interval_join_stream": q_events_interval_join_stream,
-        "graph_coarsen_levels": q_graph_coarsen_levels,
-        "dormant_capital": q_dormant_capital,
-        "embedding_pca": q_embedding_pca,
-        "embedding_pca_scores": q_embedding_pca_scores,
-        "embedding_pca2": q_embedding_pca2,
-        "branded_or_revenue": q_branded_or_revenue,
-        # ---------- 50-entry window boundary (round 10) ----------
-        # --- new round 10 entries land here (first in line for the r11 window) ---
+        # --- new round 10, never driver-gated: gate first ---
         "sketch_kmv": q_sketch_kmv,
         "sketch_kmv_intersect": q_sketch_kmv_intersect,
         "sketch_kmv_stream": q_sketch_kmv_stream,
@@ -8282,7 +8227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "customer_rfm": q_customer_rfm,
         "eval_auc": q_eval_auc,
-        # --- round-5 remainder ---
+        # --- round-5 remainder (23) ---
         "important_suppliers": q_important_suppliers,
         "graph_ktruss": q_graph_ktruss,
         "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -8306,7 +8251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_rate": q_events_error_rate,
         "discount_bands": q_discount_bands,
         "supplier_reach": q_supplier_reach,
-        # --- round-7 cohort ---
+        # --- round-7 cohort front (8 fit) ---
         "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
         "graph_partition_kway": q_graph_partition_kway,
         "graph_hyperball": q_graph_hyperball,
@@ -8315,6 +8260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_pruned": q_events_partition_pruned,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "graph_densest": q_graph_densest,
+        # ---------- 50-entry window boundary (round 11) ----------
+        # --- new round 11 entries land here (first in line for the r12 window) ---
+        # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -8453,6 +8401,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "column_profile": q_column_profile,
         "range_join": q_range_join,
+        # --- round-10 gated cohort (freshest gate) ---
+        "sketch_quantile_hist": q_sketch_quantile_hist,
+        "sketch_quantile_stream": q_sketch_quantile_stream,
+        "text_langid": q_text_langid,
+        "sim_ann_stream": q_sim_ann_stream,
+        "corpus_lang_mix": q_corpus_lang_mix,
+        "dedup_spans": q_dedup_spans,
+        "text_nb_classify": q_text_nb_classify,
+        "graph_pagerank_stream": q_graph_pagerank_stream,
+        "layout_zorder": q_layout_zorder,
+        "sample_stream_reservoir": q_sample_stream_reservoir,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_mg_stream": q_sketch_mg_stream,
+        "join_colocated": q_join_colocated,
+        "sketch_hll_stream": q_sketch_hll_stream,
+        "sketch_bloom_stream": q_sketch_bloom_stream,
+        "search_bm25": q_search_bm25,
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "retention_cohorts": q_retention_cohorts,
+        "events_moving_avg": q_events_moving_avg,
+        "customer_order_counts": q_customer_order_counts,
+        "idle_customers": q_idle_customers,
+        "text_readability": q_text_readability,
+        "events_gap_stats": q_events_gap_stats,
+        "sessionize_stateful": q_sessionize_stateful,
+        "graph_coreness": q_graph_coreness,
+        "dedup_eval_sampled": q_dedup_eval_sampled,
+        "bpe_vocab": q_bpe_vocab,
+        "graph_sssp_weighted": q_graph_sssp_weighted,
+        "sketch_cms_users": q_sketch_cms_users,
+        "sketch_bloom_prune": q_sketch_bloom_prune,
+        "bpe_encode": q_bpe_encode,
+        "graph_adamic_adar": q_graph_adamic_adar,
+        "events_ewma": q_events_ewma,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "graph_coloring_dist": q_graph_coloring_dist,
+        "graph_hits_dist": q_graph_hits_dist,
+        "graph_components_dist": q_graph_components_dist,
+        "graph_components_star": q_graph_components_star,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "graph_matching": q_graph_matching,
+        "graph_coarsen": q_graph_coarsen,
+        "customer_churn_set": q_customer_churn_set,
+        "events_interval_join_stream": q_events_interval_join_stream,
+        "graph_coarsen_levels": q_graph_coarsen_levels,
+        "dormant_capital": q_dormant_capital,
+        "embedding_pca": q_embedding_pca,
+        "embedding_pca_scores": q_embedding_pca_scores,
+        "embedding_pca2": q_embedding_pca2,
+        "branded_or_revenue": q_branded_or_revenue,
     }
 
 

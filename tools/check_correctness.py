@@ -60,6 +60,12 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must FAIL, not silently filter to zero queries —
+        # "0 failures" on a misspelled query reads as a pass
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

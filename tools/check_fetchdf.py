@@ -90,9 +90,19 @@ def main() -> int:
     spark = get_spark("fetchdf", cpus=8, shuffle_partitions=8)
     qs = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must FAIL, not silently filter to zero queries
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name not in oracles:
+            # rows-only queries (streaming/stateful) have no oracle_sql —
+            # a full sweep must skip them like check_correctness.py does,
+            # not report a KeyError as an oracle FAIL
             continue
         t0 = time.time()
         try:

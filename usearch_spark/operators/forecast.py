@@ -66,7 +66,7 @@ def holt_from_daily(
     streaming daily rollup merged by count addition feeds this
     unchanged, since integer addition commutes with the fold's input)."""
     for p in (alpha, beta):
-        assert p == float.fromhex(float(p).hex()) and (p * 1024) == int(p * 1024), (
+        assert (p * 1024) == int(p * 1024), (
             "alpha/beta must be exact binary fractions (k/1024) for the "
             "cross-engine determinism contract"
         )

@@ -118,9 +118,16 @@ def node2vec_walks(
     """
     from pyspark.sql import Window
 
-    nbr = edges.select(
-        F.col("src").alias("n_src"), F.col("dst").alias("n_dst")
-    ).localCheckpoint(eager=True)
+    # multigraph input would break the interval sampler: duplicate
+    # (src,dst) rows get tied cumulative-sum intervals, the draw matches
+    # both, and the walk forks — dedupe edges (and starts, whose
+    # duplicates would mix candidate sets in the per-start window)
+    nbr = (
+        edges.select(F.col("src").alias("n_src"), F.col("dst").alias("n_dst"))
+        .dropDuplicates(["n_src", "n_dst"])
+        .localCheckpoint(eager=True)
+    )
+    starts = starts.select(id_col).dropDuplicates([id_col])
     deg = nbr.groupBy(F.col("n_src").alias("d_src")).agg(
         F.count(F.lit(1)).alias("deg")
     )
