@@ -8190,6 +8190,208 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast BACKTEST with MASE
+    (operators/forecast.holt_backtest — Hyndman & Koehler 2006): for
+    each event type, the Holt model is re-fit on the series strictly
+    before each of the last 7 days, its one-step forecast is scored
+    against the actual, and the MAE is scaled by the seasonal-naive
+    (y_t = y_{t-7}) MAE over the same origins — MASE < 1 means the
+    forecaster earns its keep.  One partial-aggregated (type, day)
+    count shuffle does the corpus-sized work; the 7 refits are bounded
+    in-row folds over prefixes of the day array.  The oracle unrolls
+    the identical 7 IEEE fold chains with list_reduce (errors summed
+    in origin order, one divide per mean) — bit-exact end to end."""
+    from usearch_spark.operators.forecast import holt_backtest
+
+    ev = _events(spark, sf_dir)
+    return holt_backtest(
+        ev.select("event_type", "ts"),
+        ["event_type"],
+        F.to_date("ts"),
+        alpha=0.5,
+        beta=0.25,
+        n_origins=7,
+        m=7,
+    )
+
+
+def q_eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality EVALUATION (operators/evaluate.ann_recall_at_k):
+    recall@10 of the IVF retrieval path (2-of-8 probed cells, the exact
+    sim_ann_ivf quantizer chain) against the brute-force cosine truth,
+    over a 16-query sample — the ANN-benchmarks metric a pipeline
+    checks before trusting an index for semantic dedup.  The truth pass
+    is one corpus scan fused over the broadcast query sample; the ANN
+    pass reads only probed cells; per-query top-k windows partition by
+    query id.  The oracle replays quantizer training, assignment, the
+    probe choice, both top-k's, and the integer hit count end-to-end."""
+    from usearch_spark.operators.evaluate import ann_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_recall_at_k(
+        emb, n_queries=16, k=10, n_clusters=8, n_probe=2
+    ).orderBy("qid")
+
+
+def _ann_recall_oracle_sql(
+    n_clusters: int = 8, n_probe: int = 2, k: int = 10, n_queries: int = 16
+) -> str:
+    """Full replay of the recall@k eval: the deterministic 2-iteration
+    k-means (the _ann_ivf_oracle_sql chain verbatim), per-query probe
+    choice, all query-corpus cosines computed once (dot / (na * nq) —
+    the Spark cosine() operand order), the exact and probed top-k's,
+    and the per-query integer hit count closed by one divide by k."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters})
+        ),
+        c0 AS (SELECT s.cid, e.i, e.x FROM e JOIN seeds s USING (vec_id)),
+        d1 AS (
+            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+            FROM e JOIN c0 c USING (i) GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        c1 AS MATERIALIZED (
+            SELECT a1.cid, e.i, round(avg(e.x), 6) AS x
+            FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS dist
+            FROM e JOIN c1 c USING (i) GROUP BY 1, 2
+        ),
+        a2 AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        qe AS (SELECT vec_id AS qid, i, x FROM e WHERE vec_id < {n_queries}),
+        dq AS (
+            SELECT qe.qid, c.cid, sum((qe.x - c.x) * (qe.x - c.x)) AS d
+            FROM c1 c JOIN qe ON c.i = qe.i GROUP BY 1, 2
+        ),
+        pr AS (
+            SELECT qid, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+                FROM dq
+            ) WHERE rn <= {n_probe}
+        ),
+        nq AS (SELECT qid, sqrt(sum(x * x)) AS nq FROM qe GROUP BY qid),
+        dots AS MATERIALIZED (
+            SELECT qe.qid, e.vec_id, sum(e.x * qe.x) AS dot,
+                   sqrt(sum(e.x * e.x)) AS na
+            FROM e JOIN qe USING (i)
+            WHERE e.vec_id <> qe.qid
+            GROUP BY 1, 2
+        ),
+        cos AS MATERIALIZED (
+            SELECT d.qid, d.vec_id, d.dot / (d.na * nq.nq) AS c
+            FROM dots d JOIN nq USING (qid)
+        ),
+        truth AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn
+                FROM cos
+            ) WHERE rn <= {k}
+        ),
+        annk AS (
+            SELECT qid, vec_id FROM (
+                SELECT cos.qid, cos.vec_id,
+                       row_number() OVER (PARTITION BY cos.qid ORDER BY cos.c DESC, cos.vec_id) AS rn
+                FROM cos
+                JOIN a2 ON a2.vec_id = cos.vec_id
+                JOIN pr ON pr.qid = cos.qid AND pr.cid = a2.cid
+            ) WHERE rn <= {k}
+        )
+        SELECT t.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+               CAST(count(a.vec_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall_at_k
+        FROM truth t
+        LEFT JOIN annk a ON a.qid = t.qid AND a.vec_id = t.vec_id
+        GROUP BY t.qid
+        ORDER BY t.qid
+    """
+
+
+def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
+    """Unrolled rolling-origin Holt backtest replay: per origin h the
+    fold runs over the day-list prefix ending at o = len - (n_origins +
+    1 - h) (list-accumulator fold — the _holt_oracle_sql chain), the
+    one-step error is |(l + b) - vals[o+1]|, the seasonal-naive error
+    |vals[o+1] - vals[o+1-m]|; both means are origin-ordered
+    left-associated sums closed by one CAST-to-DOUBLE divide, matching
+    the Spark chain bit-for-bit."""
+    assert m >= 2, "prefix slice from index 3 needs every origin o >= 2"
+    folds, errs, nvs = [], [], []
+    for h in range(1, n_origins + 1):
+        kk = n_origins + 1 - h  # o = len(vals) - kk
+        folds.append(f"""
+                       list_reduce(
+                           list_prepend(
+                               [vals[2], vals[2] - vals[1]],
+                               list_transform(list_slice(vals, 3, len(vals) - {kk}),
+                                   x -> [x, CAST(0 AS DOUBLE)])),
+                           (acc, e) -> [
+                               CAST(0.5 AS DOUBLE) * e[1]
+                                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                               CAST(0.25 AS DOUBLE)
+                                   * (CAST(0.5 AS DOUBLE) * e[1]
+                                      + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                                      - acc[1])
+                                   + CAST(0.75 AS DOUBLE) * acc[2]]) AS st{h}""")
+        errs.append(
+            f"abs(st{h}[1] + st{h}[2] - vals[len(vals) - {n_origins - h}]) AS e{h}"
+        )
+        nvs.append(
+            f"abs(vals[len(vals) - {n_origins - h}] "
+            f"- vals[len(vals) - {n_origins - h + m}]) AS v{h}"
+        )
+    esum = " + ".join(f"e{h}" for h in range(1, n_origins + 1))
+    vsum = " + ".join(f"v{h}" for h in range(1, n_origins + 1))
+    hd = f"CAST({n_origins} AS DOUBLE)"
+    min_len = n_origins + max(m, 2)
+    fold_list = ",".join(folds)
+    err_list = ",\n                       ".join(errs + nvs)
+    return f"""
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            seqs AS (SELECT g, list(n ORDER BY d) AS vals FROM daily GROUP BY g),
+            f AS (
+                SELECT g, len(vals) AS n_days, vals,
+                       {fold_list}
+                FROM seqs WHERE len(vals) >= {min_len}
+            ),
+            err AS (
+                SELECT g, n_days,
+                       {err_list}
+                FROM f
+            )
+            SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+                   CAST({n_origins} AS BIGINT) AS n_origins,
+                   round(({esum}) / {hd}, 6) AS mae_model,
+                   round(({vsum}) / {hd}, 6) AS mae_naive,
+                   CASE WHEN ({vsum}) / {hd} > CAST(0 AS DOUBLE)
+                        THEN round((({esum}) / {hd}) / (({vsum}) / {hd}), 6)
+                   END AS mase
+            FROM err
+        """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -8262,6 +8464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_densest": q_graph_densest,
         # ---------- 50-entry window boundary (round 11) ----------
         # --- new round 11 entries land here (first in line for the r12 window) ---
+        "eval_forecast_backtest": q_eval_forecast_backtest,
+        "eval_recall_at_k": q_eval_recall_at_k,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9145,6 +9349,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ag
         """,
         "events_holt": _holt_oracle_sql(),
+        "eval_forecast_backtest": _holt_backtest_oracle_sql(n_origins=7, m=7),
+        "eval_recall_at_k": _ann_recall_oracle_sql(
+            n_clusters=8, n_probe=2, k=10, n_queries=16
+        ),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -64,3 +64,49 @@ def test_group_auc_permutation_invariant(spark):
         seen.add((r["n_pos"], r["n_neg"], r["auc"]))
     assert len(seen) == 1
     assert next(iter(seen))[2] == pytest.approx(_naive_auc(data), abs=0)
+
+
+def test_ann_recall_full_probe_is_perfect(spark):
+    """With n_probe == n_clusters every inverted list is scanned, so the
+    ANN top-k IS the brute-force top-k and recall@k == 1.0 for every
+    query — the eval's hard upper anchor (mirrors sim_ann_ivf_full)."""
+    import hashlib
+
+    from usearch_spark.operators.evaluate import ann_recall_at_k
+
+    def vec(i):
+        h = hashlib.md5(str(i).encode()).digest()
+        return [float(b) / 255.0 + 0.01 for b in h]
+
+    rows = [(i, vec(i)) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_recall_at_k(
+        emb, n_queries=6, k=5, n_clusters=4, n_probe=4
+    ).collect()
+    assert len(out) == 6
+    assert all(r["n_hits"] == 5 and r["recall_at_k"] == 1.0 for r in out)
+
+
+def test_ann_recall_partial_probe_bounded_and_planted_clusters(spark):
+    """(1) recall is in [0, 1] with n_hits <= k under a partial probe;
+    (2) on two well-separated planted clusters with queries from each,
+    a 1-of-2 probe still achieves perfect recall because each query's
+    true neighbors share its cell."""
+    from usearch_spark.operators.evaluate import ann_recall_at_k
+
+    rows = []
+    for i in range(30):
+        base = [10.0, 0.0] if i % 2 == 0 else [0.0, 10.0]
+        # small deterministic within-cluster jitter, separation >> jitter
+        rows.append(
+            (i, [base[0] + (i % 7) * 0.01, base[1] + (i % 5) * 0.01, 1.0, 0.5])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_recall_at_k(
+        emb, n_queries=4, k=3, n_clusters=2, n_probe=1
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0 <= r["n_hits"] <= 3
+        assert r["recall_at_k"] == r["n_hits"] / 3.0
+        assert r["recall_at_k"] == 1.0  # planted separation: same-cell truth

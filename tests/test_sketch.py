@@ -280,3 +280,63 @@ def test_cusum_detects_planted_level_shift(spark):
     assert s["change_day"] == "2024-03-20"
     f = out["flat"]
     assert f["cusum_max"] == 0.0 and f["change_day"] is None
+
+
+def test_holt_backtest_linear_series_and_python_replay(spark):
+    """Two anchors for the rolling-origin backtest: (1) on an exactly
+    linear series every Holt refit is exact, so mae_model == 0 and
+    mase == 0 while the seasonal-naive error is exactly 7*slope;
+    (2) an irregular integer series matches a pure-Python replay of the
+    identical IEEE chain; (3) groups shorter than n_origins + m days
+    are excluded."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import holt_backtest
+
+    irregular = [9, 3, 14, 7, 7, 11, 2, 10, 4, 13, 8, 6, 12, 3, 9, 9, 15, 1]
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for t in range(16):
+        rows += [("lin", d0 + datetime.timedelta(days=t))] * (10 + 3 * t)
+    for t, y in enumerate(irregular):
+        rows += [("irr", d0 + datetime.timedelta(days=t))] * y
+    for t in range(10):  # too short: < 7 + 7 days
+        rows += [("short", d0 + datetime.timedelta(days=t))] * 5
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = {
+        r["g"]: r
+        for r in holt_backtest(
+            df, ["g"], F.col("d"), n_origins=7, m=7
+        ).collect()
+    }
+    assert "short" not in out
+    lin = out["lin"]
+    assert lin["n_days"] == 16 and lin["n_origins"] == 7
+    assert lin["mae_model"] == 0.0
+    assert lin["mae_naive"] == 21.0  # |y_t - y_{t-7}| == 7 * slope
+    assert lin["mase"] == 0.0
+
+    def fold(vals):
+        l, b = vals[1], vals[1] - vals[0]
+        for y in vals[2:]:
+            l2 = 0.5 * y + 0.5 * (l + b)
+            b2 = 0.25 * (0.5 * y + 0.5 * (l + b) - l) + 0.75 * b
+            l, b = l2, b2
+        return l, b
+
+    vals = [float(y) for y in irregular]
+    T, H, m = len(vals), 7, 7
+    es, vs = 0.0, 0.0
+    for h in range(1, H + 1):
+        o = T - (H + 1 - h)  # train on vals[:o], predict vals[o]
+        l, b = fold(vals[:o])
+        es = es + abs(l + b - vals[o])
+        vs = vs + abs(vals[o] - vals[o - m])
+    import pytest as _pt
+
+    irr = out["irr"]
+    assert irr["mae_model"] == _pt.approx(es / 7.0, abs=2e-6)
+    assert irr["mae_naive"] == _pt.approx(vs / 7.0, abs=2e-6)
+    assert irr["mase"] == _pt.approx((es / 7.0) / (vs / 7.0), abs=2e-6)

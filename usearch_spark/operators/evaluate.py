@@ -81,3 +81,108 @@ def group_auc(
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF approximate-nearest-neighbor path against the
+    exact cosine ground truth — the eval that decides whether an ANN
+    index's n_probe budget is good enough before a pipeline trusts it
+    for semantic dedup / retrieval (the standard ANN-benchmarks metric).
+
+    The first ``n_queries`` vectors play the query sample.  Ground
+    truth is the exact brute-force cosine top-k over the corpus
+    (excluding self); the ANN side replays the IVF retrieval exactly as
+    ``sim_ann_ivf`` serves it — the deterministic fixed-iteration
+    k-means coarse quantizer (clustering.kmeans_centroids: smallest-k
+    init, round-6 means, ties to lower cid), nearest-``n_probe``-cell
+    probing per query, cosine top-k among the probed candidates.
+    recall@k = |truth ∩ approx| / k per query.
+
+    Distributed shape at 100 TB: the quantizer/assignment is the IVF
+    build itself (broadcast k-row centroids, one partial-agg shuffle
+    per Lloyd step); the truth pass is ONE corpus scan fused over all
+    ``n_queries`` broadcast queries (the eval's inherent exact-scan
+    cost — bounded by the query-sample size, not corpus²); the ANN
+    pass touches only probed cells.  Per-query top-k windows partition
+    by query id — never global.  No UDFs, no driver collects.
+
+    Determinism: every discrete decision (cell assignment, probe
+    choice, top-k membership) orders by a deterministically-derived
+    score with full tie-breaks, and the hit count is exact-integer with
+    ONE final divide by k — the gate-proven sim_ann_ivf contract
+    extended to a query sample.
+    """
+    from usearch_spark.operators.clustering import (
+        _as_vecs,
+        _dist2,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+    from usearch_spark.operators.similarity import cosine
+
+    vecs = _as_vecs(emb, id_col, vec_col)
+    cent = kmeans_centroids(
+        emb, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = kmeans_assign(vecs, cent).select("vec_id", "cid")
+    q = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("varr").alias("qarr")
+    )
+    # probe choice: n_probe nearest centroids per query (same squared-L2
+    # fold and (dist, cid) tie-break as the assignment)
+    pj = (
+        q.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cent.withColumn("_one", F.lit(1))), "_one")
+        .drop("_one")
+        .select("qid", "cid", _dist2(F.col("qarr"), F.col("carr")).alias("dq"))
+    )
+    wp = Window.partitionBy("qid").orderBy("dq", "cid")
+    probe = (
+        pj.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "cid")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("c").desc(), "vec_id")
+    cand = (
+        F.broadcast(probe)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    ann = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", cosine(F.col("varr"), F.col("qarr")).alias("c"))
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id")
+    )
+    truth = (
+        vecs.withColumn("_one", F.lit(1))
+        .join(F.broadcast(q.withColumn("_one", F.lit(1))), "_one")
+        .drop("_one")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("varr"), F.col("qarr")).alias("c"))
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return (
+        truth.join(ann.withColumn("_hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )

@@ -29,6 +29,8 @@ textbook l_2 = y_2, b_2 = y_2 − y_1, folding from y_3 (groups need
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +105,111 @@ def holt_from_daily(
             folded["b"].alias("trend"),
             (folded["l"] + F.lit(float(horizon)) * folded["b"]).alias("forecast"),
         )
+    )
+
+
+def holt_backtest(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    n_origins: int = 7,
+    m: int = 7,
+) -> DataFrame:
+    """Rolling-origin one-step-ahead BACKTEST of the Holt forecaster with
+    MASE against the seasonal-naive baseline — the evaluation a pipeline
+    runs before trusting :func:`holt_forecast` to monitor a metric
+    stream (Hyndman & Koehler 2006: MASE < 1 means the model beats the
+    naive y_t = y_{t-m} predictor on the held-out points).
+
+    For each of the last ``n_origins`` days, the Holt recurrence is
+    re-fit on the series STRICTLY BEFORE that day (textbook init
+    l_2 = y_2, b_2 = y_2 - y_1, fold from y_3 — the exact
+    :func:`holt_from_daily` chain) and its one-step forecast
+    ``l + b`` is scored against the actual; the seasonal-naive error
+    at the same origin is ``|y_t - y_{t-m}|``.  Reported per group:
+
+        mae_model = mean over origins of |forecast - actual|
+        mae_naive = mean over origins of |y_t - y_{t-m}|
+        mase      = mae_model / mae_naive   (NULL when the naive
+                    errors are all zero)
+
+    Distributed shape: identical to the forecast folds — ONE
+    partial-aggregated (group, day) count shuffle does the corpus-sized
+    work; the ``n_origins`` refits are bounded in-row ``F.aggregate``
+    folds over prefixes of the day array (|groups| rows in flight, no
+    window over raw events, no UDF, nothing on the driver).  At 100 TB
+    the refit cost is |groups| * n_origins * |days| fused multiply-adds
+    — dimension-sized.
+
+    Determinism: alpha/beta must be exact binary fractions (asserted);
+    every fold step, the error |(l + b) - y|, and the two mean divides
+    are identical IEEE chains both engines (errors summed in origin
+    order, one divide per mean, one divide for the ratio), so a SQL
+    oracle unrolling the same ``n_origins`` folds replays the result
+    bit-for-bit.  Groups shorter than ``n_origins + max(m, 2)`` days
+    are excluded by both engines (every origin needs a >= 2-point
+    training prefix and a t-m actual).
+    """
+    for p in (alpha, beta):
+        assert (p * 1024) == int(p * 1024), (
+            "alpha/beta must be exact binary fractions (k/1024) for the "
+            "cross-engine determinism contract"
+        )
+    assert n_origins >= 1 and m >= 1
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = daily.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    )
+    min_len = n_origins + max(m, 2)
+    per = per.filter(F.size("seq") >= min_len)
+    vals = F.transform(F.col("seq"), lambda s: s["n"].cast("double"))
+    per = per.withColumn("_vals", vals)
+    v = F.col("_vals")
+    a, b1 = F.lit(float(alpha)), F.lit(float(beta))
+
+    def step(acc, x):
+        lv = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        # l' is written out twice (fold lambdas can't bind locals); the
+        # oracle repeats the identical expression — same bits either way
+        return F.struct(
+            lv.alias("l"),
+            (
+                b1 * (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"]) - acc["l"])
+                + (F.lit(1.0) - b1) * acc["b"]
+            ).alias("b"),
+        )
+
+    y1, y2 = F.element_at(v, 1), F.element_at(v, 2)
+    errs, naives = [], []
+    for h in range(1, n_origins + 1):
+        # train on vals[1..o], predict index o+1 (1-based); the last
+        # origin (h = n_origins) predicts the final day of the series
+        o = F.size("_vals") - F.lit(n_origins + 1 - h)
+        folded = F.aggregate(
+            F.slice(v, 3, o - F.lit(2)),
+            F.struct(y2.alias("l"), (y2 - y1).alias("b")),
+            step,
+        )
+        actual = F.element_at(v, o + F.lit(1))
+        errs.append(F.abs(folded["l"] + folded["b"] - actual))
+        naives.append(F.abs(actual - F.element_at(v, o + F.lit(1 - m))))
+
+    hd = F.lit(float(n_origins))
+    mae_model = reduce(lambda x, y: x + y, errs) / hd
+    mae_naive = reduce(lambda x, y: x + y, naives) / hd
+    return per.select(
+        *group_cols,
+        F.size("_vals").cast("long").alias("n_days"),
+        F.lit(n_origins).cast("long").alias("n_origins"),
+        F.round(mae_model, 6).alias("mae_model"),
+        F.round(mae_naive, 6).alias("mae_naive"),
+        F.when(mae_naive > F.lit(0.0), F.round(mae_model / mae_naive, 6)).alias(
+            "mase"
+        ),
     )
 
 
