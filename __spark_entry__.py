@@ -6188,11 +6188,23 @@ def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -
             ) GROUP BY s, id
         )"""
         )
+    # exact fixed-point (the harmonic_centrality recipe): integer
+    # numerator Σ L/d with L = lcm(1..rounds), 6dp half-up quantization
+    # in pure integer arithmetic, one BIGINT->DOUBLE cast + one divide
+    lcm_val = 1
+    for i in range(2, rounds + 1):
+        from math import gcd
+
+        lcm_val = lcm_val * i // gcd(lcm_val, i)
     parts.append(
         f"""
         SELECT v.id,
-               coalesce(round(sum(CASE WHEN d.dist > 0
-                                       THEN CAST(1.0 AS DOUBLE) / d.dist END), 6), 0.0) AS harmonic,
+               coalesce(
+                   CAST(CAST((sum(CASE WHEN d.dist > 0
+                                       THEN {lcm_val} // d.dist END)
+                              * 2000000 + {lcm_val}) // {2 * lcm_val}
+                        AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE),
+                   0.0) AS harmonic,
                count(CASE WHEN d.dist > 0 THEN 1 END) AS n_reached
         FROM verts v LEFT JOIN d{rounds} d ON d.id = v.id
         GROUP BY v.id
@@ -8383,10 +8395,10 @@ def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
             )
             SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
                    CAST({n_origins} AS BIGINT) AS n_origins,
-                   round(({esum}) / {hd}, 6) AS mae_model,
-                   round(({vsum}) / {hd}, 6) AS mae_naive,
+                   ({esum}) / {hd} AS mae_model,
+                   ({vsum}) / {hd} AS mae_naive,
                    CASE WHEN ({vsum}) / {hd} > CAST(0 AS DOUBLE)
-                        THEN round((({esum}) / {hd}) / (({vsum}) / {hd}), 6)
+                        THEN (({esum}) / {hd}) / (({vsum}) / {hd})
                    END AS mase
             FROM err
         """

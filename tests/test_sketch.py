@@ -337,6 +337,7 @@ def test_holt_backtest_linear_series_and_python_replay(spark):
     import pytest as _pt
 
     irr = out["irr"]
-    assert irr["mae_model"] == _pt.approx(es / 7.0, abs=2e-6)
-    assert irr["mae_naive"] == _pt.approx(vs / 7.0, abs=2e-6)
-    assert irr["mase"] == _pt.approx((es / 7.0) / (vs / 7.0), abs=2e-6)
+    # raw doubles out: the Python replay IS the identical IEEE chain
+    assert irr["mae_model"] == _pt.approx(es / 7.0, abs=1e-12)
+    assert irr["mae_naive"] == _pt.approx(vs / 7.0, abs=1e-12)
+    assert irr["mase"] == _pt.approx((es / 7.0) / (vs / 7.0), abs=1e-12)

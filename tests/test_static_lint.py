@@ -109,6 +109,25 @@ def test_no_shadowed_defs_or_unused_imports(path):
 # through log2(1.0) == 0.0; a missing side is a CASE literal), so it
 # never sits on a rounding boundary either; terms sum as exact decimals
 # and the top-n ranking uses an exact-decimal key, not the floats.
+#
+# Round-11 shrink audit (harmonic_centrality CONVERTED to the exact
+# integer fixed-point recipe — Σ lcm/d numerator, integer half-up
+# quantization, one cast + one divide — and removed).  The survivors
+# are irreducible, each for one of three reviewed reasons:
+#   (a) transcendental log-of-ratio weights rounded far above ulp, on
+#       identical operand chains both engines (corpus_js_drift,
+#       trigram/bigram/unigram_logprob, winnow_pairs,
+#       repetition_signals, and tfidf_cosine_pairs /
+#       more_like_this whose flagged round is the idf weight
+#       round(tf·ln(1+(N-df+.5)/(df+.5)), 8) — the log can't be made
+#       integer);
+#   (b) rounds whose pre-round quotient is ALREADY bit-identical
+#       (exact-decimal numerators / correctly-rounded sqrt chains:
+#       tfidf_cosine_pairs' cosine, zipf_fit's intercept) — the round
+#       is belt-and-braces, not a boundary decision;
+#   (c) quantize_int8, where round(val·127/scale) IS the operator's
+#       semantic and val·127 (float32 mantissa + 7 bits) and scale are
+#       exact doubles, so the single divide is bit-identical.
 ROUND_OVER_DIV_ALLOWED = {
     ("usearch_spark/operators/text_analysis.py", "corpus_js_drift"),
     ("usearch_spark/operators/text_analysis.py", "trigram_logprob"),
@@ -120,7 +139,6 @@ ROUND_OVER_DIV_ALLOWED = {
     ("usearch_spark/operators/text_analysis.py", "unigram_logprob"),
     ("usearch_spark/operators/text_analysis.py", "bigram_logprob"),
     ("usearch_spark/operators/text_analysis.py", "zipf_fit"),
-    ("usearch_spark/plans/graph_stats.py", "harmonic_centrality"),
 }
 
 

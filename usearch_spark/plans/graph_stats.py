@@ -1101,7 +1101,7 @@ def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> Data
             offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
             return starts + offs
 
-        harmonic = np.zeros(nv)
+        hnum = np.zeros(nv, dtype="int64")  # Σ L/d — exact integer units
         reached = np.zeros(nv, dtype="int64")
         bc = np.zeros(nv)
         for s in srcs:
@@ -1131,7 +1131,7 @@ def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> Data
                 frontier = newly
                 levels.append(newly)
             hit = dist > 0
-            harmonic[hit] += 1.0 / dist[hit]
+            hnum[hit] += lcm_val // dist[hit]
             reached += hit.astype("int64")
             if mode == "betweenness":
                 delta = np.zeros(nv)
@@ -1149,22 +1149,54 @@ def _local_bfs_frame(vertices, e, sources: list, rounds: int, mode: str) -> Data
                 mask[s_i] = False
                 bc[mask] += delta[mask]
         if mode == "harmonic":
-            out = pd.DataFrame({"id": vids, "harmonic": harmonic, "n_reached": reached})
+            out = pd.DataFrame({"id": vids, "hnum": hnum, "n_reached": reached})
         else:
             out = pd.DataFrame({"id": vids, "betweenness": bc * 0.5})
         yield out
 
+    lcm_val = _lcm_upto(rounds)
     schema = (
-        f"id {id_type}, harmonic double, n_reached long"
+        f"id {id_type}, hnum long, n_reached long"
         if mode == "harmonic"
         else f"id {id_type}, betweenness double"
     )
     raw = payload.coalesce(1).mapInPandas(solve, schema=schema).localCheckpoint(eager=True)
+    if mode == "harmonic":
+        # same exact fixed-point quantization as the distributed path —
+        # the numpy pass only accumulates the integer Σ lcm/d numerator
+        return raw.select(
+            "id",
+            _harmonic_fixed6(F.col("hnum"), lcm_val).alias("harmonic"),
+            "n_reached",
+        )
     # round in Spark, not numpy: np.round is half-even while F.round is
     # half-up — the distributed path and the SQL oracles use the latter
-    if mode == "harmonic":
-        return raw.select("id", F.round("harmonic", 6).alias("harmonic"), "n_reached")
     return raw.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _lcm_upto(n: int) -> int:
+    """lcm(1..n) — the exact common denominator for Σ 1/d over integer
+    BFS distances d <= n."""
+    from math import gcd
+
+    out = 1
+    for i in range(2, n + 1):
+        out = out * i // gcd(out, i)
+    return out
+
+
+def _harmonic_fixed6(hnum, L: int):
+    """round-half-up(hnum/L, 6dp) as exact integer arithmetic, emitted as
+    a double via one cast + one divide: round6 = floor(hnum/L * 1e6 +
+    1/2) == (hnum*2_000_000 + L) div (2L) for hnum >= 0.  The quotient
+    is taken as (num - num mod d) / d — the dividend is an exact
+    multiple of d, so the double division is exact (no `div` Column
+    operator exists in the Python API; this stays expression-tree
+    based and engine-portable)."""
+    num2 = hnum.cast("long") * F.lit(2000000).cast("long") + F.lit(L).cast("long")
+    d = F.lit(2 * L).cast("long")
+    q = ((num2 - F.pmod(num2, d)) / d).cast("long")
+    return q.cast("double") / F.lit(1000000.0)
 
 
 def harmonic_centrality(
@@ -1228,14 +1260,21 @@ def harmonic_centrality(
                 .agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True)
             )
+    # exact fixed-point: distances are integers in [1, rounds], so
+    # Σ 1/d = (Σ L/d) / L with L = lcm(1..rounds) — an exact integer
+    # numerator; the 6dp half-up quantization is pure integer arithmetic
+    # (floor(x*1e6 + 1/2) == (num*2e6 + L) div 2L for num >= 0) and the
+    # only float op is ONE long->double cast + ONE divide, so no
+    # summation-order or round-boundary exposure anywhere
+    L = _lcm_upto(rounds)
     per = state.filter(F.col("dist") > 0).groupBy("id").agg(
-        F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic"),
+        F.sum(F.expr(f"CAST({L} AS BIGINT) div CAST(dist AS BIGINT)")).alias("hnum"),
         F.count(F.lit(1)).alias("n_reached"),
     )
     v = vertices.select(F.col(id_col).alias("id"))
     return v.join(per, "id", "left").select(
         "id",
-        F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+        F.coalesce(_harmonic_fixed6(F.col("hnum"), L), F.lit(0.0)).alias("harmonic"),
         F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
     )
 
