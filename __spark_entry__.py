@@ -8337,6 +8337,87 @@ def _ann_recall_oracle_sql(
     """
 
 
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted ranking EVALUATION (operators/evaluate.
+    group_ndcg): per-segment NDCG@20 of account balance as a ranker of
+    graded order activity (grade = min(3, orders placed)) — the
+    top-heavy companion to eval_auc on the same score/label family.
+    Both top-20's are segment-partitioned rank windows; gains are exact
+    2^rel−1 doubles times INJECTED-literal position discounts (log2 is
+    libm — never recomputed engine-side), folded in rank order; one
+    final divide.  Bit-exact with raw double output."""
+    from usearch_spark.operators.evaluate import group_ndcg
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("nord"))
+    )
+    # grade = min(3, orders div 5): at the testdata's ~10-order mean this
+    # spreads customers across all four grades instead of saturating at 3
+    lab = c.join(oc, "c_custkey", "left").withColumn(
+        "rel", F.expr("least(3, coalesce(nord, 0) div 5)").cast("int")
+    )
+    return group_ndcg(
+        lab, ["c_mktsegment"], "cents", "rel", "c_custkey", k=20
+    ).orderBy("c_mktsegment")
+
+
+def _ndcg_oracle_sql(k: int = 20) -> str:
+    """group_ndcg replay: the same k injected-literal discounts, rank
+    lists built by segment-partitioned windows, gains folded in rank
+    order with list_reduce.  Discounts inject as CAST('<repr>' AS
+    DOUBLE) — a NUMERIC literal parses as DECIMAL first (quantized to
+    18 digits) and loses the 17th significant digit even under an
+    explicit ::DOUBLE; the string cast parses straight to the exact
+    Python double."""
+    from usearch_spark.operators.evaluate import ndcg_discounts
+
+    wlits = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in ndcg_discounts(k))
+
+    def dcg(src: str) -> str:
+        return f"""
+            SELECT seg, list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, len(rels) + 1),
+                               i -> (pow(CAST(2 AS DOUBLE), CAST(rels[i] AS DOUBLE))
+                                     - CAST(1 AS DOUBLE)) * w[i])),
+                       (acc, x) -> acc + x) AS v
+            FROM (SELECT seg, list(rel ORDER BY rn) AS rels,
+                         (SELECT ws FROM wt) AS w
+                  FROM {src} WHERE rn <= {k} GROUP BY seg)"""
+
+    return f"""
+        WITH wt AS (SELECT [{wlits}] AS ws),
+        oc AS (SELECT o_custkey AS ck, count(*) AS nord FROM orders GROUP BY 1),
+        base AS (
+            SELECT c_mktsegment AS seg, c_custkey AS id,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   least(3, coalesce(nord, 0) // 5) AS rel
+            FROM customer LEFT JOIN oc ON ck = c_custkey
+        ),
+        n AS (SELECT seg, count(*) AS n_rows FROM base GROUP BY seg),
+        rs AS (SELECT seg, rel, row_number() OVER
+                   (PARTITION BY seg ORDER BY cents DESC, id) AS rn FROM base),
+        ri AS (SELECT seg, rel, row_number() OVER
+                   (PARTITION BY seg ORDER BY rel DESC, id) AS rn FROM base),
+        d AS ({dcg("rs")}),
+        ide AS ({dcg("ri")})
+        SELECT n.seg AS c_mktsegment, CAST(n.n_rows AS BIGINT) AS n_rows,
+               d.v AS dcg, ide.v AS idcg,
+               CASE WHEN ide.v > 0 THEN d.v / ide.v END AS ndcg
+        FROM n JOIN d ON d.seg = n.seg JOIN ide ON ide.seg = n.seg
+        ORDER BY c_mktsegment
+    """
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8478,6 +8559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 11 entries land here (first in line for the r12 window) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
+        "eval_ndcg": q_eval_ndcg,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9365,6 +9447,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_recall_at_k": _ann_recall_oracle_sql(
             n_clusters=8, n_probe=2, k=10, n_queries=16
         ),
+        "eval_ndcg": _ndcg_oracle_sql(k=20),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -110,3 +110,49 @@ def test_ann_recall_partial_probe_bounded_and_planted_clusters(spark):
         assert 0 <= r["n_hits"] <= 3
         assert r["recall_at_k"] == r["n_hits"] / 3.0
         assert r["recall_at_k"] == 1.0  # planted separation: same-cell truth
+
+
+def test_group_ndcg_anchors_and_python_replay(spark):
+    """Anchors: a perfect ranker scores ndcg == 1.0 exactly; an inverted
+    ranker scores strictly less; an all-zero-grade group emits NULL;
+    and an irregular group matches a pure-Python replay of the
+    identical injected-weight chain bit-for-bit."""
+    import math
+
+    from usearch_spark.operators.evaluate import group_ndcg, ndcg_discounts
+
+    rows = []
+    # perfect: score == rel ordering
+    for i, rel in enumerate([3, 3, 2, 2, 1, 0, 0]):
+        rows.append(("perfect", i, 100 - i, rel))
+    # inverted: best grades at the bottom
+    for i, rel in enumerate([0, 0, 1, 2, 2, 3, 3]):
+        rows.append(("inv", i, 100 - i, rel))
+    # zeros
+    for i in range(5):
+        rows.append(("zero", i, 100 - i, 0))
+    # irregular
+    irr = [(0, 50, 1), (1, 40, 3), (2, 60, 0), (3, 10, 2), (4, 70, 1), (5, 30, 3)]
+    rows += [("irr", i, s, r) for i, s, r in irr]
+    df = spark.createDataFrame(rows, "g string, id long, score long, rel int")
+    out = {
+        r["g"]: r
+        for r in group_ndcg(df, ["g"], "score", "rel", "id", k=5).collect()
+    }
+    assert out["perfect"]["ndcg"] == 1.0
+    assert out["inv"]["ndcg"] < out["perfect"]["ndcg"]
+    assert out["zero"]["ndcg"] is None
+    w = ndcg_discounts(5)
+
+    def dcg(rels):
+        acc = 0.0
+        for i, r in enumerate(rels[:5]):
+            acc = acc + (2.0 ** r - 1.0) * w[i]
+        return acc
+
+    by_score = [r for _, _, r in sorted(irr, key=lambda t: (-t[1], t[0]))]
+    ideal = sorted((r for _, _, r in irr), reverse=True)
+    assert out["irr"]["dcg"] == dcg(by_score)
+    assert out["irr"]["idcg"] == dcg(ideal)
+    assert out["irr"]["ndcg"] == dcg(by_score) / dcg(ideal)
+    assert math.isclose(out["irr"]["ndcg"], 0.5, abs_tol=0.5)  # sanity: in (0,1)

@@ -186,3 +186,104 @@ def ann_recall_at_k(
             (F.col("n_hits").cast("double") / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The k NDCG position discounts 1/log2(i+1), i = 1..k, computed
+    ONCE in Python — both the Spark plan and the SQL oracle inject these
+    exact doubles as literals, removing any cross-engine libm log2
+    divergence from the metric."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def group_ndcg(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-group NDCG@k (Järvelin & Kekäläinen 2002) of a score column
+    against graded integer relevance — the position-weighted companion
+    to :func:`group_auc` (AUC asks "does the score rank positives
+    above negatives at all"; NDCG asks "are the HIGH grades at the TOP,
+    where a consumer will look").
+
+        DCG@k  = Σ_{i=1..k} (2^rel_i − 1) / log2(i + 1)   over the
+                 score-ranked top k (ties broken by id)
+        IDCG@k = the same sum over the k highest grades in the group
+        NDCG   = DCG / IDCG   (NULL when every grade is 0)
+
+    Distributed shape at 100 TB: both top-k's are rank-windows
+    PARTITIONED BY the group (never global) that keep k rows per group;
+    the gain folds run over k-element in-row arrays.  No UDFs, no
+    collects.
+
+    Determinism: grades are integers, so 2^rel − 1 is an exact double
+    (pow(2, int) is exact in both engines' libm); the position
+    discounts 1/log2(i+1) are NOT recomputed engine-side — log2 is a
+    libm call whose last ulp may differ across engines — but injected
+    as k PYTHON double literals (the _ppr_oracle_sql trick), so each
+    gain term is one exact-gain × literal-weight multiply and the fold
+    sums in RANK ORDER (array order); one final divide.  Raw doubles
+    out (no rounding needed).
+
+    Output: group_cols + (n_rows, dcg, idcg, ndcg).
+    """
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wi = Window.partitionBy(*group_cols).orderBy(
+        F.col(rel_col).desc(), F.col(id_col)
+    )
+    weights = F.array(*[F.lit(w) for w in ndcg_discounts(k)])
+
+    def dcg_of(col_rels):
+        # gains in rank order: (2^rel - 1) * literal discount, folded
+        # left-to-right — the array IS the rank order
+        terms = F.zip_with(
+            col_rels,
+            F.slice(weights, 1, F.size(col_rels)),
+            lambda x, w: (F.pow(F.lit(2.0), x.cast("double")) - F.lit(1.0)) * w,
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    n_per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    top = (
+        df.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_rn", F.col(rel_col).alias("_r")))),
+                lambda s: s["_r"],
+            ).alias("_rels")
+        )
+        .select(*group_cols, dcg_of(F.col("_rels")).alias("dcg"))
+    )
+    ideal = (
+        df.withColumn("_rn", F.row_number().over(wi))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_rn", F.col(rel_col).alias("_r")))),
+                lambda s: s["_r"],
+            ).alias("_rels")
+        )
+        .select(*group_cols, dcg_of(F.col("_rels")).alias("idcg"))
+    )
+    return (
+        n_per.join(top, group_cols)
+        .join(ideal, group_cols)
+        .select(
+            *group_cols,
+            "n_rows",
+            "dcg",
+            "idcg",
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        )
+    )
