@@ -8418,6 +8418,74 @@ def _ndcg_oracle_sql(k: int = 20) -> str:
     """
 
 
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration EVALUATION (operators/evaluate.
+    calibration_bins): per-segment reliability diagram + Brier score of
+    the balance-percentile score against "customer has ever ordered" —
+    the magnitude-trust companion to eval_auc/eval_ndcg's ranking
+    checks.  Ranks come from a fully-tie-broken segment window; every
+    bin statistic is an exact integer numerator closed by one
+    int→double divide (Σ(p−y)² = Σ(rank−y·n)²/n²), so the output is
+    bit-exact with raw doubles."""
+    from usearch_spark.operators.evaluate import calibration_bins
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(1))
+    )
+    lab = c.join(buyers, "c_custkey", "left").withColumn(
+        "label", F.coalesce("has_order", F.lit(0))
+    )
+    return calibration_bins(
+        lab, ["c_mktsegment"], "cents", "label", "c_custkey", n_bins=10
+    ).orderBy("c_mktsegment", "bin")
+
+
+def _calibration_oracle_sql(n_bins: int = 10) -> str:
+    """calibration_bins replay: tie-broken rank window, integer bin
+    assignment, exact integer numerators, one divide per output."""
+    return f"""
+        WITH buyers AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+        base AS (
+            SELECT c_mktsegment AS seg, c_custkey AS id,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   CASE WHEN ck IS NULL THEN 0 ELSE 1 END AS y
+            FROM customer LEFT JOIN buyers ON ck = c_custkey
+        ),
+        ranked AS (
+            SELECT seg, y,
+                   CAST(row_number() OVER (PARTITION BY seg ORDER BY cents, id)
+                        AS BIGINT) AS rank,
+                   CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+            FROM base
+        ),
+        g AS (
+            SELECT seg, CAST(((rank - 1) * {n_bins}) // n AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_bin,
+                   CAST(sum(rank) AS BIGINT) AS sum_rank,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum((rank - y * n) * (rank - y * n)) AS BIGINT) AS sq,
+                   max(n) AS n
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT seg AS c_mktsegment, bin, n_bin,
+               CAST(sum_rank AS DOUBLE) / CAST(n * n_bin AS DOUBLE) AS mean_pred,
+               CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE) AS obs_rate,
+               CAST(sq AS DOUBLE) / CAST(n * n * n_bin AS DOUBLE) AS brier
+        FROM g
+        ORDER BY c_mktsegment, bin
+    """
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8560,6 +8628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
         "eval_ndcg": q_eval_ndcg,
+        "eval_calibration": q_eval_calibration,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9448,6 +9517,7 @@ def oracle_sql() -> dict[str, str]:
             n_clusters=8, n_probe=2, k=10, n_queries=16
         ),
         "eval_ndcg": _ndcg_oracle_sql(k=20),
+        "eval_calibration": _calibration_oracle_sql(n_bins=10),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -156,3 +156,34 @@ def test_group_ndcg_anchors_and_python_replay(spark):
     assert out["irr"]["idcg"] == dcg(ideal)
     assert out["irr"]["ndcg"] == dcg(by_score) / dcg(ideal)
     assert math.isclose(out["irr"]["ndcg"], 0.5, abs_tol=0.5)  # sanity: in (0,1)
+
+
+def test_calibration_bins_exact_and_perfectly_calibrated_anchor(spark):
+    """Anchors: (1) exact integer replay of every bin statistic on a
+    small irregular group; (2) a perfectly calibrated construction
+    (label == indicator of the top-p fraction drawn uniformly by rank)
+    puts obs_rate monotone with mean_pred; (3) bins are equal-population
+    within one row."""
+    from usearch_spark.operators.evaluate import calibration_bins
+
+    # group of 20: label = 1 iff rank > 10 (score IS the rank order)
+    rows = [("g", i, i * 7 + 3, 1 if i >= 10 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(
+            df, ["g"], "score", "label", "id", n_bins=4
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    n = 20
+    for b, r in out.items():
+        assert r["n_bin"] == 5
+        ranks = range(b * 5 + 1, b * 5 + 6)
+        ys = [1 if rk > 10 else 0 for rk in ranks]
+        assert r["mean_pred"] == sum(ranks) / (n * 5)
+        assert r["obs_rate"] == sum(ys) / 5
+        sq = sum((rk - y * n) ** 2 for rk, y in zip(ranks, ys))
+        assert r["brier"] == sq / (n * n * 5)
+    # perfect separation: low bins all 0, high bins all 1
+    assert out[0]["obs_rate"] == 0.0 and out[3]["obs_rate"] == 1.0

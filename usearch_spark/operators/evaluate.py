@@ -287,3 +287,77 @@ def group_ndcg(
             F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group RELIABILITY DIAGRAM + Brier score of a score column
+    against a binary label — the calibration eval that decides whether a
+    scorer's magnitudes (not just its ranking, which AUC/NDCG already
+    cover) can be trusted as probabilities.
+
+    The score is turned into a predicted probability by its in-group
+    rank percentile p = rank/n (the standard uncalibrated-score
+    treatment), rows land in ``n_bins`` equal-population bins by
+    bin = (rank−1)·n_bins div n, and each bin reports
+
+        mean_pred = Σ rank / (n · n_bin)        (mean percentile)
+        obs_rate  = positives / n_bin           (empirical frequency)
+        brier     = Σ (p − y)² / n_bin
+                  = Σ (rank − y·n)² / (n² · n_bin)
+
+    A calibrated scorer tracks obs_rate ≈ mean_pred per bin.
+
+    Determinism: ranks are integers from a fully-tie-broken
+    group-partitioned window, every numerator (Σrank, positives,
+    Σ(rank−y·n)²) is an exact integer aggregate, and each output is ONE
+    int→double divide — bit-identical across engines by construction.
+    Bound: Σ(rank−y·n)² ≤ n³, so groups must stay under ~2M rows for
+    int64 (percentile calibration bins are per-segment dimensions, not
+    per-corpus).
+
+    Output: group_cols + (bin, n_bin, mean_pred, obs_rate, brier).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(score_col, id_col)
+    ranked = df.select(
+        *group_cols,
+        F.col(label_col).cast("long").alias("_y"),
+        F.row_number().over(w).cast("long").alias("_rank"),
+    )
+    n = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    j = ranked.join(n, group_cols).withColumn(
+        "bin",
+        F.expr(f"CAST(((_rank - 1) * {n_bins}) div _n AS INT)"),
+    )
+    g = j.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("_rank").alias("_sum_rank"),
+        F.sum("_y").alias("_n_pos"),
+        F.sum(
+            (F.col("_rank") - F.col("_y") * F.col("_n"))
+            * (F.col("_rank") - F.col("_y") * F.col("_n"))
+        ).alias("_sq"),
+        F.max("_n").alias("_n"),
+    )
+    return g.select(
+        *group_cols,
+        "bin",
+        "n_bin",
+        (
+            F.col("_sum_rank").cast("double")
+            / (F.col("_n") * F.col("n_bin")).cast("double")
+        ).alias("mean_pred"),
+        (F.col("_n_pos").cast("double") / F.col("n_bin").cast("double")).alias(
+            "obs_rate"
+        ),
+        (
+            F.col("_sq").cast("double")
+            / (F.col("_n") * F.col("_n") * F.col("n_bin")).cast("double")
+        ).alias("brier"),
+    )
