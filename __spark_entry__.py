@@ -8486,6 +8486,63 @@ def _calibration_oracle_sql(n_bins: int = 10) -> str:
     """
 
 
+def q_events_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive TREND/SEASONAL/REMAINDER decomposition of the
+    per-type daily event series (operators/forecast.decompose_daily —
+    the moving-average baseline STL refines): centered MA(7) trend over
+    a type-partitioned ±3-row window, weekday seasonal means of the
+    detrended series, remainder the residual.  One (type, day) count
+    shuffle does the corpus-sized work; every output is an exact
+    integer numerator (m·trend, m·cntw·seasonal) closed by one divide,
+    weekday is epoch-day mod 7 — never a locale dayofweek.  Bit-exact
+    raw doubles; edge days report NULL trend/remainder."""
+    from usearch_spark.operators.forecast import decompose_daily
+
+    ev = _events(spark, sf_dir)
+    return decompose_daily(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), m=7
+    ).orderBy("event_type", "day")
+
+
+def _stl_oracle_sql(m: int = 7) -> str:
+    """decompose_daily replay: HUGEINT-safe window sums cast to BIGINT,
+    the identical integer numerators, one divide per output."""
+    h = m // 2
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT g, d, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS masum,
+                   CAST(count(n) OVER w AS BIGINT) AS cnt,
+                   CAST((d - DATE '1970-01-05') % 7 AS INT) AS wd
+            FROM daily
+            WINDOW w AS (PARTITION BY g ORDER BY d
+                         ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+        ),
+        seas AS (
+            SELECT g, wd, CAST(sum({m} * n - masum) AS BIGINT) AS snum,
+                   CAST(count(*) AS BIGINT) AS cntw
+            FROM t WHERE cnt = {m} GROUP BY 1, 2
+        )
+        SELECT t.g AS event_type, strftime(t.d, '%Y-%m-%d') AS day, t.n AS n,
+               CASE WHEN t.cnt = {m}
+                    THEN CAST(t.masum AS DOUBLE) / CAST({m} AS DOUBLE) END AS trend,
+               CASE WHEN s.snum IS NOT NULL
+                    THEN CAST(s.snum AS DOUBLE) / CAST({m} * s.cntw AS DOUBLE)
+               END AS seasonal,
+               CASE WHEN t.cnt = {m} AND s.snum IS NOT NULL
+                    THEN CAST({m} * s.cntw * t.n - s.cntw * t.masum - s.snum
+                              AS DOUBLE) / CAST({m} * s.cntw AS DOUBLE)
+               END AS remainder
+        FROM t LEFT JOIN seas s ON s.g = t.g AND s.wd = t.wd
+        ORDER BY event_type, day
+    """
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8629,6 +8686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_recall_at_k": q_eval_recall_at_k,
         "eval_ndcg": q_eval_ndcg,
         "eval_calibration": q_eval_calibration,
+        "events_stl": q_events_stl,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9518,6 +9576,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "eval_ndcg": _ndcg_oracle_sql(k=20),
         "eval_calibration": _calibration_oracle_sql(n_bins=10),
+        "events_stl": _stl_oracle_sql(m=7),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -341,3 +341,38 @@ def test_holt_backtest_linear_series_and_python_replay(spark):
     assert irr["mae_model"] == _pt.approx(es / 7.0, abs=1e-12)
     assert irr["mae_naive"] == _pt.approx(vs / 7.0, abs=1e-12)
     assert irr["mase"] == _pt.approx((es / 7.0) / (vs / 7.0), abs=1e-12)
+
+
+def test_decompose_daily_recovers_planted_trend_and_season(spark):
+    """On y_t = 20 + t + pattern[t mod 7] with a zero-sum weekly
+    pattern, the centered MA(7) cancels the season exactly, so interior
+    days report trend == 20 + t, seasonal == pattern[weekday], and
+    remainder == 0 — all exact; edge days report NULL trend."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import decompose_daily
+
+    pattern = [3, -1, 2, -4, 0, 1, -1]  # sums to 0
+    d0 = datetime.date(2024, 1, 1)  # a Monday -> epoch-weekday 0
+    rows = []
+    for t in range(21):
+        y = 20 + t + pattern[t % 7]
+        rows += [("a", d0 + datetime.timedelta(days=t))] * y
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = {
+        r["day"]: r
+        for r in decompose_daily(df, ["g"], F.col("d"), m=7).collect()
+    }
+    assert len(out) == 21
+    for t in range(21):
+        day = (d0 + datetime.timedelta(days=t)).isoformat()
+        r = out[day]
+        assert r["n"] == 20 + t + pattern[t % 7]
+        if 3 <= t <= 17:  # interior: full MA window
+            assert r["trend"] == 20.0 + t
+            assert r["seasonal"] == float(pattern[t % 7])
+            assert r["remainder"] == 0.0
+        else:
+            assert r["trend"] is None and r["remainder"] is None

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -401,4 +401,88 @@ def cusum_changepoints(
                 F.element_at(F.col("_days"), bidx.cast("int")), "yyyy-MM-dd"
             ),
         ).alias("change_day"),
+    )
+
+
+def decompose_daily(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    m: int = 7,
+) -> DataFrame:
+    """Classical additive TREND/SEASONAL/REMAINDER decomposition of
+    per-group daily counts (the moving-average decomposition STL
+    approximates; Cleveland et al. 1990 §2 baseline):
+
+        trend_t    = centered MA(m) of the counts (NULL at the edges
+                     where the window is short)
+        seasonal_w = mean over the trend-covered days of weekday w of
+                     (y_t − trend_t), NOT re-centered
+        remainder  = y − trend − seasonal
+
+    The window is row-centered over OBSERVED days — a gappy series
+    should be grid-filled first (events_resample's LOCF shape).
+
+    Distributed shape: one partial-aggregated (group, day) count
+    shuffle; the MA is a bounded ±(m div 2) rows frame over a
+    group-partitioned window (never global, never over raw events);
+    the seasonal means are a second dimension-sized agg.
+
+    Determinism: counts are integers, so m·trend = Σ window counts and
+    m·cntw·seasonal = Σ (m·y − masum) are EXACT integer columns;
+    every output is one exact-integer→double cast + one divide —
+    bit-identical across engines, no float summation anywhere.
+    Weekday is epoch-day arithmetic ((d − 1970-01-05) mod 7, Monday=0)
+    — never a locale/engine-dependent dayofweek call.
+    """
+    assert m % 2 == 1, "centered MA needs an odd window"
+    h = m // 2
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("d")
+        .rowsBetween(-h, h)
+    )
+    t = daily.withColumn("_masum", F.sum("n").over(w)).withColumn(
+        "_cnt", F.count("n").over(w)
+    ).withColumn(
+        "_wd",
+        F.pmod(F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)),
+    )
+    md = F.lit(m).cast("long")
+    det = t.filter(F.col("_cnt") == m).select(
+        *group_cols,
+        "_wd",
+        (md * F.col("n") - F.col("_masum")).alias("_det"),
+    )
+    seas = det.groupBy(*group_cols, "_wd").agg(
+        F.sum("_det").alias("_snum"), F.count(F.lit(1)).alias("_cntw")
+    )
+    j = t.join(seas, [*group_cols, "_wd"], "left")
+    trend = F.when(
+        F.col("_cnt") == m,
+        F.col("_masum").cast("double") / md.cast("double"),
+    )
+    seasonal = F.when(
+        F.col("_snum").isNotNull(),
+        F.col("_snum").cast("double") / (md * F.col("_cntw")).cast("double"),
+    )
+    remainder = F.when(
+        (F.col("_cnt") == m) & F.col("_snum").isNotNull(),
+        (
+            md * F.col("_cntw") * F.col("n")
+            - F.col("_cntw") * F.col("_masum")
+            - F.col("_snum")
+        ).cast("double")
+        / (md * F.col("_cntw")).cast("double"),
+    )
+    return j.select(
+        *group_cols,
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        remainder.alias("remainder"),
     )
