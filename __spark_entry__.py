@@ -8543,6 +8543,61 @@ def _stl_oracle_sql(m: int = 7) -> str:
     """
 
 
+def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic series representation (operators/forecast.
+    sax_symbols — Lin et al. 2003, rank-discretized): each event type's
+    30-day count series PAA-splits into 6 segments whose totals rank
+    into a 4-letter alphabet, producing the shape word motif
+    mining/indexing consumes.  One (type, day) count shuffle, then w²
+    integer comparisons per group — every letter is an exact integer
+    decision, no float anywhere."""
+    from usearch_spark.operators.forecast import sax_symbols
+
+    ev = _events(spark, sf_dir)
+    return sax_symbols(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), w=6, alphabet=4
+    ).orderBy("event_type")
+
+
+def _sax_oracle_sql(w: int = 6, alphabet: int = 4) -> str:
+    """sax_symbols replay: day-ordered list, integer segment sums via
+    list_reduce, rank-by-count-of-smaller, literal letter LUT."""
+    lut = ", ".join(
+        f"'{chr(ord('a') + (r * alphabet) // w)}'" for r in range(w)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS vals
+            FROM daily GROUP BY g HAVING count(*) >= {w}
+        ),
+        seg AS (
+            SELECT g, len(vals) AS t,
+                   list_transform(range(0, {w}), i ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_slice(vals,
+                                          i * (len(vals) // {w}) + 1,
+                                          (i + 1) * (len(vals) // {w}))),
+                           (a, x) -> a + x)) AS s
+            FROM seqs
+        )
+        SELECT g AS event_type, CAST(t AS BIGINT) AS n_days,
+               CAST({w} AS BIGINT) AS n_segments,
+               array_to_string(
+                   list_transform(range(1, {w} + 1), i ->
+                       [{lut}][len(list_filter(range(1, {w} + 1),
+                                j -> s[j] < s[i] OR (s[j] = s[i] AND j < i))) + 1]),
+                   '') AS sax
+        FROM seg
+        ORDER BY event_type
+    """
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8687,6 +8742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ndcg": q_eval_ndcg,
         "eval_calibration": q_eval_calibration,
         "events_stl": q_events_stl,
+        "events_sax": q_events_sax,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9577,6 +9633,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_ndcg": _ndcg_oracle_sql(k=20),
         "eval_calibration": _calibration_oracle_sql(n_bins=10),
         "events_stl": _stl_oracle_sql(m=7),
+        "events_sax": _sax_oracle_sql(w=6, alphabet=4),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

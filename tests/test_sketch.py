@@ -376,3 +376,33 @@ def test_decompose_daily_recovers_planted_trend_and_season(spark):
             assert r["remainder"] == 0.0
         else:
             assert r["trend"] is None and r["remainder"] is None
+
+
+def test_sax_symbols_planted_shape(spark):
+    """A constructed 12-day series with segment totals in a known order
+    (w=4 segments of 3 days, alphabet=2) must produce the planted word,
+    ties resolving to the earlier segment; groups shorter than w are
+    excluded."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import sax_symbols
+
+    # segment totals: s0=6, s1=30, s2=6, s3=60 -> ranks 1,3,2,4 with the
+    # s0/s2 tie resolving to s0 -> letters (alphabet=2, w=4):
+    # rank-1 of each: 0,2,1,3 -> idx (r*2)//4: 0,1,0,1 -> "abab"
+    seg_days = [[1, 2, 3], [10, 10, 10], [2, 2, 2], [20, 20, 20]]
+    d0 = datetime.date(2024, 3, 1)
+    rows = []
+    t = 0
+    for seg in seg_days:
+        for y in seg:
+            rows += [("a", d0 + datetime.timedelta(days=t))] * y
+            t += 1
+    rows += [("short", d0)] * 3  # 1 day < w
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = {r["g"]: r for r in sax_symbols(df, ["g"], F.col("d"), w=4, alphabet=2).collect()}
+    assert "short" not in out
+    assert out["a"]["n_days"] == 12 and out["a"]["n_segments"] == 4
+    assert out["a"]["sax"] == "abab"

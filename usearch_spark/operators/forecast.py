@@ -486,3 +486,83 @@ def decompose_daily(
         seasonal.alias("seasonal"),
         remainder.alias("remainder"),
     )
+
+
+def sax_symbols(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    w: int = 6,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX-style SYMBOLIC representation of per-group daily counts (Lin
+    et al. 2003, rank-discretized variant): the day series is PAA-split
+    into ``w`` equal segments (first w·(T div w) days), each segment's
+    total is ranked within the group, and ranks map to an
+    ``alphabet``-letter symbol — 'a' = lowest-volume segments.  The
+    resulting word ("acdbba") is the shape signature time-series
+    indexing/motif mining runs on instead of the raw floats.
+
+    The classic SAX discretizes z-normalized PAA means against Gaussian
+    breakpoints; the rank variant replaces mean/σ (float boundary
+    decisions) with EXACT integer segment-sum comparisons — at the cost
+    of an equal-depth rather than Gaussian alphabet — so every letter
+    is an integer decision and the word is bit-identical by
+    construction (no float appears anywhere).
+
+    Distributed shape: one partial-aggregated (group, day) count
+    shuffle, then w² integer comparisons over a bounded in-row array
+    per group.  Groups shorter than ``w`` days are excluded.
+
+    Output: group_cols + (n_days, n_segments, sax).
+    """
+    assert 2 <= alphabet <= 26 and w >= alphabet
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = daily.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    ).filter(F.size("seq") >= w)
+    vals = F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    per = per.withColumn("_vals", vals)
+    t = F.size("_vals")
+    # exact integer T div w: T - (T mod w) is a multiple of w
+    seg_len = ((t - F.pmod(t, F.lit(w))) / F.lit(w)).cast("int")
+    per = per.withColumn("_sl", seg_len)
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(w - 1)),
+        lambda i: F.aggregate(
+            F.slice(F.col("_vals"), i * F.col("_sl") + 1, F.col("_sl")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    per = per.withColumn("_sums", sums)
+    letters = [chr(ord("a") + (r * alphabet) // w) for r in range(w)]
+    lut = F.array(*[F.lit(ch) for ch in letters])
+
+    def letter(i):
+        # rank-1 = segments strictly before (sum, index)-lexicographically
+        rm1 = F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(w)),
+                lambda j: (
+                    F.element_at(F.col("_sums"), j) < F.element_at(F.col("_sums"), i)
+                )
+                | (
+                    (F.element_at(F.col("_sums"), j) == F.element_at(F.col("_sums"), i))
+                    & (j < i)
+                ),
+            )
+        )
+        return F.element_at(lut, rm1 + 1)
+
+    word = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(w)), letter), ""
+    )
+    return per.select(
+        *group_cols,
+        t.cast("long").alias("n_days"),
+        F.lit(w).cast("long").alias("n_segments"),
+        word.alias("sax"),
+    )
