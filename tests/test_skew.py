@@ -286,3 +286,108 @@ def test_kmv_bottom_k_at_scale_one_hot_group(spark):
     assert got == want and len(got) == 64
     est = kmv_estimate(sk, ["g"], k=64).collect()[0]["est"]
     assert abs(est - n) / n < 0.5  # ~1/sqrt(62) regime
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale walks smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_walks_sf1_scale(spark):
+    """Hash-chain walks at sf1 graph scale (100k vertices, ~350k edges,
+    2000 concurrent walks): completion without lineage blowup, exact
+    per-walk row accounting (every vertex has out-degree >= 1, so no
+    walk dies early), step contiguity from 0, and run-to-run bit
+    determinism; node2vec's second-order walk passes the same contract
+    on 500 starts."""
+    from usearch_spark.plans.walks import node2vec_walks, random_walks
+
+    n = 100_000
+    deg = (F.xxhash64("id", F.lit(42)) % 6 + 6) % 6 + 1
+    edges = (
+        spark.range(n)
+        .select(F.col("id").alias("src"), F.explode(F.sequence(F.lit(1), deg)).alias("k"))
+        .select(
+            "src",
+            F.pmod(F.xxhash64("src", F.col("k"), F.lit(7)), F.lit(n)).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    starts = spark.range(2000).select(F.col("id"))
+    out = random_walks(edges, starts, steps=4).localCheckpoint(eager=True)
+    assert out.count() == 2000 * 5  # no dead ends by construction
+    per = out.groupBy("start").agg(
+        F.count(F.lit(1)).alias("c"), F.max("step").alias("mx"), F.min("step").alias("mn")
+    )
+    assert per.filter(
+        (F.col("c") != F.col("mx") + 1) | (F.col("mn") != 0) | (F.col("c") != 5)
+    ).count() == 0
+    # determinism: the hash chain reproduces the identical trajectories
+    out2 = random_walks(edges, starts, steps=4)
+    assert out2.count() == 2000 * 5 and out.exceptAll(out2).count() == 0
+
+    st2 = spark.range(500).select(F.col("id"))
+    o3 = node2vec_walks(edges, st2, steps=3).localCheckpoint(eager=True)
+    assert o3.count() == 500 * 4
+    p3 = o3.groupBy("start").agg(
+        F.count(F.lit(1)).alias("c"), F.min("step").alias("mn")
+    )
+    assert p3.filter((F.col("c") != 4) | (F.col("mn") != 0)).count() == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale scd2 smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_scd2_stream_sf1_scale(spark, tmp_path):
+    """Streaming SCD2 at sf1 scale: 100k keys x 4 changes delivered as
+    hash-split micro-batches (per-key out-of-order arrival across
+    batches), the rebuilt dimension must equal the one-shot batch build
+    over all 400k changes — compared distributively (exceptAll both
+    ways), nothing collected."""
+    import glob
+    import os as _os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from usearch_spark.streaming.scd2 import read_scd2, scd2_stream_merge
+
+    n_keys = 100_000
+    df = spark.range(n_keys * 4).select(
+        F.expr("id div 4").alias("key"),
+        F.concat(F.lit("p"), F.pmod("id", F.lit(4))).alias("attr"),
+        (F.expr("id div 4") * 10 + F.pmod("id", F.lit(4))) * F.lit(1_000_000),
+        F.col("id").alias("tb"),
+    ).toDF("key", "attr", "eff_us", "tb")
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    for i in range(3):
+        part = df.filter(F.pmod(F.xxhash64("tb", F.lit(3)), F.lit(3)) == i)
+        tmp = str(tmp_path / f"t{i}")
+        part.coalesce(2).write.parquet(tmp)
+        for j, f in enumerate(sorted(glob.glob(tmp + "/part-*.parquet"))):
+            shutil.copy(f, f"{src}/batch{i}_{j}.parquet")
+
+    target, ckpt = str(tmp_path / "dim"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("key long, attr string, eff_us long, tb long")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = scd2_stream_merge(stream, "key", "attr", "eff_us", "tb", target, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    built = read_scd2(spark, target).select(
+        "key", "attr", "eff_us", "next_us", "is_current"
+    )
+    w = W.partitionBy("key").orderBy("eff_us", "tb")
+    nxt = F.lead("eff_us").over(w)
+    want = df.select(
+        "key", "attr", "eff_us", nxt.alias("next_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+    assert built.count() == n_keys * 4
+    assert built.exceptAll(want).count() == 0
+    assert want.exceptAll(built).count() == 0
