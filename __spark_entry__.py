@@ -8598,6 +8598,75 @@ def _sax_oracle_sql(w: int = 6, alphabet: int = 4) -> str:
     """
 
 
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keyphrases (operators/text_analysis.rake_keyphrases —
+    Rose et al. 2010): stopword-delimited candidate phrases, corpus-wide
+    deg/freq word scores, phrase score = order-pinned fold of its
+    words' scores; top-15 by (score desc, phrase).  The phrase-id
+    running count is a doc-partitioned window; every float is one
+    int→double divide or an order-pinned bounded fold — bit-exact."""
+    from usearch_spark.operators.text_analysis import STOPWORDS, rake_keyphrases
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keyphrases(docs, STOPWORDS["en"] + ["a"], k=15)
+
+
+def _rake_oracle_sql(k: int = 15) -> str:
+    """rake_keyphrases replay: same stopword literals, doc-partitioned
+    running phrase ids, deg/freq word scores, phrase-order list_reduce
+    fold."""
+    from usearch_spark.operators.text_analysis import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"] + ["a"])
+    return f"""
+        WITH marked AS (
+            SELECT doc_id, i, w, (w IN ({sw})) AS is_sw,
+                   sum(CASE WHEN w IN ({sw}) THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i) AS pid
+            FROM (SELECT doc_id, generate_subscripts({_TOKS}, 1) AS i,
+                         unnest({_TOKS}) AS w
+                  FROM documents)
+        ),
+        ph AS (
+            SELECT doc_id, pid,
+                   array_to_string(list(w ORDER BY i), ' ') AS phrase
+            FROM marked WHERE NOT is_sw GROUP BY 1, 2
+        ),
+        pw AS (
+            SELECT unnest(string_split(phrase, ' ')) AS w,
+                   len(string_split(phrase, ' ')) AS plen
+            FROM ph
+        ),
+        scores AS (
+            SELECT w, CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS wscore
+            FROM pw GROUP BY w
+        ),
+        dp AS (
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ph GROUP BY phrase
+        ),
+        dpw AS (
+            SELECT phrase,
+                   generate_subscripts(string_split(phrase, ' '), 1) AS wpos,
+                   unnest(string_split(phrase, ' ')) AS w
+            FROM dp
+        ),
+        ps AS (
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_words,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(s.wscore ORDER BY wpos)),
+                       (acc, x) -> acc + x) AS score
+            FROM dpw JOIN scores s USING (w) GROUP BY phrase
+        )
+        SELECT dp.phrase, ps.n_words, dp.n_occurrences, ps.score
+        FROM dp JOIN ps USING (phrase)
+        ORDER BY ps.score DESC, dp.phrase
+        LIMIT {k}
+    """
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8743,6 +8812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_calibration": q_eval_calibration,
         "events_stl": q_events_stl,
         "events_sax": q_events_sax,
+        "text_rake": q_text_rake,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9634,6 +9704,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_calibration": _calibration_oracle_sql(n_bins=10),
         "events_stl": _stl_oracle_sql(m=7),
         "events_sax": _sax_oracle_sql(w=6, alphabet=4),
+        "text_rake": _rake_oracle_sql(k=15),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

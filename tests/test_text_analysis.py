@@ -266,3 +266,33 @@ def test_corpus_js_drift_closed_forms(spark):
     # ranking: |cnt_a*tot_b - cnt_b*tot_a| = x:8, y:4, z:4 -> x first,
     # then y/z tie broken by token
     assert [r["token"] for r in got] == ["x", "y", "z"]
+
+
+def test_rake_keyphrases_textbook_example(spark):
+    """RAKE hand-check on a tiny corpus: word scores deg/freq and the
+    phrase ranking match the by-hand computation; stopword runs split
+    phrases; duplicate phrases aggregate with occurrence counts."""
+    from usearch_spark.operators.text_analysis import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep networks"),
+            (2, "the deep learning"),
+            (3, "networks for deep learning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keyphrases(docs, ["of", "the", "for"], k=10).collect()
+    got = {r["phrase"]: (r["n_words"], r["n_occurrences"], r["score"]) for r in out}
+    # phrases: "deep learning" x3, "deep networks" x1, "networks" x1
+    assert got["deep learning"][1] == 3
+    assert got["deep networks"][1] == 1
+    assert got["networks"][1] == 1
+    # freq: deep=4, learning=3, networks=2; deg: deep = 2+2+2+2=8,
+    # learning = 2+2+2=6, networks = 2+1=3
+    s_deep, s_learn, s_net = 8 / 4, 6 / 3, 3 / 2
+    assert got["deep learning"][2] == s_deep + s_learn == 4.0
+    assert got["deep networks"][2] == s_deep + s_net == 3.5
+    assert got["networks"][2] == s_net == 1.5
+    # ranking: score desc, phrase asc
+    assert [r["phrase"] for r in out] == ["deep learning", "deep networks", "networks"]

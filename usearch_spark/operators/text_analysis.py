@@ -7,7 +7,7 @@ Everything here is built-in column expressions (whole-stage codegen) — at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from usearch_spark.functions.text import tokenize
@@ -888,4 +888,98 @@ def corpus_js_drift(
             F.col("_contrib").cast("double").alias("js_contrib"),
             "js_total",
         )
+    )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    stopwords: list[str],
+    k: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) at corpus level:
+    candidate phrases are the maximal stopword-free token runs, each
+    word scores deg(w)/freq(w) over the whole corpus (deg = summed
+    length of the phrases containing it — co-occurrence degree
+    including self), and a phrase scores the sum of its words' scores;
+    the top-k distinct phrases by score are the corpus's keyphrases.
+
+    Distributed shape: tokenization + the phrase-id running count are
+    one doc-partitioned window over token positions (never global);
+    word stats and phrase dedup are partial-agg shuffles; the word-score
+    join fans out by phrase length only; top-k is a TakeOrdered.
+
+    Determinism: deg/freq is ONE int→double divide per word (identical
+    both engines); a phrase's score folds its words' scores IN PHRASE
+    ORDER over an in-row array, so the float sum is order-pinned and
+    bit-identical; ranking ties break by phrase text.
+
+    Output: (phrase, n_words, n_occurrences, score) — top k by
+    (score desc, phrase).
+    """
+    from usearch_spark.functions.text import tokenize
+
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "w"),
+    ).withColumn("is_sw", F.array_contains(sw, F.col("w")))
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = toks.withColumn("pid", F.sum(F.col("is_sw").cast("int")).over(wp))
+    ph = (
+        t.filter(~F.col("is_sw"))
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase")
+        )
+    )
+    pw = ph.select(
+        F.posexplode(F.split("phrase", " ")).alias("wpos", "w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    scores = pw.groupBy("w").agg(
+        (
+            F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("wscore")
+    )
+    dp = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dpw = dp.select(
+        "phrase",
+        "n_occurrences",
+        F.posexplode(F.split("phrase", " ")).alias("wpos", "w"),
+    ).join(scores, "w")
+    scored = dp.join(
+        dpw.groupBy("phrase").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("wpos", "wscore"))),
+                    lambda s: s["wscore"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_words"),
+        ),
+        "phrase",
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(k)
     )
