@@ -8667,6 +8667,104 @@ def _rake_oracle_sql(k: int = 15) -> str:
     """
 
 
+def q_eval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranker-agreement EVALUATION (operators/evaluate.group_rbo —
+    Webber, Moffat & Zobel 2010): truncated Rank-Biased Overlap@50
+    (p=0.9) between ranking customers by account balance vs by total
+    order spend, per segment — the swap-a-scorer check that says how
+    much the TOP of the ranking changes, top-weighted like a reader.
+    Two segment-partitioned rank windows; overlap-at-depth comes from
+    one count-per-max(rank) aggregate; weights are injected Python
+    literals; the fold sums integer overlaps × literals in depth
+    order — bit-exact."""
+    from usearch_spark.operators.evaluate import group_rbo
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    sp = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("spend_cents")
+        )
+    )
+    lab = c.join(sp, "c_custkey", "left").withColumn(
+        "spend_cents", F.coalesce("spend_cents", F.lit(0))
+    )
+    return group_rbo(
+        lab, ["c_mktsegment"], "bal_cents", "spend_cents", "c_custkey", k=50, p=0.9
+    ).orderBy("c_mktsegment")
+
+
+def _rbo_oracle_sql(k: int = 50, p: float = 0.9) -> str:
+    """group_rbo replay: the same rank windows and count-per-max(rank)
+    aggregate; weights inject as CAST('<repr>' AS DOUBLE) string casts
+    (numeric literals would decay through DECIMAL); the fold runs in
+    depth order with list_reduce."""
+    from usearch_spark.operators.evaluate import rbo_weights
+
+    wlits = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in rbo_weights(k, p))
+    return f"""
+        WITH sp AS (
+            SELECT o_custkey AS ck,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS spend_cents
+            FROM orders GROUP BY 1
+        ),
+        base AS (
+            SELECT c_mktsegment AS seg, c_custkey AS id,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT)
+                       AS bal_cents,
+                   coalesce(spend_cents, 0) AS spend_cents
+            FROM customer LEFT JOIN sp ON ck = c_custkey
+        ),
+        n AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_rows FROM base GROUP BY seg),
+        ranked AS (
+            SELECT seg,
+                   row_number() OVER (PARTITION BY seg ORDER BY bal_cents DESC, id)
+                       AS ra,
+                   row_number() OVER (PARTITION BY seg ORDER BY spend_cents DESC, id)
+                       AS rb
+            FROM base
+        ),
+        cm AS (
+            SELECT seg, greatest(ra, rb) AS m, CAST(count(*) AS BIGINT) AS c
+            FROM ranked WHERE greatest(ra, rb) <= {k} GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT seg, list(m) AS ms, list(c) AS cs FROM (
+                SELECT seg, m, c FROM cm ORDER BY seg, m
+            ) GROUP BY seg
+        ),
+        f AS (
+            SELECT seg,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, len(ms) + 1),
+                           i -> CASE WHEN ms[i] <= {k} THEN cs[i] ELSE 0 END)),
+                       (a, x) -> a + x) AS overlap_k,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, {k} + 1), d ->
+                           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                               list_transform(range(1, len(ms) + 1),
+                                   i -> CASE WHEN ms[i] <= d THEN cs[i] ELSE 0 END)),
+                               (a, x) -> a + x) AS DOUBLE)
+                           * ([{wlits}])[d])),
+                       (acc, x) -> acc + x) AS rbo
+            FROM agg
+        )
+        SELECT n.seg AS c_mktsegment, n.n_rows,
+               coalesce(f.overlap_k, 0) AS overlap_at_k,
+               coalesce(f.rbo, CAST(0 AS DOUBLE)) AS rbo
+        FROM n LEFT JOIN f ON f.seg = n.seg
+        ORDER BY c_mktsegment
+    """
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8813,6 +8911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl": q_events_stl,
         "events_sax": q_events_sax,
         "text_rake": q_text_rake,
+        "eval_rbo": q_eval_rbo,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9705,6 +9804,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stl": _stl_oracle_sql(m=7),
         "events_sax": _sax_oracle_sql(w=6, alphabet=4),
         "text_rake": _rake_oracle_sql(k=15),
+        "eval_rbo": _rbo_oracle_sql(k=50, p=0.9),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -187,3 +187,43 @@ def test_calibration_bins_exact_and_perfectly_calibrated_anchor(spark):
         assert r["brier"] == sq / (n * n * 5)
     # perfect separation: low bins all 0, high bins all 1
     assert out[0]["obs_rate"] == 0.0 and out[3]["obs_rate"] == 1.0
+
+
+def test_group_rbo_anchors_and_python_replay(spark):
+    """Anchors: identical rankings score exactly sum((1-p)p^(d-1)) =
+    1 - p^k; fully disjoint top-k prefixes score 0; a constructed
+    half-agreeing group matches a pure-Python replay of the identical
+    injected-weight chain."""
+    from usearch_spark.operators.evaluate import group_rbo, rbo_weights
+
+    rows = []
+    # same: both scores identical -> identical rankings
+    for i in range(10):
+        rows.append(("same", i, 100 - i, 100 - i))
+    # disjoint: a-top is 0..4, b-top is 5..9 (k=5)
+    for i in range(10):
+        rows.append(("disj", i, 100 - i, 100 + i))
+    # irregular: b swaps adjacent pairs of a's order
+    order_b = [1, 0, 3, 2, 5, 4, 7, 6, 9, 8]
+    for i in range(10):
+        rows.append(("irr", i, 100 - i, 100 - order_b.index(i)))
+    df = spark.createDataFrame(rows, "g string, id long, a long, b long")
+    k, p = 5, 0.5
+    out = {
+        r["g"]: r for r in group_rbo(df, ["g"], "a", "b", "id", k=k, p=p).collect()
+    }
+    # same: overlap_d == d at every depth
+    want_same = 0.0
+    for d, w in enumerate(rbo_weights(k, p), 1):
+        want_same = want_same + float(d) * w
+    assert out["same"]["rbo"] == want_same
+    assert out["same"]["overlap_at_k"] == k
+    assert out["disj"]["rbo"] == 0.0 and out["disj"]["overlap_at_k"] == 0
+    # irregular python replay: ranks and max-rank prefix counts
+    ra = {i: i + 1 for i in range(10)}  # a-order: id 0 first
+    rb = {i: order_b[i] + 1 for i in range(10)}
+    want_irr = 0.0
+    for d, w in enumerate(rbo_weights(k, p), 1):
+        ov = sum(1 for i in range(10) if max(ra[i], rb[i]) <= d)
+        want_irr = want_irr + float(ov) * w
+    assert out["irr"]["rbo"] == want_irr

@@ -361,3 +361,91 @@ def calibration_bins(
             / (F.col("_n") * F.col("_n") * F.col("n_bin")).cast("double")
         ).alias("brier"),
     )
+
+
+def rbo_weights(k: int, p: float = 0.9) -> list[float]:
+    """The k truncated rank-biased-overlap weights (1−p)·p^(d−1)/d,
+    d = 1..k, computed ONCE in Python (p-powers by repeated multiply) —
+    both engines inject these exact doubles as literals, so no
+    cross-engine pow/libm call appears in the metric."""
+    out, pw = [], 1.0
+    for d in range(1, k + 1):
+        out.append((1.0 - p) * pw / d)
+        pw *= p
+    return out
+
+
+def group_rbo(
+    df: DataFrame,
+    group_cols: list[str],
+    score_a: str,
+    score_b: str,
+    id_col: str,
+    k: int = 50,
+    p: float = 0.9,
+) -> DataFrame:
+    """Per-group truncated Rank-Biased Overlap (Webber, Moffat & Zobel
+    2010) between TWO rankings of the same items:
+
+        RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d
+
+    where A_d/B_d are the top-d prefixes by the two scores — the
+    ranker-agreement eval (e.g. old scorer vs new scorer before a
+    swap): 1 ⇒ identical prefixes at every depth, → 0 as the tops
+    diverge; top-weighted by p like a user scanning down a result page.
+
+    Distributed shape: two group-partitioned rank windows; an item with
+    ranks (ra, rb) joins both prefixes from depth m = max(ra, rb), so
+    overlap_d = |{v : m(v) ≤ d}| — ONE count-per-m aggregate (≤ k rows
+    per group), then a bounded in-row fold.  Never a set-intersection
+    per depth, no collects.
+
+    Determinism: overlaps are exact integer prefix counts; the weights
+    are injected Python literals; the fold multiplies int-valued
+    doubles by literals and sums in DEPTH ORDER — bit-identical.
+
+    Output: group_cols + (n_rows, overlap_at_k, rbo).
+    """
+    wa = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_a).desc(), F.col(id_col)
+    )
+    wb = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_b).desc(), F.col(id_col)
+    )
+    ranked = df.select(
+        *group_cols,
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wb).alias("_rb"),
+    )
+    n_per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    cm = (
+        ranked.withColumn("_m", F.greatest("_ra", "_rb"))
+        .filter(F.col("_m") <= k)
+        .groupBy(*group_cols, "_m")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*group_cols)
+        .agg(F.collect_list(F.struct("_m", "_c")).alias("_mc"))
+    )
+    weights = F.array(*[F.lit(w) for w in rbo_weights(k, p)])
+    # overlap_d = Σ counts with m <= d (exact int); rbo folds in depth order
+    overlap = lambda d: F.aggregate(  # noqa: E731
+        F.filter(F.col("_mc"), lambda s: s["_m"] <= d),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["_c"],
+    )
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda d, i: overlap(d).cast("double") * F.element_at(weights, i + 1),
+    )
+    rbo = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        n_per.join(cm, group_cols, "left")
+        .select(
+            *group_cols,
+            "n_rows",
+            F.coalesce(overlap(F.lit(k)), F.lit(0)).cast("long").alias(
+                "overlap_at_k"
+            ),
+            F.coalesce(rbo, F.lit(0.0)).alias("rbo"),
+        )
+    )
