@@ -8765,6 +8765,74 @@ def _rbo_oracle_sql(k: int = 50, p: float = 0.9) -> str:
     """
 
 
+_MST_EDGES_SQL = """
+  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+         greatest(c.c_nationkey, s.s_nationkey) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+"""
+
+
+def q_graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning tree of the 25-nation trade graph (edge weight =
+    lineitems shipped between the nation pair) via distributed BORŮVKA
+    rounds with star-contraction merging (plans/mst.boruvka_mst —
+    Kiveris et al. 2014's primitive, O(log V) rounds): each component
+    struct-argmins its cheapest outgoing edge under the (w, a, b) total
+    order, selected edges join the forest, touched components merge via
+    connected_components_star over the selection graph only.  The
+    total order makes the MST unique, so the oracle replays it with a
+    sequential Prim — different algorithm, provably identical edge set
+    (exact integer weights, no float anywhere)."""
+    from usearch_spark.plans.mst import boruvka_mst
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return boruvka_mst(e).orderBy("a", "b")
+
+
+def _mst_oracle_sql(steps: int = 24) -> str:
+    """Sequential Prim replay of the unique (w, a, b)-order MST: the
+    visited set and forest ride a single-row list state through
+    ``steps`` unrolled min-edge picks (the graph is connected with
+    steps+1 = 25 nations at every SF, verified)."""
+    parts = [
+        f"WITH ed AS ({_MST_EDGES_SQL}),",
+        " p0 AS (SELECT [(SELECT min(a) FROM ed)] AS vis,"
+        " CAST([] AS STRUCT(a INTEGER, b INTEGER, w BIGINT)[]) AS mst)",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+ p{k} AS (
+   SELECT list_append(vis, CASE WHEN list_contains(vis, e.a) THEN e.b ELSE e.a END) AS vis,
+          list_append(mst, {{'a': e.a, 'b': e.b, 'w': e.w}}) AS mst
+   FROM p{k - 1}, ed e
+   WHERE list_contains(vis, e.a) <> list_contains(vis, e.b)
+   ORDER BY e.w, e.a, e.b LIMIT 1)""")
+    parts.append(
+        f"\n SELECT s.a AS a, s.b AS b, s.w AS weight"
+        f" FROM (SELECT unnest(mst) AS s FROM p{steps}) ORDER BY a, b"
+    )
+    return "".join(parts)
+
+
 def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
     """Unrolled rolling-origin Holt backtest replay: per origin h the
     fold runs over the day-list prefix ending at o = len - (n_origins +
@@ -8912,6 +8980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax": q_events_sax,
         "text_rake": q_text_rake,
         "eval_rbo": q_eval_rbo,
+        "graph_mst": q_graph_mst,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9805,6 +9874,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sax": _sax_oracle_sql(w=6, alphabet=4),
         "text_rake": _rake_oracle_sql(k=15),
         "eval_rbo": _rbo_oracle_sql(k=50, p=0.9),
+        "graph_mst": _mst_oracle_sql(steps=24),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -246,3 +246,62 @@ def test_pagerank_unknown_endpoint_edges_parity(spark):
     sd = {r["id"]: r["score"] for r in dist.state.collect()}
     for k in sl:
         assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12), (k, sl, sd)
+
+
+def test_boruvka_mst_handcheck_and_kruskal_replay(spark):
+    """Anchors: (1) textbook 5-vertex MST hand-check including a
+    tie resolved by the (w, a, b) order; (2) a two-component graph
+    yields a spanning FOREST; (3) a 40-vertex hash-weighted graph
+    matches a pure-Python Kruskal under the same total order."""
+    import hashlib
+
+    from usearch_spark.plans.mst import boruvka_mst
+
+    # (1) hand-check: vertices 1..5
+    e1 = [
+        (1, 2, 10), (2, 3, 10),  # tie: both picked (tree needs both)
+        (1, 3, 40), (3, 4, 5), (4, 5, 30), (3, 5, 25),
+    ]
+    df1 = spark.createDataFrame(e1, "a int, b int, w long")
+    got1 = {(r["a"], r["b"], r["weight"]) for r in boruvka_mst(df1).collect()}
+    assert got1 == {(1, 2, 10), (2, 3, 10), (3, 4, 5), (3, 5, 25)}
+
+    # (2) forest: two disjoint triangles
+    e2 = [(1, 2, 1), (2, 3, 2), (1, 3, 3), (10, 11, 1), (11, 12, 2), (10, 12, 3)]
+    df2 = spark.createDataFrame(e2, "a int, b int, w long")
+    got2 = {(r["a"], r["b"], r["weight"]) for r in boruvka_mst(df2).collect()}
+    assert got2 == {(1, 2, 1), (2, 3, 2), (10, 11, 1), (11, 12, 2)}
+
+    # (3) random-ish connected graph vs python kruskal
+    n = 40
+    edges = []
+    for i in range(n - 1):  # a path guarantees connectivity
+        edges.append((i, i + 1, int(hashlib.md5(f"p{i}".encode()).hexdigest()[:4], 16)))
+    for i in range(0, n, 3):
+        j = (i * 7 + 11) % n
+        if i != j:
+            edges.append((min(i, j), max(i, j),
+                          int(hashlib.md5(f"x{i}".encode()).hexdigest()[:4], 16)))
+    df3 = spark.createDataFrame(edges, "a int, b int, w long")
+    got3 = {(r["a"], r["b"], r["weight"]) for r in boruvka_mst(df3).collect()}
+
+    # python kruskal, same canonicalization (parallel edges -> min w)
+    canon = {}
+    for a, b, w in edges:
+        k = (min(a, b), max(a, b))
+        canon[k] = min(canon.get(k, w), w)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    want = set()
+    for (a, b), w in sorted(canon.items(), key=lambda t: (t[1], t[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b, w))
+    assert got3 == want and len(got3) == n - 1
