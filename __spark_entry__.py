@@ -7396,6 +7396,58 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_from_daily(daily, ["event_type"], alpha=0.5, beta=0.25, horizon=7)
 
 
+def q_events_stl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS materialized rollup + decomposition: the same streamed
+    additive daily rollup as events_holt_stream (streaming/sketches.
+    rollup_stream_merge under the lineage-aware idempotent pointer,
+    second run a deliberate restart that must change nothing), drained
+    into operators/forecast.decompose_from_daily — count addition
+    commutes with every integer numerator in the decomposition, so
+    events_stl's batch oracle is shared VERBATIM and the whole
+    maintenance loop is hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.forecast import decompose_from_daily
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"holt_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select(
+            "event_id", "event_type", F.to_date("ts").alias("d")
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).drop(
+                "event_id"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"stl_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, d date")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    daily = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    return decompose_from_daily(daily, ["event_type"], m=7).orderBy(
+        "event_type", "day"
+    )
+
+
 def q_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
     orders, a supplier "waits" an order when its shipment is late
@@ -8981,6 +9033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake": q_text_rake,
         "eval_rbo": q_eval_rbo,
         "graph_mst": q_graph_mst,
+        "events_stl_stream": q_events_stl_stream,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9875,6 +9928,7 @@ def oracle_sql() -> dict[str, str]:
         "text_rake": _rake_oracle_sql(k=15),
         "eval_rbo": _rbo_oracle_sql(k=50, p=0.9),
         "graph_mst": _mst_oracle_sql(steps=24),
+        "events_stl_stream": _stl_oracle_sql(m=7),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -435,11 +435,24 @@ def decompose_daily(
     Weekday is epoch-day arithmetic ((d − 1970-01-05) mod 7, Monday=0)
     — never a locale/engine-dependent dayofweek call.
     """
-    assert m % 2 == 1, "centered MA needs an odd window"
-    h = m // 2
     daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return decompose_from_daily(daily, group_cols, m=m)
+
+
+def decompose_from_daily(
+    daily: DataFrame,
+    group_cols: list[str],
+    m: int = 7,
+) -> DataFrame:
+    """The decomposition over PRE-AGGREGATED (group_cols..., d, n) daily
+    counts — the entry point for incrementally-maintained rollups
+    (count addition commutes with every integer numerator here, so a
+    streamed daily rollup feeds this unchanged; the holt_from_daily
+    contract)."""
+    assert m % 2 == 1, "centered MA needs an odd window"
+    h = m // 2
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("d")
