@@ -8502,6 +8502,82 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment", "bin")
 
 
+def q_eval_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov separation EVALUATION (operators/evaluate.
+    group_ks): per-segment two-sample KS of account balance between
+    customers with and without orders — the best-single-cut companion
+    to eval_auc over the same score/label family.  One (segment,
+    score) collapse, running sums over a segment-partitioned window,
+    exact-integer objective |cum_pos·n_neg − cum_neg·n_pos| with a
+    lowest-threshold tie-break, one final long→double divide."""
+    from usearch_spark.operators.evaluate import group_ks
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(1))
+    )
+    lab = c.join(buyers, "c_custkey", "left").withColumn(
+        "label", F.coalesce("has_order", F.lit(0))
+    )
+    return group_ks(lab, ["c_mktsegment"], "cents", "label").orderBy(
+        "c_mktsegment"
+    )
+
+
+def _ks_oracle_sql() -> str:
+    """group_ks replay: the group_auc collapse, integer running sums,
+    arg_min over the (−metric, score) pair, one divide."""
+    return """
+        WITH buyers AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+        base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS s,
+                   CASE WHEN ck IS NULL THEN 0 ELSE 1 END AS y
+            FROM customer LEFT JOIN buyers ON ck = c_custkey
+        ),
+        agg AS (
+            SELECT seg, s, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM base GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT seg, s,
+                   CAST(sum(pos) OVER w AS BIGINT) AS cp,
+                   CAST(sum(cnt) OVER w - sum(pos) OVER w AS BIGINT) AS cn
+            FROM agg
+            WINDOW w AS (PARTITION BY seg ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (SELECT seg, max(cp) AS n_pos, max(cn) AS n_neg FROM r GROUP BY seg),
+        best AS (
+            SELECT seg, m, s FROM (
+                SELECT r.seg, abs(r.cp * t.n_neg - r.cn * t.n_pos) AS m, r.s,
+                       row_number() OVER (
+                           PARTITION BY r.seg
+                           ORDER BY abs(r.cp * t.n_neg - r.cn * t.n_pos) DESC, r.s
+                       ) AS rn
+                FROM r JOIN tot t ON t.seg = r.seg
+            ) WHERE rn = 1
+        )
+        SELECT t.seg AS c_mktsegment, t.n_pos, t.n_neg,
+               CASE WHEN t.n_pos > 0 AND t.n_neg > 0
+                    THEN CAST(best.m AS DOUBLE)
+                         / CAST(t.n_pos * t.n_neg AS DOUBLE) END AS ks,
+               CASE WHEN t.n_pos > 0 AND t.n_neg > 0 THEN best.s END AS ks_score
+        FROM tot t JOIN best ON best.seg = t.seg
+        ORDER BY c_mktsegment
+    """
+
+
 def _calibration_oracle_sql(n_bins: int = 10) -> str:
     """calibration_bins replay: tie-broken rank window, integer bin
     assignment, exact integer numerators, one divide per output."""
@@ -9034,6 +9110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_rbo": q_eval_rbo,
         "graph_mst": q_graph_mst,
         "events_stl_stream": q_events_stl_stream,
+        "eval_ks": q_eval_ks,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -9929,6 +10006,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_rbo": _rbo_oracle_sql(k=50, p=0.9),
         "graph_mst": _mst_oracle_sql(steps=24),
         "events_stl_stream": _stl_oracle_sql(m=7),
+        "eval_ks": _ks_oracle_sql(),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -227,3 +227,35 @@ def test_group_rbo_anchors_and_python_replay(spark):
         ov = sum(1 for i in range(10) if max(ra[i], rb[i]) <= d)
         want_irr = want_irr + float(ov) * w
     assert out["irr"]["rbo"] == want_irr
+
+
+def test_group_ks_matches_naive_sweep(spark):
+    """group_ks == the O(n) naive threshold sweep on a tied, mixed
+    fixture; perfect separation gives ks == 1.0 at the top negative
+    score; all-positive groups emit NULL."""
+    from usearch_spark.operators.evaluate import group_ks
+
+    a = [(10, 1), (10, 0), (8, 1), (7, 0), (7, 1), (7, 0), (3, 0), (3, 1), (1, 0)]
+    b = [(9, 1), (8, 1), (2, 0), (1, 0)]  # perfect: ks = 1 at s = 2
+    d = [(5, 1), (6, 1)]
+    rows = [(g, s, y) for g, data in [("A", a), ("B", b), ("D", d)] for s, y in data]
+    df = spark.createDataFrame(rows, "g string, score long, label int")
+    out = {r["g"]: r for r in group_ks(df, ["g"], "score", "label").collect()}
+
+    def naive(data):
+        n1 = sum(y for _, y in data)
+        n0 = len(data) - n1
+        best, best_s = -1, None
+        for t in sorted({s for s, _ in data}):
+            cp = sum(1 for s, y in data if s <= t and y == 1)
+            cn = sum(1 for s, y in data if s <= t and y == 0)
+            m = abs(cp * n0 - cn * n1)
+            if m > best:  # ties keep the LOWEST threshold
+                best, best_s = m, t
+        return best / (n1 * n0), best_s
+
+    for g, data in [("A", a), ("B", b)]:
+        ks, s = naive(data)
+        assert out[g]["ks"] == ks and out[g]["ks_score"] == s
+    assert out["B"]["ks"] == 1.0 and out["B"]["ks_score"] == 2
+    assert out["D"]["ks"] is None and out["D"]["ks_score"] is None

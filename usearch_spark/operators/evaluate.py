@@ -449,3 +449,68 @@ def group_rbo(
             F.coalesce(rbo, F.lit(0.0)).alias("rbo"),
         )
     )
+
+
+def group_ks(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov separation of a score
+    between positives and negatives — the scorecard industry's
+    companion to AUC (KS = max over thresholds of
+    |CDF_pos(t) − CDF_neg(t)|, the single best cut's separating power;
+    AUC integrates over all cuts, KS reports the peak).
+
+    Same distributed collapse as :func:`group_auc`: one shuffle to
+    (group, score) with count/positive-count, running sums over a
+    group-partitioned score-ordered window, then a per-group argmax.
+    KS never touches a float until the END: the objective maximizes
+    |cum_pos·n_neg − cum_neg·n_pos| (exact integers), the argmax
+    carries a (−metric, score) struct-min tie-break (ties to the
+    LOWEST threshold score), and the reported statistic is that exact
+    integer over n_pos·n_neg — one long→double divide.
+
+    Degenerate groups (no positives or no negatives) emit NULL.
+
+    Output: group_cols + (n_pos, n_neg, ks, ks_score).
+    """
+    agg = df.groupBy(*group_cols, score_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = agg.select(
+        *group_cols,
+        F.col(score_col).alias("_s"),
+        F.sum("pos").over(w).alias("_cp"),
+        (F.sum("cnt").over(w) - F.sum("pos").over(w)).alias("_cn"),
+    )
+    tot = r.groupBy(*group_cols).agg(
+        F.max("_cp").alias("n_pos"), F.max("_cn").alias("n_neg")
+    )
+    j = r.join(tot, group_cols)
+    num = F.abs(F.col("_cp") * F.col("n_neg") - F.col("_cn") * F.col("n_pos"))
+    best = j.groupBy(*group_cols).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.min(F.struct((-num).alias("_m"), F.col("_s").alias("_t"))).alias("_b"),
+    )
+    return best.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (-F.col("_b._m")).cast("double")
+            / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("ks"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.col("_b._t")
+        ).alias("ks_score"),
+    )
