@@ -8687,6 +8687,69 @@ def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series AUTOCORRELATION diagnostic (operators/forecast.
+    daily_acf): per-type ACF at lags 1..7 — the Box-Jenkins check that
+    decides whether the stream warrants a seasonal model (the
+    holt_winters / stl decision input).  Centered terms are scaled by T
+    to clear the mean (c_t = T·y_t − S), so numerator and denominator
+    are EXACT int64 sums and each lag pays one long→double divide —
+    bit-exact, no float summation anywhere."""
+    from usearch_spark.operators.forecast import daily_acf
+
+    ev = _events(spark, sf_dir)
+    return daily_acf(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), max_lag=7
+    ).orderBy("event_type", "lag")
+
+
+def _acf_oracle_sql(max_lag: int = 7) -> str:
+    """daily_acf replay: day-ordered count list, T-scaled centered
+    integers, per-lag integer dot products via list_reduce, one divide
+    per lag, lags emitted as a UNION ALL."""
+    sels = []
+    for k in range(1, max_lag + 1):
+        sels.append(f"""
+            SELECT g AS event_type, CAST(t AS BIGINT) AS n_days,
+                   CAST({k} AS BIGINT) AS lag,
+                   CASE WHEN den > 0 THEN
+                       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, len(c) - {k} + 1),
+                                           i -> c[i] * c[i + {k}])),
+                            (a, x) -> a + x) AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS acf
+            FROM den""")
+    body = "\n            UNION ALL".join(sels)
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS vals
+            FROM daily GROUP BY g HAVING count(*) > {max_lag}
+        ),
+        base AS (
+            SELECT g, CAST(len(vals) AS BIGINT) AS t,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                               (a, x) -> a + x) AS s,
+                   vals
+            FROM seqs
+        ),
+        cb AS (SELECT g, t, list_transform(vals, y -> t * y - s) AS c FROM base),
+        den AS (
+            SELECT g, t, c,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, len(c) + 1), i -> c[i] * c[i])),
+                       (a, x) -> a + x) AS den
+            FROM cb
+        )
+        {body}
+        ORDER BY event_type, lag
+    """
+
+
 def _sax_oracle_sql(w: int = 6, alphabet: int = 4) -> str:
     """sax_symbols replay: day-ordered list, integer segment sums via
     list_reduce, rank-by-count-of-smaller, literal letter LUT."""
@@ -9111,6 +9174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mst": q_graph_mst,
         "events_stl_stream": q_events_stl_stream,
         "eval_ks": q_eval_ks,
+        "events_acf": q_events_acf,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -10007,6 +10071,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mst": _mst_oracle_sql(steps=24),
         "events_stl_stream": _stl_oracle_sql(m=7),
         "eval_ks": _ks_oracle_sql(),
+        "events_acf": _acf_oracle_sql(max_lag=7),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -406,3 +406,48 @@ def test_sax_symbols_planted_shape(spark):
     assert "short" not in out
     assert out["a"]["n_days"] == 12 and out["a"]["n_segments"] == 4
     assert out["a"]["sax"] == "abab"
+
+
+def test_daily_acf_planted_period_and_python_replay(spark):
+    """A strictly 2-periodic series has acf(2k) == 1-ish positive peaks
+    and acf at odd lags negative; an irregular series matches the exact
+    integer-arithmetic Python replay bit-for-bit; constant series
+    report NULL (zero denominator); short groups are excluded."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import daily_acf
+
+    alt = [3, 9] * 7  # period 2, T=14
+    irr = [9, 3, 14, 7, 7, 11, 2, 10, 4, 13, 8, 6]
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    for name, series in [("alt", alt), ("irr", irr)]:
+        for t, y in enumerate(series):
+            rows += [(name, d0 + datetime.timedelta(days=t))] * y
+    for t in range(10):
+        rows += [("const", d0 + datetime.timedelta(days=t))] * 5
+    for t in range(4):  # too short for max_lag=7
+        rows += [("short", d0 + datetime.timedelta(days=t))] * 2
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = {}
+    for r in daily_acf(df, ["g"], F.col("d"), max_lag=7).collect():
+        out.setdefault(r["g"], {})[r["lag"]] = r["acf"]
+    assert "short" not in out
+    assert all(v is None for v in out["const"].values())
+    # perfect +-c alternation under the biased estimator: even lags
+    # score exactly (T-k)/T, odd lags exactly -(T-k)/T
+    assert out["alt"][2] == 12 / 14 and out["alt"][4] == 10 / 14
+    assert out["alt"][1] == -13 / 14 and out["alt"][3] == -11 / 14
+
+    def acf(series, k):
+        T = len(series)
+        S = sum(series)
+        c = [T * y - S for y in series]
+        den = sum(x * x for x in c)
+        num = sum(c[i] * c[i + k] for i in range(T - k))
+        return num / den
+
+    for k in range(1, 8):
+        assert out["irr"][k] == acf(irr, k)

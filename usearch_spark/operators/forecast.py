@@ -579,3 +579,73 @@ def sax_symbols(
         F.lit(w).cast("long").alias("n_segments"),
         word.alias("sax"),
     )
+
+
+def daily_acf(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-group AUTOCORRELATION function of daily counts at lags
+    1..max_lag — the Box-Jenkins diagnostic that tells a pipeline
+    whether a metric stream carries weekly structure worth a seasonal
+    model (the events_holt_winters / events_stl decision input):
+
+        acf_k = Σ_{t<=T−k} (y_t − ȳ)(y_{t+k} − ȳ) / Σ (y_t − ȳ)²
+
+    Multiplying the centered terms by T clears the mean's denominator:
+    with c_t = T·y_t − S (S = Σy, both exact integers) the statistic is
+    Σ c_t·c_{t+k} / Σ c_t² — EXACT int64 numerator and denominator and
+    ONE long→double divide per lag; the T² scale cancels.  A constant
+    series (zero denominator) reports NULL.
+
+    Distributed shape: the usual one partial-aggregated (group, day)
+    count shuffle; the lag products fold over bounded in-row arrays.
+    Bound: |c| ≤ T·max(y), so T²·max(y)²·T must stay under 2^63 —
+    fine for daily dimensions (T ≤ ~3000, y ≤ ~10^6).
+
+    Output: group_cols + (n_days, lag, acf), one row per lag.
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = daily.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    ).filter(F.size("seq") > max_lag)
+    vals = F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    per = per.withColumn("_vals", vals)
+    t = F.size("_vals").cast("long")
+    s = F.aggregate(F.col("_vals"), F.lit(0).cast("long"), lambda a, x: a + x)
+    c = F.transform(F.col("_vals"), lambda y: t * y - s)
+    per = per.withColumn("_c", c)
+    den = F.aggregate(
+        F.zip_with(F.col("_c"), F.col("_c"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    lags = []
+    for k in range(1, max_lag + 1):
+        ln = F.size("_c") - F.lit(k)
+        num = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_c"), 1, ln),
+                F.slice(F.col("_c"), F.lit(k + 1), ln),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        lags.append(
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+                    "acf"
+                ),
+            )
+        )
+    return per.select(
+        *group_cols,
+        F.size("_vals").cast("long").alias("n_days"),
+        F.explode(F.array(*lags)).alias("_l"),
+    ).select(*group_cols, "n_days", F.col("_l.lag").alias("lag"), F.col("_l.acf").alias("acf"))
