@@ -8750,6 +8750,73 @@ def _acf_oracle_sql(max_lag: int = 7) -> str:
     """
 
 
+def _benford_weights() -> list[float]:
+    """Benford first-digit probabilities log10(1 + 1/d), d = 1..9,
+    computed once in Python and injected as literals on both engines
+    (the ndcg_discounts pattern — log10 is libm)."""
+    import math
+
+    return [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit AUDIT of invoice amounts — the
+    classic fabricated-numbers / data-quality screen (Benford 1938;
+    conforming financial data follows P(d) = log10(1+1/d)).  First
+    digits come from exact integer cents (scale-invariant, so cents ==
+    amounts), the digit histogram is one partial-agg shuffle, expected
+    counts multiply the total by INJECTED Python literals, and each
+    digit row reports its chi-square term (obs−exp)²/exp — identical
+    float chains both engines, no engine-side log."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    d = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    g = li.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = g.agg(F.sum("n_obs").alias("n"))
+    warr = F.array(*[F.lit(w) for w in _benford_weights()])
+    j = g.crossJoin(F.broadcast(tot))
+    exp = F.col("n").cast("double") * F.element_at(warr, F.col("digit"))
+    term = (F.col("n_obs").cast("double") - exp) * (
+        F.col("n_obs").cast("double") - exp
+    ) / exp
+    return j.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        exp.alias("expected"),
+        term.alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def _benford_oracle_sql() -> str:
+    """audit_benford replay: same exact-cents first digit, the same
+    string-cast double literals, the same (obs−exp)²/exp chain."""
+    vals = ", ".join(
+        f"({d}, CAST('{w!r}' AS DOUBLE))"
+        for d, w in enumerate(_benford_weights(), 1)
+    )
+    return f"""
+        WITH w(digit, p) AS (VALUES {vals}),
+        c AS (
+            SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                       AS digit
+            FROM lineitem
+        ),
+        g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+        SELECT g.digit, g.n_obs,
+               CAST(t.n AS DOUBLE) * w.p AS expected,
+               (CAST(g.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * w.p)
+                   * (CAST(g.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * w.p)
+                   / (CAST(t.n AS DOUBLE) * w.p) AS chi2_term
+        FROM g, t JOIN w ON w.digit = g.digit
+        ORDER BY g.digit
+    """
+
+
 def _sax_oracle_sql(w: int = 6, alphabet: int = 4) -> str:
     """sax_symbols replay: day-ordered list, integer segment sums via
     list_reduce, rank-by-count-of-smaller, literal letter LUT."""
@@ -9175,6 +9242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl_stream": q_events_stl_stream,
         "eval_ks": q_eval_ks,
         "events_acf": q_events_acf,
+        "audit_benford": q_audit_benford,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -10072,6 +10140,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stl_stream": _stl_oracle_sql(m=7),
         "eval_ks": _ks_oracle_sql(),
         "events_acf": _acf_oracle_sql(max_lag=7),
+        "audit_benford": _benford_oracle_sql(),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

@@ -39,3 +39,42 @@ def test_duplicate_keys_and_orphans(spark):
     assert (dup["n_violations"], dup["n_checked"]) == (1, 4)
     orp = orphan_rows(child, parent, "fk", "pk", "fk_exists").collect()[0]
     assert (orp["n_violations"], orp["n_checked"]) == (1, 4)
+
+
+def test_benford_terms_exact_python_replay(spark):
+    """The digit histogram and every chi-square term match the exact
+    Python replay on constructed amounts (first digit from exact cents,
+    injected log10 literals — no engine-side log)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _benford_weights
+
+    from pyspark.sql import functions as F
+
+    cents = [123, 1999, 2050, 345, 31, 4070, 555, 6120, 777, 8888, 90, 19, 12, 13]
+    df = spark.createDataFrame([(c,) for c in cents], "cents long")
+    d = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    g = df.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = g.agg(F.sum("n_obs").alias("n"))
+    warr = F.array(*[F.lit(w) for w in _benford_weights()])
+    exp = F.col("n").cast("double") * F.element_at(warr, F.col("digit"))
+    term = (F.col("n_obs").cast("double") - exp) ** 2 / exp
+    got = {
+        r["digit"]: (r["n_obs"], r["e"], r["t"])
+        for r in g.crossJoin(F.broadcast(tot))
+        .select("digit", "n_obs", exp.alias("e"), term.alias("t"))
+        .collect()
+    }
+    from collections import Counter
+
+    want_counts = Counter(int(str(c)[0]) for c in cents)
+    n = len(cents)
+    ws = _benford_weights()
+    for dgt, cnt in want_counts.items():
+        e = float(n) * ws[dgt - 1]
+        assert got[dgt][0] == cnt
+        assert got[dgt][1] == e
+        assert got[dgt][2] == (float(cnt) - e) * (float(cnt) - e) / e
