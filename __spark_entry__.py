@@ -8750,6 +8750,103 @@ def _acf_oracle_sql(max_lag: int = 7) -> str:
     """
 
 
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph DIAMETER lower bound by the classic 2-SWEEP heuristic
+    (Magnien et al. 2009): a shortest-path sweep from an arbitrary
+    vertex (n0) finds the farthest reachable vertex u (its
+    eccentricity), a second sweep from u reports ecc(u) — on most real
+    graphs within a few percent of the true diameter at 2 (instead of
+    |V|) SSSP runs, which is the only affordable form at scale.  Both
+    sweeps reuse plans/shortest_path.shortest_paths (the G2 machinery);
+    the only driver transfer is the ONE-ROW argmax between sweeps (the
+    ivf centroid-pick pattern).  Costs are exact integers; argmaxes
+    tie-break to the lowest id; the oracle unrolls both Bellman-Ford
+    chains with the second seeded by the first's argmax subquery."""
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    v, e = _nation_graph(spark, sf_dir)
+    r1 = shortest_paths(v, e, "n0", max_steps=8)
+    s1 = (
+        r1.state.filter(F.col("cost").isNotNull())
+        .orderBy(F.col("cost").desc(), "id")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    far1 = s1.first()
+    r2 = shortest_paths(v, e, far1["id"], max_steps=8)
+    out1 = s1.select(
+        F.lit(1).cast("long").alias("sweep"),
+        F.lit("n0").alias("source"),
+        F.col("id").alias("far_id"),
+        F.col("cost").cast("long").alias("ecc"),
+    )
+    out2 = (
+        r2.state.filter(F.col("cost").isNotNull())
+        .orderBy(F.col("cost").desc(), "id")
+        .limit(1)
+        .select(
+            F.lit(2).cast("long").alias("sweep"),
+            F.lit(far1["id"]).alias("source"),
+            F.col("id").alias("far_id"),
+            F.col("cost").cast("long").alias("ecc"),
+        )
+    )
+    return out1.unionByName(out2)
+
+
+def _eccentricity_oracle_sql(rounds: int = 8) -> str:
+    """2-sweep replay: the _sssp_oracle_sql Bellman-Ford chain from n0,
+    the (cost DESC, id) argmax, then the same chain re-seeded by that
+    argmax as a subquery, and the second argmax."""
+    head = """
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst,
+                   abs(a.n_nationkey - b.n_nationkey) + 1 AS w
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS id FROM nation),
+        d0 AS MATERIALIZED (SELECT id, CASE WHEN id = 'n0' THEN 0 END AS cost FROM verts)
+    """
+    parts = [head]
+
+    def chain(pfx: str, rounds: int) -> str:
+        out = []
+        for k in range(1, rounds + 1):
+            p = k - 1
+            out.append(f""",
+        {pfx}{k} AS MATERIALIZED (
+            SELECT v.id, min(t.c) AS cost
+            FROM verts v LEFT JOIN (
+                SELECT id, cost AS c FROM {pfx}{p} WHERE cost IS NOT NULL
+                UNION ALL
+                SELECT e.dst AS id, d.cost + e.w AS c
+                FROM {pfx}{p} d JOIN e ON e.src = d.id WHERE d.cost IS NOT NULL
+            ) t ON t.id = v.id
+            GROUP BY v.id
+        )""")
+        return "".join(out)
+
+    parts.append(chain("d", rounds))
+    parts.append(f""",
+        far1 AS (SELECT id, cost FROM d{rounds}
+                 WHERE cost IS NOT NULL ORDER BY cost DESC, id LIMIT 1),
+        g0 AS MATERIALIZED (
+            SELECT id, CASE WHEN id = (SELECT id FROM far1) THEN 0 END AS cost
+            FROM verts)""")
+    parts.append(chain("g", rounds))
+    parts.append(f""",
+        far2 AS (SELECT id, cost FROM g{rounds}
+                 WHERE cost IS NOT NULL ORDER BY cost DESC, id LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS sweep, 'n0' AS source, id AS far_id,
+               CAST(cost AS BIGINT) AS ecc FROM far1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), (SELECT id FROM far1), id,
+               CAST(cost AS BIGINT) FROM far2
+    """)
+    return "".join(parts)
+
+
 def _benford_weights() -> list[float]:
     """Benford first-digit probabilities log10(1 + 1/d), d = 1..9,
     computed once in Python and injected as literals on both engines
@@ -9243,6 +9340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ks": q_eval_ks,
         "events_acf": q_events_acf,
         "audit_benford": q_audit_benford,
+        "graph_eccentricity": q_graph_eccentricity,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -10141,6 +10239,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_ks": _ks_oracle_sql(),
         "events_acf": _acf_oracle_sql(max_lag=7),
         "audit_benford": _benford_oracle_sql(),
+        "graph_eccentricity": _eccentricity_oracle_sql(rounds=8),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

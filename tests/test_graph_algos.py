@@ -305,3 +305,34 @@ def test_boruvka_mst_handcheck_and_kruskal_replay(spark):
             parent[ra] = rb
             want.add((a, b, w))
     assert got3 == want and len(got3) == n - 1
+
+
+def test_eccentricity_two_sweep_on_weighted_path(spark):
+    """On a weighted path graph the 2-sweep heuristic is EXACT: sweep 1
+    from an interior start finds an endpoint, sweep 2 reports the true
+    diameter (sum of edge weights); argmax ties break to the lowest
+    id."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    # path a - b - c - d with weights 2, 3, 4: diameter = 9 (a..d)
+    und = [("a", "b", 2), ("b", "c", 3), ("c", "d", 4)]
+    rows = und + [(b, a, w) for a, b, w in und]
+    e = spark.createDataFrame(rows, "src string, dst string, weight long")
+    v = spark.createDataFrame([(x,) for x in "abcd"], "id string")
+
+    r1 = shortest_paths(v, e, "b", max_steps=6)
+    far1 = (
+        r1.state.filter(F.col("cost").isNotNull())
+        .orderBy(F.col("cost").desc(), "id")
+        .first()
+    )
+    assert far1["id"] == "d" and far1["cost"] == 7  # b->d = 3+4
+    r2 = shortest_paths(v, e, far1["id"], max_steps=6)
+    far2 = (
+        r2.state.filter(F.col("cost").isNotNull())
+        .orderBy(F.col("cost").desc(), "id")
+        .first()
+    )
+    assert far2["id"] == "a" and far2["cost"] == 9  # the true diameter
