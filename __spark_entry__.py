@@ -8847,6 +8847,119 @@ def _eccentricity_oracle_sql(rounds: int = 8) -> str:
     return "".join(parts)
 
 
+def q_graph_kcenters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy K-CENTER selection (Gonzalez 1985 farthest-point — the
+    2-approximation every facility-location / coreset pipeline uses):
+    starting from n0, each round adds the vertex FARTHEST from the
+    chosen set (min-dist via SSSP sweeps, NULL = unreachable = +inf,
+    so the greedy covers disconnected components first) until k=5
+    centers cover all five region components of the weighted nation
+    graph; reports each center and the final covering radius
+    max_v min_c d(v, c).  k SSSP sweeps instead of |V|; the only
+    driver transfer is the one-row argmax per round; min-dist
+    maintenance is F.least (NULL-skipping in BOTH engines, verified);
+    exact integer costs, (unreachable-first, cost desc, id) argmax
+    order."""
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    v, e = _nation_graph(spark, sf_dir)
+    k = 5
+    centers = ["n0"]
+    mind = (
+        shortest_paths(v, e, "n0", max_steps=8)
+        .state.select("id", F.col("cost").alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(k - 1):
+        nxt = mind.orderBy(
+            F.col("mind").isNull().desc(), F.col("mind").desc(), "id"
+        ).first()["id"]
+        centers.append(nxt)
+        r = shortest_paths(v, e, nxt, max_steps=8).state.select(
+            "id", F.col("cost").alias("c2")
+        )
+        mind = (
+            mind.join(r, "id")
+            .select("id", F.least("mind", "c2").alias("mind"))
+            .localCheckpoint(eager=True)
+        )
+    rad = mind.agg(
+        F.sum(F.col("mind").isNull().cast("int")).alias("nn"),
+        F.max("mind").alias("mx"),
+    )
+    radius = F.when(F.col("nn") == 0, F.col("mx")).cast("long")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("rank"), F.lit(c).alias("center")
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    return rad.select(F.explode(arr).alias("s"), radius.alias("radius")).select(
+        F.col("s.rank").alias("rank"), F.col("s.center").alias("center"), "radius"
+    )
+
+
+def _kcenters_oracle_sql(k: int = 5, rounds: int = 8) -> str:
+    """Greedy k-center replay: k chained Bellman-Ford unrolls, each
+    seeded by the previous min-dist table's (unreachable-first, cost
+    desc, id) argmax subquery; least() maintains min-dist (NULL-skipping
+    matches Spark); the covering radius comes from the final table."""
+    head = """
+        WITH e AS (
+            SELECT 'n' || a.n_nationkey AS src, 'n' || b.n_nationkey AS dst,
+                   abs(a.n_nationkey - b.n_nationkey) + 1 AS w
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+        ),
+        verts AS (SELECT 'n' || n_nationkey AS id FROM nation),
+        c1d0 AS MATERIALIZED (
+            SELECT id, CASE WHEN id = 'n0' THEN 0 END AS cost FROM verts)
+    """
+    parts = [head]
+
+    def chain(pfx: str) -> None:
+        for r in range(1, rounds + 1):
+            p = r - 1
+            parts.append(f""",
+        {pfx}d{r} AS MATERIALIZED (
+            SELECT v.id, min(t.c) AS cost
+            FROM verts v LEFT JOIN (
+                SELECT id, cost AS c FROM {pfx}d{p} WHERE cost IS NOT NULL
+                UNION ALL
+                SELECT e.dst AS id, d.cost + e.w AS c
+                FROM {pfx}d{p} d JOIN e ON e.src = d.id WHERE d.cost IS NOT NULL
+            ) t ON t.id = v.id
+            GROUP BY v.id
+        )""")
+
+    chain("c1")
+    parts.append(f""",
+        m1 AS (SELECT id, cost AS mind FROM c1d{rounds})""")
+    for i in range(2, k + 1):
+        parts.append(f""",
+        s{i} AS (SELECT id FROM m{i - 1}
+                 ORDER BY (mind IS NULL) DESC, mind DESC, id LIMIT 1),
+        c{i}d0 AS MATERIALIZED (
+            SELECT id, CASE WHEN id = (SELECT id FROM s{i}) THEN 0 END AS cost
+            FROM verts)""")
+        chain(f"c{i}")
+        parts.append(f""",
+        m{i} AS (SELECT m.id, least(m.mind, c.cost) AS mind
+                 FROM m{i - 1} m JOIN c{i}d{rounds} c ON c.id = m.id)""")
+    parts.append(f""",
+        rad AS (SELECT CASE WHEN sum(CASE WHEN mind IS NULL THEN 1 ELSE 0 END) = 0
+                            THEN CAST(max(mind) AS BIGINT) END AS radius
+                FROM m{k})
+        SELECT CAST(1 AS BIGINT) AS rank, 'n0' AS center, rad.radius FROM rad""")
+    for i in range(2, k + 1):
+        parts.append(f"""
+        UNION ALL
+        SELECT CAST({i} AS BIGINT), (SELECT id FROM s{i}), rad.radius FROM rad""")
+    return "".join(parts)
+
+
 def _benford_weights() -> list[float]:
     """Benford first-digit probabilities log10(1 + 1/d), d = 1..9,
     computed once in Python and injected as literals on both engines
@@ -9341,6 +9454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "audit_benford": q_audit_benford,
         "graph_eccentricity": q_graph_eccentricity,
+        "graph_kcenters": q_graph_kcenters,
         # --- round-7 remainder ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -10240,6 +10354,7 @@ def oracle_sql() -> dict[str, str]:
         "events_acf": _acf_oracle_sql(max_lag=7),
         "audit_benford": _benford_oracle_sql(),
         "graph_eccentricity": _eccentricity_oracle_sql(rounds=8),
+        "graph_kcenters": _kcenters_oracle_sql(k=5, rounds=8),
         "events_holt_stream": _holt_oracle_sql(),
         "graph_random_walks": _walks_oracle_sql(4),
         "graph_node2vec": _node2vec_oracle_sql(4, 1, 4, 2),

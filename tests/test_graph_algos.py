@@ -336,3 +336,41 @@ def test_eccentricity_two_sweep_on_weighted_path(spark):
         .first()
     )
     assert far2["id"] == "a" and far2["cost"] == 9  # the true diameter
+
+
+def test_kcenters_greedy_covers_components_then_maximizes_spread(spark):
+    """Greedy farthest-point on two disjoint weighted paths: center 1 is
+    the seed, center 2 must come from the UNREACHED component
+    (NULL = +inf outranks any finite distance), center 3 is the
+    farthest vertex from both; the final covering radius is exact."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    # component 1: a-b-c (weights 1, 1); component 2: x-y (weight 5)
+    und = [("a", "b", 1), ("b", "c", 1), ("x", "y", 5)]
+    rows = und + [(b, a, w) for a, b, w in und]
+    e = spark.createDataFrame(rows, "src string, dst string, weight long")
+    v = spark.createDataFrame([(s,) for s in "abcxy"], "id string")
+
+    centers = ["a"]
+    mind = shortest_paths(v, e, "a", max_steps=5).state.select(
+        "id", F.col("cost").alias("mind")
+    )
+    for _ in range(2):
+        nxt = mind.orderBy(
+            F.col("mind").isNull().desc(), F.col("mind").desc(), "id"
+        ).first()["id"]
+        centers.append(nxt)
+        r = shortest_paths(v, e, nxt, max_steps=5).state.select(
+            "id", F.col("cost").alias("c2")
+        )
+        mind = mind.join(r, "id").select(
+            "id", F.least("mind", "c2").alias("mind")
+        )
+    # center 2 = lowest-id unreachable vertex (x), center 3 = farthest
+    # remaining (y at distance 5 from x vs c at distance 2 from a)
+    assert centers == ["a", "x", "y"]
+    got = {r["id"]: r["mind"] for r in mind.collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "x": 0, "y": 0}
+    assert max(got.values()) == 2  # covering radius
