@@ -9375,71 +9375,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-11 rotation:
-    (1) the nineteen round-10 queries that have never had a driver gate
-    (sketch_kmv .. eval_auc — graph_node2vec also picked up the
-    multigraph-dedupe fix this round, so its re-gate lands inside the
-    window); (2) the round-5 remainder (23); (3) the round-7 cohort
-    front — 8 fit.  Past the boundary: new round-11 entries (first in
-    line for the round-12 window), the round-7 remainder, then the
-    round-8, round-9 and round-10 cohorts in gate order.  Position
-    math: qs.index(name) < 50 is the gated set."""
+    cap sweeps the whole surface across rounds.  Round-12 rotation (the
+    r11-verdict ask): (1) the fifteen round-11 queries that have never
+    had a driver gate (eval_forecast_backtest .. graph_kcenters);
+    (2) the round-7 remainder front — 35 fit (salted_join_revenue ..
+    doc_keywords; the last 3 r07 queries spill to round 13).  Past the
+    boundary: new round-12 entries (first in line for the round-13
+    window), the round-7 spill (3), then the round-8, round-9,
+    round-10 and round-11 gated cohorts in gate order.  Position math:
+    qs.index(name) < 50 is the gated set."""
     return {
-        # --- new round 10, never driver-gated: gate first ---
-        "sketch_kmv": q_sketch_kmv,
-        "sketch_kmv_intersect": q_sketch_kmv_intersect,
-        "sketch_kmv_stream": q_sketch_kmv_stream,
-        "events_holt": q_events_holt,
-        "events_holt_stream": q_events_holt_stream,
-        "supplier_waiting": q_supplier_waiting,
-        "sim_mips_topk": q_sim_mips_topk,
-        "graph_random_walks": q_graph_random_walks,
-        "scd2_stream": q_scd2_stream,
-        "dedup_edit": q_dedup_edit,
-        "events_resample": q_events_resample,
-        "events_holt_winters": q_events_holt_winters,
-        "corpus_drift": q_corpus_drift,
-        "graph_node2vec": q_graph_node2vec,
-        "overstock_suppliers": q_overstock_suppliers,
-        "events_cusum": q_events_cusum,
-        "events_attribution": q_events_attribution,
-        "customer_rfm": q_customer_rfm,
-        "eval_auc": q_eval_auc,
-        # --- round-5 remainder (23) ---
-        "important_suppliers": q_important_suppliers,
-        "graph_ktruss": q_graph_ktruss,
-        "corpus_weighted_sample": q_corpus_weighted_sample,
-        "parts_pareto": q_parts_pareto,
-        "parts_pareto_3d": q_parts_pareto_3d,
-        "users_cumulative": q_users_cumulative,
-        "corpus_quality_filter": q_corpus_quality_filter,
-        "order_priority_late": q_order_priority_late,
-        "promo_revenue": q_promo_revenue,
-        "graph_clustering_coeff": q_graph_clustering_coeff,
-        "events_dedup_stream": q_events_dedup_stream,
-        "graph_harmonic_dist": q_graph_harmonic_dist,
-        "graph_betweenness_dist": q_graph_betweenness_dist,
-        "graph_pagerank_dist": q_graph_pagerank_dist,
-        "sample_per_source": q_sample_per_source,
-        "top_users_per_type": q_top_users_per_type,
-        "price_quantity_corr": q_price_quantity_corr,
-        "events_hourly_json": q_events_hourly_json,
-        "events_rollup_incremental": q_events_rollup_incremental,
-        "top_brand_per_type": q_top_brand_per_type,
-        "events_error_rate": q_events_error_rate,
-        "discount_bands": q_discount_bands,
-        "supplier_reach": q_supplier_reach,
-        # --- round-7 cohort front (8 fit) ---
-        "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
-        "graph_partition_kway": q_graph_partition_kway,
-        "graph_hyperball": q_graph_hyperball,
-        "dedup_substring": q_dedup_substring,
-        "sketch_hll_users": q_sketch_hll_users,
-        "events_partition_pruned": q_events_partition_pruned,
-        "doc_tfidf_pairs": q_doc_tfidf_pairs,
-        "graph_densest": q_graph_densest,
-        # ---------- 50-entry window boundary (round 11) ----------
-        # --- new round 11 entries land here (first in line for the r12 window) ---
+        # --- new round 11, never driver-gated: gate first ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
         "eval_ndcg": q_eval_ndcg,
@@ -9455,7 +9401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_benford": q_audit_benford,
         "graph_eccentricity": q_graph_eccentricity,
         "graph_kcenters": q_graph_kcenters,
-        # --- round-7 remainder ---
+        # --- round-7 remainder front (35 fit) ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -9491,6 +9437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "supplier_cooccurrence": q_supplier_cooccurrence,
         "doc_keywords": q_doc_keywords,
+        # ---------- 50-entry window boundary (round 12) ----------
+        # --- new round 12 entries land here (first in line for the r13 window) ---
+        # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
         "pricing_summary": q_pricing_summary,
@@ -9645,6 +9594,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_scores": q_embedding_pca_scores,
         "embedding_pca2": q_embedding_pca2,
         "branded_or_revenue": q_branded_or_revenue,
+        # --- round-11 gated cohort (freshest gate: 19 new-r10 + r05 remainder 23 + r07 front 8) ---
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_kmv_intersect": q_sketch_kmv_intersect,
+        "sketch_kmv_stream": q_sketch_kmv_stream,
+        "events_holt": q_events_holt,
+        "events_holt_stream": q_events_holt_stream,
+        "supplier_waiting": q_supplier_waiting,
+        "sim_mips_topk": q_sim_mips_topk,
+        "graph_random_walks": q_graph_random_walks,
+        "scd2_stream": q_scd2_stream,
+        "dedup_edit": q_dedup_edit,
+        "events_resample": q_events_resample,
+        "events_holt_winters": q_events_holt_winters,
+        "corpus_drift": q_corpus_drift,
+        "graph_node2vec": q_graph_node2vec,
+        "overstock_suppliers": q_overstock_suppliers,
+        "events_cusum": q_events_cusum,
+        "events_attribution": q_events_attribution,
+        "customer_rfm": q_customer_rfm,
+        "eval_auc": q_eval_auc,
+        "important_suppliers": q_important_suppliers,
+        "graph_ktruss": q_graph_ktruss,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "parts_pareto": q_parts_pareto,
+        "parts_pareto_3d": q_parts_pareto_3d,
+        "users_cumulative": q_users_cumulative,
+        "corpus_quality_filter": q_corpus_quality_filter,
+        "order_priority_late": q_order_priority_late,
+        "promo_revenue": q_promo_revenue,
+        "graph_clustering_coeff": q_graph_clustering_coeff,
+        "events_dedup_stream": q_events_dedup_stream,
+        "graph_harmonic_dist": q_graph_harmonic_dist,
+        "graph_betweenness_dist": q_graph_betweenness_dist,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        "sample_per_source": q_sample_per_source,
+        "top_users_per_type": q_top_users_per_type,
+        "price_quantity_corr": q_price_quantity_corr,
+        "events_hourly_json": q_events_hourly_json,
+        "events_rollup_incremental": q_events_rollup_incremental,
+        "top_brand_per_type": q_top_brand_per_type,
+        "events_error_rate": q_events_error_rate,
+        "discount_bands": q_discount_bands,
+        "supplier_reach": q_supplier_reach,
+        "dedup_jaccard_ppjoin": q_dedup_jaccard_ppjoin,
+        "graph_partition_kway": q_graph_partition_kway,
+        "graph_hyperball": q_graph_hyperball,
+        "dedup_substring": q_dedup_substring,
+        "sketch_hll_users": q_sketch_hll_users,
+        "events_partition_pruned": q_events_partition_pruned,
+        "doc_tfidf_pairs": q_doc_tfidf_pairs,
+        "graph_densest": q_graph_densest,
     }
 
 
