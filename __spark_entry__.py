@@ -8578,6 +8578,135 @@ def _ks_oracle_sql() -> str:
     """
 
 
+def _map_mrr_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared score/label frame for eval_map / eval_mrr: account-balance
+    cents ranking customers per segment, positive = "heavy buyer"
+    (≥ 15 orders — ~8% of customers at every SF, so the top-k metrics
+    have room to move, unlike the has-any-order label where nearly
+    every row is positive)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("nord"))
+    )
+    return c.join(oc, "c_custkey", "left").withColumn(
+        "label", (F.coalesce("nord", F.lit(0)) >= 15).cast("int")
+    )
+
+
+def q_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-Precision@20 EVALUATION (operators/evaluate.
+    group_avg_precision — the r11-verdict ask): per-segment AP@20 of
+    account balance as a ranker of heavy buyers (≥ 15 orders), the
+    precision-recall-area companion to eval_ndcg/eval_auc on the same
+    score family; the caller's mean over segments is MAP.  With
+    L = lcm(1..20) injected as an int literal the numerator
+    Σ rel_i·hits_i·(L div i) is an exact int64 and AP is ONE
+    long→double divide — bit-exact by construction.  The rank window
+    partitions by segment and truncates to 20 rows before the running
+    hit count; no UDFs, no collects."""
+    from usearch_spark.operators.evaluate import group_avg_precision
+
+    return group_avg_precision(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        k=20,
+    ).orderBy("c_mktsegment")
+
+
+def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank@20 EVALUATION (operators/evaluate.group_mrr —
+    the r11-verdict ask): per-segment rank of the FIRST heavy buyer
+    under the balance ordering, rr = 1/first_rank (0 when none lands
+    in the top 20); the caller's mean over segments is MRR.
+    first_rank is an integer from a fully-tie-broken segment window;
+    rr is one int→double divide — bit-exact."""
+    from usearch_spark.operators.evaluate import group_mrr
+
+    return group_mrr(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        k=20,
+    ).orderBy("c_mktsegment")
+
+
+_MAP_MRR_BASE_SQL = """
+        oc AS (SELECT o_custkey AS ck, count(*) AS nord FROM orders GROUP BY 1),
+        base AS (
+            SELECT c_mktsegment AS seg, c_custkey AS id,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   CASE WHEN coalesce(nord, 0) >= 15 THEN 1 ELSE 0 END AS y
+            FROM customer LEFT JOIN oc ON ck = c_custkey
+        ),
+        rs AS (
+            SELECT seg, y, row_number() OVER
+                       (PARTITION BY seg ORDER BY cents DESC, id) AS rn
+            FROM base
+        )"""
+
+
+def _map_oracle_sql(k: int = 20) -> str:
+    """group_avg_precision replay: the same segment rank window, running
+    hit counts over the top k, the exact lcm(1..k)-scaled integer
+    numerator, one divide by L·min(n_pos, k)."""
+    from usearch_spark.operators.evaluate import ap_lcm
+
+    L = ap_lcm(k)
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        np AS (SELECT seg, CAST(sum(y) AS BIGINT) AS n_pos FROM base GROUP BY seg),
+        topk AS (
+            SELECT seg, y, rn,
+                   CAST(sum(y) OVER (PARTITION BY seg ORDER BY rn) AS BIGINT) AS hits
+            FROM rs WHERE rn <= {k}
+        ),
+        ag AS (
+            SELECT seg, CAST(max(hits) AS BIGINT) AS hits_at_k,
+                   CAST(sum(y * hits * ({L} // rn)) AS BIGINT) AS num
+            FROM topk GROUP BY seg
+        )
+        SELECT np.seg AS c_mktsegment, np.n_pos, ag.hits_at_k,
+               CASE WHEN np.n_pos > 0
+                    THEN CAST(num AS DOUBLE)
+                         / CAST({L} * least(np.n_pos, {k}) AS DOUBLE)
+               END AS ap_at_k
+        FROM np JOIN ag ON ag.seg = np.seg
+        ORDER BY c_mktsegment
+    """
+
+
+def _mrr_oracle_sql(k: int = 20) -> str:
+    """group_mrr replay: conditional MIN of the first positive's rank,
+    one divide (CAST AS DOUBLE both sides — a bare 1.0/x is DECIMAL in
+    DuckDB)."""
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL}
+        SELECT seg AS c_mktsegment,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(min(CASE WHEN y > 0 THEN rn END) AS BIGINT) AS first_rank,
+               CASE WHEN sum(y) > 0 AND min(CASE WHEN y > 0 THEN rn END) <= {k}
+                    THEN CAST(1 AS DOUBLE)
+                         / CAST(min(CASE WHEN y > 0 THEN rn END) AS DOUBLE)
+                    WHEN sum(y) > 0 THEN CAST(0 AS DOUBLE)
+               END AS rr_at_k
+        FROM rs GROUP BY seg
+        ORDER BY c_mktsegment
+    """
+
+
 def _calibration_oracle_sql(n_bins: int = 10) -> str:
     """calibration_bins replay: tie-broken rank window, integer bin
     assignment, exact integer numerators, one divide per output."""
@@ -9439,6 +9568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         # ---------- 50-entry window boundary (round 12) ----------
         # --- new round 12 entries land here (first in line for the r13 window) ---
+        "eval_map": q_eval_map,
+        "eval_mrr": q_eval_mrr,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10351,6 +10482,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_mst": _mst_oracle_sql(steps=24),
         "events_stl_stream": _stl_oracle_sql(m=7),
         "eval_ks": _ks_oracle_sql(),
+        "eval_map": _map_oracle_sql(k=20),
+        "eval_mrr": _mrr_oracle_sql(k=20),
         "events_acf": _acf_oracle_sql(max_lag=7),
         "audit_benford": _benford_oracle_sql(),
         "graph_eccentricity": _eccentricity_oracle_sql(rounds=8),

@@ -259,3 +259,85 @@ def test_group_ks_matches_naive_sweep(spark):
         assert out[g]["ks"] == ks and out[g]["ks_score"] == s
     assert out["B"]["ks"] == 1.0 and out["B"]["ks_score"] == 2
     assert out["D"]["ks"] is None and out["D"]["ks_score"] is None
+
+
+def _naive_ap_at_k(pairs, k=20):
+    """AP@k = (1/min(n_pos,k)) * sum over top-k hits of precision@rank,
+    rank order = score desc, id asc."""
+    ranked = sorted(pairs, key=lambda t: (-t[1], t[0]))  # (id, score, y)
+    n_pos = sum(y for _, _, y in ranked)
+    if n_pos == 0:
+        return None
+    hits, total = 0, 0.0
+    for i, (_, _, y) in enumerate(ranked[:k], start=1):
+        if y:
+            hits += 1
+            total += hits / i
+    return total / min(n_pos, k)
+
+
+def test_group_avg_precision_matches_naive(spark):
+    """group_avg_precision == the textbook AP@k definition on fixtures
+    covering: perfect ranker (AP 1), inverted ranker, positives past k,
+    score ties broken by id, and a no-positive group (NULL)."""
+    from usearch_spark.operators.evaluate import group_avg_precision
+
+    cases = {
+        # (id, score, label)
+        "perfect": [(i, 100 - i, 1 if i < 3 else 0) for i in range(10)],
+        "inverted": [(i, i, 1 if i < 3 else 0) for i in range(10)],
+        "deep": [(i, 100 - i, 1 if i in (0, 5, 24) else 0) for i in range(30)],
+        "ties": [(0, 5, 0), (1, 5, 1), (2, 5, 0), (3, 5, 1), (4, 1, 1)],
+        "nopos": [(i, i, 0) for i in range(4)],
+    }
+    rows = [(g, i, s, y) for g, data in cases.items() for i, s, y in data]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    got = {
+        r["g"]: (r["n_pos"], r["hits_at_k"], r["ap_at_k"])
+        for r in group_avg_precision(df, ["g"], "score", "label", "id", k=20).collect()
+    }
+    for g, data in cases.items():
+        want = _naive_ap_at_k(data, k=20)
+        n_pos = sum(y for _, _, y in data)
+        assert got[g][0] == n_pos
+        if want is None:
+            assert got[g][2] is None
+        else:
+            assert got[g][2] == pytest.approx(want, rel=1e-12)
+    assert got["perfect"][2] == 1.0
+
+
+def test_group_avg_precision_exact_integer_numerator(spark):
+    """The lcm trick reproduces the fraction EXACTLY: AP of one positive
+    at rank 3 among 5 rows is exactly (1/3)/1 -> numerator L/3, denom L."""
+    from usearch_spark.operators.evaluate import group_avg_precision, ap_lcm
+
+    rows = [("g", i, 10 - i, 1 if i == 2 else 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    r = group_avg_precision(df, ["g"], "score", "label", "id", k=20).collect()[0]
+    L = ap_lcm(20)
+    assert r["ap_at_k"] == (L // 3) / L  # the exact double the op promises
+
+
+def test_group_mrr_anchors(spark):
+    """First-positive rank, top-k cutoff zero, and NULL-degenerate group."""
+    from usearch_spark.operators.evaluate import group_mrr
+
+    cases = {
+        "at1": [(0, 9, 1), (1, 8, 0)],
+        "at4": [(i, 10 - i, 1 if i == 3 else 0) for i in range(6)],
+        "past_k": [(i, 100 - i, 1 if i == 25 else 0) for i in range(30)],
+        "nopos": [(i, i, 0) for i in range(3)],
+        "tie_id_break": [(0, 5, 0), (1, 5, 1)],  # same score: id 0 ranks first
+    }
+    rows = [(g, i, s, y) for g, data in cases.items() for i, s, y in data]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    got = {
+        r["g"]: (r["n_pos"], r["first_rank"], r["rr_at_k"])
+        for r in group_mrr(df, ["g"], "score", "label", "id", k=20).collect()
+    }
+    assert got["at1"] == (1, 1, 1.0)
+    assert got["at4"] == (1, 4, 0.25)
+    assert got["past_k"] == (1, 26, 0.0)  # positive exists but beyond k
+    assert got["nopos"] == (0, None, None)
+    assert got["tie_id_break"] == (1, 2, 0.5)

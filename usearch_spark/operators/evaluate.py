@@ -514,3 +514,135 @@ def group_ks(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.col("_b._t")
         ).alias("ks_score"),
     )
+
+
+def ap_lcm(k: int) -> int:
+    """lcm(1..k) — the common denominator that makes every precision@i
+    term of AP@k an exact integer (the harmonic-centrality recipe).
+    lcm(1..20) = 232_792_560, so the AP@20 numerator is bounded by
+    k² · lcm ≈ 9.3e10 — comfortably int64."""
+    import math
+
+    out = 1
+    for i in range(1, k + 1):
+        out = math.lcm(out, i)
+    return out
+
+
+def group_avg_precision(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-group Average Precision@k of a score against a binary label —
+    the area-under-the-precision-recall-curve companion to
+    :func:`group_ndcg` (NDCG weights positions by a fixed discount; AP
+    weights each HIT by the precision achieved at its rank):
+
+        AP@k = (1/m) Σ_{i=1..k} rel_i · P@i,   P@i = hits_i / i,
+        m = min(n_pos, k)
+
+    Mean-average-precision over groups is the caller's trivial final
+    mean; the per-group rows are the useful diagnostic.
+
+    Determinism: with L = lcm(1..k) injected as a Python int literal,
+    the numerator N = Σ rel_i · hits_i · (L div i) is an EXACT int64
+    (hits_i and i are window integers), and AP@k = N / (L·m) is one
+    long→double divide — bit-identical across engines.  Groups with no
+    positives emit NULL.
+
+    Distributed shape at 100 TB: one group-partitioned rank window
+    (never global), truncated to k rows per group before the running
+    hit count; the untruncated positive count is a partial-agg
+    groupBy.  No UDFs, no collects.
+
+    Output: group_cols + (n_pos, hits_at_k, ap_at_k).
+    """
+    L = ap_lcm(k)
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    wh = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lab = F.col(label_col).cast("long")
+    n_per = df.groupBy(*group_cols).agg(F.sum(lab).alias("n_pos"))
+    top = (
+        df.select(*group_cols, lab.alias("_y"), F.row_number().over(ws).alias("_rn"))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_hits", F.sum("_y").over(wh))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_hits").alias("hits_at_k"),
+            F.sum(
+                F.col("_y") * F.col("_hits") * F.expr(f"{L} div _rn")
+            ).alias("_num"),
+        )
+    )
+    m = F.least(F.col("n_pos"), F.lit(k))
+    return (
+        n_per.join(top, group_cols)
+        .select(
+            *group_cols,
+            "n_pos",
+            "hits_at_k",
+            F.when(
+                F.col("n_pos") > 0,
+                F.col("_num").cast("double") / (F.lit(L) * m).cast("double"),
+            ).alias("ap_at_k"),
+        )
+    )
+
+
+def group_mrr(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-group Reciprocal Rank@k — the "how far down is the first
+    relevant result" eval (the metric for known-item retrieval):
+    rr = 1/rank of the first positive under the score ordering, 0 when
+    no positive lands in the top k, NULL when the group has no
+    positives at all.  Mean-reciprocal-rank is the caller's final mean
+    over groups.
+
+    Determinism: first_rank is an integer from a fully-tie-broken
+    group-partitioned rank window; rr is ONE int→double divide (or an
+    exact 0.0/NULL) — bit-identical by construction.
+
+    Distributed shape: the rank window partitions by the group (never
+    global) and the first-positive argmin is a conditional MIN inside a
+    partial-agg groupBy.  No UDFs, no collects.
+
+    Output: group_cols + (n_pos, first_rank, rr_at_k).
+    """
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    lab = F.col(label_col).cast("long")
+    ranked = df.select(
+        *group_cols, lab.alias("_y"), F.row_number().over(ws).alias("_rn")
+    )
+    g = ranked.groupBy(*group_cols).agg(
+        F.sum("_y").alias("n_pos"),
+        F.min(F.when(F.col("_y") > 0, F.col("_rn"))).cast("long").alias("first_rank"),
+    )
+    return g.select(
+        *group_cols,
+        "n_pos",
+        "first_rank",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("first_rank") <= k),
+            F.lit(1.0) / F.col("first_rank").cast("double"),
+        )
+        .otherwise(F.when(F.col("n_pos") > 0, F.lit(0.0)))
+        .alias("rr_at_k"),
+    )
