@@ -8800,6 +8800,124 @@ def _stl_oracle_sql(m: int = 7) -> str:
     """
 
 
+def q_events_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-residual ANOMALY FLAGS (operators/forecast.stl_anomalies —
+    the r11-verdict ask): days whose decomposition remainder exceeds
+    3× the per-type MAD of remainders — the robust outlier rule the
+    pipeline runs over a decomposition it already trusts (events_stl).
+    Remainders are single exact-integer→double divides, the median is
+    an EXPLICIT two-rank average (never an engine median() with
+    implementation-defined interpolation), and the flag compares
+    bit-identical doubles — no new rounding site anywhere."""
+    from usearch_spark.operators.forecast import decompose_daily, stl_anomalies
+
+    ev = _events(spark, sf_dir)
+    dec = decompose_daily(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), m=7
+    )
+    return stl_anomalies(dec, ["event_type"], c=3.0).orderBy("event_type", "day")
+
+
+def q_events_stl_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS anomaly maintenance: the events_stl_stream rollup
+    (lineage-aware idempotent pointer, deliberate second-run restart)
+    drained into decompose_from_daily + stl_anomalies — count addition
+    commutes with every numerator, so the BATCH anomaly oracle is
+    shared verbatim and the whole maintenance loop is hash-checked."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.forecast import decompose_from_daily, stl_anomalies
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"holt_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select(
+            "event_id", "event_type", F.to_date("ts").alias("d")
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).drop(
+                "event_id"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"stl_anom_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, d date")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    daily = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    dec = decompose_from_daily(daily, ["event_type"], m=7)
+    return stl_anomalies(dec, ["event_type"], c=3.0).orderBy("event_type", "day")
+
+
+def _stl_anomaly_oracle_sql(m: int = 7, c: int = 3) -> str:
+    """stl_anomalies replay: the decompose CTEs verbatim, the explicit
+    two-rank median of |remainder| ((lo + hi) / 2 — odd counts select
+    one row twice), the identical c·MAD comparison."""
+    h = m // 2
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT g, d, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS masum,
+                   CAST(count(n) OVER w AS BIGINT) AS cnt,
+                   CAST((d - DATE '1970-01-05') % 7 AS INT) AS wd
+            FROM daily
+            WINDOW w AS (PARTITION BY g ORDER BY d
+                         ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+        ),
+        seas AS (
+            SELECT g, wd, CAST(sum({m} * n - masum) AS BIGINT) AS snum,
+                   CAST(count(*) AS BIGINT) AS cntw
+            FROM t WHERE cnt = {m} GROUP BY 1, 2
+        ),
+        rem AS (
+            SELECT t.g, strftime(t.d, '%Y-%m-%d') AS day, t.n,
+                   CAST({m} * s.cntw * t.n - s.cntw * t.masum - s.snum
+                        AS DOUBLE) / CAST({m} * s.cntw AS DOUBLE) AS remainder,
+                   abs(CAST({m} * s.cntw * t.n - s.cntw * t.masum - s.snum
+                        AS DOUBLE) / CAST({m} * s.cntw AS DOUBLE)) AS ar
+            FROM t JOIN seas s ON s.g = t.g AND s.wd = t.wd
+            WHERE t.cnt = {m}
+        ),
+        rk AS (
+            SELECT g, ar,
+                   row_number() OVER (PARTITION BY g ORDER BY ar, day) AS rn,
+                   count(*) OVER (PARTITION BY g) AS tt
+            FROM rem
+        ),
+        mad AS (
+            SELECT g, (min(ar) + max(ar)) / CAST(2 AS DOUBLE) AS mad
+            FROM rk WHERE rn = (tt + 1) // 2 OR rn = (tt + 2) // 2
+            GROUP BY g
+        )
+        SELECT rem.g AS event_type, rem.day, rem.n AS n, rem.remainder,
+               mad.mad, rem.ar > CAST({c} AS DOUBLE) * mad.mad AS is_anomaly
+        FROM rem JOIN mad ON mad.g = rem.g
+        ORDER BY event_type, day
+    """
+
+
 def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic series representation (operators/forecast.
     sax_symbols — Lin et al. 2003, rank-discretized): each event type's
@@ -9570,6 +9688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 12 entries land here (first in line for the r13 window) ---
         "eval_map": q_eval_map,
         "eval_mrr": q_eval_mrr,
+        "events_stl_anomaly": q_events_stl_anomaly,
+        "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10484,6 +10604,10 @@ def oracle_sql() -> dict[str, str]:
         "eval_ks": _ks_oracle_sql(),
         "eval_map": _map_oracle_sql(k=20),
         "eval_mrr": _mrr_oracle_sql(k=20),
+        "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
+        # the stream twin shares the BATCH oracle verbatim (count addition
+        # commutes with every numerator — the events_stl_stream contract)
+        "events_stl_anomaly_stream": _stl_anomaly_oracle_sql(m=7, c=3),
         "events_acf": _acf_oracle_sql(max_lag=7),
         "audit_benford": _benford_oracle_sql(),
         "graph_eccentricity": _eccentricity_oracle_sql(rounds=8),

