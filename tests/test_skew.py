@@ -391,3 +391,49 @@ def test_scd2_stream_sf1_scale(spark, tmp_path):
     assert built.count() == n_keys * 4
     assert built.exceptAll(want).count() == 0
     assert want.exceptAll(built).count() == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale MST smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_graph_mst_sf1_scale(spark):
+    """Borůvka MST at sf1 graph scale (100k vertices, ~200k weighted
+    edges, ring + hash chords so the graph is connected): the forest is
+    a spanning tree (n-1 unique edges covering all n vertices), the
+    round count respects the O(log V) bound, and ACTIVE COMPONENTS AT
+    LEAST HALVE EVERY ROUND (each component selects an outgoing edge,
+    so selection-graph components have size >= 2) — the property that
+    makes the shape survive a 1000x scale-up."""
+    from usearch_spark.plans.mst import boruvka_mst
+
+    n = 100_000
+    ring = spark.range(n).select(
+        F.col("id").alias("a"), F.pmod(F.col("id") + 1, F.lit(n)).alias("b")
+    )
+    chords = spark.range(n).select(
+        F.col("id").alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n)).alias("b"),
+    )
+    edges = ring.unionAll(chords).withColumn(
+        "w", F.pmod(F.xxhash64("a", "b", F.lit(5)), F.lit(1_000_000))
+    )
+    stats = []
+    mst = boruvka_mst(edges, "a", "b", "w", round_stats=stats).localCheckpoint(
+        eager=True
+    )
+    assert mst.count() == n - 1
+    assert mst.dropDuplicates(["a", "b"]).count() == n - 1
+    covered = (
+        mst.select(F.col("a").alias("id"))
+        .unionAll(mst.select(F.col("b").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert covered == n
+    # O(log V): ceil(log2(100k)) = 17; halving makes it far fewer in practice
+    assert 1 <= len(stats) <= 17
+    comps = [s["active_components"] for s in stats]
+    assert comps[0] == n  # every vertex its own component before round 1
+    for before, after in zip(comps, comps[1:]):
+        assert after <= before // 2

@@ -39,6 +39,7 @@ def boruvka_mst(
     dst_col: str = "b",
     w_col: str = "w",
     max_rounds: int = 20,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Minimum spanning forest of the undirected weighted graph.
 
@@ -46,6 +47,12 @@ def boruvka_mst(
     (least/greatest) and parallel edges collapse to their minimum
     weight, so the input may be raw.  Returns (a, b, weight) — the
     unique MSF under the (w, a, b) total order.
+
+    ``round_stats``: pass a list to collect per-round
+    ``{"round", "active_components", "selected_edges"}`` dicts — the
+    scale smoke asserts the O(log V) round bound and per-round
+    component halving from these.  Costs one extra count job per round;
+    leave None in production.
     """
     from usearch_spark.plans.pregel import connected_components_star
 
@@ -94,6 +101,14 @@ def boruvka_mst(
             .localCheckpoint(eager=True)
         )
         frames.append(sel.select("a", "b", F.col("w").alias("weight")))
+        if round_stats is not None:
+            round_stats.append(
+                {
+                    "round": len(frames),
+                    "active_components": comp.select("comp").distinct().count(),
+                    "selected_edges": sel.count(),
+                }
+            )
         # merge the touched components: components of the SELECTION graph
         # (one node per component — halving each round), labels to minima
         merged = connected_components_star(
