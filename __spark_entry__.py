@@ -7355,10 +7355,23 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Holt fold's input, so folding the drained rollup
     (operators/forecast.holt_from_daily) replays events_holt's batch
     oracle VERBATIM — the whole maintenance loop is hash-checked."""
+    from usearch_spark.operators.forecast import holt_from_daily
+
+    daily = _drained_daily_rollup(spark, sf_dir, "holt_stream")
+    return holt_from_daily(daily, ["event_type"], alpha=0.5, beta=0.25, horizon=7)
+
+
+def _drained_daily_rollup(spark: SparkSession, sf_dir: str, run_prefix: str) -> DataFrame:
+    """The streamed additive (event_type, day) rollup every *_stream
+    forecast twin drains: the shared two-batch replay source (built
+    once per SF), streaming/sketches.rollup_stream_merge under the
+    lineage-aware idempotent pointer with a DELIBERATE second-run
+    restart that must change nothing, then one eager read of the rolled
+    daily counts.  Count addition commutes with every downstream fold
+    input, so each consumer shares its batch oracle verbatim."""
     import shutil
     import uuid
 
-    from usearch_spark.operators.forecast import holt_from_daily
     from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
 
     base = os.path.join(_ARTIFACT_DIR, f"holt_stream_src_{_sf_token(sf_dir)}")
@@ -7377,7 +7390,7 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
         with open(os.path.join(base, "_DONE"), "w") as f:
             f.write("ok")
-    run = os.path.join(_ARTIFACT_DIR, f"holt_stream_run_{uuid.uuid4().hex[:8]}")
+    run = os.path.join(_ARTIFACT_DIR, f"{run_prefix}_run_{uuid.uuid4().hex[:8]}")
     target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
     stream = (
         spark.readStream.schema("event_type string, d date")
@@ -7393,7 +7406,7 @@ def q_events_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     daily = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
-    return holt_from_daily(daily, ["event_type"], alpha=0.5, beta=0.25, horizon=7)
+    return daily
 
 
 def q_events_stl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7405,44 +7418,9 @@ def q_events_stl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutes with every integer numerator in the decomposition, so
     events_stl's batch oracle is shared VERBATIM and the whole
     maintenance loop is hash-checked."""
-    import shutil
-    import uuid
-
     from usearch_spark.operators.forecast import decompose_from_daily
-    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
 
-    base = os.path.join(_ARTIFACT_DIR, f"holt_stream_src_{_sf_token(sf_dir)}")
-    if not os.path.exists(os.path.join(base, "_DONE")):
-        os.makedirs(base, exist_ok=True)
-        ev = _events(spark, sf_dir).select(
-            "event_id", "event_type", F.to_date("ts").alias("d")
-        )
-        for i in (0, 1):
-            tmp = os.path.join(base, f"_tmp{i}")
-            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).drop(
-                "event_id"
-            ).coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
-            shutil.rmtree(tmp)
-        with open(os.path.join(base, "_DONE"), "w") as f:
-            f.write("ok")
-    run = os.path.join(_ARTIFACT_DIR, f"stl_stream_run_{uuid.uuid4().hex[:8]}")
-    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
-    stream = (
-        spark.readStream.schema("event_type string, d date")
-        .option("pathGlobFilter", "batch*.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(base)
-    )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    daily = read_cms(spark, target).localCheckpoint(eager=True)
-    shutil.rmtree(run, ignore_errors=True)
+    daily = _drained_daily_rollup(spark, sf_dir, "stl_stream")
     return decompose_from_daily(daily, ["event_type"], m=7).orderBy(
         "event_type", "day"
     )
@@ -8108,6 +8086,19 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         ev.select("event_type", "ts"), ["event_type"], F.to_date("ts")
     )
+
+
+def q_events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS change-point monitoring: the events_holt_stream daily
+    rollup (lineage-aware idempotent pointer, deliberate second-run
+    restart) drained into operators/forecast.cusum_from_daily — count
+    addition commutes with the fold input, so events_cusum's batch
+    oracle is shared VERBATIM and the whole maintenance loop is
+    hash-checked (the events_stl_stream pattern)."""
+    from usearch_spark.operators.forecast import cusum_from_daily
+
+    daily = _drained_daily_rollup(spark, sf_dir, "cusum_stream")
+    return cusum_from_daily(daily, ["event_type"])
 
 
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8824,44 +8815,9 @@ def q_events_stl_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained into decompose_from_daily + stl_anomalies — count addition
     commutes with every numerator, so the BATCH anomaly oracle is
     shared verbatim and the whole maintenance loop is hash-checked."""
-    import shutil
-    import uuid
-
     from usearch_spark.operators.forecast import decompose_from_daily, stl_anomalies
-    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
 
-    base = os.path.join(_ARTIFACT_DIR, f"holt_stream_src_{_sf_token(sf_dir)}")
-    if not os.path.exists(os.path.join(base, "_DONE")):
-        os.makedirs(base, exist_ok=True)
-        ev = _events(spark, sf_dir).select(
-            "event_id", "event_type", F.to_date("ts").alias("d")
-        )
-        for i in (0, 1):
-            tmp = os.path.join(base, f"_tmp{i}")
-            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).drop(
-                "event_id"
-            ).coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
-            shutil.rmtree(tmp)
-        with open(os.path.join(base, "_DONE"), "w") as f:
-            f.write("ok")
-    run = os.path.join(_ARTIFACT_DIR, f"stl_anom_run_{uuid.uuid4().hex[:8]}")
-    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
-    stream = (
-        spark.readStream.schema("event_type string, d date")
-        .option("pathGlobFilter", "batch*.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(base)
-    )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    daily = read_cms(spark, target).localCheckpoint(eager=True)
-    shutil.rmtree(run, ignore_errors=True)
+    daily = _drained_daily_rollup(spark, sf_dir, "stl_anom")
     dec = decompose_from_daily(daily, ["event_type"], m=7)
     return stl_anomalies(dec, ["event_type"], c=3.0).orderBy("event_type", "day")
 
@@ -9690,6 +9646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_mrr": q_eval_mrr,
         "events_stl_anomaly": q_events_stl_anomaly,
         "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
+        "events_cusum_stream": q_events_cusum_stream,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10155,7 +10112,7 @@ def _dedup_eval_oracle_sql(sample_pred: str = "TRUE") -> str:
 
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
-    return _with_ann_full_oracles({
+    out = _with_ann_full_oracles({
         "text_langid": _langid_oracle_sql(),
         "corpus_lang_mix": _lang_mix_oracle_sql(),
         "layout_zorder": _zorder_oracle_sql(16, 8),
@@ -13509,6 +13466,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs((n - mean) / sqrt(msq - mean * mean)) > 2.5
         """,
     })
+    # stream twins that drain the idempotent daily rollup share their
+    # batch oracle VERBATIM (count addition commutes with the fold input)
+    out["events_cusum_stream"] = out["events_cusum"]
+    return out
 
 
 def _with_ann_full_oracles(oracles: dict[str, str]) -> dict[str, str]:

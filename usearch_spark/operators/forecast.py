@@ -354,6 +354,17 @@ def cusum_changepoints(
     daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return cusum_from_daily(daily, group_cols)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """:func:`cusum_changepoints` over PRE-AGGREGATED (group..., d, n)
+    daily counts — the entry point for incrementally-maintained rollups
+    (count addition commutes with the fold input, so a streamed daily
+    rollup feeds this unchanged; the decompose_from_daily contract)."""
     per = daily.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
     )
