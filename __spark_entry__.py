@@ -8649,6 +8649,60 @@ _MAP_MRR_BASE_SQL = """
         )"""
 
 
+def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold classification EVALUATION (operators/evaluate.
+    group_classification_metrics): deploy the balance ranker as a
+    keep-the-top-decile filter per segment and report confusion counts
+    + precision / recall / F1 / accuracy against the heavy-buyer label
+    — the deployed-cut companion to eval_auc (which integrates over all
+    cuts).  Every count is an exact integer from a tie-broken rank
+    window; F1 uses the single-divide identity 2·TP/(PP+POS); one
+    int→double divide per metric — bit-exact."""
+    from usearch_spark.operators.evaluate import group_classification_metrics
+
+    return group_classification_metrics(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        top_den=10,
+    ).orderBy("c_mktsegment")
+
+
+def _f1_oracle_sql(top_den: int = 10) -> str:
+    """group_classification_metrics replay: the same rank window and
+    integer rank cut n div top_den, integer confusion counts, one
+    divide per metric (prec/rec named to dodge DOUBLE PRECISION
+    keyword parsing)."""
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        sz AS (SELECT seg, count(*) AS n FROM base GROUP BY seg),
+        j AS (
+            SELECT rs.seg, rs.y, rs.rn, sz.n, sz.n // {top_den} AS npred
+            FROM rs JOIN sz ON sz.seg = rs.seg
+        ),
+        g AS (
+            SELECT seg, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(max(npred) AS BIGINT) AS n_pred,
+                   CAST(sum(CASE WHEN rn <= npred THEN y ELSE 0 END) AS BIGINT) AS tp
+            FROM j GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n, n_pos, n_pred, tp,
+               CASE WHEN n_pred > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS prec,
+               CASE WHEN n_pos > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS rec,
+               CASE WHEN n_pred + n_pos > 0
+                    THEN CAST(2 * tp AS DOUBLE)
+                         / CAST(n_pred + n_pos AS DOUBLE) END AS f1,
+               CAST(n - n_pred - n_pos + 2 * tp AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS accuracy
+        FROM g ORDER BY c_mktsegment
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -9647,6 +9701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl_anomaly": q_events_stl_anomaly,
         "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
         "events_cusum_stream": q_events_cusum_stream,
+        "eval_f1": q_eval_f1,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10561,6 +10616,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_ks": _ks_oracle_sql(),
         "eval_map": _map_oracle_sql(k=20),
         "eval_mrr": _mrr_oracle_sql(k=20),
+        "eval_f1": _f1_oracle_sql(top_den=10),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

@@ -341,3 +341,36 @@ def test_group_mrr_anchors(spark):
     assert got["past_k"] == (1, 26, 0.0)  # positive exists but beyond k
     assert got["nopos"] == (0, None, None)
     assert got["tie_id_break"] == (1, 2, 0.5)
+
+
+def test_group_classification_metrics_matches_hand_count(spark):
+    """Top-decile cut confusion counts and single-divide metrics equal a
+    hand count, including the degenerate no-positive group and a group
+    too small for a nonzero cut (n_pred = 0 -> NULL precision)."""
+    from usearch_spark.operators.evaluate import group_classification_metrics
+
+    # group A: 20 rows, scores = id desc, positives at ids 0,1,5 ->
+    # cut keeps ids 0,1 (n_pred=2), tp=2
+    a = [("A", i, 100 - i, 1 if i in (0, 1, 5) else 0) for i in range(20)]
+    # group B: 5 rows -> n_pred = 0
+    b = [("B", i, 10 - i, 1 if i == 0 else 0) for i in range(5)]
+    # group C: no positives
+    c = [("C", i, i, 0) for i in range(30)]
+    df = spark.createDataFrame(a + b + c, "g string, id long, score long, label int")
+    got = {
+        r["g"]: r
+        for r in group_classification_metrics(
+            df, ["g"], "score", "label", "id", top_den=10
+        ).collect()
+    }
+    ra = got["A"]
+    assert (ra["n"], ra["n_pos"], ra["n_pred"], ra["tp"]) == (20, 3, 2, 2)
+    assert ra["prec"] == 1.0
+    assert ra["rec"] == 2 / 3
+    assert ra["f1"] == 4 / 5  # 2*2/(2+3)
+    assert ra["accuracy"] == (20 - 2 - 3 + 4) / 20
+    rb = got["B"]
+    assert (rb["n_pred"], rb["tp"]) == (0, 0)
+    assert rb["prec"] is None and rb["rec"] == 0.0
+    rc = got["C"]
+    assert rc["rec"] is None and rc["f1"] == 0.0 and rc["tp"] == 0

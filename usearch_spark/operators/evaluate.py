@@ -646,3 +646,69 @@ def group_mrr(
         .otherwise(F.when(F.col("n_pos") > 0, F.lit(0.0)))
         .alias("rr_at_k"),
     )
+
+
+def group_classification_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    top_den: int = 10,
+) -> DataFrame:
+    """Per-group THRESHOLD classification metrics of a score against a
+    binary label: predict positive for the top ``1/top_den`` of the
+    group by score (the budget-cut a filtering pipeline actually
+    deploys — "keep the best decile"), then report the confusion counts
+    and precision / recall / F1 / accuracy.
+
+    Determinism: the cut is the integer rank bound pp = n div top_den
+    over a fully-tie-broken group window, every confusion count is an
+    exact integer, and each metric is ONE int→double divide — F1 uses
+    the single-divide identity 2PR/(P+R) = 2·TP/(PP+POS), accuracy is
+    (n − PP − POS + 2·TP)/n.  Bit-identical across engines; degenerate
+    denominators emit NULL.
+
+    Distributed shape: one group-partitioned rank window + one
+    partial-agg groupBy.  No UDFs, no collects.
+
+    Output: group_cols + (n, n_pos, n_pred, tp, prec, rec, f1,
+    accuracy).
+    """
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    lab = F.col(label_col).cast("long")
+    ranked = df.select(
+        *group_cols, lab.alias("_y"), F.row_number().over(ws).alias("_rn")
+    )
+    # the rank cut needs the group size, so join it in rather than
+    # nesting a window inside the aggregate (which Spark rejects)
+    sized = ranked.join(
+        ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n")), group_cols
+    )
+    pred = F.col("_rn") <= F.expr(f"n div {top_den}")
+    g = sized.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.max(F.expr(f"n div {top_den}")).alias("n_pred"),
+        F.sum(F.when(pred, F.col("_y")).otherwise(F.lit(0))).alias("tp"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return g.select(
+        *group_cols,
+        "n",
+        "n_pos",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") > 0, dbl(F.col("tp")) / dbl(F.col("n_pred"))).alias("prec"),
+        F.when(F.col("n_pos") > 0, dbl(F.col("tp")) / dbl(F.col("n_pos"))).alias("rec"),
+        F.when(
+            F.col("n_pred") + F.col("n_pos") > 0,
+            dbl(F.lit(2) * F.col("tp")) / dbl(F.col("n_pred") + F.col("n_pos")),
+        ).alias("f1"),
+        (
+            dbl(F.col("n") - F.col("n_pred") - F.col("n_pos") + F.lit(2) * F.col("tp"))
+            / dbl(F.col("n"))
+        ).alias("accuracy"),
+    )
