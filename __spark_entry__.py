@@ -8649,6 +8649,71 @@ _MAP_MRR_BASE_SQL = """
         )"""
 
 
+def q_audit_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence OUTLIER audit (operators/audit.iqr_outliers): per
+    event type, flag users whose event volume falls outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the box-plot bot/dead-account check
+    a pipeline runs on activity counts.  Quartiles are Tukey hinges
+    from two-rank averages of integer counts, so every number in the
+    chain (hinges, IQR, the exact-binary 1.5 product, fences, and each
+    comparison) is an exact half-integer double — no rounding site, no
+    summation order, bit-identical by construction."""
+    from usearch_spark.operators.audit import iqr_outliers
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return iqr_outliers(counts, ["event_type"], "n_events", k=1.5).orderBy(
+        "event_type"
+    )
+
+
+def _iqr_oracle_sql() -> str:
+    """iqr_outliers replay: the same hinge ranks ((m+1) div 2,
+    (m+2) div 2 and their top mirrors), (min+max)/2 averages with
+    explicit DOUBLE casts (a bare /2.0 is DECIMAL in DuckDB), identical
+    fence arithmetic."""
+    return """
+        WITH v AS (
+            SELECT event_type AS g, user_id, CAST(count(*) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM v
+        ),
+        h AS (
+            SELECT g, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN rn = ((n+1)//2 + 1)//2
+                                   OR rn = ((n+1)//2 + 2)//2 THEN v END)
+                      + max(CASE WHEN rn = ((n+1)//2 + 1)//2
+                                   OR rn = ((n+1)//2 + 2)//2 THEN v END)
+                        AS DOUBLE) / CAST(2 AS DOUBLE) AS q1,
+                   CAST(min(CASE WHEN rn = n+1 - ((n+1)//2 + 2)//2
+                                   OR rn = n+1 - ((n+1)//2 + 1)//2 THEN v END)
+                      + max(CASE WHEN rn = n+1 - ((n+1)//2 + 2)//2
+                                   OR rn = n+1 - ((n+1)//2 + 1)//2 THEN v END)
+                        AS DOUBLE) / CAST(2 AS DOUBLE) AS q3
+            FROM rk GROUP BY g
+        )
+        SELECT h.g AS event_type, h.n, h.q1, h.q3, h.q3 - h.q1 AS iqr,
+               h.q1 - CAST('1.5' AS DOUBLE) * (h.q3 - h.q1) AS fence_lo,
+               h.q3 + CAST('1.5' AS DOUBLE) * (h.q3 - h.q1) AS fence_hi,
+               CAST(sum(CASE WHEN CAST(rk.v AS DOUBLE)
+                                  < h.q1 - CAST('1.5' AS DOUBLE) * (h.q3 - h.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(sum(CASE WHEN CAST(rk.v AS DOUBLE)
+                                  > h.q3 + CAST('1.5' AS DOUBLE) * (h.q3 - h.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM h JOIN rk ON rk.g = h.g
+        GROUP BY 1, 2, 3, 4, 5, 6, 7
+        ORDER BY event_type
+    """
+
+
 def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold classification EVALUATION (operators/evaluate.
     group_classification_metrics): deploy the balance ranker as a
@@ -9702,6 +9767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
         "events_cusum_stream": q_events_cusum_stream,
         "eval_f1": q_eval_f1,
+        "audit_iqr": q_audit_iqr,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10617,6 +10683,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_map": _map_oracle_sql(k=20),
         "eval_mrr": _mrr_oracle_sql(k=20),
         "eval_f1": _f1_oracle_sql(top_den=10),
+        "audit_iqr": _iqr_oracle_sql(),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

@@ -78,3 +78,27 @@ def test_benford_terms_exact_python_replay(spark):
         assert got[dgt][0] == cnt
         assert got[dgt][1] == e
         assert got[dgt][2] == (float(cnt) - e) * (float(cnt) - e) / e
+
+
+def test_iqr_outliers_tukey_hinges_and_fences(spark):
+    """Hinges match the hand-computed Tukey values for odd and even n,
+    every reported number is an exact half-integer, and only the planted
+    extreme rows land outside the fences."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.audit import iqr_outliers
+
+    rows = [("odd", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]] + [
+        ("even", v) for v in [10, 20, 30, 40]
+    ] + [("low", v) for v in [-50, 10, 11, 12, 13, 14, 15, 16]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in iqr_outliers(df, ["g"], "v").collect()}
+    o = got["odd"]  # lower half [1..5] -> Q1=3; upper half [5..8,100] -> Q3=7
+    assert (o["q1"], o["q3"], o["iqr"]) == (3.0, 7.0, 4.0)
+    assert (o["fence_lo"], o["fence_hi"]) == (-3.0, 13.0)
+    assert (o["n_low"], o["n_high"]) == (0, 1)
+    e = got["even"]  # halves [10,20] and [30,40]
+    assert (e["q1"], e["q3"]) == (15.0, 35.0)
+    assert (e["n_low"], e["n_high"]) == (0, 0)
+    lo = got["low"]
+    assert lo["n_low"] == 1 and lo["n_high"] == 0

@@ -17,7 +17,7 @@ FK — exactly what these compile to.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,86 @@ def orphan_rows(
         F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long").alias("n_violations"),
         F.count(F.lit(1)).alias("n_checked"),
     ).select(F.lit(check_name).alias("check"), "n_violations", "n_checked")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence OUTLIER audit of an integer value column
+    (Tukey 1977): quartiles via the TUKEY HINGES (median of the lower /
+    upper half, the half including the median when n is odd), fences at
+    Q1 − k·IQR and Q3 + k·IQR, and the count of rows outside each fence
+    — the box-plot rule a data-quality pass runs before trusting a
+    numeric column.
+
+    Determinism is trivial by construction: values are integers, each
+    hinge is a two-rank average (lo + hi) / 2 — an EXACT double ending
+    in .0 or .5 — so IQR, the k·IQR product (k = 1.5 is itself exact
+    binary), both fences, and every fence comparison are exact; no
+    rounding site, no summation order anywhere.  The value at a given
+    sorted rank is well-defined for a multiset, so no id tie-break is
+    needed.
+
+    Hinge positions (1-indexed): m = (n+1) div 2, Q1 averages ranks
+    ((m+1) div 2, (m+2) div 2), Q3 mirrors them at (n+1−hi, n+1−lo).
+
+    Distributed shape: one group-partitioned rank window over the
+    (group, value) rows + one partial-agg groupBy + one fence
+    broadcast-join back.  No UDFs, no collects.
+
+    Output: group_cols + (n, q1, q3, iqr, fence_lo, fence_hi, n_low,
+    n_high).
+    """
+    wt = Window.partitionBy(*group_cols)
+    v = F.col(value_col).cast("long")
+    ranked = df.select(*group_cols, v.alias("_v")).select(
+        *group_cols,
+        "_v",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy("_v")
+        ).alias("_rn"),
+        F.count(F.lit(1)).over(wt).alias("_n"),
+    )
+    lo1, hi1 = F.expr("((_n + 1) div 2 + 1) div 2"), F.expr("((_n + 1) div 2 + 2) div 2")
+    lo3, hi3 = F.col("_n") + 1 - hi1, F.col("_n") + 1 - lo1
+    is_q1 = (F.col("_rn") == lo1) | (F.col("_rn") == hi1)
+    is_q3 = (F.col("_rn") == lo3) | (F.col("_rn") == hi3)
+    hinges = ranked.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.min(F.when(is_q1, F.col("_v"))).alias("_l1"),
+        F.max(F.when(is_q1, F.col("_v"))).alias("_h1"),
+        F.min(F.when(is_q3, F.col("_v"))).alias("_l3"),
+        F.max(F.when(is_q3, F.col("_v"))).alias("_h3"),
+    )
+    q1 = (F.col("_l1") + F.col("_h1")).cast("double") / F.lit(2.0)
+    q3 = (F.col("_l3") + F.col("_h3")).cast("double") / F.lit(2.0)
+    fences = hinges.select(
+        *group_cols,
+        "n",
+        q1.alias("q1"),
+        q3.alias("q3"),
+        (q3 - q1).alias("iqr"),
+        (q1 - F.lit(k) * (q3 - q1)).alias("fence_lo"),
+        (q3 + F.lit(k) * (q3 - q1)).alias("fence_hi"),
+    )
+    return (
+        ranked.join(F.broadcast(fences), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.max("iqr").alias("iqr"),
+            F.max("fence_lo").alias("fence_lo"),
+            F.max("fence_hi").alias("fence_hi"),
+            F.sum(
+                F.when(F.col("_v").cast("double") < F.col("fence_lo"), 1).otherwise(0)
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(F.col("_v").cast("double") > F.col("fence_hi"), 1).otherwise(0)
+            ).cast("long").alias("n_high"),
+        )
+    )
