@@ -8714,6 +8714,74 @@ def _iqr_oracle_sql() -> str:
     """
 
 
+def q_eval_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation EVALUATION (operators/evaluate.
+    group_spearman): per-segment monotone association between account
+    balance and order count — the rank-robust companion to the Pearson
+    price_quantity_corr, with midrank tie handling over the heavily
+    tied count column.  Doubled midranks center to an EXACT zero-sum
+    (Σ2R = n(n+1)), all three co-moments are exact int64, and the
+    close is int→double + IEEE sqrt + one multiply + one divide —
+    bit-exact with no rounding site."""
+    from usearch_spark.operators.evaluate import group_spearman
+
+    base = _map_mrr_base(spark, sf_dir).withColumn(
+        "nord_f", F.coalesce("nord", F.lit(0))
+    )
+    return group_spearman(base, ["c_mktsegment"], "cents", "nord_f").orderBy(
+        "c_mktsegment"
+    )
+
+
+def _spearman_oracle_sql() -> str:
+    """group_spearman replay: the group_auc rank-block collapse for
+    both columns, centered doubled midranks, integer co-moments, the
+    identical sqrt·sqrt divide."""
+
+    def rank2(col: str, alias: str) -> str:
+        return f"""(
+            SELECT seg, {col},
+                   2 * (CAST(sum(cnt) OVER w AS BIGINT) - cnt) + cnt + 1 AS {alias}
+            FROM (SELECT seg, {col}, CAST(count(*) AS BIGINT) AS cnt
+                  FROM base GROUP BY 1, 2)
+            WINDOW w AS (PARTITION BY seg ORDER BY {col}
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )"""
+
+    return f"""
+        WITH oc AS (SELECT o_custkey AS ck, count(*) AS nord FROM orders GROUP BY 1),
+        base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   CAST(coalesce(nord, 0) AS BIGINT) AS nf
+            FROM customer LEFT JOIN oc ON ck = c_custkey
+        ),
+        np AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY seg),
+        rx AS {rank2("cents", "rx2")},
+        ry AS {rank2("nf", "ry2")},
+        j AS (
+            SELECT b.seg, rx2 - (n + 1) AS cx, ry2 - (n + 1) AS cy
+            FROM base b
+            JOIN rx ON rx.seg = b.seg AND rx.cents = b.cents
+            JOIN ry ON ry.seg = b.seg AND ry.nf = b.nf
+            JOIN np ON np.seg = b.seg
+        ),
+        g AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cx * cy) AS BIGINT) AS scc,
+                   CAST(sum(cx * cx) AS BIGINT) AS sxx,
+                   CAST(sum(cy * cy) AS BIGINT) AS syy
+            FROM j GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n,
+               CASE WHEN sxx > 0 AND syy > 0
+                    THEN CAST(scc AS DOUBLE)
+                         / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+               END AS spearman_rho
+        FROM g ORDER BY c_mktsegment
+    """
+
+
 def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold classification EVALUATION (operators/evaluate.
     group_classification_metrics): deploy the balance ranker as a
@@ -9768,6 +9836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_stream": q_events_cusum_stream,
         "eval_f1": q_eval_f1,
         "audit_iqr": q_audit_iqr,
+        "eval_spearman": q_eval_spearman,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10684,6 +10753,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_mrr": _mrr_oracle_sql(k=20),
         "eval_f1": _f1_oracle_sql(top_den=10),
         "audit_iqr": _iqr_oracle_sql(),
+        "eval_spearman": _spearman_oracle_sql(),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

@@ -374,3 +374,55 @@ def test_group_classification_metrics_matches_hand_count(spark):
     assert rb["prec"] is None and rb["rec"] == 0.0
     rc = got["C"]
     assert rc["rec"] is None and rc["f1"] == 0.0 and rc["tp"] == 0
+
+
+def _naive_spearman(pairs):
+    """Pearson over midranks, the textbook tie-handled Spearman."""
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2.0 + 1.0
+            for t in range(i, j + 1):
+                r[order[t]] = avg
+            i = j + 1
+        return r
+    rx = midranks([x for x, _ in pairs])
+    ry = midranks([y for _, y in pairs])
+    n = len(pairs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    if dx == 0 or dy == 0:
+        return None
+    return num / (dx ** 0.5 * dy ** 0.5)
+
+
+def test_group_spearman_matches_naive_with_ties(spark):
+    from usearch_spark.operators.evaluate import group_spearman
+
+    cases = {
+        "mono": [(i, i * i) for i in range(10)],          # rho = 1
+        "anti": [(i, -i) for i in range(10)],             # rho = -1
+        "ties": [(1, 5), (1, 7), (2, 5), (3, 9), (3, 5), (4, 7), (4, 7)],
+        "const": [(3, v) for v in range(5)],              # NULL (x constant)
+    }
+    rows = [(g, x, y) for g, data in cases.items() for x, y in data]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r["g"]: (r["n"], r["spearman_rho"])
+        for r in group_spearman(df, ["g"], "x", "y").collect()
+    }
+    for g, data in cases.items():
+        want = _naive_spearman(data)
+        assert got[g][0] == len(data)
+        if want is None:
+            assert got[g][1] is None
+        else:
+            assert got[g][1] == pytest.approx(want, rel=1e-12)
+    assert got["mono"][1] == 1.0 and got["anti"][1] == -1.0

@@ -712,3 +712,81 @@ def group_classification_metrics(
             / dbl(F.col("n"))
         ).alias("accuracy"),
     )
+
+
+def group_spearman(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with midrank tie handling —
+    the monotone-association eval (does MORE x mean MORE y, whatever
+    the shape), the rank-robust companion to the Pearson
+    price_quantity_corr.
+
+    rho = Pearson over midranks.  With DOUBLED midranks (2·midrank =
+    2·lower + cnt + 1 from the :func:`group_auc` rank-block collapse —
+    always an integer) centered by their exact group mean (Σ 2R =
+    n(n+1), so c = 2R − (n+1) sums to EXACTLY zero), the co-moments
+    need no mean subtraction:
+
+        rho = Σ cx·cy / (sqrt(Σ cx²) · sqrt(Σ cy²))
+
+    Determinism: cx, cy and all three co-moment sums are exact int64
+    (|c| < n ⇒ Σc² < n³ — groups must stay under ~2M rows, the
+    calibration_bins dimension bound); int64→double conversion and
+    IEEE sqrt are both correctly rounded, and the final
+    multiply+divide chain is identical on both engines — bit-exact
+    with NO rounding site.  Constant columns (all cx = 0) emit NULL.
+
+    Distributed shape: two (group, value) collapses with
+    group-partitioned running-count windows (bounded by distinct
+    values), two hash joins back to rows, one partial-agg groupBy.  No
+    UDFs, no collects.
+
+    Output: group_cols + (n, spearman_rho).
+    """
+    def rank2(col: str, alias: str) -> DataFrame:
+        agg = df.groupBy(*group_cols, col).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return agg.select(
+            *group_cols,
+            col,
+            (
+                F.lit(2) * (F.sum("_cnt").over(w) - F.col("_cnt"))
+                + F.col("_cnt")
+                + F.lit(1)
+            ).alias(alias),
+        )
+
+    n_per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        df.join(rank2(x_col, "_rx2"), [*group_cols, x_col])
+        .join(rank2(y_col, "_ry2"), [*group_cols, y_col])
+        .join(n_per, group_cols)
+    )
+    cx = F.col("_rx2") - (F.col("n") + F.lit(1))
+    cy = F.col("_ry2") - (F.col("n") + F.lit(1))
+    g = j.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.sum(cx * cy).alias("_scc"),
+        F.sum(cx * cx).alias("_sxx"),
+        F.sum(cy * cy).alias("_syy"),
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        F.when(
+            (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+            F.col("_scc").cast("double")
+            / (
+                F.sqrt(F.col("_sxx").cast("double"))
+                * F.sqrt(F.col("_syy").cast("double"))
+            ),
+        ).alias("spearman_rho"),
+    )
