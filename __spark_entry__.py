@@ -9061,6 +9061,65 @@ def _stl_anomaly_oracle_sql(m: int = 7, c: int = 3) -> str:
     """
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope (operators/forecast.
+    mann_kendall_trend — Mann 1945, Sen 1968): per-type S statistic,
+    tau_a, and the median pairwise slope of the daily series — the
+    nonparametric "is this metric drifting, how fast" monitor
+    complementing CUSUM's level-shift detector.  One (type, day) count
+    shuffle, then T² bounded in-row integer comparisons; each pairwise
+    slope is one int→double divide and the slope median is the explicit
+    two-rank average — bit-exact, no rounding site."""
+    from usearch_spark.operators.forecast import mann_kendall_trend
+
+    ev = _events(spark, sf_dir)
+    return mann_kendall_trend(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts")
+    ).orderBy("event_type")
+
+
+def _trend_oracle_sql() -> str:
+    """mann_kendall_trend replay: day-ordered count + epoch-day lists,
+    pairwise sign/slope lists via nested range transforms (DuckDB
+    range(a,b) is half-open), integer S fold, identical divides, the
+    explicit two-rank slope median."""
+    return """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS v,
+                   list(CAST(d - DATE '1970-01-01' AS BIGINT) ORDER BY d) AS e,
+                   count(*) AS t
+            FROM daily GROUP BY g HAVING count(*) >= 2
+        ),
+        c AS (
+            SELECT g, CAST(t AS BIGINT) AS n_days,
+                   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       flatten(list_transform(range(1, t), i ->
+                           list_transform(range(i + 1, t + 1), j ->
+                               CAST(CASE WHEN v[j] > v[i] THEN 1
+                                         WHEN v[j] < v[i] THEN -1
+                                         ELSE 0 END AS BIGINT))))),
+                       (a, x) -> a + x) AS BIGINT) AS s_stat,
+                   list_sort(flatten(list_transform(range(1, t), i ->
+                       list_transform(range(i + 1, t + 1), j ->
+                           CAST(v[j] - v[i] AS DOUBLE)
+                           / CAST(e[j] - e[i] AS DOUBLE))))) AS sl
+            FROM seqs
+        )
+        SELECT g AS event_type, n_days, s_stat,
+               CAST(s_stat AS DOUBLE)
+                   / CAST(n_days * (n_days - 1) / 2 AS DOUBLE) AS tau_a,
+               (sl[CAST((len(sl) + 1) // 2 AS INT)]
+                + sl[CAST((len(sl) + 2) // 2 AS INT)])
+                   / CAST(2 AS DOUBLE) AS sen_slope
+        FROM c ORDER BY event_type
+    """
+
+
 def q_events_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic series representation (operators/forecast.
     sax_symbols — Lin et al. 2003, rank-discretized): each event type's
@@ -9837,6 +9896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_f1": q_eval_f1,
         "audit_iqr": q_audit_iqr,
         "eval_spearman": q_eval_spearman,
+        "events_trend": q_events_trend,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10754,6 +10814,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_f1": _f1_oracle_sql(top_den=10),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
+        "events_trend": _trend_oracle_sql(),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

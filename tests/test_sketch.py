@@ -511,3 +511,66 @@ def test_stl_anomalies_even_count_median_is_two_rank_average(spark):
     rems = sorted(abs(r["remainder"]) for r in out)
     want = (rems[6] + rems[7]) / 2.0
     assert all(r["mad"] == want for r in out)
+
+
+def test_mann_kendall_planted_trends(spark):
+    """Strictly increasing series -> S = T(T-1)/2, tau_a = 1, Sen slope =
+    the planted slope; strictly decreasing mirrors; a flat series -> S=0,
+    slope 0; a gappy series weights slopes by actual day distance."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import mann_kendall_trend
+
+    d0 = datetime.date(2024, 3, 1)
+    rows = []
+    for t in range(10):
+        rows += [("up", d0 + datetime.timedelta(days=t))] * (5 + 3 * t)
+        rows += [("down", d0 + datetime.timedelta(days=t))] * (50 - 4 * t)
+        rows += [("flat", d0 + datetime.timedelta(days=t))] * 7
+    # gappy: counts 10 on day 0, 16 on day 3 -> single pair, slope 2.0
+    rows += [("gap", d0)] * 10 + [("gap", d0 + datetime.timedelta(days=3))] * 16
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {
+        r["g"]: r
+        for r in mann_kendall_trend(df, ["g"], F.col("d")).collect()
+    }
+    assert got["up"]["s_stat"] == 45 and got["up"]["tau_a"] == 1.0
+    assert got["up"]["sen_slope"] == 3.0
+    assert got["down"]["s_stat"] == -45 and got["down"]["tau_a"] == -1.0
+    assert got["down"]["sen_slope"] == -4.0
+    assert got["flat"]["s_stat"] == 0 and got["flat"]["sen_slope"] == 0.0
+    assert got["gap"]["n_days"] == 2 and got["gap"]["sen_slope"] == 2.0
+
+
+def test_mann_kendall_median_of_pairwise_slopes(spark):
+    """On a small irregular series the Sen slope equals the Python
+    median of all pairwise slopes (two-rank average)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import mann_kendall_trend
+
+    d0 = datetime.date(2024, 3, 1)
+    counts = [4, 9, 2, 15, 11]
+    rows = []
+    for t, c in enumerate(counts):
+        rows += [("g", d0 + datetime.timedelta(days=t))] * c
+    df = spark.createDataFrame(rows, "g string, d date")
+    r = mann_kendall_trend(df, ["g"], F.col("d")).collect()[0]
+    slopes = sorted(
+        (counts[j] - counts[i]) / (j - i)
+        for i in range(len(counts))
+        for j in range(i + 1, len(counts))
+    )
+    p = len(slopes)
+    want = (slopes[(p + 1) // 2 - 1] + slopes[(p + 2) // 2 - 1]) / 2.0
+    assert r["sen_slope"] == want
+    s = sum(
+        (1 if counts[j] > counts[i] else -1 if counts[j] < counts[i] else 0)
+        for i in range(len(counts))
+        for j in range(i + 1, len(counts))
+    )
+    assert r["s_stat"] == s

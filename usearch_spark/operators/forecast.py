@@ -725,3 +725,94 @@ def daily_acf(
         F.size("_vals").cast("long").alias("n_days"),
         F.explode(F.array(*lags)).alias("_l"),
     ).select(*group_cols, "n_days", F.col("_l.lag").alias("lag"), F.col("_l.acf").alias("acf"))
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+) -> DataFrame:
+    """Per-group Mann-Kendall TREND TEST + Theil-Sen slope over daily
+    counts (Mann 1945, Kendall 1975; Sen 1968) — the nonparametric "is
+    this metric drifting, and how fast" monitor that needs no
+    distributional assumption (the robust companion to the CUSUM
+    level-shift detector):
+
+        S     = Σ_{i<j} sgn(y_j − y_i)          (integer)
+        tau_a = S / (T·(T−1)/2)                 (one divide)
+        slope = median over pairs of (y_j − y_i) / (d_j − d_i)
+                (days are epoch-day integers, so gaps weigh correctly)
+
+    Determinism: S and every pairwise comparison are exact integers;
+    each pairwise slope is ONE int→double divide (bit-identical), the
+    slope median sorts those identical doubles and averages the two
+    middle ranks as (lo + hi)/2 — the explicit stl_anomalies median
+    contract, never an engine median().
+
+    Distributed shape: one partial-aggregated (group, day) count
+    shuffle, then T² bounded in-row work over the day array (T = days
+    per group — a dimension, not row volume).  No UDFs, no collects.
+
+    Output: group_cols + (n_days, s_stat, tau_a, sen_slope).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = daily.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    ).filter(F.size("seq") >= 2)
+    per = per.withColumn(
+        "_v", F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    ).withColumn(
+        "_e",
+        F.transform(
+            F.col("seq"),
+            lambda s: F.datediff(s["d"], F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        ),
+    )
+    t = F.size("_v")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    sign = lambda a, b: (  # noqa: E731
+        F.when(a > b, F.lit(1)).when(a < b, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("long")
+    s_stat = F.aggregate(
+        F.sequence(F.lit(1), t - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.sequence(i + 1, t),
+            F.lit(0).cast("long"),
+            lambda a2, j: a2 + sign(el("_v", j), el("_v", i)),
+        ),
+    )
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), t - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, t),
+                    lambda j: (el("_v", j) - el("_v", i)).cast("double")
+                    / (el("_e", j) - el("_e", i)).cast("double"),
+                ),
+            )
+        )
+    )
+    per = per.withColumn("_s", s_stat).withColumn("_sl", slopes)
+    p = F.size("_sl")
+    lo = F.element_at("_sl", ((p + 1) / 2).cast("int"))
+    hi = F.element_at("_sl", ((p + 2) / 2).cast("int"))
+    return per.select(
+        *group_cols,
+        t.cast("long").alias("n_days"),
+        F.col("_s").alias("s_stat"),
+        (
+            F.col("_s").cast("double")
+            / (t.cast("long") * (t.cast("long") - 1) / 2).cast("double")
+        ).alias("tau_a"),
+        ((lo + hi) / F.lit(2.0)).alias("sen_slope"),
+    )
