@@ -9061,6 +9061,61 @@ def _stl_anomaly_oracle_sql(m: int = 7, c: int = 3) -> str:
     """
 
 
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (operators/sketch.ams_f2 —
+    Alon, Matias & Szegedy 1996): per-type self-join-size estimate of
+    the event stream on user_id from 45 one-pass ±1 md5-parity
+    counters (median of five 9-counter means), with the exact F2
+    alongside for the quality display.  The sketch side is ONE
+    partial-agg pass with no per-key state — the skew statistic a
+    planner reads before picking a join strategy.  Counters and group
+    sums are exact int64; one divide closes the estimate."""
+    from usearch_spark.operators.sketch import ams_f2
+
+    ev = _events(spark, sf_dir)
+    return ams_f2(
+        ev.select("event_type", "user_id"), "user_id", ["event_type"], r=45, b=9
+    ).orderBy("event_type")
+
+
+def _ams_oracle_sql(r: int = 45, b: int = 9) -> str:
+    """ams_f2 replay: the same 45 md5-parity conditional sums, integer
+    group sums of squares, list_sort + middle element, one divide."""
+    ng = r // b
+    zs = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN CAST('0x' || substr(md5('{i}:' ||"
+        f" CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS BIGINT) AS z{i}"
+        for i in range(r)
+    )
+    gsums = ", ".join(
+        "(" + " + ".join(f"z{i}*z{i}" for i in range(gi * b, (gi + 1) * b)) + f") AS s{gi}"
+        for gi in range(ng)
+    )
+    slist = ", ".join(f"s{gi}" for gi in range(ng))
+    return f"""
+        WITH g AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                   {zs}
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT event_type, n_rows, list_sort([{slist}]) AS ss
+            FROM (SELECT event_type, n_rows, {gsums} FROM g)
+        ),
+        ex AS (
+            SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact
+            FROM (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT ex.event_type AS event_type, s.n_rows, ex.f2_exact,
+               CAST(ss[{(ng + 1) // 2}] AS DOUBLE) / CAST({b} AS DOUBLE) AS f2_est
+        FROM ex JOIN s ON s.event_type = ex.event_type
+        ORDER BY ex.event_type
+    """
+
+
 def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test + Theil-Sen slope (operators/forecast.
     mann_kendall_trend — Mann 1945, Sen 1968): per-type S statistic,
@@ -9897,6 +9952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_iqr": q_audit_iqr,
         "eval_spearman": q_eval_spearman,
         "events_trend": q_events_trend,
+        "sketch_ams_f2": q_sketch_ams_f2,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10815,6 +10871,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),
+        "sketch_ams_f2": _ams_oracle_sql(r=45, b=9),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

