@@ -9061,6 +9061,93 @@ def _stl_anomaly_oracle_sql(m: int = 7, c: int = 3) -> str:
     """
 
 
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components of the directed nation trade
+    network (plans/scc.strongly_connected_components — the FB
+    forward/backward min-label peel, Fleischer et al. 2000 / Slota et
+    al. 2014): edges point supplier-nation → customer-nation, kept for
+    the 80 heaviest lanes under the (w DESC, src, dst) total order, so
+    the graph has real SCC structure (a mutual-trade core + one-way
+    satellites).  Each peel runs two min-label propagations to
+    fixpoint; F(v)==B(v)==r extracts SCC(r); rounds are bounded by the
+    condensation chain, not |V|.  All-integer labels — the oracle
+    replays the canonical min-vertex labeling from a recursive-CTE
+    transitive closure (different algorithm, provably identical)."""
+    from usearch_spark.plans.scc import strongly_connected_components
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e_all = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    top = e_all.orderBy(F.col("w").desc(), "src", "dst").limit(80)
+    v = (
+        top.select(F.col("src").alias("id"))
+        .unionAll(top.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    scc = strongly_connected_components(v, top.select("src", "dst"))
+    sizes = scc.groupBy("component").agg(F.count(F.lit(1)).alias("scc_size"))
+    return (
+        scc.join(sizes, "component")
+        .select(
+            F.col("id").alias("nationkey"),
+            F.col("component").alias("scc_id"),
+            "scc_size",
+        )
+        .orderBy("nationkey")
+    )
+
+
+def _scc_oracle_sql(top_k: int = 80) -> str:
+    """SCC replay via recursive-CTE transitive closure: mutual pairs
+    from the closure joined to itself, scc_id = min mutual partner
+    (least with the vertex itself) — the canonical min-vertex labeling
+    the peel algorithm produces."""
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey <> c_nationkey
+            GROUP BY 1, 2
+        ),
+        ed AS (SELECT src, dst FROM base ORDER BY w DESC, src, dst LIMIT {top_k}),
+        nodes AS (SELECT DISTINCT src AS id FROM ed
+                  UNION SELECT DISTINCT dst FROM ed),
+        reach(s, d) AS (
+            SELECT src, dst FROM ed
+            UNION
+            SELECT r.s, e.dst FROM reach r JOIN ed e ON e.src = r.d
+        ),
+        mutual AS (
+            SELECT r1.s AS u, r1.d AS v
+            FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+        ),
+        lab AS (
+            SELECT n.id, least(n.id, coalesce(min(m.u), n.id)) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+            GROUP BY n.id
+        ),
+        sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+               FROM lab GROUP BY 1)
+        SELECT lab.id AS nationkey, lab.scc_id, sz.scc_size
+        FROM lab JOIN sz ON sz.scc_id = lab.scc_id
+        ORDER BY nationkey
+    """
+
+
 def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-frequency-moment sketch (operators/sketch.ams_f2 —
     Alon, Matias & Szegedy 1996): per-type self-join-size estimate of
@@ -9953,6 +10040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_spearman": q_eval_spearman,
         "events_trend": q_events_trend,
         "sketch_ams_f2": q_sketch_ams_f2,
+        "graph_scc": q_graph_scc,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10872,6 +10960,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),
         "sketch_ams_f2": _ams_oracle_sql(r=45, b=9),
+        "graph_scc": _scc_oracle_sql(top_k=80),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

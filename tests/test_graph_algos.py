@@ -374,3 +374,71 @@ def test_kcenters_greedy_covers_components_then_maximizes_spread(spark):
     got = {r["id"]: r["mind"] for r in mind.collect()}
     assert got == {"a": 0, "b": 1, "c": 2, "x": 0, "y": 0}
     assert max(got.values()) == 2  # covering radius
+
+
+def test_scc_chain_of_cycles_and_singletons(spark):
+    """A condensation chain cycle{1,2,3} -> cycle{4,5} -> 6, plus an
+    isolated vertex: each SCC labels to its min vertex; the peel needs
+    multiple rounds (downstream SCCs see a smaller foreign F label in
+    round 1) and still terminates with the canonical labeling."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.scc import strongly_connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)]
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id int")
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(v, e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_scc_directionality_matters(spark):
+    """The same edge set undirected would be one component; directed it
+    splits: a -> b -> c with no back path is three singleton SCCs, and
+    adding the closing arc c -> a fuses them."""
+    from usearch_spark.plans.scc import strongly_connected_components
+
+    v = spark.createDataFrame([(i,) for i in (10, 20, 30)], "id int")
+    path = spark.createDataFrame([(10, 20), (20, 30)], "src int, dst int")
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(v, path).collect()
+    }
+    assert got == {10: 10, 20: 20, 30: 30}
+    cyc = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 10)], "src int, dst int"
+    )
+    got2 = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(v, cyc).collect()
+    }
+    assert got2 == {10: 10, 20: 10, 30: 10}
+
+
+def test_scc_two_mutual_blocks_sharing_a_bridge(spark):
+    """Two 2-cycles joined by one-way bridges in both orders resolve to
+    two SCCs regardless of which holds the global min."""
+    from usearch_spark.plans.scc import strongly_connected_components
+
+    # {5,6} mutual, {1,2} mutual, bridge 1->5 (min block upstream)
+    v = spark.createDataFrame([(i,) for i in (1, 2, 5, 6)], "id int")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 6), (6, 5), (1, 5)], "src int, dst int"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(v, e).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+    # reverse the bridge: min block downstream -> same labeling
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 1), (5, 6), (6, 5), (5, 1)], "src int, dst int"
+    )
+    got2 = {
+        r["id"]: r["component"]
+        for r in strongly_connected_components(v, e2).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 5: 5, 6: 5}
