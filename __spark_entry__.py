@@ -9061,6 +9061,79 @@ def _stl_anomaly_oracle_sql(m: int = 7, c: int = 3) -> str:
     """
 
 
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve (operators/forecast.kaplan_meier —
+    Kaplan & Meier 1958): per event type, survival over user lifetime
+    (days between a user's first and last event), right-censored for
+    users still active in the type's final week (the churn-vs-still-
+    here distinction naive retention math gets wrong).  One
+    (type, user) collapse + one (type, duration) collapse do the
+    corpus-sized work; the curve is a T² bounded in-row fold whose
+    factors are single exact-divides multiplied in duration order —
+    bit-exact, no rounding site."""
+    from usearch_spark.operators.forecast import kaplan_meier
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    )
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.min("d").alias("_f"), F.max("d").alias("_l")
+    )
+    mx = ev.groupBy("event_type").agg(F.max("d").alias("_mx"))
+    per = pu.join(mx, "event_type").select(
+        "event_type",
+        F.datediff("_l", "_f").alias("dur"),
+        (F.datediff("_mx", "_l") >= 7).cast("int").alias("evt"),
+    )
+    return kaplan_meier(per, ["event_type"]).orderBy("event_type", "duration")
+
+
+def _survival_oracle_sql() -> str:
+    """kaplan_meier replay: the same two collapses, duration-ordered
+    (t, d, c) lists, prefix at-risk integers, and the identical
+    [at_risk, survival] list_reduce fold per prefix (both accumulator
+    slots read the pre-step state — the LIST-accumulator recipe, DuckDB
+    1.0 mis-binds struct accumulators)."""
+    return """
+        WITH pu AS (
+            SELECT event_type AS g, user_id,
+                   CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS INT) AS dur,
+                   CASE WHEN max(max(CAST(ts AS DATE)))
+                                OVER (PARTITION BY event_type)
+                              - max(CAST(ts AS DATE)) >= 7
+                        THEN 1 ELSE 0 END AS evt
+            FROM events GROUP BY event_type, user_id
+        ),
+        dg AS (
+            SELECT g, dur, CAST(sum(evt) AS BIGINT) AS d,
+                   CAST(count(*) - sum(evt) AS BIGINT) AS c
+            FROM pu GROUP BY g, dur
+        ),
+        per AS (
+            SELECT g, list(struct_pack(t := dur, d := d, c := c) ORDER BY dur) AS seq,
+                   CAST(sum(d + c) AS BIGINT) AS n
+            FROM dg GROUP BY g
+        ),
+        rows_ AS (
+            SELECT g, seq[i].t AS t, seq[i].d AS d, seq[i].c AS c,
+                   n - coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(seq[1:i-1], s -> s.d + s.c)),
+                           (a, x) -> a + x), 0) AS nr,
+                   list_reduce(list_prepend([CAST(n AS DOUBLE), CAST(1 AS DOUBLE)],
+                       list_transform(seq[1:i],
+                           s -> [CAST(s.d AS DOUBLE), CAST(s.c AS DOUBLE)])),
+                       (acc, x) -> [acc[1] - x[1] - x[2],
+                                    acc[2] * ((acc[1] - x[1]) / acc[1])])[2] AS s
+            FROM per, unnest(range(1, len(seq) + 1)) u(i)
+        )
+        SELECT g AS event_type, CAST(t AS BIGINT) AS duration,
+               CAST(nr AS BIGINT) AS n_risk, d AS n_events, c AS n_censored,
+               s AS survival
+        FROM rows_ WHERE d > 0
+        ORDER BY event_type, duration
+    """
+
+
 def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRONGLY connected components of the directed nation trade
     network (plans/scc.strongly_connected_components — the FB
@@ -10041,6 +10114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend": q_events_trend,
         "sketch_ams_f2": q_sketch_ams_f2,
         "graph_scc": q_graph_scc,
+        "events_survival": q_events_survival,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -10961,6 +11035,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trend": _trend_oracle_sql(),
         "sketch_ams_f2": _ams_oracle_sql(r=45, b=9),
         "graph_scc": _scc_oracle_sql(top_k=80),
+        "events_survival": _survival_oracle_sql(),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

@@ -608,3 +608,40 @@ def test_ams_f2_exact_on_known_frequencies(spark):
     df = spark.createDataFrame(rows, "g string, k string")
     r = ams_f2(df, "k", ["g"], r=9, b=3).collect()[0]
     assert r["f2_exact"] == 9 + 4 + 1
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """The estimator reproduces the hand-computed product-limit curve,
+    honors the deaths-before-censorings convention (a subject censored
+    AT an event time counts at risk there), and zero-event times leave
+    the curve untouched."""
+    from usearch_spark.operators.forecast import kaplan_meier
+
+    rows = (
+        [("g", 2, 1), ("g", 2, 1), ("g", 3, 0), ("g", 5, 1), ("g", 5, 0),
+         ("g", 8, 1)] + [("g", 10, 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, dur int, evt int")
+    out = {r["duration"]: r for r in kaplan_meier(df, ["g"]).collect()}
+    assert sorted(out) == [2, 5, 8]  # censor-only times emit no row
+    assert (out[2]["n_risk"], out[2]["n_events"]) == (10, 2)
+    assert out[2]["survival"] == 0.8
+    assert (out[5]["n_risk"], out[5]["n_censored"]) == (7, 1)
+    assert out[5]["survival"] == 0.8 * (6.0 / 7.0)
+    assert (out[8]["n_risk"],) == (5,)
+    assert out[8]["survival"] == (0.8 * (6.0 / 7.0)) * (4.0 / 5.0)
+
+
+def test_kaplan_meier_no_censoring_matches_empirical(spark):
+    """With no censoring, S(t) is the empirical survivor function."""
+    from usearch_spark.operators.forecast import kaplan_meier
+
+    durs = [1, 1, 2, 3, 3, 3, 4, 7]
+    df = spark.createDataFrame([("g", d, 1) for d in durs], "g string, dur int, evt int")
+    out = {r["duration"]: r["survival"] for r in kaplan_meier(df, ["g"]).collect()}
+    import pytest
+
+    n = len(durs)
+    for t, surv in out.items():
+        alive = sum(1 for d in durs if d > t)
+        assert surv == pytest.approx(alive / n, rel=1e-12)

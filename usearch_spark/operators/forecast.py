@@ -816,3 +816,103 @@ def mann_kendall_trend(
         ).alias("tau_a"),
         ((lo + hi) / F.lit(2.0)).alias("sen_slope"),
     )
+
+
+def kaplan_meier(
+    per_subject: DataFrame,
+    group_cols: list[str],
+    dur_col: str = "dur",
+    event_col: str = "evt",
+) -> DataFrame:
+    """Per-group Kaplan-Meier SURVIVAL CURVE (Kaplan & Meier 1958) over
+    right-censored durations — the retention/churn estimator: given one
+    row per subject with an integer duration and an event flag (1 =
+    the terminal event was observed, 0 = censored — still alive when
+    observation ended),
+
+        S(t) = Π_{s ≤ t} (n_s − d_s) / n_s
+
+    with n_s the subjects still at risk just before time s and d_s the
+    events at s (censored subjects at s count at-risk AT s — the
+    standard deaths-before-censorings convention).
+
+    Distributed shape: one (group, subject) collapse does the
+    corpus-sized work, a second collapse to (group, duration) makes the
+    fold input |groups|·|distinct durations| — a dimension; the curve
+    itself is T² bounded in-row folds.  No UDFs, no collects, no global
+    window.
+
+    Determinism: n_s, d_s, c_s are exact integers; each survival factor
+    is ONE exact-integer-valued-double divide (d_s = 0 gives n/n = 1.0
+    exactly, so zero-event times are harmless inside the product) and
+    the product folds in DURATION ORDER — the events_ewma order-pinned
+    IEEE-chain contract, no rounding site.
+
+    Output: group_cols + (duration, n_risk, n_events, n_censored,
+    survival), one row per duration with at least one event.
+    """
+    g = per_subject.groupBy(*group_cols, dur_col).agg(
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        (F.count(F.lit(1)) - F.sum(F.col(event_col).cast("long"))).alias("_c"),
+    )
+    per = g.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(dur_col).alias("t"), "_d", "_c"))
+        ).alias("seq")
+    )
+    n_total = F.aggregate(
+        F.col("seq"), F.lit(0).cast("long"), lambda acc, s: acc + s["_d"] + s["_c"]
+    )
+    per = per.withColumn("_n", n_total)
+
+    def before(i):
+        # subjects removed strictly before the i-th duration (1-indexed)
+        return F.aggregate(
+            F.slice(F.col("seq"), 1, i - 1),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["_d"] + s["_c"],
+        )
+
+    def surv(i):
+        # fold [at_risk, survival] through the first i durations; both
+        # accumulator slots read the PRE-step acc, so the factor uses
+        # the at-risk count just before each time
+        return F.element_at(
+            F.aggregate(
+                F.slice(F.col("seq"), 1, i),
+                F.array(F.col("_n").cast("double"), F.lit(1.0)),
+                lambda acc, s: F.array(
+                    F.element_at(acc, 1) - s["_d"] - s["_c"],
+                    F.element_at(acc, 2)
+                    * (
+                        (F.element_at(acc, 1) - s["_d"].cast("double"))
+                        / F.element_at(acc, 1)
+                    ),
+                ),
+            ),
+            2,
+        )
+
+    rows = per.select(
+        *group_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq")),
+                lambda i: F.struct(
+                    F.element_at(F.col("seq"), i)["t"].alias("t"),
+                    F.element_at(F.col("seq"), i)["_d"].alias("d"),
+                    F.element_at(F.col("seq"), i)["_c"].alias("c"),
+                    (F.col("_n") - before(i)).alias("nr"),
+                    surv(i).alias("s"),
+                ),
+            )
+        ).alias("e"),
+    )
+    return rows.filter(F.col("e.d") > 0).select(
+        *group_cols,
+        F.col("e.t").cast("long").alias("duration"),
+        F.col("e.nr").cast("long").alias("n_risk"),
+        F.col("e.d").cast("long").alias("n_events"),
+        F.col("e.c").cast("long").alias("n_censored"),
+        F.col("e.s").alias("survival"),
+    )
