@@ -9276,6 +9276,105 @@ def _ams_oracle_sql(r: int = 45, b: int = 9) -> str:
     """
 
 
+def q_events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal STRENGTH scores (operators/forecast.
+    seasonal_strength — Hyndman & Athanasopoulos's STL features): per
+    type, F_T = max(0, 1 − Var(R)/Var(T+R)) and F_S = max(0, 1 −
+    Var(R)/Var(S+R)) over the events_stl decomposition — the 0..1
+    "does this series deserve a seasonal model" gate feeding the
+    holt-vs-holt_winters choice.  Component values are the
+    decomposition's bit-identical single-divide doubles; means and
+    variances fold in day order over bounded in-row arrays; the
+    closing ratio chain is identical both engines — no rounding
+    site."""
+    from usearch_spark.operators.forecast import decompose_daily, seasonal_strength
+
+    ev = _events(spark, sf_dir)
+    dec = decompose_daily(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), m=7
+    )
+    return seasonal_strength(dec, ["event_type"]).orderBy("event_type")
+
+
+def _seasonal_strength_oracle_sql(m: int = 7) -> str:
+    """seasonal_strength replay: the decompose CTEs, day-ordered
+    component lists, mean/variance list_reduce folds with the fold
+    division AFTER the sum, identical greatest/ratio close."""
+    h = m // 2
+    rexpr = (
+        f"CAST({m} * s.cntw * t.n - s.cntw * t.masum - s.snum AS DOUBLE)"
+        f" / CAST({m} * s.cntw AS DOUBLE)"
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT g, d, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS masum,
+                   CAST(count(n) OVER w AS BIGINT) AS cnt,
+                   CAST((d - DATE '1970-01-05') % 7 AS INT) AS wd
+            FROM daily
+            WINDOW w AS (PARTITION BY g ORDER BY d
+                         ROWS BETWEEN {h} PRECEDING AND {h} FOLLOWING)
+        ),
+        seas AS (
+            SELECT g, wd, CAST(sum({m} * n - masum) AS BIGINT) AS snum,
+                   CAST(count(*) AS BIGINT) AS cntw
+            FROM t WHERE cnt = {m} GROUP BY 1, 2
+        ),
+        rem AS (
+            SELECT t.g, strftime(t.d, '%Y-%m-%d') AS day,
+                   {rexpr} AS r,
+                   CAST(t.masum AS DOUBLE) / CAST({m} AS DOUBLE)
+                       + {rexpr} AS tr,
+                   CAST(s.snum AS DOUBLE) / CAST({m} * s.cntw AS DOUBLE)
+                       + {rexpr} AS sr
+            FROM t JOIN seas s ON s.g = t.g AND s.wd = t.wd
+            WHERE t.cnt = {m}
+        ),
+        seqs AS (
+            SELECT g, list(r ORDER BY day) AS rs,
+                   list(tr ORDER BY day) AS trs,
+                   list(sr ORDER BY day) AS srs
+            FROM rem GROUP BY g HAVING count(*) >= 2
+        ),
+        mm AS (
+            SELECT g, rs, trs, srs, CAST(len(rs) AS DOUBLE) AS n,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE), rs),
+                               (a, x) -> a + x) / CAST(len(rs) AS DOUBLE) AS mr,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE), trs),
+                               (a, x) -> a + x) / CAST(len(rs) AS DOUBLE) AS mtr,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE), srs),
+                               (a, x) -> a + x) / CAST(len(rs) AS DOUBLE) AS msr
+            FROM seqs
+        ),
+        vv AS (
+            SELECT g, CAST(len(rs) AS BIGINT) AS n_days,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(rs, x -> (x - mr) * (x - mr))),
+                       (a, x) -> a + x) / n AS vr,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(trs, x -> (x - mtr) * (x - mtr))),
+                       (a, x) -> a + x) / n AS vtr,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(srs, x -> (x - msr) * (x - msr))),
+                       (a, x) -> a + x) / n AS vsr
+            FROM mm
+        )
+        SELECT g AS event_type, n_days,
+               CASE WHEN vtr > 0
+                    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - vr / vtr)
+               END AS f_trend,
+               CASE WHEN vsr > 0
+                    THEN greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - vr / vsr)
+               END AS f_season
+        FROM vv ORDER BY event_type
+    """
+
+
 def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test + Theil-Sen slope (operators/forecast.
     mann_kendall_trend — Mann 1945, Sen 1968): per-type S statistic,
@@ -10115,6 +10214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ams_f2": q_sketch_ams_f2,
         "graph_scc": q_graph_scc,
         "events_survival": q_events_survival,
+        "events_seasonal_strength": q_events_seasonal_strength,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11036,6 +11136,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_ams_f2": _ams_oracle_sql(r=45, b=9),
         "graph_scc": _scc_oracle_sql(top_k=80),
         "events_survival": _survival_oracle_sql(),
+        "events_seasonal_strength": _seasonal_strength_oracle_sql(m=7),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

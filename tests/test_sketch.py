@@ -645,3 +645,32 @@ def test_kaplan_meier_no_censoring_matches_empirical(spark):
     for t, surv in out.items():
         alive = sum(1 for d in durs if d > t)
         assert surv == pytest.approx(alive / n, rel=1e-12)
+
+
+def test_seasonal_strength_pure_signals(spark):
+    """A pure trend+season series (zero remainder) scores F_T = F_S = 1;
+    pure noise around a constant scores ~0 on both (clamped at 0)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import (
+        decompose_daily,
+        seasonal_strength,
+    )
+
+    pattern = [3, -1, 2, -4, 0, 1, -1]  # zero-sum weekly pattern
+    d0 = datetime.date(2024, 1, 1)  # Monday
+    rows = []
+    for t in range(28):
+        clean = 20 + t + pattern[t % 7]
+        rows += [("clean", d0 + datetime.timedelta(days=t))] * clean
+        # deterministic 'noise': no trend, no week structure (period 5)
+        rows += [("noise", d0 + datetime.timedelta(days=t))] * (30 + (t * 7) % 5)
+    df = spark.createDataFrame(rows, "g string, d date")
+    dec = decompose_daily(df, ["g"], F.col("d"), m=7)
+    got = {r["g"]: r for r in seasonal_strength(dec, ["g"]).collect()}
+    assert got["clean"]["f_trend"] == 1.0 and got["clean"]["f_season"] == 1.0
+    assert got["noise"]["f_trend"] < 0.6
+    assert got["noise"]["f_season"] < 0.6
+    assert got["clean"]["n_days"] == 22  # 28 - 2*3 edge days

@@ -916,3 +916,78 @@ def kaplan_meier(
         F.col("e.c").cast("long").alias("n_censored"),
         F.col("e.s").alias("survival"),
     )
+
+
+def seasonal_strength(
+    dec: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group TREND and SEASONAL STRENGTH of a decomposition
+    (Hyndman & Athanasopoulos, *Forecasting: Principles and Practice*
+    §STL features; Wang, Smith & Hyndman 2006):
+
+        F_T = max(0, 1 − Var(R) / Var(T + R))     (detrended strength)
+        F_S = max(0, 1 − Var(R) / Var(S + R))     (deseasonalized)
+
+    — the 0..1 scores a pipeline reads to decide whether a series
+    deserves a trend/seasonal model at all (the events_acf question,
+    answered on the decomposition's own terms).
+
+    ``dec`` is a :func:`decompose_daily` / :func:`decompose_from_daily`
+    output; only days with a full window (non-NULL remainder) enter.
+
+    Determinism: every component value is already a bit-identical
+    single-divide double (the decomposition contract); the sums behind
+    each mean and variance fold in DAY ORDER over bounded in-row
+    arrays (the events_ewma order-pinned IEEE-chain contract), and the
+    closing 1 − ratio / max(0, ·) chain is identical on both engines.
+    No rounding site.  Groups need ≥ 2 qualifying days; zero-variance
+    denominators emit NULL.
+
+    Output: group_cols + (n_days, f_trend, f_season).
+    """
+    r = dec.filter(F.col("remainder").isNotNull()).select(
+        *group_cols,
+        "day",
+        F.col("remainder").alias("_r"),
+        (F.col("trend") + F.col("remainder")).alias("_tr"),
+        (F.col("seasonal") + F.col("remainder")).alias("_sr"),
+    )
+    per = r.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("day", "_r", "_tr", "_sr"))).alias(
+            "seq"
+        )
+    ).filter(F.size("seq") >= 2)
+    n = F.size("seq").cast("double")
+
+    def arr(field):
+        return F.transform(F.col("seq"), lambda s: s[field])
+
+    def mean(a):
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / n
+
+    def var(a, m):
+        return (
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x - m) * (x - m)) / n
+        )
+
+    per = (
+        per.withColumn("_mr", mean(arr("_r")))
+        .withColumn("_mtr", mean(arr("_tr")))
+        .withColumn("_msr", mean(arr("_sr")))
+        .withColumn("_vr", var(arr("_r"), F.col("_mr")))
+        .withColumn("_vtr", var(arr("_tr"), F.col("_mtr")))
+        .withColumn("_vsr", var(arr("_sr"), F.col("_msr")))
+    )
+    return per.select(
+        *group_cols,
+        F.size("seq").cast("long").alias("n_days"),
+        F.when(
+            F.col("_vtr") > 0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vtr")),
+        ).alias("f_trend"),
+        F.when(
+            F.col("_vsr") > 0,
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vsr")),
+        ).alias("f_season"),
+    )
