@@ -8782,6 +8782,63 @@ def _spearman_oracle_sql() -> str:
     """
 
 
+def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift table EVALUATION (operators/evaluate.
+    group_gains): per segment, decile-by-decile capture of the
+    heavy-buyer mass under the balance ranking and the lift over random
+    — the scorecard view completing the eval family (AUC integrates,
+    F1 cuts once, the gains table shows the whole frontier).  Integer
+    rank-cut buckets, exact-integer cumulative counts, and a single
+    divide per metric (lift = cum_pos·n / (cum_n·total_pos)) —
+    bit-exact."""
+    from usearch_spark.operators.evaluate import group_gains
+
+    return group_gains(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        n_buckets=10,
+    ).orderBy("c_mktsegment", "bucket")
+
+
+def _lift_oracle_sql(n_buckets: int = 10) -> str:
+    """group_gains replay: the same integer rank-cut buckets, window
+    cumulative integer counts, one divide per metric."""
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        sz AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY seg),
+        bk AS (
+            SELECT rs.seg, CAST(((rs.rn - 1) * {n_buckets}) // sz.n AS INT) AS bucket,
+                   rs.y, sz.n
+            FROM rs JOIN sz ON sz.seg = rs.seg
+        ),
+        b AS (
+            SELECT seg, bucket, CAST(count(*) AS BIGINT) AS n_bucket,
+                   CAST(sum(y) AS BIGINT) AS n_pos, CAST(max(n) AS BIGINT) AS n
+            FROM bk GROUP BY seg, bucket
+        ),
+        c AS (
+            SELECT seg, bucket, n_bucket, n_pos, n,
+                   CAST(sum(n_bucket) OVER wc AS BIGINT) AS cum_n,
+                   CAST(sum(n_pos) OVER wc AS BIGINT) AS cum_pos,
+                   CAST(sum(n_pos) OVER (PARTITION BY seg) AS BIGINT) AS tp
+            FROM b
+            WINDOW wc AS (PARTITION BY seg ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT seg AS c_mktsegment, bucket, n_bucket, n_pos, cum_n, cum_pos,
+               CASE WHEN tp > 0
+                    THEN CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE)
+               END AS capture,
+               CASE WHEN tp > 0
+                    THEN CAST(cum_pos * n AS DOUBLE) / CAST(cum_n * tp AS DOUBLE)
+               END AS lift
+        FROM c ORDER BY c_mktsegment, bucket
+    """
+
+
 def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold classification EVALUATION (operators/evaluate.
     group_classification_metrics): deploy the balance ranker as a
@@ -10215,6 +10272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "events_survival": q_events_survival,
         "events_seasonal_strength": q_events_seasonal_strength,
+        "eval_lift": q_eval_lift,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11137,6 +11195,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": _scc_oracle_sql(top_k=80),
         "events_survival": _survival_oracle_sql(),
         "events_seasonal_strength": _seasonal_strength_oracle_sql(m=7),
+        "eval_lift": _lift_oracle_sql(n_buckets=10),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

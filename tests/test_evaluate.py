@@ -426,3 +426,29 @@ def test_group_spearman_matches_naive_with_ties(spark):
         else:
             assert got[g][1] == pytest.approx(want, rel=1e-12)
     assert got["mono"][1] == 1.0 and got["anti"][1] == -1.0
+
+
+def test_group_gains_perfect_and_random_anchors(spark):
+    """A perfect ranker captures all positives in the first decile with
+    lift = n/n_pos-capped decile lift; bucket counts are equal-population;
+    the final row always has capture 1 and lift 1."""
+    from usearch_spark.operators.evaluate import group_gains
+
+    # 100 rows, 10 positives, perfectly ranked to the top
+    rows = [("g", i, 1000 - i, 1 if i < 10 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    out = {r["bucket"]: r for r in group_gains(df, ["g"], "score", "label", "id").collect()}
+    assert len(out) == 10 and all(out[b]["n_bucket"] == 10 for b in out)
+    assert out[0]["n_pos"] == 10 and out[0]["capture"] == 1.0
+    assert out[0]["lift"] == 10.0  # all mass in the top 10%
+    assert out[9]["capture"] == 1.0 and out[9]["lift"] == 1.0
+    assert out[5]["cum_n"] == 60
+
+
+def test_group_gains_no_positive_group_nulls(spark):
+    from usearch_spark.operators.evaluate import group_gains
+
+    rows = [("g", i, i, 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    out = group_gains(df, ["g"], "score", "label", "id").collect()
+    assert all(r["capture"] is None and r["lift"] is None for r in out)

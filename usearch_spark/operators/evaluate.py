@@ -790,3 +790,77 @@ def group_spearman(
             ),
         ).alias("spearman_rho"),
     )
+
+
+def group_gains(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-group cumulative GAINS/LIFT table — the scorecard view of a
+    ranker (how much of the positive mass the top d deciles capture,
+    and how much better than random that is):
+
+        capture_d = cum_pos_d / total_pos
+        lift_d    = (cum_pos_d / cum_n_d) / (total_pos / n)
+                  = cum_pos_d · n / (cum_n_d · total_pos)   — ONE divide
+
+    Rows land in ``n_buckets`` equal-population buckets by the
+    calibration_bins integer rank cut ((rank−1)·n_buckets div n).
+
+    Determinism: ranks come from a fully-tie-broken group window, every
+    count and both numerators are exact integers, and each metric is
+    one int→double divide — bit-identical.  Groups with no positives
+    emit NULL capture/lift.
+
+    Distributed shape: one group-partitioned rank window + a
+    (group, bucket) partial agg + a ≤ n_buckets-row cumulative window
+    per group.  No UDFs, no collects.
+
+    Output: group_cols + (bucket, n_bucket, n_pos, cum_n, cum_pos,
+    capture, lift).
+    """
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    lab = F.col(label_col).cast("long")
+    ranked = df.select(
+        *group_cols, lab.alias("_y"), F.row_number().over(ws).alias("_rn")
+    )
+    sized = ranked.join(
+        ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n")), group_cols
+    ).withColumn("bucket", F.expr(f"CAST(((_rn - 1) * {n_buckets}) div _n AS INT)"))
+    b = sized.groupBy(*group_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n_bucket"),
+        F.sum("_y").alias("n_pos"),
+        F.max("_n").alias("_n"),
+    )
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    c = b.withColumn("cum_n", F.sum("n_bucket").over(wc)).withColumn(
+        "cum_pos", F.sum("n_pos").over(wc)
+    ).withColumn("_tp", F.sum("n_pos").over(wt))
+    return c.select(
+        *group_cols,
+        "bucket",
+        "n_bucket",
+        "n_pos",
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.when(
+            F.col("_tp") > 0,
+            F.col("cum_pos").cast("double") / F.col("_tp").cast("double"),
+        ).alias("capture"),
+        F.when(
+            F.col("_tp") > 0,
+            (F.col("cum_pos") * F.col("_n")).cast("double")
+            / (F.col("cum_n") * F.col("_tp")).cast("double"),
+        ).alias("lift"),
+    )
