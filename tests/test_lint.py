@@ -31,6 +31,23 @@ def test_partitioned_window_is_clean(spark):
     assert "GLOBAL_WINDOW" not in codes(df)
 
 
+def test_partitioned_window_without_order_is_clean(spark):
+    """A partition-wide aggregation frame (partitionBy, no orderBy) is a
+    per-group total, not a global window — the 2-list plan shape must be
+    disambiguated from the ordered-global case by the ASC/DESC markers."""
+    df = spark.range(100).withColumn(
+        "t", F.count(F.lit(1)).over(Window.partitionBy(F.col("id") % 10))
+    )
+    assert "GLOBAL_WINDOW" not in codes(df)
+
+
+def test_global_unordered_window_is_flagged(spark):
+    df = spark.range(100).withColumn(
+        "t", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    assert "GLOBAL_WINDOW" in codes(df, "error")
+
+
 def test_detects_row_at_a_time_python_udf(spark):
     from pyspark.sql.functions import udf
 

@@ -69,18 +69,30 @@ def lint_plan(df: DataFrame) -> list[dict]:
             add(INFO, "SMJ", ln)
         if "windowspecdefinition" in ln:
             # executedPlan prints: Window [fns], [partition cols], [order]
-            # — a global window omits the partition list (2 lists, not 3)
+            # — a global window omits the partition list.  With all three
+            # specs present that's 3 top-level lists; with only 2 the
+            # second is EITHER the partition list (partitioned window
+            # without ORDER BY — a partition-wide agg frame, fine) or the
+            # order list (global ordered window — the scale bug).  Order
+            # lists are distinguishable by their ASC/DESC direction
+            # markers on every entry.
             m = re.match(r"\s*[:+\-*( ]*Window (\[.*)", ln)
             if m:
-                depth, lists = 0, 0
-                for ch in m.group(1):
+                depth, lists, spans, start = 0, 0, [], -1
+                for pos, ch in enumerate(m.group(1)):
                     if ch == "[":
                         if depth == 0:
                             lists += 1
+                            start = pos
                         depth += 1
                     elif ch == "]":
                         depth -= 1
-                if lists < 3:
+                        if depth == 0:
+                            spans.append(m.group(1)[start : pos + 1])
+                if lists < 2 or (
+                    lists == 2
+                    and re.search(r"\b(ASC|DESC)\b", spans[1])
+                ):
                     add(ERROR, "GLOBAL_WINDOW", ln)
         if "Exchange SinglePartition" in ln:
             # acceptable only as the final gather of a limit/global agg —
