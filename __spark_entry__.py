@@ -9278,6 +9278,111 @@ def _scc_oracle_sql(top_k: int = 80) -> str:
     """
 
 
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCITY of the directed nation trade network (plans/
+    graph_stats.reciprocity — Newman 2003): the fraction of
+    supplier→customer trade lanes whose reverse lane also exists — the
+    one-number "is trade mutual here" diagnostic the SCC analysis
+    refines.  Dedup + one reversed-key self-join + one global agg; two
+    exact integer counts, one divide."""
+    from usearch_spark.plans.graph_stats import reciprocity
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+    )
+    return reciprocity(e)
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the supplier↔part graph (plans/
+    graph_stats.degree_assortativity — Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    do high-degree suppliers stock broadly-sourced parts?  Over the 2m
+    ordered pairs the marginals coincide, so r = (2m·Σjk − (Σj)²) /
+    (2m·Σj² − (Σj)²) with BOTH sides exact int64 and ONE closing
+    divide — no sqrt, no rounding site."""
+    from usearch_spark.plans.graph_stats import degree_assortativity
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    return degree_assortativity(e)
+
+
+_TRADE_DIRECTED_SQL = """
+            SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey <> c_nationkey
+"""
+
+
+def _reciprocity_oracle_sql() -> str:
+    """reciprocity replay: distinct directed lanes, reversed-key left
+    join, two integer counts, one divide."""
+    return f"""
+        WITH e AS ({_TRADE_DIRECTED_SQL}),
+        j AS (
+            SELECT e.src, e.dst,
+                   CASE WHEN r.src IS NULL THEN 0 ELSE 1 END AS rec
+            FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(rec) AS BIGINT) AS n_reciprocal,
+               CASE WHEN count(*) > 0
+                    THEN CAST(sum(rec) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               END AS reciprocity
+        FROM j
+    """
+
+
+def _assortativity_oracle_sql() -> str:
+    """degree_assortativity replay on the supplier-part graph: canonical
+    string edges, degree counts, symmetrized pairs, exact integer
+    numerator/denominator, one divide."""
+    return """
+        WITH ed AS (
+            SELECT DISTINCT least('s' || l_suppkey, 'p' || l_partkey) AS a,
+                   greatest('s' || l_suppkey, 'p' || l_partkey) AS b
+            FROM lineitem
+        ),
+        deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+            GROUP BY id
+        ),
+        sym AS (
+            SELECT a AS u, b AS v FROM ed
+            UNION ALL SELECT b, a FROM ed
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS m2,
+                   CAST(sum(dj.d) AS BIGINT) AS sj,
+                   CAST(sum(dj.d * dk.d) AS BIGINT) AS sjk,
+                   CAST(sum(dj.d * dj.d) AS BIGINT) AS sjj
+            FROM sym
+            JOIN deg dj ON dj.id = sym.u
+            JOIN deg dk ON dk.id = sym.v
+        )
+        SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+               CASE WHEN m2 * sjj - sj * sj <> 0
+                    THEN CAST(m2 * sjk - sj * sj AS DOUBLE)
+                         / CAST(m2 * sjj - sj * sj AS DOUBLE)
+               END AS assortativity
+        FROM g
+    """
+
+
 def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS second-frequency-moment sketch (operators/sketch.ams_f2 —
     Alon, Matias & Szegedy 1996): per-type self-join-size estimate of
@@ -10273,6 +10378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "events_seasonal_strength": q_events_seasonal_strength,
         "eval_lift": q_eval_lift,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11196,6 +11303,8 @@ def oracle_sql() -> dict[str, str]:
         "events_survival": _survival_oracle_sql(),
         "events_seasonal_strength": _seasonal_strength_oracle_sql(m=7),
         "eval_lift": _lift_oracle_sql(n_buckets=10),
+        "graph_reciprocity": _reciprocity_oracle_sql(),
+        "graph_assortativity": _assortativity_oracle_sql(),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),
         # the stream twin shares the BATCH oracle verbatim (count addition
         # commutes with every numerator — the events_stl_stream contract)

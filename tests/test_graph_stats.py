@@ -665,3 +665,46 @@ def test_refine_splits_disconnected_community(spark):
     # idempotent on a connected assignment
     again = {r["id"]: r["community"] for r in refine_communities(refined, edges).collect()}
     assert again == got
+
+
+def test_reciprocity_counts_mutual_lanes(spark):
+    from usearch_spark.plans.graph_stats import reciprocity
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (1, 2), (5, 5)],
+        "src int, dst int",
+    )
+    r = reciprocity(e).collect()[0]  # dup + self-loop dropped -> 5 edges
+    assert (r["n_edges"], r["n_reciprocal"]) == (5, 4)
+    assert r["reciprocity"] == 0.8
+
+
+def test_degree_assortativity_anchors(spark):
+    """Star graph -> exactly -1 (hubs attach only to leaves); a clique is
+    degree-regular -> NULL (zero variance); a two-hub ladder is positive."""
+    from usearch_spark.plans.graph_stats import degree_assortativity
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src int, dst int")
+    assert degree_assortativity(star).collect()[0]["assortativity"] == -1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src int, dst int"
+    )
+    r = degree_assortativity(k4).collect()[0]
+    assert r["n_edges"] == 6 and r["assortativity"] is None
+    # two triangles sharing an edge: degrees 2,2,3,3 — mixed attachment
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    v = degree_assortativity(g).collect()[0]["assortativity"]
+    import math
+    # python replay of the exact formula over symmetrized pairs
+    deg = {1: 2, 2: 3, 3: 3, 4: 2}
+    pairs = []
+    for a, b in [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]:
+        pairs += [(deg[a], deg[b]), (deg[b], deg[a])]
+    m2 = len(pairs)
+    sj = sum(j for j, _ in pairs)
+    sjk = sum(j * k for j, k in pairs)
+    sjj = sum(j * j for j, _ in pairs)
+    want = (m2 * sjk - sj * sj) / (m2 * sjj - sj * sj)
+    assert v == want

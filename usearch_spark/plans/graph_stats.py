@@ -1739,3 +1739,83 @@ def refine_communities(
     return res.state.select(
         F.col("id").alias(id_col), F.col("value").alias("community")
     )
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """RECIPROCITY of a directed graph (Newman 2003 network-stats
+    family): the fraction of directed edges whose reverse edge also
+    exists — one row (n_edges, n_reciprocal, reciprocity).
+
+    Distributed shape: dedup, one self-equi-join on the reversed key,
+    one global count agg.  Determinism: two exact integer counts + one
+    divide."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b")).withColumn(
+        "_r", F.lit(1)
+    )
+    j = e.join(rev, ["a", "b"], "left")
+    out = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.coalesce("_r", F.lit(0))).cast("long").alias("n_reciprocal"),
+    )
+    return out.select(
+        "n_edges",
+        "n_reciprocal",
+        F.when(
+            F.col("n_edges") > 0,
+            F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double"),
+        ).alias("reciprocity"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """DEGREE ASSORTATIVITY coefficient of the undirected graph (Newman
+    2002): the Pearson correlation of endpoint degrees over the
+    SYMMETRIZED edge list — do high-degree vertices attach to other
+    hubs (r > 0) or to leaves (r < 0)?
+
+    Over the 2m ordered pairs (j, k) the two marginals coincide, so
+
+        r = (2m·Σjk − (Σj)²) / (2m·Σj² − (Σj)²)
+
+    — numerator and denominator are EXACT integers (degrees are
+    counts; bound: 2m·Σj² ≤ 4m²·d_max², keep m·d_max under ~1.5e9) and
+    the close is ONE int→double divide; no sqrt, no rounding site.
+
+    Distributed shape: canonical-edge dedup, a degree groupBy, two
+    degree joins, one global agg.  Output: one row (n_edges,
+    assortativity — NULL for degree-regular graphs)."""
+    e = canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    j = (
+        sym.join(deg.select(F.col("id").alias("u"), F.col("d").alias("dj")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dk")), "v")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("_m2"),
+        F.sum("dj").alias("_sj"),
+        F.sum(F.col("dj") * F.col("dk")).alias("_sjk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("_sjj"),
+    )
+    num = F.col("_m2") * F.col("_sjk") - F.col("_sj") * F.col("_sj")
+    den = F.col("_m2") * F.col("_sjj") - F.col("_sj") * F.col("_sj")
+    return g.select(
+        (F.col("_m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "assortativity"
+        ),
+    )
