@@ -8839,6 +8839,91 @@ def _lift_oracle_sql(n_buckets: int = 10) -> str:
     """
 
 
+def q_eval_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b EVALUATION (operators/evaluate.group_kendall):
+    per-segment concordance between account balance and order count —
+    completing the correlation family (Pearson price_quantity_corr,
+    Spearman eval_spearman).  Pair counts are never enumerated: each
+    (x, y) cell contributes c · strict-dominance prefix counts from
+    |Y| per-class running windows (row volume n·|Y|, |Y| = distinct
+    order counts ≈ 40), exact for any tie structure.  C, D and the
+    tie-pair counts are exact int64; the close is int→double + IEEE
+    sqrt + multiply + divide — bit-exact."""
+    from usearch_spark.operators.evaluate import group_kendall
+
+    base = _map_mrr_base(spark, sf_dir).withColumn(
+        "nord_f", F.coalesce("nord", F.lit(0))
+    )
+    return group_kendall(base, ["c_mktsegment"], "cents", "nord_f").orderBy(
+        "c_mktsegment"
+    )
+
+
+def _kendall_oracle_sql() -> str:
+    """group_kendall replay: the cell table joined to the group's
+    distinct y classes, per-class strict-x prefix counts via RANGE …
+    1 PRECEDING windows, integer C/D/tie counts, the identical
+    sqrt·sqrt divide."""
+    return """
+        WITH oc AS (SELECT o_custkey AS ck, count(*) AS nord FROM orders GROUP BY 1),
+        base AS (
+            SELECT c_mktsegment AS seg,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   CAST(coalesce(nord, 0) AS BIGINT) AS nf
+            FROM customer LEFT JOIN oc ON ck = c_custkey
+        ),
+        cells AS (
+            SELECT seg, cents, nf, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2, 3
+        ),
+        ys AS (SELECT DISTINCT seg, nf AS v FROM base),
+        e AS (
+            SELECT cells.seg, cents, nf, c, v,
+                   CASE WHEN nf = v THEN c ELSE 0 END AS cv
+            FROM cells JOIN ys ON ys.seg = cells.seg
+        ),
+        w AS (
+            SELECT seg, cents, nf, c, v,
+                   coalesce(CAST(sum(cv) OVER (
+                       PARTITION BY seg, v ORDER BY cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS BIGINT), 0) AS cum
+            FROM e
+        ),
+        back AS (
+            SELECT seg, cents, nf, c,
+                   CAST(sum(CASE WHEN v < nf THEN cum ELSE 0 END) AS BIGINT) AS less_,
+                   CAST(sum(CASE WHEN v > nf THEN cum ELSE 0 END) AS BIGINT) AS more_
+            FROM w GROUP BY 1, 2, 3, 4
+        ),
+        tx AS (
+            SELECT seg, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+            FROM (SELECT seg, cents, CAST(count(*) AS BIGINT) AS t
+                  FROM base GROUP BY 1, 2) GROUP BY seg
+        ),
+        ty AS (
+            SELECT seg, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+            FROM (SELECT seg, nf, CAST(count(*) AS BIGINT) AS t
+                  FROM base GROUP BY 1, 2) GROUP BY seg
+        ),
+        g AS (
+            SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(c * less_) AS BIGINT) AS conc,
+                   CAST(sum(c * more_) AS BIGINT) AS disc
+            FROM back GROUP BY seg
+        )
+        SELECT g.seg AS c_mktsegment, n, conc AS n_concordant,
+               disc AS n_discordant,
+               CASE WHEN n * (n - 1) // 2 > n1 AND n * (n - 1) // 2 > n2
+                    THEN CAST(conc - disc AS DOUBLE)
+                         / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE))
+                            * sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE)))
+               END AS tau_b
+        FROM g JOIN tx ON tx.seg = g.seg JOIN ty ON ty.seg = g.seg
+        ORDER BY c_mktsegment
+    """
+
+
 def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold classification EVALUATION (operators/evaluate.
     group_classification_metrics): deploy the balance ranker as a
@@ -10378,6 +10463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "events_seasonal_strength": q_events_seasonal_strength,
         "eval_lift": q_eval_lift,
+        "eval_kendall": q_eval_kendall,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
         # --- round-7 spill (3) ---
@@ -11303,6 +11389,7 @@ def oracle_sql() -> dict[str, str]:
         "events_survival": _survival_oracle_sql(),
         "events_seasonal_strength": _seasonal_strength_oracle_sql(m=7),
         "eval_lift": _lift_oracle_sql(n_buckets=10),
+        "eval_kendall": _kendall_oracle_sql(),
         "graph_reciprocity": _reciprocity_oracle_sql(),
         "graph_assortativity": _assortativity_oracle_sql(),
         "events_stl_anomaly": _stl_anomaly_oracle_sql(m=7, c=3),

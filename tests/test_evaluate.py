@@ -452,3 +452,51 @@ def test_group_gains_no_positive_group_nulls(spark):
     df = spark.createDataFrame(rows, "g string, id long, score long, label int")
     out = group_gains(df, ["g"], "score", "label", "id").collect()
     assert all(r["capture"] is None and r["lift"] is None for r in out)
+
+
+def _naive_kendall(pairs):
+    """O(n^2) tau-b from the definition, for cross-checking."""
+    import itertools
+    import math
+
+    C = D = tx = ty = 0
+    n = len(pairs)
+    for (x1, y1), (x2, y2) in itertools.combinations(pairs, 2):
+        if x1 == x2 and y1 == y2:
+            tx += 1
+            ty += 1
+        elif x1 == x2:
+            tx += 1
+        elif y1 == y2:
+            ty += 1
+        elif (x2 - x1) * (y2 - y1) > 0:
+            C += 1
+        else:
+            D += 1
+    n0 = n * (n - 1) // 2
+    if n0 <= tx or n0 <= ty:
+        return C, D, None
+    return C, D, (C - D) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+
+
+def test_group_kendall_matches_naive_all_tie_structures(spark):
+    from usearch_spark.operators.evaluate import group_kendall
+
+    cases = {
+        "mono": [(i, i * i) for i in range(9)],
+        "anti": [(i, -i) for i in range(7)],
+        "ties": [(1, 5), (1, 7), (2, 5), (3, 9), (3, 5), (4, 7), (4, 7), (2, 9)],
+        "dup_cells": [(1, 1)] * 3 + [(2, 2)] * 2 + [(1, 2), (2, 1)],
+        "const_y": [(i, 4) for i in range(5)],  # NULL (all y-pairs tied)
+    }
+    rows = [(g, x, y) for g, data in cases.items() for x, y in data]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in group_kendall(df, ["g"], "x", "y").collect()}
+    for g, data in cases.items():
+        C, D, tb = _naive_kendall(data)
+        r = got[g]
+        assert (r["n_concordant"], r["n_discordant"]) == (C, D), g
+        if tb is None:
+            assert r["tau_b"] is None
+        else:
+            assert r["tau_b"] == pytest.approx(tb, abs=1e-15)

@@ -864,3 +864,93 @@ def group_gains(
             / (F.col("cum_n") * F.col("_tp")).cast("double"),
         ).alias("lift"),
     )
+
+
+def group_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation — the concordance eval
+    completing the correlation family (Pearson price_quantity_corr,
+    Spearman :func:`group_spearman`): over all row pairs,
+
+        tau_b = (C − D) / (sqrt(n0 − n1) · sqrt(n0 − n2))
+
+    with C/D the concordant/discordant pair counts, n0 = n(n−1)/2 and
+    n1/n2 the x-tie / y-tie pair counts (Kendall 1945).
+
+    The pair counts are NEVER enumerated: each (x, y) cell's
+    contribution is c · (rows strictly below in BOTH coordinates),
+    computed from |Y| per-y-class running counts — the cell table
+    joins the group's distinct y values (row volume n·|Y|) and a
+    (group, y-class) window ordered by x with a RANGE … 1 PRECEDING
+    frame counts the strict-x prefix per class.  This is exact for any
+    tie structure and costs O(n·|Y|), so it fits score-vs-SMALL-
+    CARDINALITY-label evaluation (the common case: a continuous score
+    against a count or a grade); |Y| is the caller's documented bound,
+    not a sample.
+
+    Determinism: C, D, n0, n1, n2 are exact int64 (C ≤ n², so groups
+    must stay under ~3B pairs — the group_spearman dimension bound);
+    the close is int→double + IEEE sqrt + multiply + divide, all
+    correctly rounded — bit-identical, no rounding site.  Groups where
+    either factor is 0 (a constant column) emit NULL.
+
+    Output: group_cols + (n, n_concordant, n_discordant, tau_b).
+    """
+    cells = df.groupBy(*group_cols, x_col, y_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    ys = df.select(*group_cols, F.col(y_col).alias("_v")).distinct()
+    e = cells.join(ys, group_cols).withColumn(
+        "_cv", F.when(F.col(y_col) == F.col("_v"), F.col("_c")).otherwise(F.lit(0))
+    )
+    wv = (
+        Window.partitionBy(*group_cols, "_v")
+        .orderBy(F.col(x_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    e = e.withColumn("_cum", F.coalesce(F.sum("_cv").over(wv), F.lit(0)))
+    back = e.groupBy(*group_cols, x_col, y_col, "_c").agg(
+        F.sum(F.when(F.col("_v") < F.col(y_col), F.col("_cum")).otherwise(F.lit(0))).alias("_less"),
+        F.sum(F.when(F.col("_v") > F.col(y_col), F.col("_cum")).otherwise(F.lit(0))).alias("_more"),
+    )
+    # tie-pair counts per coordinate
+    tx = (
+        df.groupBy(*group_cols, x_col)
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.expr("_t * (_t - 1) div 2")).alias("_n1"))
+    )
+    ty = (
+        df.groupBy(*group_cols, y_col)
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.expr("_t * (_t - 1) div 2")).alias("_n2"))
+    )
+    g = (
+        back.groupBy(*group_cols)
+        .agg(
+            F.sum("_c").alias("n"),
+            F.sum(F.col("_c") * F.col("_less")).alias("n_concordant"),
+            F.sum(F.col("_c") * F.col("_more")).alias("n_discordant"),
+        )
+        .join(tx, group_cols)
+        .join(ty, group_cols)
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    f1 = (n0 - F.col("_n1")).cast("double")
+    f2 = (n0 - F.col("_n2")).cast("double")
+    return g.select(
+        *group_cols,
+        "n",
+        "n_concordant",
+        "n_discordant",
+        F.when(
+            (n0 > F.col("_n1")) & (n0 > F.col("_n2")),
+            (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+            / (F.sqrt(f1) * F.sqrt(f2)),
+        ).alias("tau_b"),
+    )
