@@ -8013,6 +8013,22 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS seasonal forecasting: the shared streamed daily
+    rollup (lineage-aware idempotent pointer, deliberate second-run
+    restart) drained into operators/forecast.holt_winters_from_daily —
+    the FIFTH member of the shared-batch-oracle stream-twin family
+    (holt / stl / stl-anomaly / cusum / holt-winters): count addition
+    commutes with the fold's input, so events_holt_winters' batch
+    oracle is shared VERBATIM."""
+    from usearch_spark.operators.forecast import holt_winters_from_daily
+
+    daily = _drained_daily_rollup(spark, sf_dir, "hw_stream")
+    return holt_winters_from_daily(
+        daily, ["event_type"], m=7, alpha=0.5, beta=0.25, gamma=0.25
+    )
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-distribution DRIFT between the even- and odd-numbered
     document sources (operators/text_analysis.corpus_js_drift):
@@ -10464,6 +10480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_strength": q_events_seasonal_strength,
         "eval_lift": q_eval_lift,
         "eval_kendall": q_eval_kendall,
+        "events_holt_winters_stream": q_events_holt_winters_stream,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
         # --- round-7 spill (3) ---
@@ -14300,6 +14317,7 @@ def oracle_sql() -> dict[str, str]:
     # stream twins that drain the idempotent daily rollup share their
     # batch oracle VERBATIM (count addition commutes with the fold input)
     out["events_cusum_stream"] = out["events_cusum"]
+    out["events_holt_winters_stream"] = out["events_holt_winters"]
     return out
 
 
