@@ -9502,12 +9502,14 @@ def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ams_oracle_sql(r: int = 45, b: int = 9) -> str:
-    """ams_f2 replay: the same 45 md5-parity conditional sums, integer
-    group sums of squares, list_sort + middle element, one divide."""
+    """ams_f2 replay: bit i of ONE 60-bit md5 hash per row drives
+    counter i (the bits-of-one-hash construction), integer group sums
+    of squares, list_sort + middle element, one divide."""
     ng = r // b
+    h = ("CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+         " AS BIGINT)")
     zs = ",\n                   ".join(
-        f"CAST(sum(CASE WHEN CAST('0x' || substr(md5('{i}:' ||"
-        f" CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1"
+        f"CAST(sum(CASE WHEN ({h} >> {i}) % 2 = 1"
         f" THEN 1 ELSE -1 END) AS BIGINT) AS z{i}"
         for i in range(r)
     )

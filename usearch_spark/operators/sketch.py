@@ -502,8 +502,10 @@ def ams_f2(
     join strategy — from ``r`` one-pass ±1 counters instead of a
     per-key aggregation.
 
-    Each counter Z_i = Σ_rows s_i(key) with s_i(key) = ±1 from the
-    parity of the portable 60-bit md5 hash of "i:key"; E[Z_i²] = F2.
+    Each counter Z_i = Σ_rows s_i(key) with s_i(key) = ±1 from BIT i
+    of the portable 60-bit md5 hash of the key — ONE hash per row
+    serves all ``r`` counters (md5 bits are independent uniform, the
+    standard bits-of-one-hash construction; r ≤ 60); E[Z_i²] = F2.
     The estimator is the classic median-of-means: ``r`` counters in
     ``b``-sized groups, the median of the group means (computed as the
     two-rank median of the exact integer group SUMS, then ONE divide
@@ -522,17 +524,19 @@ def ams_f2(
     Output: group_cols + (n_rows, f2_exact, f2_est).
     """
     assert r % b == 0 and (r // b) % 2 == 1, "need an odd number of groups"
-    key = F.col(key_col).cast("string")
+    assert r <= _KMV_BITS, "one 60-bit hash serves all counters"
+    hashed = df.select(
+        *group_cols, _kmv_hash(F.col(key_col).cast("string")).alias("_h")
+    )
     sums = [
         F.sum(
             F.when(
-                F.pmod(_kmv_hash(F.concat(F.lit(f"{i}:"), key)), F.lit(2)) == 1,
-                F.lit(1),
+                F.pmod(F.shiftright(F.col("_h"), i), F.lit(2)) == 1, F.lit(1)
             ).otherwise(F.lit(-1))
         ).cast("long").alias(f"_z{i}")
         for i in range(r)
     ]
-    g = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"), *sums)
+    g = hashed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"), *sums)
     group_sums = [
         sum(
             (F.col(f"_z{i}") * F.col(f"_z{i}") for i in range(gi * b, (gi + 1) * b)),

@@ -103,6 +103,32 @@ def strongly_connected_components(
     )
     frames: list[DataFrame] = []
     for _ in range(max_peels):
+        # TRIM (the FB-Trim step): a vertex with no in-edge or no
+        # out-edge in the ACTIVE subgraph cannot sit on a cycle there —
+        # it is its own SCC.  Iterating to fixpoint strips the one-way
+        # periphery (often most of the graph) before paying for any
+        # label propagation; each removal can expose new trimmables.
+        while not act_v.isEmpty():
+            srcs = act_e.select(F.col("src").alias("id")).dropDuplicates(["id"])
+            dsts = act_e.select(F.col("dst").alias("id")).dropDuplicates(["id"])
+            core = (
+                act_v.join(srcs, "id", "left_semi")
+                .join(dsts, "id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trivial = act_v.join(core, "id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if trivial.isEmpty():
+                break
+            frames.append(trivial.select("id", F.col("id").alias("component")))
+            act_v = core
+            act_e = (
+                act_e.join(act_v.withColumnRenamed("id", "src"), "src")
+                .join(act_v.withColumnRenamed("id", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
         if act_v.isEmpty():
             break
         j = _fb_labels_fixpoint(act_v, act_e, max_steps)
