@@ -437,3 +437,48 @@ def test_graph_mst_sf1_scale(spark):
     assert comps[0] == n  # every vertex its own component before round 1
     for before, after in zip(comps, comps[1:]):
         assert after <= before // 2
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale SCC smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_graph_scc_sf1_scale(spark):
+    """SCC at sf1 graph scale: 25k disjoint 4-cycles (100k core vertices)
+    plus 50k one-way satellite vertices each pointing into a cycle.  The
+    FB-Trim step must strip every satellite without a propagation round,
+    the fused propagation must label each cycle to its min vertex, and
+    the whole thing must finish in the peel budget — the shape that
+    survives a 1000x scale-up (work per peel is joins + partial aggs,
+    never a driver-side structure)."""
+    from usearch_spark.plans.scc import strongly_connected_components
+
+    n_core = 100_000  # 25k blocks of 4: block b = vertices 4b .. 4b+3
+    core = spark.range(n_core).select(
+        F.col("id").alias("src"),
+        (F.expr("id div 4") * 4 + F.pmod(F.col("id") + 1, F.lit(4))).alias("dst"),
+    )
+    n_sat = 50_000  # satellites n_core .. n_core+n_sat-1, out-edge only
+    sats = spark.range(n_sat).select(
+        (F.col("id") + n_core).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_core)).alias("dst"),
+    )
+    v = spark.range(n_core + n_sat).select(F.col("id"))
+    out = strongly_connected_components(
+        v, core.unionAll(sats), max_peels=3
+    ).localCheckpoint(eager=True)
+    assert out.count() == n_core + n_sat  # every vertex labeled
+    # every core vertex labels to its block minimum (id div 4 * 4)
+    bad_core = out.filter(
+        (F.col("id") < n_core)
+        & (F.col("component") != F.expr("(id div 4) * 4"))
+    ).count()
+    assert bad_core == 0
+    # every satellite is its own singleton SCC
+    bad_sat = out.filter(
+        (F.col("id") >= n_core) & (F.col("component") != F.col("id"))
+    ).count()
+    assert bad_sat == 0
+    sizes = out.groupBy("component").count()
+    assert sizes.filter(F.col("count") == 4).count() == n_core // 4
+    assert sizes.filter(F.col("count") == 1).count() == n_sat
