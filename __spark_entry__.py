@@ -8261,6 +8261,80 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_auc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS model-quality monitoring: eval_auc's (segment, score,
+    label) rows arrive as two replayed micro-batches, a streamed
+    ADDITIVE rollup maintains the (segment, cents, label) cell counts
+    under the lineage-aware idempotent pointer (second run a deliberate
+    restart that must change nothing), and the drained cells feed
+    operators/evaluate.group_auc_from_cells — both cell columns are
+    count-additive, so the Mann-Whitney AUC rebuilt from the rollup
+    shares eval_auc's BATCH oracle verbatim.  The stream-twin contract
+    (holt_from_daily) applied to a ranking metric: the model monitor a
+    pipeline keeps hot without rescanning history."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.evaluate import group_auc_from_cells
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"auc_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        buyers = (
+            _t(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+            .withColumn("has_order", F.lit(1))
+        )
+        lab = c.join(buyers, "c_custkey", "left").select(
+            "c_custkey", "seg", "cents",
+            F.coalesce("has_order", F.lit(0)).alias("label"),
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            lab.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == i).drop(
+                "c_custkey"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet"))
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"auc_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("seg string, cents long, label int")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["seg", "cents", "label"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rolled = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    cells = rolled.groupBy(
+        F.col("seg").alias("c_mktsegment"), "cents"
+    ).agg(
+        F.sum("n").alias("cnt"),
+        F.sum(F.col("label").cast("long") * F.col("n")).alias("pos"),
+    )
+    return group_auc_from_cells(cells, ["c_mktsegment"], "cents").orderBy(
+        "c_mktsegment"
+    )
+
+
 def q_eval_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin forecast BACKTEST with MASE
     (operators/forecast.holt_backtest — Hyndman & Koehler 2006): for
@@ -10483,6 +10557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_lift": q_eval_lift,
         "eval_kendall": q_eval_kendall,
         "events_holt_winters_stream": q_events_holt_winters_stream,
+        "eval_auc_stream": q_eval_auc_stream,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
         # --- round-7 spill (3) ---
@@ -14320,6 +14395,7 @@ def oracle_sql() -> dict[str, str]:
     # batch oracle VERBATIM (count addition commutes with the fold input)
     out["events_cusum_stream"] = out["events_cusum"]
     out["events_holt_winters_stream"] = out["events_holt_winters"]
+    out["eval_auc_stream"] = out["eval_auc"]
     return out
 
 

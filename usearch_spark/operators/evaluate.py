@@ -57,6 +57,21 @@ def group_auc(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col(label_col).cast("long")).alias("pos"),
     )
+    return group_auc_from_cells(agg, group_cols, score_col)
+
+
+def group_auc_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+) -> DataFrame:
+    """:func:`group_auc` over the PRE-COLLAPSED (group..., score, cnt,
+    pos) cell table — the entry point for incrementally-maintained
+    rollups: both cell columns are COUNT-ADDITIVE, so a streamed
+    (group, score, label) rollup merged by addition feeds this
+    unchanged and the batch oracle is shared verbatim (the
+    holt_from_daily contract, applied to a ranking metric)."""
+    agg = cells
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(score_col)
