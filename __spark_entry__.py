@@ -9068,6 +9068,202 @@ def _f1_oracle_sql(top_den: int = 10) -> str:
     """
 
 
+def q_eval_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews-correlation EVALUATION (operators/evaluate.group_mcc):
+    the top-decile balance cut scored by the imbalance-honest
+    single-number confusion summary — MCC = (TP·TN − FP·FN)/
+    sqrt(PP·POS·(n−PP)·(n−POS)).  Numerator and both pair products are
+    exact int64 (< 2⁵³, so int→double is exact); the close is two IEEE
+    sqrts + one multiply + one divide in fixed order — bit-exact, no
+    rounding site.  Completes the deployed-cut scorecard next to
+    eval_f1 (which ignores TN) and eval_auc (which integrates over all
+    cuts)."""
+    from usearch_spark.operators.evaluate import group_mcc
+
+    return group_mcc(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        top_den=10,
+    ).orderBy("c_mktsegment")
+
+
+def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's-kappa EVALUATION (operators/evaluate.group_kappa):
+    chance-corrected agreement of the top-decile cut with the
+    heavy-buyer label — the linear companion to eval_mcc's geometric
+    correction, via the single-divide identity
+    kappa = (n·(TP+TN) − PP·POS − (n−PP)(n−POS)) / (n² − PP·POS −
+    (n−PP)(n−POS)).  Every term exact int64, ONE int→double divide —
+    bit-exact."""
+    from usearch_spark.operators.evaluate import group_kappa
+
+    return group_kappa(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        top_den=10,
+    ).orderBy("c_mktsegment")
+
+
+def _mcnemar_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_map_mrr_base` + the CHALLENGER score: total order spend in
+    exact cents (0 for never-ordered customers) — a second plausible
+    heavy-buyer ranker so the paired McNemar test has a real
+    champion/challenger pair on identical rows."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(20,2)") * 100).cast("long")
+            ).alias("spend_cents")
+        )
+    )
+    return (
+        _map_mrr_base(spark, sf_dir)
+        .join(spend, "c_custkey", "left")
+        .withColumn("spend_cents", F.coalesce("spend_cents", F.lit(0)))
+    )
+
+
+def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-model EVALUATION (operators/evaluate.
+    group_mcnemar): champion (account-balance decile) vs challenger
+    (total-spend decile) on the SAME customers against the heavy-buyer
+    label — only the discordant verdicts count:
+    chi2 = (b − c)²/(b + c) with b = #(A right, B wrong),
+    c = #(A wrong, B right).  Integer counts from two tie-broken rank
+    windows over ONE exchange, (b−c)² exact int64, ONE divide —
+    bit-exact.  The promote-the-challenger gate eval_f1 can't provide
+    (marginal metrics can tie while the models disagree row-by-row)."""
+    from usearch_spark.operators.evaluate import group_mcnemar
+
+    return group_mcnemar(
+        _mcnemar_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "spend_cents",
+        "label",
+        "c_custkey",
+        top_den=10,
+    ).orderBy("c_mktsegment")
+
+
+def _mcc_oracle_sql(top_den: int = 10) -> str:
+    """group_mcc replay: the f1 oracle's integer confusion CTE, the
+    exact-int64 numerator/pair products, and the identical
+    double-sqrt-multiply-divide close."""
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        sz AS (SELECT seg, count(*) AS n FROM base GROUP BY seg),
+        j AS (
+            SELECT rs.seg, rs.y, rs.rn, sz.n, sz.n // {top_den} AS npred
+            FROM rs JOIN sz ON sz.seg = rs.seg
+        ),
+        g AS (
+            SELECT seg, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(max(npred) AS BIGINT) AS n_pred,
+                   CAST(sum(CASE WHEN rn <= npred THEN y ELSE 0 END) AS BIGINT) AS tp
+            FROM j GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n, n_pos, n_pred, tp,
+               CASE WHEN n_pred * n_pos > 0 AND (n - n_pred) * (n - n_pos) > 0
+                    THEN CAST(tp * (n - n_pred - n_pos + tp)
+                              - (n_pred - tp) * (n_pos - tp) AS DOUBLE)
+                         / (sqrt(CAST(n_pred * n_pos AS DOUBLE))
+                            * sqrt(CAST((n - n_pred) * (n - n_pos) AS DOUBLE)))
+               END AS mcc
+        FROM g ORDER BY c_mktsegment
+    """
+
+
+def _kappa_oracle_sql(top_den: int = 10) -> str:
+    """group_kappa replay: same confusion CTE, the single-divide
+    n²-cleared kappa identity, all terms exact int64."""
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        sz AS (SELECT seg, count(*) AS n FROM base GROUP BY seg),
+        j AS (
+            SELECT rs.seg, rs.y, rs.rn, sz.n, sz.n // {top_den} AS npred
+            FROM rs JOIN sz ON sz.seg = rs.seg
+        ),
+        g AS (
+            SELECT seg, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(max(npred) AS BIGINT) AS n_pred,
+                   CAST(sum(CASE WHEN rn <= npred THEN y ELSE 0 END) AS BIGINT) AS tp
+            FROM j GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n, n_pos, n_pred, tp,
+               CASE WHEN n * n <> n_pred * n_pos + (n - n_pred) * (n - n_pos)
+                    THEN CAST(n * (n - n_pred - n_pos + 2 * tp)
+                              - n_pred * n_pos
+                              - (n - n_pred) * (n - n_pos) AS DOUBLE)
+                         / CAST(n * n - n_pred * n_pos
+                                - (n - n_pred) * (n - n_pos) AS DOUBLE)
+               END AS kappa
+        FROM g ORDER BY c_mktsegment
+    """
+
+
+def _mcnemar_oracle_sql(top_den: int = 10) -> str:
+    """group_mcnemar replay: the shared base + exact-cents spend
+    challenger, two tie-broken rank windows, integer discordant counts,
+    one divide."""
+    return f"""
+        WITH oc AS (
+            SELECT o_custkey AS ck, count(*) AS nord,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS spend
+            FROM orders GROUP BY 1
+        ),
+        base AS (
+            SELECT c_mktsegment AS seg, c_custkey AS id,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   coalesce(spend, 0) AS spend,
+                   CASE WHEN coalesce(nord, 0) >= 15 THEN 1 ELSE 0 END AS y
+            FROM customer LEFT JOIN oc ON ck = c_custkey
+        ),
+        rs AS (
+            SELECT seg, y,
+                   row_number() OVER
+                       (PARTITION BY seg ORDER BY cents DESC, id) AS ra,
+                   row_number() OVER
+                       (PARTITION BY seg ORDER BY spend DESC, id) AS rb
+            FROM base
+        ),
+        sz AS (SELECT seg, count(*) AS n FROM rs GROUP BY seg),
+        j AS (
+            SELECT rs.seg,
+                   ((rs.ra <= sz.n // {top_den}) = (rs.y = 1)) AS ca,
+                   ((rs.rb <= sz.n // {top_den}) = (rs.y = 1)) AS cb
+            FROM rs JOIN sz ON sz.seg = rs.seg
+        ),
+        g AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN ca THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+                   CAST(sum(CASE WHEN cb THEN 1 ELSE 0 END) AS BIGINT) AS b_correct,
+                   CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+                       AS only_a,
+                   CAST(sum(CASE WHEN cb AND NOT ca THEN 1 ELSE 0 END) AS BIGINT)
+                       AS only_b
+            FROM j GROUP BY seg
+        )
+        SELECT seg AS c_mktsegment, n, a_correct, b_correct, only_a, only_b,
+               CASE WHEN only_a + only_b > 0
+                    THEN CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+                         / CAST(only_a + only_b AS DOUBLE)
+               END AS mcnemar_chi2
+        FROM g ORDER BY c_mktsegment
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -10560,6 +10756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_auc_stream": q_eval_auc_stream,
         "graph_reciprocity": q_graph_reciprocity,
         "graph_assortativity": q_graph_assortativity,
+        "eval_mcc": q_eval_mcc,
+        "eval_kappa": q_eval_kappa,
+        "eval_mcnemar": q_eval_mcnemar,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11475,6 +11674,9 @@ def oracle_sql() -> dict[str, str]:
         "eval_map": _map_oracle_sql(k=20),
         "eval_mrr": _mrr_oracle_sql(k=20),
         "eval_f1": _f1_oracle_sql(top_den=10),
+        "eval_mcc": _mcc_oracle_sql(top_den=10),
+        "eval_kappa": _kappa_oracle_sql(top_den=10),
+        "eval_mcnemar": _mcnemar_oracle_sql(top_den=10),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

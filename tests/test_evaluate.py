@@ -500,3 +500,96 @@ def test_group_kendall_matches_naive_all_tie_structures(spark):
             assert r["tau_b"] is None
         else:
             assert r["tau_b"] == pytest.approx(tb, abs=1e-15)
+
+
+def test_group_mcc_matches_textbook(spark):
+    """MCC on the top-decile cut equals the textbook confusion formula,
+    including the perfect cut (mcc 1.0), an anti-correlated cut, and
+    degenerate marginals (NULL)."""
+    from usearch_spark.operators.evaluate import group_mcc
+
+    # group A: 20 rows, positives at the top two scores -> cut = top 2,
+    # tp=2, fp=0, fn=1 (a third positive at rank 6)
+    a = [("A", i, 100 - i, 1 if i in (0, 1, 5) else 0) for i in range(20)]
+    # group P: perfect — positives exactly the top decile
+    p = [("P", i, 100 - i, 1 if i < 2 else 0) for i in range(20)]
+    # group C: no positives -> NULL (zero marginal)
+    c = [("C", i, i, 0) for i in range(30)]
+    df = spark.createDataFrame(a + p + c, "g string, id long, score long, label int")
+    got = {
+        r["g"]: r
+        for r in group_mcc(df, ["g"], "score", "label", "id", top_den=10).collect()
+    }
+
+    def naive(n, pos, pp, tp):
+        tn = n - pp - pos + tp
+        fp, fn = pp - tp, pos - tp
+        den = (pp * pos * (n - pp) * (n - pos)) ** 0.5
+        return (tp * tn - fp * fn) / den
+
+    ra = got["A"]
+    assert (ra["n"], ra["n_pos"], ra["n_pred"], ra["tp"]) == (20, 3, 2, 2)
+    assert ra["mcc"] == pytest.approx(naive(20, 3, 2, 2), abs=1e-12)
+    assert got["P"]["mcc"] == pytest.approx(1.0, abs=1e-12)
+    assert got["C"]["mcc"] is None
+
+
+def test_group_kappa_matches_textbook(spark):
+    """Kappa via the n²-cleared single divide equals the textbook
+    (po − pe)/(1 − pe), and a chance-level cut lands near 0."""
+    from usearch_spark.operators.evaluate import group_kappa
+
+    a = [("A", i, 100 - i, 1 if i in (0, 1, 5) else 0) for i in range(20)]
+    p = [("P", i, 100 - i, 1 if i < 2 else 0) for i in range(20)]
+    df = spark.createDataFrame(a + p, "g string, id long, score long, label int")
+    got = {
+        r["g"]: r
+        for r in group_kappa(df, ["g"], "score", "label", "id", top_den=10).collect()
+    }
+
+    def naive(n, pos, pp, tp):
+        tn = n - pp - pos + tp
+        po = (tp + tn) / n
+        pe = (pp * pos + (n - pp) * (n - pos)) / n**2
+        return (po - pe) / (1 - pe)
+
+    assert got["A"]["kappa"] == pytest.approx(naive(20, 3, 2, 2), abs=1e-12)
+    assert got["P"]["kappa"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_group_mcnemar_matches_hand_count(spark):
+    """Discordant counts and chi2 equal a hand count; identical models
+    (b + c = 0) emit NULL."""
+    from usearch_spark.operators.evaluate import group_mcnemar
+
+    # 20 rows; label = 1 for ids 0,1,5.  Champion score ranks by id asc
+    # (cut = ids 0,1 -> both correct).  Challenger ranks ids 4,5 on top
+    # (cut = ids 4,5 -> catches 5, misses 0,1).
+    rows = []
+    for i in range(20):
+        y = 1 if i in (0, 1, 5) else 0
+        sa = 100 - i
+        sb = 100 - i + (50 if i in (4, 5) else 0)
+        rows.append(("A", i, sa, sb, y))
+        rows.append(("S", i, sa, sa, y))  # same model twice -> b=c=0
+    df = spark.createDataFrame(
+        rows, "g string, id long, sa long, sb long, label int"
+    )
+    got = {
+        r["g"]: r
+        for r in group_mcnemar(
+            df, ["g"], "sa", "sb", "label", "id", top_den=10
+        ).collect()
+    }
+    ra = got["A"]
+    # champion verdicts: pred {0,1}: correct on 0,1 (tp), wrong on 5 (fn)
+    #   -> correct rows = all except id 5 => 19
+    # challenger: pred {4,5}: wrong on 0,1 (fn), wrong on 4 (fp), right on 5
+    #   -> correct rows = all except 0,1,4 => 17
+    assert (ra["a_correct"], ra["b_correct"]) == (19, 17)
+    # discordant: A right/B wrong on 0,1,4 -> b=3; A wrong/B right on 5 -> c=1
+    assert (ra["only_a"], ra["only_b"]) == (3, 1)
+    assert ra["mcnemar_chi2"] == pytest.approx((3 - 1) ** 2 / 4, abs=1e-15)
+    rs = got["S"]
+    assert (rs["only_a"], rs["only_b"]) == (0, 0)
+    assert rs["mcnemar_chi2"] is None

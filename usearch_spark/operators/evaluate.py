@@ -969,3 +969,205 @@ def group_kendall(
             / (F.sqrt(f1) * F.sqrt(f2)),
         ).alias("tau_b"),
     )
+
+
+def _top_cut_confusion(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    top_den: int,
+) -> DataFrame:
+    """Shared confusion-count frame for the top-``1/top_den`` deployment
+    cut (the :func:`group_classification_metrics` cut, factored so MCC
+    and kappa reuse it): one group-partitioned tie-broken rank window,
+    one size join, one partial-agg groupBy.  Every output column is an
+    exact int64: group_cols + (n, n_pos, n_pred, tp)."""
+    ws = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(label_col).cast("long").alias("_y"),
+        F.row_number().over(ws).alias("_rn"),
+    )
+    sized = ranked.join(
+        ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n")), group_cols
+    )
+    pred = F.col("_rn") <= F.expr(f"n div {top_den}")
+    return sized.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.max(F.expr(f"n div {top_den}")).alias("n_pred"),
+        F.sum(F.when(pred, F.col("_y")).otherwise(F.lit(0))).alias("tp"),
+    )
+
+
+def group_mcc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    top_den: int = 10,
+) -> DataFrame:
+    """Per-group MATTHEWS correlation coefficient of the top-``1/top_den``
+    deployment cut against a binary label — the single-number confusion
+    summary that stays honest under class imbalance (precision/recall/F1
+    ignore TN; accuracy saturates).  The chance-corrected geometric
+    companion to :func:`group_classification_metrics` on the same cut.
+
+        MCC = (TP·TN − FP·FN) / sqrt(PP·POS·(n−PP)·(n−POS))
+
+    Determinism: the numerator TP·TN − FP·FN and both pair products
+    PP·POS and (n−PP)·(n−POS) are exact int64 (each factor ≤ n, so the
+    products need n ≤ ~3M — the established per-group bound — and are
+    < 2⁵³, hence exactly representable as doubles); the close is
+    int→double conversions + two IEEE sqrts + one multiply + one divide
+    in a fixed order — every step correctly rounded, bit-identical
+    across engines with NO rounding site.  Any zero marginal emits NULL
+    (MCC undefined).
+
+    Distributed shape: one group-partitioned rank window + one
+    partial-agg groupBy (via :func:`_top_cut_confusion`).  No UDFs, no
+    collects; scales in the group count, not the corpus.
+
+    Output: group_cols + (n, n_pos, n_pred, tp, mcc).
+    """
+    g = _top_cut_confusion(df, group_cols, score_col, label_col, id_col, top_den)
+    n, pp, pos, tp = F.col("n"), F.col("n_pred"), F.col("n_pos"), F.col("tp")
+    tn = n - pp - pos + tp
+    num = tp * tn - (pp - tp) * (pos - tp)
+    d1 = pp * pos
+    d2 = (n - pp) * (n - pos)
+    return g.select(
+        *group_cols,
+        "n",
+        "n_pos",
+        "n_pred",
+        "tp",
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            num.cast("double") / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+        ).alias("mcc"),
+    )
+
+
+def group_kappa(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    top_den: int = 10,
+) -> DataFrame:
+    """Per-group COHEN'S KAPPA of the top-``1/top_den`` deployment cut
+    against a binary label — chance-corrected agreement: how much better
+    than a marginal-preserving random rater the cut agrees with the
+    label.  The linear chance-corrected companion to :func:`group_mcc`
+    (which is the geometric one) — kappa is what a labeling-pipeline
+    audit quotes when the classes are imbalanced enough that raw
+    accuracy is vacuous.
+
+    Single-divide identity (n² clears both the p_o and p_e divides):
+
+        kappa = (n·(TP+TN) − PP·POS − (n−PP)·(n−POS))
+                / (n² − PP·POS − (n−PP)·(n−POS))
+
+    Determinism: every term is an exact int64 (bounded by n² < 2⁵³ for
+    n ≤ ~3M per group, the established bound) and the close is ONE
+    int→double divide — bit-identical, no rounding site.  A degenerate
+    chance term (n² = p_e numerator: both marginals constant) emits
+    NULL.
+
+    Distributed shape: identical to :func:`group_mcc` — one rank
+    window, one groupBy.
+
+    Output: group_cols + (n, n_pos, n_pred, tp, kappa).
+    """
+    g = _top_cut_confusion(df, group_cols, score_col, label_col, id_col, top_den)
+    n, pp, pos, tp = F.col("n"), F.col("n_pred"), F.col("n_pos"), F.col("tp")
+    po_num = n - pp - pos + F.lit(2) * tp  # TP + TN
+    pe_num = pp * pos + (n - pp) * (n - pos)
+    return g.select(
+        *group_cols,
+        "n",
+        "n_pos",
+        "n_pred",
+        "tp",
+        F.when(
+            n * n != pe_num,
+            (n * po_num - pe_num).cast("double") / (n * n - pe_num).cast("double"),
+        ).alias("kappa"),
+    )
+
+
+def group_mcnemar(
+    df: DataFrame,
+    group_cols: list[str],
+    score_a_col: str,
+    score_b_col: str,
+    label_col: str,
+    id_col: str,
+    top_den: int = 10,
+) -> DataFrame:
+    """Per-group McNEMAR paired test between TWO rankers deployed as
+    top-``1/top_den`` cuts on the SAME rows — the champion/challenger
+    gate: is model B's disagreement with model A systematic or noise?
+    Only the discordant pairs matter:
+
+        b = #(A correct, B wrong),  c = #(A wrong, B correct)
+        chi2 = (b − c)² / (b + c)
+
+    Determinism: both rank cuts are integer bounds over fully tie-broken
+    group windows, b and c are exact integer counts, (b−c)² is exact
+    int64 (< 2⁵³ for groups ≤ ~3M rows), and the statistic is ONE
+    int→double divide — bit-identical.  b + c = 0 (the models never
+    split a verdict) emits NULL.
+
+    Distributed shape: two rank windows over the SAME group
+    partitioning (one exchange, two sorts), one size join, one
+    partial-agg groupBy.  No UDFs, no collects.
+
+    Output: group_cols + (n, a_correct, b_correct, only_a, only_b,
+    mcnemar_chi2).
+    """
+    wa = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_a_col).desc(), F.col(id_col)
+    )
+    wb = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_b_col).desc(), F.col(id_col)
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(label_col).cast("long").alias("_y"),
+        F.row_number().over(wa).alias("_ra"),
+        F.row_number().over(wb).alias("_rb"),
+    )
+    sized = ranked.join(
+        ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n")), group_cols
+    )
+    cut = F.expr(f"n div {top_den}")
+    ca = (F.col("_ra") <= cut) == (F.col("_y") == 1)
+    cb = (F.col("_rb") <= cut) == (F.col("_y") == 1)
+    one = lambda c: F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0)))  # noqa: E731
+    g = sized.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        one(ca).alias("a_correct"),
+        one(cb).alias("b_correct"),
+        one(ca & ~cb).alias("only_a"),
+        one(~ca & cb).alias("only_b"),
+    )
+    b, c = F.col("only_a"), F.col("only_b")
+    return g.select(
+        *group_cols,
+        "n",
+        "a_correct",
+        "b_correct",
+        "only_a",
+        "only_b",
+        F.when(
+            b + c > 0, ((b - c) * (b - c)).cast("double") / (b + c).cast("double")
+        ).alias("mcnemar_chi2"),
+    )
