@@ -9264,6 +9264,139 @@ def _mcnemar_oracle_sql(top_den: int = 10) -> str:
     """
 
 
+def q_eval_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U significance test (operators/evaluate.
+    group_mannwhitney): per-segment tie-corrected z for "do heavy
+    buyers' balances stochastically dominate the rest" — the
+    significance companion to eval_auc (same rank-block collapse; AUC
+    measures separation, z asks if it beats noise) and the
+    rank-based sibling of eval_ks.  2U₁, n₁n₀ and the tie sum Σ(t³−t)
+    are exact int64; the close is a fixed IEEE chain (one tie-term
+    divide, one sqrt, one final divide) written identically in the
+    oracle — bit-exact."""
+    from usearch_spark.operators.evaluate import group_mannwhitney
+
+    return group_mannwhitney(
+        _map_mrr_base(spark, sf_dir), ["c_mktsegment"], "cents", "label"
+    ).orderBy("c_mktsegment")
+
+
+def _mannwhitney_oracle_sql() -> str:
+    """group_mannwhitney replay: the eval_auc rank-block CTE + the
+    integer tie sum, then the identical fixed IEEE close."""
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        agg AS (
+            SELECT seg, cents, count(*) AS cnt,
+                   CAST(sum(y) AS BIGINT) AS pos
+            FROM base GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT seg, cnt, pos,
+                   CAST(SUM(cnt) OVER (PARTITION BY seg ORDER BY cents
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) - cnt
+                        AS BIGINT) AS lower
+            FROM agg
+        ),
+        g AS (
+            SELECT seg,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * lower + cnt + 1)) AS BIGINT) AS two_r1,
+                   CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+            FROM rk GROUP BY 1
+        ),
+        f AS (
+            SELECT seg, n_pos, n_neg, tie_sum,
+                   n_pos + n_neg AS n,
+                   two_r1 - n_pos * (n_pos + 1) AS two_u1
+            FROM g
+        )
+        SELECT seg AS c_mktsegment, n_pos, n_neg,
+               CAST(two_u1 AS DOUBLE) / CAST(2 AS DOUBLE) AS u1,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                         AND tie_sum < n * n * n - n
+                    THEN CAST(two_u1 - n_pos * n_neg AS DOUBLE)
+                         / (CAST(2 AS DOUBLE)
+                            * sqrt(CAST(n_pos * n_neg AS DOUBLE)
+                                   * (CAST(n + 1 AS DOUBLE)
+                                      - CAST(tie_sum AS DOUBLE)
+                                        / CAST(n * (n - 1) AS DOUBLE))
+                                   / CAST(12 AS DOUBLE)))
+               END AS z
+        FROM f ORDER BY c_mktsegment
+    """
+
+
+def q_events_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt single-changepoint test (operators/forecast.
+    pettitt_changepoint — Pettitt 1979): per event type, the
+    nonparametric argmax-|U_t| locator of the most likely abrupt-shift
+    day in the daily count series, with exact-integer K and U_{t*} and
+    single-divide segment means — CUSUM assumes a target mean,
+    Mann-Kendall asks IF the series drifts; this answers WHEN it
+    jumped.  One (type, day) shuffle then T²-bounded in-row integer
+    folds via the U_t = U_{t−1} + Σ_j sgn(x_j − x_t) recurrence —
+    bit-exact, no rounding site."""
+    from usearch_spark.operators.forecast import pettitt_changepoint
+
+    ev = _events(spark, sf_dir)
+    return pettitt_changepoint(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts")
+    ).orderBy("event_type")
+
+
+def _pettitt_oracle_sql() -> str:
+    """pettitt_changepoint replay: day-ordered count lists, the same
+    V_t/prefix-U recurrence as nested list transforms, first-occurrence
+    argmax via list_position, identical single-divide means."""
+    return """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS v, list(d ORDER BY d) AS ds,
+                   count(*) AS t
+            FROM daily GROUP BY g HAVING count(*) >= 3
+        ),
+        c AS (
+            SELECT g, t, v, ds,
+                   list_transform(range(1, t + 1), tt ->
+                       CAST(list_sum(list_transform(v, x ->
+                           CASE WHEN x > v[tt] THEN 1
+                                WHEN x < v[tt] THEN -1
+                                ELSE 0 END)) AS BIGINT)) AS vt
+            FROM seqs
+        ),
+        u AS (
+            SELECT g, t, v, ds,
+                   list_transform(range(1, t), tt ->
+                       CAST(list_sum(list_slice(vt, 1, tt)) AS BIGINT)) AS uu
+            FROM c
+        ),
+        r AS (
+            SELECT g, t, v, ds, uu,
+                   list_max(list_transform(uu, x -> abs(x))) AS k,
+                   list_position(list_transform(uu, x -> abs(x)),
+                                 list_max(list_transform(uu, x -> abs(x))))
+                       AS ts
+            FROM u
+        )
+        SELECT g AS event_type, CAST(t AS BIGINT) AS n_days,
+               CAST(k AS BIGINT) AS k_stat,
+               CAST(uu[ts] AS BIGINT) AS u_star,
+               strftime(ds[ts], '%Y-%m-%d') AS cp_day,
+               CAST(list_sum(list_slice(v, 1, ts)) AS DOUBLE)
+                   / CAST(ts AS DOUBLE) AS mean_before,
+               CAST(list_sum(v) - list_sum(list_slice(v, 1, ts)) AS DOUBLE)
+                   / CAST(t - ts AS DOUBLE) AS mean_after
+        FROM r ORDER BY event_type
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -10759,6 +10892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_mcc": q_eval_mcc,
         "eval_kappa": q_eval_kappa,
         "eval_mcnemar": q_eval_mcnemar,
+        "eval_mannwhitney": q_eval_mannwhitney,
+        "events_pettitt": q_events_pettitt,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11677,6 +11812,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_mcc": _mcc_oracle_sql(top_den=10),
         "eval_kappa": _kappa_oracle_sql(top_den=10),
         "eval_mcnemar": _mcnemar_oracle_sql(top_den=10),
+        "eval_mannwhitney": _mannwhitney_oracle_sql(),
+        "events_pettitt": _pettitt_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

@@ -593,3 +593,35 @@ def test_group_mcnemar_matches_hand_count(spark):
     rs = got["S"]
     assert (rs["only_a"], rs["only_b"]) == (0, 0)
     assert rs["mcnemar_chi2"] is None
+
+
+def test_group_mannwhitney_matches_textbook(spark):
+    """u1 equals the pairwise count (wins + half-ties) and z equals the
+    tie-corrected normal approximation; all-tied scores emit NULL z."""
+    from usearch_spark.operators.evaluate import group_mannwhitney
+
+    a = [(10, 1), (10, 0), (8, 1), (7, 0), (7, 1), (7, 0), (3, 0), (3, 1), (1, 0)]
+    t = [(5, 1), (5, 0), (5, 1), (5, 0)]  # all tied -> z NULL, u1 = n1*n0/2
+    rows = [("A", s, y) for s, y in a] + [("T", s, y) for s, y in t]
+    df = spark.createDataFrame(rows, "g string, score long, label int")
+    got = {
+        r["g"]: r for r in group_mannwhitney(df, ["g"], "score", "label").collect()
+    }
+
+    def naive(pairs):
+        ps = [s for s, y in pairs if y == 1]
+        ns = [s for s, y in pairs if y == 0]
+        u1 = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in ps for q in ns)
+        n1, n0 = len(ps), len(ns)
+        n = n1 + n0
+        from collections import Counter
+
+        tie = sum(c**3 - c for c in Counter(s for s, _ in pairs).values())
+        var = n1 * n0 / 12 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u1 - n1 * n0 / 2) / var**0.5 if var > 0 else None
+        return u1, z
+
+    u1, z = naive(a)
+    assert got["A"]["u1"] == u1
+    assert got["A"]["z"] == pytest.approx(z, abs=1e-12)
+    assert got["T"]["u1"] == 2.0 and got["T"]["z"] is None

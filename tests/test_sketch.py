@@ -674,3 +674,57 @@ def test_seasonal_strength_pure_signals(spark):
     assert got["noise"]["f_trend"] < 0.6
     assert got["noise"]["f_season"] < 0.6
     assert got["clean"]["n_days"] == 22  # 28 - 2*3 edge days
+
+
+def _naive_pettitt(xs):
+    """Direct O(T^3) Pettitt: U_t and the first argmax of |U_t|."""
+    T = len(xs)
+    sgn = lambda a: (a > 0) - (a < 0)  # noqa: E731
+    us = [
+        sum(sgn(xs[j] - xs[i]) for i in range(t + 1) for j in range(t + 1, T))
+        for t in range(T - 1)
+    ]
+    k = max(abs(u) for u in us)
+    ts = next(i for i, u in enumerate(us) if abs(u) == k) + 1
+    return us, k, ts
+
+
+def test_pettitt_matches_naive_and_locates_planted_shift(spark):
+    """The O(T^2) recurrence equals the direct O(T^3) definition; a
+    planted level shift is located at its true boundary with the exact
+    segment means; a flat series gives K = 0 with first-tie argmax."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import pettitt_changepoint
+
+    d0 = datetime.date(2024, 3, 1)
+    series = {
+        # level shift after day 5 (index 5 -> cp at t=5, day 2024-03-05)
+        "shift": [10, 11, 10, 12, 11, 30, 31, 29, 30, 32],
+        # noisy, no clean shift — the naive-equality workout
+        "noisy": [7, 3, 9, 1, 14, 2, 8, 8, 5, 11, 4, 13],
+        "flat": [5, 5, 5, 5, 5, 5],
+    }
+    rows = []
+    for g, xs in series.items():
+        for t, n in enumerate(xs):
+            rows += [(g, d0 + datetime.timedelta(days=t))] * n
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {
+        r["g"]: r
+        for r in pettitt_changepoint(df, ["g"], F.col("d")).collect()
+    }
+    for g, xs in series.items():
+        us, k, ts = _naive_pettitt(xs)
+        r = got[g]
+        assert r["k_stat"] == k, g
+        assert r["u_star"] == us[ts - 1], g
+        exp_day = (d0 + datetime.timedelta(days=ts - 1)).isoformat()
+        assert r["cp_day"] == exp_day, g
+        assert r["mean_before"] == sum(xs[:ts]) / ts
+        assert r["mean_after"] == sum(xs[ts:]) / (len(xs) - ts)
+    assert got["shift"]["cp_day"] == "2024-03-05"
+    assert got["shift"]["k_stat"] == 25  # 5*5 pairs all +1
+    assert got["flat"]["k_stat"] == 0 and got["flat"]["cp_day"] == "2024-03-01"

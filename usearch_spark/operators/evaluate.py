@@ -1171,3 +1171,74 @@ def group_mcnemar(
             b + c > 0, ((b - c) * (b - c)).cast("double") / (b + c).cast("double")
         ).alias("mcnemar_chi2"),
     )
+
+
+def group_mannwhitney(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group MANN-WHITNEY U test with tie correction — the
+    significance companion to :func:`group_auc`: AUC answers "how well
+    does the score separate", the tie-corrected z answers "is the
+    separation more than noise" (the normal approximation is standard
+    for n ≳ 20 per side).
+
+        U₁ = R₁ − n₁(n₁+1)/2            (2·U₁ exact int64, the AUC
+                                         rank-block machinery)
+        σ² = n₁n₀/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+        z  = (2U₁ − n₁n₀) / (2·σ)
+
+    Determinism: 2R₁, n₁n₀, Σ(t³−t) and n(n−1) are exact int64
+    (per-group n ≤ ~2M keeps t³ < 2⁶³; int64→double conversion is
+    correctly rounded past 2⁵³, the group_auc contract); the close is a
+    FIXED IEEE chain — one divide for the tie term, one subtract, one
+    multiply, divide by 12, sqrt, scale, final divide — identical on
+    both engines, bit-exact.  Degenerate groups (one-sided labels, or
+    all scores tied ⇒ σ = 0) emit NULL z.
+
+    Distributed shape: identical to group_auc — one partial-aggregated
+    (group, score) collapse (row volume = distinct scores), one
+    group-partitioned running-count window, one final groupBy.  No
+    UDFs, no collects.
+
+    Output: group_cols + (n_pos, n_neg, u1, z).
+    """
+    agg = df.groupBy(*group_cols, score_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = agg.withColumn("lower", F.sum("cnt").over(w) - F.col("cnt"))
+    g = ranked.groupBy(*group_cols).agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("lower") + F.col("cnt") + F.lit(1))
+        ).alias("two_r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_sum"),
+    )
+    n1, n0 = F.col("n_pos"), F.col("n_neg")
+    n = n1 + n0
+    two_u1 = F.col("two_r1") - n1 * (n1 + F.lit(1))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    # fixed IEEE chain, written identically in the SQL oracle
+    tie_term = dbl(F.col("tie_sum")) / dbl(n * (n - F.lit(1)))
+    var = dbl(n1 * n0) * (dbl(n + F.lit(1)) - tie_term) / F.lit(12.0)
+    return g.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        (dbl(two_u1) / F.lit(2.0)).alias("u1"),
+        F.when(
+            (n1 > 0) & (n0 > 0) & (F.col("tie_sum") < n * n * n - n),
+            dbl(two_u1 - n1 * n0) / (F.lit(2.0) * F.sqrt(var)),
+        ).alias("z"),
+    )

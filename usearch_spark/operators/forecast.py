@@ -991,3 +991,104 @@ def seasonal_strength(
             F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_vr") / F.col("_vsr")),
         ).alias("f_season"),
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+) -> DataFrame:
+    """Per-group PETTITT single-changepoint test (Pettitt 1979) over the
+    daily count series — the nonparametric "WHEN did this metric shift"
+    locator that complements the detectors already in the family:
+    CUSUM assumes a known target mean, Mann-Kendall asks IF the series
+    drifts; Pettitt points at the most likely abrupt-change day with no
+    distributional assumption.
+
+        U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i)      (exact integer)
+        K   = max_t |U_t|,  t* = argmax (first on ties)
+
+    computed via the O(T²) recurrence U_t = U_{t−1} + V_t with
+    V_t = Σ_j sgn(x_j − x_t), rather than the naive O(T³) rescan.
+    U_{t*} > 0 means the right segment dominates (upward shift).
+    The p-value approximation 2·exp(−6K²/(T³+T²)) is a transcendental —
+    deliberately NOT computed engine-side (the ndcg_discounts contract:
+    no engine-side transcendentals); callers compare K against the
+    published critical values.
+
+    Determinism: every V_t, U_t, K and the argmax position are exact
+    integers (first-occurrence ties pinned); the segment means are ONE
+    int→double divide each — bit-identical, no rounding site.
+
+    Distributed shape: one partial-aggregated (group, day) count
+    shuffle, then T²-bounded in-row folds over the day array (T = days
+    per group — a dimension, not row volume).  No UDFs, no collects, no
+    global window.
+
+    Output: group_cols + (n_days, k_stat, u_star, cp_day — last day of
+    the pre-change segment as yyyy-MM-dd, mean_before, mean_after).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = (
+        daily.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq"))
+        .filter(F.size("seq") >= 3)
+    )
+    per = per.withColumn(
+        "_v", F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    )
+    t = F.size("_v")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    sign = lambda a, b: (  # noqa: E731
+        F.when(a > b, F.lit(1)).when(a < b, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("long")
+    # V_t = sum_j sgn(x_j - x_t); U_t = prefix sum of V (exact recurrence)
+    per = per.withColumn(
+        "_vt",
+        F.transform(
+            F.sequence(F.lit(1), t),
+            lambda tt: F.aggregate(
+                F.sequence(F.lit(1), t),
+                F.lit(0).cast("long"),
+                lambda a, j: a + sign(el("_v", j), el("_v", tt)),
+            ),
+        ),
+    ).withColumn(
+        "_u",
+        F.transform(
+            F.sequence(F.lit(1), t - 1),
+            lambda tt: F.aggregate(
+                F.sequence(F.lit(1), tt),
+                F.lit(0).cast("long"),
+                lambda a, s: a + el("_vt", s),
+            ),
+        ),
+    )
+    absu = F.transform(F.col("_u"), lambda u: F.abs(u))
+    per = (
+        per.withColumn("_k", F.array_max(absu))
+        .withColumn("_ts", F.array_position(absu, F.col("_k")))
+    )
+    tstar = F.col("_ts")
+    sum_to = lambda hi: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(1), hi),
+        F.lit(0).cast("long"),
+        lambda a, i: a + el("_v", i),
+    )
+    return per.select(
+        *group_cols,
+        t.cast("long").alias("n_days"),
+        F.col("_k").alias("k_stat"),
+        el("_u", tstar).alias("u_star"),
+        F.date_format(el("seq", tstar)["d"], "yyyy-MM-dd").alias("cp_day"),
+        (sum_to(tstar).cast("double") / tstar.cast("double")).alias("mean_before"),
+        (
+            (sum_to(t) - sum_to(tstar)).cast("double")
+            / (t.cast("long") - tstar).cast("double")
+        ).alias("mean_after"),
+    )
