@@ -9397,6 +9397,130 @@ def _pettitt_oracle_sql() -> str:
     """
 
 
+def q_audit_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-concentration AUDIT (operators/audit.gini_concentration):
+    per nation, the Gini coefficient + top-decile share of customer
+    spend — the inequality summary a pipeline checks before trusting
+    per-group aggregates (a 0.9-Gini nation is one whale, not a
+    market).  Σ(2i−n−1)·x over a tie-broken rank window is an exact
+    DECIMAL(38,0) of exact-int64 terms; close = one decimal→double
+    cast, one double multiply for n·Σx, ONE divide (the
+    embedding_covariance lossless-sum contract) — bit-exact."""
+    from usearch_spark.operators.audit import gini_concentration
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(20,2)") * 100).cast("long")
+            ).alias("spend_cents")
+        )
+    )
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(spend, "c_custkey", "left")
+        .withColumn("spend_cents", F.coalesce("spend_cents", F.lit(0)))
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+    )
+    return gini_concentration(
+        base, ["n_name"], "spend_cents", "c_custkey", top_den=10
+    ).orderBy("n_name")
+
+
+def _gini_oracle_sql(top_den: int = 10) -> str:
+    """gini_concentration replay: exact-cents spend, the same tie-broken
+    rank window, HUGEINT weighted sum (exact, like Spark's
+    DECIMAL(38,0)), identical double close."""
+    return f"""
+        WITH sp AS (
+            SELECT o_custkey AS ck,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS spend
+            FROM orders GROUP BY 1
+        ),
+        base AS (
+            SELECT n_name AS g, c_custkey AS id, coalesce(spend, 0) AS x
+            FROM customer
+            JOIN nation ON n_nationkey = c_nationkey
+            LEFT JOIN sp ON ck = c_custkey
+        ),
+        rs AS (
+            SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, id) AS rn
+            FROM base
+        ),
+        sz AS (SELECT g, count(*) AS n FROM base GROUP BY g),
+        j AS (SELECT rs.g, rs.x, rs.rn, sz.n FROM rs JOIN sz ON sz.g = rs.g),
+        a AS (
+            SELECT g, CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS total,
+                   sum((2 * rn - n - 1) * x) AS w,
+                   CAST(sum(CASE WHEN rn > n - n // {top_den} THEN x ELSE 0 END)
+                        AS BIGINT) AS t
+            FROM j GROUP BY g
+        )
+        SELECT g AS n_name, n, total,
+               CASE WHEN total > 0
+                    THEN CAST(w AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+               END AS gini,
+               CASE WHEN total > 0
+                    THEN CAST(t AS DOUBLE) / CAST(total AS DOUBLE)
+               END AS top_share
+        FROM a ORDER BY n_name
+    """
+
+
+def q_audit_chisq_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square day-of-week uniformity AUDIT (operators/audit.
+    chisq_uniformity): per event type, the k−1-df statistic against a
+    flat weekday profile via the n²-cleared single-divide identity
+    chi2 = (k·Σo² − n²)/n — the seasonality-flatness gate that decides
+    whether a type needs the STL/holt-winters weekly models at all
+    (the categorical sibling of audit_benford's digit chi-square).
+    Category labels cancel out of Σo², so engine dow conventions can't
+    matter; all terms exact int64, ONE divide — bit-exact.  No windows,
+    one (type, dow) collapse."""
+    from usearch_spark.operators.audit import chisq_uniformity
+
+    ev = _events(spark, sf_dir)
+    return chisq_uniformity(
+        ev.select("event_type", "ts"),
+        ["event_type"],
+        F.dayofweek(F.to_date("ts")),
+        alias="dow",
+    ).orderBy("event_type")
+
+
+def _chisq_dow_oracle_sql() -> str:
+    """chisq_uniformity replay: (type, dow) counts, integer k·Σo² − n²
+    numerator, one divide (dow convention differences cancel in Σo²)."""
+    return """
+        WITH oc AS (
+            SELECT event_type AS g, dayofweek(CAST(ts AS DATE)) AS dow,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS k_cats,
+                   CAST(sum(o) AS BIGINT) AS n,
+                   CAST(sum(o * o) AS BIGINT) AS o2
+            FROM oc GROUP BY g
+        )
+        SELECT g AS event_type, k_cats, n,
+               CAST(k_cats * o2 - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chi2
+        FROM a ORDER BY event_type
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -10894,6 +11018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_mcnemar": q_eval_mcnemar,
         "eval_mannwhitney": q_eval_mannwhitney,
         "events_pettitt": q_events_pettitt,
+        "audit_gini": q_audit_gini,
+        "audit_chisq_dow": q_audit_chisq_dow,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11814,6 +11940,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_mcnemar": _mcnemar_oracle_sql(top_den=10),
         "eval_mannwhitney": _mannwhitney_oracle_sql(),
         "events_pettitt": _pettitt_oracle_sql(),
+        "audit_gini": _gini_oracle_sql(top_den=10),
+        "audit_chisq_dow": _chisq_dow_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

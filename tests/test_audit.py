@@ -102,3 +102,58 @@ def test_iqr_outliers_tukey_hinges_and_fences(spark):
     assert (e["n_low"], e["n_high"]) == (0, 0)
     lo = got["low"]
     assert lo["n_low"] == 1 and lo["n_high"] == 0
+
+
+def test_gini_concentration_anchors(spark):
+    """Gini = 0 for perfectly equal values, (n-1)/n for one-holder
+    concentration, and matches the textbook rank formula on a mixed
+    group; top_share counts the top decile exactly."""
+    from usearch_spark.operators.audit import gini_concentration
+
+    rows = []
+    # equal: 10 holders of 5 -> gini 0, top_share (top 1 of 10) = 0.1
+    rows += [("eq", i, 5) for i in range(10)]
+    # one holder of everything -> gini (n-1)/n = 0.9
+    rows += [("one", 0, 100)] + [("one", i, 0) for i in range(1, 10)]
+    # mixed 20-row group vs naive formula
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    rows += [("mix", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    got = {
+        r["g"]: r
+        for r in gini_concentration(df, ["g"], "x", "id", top_den=10).collect()
+    }
+    assert got["eq"]["gini"] == 0.0 and got["eq"]["top_share"] == 0.1
+    assert got["one"]["gini"] == 0.9 and got["one"]["top_share"] == 1.0
+
+    def naive(vals):
+        s = sorted(vals)
+        n = len(s)
+        w = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(s))
+        return w / (n * sum(s))
+
+    assert got["mix"]["gini"] == pytest.approx(naive(xs), abs=1e-15)
+    assert got["mix"]["top_share"] == sum(sorted(xs)[-2:]) / sum(xs)
+
+
+def test_chisq_uniformity_anchors(spark):
+    """chi2 = 0 for perfectly uniform counts; matches the textbook
+    sum((o-e)^2/e) on a skewed group; labels don't matter."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.audit import chisq_uniformity
+
+    rows = []
+    rows += [("u", c) for c in "abcd" for _ in range(25)]
+    skew = {"a": 10, "b": 20, "c": 30, "d": 40}
+    rows += [("s", c) for c, k in skew.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {
+        r["g"]: r
+        for r in chisq_uniformity(df, ["g"], F.col("c"), alias="cat").collect()
+    }
+    assert got["u"]["chi2"] == 0.0 and got["u"]["k_cats"] == 4
+    e = 100 / 4
+    naive = sum((k - e) ** 2 / e for k in skew.values())
+    assert got["s"]["chi2"] == pytest.approx(naive, abs=1e-12)
+    assert got["s"]["n"] == 100

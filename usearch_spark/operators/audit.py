@@ -143,3 +143,112 @@ def iqr_outliers(
             ).cast("long").alias("n_high"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    top_den: int = 10,
+) -> DataFrame:
+    """Per-group GINI coefficient + top-decile share of a non-negative
+    integer value column — the concentration audit (is one customer /
+    source / tenant dominating the group?) a pipeline runs before
+    trusting per-group aggregates, and the inequality summary behind
+    every Lorenz curve:
+
+        gini = Σ_i (2i − n − 1)·x_(i) / (n · Σx)      (x rank-ordered)
+
+    Determinism: ranks come from a fully tie-broken group window (the
+    weighted sum is permutation-invariant within ties, so the tie-break
+    changes nothing); each term (2i − n − 1)·x_i is exact int64
+    (< 2⁵³ for n ≤ ~3M and values ≤ ~10¹⁰ cents — bounds documented),
+    the sum is an exact DECIMAL(38,0), and the close is one
+    decimal→double cast + one double multiply for n·Σx + ONE divide —
+    the embedding_covariance lossless-sum contract.  The top-share is
+    a second exact-integer conditional sum with one divide.  All-zero
+    groups emit NULL.
+
+    Distributed shape: one group-partitioned rank window + one size
+    join + one partial-agg groupBy — identical to the established
+    confusion-cut shape.  No UDFs, no collects.
+
+    Output: group_cols + (n, total, gini, top_share).
+    """
+    ws = Window.partitionBy(*group_cols).orderBy(F.col(value_col), F.col(id_col))
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("_x"),
+        F.row_number().over(ws).alias("_rn"),
+    )
+    sized = ranked.join(
+        ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n")), group_cols
+    )
+    coef = F.lit(2) * F.col("_rn") - F.col("n") - F.lit(1)
+    in_top = F.col("_rn") > F.col("n") - F.expr(f"n div {top_den}")
+    g = sized.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.sum("_x").alias("total"),
+        F.sum((coef * F.col("_x")).cast("decimal(38,0)")).alias("_w"),
+        F.sum(F.when(in_top, F.col("_x")).otherwise(F.lit(0))).alias("_t"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return g.select(
+        *group_cols,
+        "n",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            dbl(F.col("_w")) / (dbl(F.col("n")) * dbl(F.col("total"))),
+        ).alias("gini"),
+        F.when(F.col("total") > 0, dbl(F.col("_t")) / dbl(F.col("total"))).alias(
+            "top_share"
+        ),
+    )
+
+
+def chisq_uniformity(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: Column,
+    alias: str = "cat",
+) -> DataFrame:
+    """Per-group CHI-SQUARE uniformity statistic over a categorical
+    column — the load-balance / seasonality-flatness audit (are events
+    spread evenly over weekdays?  rows over shards?) with k−1 degrees
+    of freedom against the uniform null over the k OBSERVED categories.
+
+    The n² clearing makes it one divide:  with o_c the category counts
+    and n = Σo, E = n/k, so
+
+        chi2 = Σ (o − n/k)² / (n/k)  =  (k·Σo² − n²) / n
+
+    Determinism: k, Σo² and n² are exact int64 (documented bound:
+    n ≤ ~3M per group keeps n² < 2⁵³ so the int→double close is exact;
+    counts per category ≤ 3·10⁷ keep k·Σo² in int64 far beyond that),
+    ONE final divide — bit-exact, no rounding site.
+
+    Distributed shape: one partial-aggregated (group, category) count
+    shuffle (row volume = distinct categories), one final groupBy.  No
+    windows at all, no UDFs, no collects.
+
+    Output: group_cols + (k_cats, n, chi2).
+    """
+    o = df.groupBy(*group_cols, cat_col.alias(alias)).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    g = o.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("k_cats"),
+        F.sum("_o").alias("n"),
+        F.sum(F.col("_o") * F.col("_o")).alias("_o2"),
+    )
+    return g.select(
+        *group_cols,
+        "k_cats",
+        "n",
+        (
+            (F.col("k_cats") * F.col("_o2") - F.col("n") * F.col("n")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("chi2"),
+    )
