@@ -9521,6 +9521,104 @@ def _chisq_dow_oracle_sql() -> str:
     """
 
 
+def q_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUTTERFLY census of the bipartite supplier↔part graph (plans/
+    graph_stats.butterfly_count — Sanei-Mehri et al. 2018): wedges,
+    2×2-biclique butterflies, and butterflies-per-wedge — the bipartite
+    cohesion motif (co-supply redundancy) that triangles can't measure
+    on a two-mode graph.  ONE self-join on the bounded-fanout part side
+    (wedge centers), partial-agg pair counts, two 1-row aggregates
+    broadcast-crossed; exact integers + one divide — bit-exact."""
+    from usearch_spark.plans.graph_stats import butterfly_count
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    return butterfly_count(e, left="src", right="dst")
+
+
+def _butterflies_oracle_sql() -> str:
+    """butterfly_count replay on raw integer keys: the same wedge-center
+    self-join and C(c,2) sums (pair labels differ across engines' id
+    orderings but unordered-pair counts are label-invariant)."""
+    return """
+        WITH e AS (SELECT DISTINCT l_suppkey AS l, l_partkey AS r FROM lineitem),
+        p AS (
+            SELECT a.l AS l1, b.l AS l2, CAST(count(*) AS BIGINT) AS c
+            FROM e a JOIN e b ON a.r = b.r AND a.l < b.l GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nw,
+                   CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS nb
+            FROM p
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS ne,
+                   CAST(count(DISTINCT l) AS BIGINT) AS nl,
+                   CAST(count(DISTINCT r) AS BIGINT) AS nr
+            FROM e
+        )
+        SELECT ne AS n_edges, nl AS n_left, nr AS n_right, nw AS n_wedges,
+               nb AS n_butterflies,
+               CASE WHEN nw > 0 THEN CAST(nb AS DOUBLE) / CAST(nw AS DOUBLE) END
+                   AS butterflies_per_wedge
+        FROM s, w
+    """
+
+
+_RICH_CLUB_KS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def q_graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB curve of the supplier↔part graph (plans/graph_stats.
+    rich_club — Zhou & Mondragón 2004): edge density phi(k) among
+    vertices of degree > k over a fixed log grid of thresholds — do the
+    hub suppliers and commodity parts interconnect (the core worth
+    pinning when partitioning the graph)?  Degrees from one groupBy,
+    per-edge min-degree from two hash joins, then EVERY threshold is a
+    conditional sum in ONE aggregate over the two dimension-sized
+    histograms — no per-k rescan, no global window.  Exact integers +
+    one divide per k — bit-exact."""
+    from usearch_spark.plans.graph_stats import rich_club
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    return rich_club(e, _RICH_CLUB_KS).orderBy("k")
+
+
+def _richclub_oracle_sql() -> str:
+    """rich_club replay on raw integer keys: identical degree and
+    min-degree histograms, per-threshold conditional sums over a VALUES
+    grid, one divide per row."""
+    ks = ", ".join(f"({k})" for k in _RICH_CLUB_KS)
+    return f"""
+        WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        ds AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+        dp AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY p),
+        deg AS (SELECT d FROM ds UNION ALL SELECT d FROM dp),
+        em AS (
+            SELECT least(ds.d, dp.d) AS m
+            FROM e JOIN ds ON e.s = ds.s JOIN dp ON e.p = dp.p
+        ),
+        ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES {ks}) t(k)),
+        nn AS (
+            SELECT ks.k,
+                   CAST(coalesce(sum(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_nodes
+            FROM ks, deg GROUP BY ks.k
+        ),
+        ee AS (
+            SELECT ks.k,
+                   CAST(coalesce(sum(CASE WHEN em.m > ks.k THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_edges
+            FROM ks, em GROUP BY ks.k
+        )
+        SELECT nn.k, nn.n_nodes, ee.n_edges,
+               CASE WHEN nn.n_nodes >= 2
+                    THEN CAST(2 * ee.n_edges AS DOUBLE)
+                         / CAST(nn.n_nodes * (nn.n_nodes - 1) AS DOUBLE)
+               END AS phi
+        FROM nn JOIN ee ON ee.k = nn.k ORDER BY nn.k
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11020,6 +11118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pettitt": q_events_pettitt,
         "audit_gini": q_audit_gini,
         "audit_chisq_dow": q_audit_chisq_dow,
+        "graph_butterflies": q_graph_butterflies,
+        "graph_richclub": q_graph_richclub,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -11942,6 +12042,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pettitt": _pettitt_oracle_sql(),
         "audit_gini": _gini_oracle_sql(top_den=10),
         "audit_chisq_dow": _chisq_dow_oracle_sql(),
+        "graph_butterflies": _butterflies_oracle_sql(),
+        "graph_richclub": _richclub_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

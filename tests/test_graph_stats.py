@@ -708,3 +708,47 @@ def test_degree_assortativity_anchors(spark):
     sjj = sum(j * j for j, _ in pairs)
     want = (m2 * sjk - sj * sj) / (m2 * sjj - sj * sj)
     assert v == want
+
+
+def test_butterfly_count_anchors(spark):
+    """K2,2 has exactly one butterfly (W=2, B=1); K2,3 has three
+    (left pair shares 3 rights -> C(3,2)); a wedge-free star has none
+    (NULL ratio guard exercised via a single-edge graph)."""
+    from usearch_spark.plans.graph_stats import butterfly_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return butterfly_count(df).collect()[0]
+
+    k22 = run([("l1", "r1"), ("l1", "r2"), ("l2", "r1"), ("l2", "r2")])
+    assert (k22["n_wedges"], k22["n_butterflies"]) == (2, 1)
+    assert k22["butterflies_per_wedge"] == 0.5
+    assert (k22["n_left"], k22["n_right"], k22["n_edges"]) == (2, 2, 4)
+
+    k23 = run([(l, r) for l in ("l1", "l2") for r in ("r1", "r2", "r3")])
+    assert (k23["n_wedges"], k23["n_butterflies"]) == (3, 3)
+
+    single = run([("l1", "r1")])
+    assert (single["n_wedges"], single["n_butterflies"]) == (0, 0)
+    assert single["butterflies_per_wedge"] is None
+
+
+def test_rich_club_clique_with_leaves(spark):
+    """4-clique with two pendant leaves: the club above each threshold
+    and its density match the hand count; duplicate/reversed input edges
+    are canonicalized first."""
+    from usearch_spark.plans.graph_stats import rich_club
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    leaves = [("x", "a"), ("y", "b")]
+    dupes = [("b", "a"), ("a", "b")]  # canonicalized away
+    df = spark.createDataFrame(clique + leaves + dupes, "src string, dst string")
+    got = {r["k"]: r for r in rich_club(df, [0, 1, 2, 3, 4]).collect()}
+    # degrees: a,b = 4; c,d = 3; x,y = 1
+    assert (got[0]["n_nodes"], got[0]["n_edges"]) == (6, 8)
+    assert got[0]["phi"] == 2 * 8 / (6 * 5)
+    assert (got[1]["n_nodes"], got[1]["n_edges"], got[1]["phi"]) == (4, 6, 1.0)
+    assert (got[2]["n_nodes"], got[2]["n_edges"], got[2]["phi"]) == (4, 6, 1.0)
+    assert (got[3]["n_nodes"], got[3]["n_edges"], got[3]["phi"]) == (2, 1, 1.0)
+    assert (got[4]["n_nodes"], got[4]["n_edges"]) == (0, 0)
+    assert got[4]["phi"] is None

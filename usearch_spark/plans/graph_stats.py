@@ -1819,3 +1819,147 @@ def degree_assortativity(
             "assortativity"
         ),
     )
+
+
+def butterfly_count(
+    edges: DataFrame, left: str = "src", right: str = "dst"
+) -> DataFrame:
+    """BUTTERFLY (2×2 biclique) census of a bipartite graph
+    (Sanei-Mehri, Sariyüce & Tirthapura 2018) — the bipartite analogue
+    of the triangle count: a butterfly is two left vertices sharing two
+    right vertices, the smallest cohesion motif a two-mode network has
+    (co-supply redundancy in the supplier↔part graph).  Reported per
+    wedge so graphs of different size compare:
+
+        W = Σ_r C(deg_r, 2)   (wedges: left pairs through one right)
+        B = Σ_{left pairs} C(c, 2)   (c = shared right vertices)
+
+    and W is also Σ_pairs c, so BOTH come from one pair table.
+
+    Distributed shape: ONE self-equi-join on the wedge-center (right)
+    key — the join partitions on that key and the pair aggregate is
+    partial-agg safe; cost is Σ deg_r², so callers should put the
+    BOUNDED-degree side on the right (parts have supply-chain-bounded
+    fanout; a skew cap on deg_r is the documented 100-TB mitigation).
+    The final stats are two 1-row aggregates broadcast-crossed.  No
+    windows, no UDFs, no collects.
+
+    Determinism: every count is an exact int64 (pair order within the
+    self-join only relabels pairs, never changes c), one final divide.
+
+    Output: one row (n_edges, n_left, n_right, n_wedges, n_butterflies,
+    butterflies_per_wedge — NULL when wedge-free).
+    """
+    e = edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, "r")
+        .filter(F.col("a.l") < F.col("b.l"))
+        .groupBy(F.col("a.l").alias("l1"), F.col("b.l").alias("l2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wb = pairs.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_butterflies"),
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("l").alias("n_left"),
+        F.countDistinct("r").alias("n_right"),
+    )
+    return stats.crossJoin(F.broadcast(wb)).select(
+        "n_edges",
+        "n_left",
+        "n_right",
+        "n_wedges",
+        "n_butterflies",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.col("n_butterflies").cast("double") / F.col("n_wedges").cast("double"),
+        ).alias("butterflies_per_wedge"),
+    )
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """RICH-CLUB curve of an undirected graph (Zhou & Mondragón 2004;
+    Colizza et al. 2006 normalization is a caller-side division): for
+    each degree threshold k, the edge density among the "club" of
+    vertices with degree > k —
+
+        phi(k) = 2·E_k / (n_k·(n_k − 1))
+
+    — rising phi(k) means hubs preferentially interconnect (the core
+    a routing/partitioning strategy should pin), the curve-form
+    refinement of the one-number degree_assortativity.
+
+    Distributed shape: degrees from one groupBy; each edge joins its
+    two endpoint degrees (two hash joins) and collapses to its MIN
+    degree; then every threshold is a CONDITIONAL SUM inside ONE
+    aggregate over the two dimension-sized count tables (degree
+    histogram + min-degree histogram) — no per-k rescan, no global
+    window, no non-equi join; the k-row unpivot is driver-free
+    inline().  Thresholds are a fixed log grid, so the scan count is
+    independent of |K|.
+
+    Determinism: n_k, E_k exact int64, phi ONE divide (n_k < 2 emits
+    NULL).
+
+    Output: one row per threshold (k, n_nodes, n_edges, phi).
+    """
+    e = canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # dimension-sized histograms: degree -> node count, min-degree -> edges
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).alias("nc"))
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    eh = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(F.least("da", "db").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    nodes = dh.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("d") > k, F.col("nc"))), F.lit(0))
+            .cast("long")
+            .alias(f"_n{k}")
+            for k in thresholds
+        ]
+    )
+    club = eh.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("m") > k, F.col("ec"))), F.lit(0))
+            .cast("long")
+            .alias(f"_e{k}")
+            for k in thresholds
+        ]
+    )
+    row = nodes.crossJoin(F.broadcast(club))
+    structs = ", ".join(
+        f"struct(cast({k} as bigint) as k, _n{k} as n_nodes, _e{k} as n_edges)"
+        for k in thresholds
+    )
+    tall = row.select(F.expr(f"inline(array({structs}))"))
+    return tall.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            (F.lit(2) * F.col("n_edges")).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double"),
+        ).alias("phi"),
+    )
