@@ -9619,6 +9619,71 @@ def _richclub_oracle_sql() -> str:
     """
 
 
+def q_parts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast (operators/forecast.
+    croston_forecast — Croston 1972, Syntetos-Boylan 2005): per-part
+    demand rate for a deterministic slow-mover panel (partkey ≡ 0
+    mod 97), smoothing nonzero demand SIZE and inter-demand INTERVAL
+    separately — the estimator Holt/SES get wrong on mostly-zero
+    series, and the missing member of the forecast family (holt /
+    holt-winters / cusum / stl cover dense series).  Zero days exist
+    only as day GAPS — the sparse rollup never materializes them.
+    α = 1/8 exact-binary, order-pinned IEEE fold replayed verbatim by
+    the oracle's list accumulator, one closing divide + one exact
+    multiply (SBA) — bit-exact."""
+    from usearch_spark.operators.forecast import croston_forecast
+
+    li = _t(spark, sf_dir, "lineitem")
+    demand = (
+        li.filter(F.col("l_partkey") % 97 == 0)
+        .groupBy("l_partkey", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    return croston_forecast(
+        demand, ["l_partkey"], day_col="d", qty_col="q", alpha=0.125
+    ).orderBy("l_partkey")
+
+
+def _croston_oracle_sql() -> str:
+    """croston_forecast replay: the same sparse (part, day) demand
+    collapse, list-accumulator [z, p] fold with exact-binary constants,
+    identical divide + SBA multiply."""
+    return """
+        WITH demand AS (
+            SELECT l_partkey AS g, CAST(l_shipdate AS DATE) AS d,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(q ORDER BY d) AS qs,
+                   list(CAST(d - DATE '1970-01-01' AS BIGINT) ORDER BY d) AS e,
+                   count(*) AS t
+            FROM demand GROUP BY g HAVING count(*) >= 2
+        ),
+        f AS (
+            SELECT g, t,
+                   list_reduce(
+                       list_prepend(
+                           [CAST(qs[1] AS DOUBLE), CAST(e[2] - e[1] AS DOUBLE)],
+                           list_transform(range(2, t + 1), tt ->
+                               [CAST(qs[tt] AS DOUBLE),
+                                CAST(e[tt] - e[tt - 1] AS DOUBLE)])),
+                       (acc, x) -> [
+                           CAST(0.125 AS DOUBLE) * x[1]
+                               + CAST(0.875 AS DOUBLE) * acc[1],
+                           CAST(0.125 AS DOUBLE) * x[2]
+                               + CAST(0.875 AS DOUBLE) * acc[2]]) AS zp
+            FROM seqs
+        )
+        SELECT CAST(g AS BIGINT) AS l_partkey,
+               CAST(t AS BIGINT) AS n_demand_days,
+               zp[1] AS level_z, zp[2] AS interval_p,
+               zp[1] / zp[2] AS forecast_per_day,
+               CAST(0.9375 AS DOUBLE) * (zp[1] / zp[2]) AS sba_per_day
+        FROM f ORDER BY l_partkey
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11120,6 +11185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_chisq_dow": q_audit_chisq_dow,
         "graph_butterflies": q_graph_butterflies,
         "graph_richclub": q_graph_richclub,
+        "parts_croston": q_parts_croston,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12044,6 +12110,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_chisq_dow": _chisq_dow_oracle_sql(),
         "graph_butterflies": _butterflies_oracle_sql(),
         "graph_richclub": _richclub_oracle_sql(),
+        "parts_croston": _croston_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

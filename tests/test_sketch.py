@@ -728,3 +728,49 @@ def test_pettitt_matches_naive_and_locates_planted_shift(spark):
     assert got["shift"]["cp_day"] == "2024-03-05"
     assert got["shift"]["k_stat"] == 25  # 5*5 pairs all +1
     assert got["flat"]["k_stat"] == 0 and got["flat"]["cp_day"] == "2024-03-01"
+
+
+def test_croston_matches_python_replay_and_anchors(spark):
+    """The fold equals a Python replay of the textbook recurrence; a
+    perfectly regular series forecasts q/gap exactly; single-demand
+    groups are dropped."""
+    import datetime
+
+    from usearch_spark.operators.forecast import croston_forecast
+
+    d0 = datetime.date(2024, 1, 1)
+    series = {
+        # every 4 days, constant size 8 -> z=8, p=4, rate = 2.0
+        "reg": [(0, 8), (4, 8), (8, 8), (12, 8), (16, 8)],
+        # irregular sizes and gaps
+        "irr": [(0, 5), (3, 12), (4, 2), (10, 30), (25, 1), (26, 7)],
+        "single": [(2, 9)],
+    }
+    rows = []
+    for g, pts in series.items():
+        for off, q in pts:
+            rows.append((g, d0 + datetime.timedelta(days=off), q))
+    df = spark.createDataFrame(rows, "g string, d date, q long")
+    got = {
+        r["g"]: r
+        for r in croston_forecast(df, ["g"], alpha=0.125).collect()
+    }
+    assert "single" not in got
+    assert got["reg"]["level_z"] == 8.0 and got["reg"]["interval_p"] == 4.0
+    assert got["reg"]["forecast_per_day"] == 2.0
+    assert got["reg"]["sba_per_day"] == 0.9375 * 2.0
+
+    def replay(pts, a=0.125):
+        z, p = float(pts[0][1]), float(pts[1][0] - pts[0][0])
+        prev = pts[0][0]
+        for off, q in pts[1:]:
+            z = a * q + (1 - a) * z
+            p = a * (off - prev) + (1 - a) * p
+            prev = off
+        return z, p
+
+    z, p = replay(series["irr"])
+    r = got["irr"]
+    assert r["level_z"] == z and r["interval_p"] == p
+    assert r["forecast_per_day"] == z / p
+    assert r["n_demand_days"] == 6

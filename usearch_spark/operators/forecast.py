@@ -1092,3 +1092,99 @@ def pettitt_changepoint(
             / (t.cast("long") - tstar).cast("double")
         ).alias("mean_after"),
     )
+
+
+def croston_forecast(
+    demand: DataFrame,
+    group_cols: list[str],
+    day_col: str = "d",
+    qty_col: str = "q",
+    alpha: float = 0.125,
+) -> DataFrame:
+    """CROSTON intermittent-demand forecast (Croston 1972) with the
+    Syntetos-Boylan bias correction (SBA, 2005) — the estimator for
+    series that are mostly ZEROS (slow-moving parts, sporadic demand),
+    where SES/Holt over calendar days chase zeros to a useless mean:
+    smooth the nonzero demand SIZE z and the inter-demand INTERVAL p
+    separately, each by simple exponential smoothing at the demand
+    POINTS only; the per-period rate is z/p (SBA multiplies by
+    1 − α/2).
+
+    Input: PRE-AGGREGATED nonzero demand days (group_cols..., day,
+    qty > 0) — zero days are represented by the day GAPS, so the
+    upstream rollup never materializes them (the sparsity is the point
+    at 100 TB).
+
+    Initialization (pinned): z₀ = first demand, p₀ = first
+    inter-demand gap; the fold runs over demand points 2..T with
+        z' = α·q_t + (1−α)·z,   p' = α·i_t + (1−α)·p
+    — groups need ≥ 2 demand days.
+
+    Determinism: α must be an exact binary fraction (the holt_from_daily
+    contract) so α and 1−α are exact doubles; gaps and quantities are
+    exact-integer-valued doubles; the fold is an order-pinned IEEE
+    chain the oracle replays verbatim (list accumulator), and the close
+    is one divide (+ one exact multiply for SBA) — bit-identical.
+
+    Distributed shape: one partial-aggregated (group, day) collapse,
+    then T-bounded in-row folds over the demand-day array.  No UDFs, no
+    collects, no global window.
+
+    Output: group_cols + (n_demand_days, level_z, interval_p,
+    forecast_per_day, sba_per_day).
+    """
+    assert (alpha * 1024) == int(alpha * 1024), (
+        "alpha must be an exact binary fraction (k/1024) for the "
+        "cross-engine determinism contract"
+    )
+    a, oma = float(alpha), 1.0 - float(alpha)
+    sba = 1.0 - float(alpha) / 2.0
+    per = (
+        demand.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(day_col).alias("d"), qty_col))
+            ).alias("seq")
+        )
+        .filter(F.size("seq") >= 2)
+    )
+    epoch = F.transform(
+        F.col("seq"),
+        lambda s: F.datediff(s["d"], F.lit("1970-01-01").cast("date")).cast("long"),
+    )
+    qs = F.transform(F.col("seq"), lambda s: s[qty_col].cast("double"))
+    per = per.withColumn("_e", epoch).withColumn("_q", qs)
+    t = F.size("seq")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    steps = F.transform(
+        F.sequence(F.lit(2), t),
+        lambda tt: F.struct(
+            el("_q", tt).alias("q"),
+            (el("_e", tt) - el("_e", tt - 1)).cast("double").alias("i"),
+        ),
+    )
+    init = F.struct(
+        F.element_at("_q", 1).alias("z"),
+        (F.element_at("_e", 2) - F.element_at("_e", 1)).cast("double").alias("p"),
+    )
+    folded = F.aggregate(
+        steps,
+        init,
+        lambda acc, x: F.struct(
+            (F.lit(a) * x["q"] + F.lit(oma) * acc["z"]).alias("z"),
+            (F.lit(a) * x["i"] + F.lit(oma) * acc["p"]).alias("p"),
+        ),
+    )
+    per = per.withColumn("_f", folded)
+    rate = F.col("_f")["z"] / F.col("_f")["p"]
+    return per.select(
+        *group_cols,
+        t.cast("long").alias("n_demand_days"),
+        F.col("_f")["z"].alias("level_z"),
+        F.col("_f")["p"].alias("interval_p"),
+        rate.alias("forecast_per_day"),
+        (F.lit(sba) * rate).alias("sba_per_day"),
+    )
