@@ -9684,6 +9684,87 @@ def _croston_oracle_sql() -> str:
     """
 
 
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.mmr_topk —
+    Carbonell & Goldstein 1998): greedy redundancy-aware top-10 for
+    vec 0 over a relevance top-30 pool, λ = 1/2 — the de-duplicating
+    retrieval a pipeline swaps in when plain top-k returns ten
+    near-copies.  Every similarity is the exact int64 dot of 1e8-
+    quantized elements (the LSH sign-test recipe), so every greedy
+    decision and tie-break is pure-integer and the whole GREEDY PATH is
+    hash-checked, not just row-counted; one corpus scan for the pool,
+    then one-row argmax transfers per round (the graph_kcenters
+    contract)."""
+    from usearch_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, pool=30
+    ).orderBy("mmr_rank")
+
+
+def _mmr_oracle_sql(k: int = 10, pool: int = 30) -> str:
+    """mmr_topk replay: identical element quantization, integer-dot
+    relevance pool, and k unrolled greedy CTE rounds (the Prim-replay
+    precedent) each taking the (score2 desc, vec_id) argmax against the
+    accumulated selected set."""
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+        "* CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+    )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i])) AS BIGINT)"
+        )
+
+    parts = [
+        f"""
+        WITH b AS MATERIALIZED (SELECT vec_id, {quant} AS xq FROM embeddings),
+        q AS (SELECT xq FROM b WHERE vec_id = 0),
+        pool AS MATERIALIZED (
+            SELECT b.vec_id, b.xq, {dot('b.xq', 'q.xq')} AS rel
+            FROM b, q WHERE b.vec_id <> 0
+            ORDER BY rel DESC, b.vec_id LIMIT {pool}
+        ),
+        p1 AS (
+            SELECT 1 AS mmr_rank, vec_id, xq, rel, CAST(0 AS BIGINT) AS ms,
+                   rel AS s2
+            FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+        ),
+        sel1 AS MATERIALIZED (SELECT vec_id, xq FROM p1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+        p{r} AS (
+            SELECT {r} AS mmr_rank, t.vec_id, t.xq, t.rel,
+                   max({dot('t.xq', 's.xq')}) AS ms,
+                   t.rel - max({dot('t.xq', 's.xq')}) AS s2
+            FROM pool t, sel{r - 1} s
+            WHERE t.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+            GROUP BY t.vec_id, t.xq, t.rel
+            ORDER BY s2 DESC, t.vec_id LIMIT 1
+        ),
+        sel{r} AS MATERIALIZED (SELECT vec_id, xq FROM sel{r - 1}
+                   UNION ALL SELECT vec_id, xq FROM p{r})"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT mmr_rank, vec_id, rel, ms, s2 FROM p{r}" for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(rel AS BIGINT) AS rel_q,
+               CAST(ms AS BIGINT) AS max_sim_q,
+               CAST(s2 AS BIGINT) AS score2
+        FROM ({union})
+        ORDER BY mmr_rank"""
+    )
+    return "".join(parts)
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11186,6 +11267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterflies": q_graph_butterflies,
         "graph_richclub": q_graph_richclub,
         "parts_croston": q_parts_croston,
+        "sim_mmr": q_sim_mmr,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12111,6 +12193,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_butterflies": _butterflies_oracle_sql(),
         "graph_richclub": _richclub_oracle_sql(),
         "parts_croston": _croston_oracle_sql(),
+        "sim_mmr": _mmr_oracle_sql(k=10, pool=30),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

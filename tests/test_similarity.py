@@ -443,3 +443,58 @@ def test_mips_reduction_preserves_order(spark):
     adf = spark.createDataFrame(aug, "vec_id long, embedding array<float>")
     want = [r["vec_id"] for r in cosine_topk(adf, qv + [0.0], k=8).collect()]
     assert got == want
+
+
+def test_mmr_topk_diversifies_and_matches_replay(spark):
+    """MMR demotes a planted near-duplicate that plain relevance top-k
+    ranks second, and the whole greedy path (rel, max-sim, score) equals
+    a Python replay of the integer-quantized objective."""
+    import math
+
+    from usearch_spark.operators.similarity import mmr_topk
+
+    q = [1.0, 0.2, 0.0]
+    vecs = {
+        1: [0.95, 0.3, 0.0],    # most relevant
+        2: [0.94, 0.31, 0.02],  # near-duplicate of 1, relevance rank 2
+        3: [0.6, 0.1, 0.75],    # diverse, mid relevance
+        4: [0.2, 0.9, 0.3],     # diverse
+        5: [0.1, 0.0, 0.95],    # orthogonal-ish
+    }
+    rows = [(0, q)] + [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["mmr_rank"], r["vec_id"], r["rel_q"], r["max_sim_q"], r["score2"])
+        for r in mmr_topk(df, query_id=0, k=4, pool=5).orderBy("mmr_rank").collect()
+    ]
+
+    def quant(v):
+        return [math.floor(x * 1e8 + 0.5) for x in v]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qq = quant(q)
+    xs = {i: quant(v) for i, v in vecs.items()}
+    rel = {i: dot(x, qq) for i, x in xs.items()}
+    sel, replay = [], []
+    remaining = sorted(vecs)
+    for r in range(1, 5):
+        best = None
+        for i in remaining:
+            ms = max((dot(xs[i], xs[s]) for s in sel), default=0)
+            s2 = rel[i] - ms
+            key = (-s2, i)
+            if best is None or key < best[0]:
+                best = (key, i, ms, s2)
+        _, i, ms, s2 = best
+        sel.append(i)
+        remaining.remove(i)
+        replay.append((r, i, rel[i], ms, s2))
+    assert got == replay
+    order = [vid for _, vid, *_ in got]
+    assert order[0] == 1          # pure relevance first
+    # plain relevance would rank the near-dup second; MMR demotes it
+    # behind the diverse vector 3
+    assert sorted(rel, key=lambda i: -rel[i])[:2] == [1, 2]
+    assert order[:3] == [1, 3, 2]

@@ -1193,3 +1193,104 @@ def ivfpq_index_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    pool: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**8,
+) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell &
+    Goldstein 1998) — the redundancy-aware retrieval a training-data
+    pipeline uses where plain top-k returns ten near-duplicates: greedy
+    over a relevance-ranked candidate pool, each round picking
+
+        argmax_i  λ·rel(q, i) − (1−λ)·max_{s∈S} sim(i, s)
+
+    with λ = 1/2, so the ×2-scaled objective is  rel_i − max_sim_i —
+    a PURE INTEGER decision, because every similarity here is the exact
+    int64 dot product of ELEMENT-WISE 1e8-QUANTIZED vectors (the proven
+    LSH sign-test recipe: floor(x·1e8 + 0.5) per stored element is the
+    same IEEE chain on both engines, and Σ xq·yq is exact int64 for
+    d·(max|x|·1e8)² < 2⁶³ — d = 64 at |x| ≤ 3 documented).  MIPS
+    similarity, like sim_mips_topk; max over the empty set is 0, so
+    round 1 is argmax relevance.
+
+    Distributed shape: ONE corpus scan scores the broadcast-literal
+    query and TakeOrderedAndProject keeps the pool (the only
+    corpus-sized work); the greedy runs k rounds over the ≤pool-row
+    checkpointed frame with ONE one-row argmax transfer per round (the
+    graph_kcenters contract) — each picked vector re-enters as literals,
+    never a driver-side pairwise matrix.  No UDFs, no windows.
+
+    Determinism: every score, comparison and tie-break ((score2 desc,
+    id)) is exact-integer — bit-exact with no float anywhere.
+
+    Output: (mmr_rank, vec_id, rel_q, max_sim_q, score2) — quantized
+    int64 scores (÷1e16 for the float view, caller-side).
+    """
+    import math
+
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1e8) + F.lit(0.5)).cast("long"),
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), xq.alias("xq"))
+    qrow = base.filter(F.col("vec_id") == query_id).first()
+    if qrow is None:
+        raise ValueError(f"query id {query_id} not found")
+    qq = [int(v) for v in qrow["xq"]]
+
+    def dot_lit(vec_ints):
+        lits = F.array(*[F.lit(int(v)) for v in vec_ints])
+        return F.aggregate(
+            F.zip_with(F.col("xq"), lits, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pool_df = (
+        base.filter(F.col("vec_id") != query_id)
+        .withColumn("rel", dot_lit(qq))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    picks: list[tuple] = []
+    sel_vecs: list[list[int]] = []
+    rem = pool_df
+    for r in range(1, k + 1):
+        if sel_vecs:
+            sims = [dot_lit(v) for v in sel_vecs]
+            ms = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            ms = F.lit(0).cast("long")
+        cand = rem.withColumn("_ms", ms).withColumn(
+            "_s2", F.col("rel") - F.col("_ms")
+        )
+        row = cand.orderBy(F.col("_s2").desc(), "vec_id").first()
+        if row is None:
+            break
+        picks.append((r, row["vec_id"], row["rel"], row["_ms"], row["_s2"]))
+        sel_vecs.append([int(v) for v in row["xq"]])
+        rem = rem.filter(F.col("vec_id") != row["vec_id"])
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("mmr_rank"),
+                F.lit(vid).cast("long").alias("vec_id"),
+                F.lit(rel).cast("long").alias("rel_q"),
+                F.lit(ms).cast("long").alias("max_sim_q"),
+                F.lit(s2).cast("long").alias("score2"),
+            )
+            for (r, vid, rel, ms, s2) in picks
+        ]
+    )
+    carrier = pool_df.agg(F.count(F.lit(1)).alias("_n"))
+    return carrier.select(F.explode(arr).alias("s")).select(
+        "s.mmr_rank", "s.vec_id", "s.rel_q", "s.max_sim_q", "s.score2"
+    )
