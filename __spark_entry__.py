@@ -9765,6 +9765,83 @@ def _mmr_oracle_sql(k: int = 10, pool: int = 30) -> str:
     return "".join(parts)
 
 
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup audit (operators/dedup.
+    cdc_dedup_stats — the rsync/LBFS rolling-hash recipe): per source,
+    chunk the document byte streams at rolling-hash boundaries
+    (w=8, B=131, mod-16 cut) and report chunk-level dedup stats — the
+    storage-dedup measure that catches shared RUNS between payloads a
+    whole-blob hash misses (multimodal companion to dedup_exact;
+    substring-shingles catch text overlap, CDC catches it at
+    re-synchronizing chunk granularity).  Window hashes are exact int64
+    before one mod, chunks are integer substring decisions, md5 matches
+    byte-for-byte, one closing divide — bit-exact."""
+    from usearch_spark.operators.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _t(spark, sf_dir, "documents").select("source", "text"), ["source"]
+    ).orderBy("source")
+
+
+def _cdc_oracle_sql(w: int = 8, base: int = 131, prime: int = 1_000_003,
+                    divisor: int = 16) -> str:
+    """cdc_dedup_stats replay: identical codepoint window hash (ASCII ⇒
+    codepoints are bytes), cut filter, bound pairs, substr chunks, md5
+    collapse, one divide."""
+    hsum = " + ".join(
+        f"c[i - {j}] * {base ** j}" if j else "c[i]" for j in range(w)
+    )
+    return f"""
+        WITH d AS (
+            SELECT source, text, length(text) AS n,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS c
+            FROM documents
+        ),
+        bo AS (
+            SELECT source, text, n,
+                   [CAST(0 AS BIGINT)]
+                       || list_filter(range({w}, n + 1),
+                           i -> ({hsum}) % {prime} % {divisor} = 0
+                                AND i < n)
+                       || [CAST(n AS BIGINT)] AS b
+            FROM d
+        ),
+        ch AS (
+            SELECT source,
+                   unnest(list_transform(range(1, len(b)),
+                       k -> substr(text, CAST(b[k] + 1 AS INT),
+                                   CAST(b[k + 1] - b[k] AS INT)))) AS chunk
+            FROM bo
+        ),
+        rows_ AS (
+            SELECT source, md5(chunk) AS h, length(chunk) AS clen
+            FROM ch WHERE length(chunk) > 0
+        ),
+        ph AS (
+            SELECT source, h, count(*) AS cnt, max(clen) AS clen
+            FROM rows_ GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(cnt * clen) AS BIGINT) AS total_chars,
+                   CAST(sum(clen) AS BIGINT) AS distinct_chars
+            FROM ph GROUP BY source
+        ),
+        nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source)
+        SELECT nd.source, nd.n_docs, g.n_chunks, g.n_distinct, g.total_chars,
+               g.distinct_chars,
+               CASE WHEN g.total_chars > 0
+                    THEN CAST(g.distinct_chars AS DOUBLE)
+                         / CAST(g.total_chars AS DOUBLE)
+               END AS dedup_ratio
+        FROM nd JOIN g ON g.source = nd.source
+        ORDER BY nd.source
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11268,6 +11345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_richclub": q_graph_richclub,
         "parts_croston": q_parts_croston,
         "sim_mmr": q_sim_mmr,
+        "dedup_cdc": q_dedup_cdc,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12194,6 +12272,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_richclub": _richclub_oracle_sql(),
         "parts_croston": _croston_oracle_sql(),
         "sim_mmr": _mmr_oracle_sql(k=10, pool=30),
+        "dedup_cdc": _cdc_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

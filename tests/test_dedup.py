@@ -370,3 +370,65 @@ def test_edit_distance_pairs_matches_naive(spark):
     )
     assert got == truth
     assert (1, 6, 0) in got and (7, 8, 3) in got  # filtered path + dense path
+
+
+def _cdc_replay(text, w=8, base=131, prime=1_000_003, divisor=16):
+    """Python replay of the cdc_dedup_stats chunker."""
+    n = len(text)
+    cs = [ord(ch) for ch in text]
+    cuts = []
+    for i in range(w, n + 1):
+        h = sum(cs[i - 1 - j] * base**j for j in range(w)) % prime
+        if h % divisor == 0 and i < n:
+            cuts.append(i)
+    bounds = [0] + cuts + [n]
+    return [
+        text[bounds[k]: bounds[k + 1]]
+        for k in range(len(bounds) - 1)
+        if bounds[k + 1] > bounds[k]
+    ]
+
+
+def test_cdc_dedup_matches_replay_and_resyncs_after_shift(spark):
+    """Chunk stats equal the Python replay; an exact duplicate halves
+    distinct bytes; a 1-char prefix shift still shares the resynced
+    chunk tail (the property fixed-offset chunking lacks)."""
+    import random
+
+    from usearch_spark.operators.dedup import cdc_dedup_stats
+
+    rng = random.Random(7)
+    body = "".join(rng.choice("abcdefghij klmnopqrstuvwxyz.") for _ in range(400))
+    docs = [
+        ("dup", 1, body),
+        ("dup", 2, body),
+        ("shift", 1, body),
+        ("shift", 2, "X" + body),
+        ("solo", 1, body[:120]),
+    ]
+    df = spark.createDataFrame(docs, "source string, doc_id long, text string")
+    got = {
+        r["source"]: r
+        for r in cdc_dedup_stats(df, ["source"]).collect()
+    }
+    # replay each group
+    from collections import Counter
+
+    for src_name, texts in [
+        ("dup", [body, body]),
+        ("shift", [body, "X" + body]),
+        ("solo", [body[:120]]),
+    ]:
+        chunks = Counter()
+        for t in texts:
+            chunks.update(_cdc_replay(t))
+        r = got[src_name]
+        assert r["n_chunks"] == sum(chunks.values()), src_name
+        assert r["n_distinct"] == len(chunks), src_name
+        assert r["total_chars"] == sum(len(c) * k for c, k in chunks.items())
+        assert r["distinct_chars"] == sum(len(c) for c in chunks)
+        assert r["dedup_ratio"] == r["distinct_chars"] / r["total_chars"]
+    # exact dup: every chunk shared -> ratio 0.5
+    assert got["dup"]["dedup_ratio"] == 0.5
+    # shifted copy: rolling hash resyncs, so well under 1.0 (shared tail)
+    assert got["shift"]["dedup_ratio"] < 0.75

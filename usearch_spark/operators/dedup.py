@@ -895,3 +895,106 @@ def edit_distance_pairs(
             "dist",
         )
     )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    w: int = 8,
+    base: int = 131,
+    prime: int = 1_000_003,
+    divisor: int = 16,
+) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup audit (the rsync / LBFS rolling-
+    hash recipe, Muthitacharoen et al. 2001) — the storage-level
+    near-dup measure for opaque payloads: fixed-offset chunking breaks
+    under a 1-byte shift, but cutting wherever a w-byte rolling hash
+    ≡ 0 (mod divisor) re-synchronizes after any local edit, so shared
+    runs between blobs dedupe at CHUNK granularity even when whole-blob
+    hashes differ (the multimodal companion to dedup_exact /
+    dedup_substring; payloads here are ASCII byte streams, so code
+    points ARE bytes).
+
+    Per group: chunk count, distinct-chunk count (by md5 of chunk
+    bytes), total vs distinct chunk bytes, and the storage ratio
+    distinct/total — the "what would a CDC store pay" number.
+
+    Determinism: the window hash Σ c_{i−j}·B^j is EXACT int64 BEFORE
+    one mod (w ≤ 8, B ≤ 131, bytes ≤ 255 keeps the sum < 2⁶³ — no
+    incremental mod, so no engine-order concern), boundaries and chunk
+    substrings are integer decisions, md5 of identical bytes matches
+    across engines, counts are exact, and the ratio is ONE divide.
+
+    Distributed shape: O(n·w) in-row transforms per doc (no UDF — the
+    char stream never leaves the JVM), one explode to chunk rows, one
+    (group, md5) collapse, one final groupBy.  No windows, no collects.
+
+    Output: group_cols + (n_docs, n_chunks, n_distinct, total_chars,
+    distinct_chars, dedup_ratio).
+    """
+    n = F.length(F.col(text_col))
+    chars = F.transform(F.split(F.col(text_col), ""), F.ascii)
+    d = docs.withColumn("_n", n).withColumn("_c", chars)
+
+    def el(i):
+        return F.element_at(F.col("_c"), i.cast("int"))
+
+    def win_hash(i):
+        s = el(i).cast("long")
+        for j in range(1, w):
+            s = s + el(i - j).cast("long") * F.lit(base**j).cast("long")
+        return s % F.lit(prime).cast("long")
+
+    positions = F.when(
+        F.col("_n") >= w, F.sequence(F.lit(w), F.col("_n"))
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        positions, lambda i: (win_hash(i) % divisor == 0) & (i < F.col("_n"))
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)), cuts.cast("array<int>"), F.array(F.col("_n"))
+    )
+    d = d.withColumn("_b", bounds)
+    m = F.size("_b")
+    # substring(text, start+1, len) per consecutive bound pair
+    chunks = F.transform(
+        F.sequence(F.lit(1), m - 1),
+        lambda k: F.expr(text_col).substr(
+            F.element_at(F.col("_b"), k.cast("int")) + 1,
+            F.element_at(F.col("_b"), (k + 1).cast("int"))
+            - F.element_at(F.col("_b"), k.cast("int")),
+        ),
+    )
+    rows = (
+        d.select(*group_cols, F.explode(chunks).alias("chunk"))
+        .filter(F.length("chunk") > 0)
+        .select(
+            *group_cols,
+            F.md5(F.encode(F.col("chunk"), "utf-8")).alias("h"),
+            F.length("chunk").alias("clen"),
+        )
+    )
+    per_hash = rows.groupBy(*group_cols, "h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("clen").alias("clen")
+    )
+    g = per_hash.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_chars"),
+        F.sum("clen").alias("distinct_chars"),
+    )
+    nd = docs.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    return nd.join(g, group_cols).select(
+        *group_cols,
+        "n_docs",
+        "n_chunks",
+        "n_distinct",
+        "total_chars",
+        "distinct_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.col("distinct_chars").cast("double")
+            / F.col("total_chars").cast("double"),
+        ).alias("dedup_ratio"),
+    )
