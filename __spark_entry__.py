@@ -9842,6 +9842,61 @@ def _cdc_oracle_sql(w: int = 8, base: int = 131, prime: int = 1_000_003,
     """
 
 
+def q_sketch_ams_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED AMS F2 monitor: the event rows arrive as two replayed
+    micro-batches, a streamed ADDITIVE (event_type, user_id) count
+    rollup is maintained under the lineage-aware idempotent pointer
+    (second run a deliberate restart that must change nothing), and the
+    drained cells feed operators/sketch.ams_f2_from_cells — every AMS
+    counter is COUNT-LINEAR (Z_i = Σ ±cnt) and the exact F2 is Σ cnt²,
+    so the skew monitor rebuilt from the rollup shares sketch_ams_f2's
+    BATCH oracle verbatim (the eval_auc_stream contract applied to a
+    sketch).  The join-skew statistic a planner keeps hot without
+    rescanning history."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.sketch import ams_f2_from_cells
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"ams_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select("event_type", "user_id")
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(
+                os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"ams_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "user_id"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rolled = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    cells = rolled.groupBy("event_type", "user_id").agg(F.sum("n").alias("_n"))
+    return ams_f2_from_cells(
+        cells, "user_id", ["event_type"], cnt_col="_n", r=45, b=9
+    ).orderBy("event_type")
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11346,6 +11401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_croston": q_parts_croston,
         "sim_mmr": q_sim_mmr,
         "dedup_cdc": q_dedup_cdc,
+        "sketch_ams_stream": q_sketch_ams_stream,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -15194,6 +15250,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_cusum_stream"] = out["events_cusum"]
     out["events_holt_winters_stream"] = out["events_holt_winters"]
     out["eval_auc_stream"] = out["eval_auc"]
+    out["sketch_ams_stream"] = out["sketch_ams_f2"]
     return out
 
 

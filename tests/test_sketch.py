@@ -774,3 +774,32 @@ def test_croston_matches_python_replay_and_anchors(spark):
     assert r["level_z"] == z and r["interval_p"] == p
     assert r["forecast_per_day"] == z / p
     assert r["n_demand_days"] == 6
+
+
+def test_ams_from_cells_equals_row_path(spark):
+    """Count-linearity: ams_f2_from_cells over (key, cnt) cells equals
+    ams_f2 over the expanded rows bit-for-bit, and the exact F2 rides
+    in the same aggregate."""
+    from usearch_spark.operators.sketch import ams_f2, ams_f2_from_cells
+
+    cells = [("g", k % 7, 1 + k % 3) for k in range(40)]
+    rows = [(g, k) for g, k, c in cells for _ in range(c)]
+    # cells with the SAME key repeat (k%7 collides) -> pre-collapse first
+    from pyspark.sql import functions as F
+
+    cdf = (
+        spark.createDataFrame(cells, "g string, k long, c long")
+        .groupBy("g", "k")
+        .agg(F.sum("c").alias("c"))
+    )
+    rdf = spark.createDataFrame(rows, "g string, k long")
+    a = ams_f2(rdf, "k", ["g"], r=9, b=3).collect()[0]
+    b = ams_f2_from_cells(cdf, "k", ["g"], cnt_col="c", r=9, b=3).collect()[0]
+    assert (a["n_rows"], a["f2_exact"], a["f2_est"]) == (
+        b["n_rows"], b["f2_exact"], b["f2_est"],
+    )
+    # exact F2 sanity: sum of squared key frequencies
+    from collections import Counter
+
+    freq = Counter(k for _, k in rows)
+    assert a["f2_exact"] == sum(v * v for v in freq.values())

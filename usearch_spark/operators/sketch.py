@@ -523,20 +523,46 @@ def ams_f2(
 
     Output: group_cols + (n_rows, f2_exact, f2_est).
     """
+    cells = df.groupBy(*group_cols, key_col).agg(F.count(F.lit(1)).alias("_n"))
+    return ams_f2_from_cells(cells, key_col, group_cols, cnt_col="_n", r=r, b=b)
+
+
+def ams_f2_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    cnt_col: str = "n",
+    r: int = 9,
+    b: int = 3,
+) -> DataFrame:
+    """:func:`ams_f2` over the PRE-COLLAPSED (group..., key, cnt) cell
+    table — the stream-twin entry point (the group_auc_from_cells
+    contract): every counter is COUNT-LINEAR, Z_i = Σ_cells ±cnt, so a
+    streamed (group, key) count rollup merged by addition feeds this
+    unchanged and the batch oracle is shared verbatim.  The exact F2
+    falls out of the SAME aggregate (Σ cnt²), so sketch + exact are ONE
+    partial-agg pass over the cell dimension — no second scan, no join
+    (also the batch path now, via the collapse in :func:`ams_f2`)."""
     assert r % b == 0 and (r // b) % 2 == 1, "need an odd number of groups"
     assert r <= _KMV_BITS, "one 60-bit hash serves all counters"
-    hashed = df.select(
-        *group_cols, _kmv_hash(F.col(key_col).cast("string")).alias("_h")
+    hashed = cells.select(
+        *group_cols,
+        F.col(cnt_col).cast("long").alias("_c"),
+        _kmv_hash(F.col(key_col).cast("string")).alias("_h"),
     )
     sums = [
         F.sum(
             F.when(
-                F.pmod(F.shiftright(F.col("_h"), i), F.lit(2)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+                F.pmod(F.shiftright(F.col("_h"), i), F.lit(2)) == 1, F.col("_c")
+            ).otherwise(-F.col("_c"))
         ).cast("long").alias(f"_z{i}")
         for i in range(r)
     ]
-    g = hashed.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"), *sums)
+    g = hashed.groupBy(*group_cols).agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("f2_exact"),
+        *sums,
+    )
     group_sums = [
         sum(
             (F.col(f"_z{i}") * F.col(f"_z{i}") for i in range(gi * b, (gi + 1) * b)),
@@ -547,17 +573,9 @@ def ams_f2(
     zs = F.array_sort(F.array(*group_sums))
     n_groups = r // b
     med = F.element_at(zs, (n_groups + 1) // 2)
-    exact = (
-        df.groupBy(*group_cols, key_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(*group_cols)
-        .agg(F.sum(F.col("_c") * F.col("_c")).alias("f2_exact"))
-    )
-    est = g.select(
+    return g.select(
         *group_cols,
         "n_rows",
+        "f2_exact",
         (med.cast("double") / F.lit(float(b))).alias("f2_est"),
-    )
-    return exact.join(est, group_cols).select(
-        *group_cols, "n_rows", "f2_exact", "f2_est"
     )
