@@ -482,3 +482,52 @@ def test_graph_scc_sf1_scale(spark):
     sizes = out.groupBy("component").count()
     assert sizes.filter(F.col("count") == 4).count() == n_core // 4
     assert sizes.filter(F.col("count") == 1).count() == n_sat
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale butterfly smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_butterfly_count_sf1_scale_closed_form(spark):
+    """100k-edge bipartite graph of 500 disjoint K(4,50) blocks plus a
+    degree-skew hub: the census equals the closed form exactly (exact
+    integers survive the pair shuffle) and the wedge-center self-join
+    completes with the hub on the BOUNDED side — the documented
+    put-the-bounded-degree-side-on-the-right discipline."""
+    from usearch_spark.plans.graph_stats import butterfly_count
+
+    blocks, a, b = 500, 4, 50
+    be = (
+        spark.range(blocks)
+        .select(
+            F.col("id").alias("blk"),
+            F.explode(F.sequence(F.lit(0), F.lit(a - 1))).alias("li"),
+        )
+        .select(
+            "blk", "li",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("ri"),
+        )
+        .select(
+            F.concat(F.lit("L"), F.col("blk") * a + F.col("li")).alias("src"),
+            F.concat(F.lit("R"), F.col("blk") * b + F.col("ri")).alias("dst"),
+        )
+    )
+    # hub LEFT vertex touching one right per block: raises left-degree
+    # skew without blowing the wedge side (right degrees stay <= a+1)
+    hub = spark.range(blocks).select(
+        F.lit("Lhub").alias("src"),
+        F.concat(F.lit("R"), F.col("id") * b).alias("dst"),
+    )
+    e = be.unionAll(hub).localCheckpoint(eager=True)
+    r = butterfly_count(e).collect()[0]
+    assert r["n_edges"] == blocks * a * b + blocks
+    assert r["n_left"] == blocks * a + 1
+    assert r["n_right"] == blocks * b
+    # wedges: per block, b rights of degree a -> b*C(a,2); the hub turns
+    # one right per block into degree a+1 -> C(a+1,2) - C(a,2) = a extra
+    w_blocks = blocks * b * (a * (a - 1) // 2)
+    assert r["n_wedges"] == w_blocks + blocks * a
+    # butterflies: per block C(a,2)*C(b,2); the hub shares exactly ONE
+    # right with each block's left quad -> no second common right, no
+    # extra butterfly
+    assert r["n_butterflies"] == blocks * (a * (a - 1) // 2) * (b * (b - 1) // 2)
