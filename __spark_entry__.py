@@ -9897,6 +9897,166 @@ def q_sketch_ams_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz RUNS TEST (operators/forecast.runs_test): per
+    event type, the randomness audit on the daily series — too few
+    above/below-median runs = regime clustering, too many =
+    oscillation; the sanity gate after Pettitt/Mann-Kendall come back
+    clean.  Median is the explicit two-rank half-integer, run/side
+    counts exact int64, z closes with two IEEE sqrts + one divide in
+    fixed order — bit-exact."""
+    from usearch_spark.operators.forecast import runs_test
+
+    ev = _events(spark, sf_dir)
+    return runs_test(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts")
+    ).orderBy("event_type")
+
+
+def _runs_oracle_sql() -> str:
+    """runs_test replay: day-ordered count lists, two-rank median,
+    tie-dropped sign list, sign-change fold, identical IEEE close."""
+    return """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS v, count(*) AS t
+            FROM daily GROUP BY g HAVING count(*) >= 2
+        ),
+        s2 AS (
+            SELECT g, t, v,
+                   (list_sort(v)[(t + 1) // 2] + list_sort(v)[(t + 2) // 2])
+                       / CAST(2 AS DOUBLE) AS med
+            FROM seqs
+        ),
+        s3 AS (
+            SELECT g, t,
+                   list_filter(list_transform(v, x ->
+                       CASE WHEN CAST(x AS DOUBLE) > med THEN 1
+                            WHEN CAST(x AS DOUBLE) < med THEN 0
+                            ELSE -1 END), s -> s >= 0) AS sg
+            FROM s2
+        ),
+        s4 AS (
+            SELECT g, t, CAST(len(sg) AS BIGINT) AS m,
+                   CAST(list_sum(list_transform(range(2, len(sg) + 1), i ->
+                       CASE WHEN sg[i] <> sg[i - 1] THEN 1 ELSE 0 END))
+                       AS BIGINT) + 1 AS r,
+                   CAST(list_sum(sg) AS BIGINT) AS n1
+            FROM s3 WHERE len(sg) >= 2
+        )
+        SELECT g AS event_type, CAST(t AS BIGINT) AS n_days, m AS n_kept,
+               n1 AS n_above, m - n1 AS n_below, r AS n_runs,
+               CASE WHEN 2 * n1 * (m - n1) > m
+                    THEN (CAST(m * (r - 1) - 2 * n1 * (m - n1) AS DOUBLE)
+                          * sqrt(CAST(m - 1 AS DOUBLE)))
+                         / sqrt(CAST((2 * n1 * (m - n1))
+                                     * (2 * n1 * (m - n1) - m) AS DOUBLE))
+               END AS z
+        FROM s4 ORDER BY g
+    """
+
+
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY sweep: per event type, the maximum number of
+    events active at once under a 300-second activity window, found by
+    the classic +1/−1 boundary sweep COLLAPSED TO SECOND CELLS first —
+    the running sum is a window over the distinct-seconds DIMENSION
+    (the group_auc rank-block discipline), never over row volume, so
+    the sweep survives 100 TB with one cell shuffle.  Counts exact
+    int64; the peak instant tie-breaks to the earliest second via an
+    integer struct-max; the timestamp renders from epoch seconds in the
+    NTZ domain (TZ-proof)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type", F.expr("ts_ns div 1000000000").alias("sec")
+    )
+    sc = base.groupBy("event_type", "sec").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        sc.select("event_type", "sec", F.col("c").alias("delta"))
+        .unionAll(
+            sc.select(
+                "event_type",
+                (F.col("sec") + F.lit(300)).alias("sec"),
+                (-F.col("c")).alias("delta"),
+            )
+        )
+        .groupBy("event_type", "sec")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cells.withColumn("cum", F.sum("delta").over(w))
+    ne = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    pk = run.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cum"), (-F.col("sec")).alias("ns"))).alias("pk")
+    )
+    return (
+        ne.join(pk, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("pk.cum").alias("peak_concurrency"),
+            F.date_format(
+                F.expr(f"timestampadd(SECOND, -pk.ns, {_EPOCH_NTZ})"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("peak_at"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _concurrency_oracle_sql() -> str:
+    """events_concurrency replay: identical second cells, ±count union,
+    dimension-windowed running sum, (cum desc, sec) argmax, NTZ
+    rendering."""
+    return """
+        WITH base AS (
+            SELECT event_type AS g,
+                   date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+                             CAST(ts AS TIMESTAMP)) AS sec
+            FROM events
+        ),
+        sc AS (SELECT g, sec, CAST(count(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2),
+        cells AS (
+            SELECT g, sec, CAST(sum(d) AS BIGINT) AS delta
+            FROM (SELECT g, sec, c AS d FROM sc
+                  UNION ALL SELECT g, sec + 300, -c FROM sc)
+            GROUP BY 1, 2
+        ),
+        run AS (
+            SELECT g, sec,
+                   CAST(sum(delta) OVER (PARTITION BY g ORDER BY sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+            FROM cells
+        ),
+        rk AS (
+            SELECT g, sec, cum,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY cum DESC, sec) AS rn
+            FROM run
+        ),
+        ne AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events
+               FROM base GROUP BY g)
+        SELECT ne.g AS event_type, ne.n_events,
+               rk.cum AS peak_concurrency,
+               strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(rk.sec),
+                        '%Y-%m-%d %H:%M:%S') AS peak_at
+        FROM ne JOIN rk ON rk.g = ne.g AND rk.rn = 1
+        ORDER BY ne.g
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11402,6 +11562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": q_sim_mmr,
         "dedup_cdc": q_dedup_cdc,
         "sketch_ams_stream": q_sketch_ams_stream,
+        "events_runs": q_events_runs,
+        "events_concurrency": q_events_concurrency,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12329,6 +12491,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_croston": _croston_oracle_sql(),
         "sim_mmr": _mmr_oracle_sql(k=10, pool=30),
         "dedup_cdc": _cdc_oracle_sql(),
+        "events_runs": _runs_oracle_sql(),
+        "events_concurrency": _concurrency_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

@@ -803,3 +803,104 @@ def test_ams_from_cells_equals_row_path(spark):
 
     freq = Counter(k for _, k in rows)
     assert a["f2_exact"] == sum(v * v for v in freq.values())
+
+
+def test_runs_test_matches_textbook(spark):
+    """Run/side counts and z equal the textbook statistic on a mixed
+    series; a perfectly alternating series has the max run count; a
+    one-sided series (all kept days above... impossible by median) and
+    tie-heavy days exercise the drop rule."""
+    import datetime
+
+    import pytest
+
+    from usearch_spark.operators.forecast import runs_test
+
+    d0 = datetime.date(2024, 5, 1)
+    series = {
+        "mix": [3, 9, 8, 2, 7, 1, 6, 5, 9, 2, 8, 3],
+        "alt": [1, 9, 1, 9, 1, 9, 1, 9],
+        "ties": [5, 5, 9, 1, 5, 9, 1, 5],  # median 5 -> ties dropped
+    }
+    rows = []
+    for g, xs in series.items():
+        for t, n in enumerate(xs):
+            rows += [(g, d0 + datetime.timedelta(days=t))] * n
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {r["g"]: r for r in runs_test(df, ["g"], F.col("d")).collect()}
+
+    def naive(xs):
+        sv = sorted(xs)
+        t = len(xs)
+        med = (sv[(t + 1) // 2 - 1] + sv[(t + 2) // 2 - 1]) / 2
+        sg = [1 if x > med else 0 for x in xs if x != med]
+        m, n1 = len(sg), sum(sg)
+        r = 1 + sum(1 for i in range(1, m) if sg[i] != sg[i - 1])
+        a = 2 * n1 * (m - n1)
+        z = None
+        if a > m:
+            z = (m * (r - 1) - a) * (m - 1) ** 0.5 / (a * (a - m)) ** 0.5
+        return m, n1, r, z
+
+    for g, xs in series.items():
+        m, n1, r, z = naive(xs)
+        row = got[g]
+        assert (row["n_kept"], row["n_above"], row["n_runs"]) == (m, n1, r), g
+        if z is None:
+            assert row["z"] is None
+        else:
+            assert row["z"] == pytest.approx(z, abs=1e-12)
+    assert got["alt"]["n_runs"] == 8  # perfect alternation
+
+
+def test_events_concurrency_hand_sweep(spark):
+    """The +1/-1 cell sweep equals a brute-force per-second count on a
+    tiny stream, including the earliest-second tie-break."""
+    from pyspark.sql import functions as F
+
+    # fake the _events frame shape: (event_type, ts_ns)
+    secs = {"a": [0, 10, 10, 250, 600, 620], "b": [5, 1000]}
+    rows = [(g, s * 1_000_000_000) for g, ss in secs.items() for s in ss]
+    ev = spark.createDataFrame(rows, "event_type string, ts_ns long")
+    base = ev.select("event_type", F.expr("ts_ns div 1000000000").alias("sec"))
+    sc = base.groupBy("event_type", "sec").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        sc.select("event_type", "sec", F.col("c").alias("delta"))
+        .unionAll(
+            sc.select(
+                "event_type",
+                (F.col("sec") + F.lit(300)).alias("sec"),
+                (-F.col("c")).alias("delta"),
+            )
+        )
+        .groupBy("event_type", "sec")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cells.withColumn("cum", F.sum("delta").over(w))
+    pk = {
+        r["event_type"]: r
+        for r in run.groupBy("event_type")
+        .agg(F.max(F.struct(F.col("cum"), (-F.col("sec")).alias("ns"))).alias("pk"))
+        .select("event_type", "pk.cum", "pk.ns")
+        .collect()
+    }
+
+    def brute(ss, w=300):
+        best = (0, None)
+        for t in sorted(set(ss)):
+            c = sum(1 for s in ss if s <= t < s + w)
+            if c > best[0]:
+                best = (c, t)
+        return best
+
+    for g, ss in secs.items():
+        c, t = brute(ss)
+        assert pk[g]["cum"] == c, g
+        assert -pk[g]["ns"] == t, g

@@ -1188,3 +1188,98 @@ def croston_forecast(
         rate.alias("forecast_per_day"),
         (F.lit(sba) * rate).alias("sba_per_day"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+) -> DataFrame:
+    """Per-group WALD-WOLFOWITZ RUNS TEST of the daily count series —
+    the randomness audit that catches what the level detectors can't
+    name: too FEW runs above/below the median means regime clustering
+    (the series lingers on one side — trends, shifts), too MANY means
+    oscillation (negative autocorrelation, e.g. batch-skip patterns).
+    The final sanity gate after Pettitt/Mann-Kendall come back clean.
+
+    Days are scored above (1) / below (0) the EXPLICIT two-rank median
+    (ties to the median are dropped — the standard convention);
+    R = 1 + sign changes in day order, and with a = 2·n₁·n₀:
+
+        z = (n·(R−1) − a) · sqrt(n−1) / sqrt(a·(a−n))
+
+    (the n²-cleared form of (R − E[R])/σ_R with E[R] = 1 + a/n,
+    σ²_R = a(a−n)/(n²(n−1))).
+
+    Determinism: the median is an exact half-integer double, every
+    above/below decision compares exact values, R, n₁, n₀, a and the
+    numerator are exact int64, and the close is two IEEE sqrts + one
+    multiply + one divide in fixed order — bit-identical, no rounding
+    site.  One-sided or constant series (a ≤ n) emit NULL z.
+
+    Distributed shape: one (group, day) count shuffle, then T-bounded
+    in-row folds.  No UDFs, no collects, no global window.
+
+    Output: group_cols + (n_days, n_kept, n_above, n_below, n_runs, z).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = (
+        daily.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq"))
+        .filter(F.size("seq") >= 2)
+    )
+    per = per.withColumn(
+        "_v", F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    ).withColumn("_sv", F.array_sort(F.transform(F.col("seq"), lambda s: s["n"].cast("long"))))
+    t = F.size("_v")
+    lo = F.element_at("_sv", ((t + 1) / 2).cast("int"))
+    hi = F.element_at("_sv", ((t + 2) / 2).cast("int"))
+    med = (lo + hi) / F.lit(2.0)
+    signs = F.filter(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.when(x.cast("double") > med, F.lit(1))
+            .when(x.cast("double") < med, F.lit(0))
+            .otherwise(F.lit(-1)),
+        ),
+        lambda s: s >= 0,
+    )
+    per = per.withColumn("_s", signs)
+    m = F.size("_s")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    changes = F.aggregate(
+        F.sequence(F.lit(2), m),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(el("_s", i) != el("_s", i - 1), F.lit(1)).otherwise(F.lit(0)),
+    )
+    n1 = F.aggregate(
+        F.col("_s"), F.lit(0).cast("long"), lambda acc, s: acc + s
+    )
+    per = (
+        per.filter(m >= 2)
+        .withColumn("_r", changes + F.lit(1))
+        .withColumn("_n1", n1)
+        .withColumn("_m", m.cast("long"))
+    )
+    n0 = F.col("_m") - F.col("_n1")
+    a = F.lit(2) * F.col("_n1") * n0
+    num = F.col("_m") * (F.col("_r") - F.lit(1)) - a
+    return per.select(
+        *group_cols,
+        t.cast("long").alias("n_days"),
+        F.col("_m").alias("n_kept"),
+        F.col("_n1").alias("n_above"),
+        n0.alias("n_below"),
+        F.col("_r").alias("n_runs"),
+        F.when(
+            a > F.col("_m"),
+            (num.cast("double") * F.sqrt((F.col("_m") - F.lit(1)).cast("double")))
+            / F.sqrt((a * (a - F.col("_m"))).cast("double")),
+        ).alias("z"),
+    )
