@@ -10057,6 +10057,102 @@ def _concurrency_oracle_sql() -> str:
     """
 
 
+def q_graph_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIPARTITENESS audit via the double-cover reduction (plans/
+    graph_stats.bipartite_check): one connected-components run on the
+    parity double cover answers every component at once — the
+    same-region nation cliques (K5: odd cycles) must come back
+    is_bipartite = false, while the supplier↔part incidence subset
+    (partkey ≡ 0 mod 199) must verify two-mode with its side sizes —
+    the audit that catches mixed-mode contamination in an edge table
+    sold as bipartite.  Reuses the proven components machinery (local
+    solve under the row bound, star/pregel at scale); every verdict an
+    exact discrete decision."""
+    from usearch_spark.plans.graph_stats import bipartite_check
+
+    _, ne = _nation_graph(spark, sf_dir)
+    se = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 199 == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    e = ne.select("src", "dst").unionAll(se)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .dropDuplicates(["id"])
+    )
+    return bipartite_check(v, e).orderBy("component")
+
+
+def _bipartite_oracle_sql() -> str:
+    """bipartite_check replay: the identical double cover, min-label
+    closure via a recursive CTE (component sizes bounded by the nation
+    cliques and the mod-199 part panel, so the closure stays small),
+    the same per-vertex parity pivot and verdict aggregation."""
+    return """
+        WITH RECURSIVE ne AS (
+            SELECT 'n' || a.n_nationkey AS u, 'n' || b.n_nationkey AS v
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND a.n_nationkey <> b.n_nationkey
+        ),
+        se AS (
+            SELECT DISTINCT 's' || l_suppkey AS u, 'p' || l_partkey AS v
+            FROM lineitem WHERE l_partkey % 199 = 0
+        ),
+        ue AS (
+            SELECT u, v FROM ne UNION ALL SELECT u, v FROM se
+            UNION ALL SELECT v, u FROM ne UNION ALL SELECT v, u FROM se
+        ),
+        verts AS (SELECT DISTINCT u AS id FROM ue),
+        ce AS (
+            SELECT u || '|0' AS s, v || '|1' AS d FROM ue
+            UNION ALL SELECT u || '|1', v || '|0' FROM ue
+        ),
+        cv AS (SELECT id || '|0' AS id FROM verts
+               UNION ALL SELECT id || '|1' FROM verts),
+        r AS (
+            SELECT id, id AS lbl FROM cv
+            UNION
+            SELECT ce.d AS id, r.lbl FROM r JOIN ce ON ce.s = r.id
+        ),
+        lab AS (SELECT id, min(lbl) AS lbl FROM r GROUP BY id),
+        pv AS (
+            SELECT substr(id, 1, length(id) - 2) AS v,
+                   substr(id, length(id), 1) AS p, lbl
+            FROM lab
+        ),
+        per AS (
+            SELECT v, max(CASE WHEN p = '0' THEN lbl END) AS l0,
+                   max(CASE WHEN p = '1' THEN lbl END) AS l1
+            FROM pv GROUP BY v
+        ),
+        k AS (
+            SELECT v, least(l0, l1) AS component,
+                   CASE WHEN l0 = l1 THEN 1 ELSE 0 END AS odd,
+                   CASE WHEN l0 < l1 THEN 1 ELSE 0 END AS s0,
+                   CASE WHEN l0 > l1 THEN 1 ELSE 0 END AS s1
+            FROM per
+        ),
+        g AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS n_vertices,
+                   max(odd) = 0 AS is_bipartite,
+                   CAST(sum(s0) AS BIGINT) AS t0,
+                   CAST(sum(s1) AS BIGINT) AS t1
+            FROM k GROUP BY component
+        )
+        SELECT component, n_vertices, is_bipartite,
+               CASE WHEN is_bipartite THEN t0 END AS side0,
+               CASE WHEN is_bipartite THEN t1 END AS side1
+        FROM g ORDER BY component
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11564,6 +11660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_ams_stream": q_sketch_ams_stream,
         "events_runs": q_events_runs,
         "events_concurrency": q_events_concurrency,
+        "graph_bipartite": q_graph_bipartite,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12493,6 +12590,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cdc": _cdc_oracle_sql(),
         "events_runs": _runs_oracle_sql(),
         "events_concurrency": _concurrency_oracle_sql(),
+        "graph_bipartite": _bipartite_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

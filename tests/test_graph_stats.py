@@ -752,3 +752,28 @@ def test_rich_club_clique_with_leaves(spark):
     assert (got[3]["n_nodes"], got[3]["n_edges"], got[3]["phi"]) == (2, 1, 1.0)
     assert (got[4]["n_nodes"], got[4]["n_edges"]) == (0, 0)
     assert got[4]["phi"] is None
+
+
+def test_bipartite_check_verdicts(spark):
+    """Triangle -> odd (NULL sides); C4 -> bipartite 2/2; P3 -> 2/1;
+    isolated vertex -> trivially bipartite 1/0."""
+    from usearch_spark.plans.graph_stats import bipartite_check
+
+    edges = [
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),          # triangle
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c1"),  # C4
+        ("p1", "p2"), ("p2", "p3"),                         # path
+    ]
+    verts = sorted({x for e in edges for x in e} | {"iso"})
+    e = spark.createDataFrame(edges, "src string, dst string")
+    v = spark.createDataFrame([(x,) for x in verts], "id string")
+    got = {r["component"]: r for r in bipartite_check(v, e).collect()}
+    by_n = {r["n_vertices"]: r for r in got.values()}
+    tri = [r for r in got.values() if r["n_vertices"] == 3 and not r["is_bipartite"]]
+    assert len(tri) == 1 and tri[0]["side0"] is None
+    c4 = [r for r in got.values() if r["n_vertices"] == 4]
+    assert c4[0]["is_bipartite"] and sorted([c4[0]["side0"], c4[0]["side1"]]) == [2, 2]
+    p3 = [r for r in got.values() if r["n_vertices"] == 3 and r["is_bipartite"]]
+    assert len(p3) == 1 and sorted([p3[0]["side0"], p3[0]["side1"]]) == [1, 2]
+    iso = by_n[1]
+    assert iso["is_bipartite"] and (iso["side0"], iso["side1"]) in ((1, 0), (0, 1))

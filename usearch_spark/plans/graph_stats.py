@@ -1963,3 +1963,81 @@ def rich_club(
             / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double"),
         ).alias("phi"),
     )
+
+
+def bipartite_check(
+    vertices: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-component BIPARTITENESS verdict via the DOUBLE-COVER
+    reduction — the data-quality audit that VERIFIES claimed two-mode
+    structure (an edge table sold as supplier↔part must 2-color; an
+    odd cycle means mixed-mode contamination): build the bipartite
+    double cover (each vertex split into parity copies v|0, v|1, each
+    undirected edge {u,v} becoming {u|0,v|1} and {u|1,v|0}) and run
+    ordinary CONNECTED COMPONENTS on it — a component of the original
+    graph is bipartite iff its two cover copies stay in DIFFERENT
+    cover components (an odd cycle glues them).  One CC run answers
+    every component at once; the two cover labels of v also hand back
+    the 2-coloring (side = which cover component holds v|0).
+
+    Distributed shape: the cover doubles |V| and |E| and reuses the
+    proven components machinery (local solve under the row bound, else
+    min-label pregel / star contraction at scale).  No new iteration
+    code, no collects.
+
+    Determinism: labels are min-ids over string vertex names — every
+    verdict and side count is an exact discrete decision.
+
+    Output: one row per original component — (component = least cover
+    label, n_vertices, is_bipartite, side0, side1 — sides NULL for odd
+    components).
+    """
+    from usearch_spark.plans.pregel import connected_components
+
+    e = canonical_edges(edges, src, dst)
+    v = vertices.select(F.col("id"))
+    dc_v = v.select(F.concat(F.col("id"), F.lit("|0")).alias("id")).unionAll(
+        v.select(F.concat(F.col("id"), F.lit("|1")).alias("id"))
+    )
+    dc_e = e.select(
+        F.concat(F.col("a"), F.lit("|0")).alias("src"),
+        F.concat(F.col("b"), F.lit("|1")).alias("dst"),
+    ).unionAll(
+        e.select(
+            F.concat(F.col("a"), F.lit("|1")).alias("src"),
+            F.concat(F.col("b"), F.lit("|0")).alias("dst"),
+        )
+    )
+    res = connected_components(dc_v, dc_e)
+    lab = res.state.select(
+        F.expr("substring(id, 1, length(id) - 2)").alias("v"),
+        F.expr("substring(id, length(id), 1)").alias("p"),
+        F.col("value").alias("l"),
+    )
+    per_v = lab.groupBy("v").agg(
+        F.max(F.when(F.col("p") == "0", F.col("l"))).alias("l0"),
+        F.max(F.when(F.col("p") == "1", F.col("l"))).alias("l1"),
+    )
+    keyed = per_v.select(
+        "v",
+        F.least("l0", "l1").alias("component"),
+        (F.col("l0") == F.col("l1")).cast("int").alias("odd"),
+        (F.col("l0") < F.col("l1")).cast("long").alias("s0"),
+        (F.col("l0") > F.col("l1")).cast("long").alias("s1"),
+    )
+    g = keyed.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.max("odd") == 0).alias("is_bipartite"),
+        F.sum("s0").alias("_s0"),
+        F.sum("s1").alias("_s1"),
+    )
+    return g.select(
+        "component",
+        "n_vertices",
+        "is_bipartite",
+        F.when(F.col("is_bipartite"), F.col("_s0")).alias("side0"),
+        F.when(F.col("is_bipartite"), F.col("_s1")).alias("side1"),
+    )
