@@ -10153,6 +10153,189 @@ def _bipartite_oracle_sql() -> str:
     """
 
 
+def q_parts_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC INVENTORY CLASSIFICATION per brand: parts ranked by revenue
+    within their brand, classified A (cumulative share ≤ 80%),
+    B (≤ 95%), C (rest) — the classic Pareto working-capital split
+    (parts_pareto finds the efficiency FRONTIER; this buckets the whole
+    catalog).  Every class decision is an exact integer
+    cross-multiplication (5·cum ≤ 4·total, 20·cum ≤ 19·total on exact
+    cents — never a float share compare), the rank window is
+    brand-partitioned (no global window), and the reported share is ONE
+    closing divide — bit-exact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_partkey", "rev")
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev").desc(), F.col("p_partkey")
+    )
+    wt = Window.partitionBy("p_brand")
+    c = rev.withColumn(
+        "cum",
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn("total", F.sum("rev").over(wt))
+    classed = c.withColumn(
+        "abc_class",
+        F.when(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("total"), F.lit("A"))
+        .when(F.lit(20) * F.col("cum") <= F.lit(19) * F.col("total"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    g = classed.groupBy("p_brand", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("revenue_cents"),
+        F.max("total").alias("_t"),
+    )
+    return (
+        g.select(
+            "p_brand",
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            (
+                F.col("revenue_cents").cast("double") / F.col("_t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("p_brand", "abc_class")
+    )
+
+
+def _abc_oracle_sql() -> str:
+    """parts_abc replay: exact-cents part revenue, the same
+    brand-partitioned rank window and integer cross-multiplied class
+    cuts, one divide per class share."""
+    return """
+        WITH rev AS (
+            SELECT p_brand, p_partkey,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT p_brand, rev,
+                   CAST(sum(rev) OVER (PARTITION BY p_brand
+                       ORDER BY rev DESC, p_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                   CAST(sum(rev) OVER (PARTITION BY p_brand) AS BIGINT) AS total
+            FROM rev
+        ),
+        k AS (
+            SELECT p_brand, rev, total,
+                   CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                        WHEN 20 * cum <= 19 * total THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c
+        )
+        SELECT p_brand, abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev) AS BIGINT) AS revenue_cents,
+               CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS share
+        FROM k GROUP BY 1, 2
+        ORDER BY p_brand, abc_class
+    """
+
+
+def q_events_concurrency_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED peak-concurrency monitor: events arrive as two replayed
+    micro-batches, a streamed ADDITIVE (event_type, second) count
+    rollup is maintained under the idempotent pointer (second run a
+    deliberate restart), and the drained cells feed the identical
+    ±300 s boundary sweep — second-cell counts are count-additive, so
+    the peak rebuilt from the rollup shares events_concurrency's BATCH
+    oracle verbatim (the stream-twin contract applied to a sweep)."""
+    import shutil
+    import uuid
+
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"conc_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select(
+            "event_type",
+            F.expr("ts_ns div 1000000000").alias("sec"),
+            F.col("user_id"),
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i).drop(
+                "user_id"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(
+                os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"conc_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, sec long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "sec"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rolled = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    from pyspark.sql import Window
+
+    sc = rolled.groupBy("event_type", "sec").agg(F.sum("n").alias("c"))
+    cells = (
+        sc.select("event_type", "sec", F.col("c").alias("delta"))
+        .unionAll(
+            sc.select(
+                "event_type",
+                (F.col("sec") + F.lit(300)).alias("sec"),
+                (-F.col("c")).alias("delta"),
+            )
+        )
+        .groupBy("event_type", "sec")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_df = cells.withColumn("cum", F.sum("delta").over(w))
+    ne = sc.groupBy("event_type").agg(F.sum("c").alias("n_events"))
+    pk = run_df.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cum"), (-F.col("sec")).alias("ns"))).alias("pk")
+    )
+    return (
+        ne.join(pk, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("pk.cum").alias("peak_concurrency"),
+            F.date_format(
+                F.expr(f"timestampadd(SECOND, -pk.ns, {_EPOCH_NTZ})"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("peak_at"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11661,6 +11844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs": q_events_runs,
         "events_concurrency": q_events_concurrency,
         "graph_bipartite": q_graph_bipartite,
+        "parts_abc": q_parts_abc,
+        "events_concurrency_stream": q_events_concurrency_stream,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12591,6 +12776,7 @@ def oracle_sql() -> dict[str, str]:
         "events_runs": _runs_oracle_sql(),
         "events_concurrency": _concurrency_oracle_sql(),
         "graph_bipartite": _bipartite_oracle_sql(),
+        "parts_abc": _abc_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),
@@ -15513,6 +15699,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_holt_winters_stream"] = out["events_holt_winters"]
     out["eval_auc_stream"] = out["eval_auc"]
     out["sketch_ams_stream"] = out["sketch_ams_f2"]
+    out["events_concurrency_stream"] = out["events_concurrency"]
     return out
 
 

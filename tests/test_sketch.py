@@ -904,3 +904,32 @@ def test_events_concurrency_hand_sweep(spark):
         c, t = brute(ss)
         assert pk[g]["cum"] == c, g
         assert -pk[g]["ns"] == t, g
+
+
+def test_abc_classification_hand_count(spark):
+    """The integer cross-multiplied class cuts reproduce the textbook
+    80/95 cumulative-share split, including the boundary row landing in
+    A exactly at 80%."""
+    from pyspark.sql import Window, functions as F
+
+    # one brand, revenues 50, 30, 15, 4, 1 (total 100):
+    # cum shares 50, 80, 95, 99, 100 -> A, A (exactly 80), B (exactly 95),
+    # C, C
+    rows = [("B1", i, r) for i, r in enumerate([50, 30, 15, 4, 1])]
+    rev = spark.createDataFrame(rows, "p_brand string, p_partkey long, rev long")
+    w = Window.partitionBy("p_brand").orderBy(F.col("rev").desc(), "p_partkey")
+    wt = Window.partitionBy("p_brand")
+    c = rev.withColumn(
+        "cum",
+        F.sum("rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("total", F.sum("rev").over(wt))
+    classed = c.withColumn(
+        "abc_class",
+        F.when(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("total"), F.lit("A"))
+        .when(F.lit(20) * F.col("cum") <= F.lit(19) * F.col("total"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    got = {r["p_partkey"]: r["abc_class"] for r in classed.collect()}
+    assert got == {0: "A", 1: "A", 2: "B", 3: "C", 4: "C"}
