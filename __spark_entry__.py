@@ -10336,6 +10336,191 @@ def q_events_concurrency_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audit_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit of the customer table under the quasi-identifier
+    (nation, segment, $1000-balance band) — the re-identification-risk
+    check a pipeline runs AFTER the PII scrub (text_scrub removes
+    direct identifiers; this measures whether the remaining
+    quasi-identifiers still single people out): per segment, the
+    equivalence-class profile and the share of rows in classes smaller
+    than k = 5.  Class sizes are one groupBy over the QI dimension;
+    every count is exact int64 and the share is ONE divide — bit-exact.
+    Scales as the QI-distinct dimension, not row volume."""
+    k = 5
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        ),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("cents div 100000").alias("band"),
+    )
+    cls = c.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    g = cls.groupBy("c_mktsegment").agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("min_class_size"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(F.lit(0))).alias(
+            "rows_below_k"
+        ),
+    )
+    return g.select(
+        "c_mktsegment",
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "rows_below_k",
+        (
+            F.col("rows_below_k").cast("double") / F.col("n_rows").cast("double")
+        ).alias("pct_below_k"),
+    ).orderBy("c_mktsegment")
+
+
+def _kanonymity_oracle_sql(k: int = 5) -> str:
+    """audit_kanonymity replay: identical integer band (cents div 1e5 —
+    floor division on exact cents), class collapse, conditional sums,
+    one divide."""
+    return f"""
+        WITH c AS (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT)
+                       // 100000 AS band
+            FROM customer
+        ),
+        cls AS (
+            SELECT c_mktsegment, c_nationkey, band,
+                   CAST(count(*) AS BIGINT) AS sz
+            FROM c GROUP BY 1, 2, 3
+        )
+        SELECT c_mktsegment,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(sz) AS BIGINT) AS min_class_size,
+               CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS BIGINT)
+                   AS rows_below_k,
+               CAST(sum(CASE WHEN sz < {k} THEN sz ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(sz) AS DOUBLE) AS pct_below_k
+        FROM cls GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """
+
+
+def q_eval_auc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with a Poisson-bootstrap percentile interval (operators/
+    evaluate.group_auc_bootstrap — Chamandy et al. 2012): the error bar
+    the scorecard's point estimates lack, distributable because each
+    row draws an independent Poisson(1) weight per replicate — here a
+    DETERMINISTIC integer draw (60-bit md5 of (id, replicate) vs
+    injected integer CDF thresholds), so the ENTIRE resampling plan is
+    hash-checked: 20 weighted Mann-Whitney AUCs over (segment,
+    replicate, score) cells, pinned-rank 10/90 percentile band over
+    their bit-identical doubles."""
+    from usearch_spark.operators.evaluate import group_auc_bootstrap
+
+    return group_auc_bootstrap(
+        _map_mrr_base(spark, sf_dir),
+        ["c_mktsegment"],
+        "cents",
+        "label",
+        "c_custkey",
+        n_boot=20,
+    ).orderBy("c_mktsegment")
+
+
+def _auc_bootstrap_oracle_sql(n_boot: int = 20, max_w: int = 6) -> str:
+    """group_auc_bootstrap replay: identical injected Poisson
+    thresholds, md5 weight draws, weighted rank-block AUC per (segment,
+    replicate), NULL-filtered ordered list, pinned-rank band."""
+    from usearch_spark.operators.evaluate import poisson_thresholds
+
+    ts = poisson_thresholds(max_w)
+    wsum = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in ts
+    )
+    return f"""
+        WITH {_MAP_MRR_BASE_SQL},
+        reps AS (
+            SELECT seg, cents, y,
+                   CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                            || CAST(bb.b AS VARCHAR)), 1, 15) AS BIGINT) AS u,
+                   bb.b AS b
+            FROM base, (SELECT unnest(range(1, {n_boot + 1})) AS b) bb
+        ),
+        wts AS (SELECT seg, b, cents, y, ({wsum}) AS w FROM reps),
+        cells AS (
+            SELECT seg, b, cents, CAST(sum(w) AS BIGINT) AS cnt,
+                   CAST(sum(w * y) AS BIGINT) AS pos
+            FROM wts WHERE w > 0 GROUP BY 1, 2, 3
+        ),
+        rk AS (
+            SELECT seg, b, cnt, pos,
+                   CAST(SUM(cnt) OVER (PARTITION BY seg, b ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                       AS BIGINT) AS lower
+            FROM cells
+        ),
+        g2 AS (
+            SELECT seg, b, CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * lower + cnt + 1)) AS BIGINT) AS two_r1
+            FROM rk GROUP BY 1, 2
+        ),
+        pr AS (
+            SELECT seg, b,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE)
+                             / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+            FROM g2
+        ),
+        band AS (
+            SELECT seg,
+                   list(auc ORDER BY auc) FILTER (WHERE auc IS NOT NULL)
+                       AS arr
+            FROM pr GROUP BY seg
+        ),
+        agg0 AS (
+            SELECT seg, cents, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+            FROM base GROUP BY 1, 2
+        ),
+        rk0 AS (
+            SELECT seg, cnt, pos,
+                   CAST(SUM(cnt) OVER (PARTITION BY seg ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                       AS BIGINT) AS lower
+            FROM agg0
+        ),
+        g0 AS (
+            SELECT seg, CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * lower + cnt + 1)) AS BIGINT) AS two_r1
+            FROM rk0 GROUP BY 1
+        ),
+        point AS (
+            SELECT seg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(two_r1 - n_pos * (n_pos + 1) AS DOUBLE)
+                             / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+            FROM g0
+        )
+        SELECT point.seg AS c_mktsegment, point.auc,
+               CAST(len(arr) AS BIGINT) AS n_boot_valid,
+               CASE WHEN len(arr) > 0
+                    THEN arr[greatest(1, len(arr) // 10)] END AS ci_lo,
+               CASE WHEN len(arr) > 0
+                    THEN arr[least(len(arr), len(arr) - len(arr) // 10 + 1)]
+               END AS ci_hi
+        FROM point JOIN band ON band.seg = point.seg
+        ORDER BY point.seg
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -11846,6 +12031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bipartite": q_graph_bipartite,
         "parts_abc": q_parts_abc,
         "events_concurrency_stream": q_events_concurrency_stream,
+        "audit_kanonymity": q_audit_kanonymity,
+        "eval_auc_bootstrap": q_eval_auc_bootstrap,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12777,6 +12964,8 @@ def oracle_sql() -> dict[str, str]:
         "events_concurrency": _concurrency_oracle_sql(),
         "graph_bipartite": _bipartite_oracle_sql(),
         "parts_abc": _abc_oracle_sql(),
+        "audit_kanonymity": _kanonymity_oracle_sql(k=5),
+        "eval_auc_bootstrap": _auc_bootstrap_oracle_sql(n_boot=20, max_w=6),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

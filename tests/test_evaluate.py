@@ -625,3 +625,62 @@ def test_group_mannwhitney_matches_textbook(spark):
     assert got["A"]["u1"] == u1
     assert got["A"]["z"] == pytest.approx(z, abs=1e-12)
     assert got["T"]["u1"] == 2.0 and got["T"]["z"] is None
+
+
+def test_group_auc_bootstrap_matches_python_replay(spark):
+    """The deterministic Poisson weights, each replicate's weighted AUC,
+    and the pinned-rank band all equal a Python replay."""
+    import hashlib
+
+    from usearch_spark.operators.evaluate import (
+        group_auc_bootstrap,
+        poisson_thresholds,
+    )
+
+    rows = [("A", i, 100 - i + (7 if i % 3 == 0 else 0), 1 if i < 8 else 0)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, score long, label int")
+    got = group_auc_bootstrap(
+        df, ["g"], "score", "label", "id", n_boot=20
+    ).collect()[0]
+
+    ts = poisson_thresholds(6)
+
+    def u60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wauc(pairs):
+        # pairs: (score, label, weight)
+        cells = {}
+        for s, y, w in pairs:
+            if w > 0:
+                c, p = cells.get(s, (0, 0))
+                cells[s] = (c + w, p + w * y)
+        lower, two_r1, npos, ntot = 0, 0, 0, 0
+        for s in sorted(cells):
+            c, p = cells[s]
+            two_r1 += p * (2 * lower + c + 1)
+            lower += c
+            npos += p
+            ntot += c
+        nneg = ntot - npos
+        if npos == 0 or nneg == 0:
+            return None
+        return (two_r1 - npos * (npos + 1)) / (2 * npos * nneg)
+
+    aucs = []
+    for b in range(1, 21):
+        pairs = []
+        for _, i, s, y in rows:
+            u = u60(f"{i}:{b}")
+            w = sum(1 for t in ts if u >= t)
+            pairs.append((s, y, w))
+        a = wauc(pairs)
+        if a is not None:
+            aucs.append(a)
+    aucs.sort()
+    n = len(aucs)
+    assert got["n_boot_valid"] == n
+    assert got["ci_lo"] == aucs[max(1, n // 10) - 1]
+    assert got["ci_hi"] == aucs[min(n, n - n // 10 + 1) - 1]
+    assert got["ci_lo"] <= got["auc"] <= got["ci_hi"] or n < 5

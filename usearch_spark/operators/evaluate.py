@@ -1242,3 +1242,99 @@ def group_mannwhitney(
             dbl(two_u1 - n1 * n0) / (F.lit(2.0) * F.sqrt(var)),
         ).alias("z"),
     )
+
+
+def poisson_thresholds(max_w: int = 6, space: int = 16 ** 15) -> list[int]:
+    """Integer CDF thresholds for a deterministic Poisson(1) draw from a
+    uniform 60-bit hash: t_k = floor(P(X ≤ k)·space) for k = 0..max_w−1
+    (draws ≥ max_w clamp — P(X ≥ 6) < 6·10⁻⁴).  Computed ONCE in Python
+    and INJECTED as int literals on both engines (the ndcg_discounts
+    no-engine-side-transcendentals contract), so every weight decision
+    is an exact integer compare."""
+    import math
+
+    acc, out = 0.0, []
+    for k in range(max_w):
+        acc += math.exp(-1) / math.factorial(k)
+        out.append(int(acc * space))
+    return out
+
+
+def group_auc_bootstrap(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_boot: int = 20,
+    max_w: int = 6,
+) -> DataFrame:
+    """Per-group AUC with a POISSON-BOOTSTRAP percentile interval — the
+    error bar the point estimate lacks: is segment A's 0.74 really
+    better than B's 0.71, or inside resampling noise?  The classic
+    n-out-of-n bootstrap is undistributable (it needs a global sample
+    index); the POISSON bootstrap (Chamandy et al. 2012, the
+    large-scale standard) gives each row an independent Poisson(1)
+    weight per replicate — here a DETERMINISTIC draw: the 60-bit md5 of
+    (id, replicate) compared against injected integer CDF thresholds
+    (:func:`poisson_thresholds`), so every weight is an exact integer
+    decision and the whole resampling plan is hash-checkable.
+
+    Each replicate's AUC is the weighted Mann-Whitney over (group,
+    replicate, score) cells — :func:`group_auc_from_cells` verbatim,
+    windows partitioned per (group, replicate), exact integers + one
+    divide.  The interval is the two-pinned-rank percentile band over
+    the sorted replicate AUCs (lo = rank max(1, B div 10), hi = rank
+    B − B div 10 + 1 — the 10th/90th percentiles at B = 20), sorted on
+    bit-identical doubles.
+
+    Distributed shape: one explode to B×rows (B is a constant), one
+    cell collapse (distinct scores × B — a dimension), the proven
+    rank-block window, then a B-bounded in-row sort per group.  No
+    UDFs, no collects.
+
+    Output: group_cols + (auc, n_boot_valid, ci_lo, ci_hi).
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from usearch_spark.operators.sketch import _kmv_hash
+
+    ts = poisson_thresholds(max_w)
+    reps = df.select(
+        *group_cols,
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).withColumn("_b", F.explode(F.sequence(F.lit(1), F.lit(n_boot))))
+    u = _kmv_hash(
+        F.concat(F.col("_id"), F.lit(":"), F.col("_b").cast("string"))
+    )
+    w = _reduce(_add, [(u >= F.lit(t)).cast("long") for t in ts])
+    cells = (
+        reps.withColumn("_w", w)
+        .filter(F.col("_w") > 0)
+        .groupBy(*group_cols, "_b", "_s")
+        .agg(
+            F.sum("_w").alias("cnt"),
+            F.sum(F.col("_w") * F.col("_y")).alias("pos"),
+        )
+    )
+    per_rep = group_auc_from_cells(cells, [*group_cols, "_b"], "_s")
+    band = (
+        per_rep.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("auc")).alias("_arr"))
+        .withColumn("_n", F.size("_arr"))
+    )
+    lo = F.expr("try_element_at(_arr, CAST(greatest(1, _n div 10) AS INT))")
+    hi = F.expr(
+        "try_element_at(_arr, CAST(least(_n, _n - _n div 10 + 1) AS INT))"
+    )
+    point = group_auc(df, group_cols, score_col, label_col)
+    return point.join(band, group_cols).select(
+        *group_cols,
+        "auc",
+        F.col("_n").cast("long").alias("n_boot_valid"),
+        F.when(F.col("_n") > 0, lo).alias("ci_lo"),
+        F.when(F.col("_n") > 0, hi).alias("ci_hi"),
+    )
