@@ -10521,6 +10521,49 @@ def _auc_bootstrap_oracle_sql(n_boot: int = 20, max_w: int = 6) -> str:
     """
 
 
+def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community CONDUCTANCE of the Louvain partition (plans/
+    graph_stats.conductance — Kannan, Vempala & Vetta 2004): the
+    bottleneck score phi(C) = cut/min(vol, 2m−vol) that exposes the one
+    leaky community a global modularity number hides — detect
+    (louvain) → measure (modularity, gate-green) → STRESS-TEST (this).
+    cut = vol − 2·internal falls out of one degree join and one
+    endpoint-label join; all counts exact int64, ONE divide per
+    community.  The oracle replays the full Louvain unroll and closes
+    with the conductance arithmetic over the same per-community
+    integers."""
+    from usearch_spark.plans.graph_stats import conductance, louvain
+
+    v, e = _nation_graph(spark, sf_dir)
+    comm = louvain(v, e, rounds=4, coarse_rounds=4).localCheckpoint(eager=True)
+    return conductance(comm, e).orderBy("community")
+
+
+def _conductance_oracle_sql() -> str:
+    """conductance replay: the verbatim Louvain-unroll oracle with its
+    closing modularity SELECT swapped for the conductance arithmetic
+    over the same per-community integer columns (mm.m is the fine-level
+    undirected edge count already in scope)."""
+    base = _louvain_oracle_sql(4, 4)
+    old_tail = """
+        SELECT community, n_members, internal_edges, degree_sum, q_contrib,
+               tot.modularity
+        FROM per, tot"""
+    new_tail = """
+        SELECT community, n_members,
+               degree_sum AS volume,
+               degree_sum - 2 * internal_edges AS cut_edges,
+               CASE WHEN least(degree_sum, 2 * mm.m - degree_sum) > 0
+                    THEN CAST(degree_sum - 2 * internal_edges AS DOUBLE)
+                         / CAST(least(degree_sum, 2 * mm.m - degree_sum)
+                                AS DOUBLE)
+               END AS conductance
+        FROM per, mm
+        ORDER BY community"""
+    assert old_tail in base, "louvain oracle tail changed; update conductance"
+    return base.replace(old_tail, new_tail)
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12033,6 +12076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency_stream": q_events_concurrency_stream,
         "audit_kanonymity": q_audit_kanonymity,
         "eval_auc_bootstrap": q_eval_auc_bootstrap,
+        "graph_conductance": q_graph_conductance,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -12966,6 +13010,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_abc": _abc_oracle_sql(),
         "audit_kanonymity": _kanonymity_oracle_sql(k=5),
         "eval_auc_bootstrap": _auc_bootstrap_oracle_sql(n_boot=20, max_w=6),
+        "graph_conductance": _conductance_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

@@ -777,3 +777,31 @@ def test_bipartite_check_verdicts(spark):
     assert len(p3) == 1 and sorted([p3[0]["side0"], p3[0]["side1"]]) == [1, 2]
     iso = by_n[1]
     assert iso["is_bipartite"] and (iso["side0"], iso["side1"]) in ((1, 0), (0, 1))
+
+
+def test_conductance_two_triangles_bridge(spark):
+    """Two triangles joined by a bridge, labeled as two communities:
+    each has vol 7, cut 1 -> phi = 1/7; labeling the whole graph one
+    community leaves no boundary -> NULL."""
+    from usearch_spark.plans.graph_stats import conductance
+
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ("a1", "b1"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    comm = spark.createDataFrame(
+        [(v, v[0]) for v in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "id string, community string",
+    )
+    got = {r["community"]: r for r in conductance(comm, e).collect()}
+    for c in ("a", "b"):
+        assert (got[c]["n_members"], got[c]["volume"], got[c]["cut_edges"]) == (3, 7, 1)
+        assert got[c]["conductance"] == 1 / 7
+    one = spark.createDataFrame(
+        [(v, "all") for v in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "id string, community string",
+    )
+    r = conductance(one, e).collect()[0]
+    assert r["cut_edges"] == 0 and r["conductance"] is None

@@ -2041,3 +2041,72 @@ def bipartite_check(
         F.when(F.col("is_bipartite"), F.col("_s0")).alias("side0"),
         F.when(F.col("is_bipartite"), F.col("_s1")).alias("side1"),
     )
+
+
+def conductance(
+    communities: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Per-community CONDUCTANCE phi(C) = cut(C) / min(vol(C), 2m - vol(C))
+    (Kannan, Vempala & Vetta 2004) over the undirected deduped graph -- the
+    bottleneck score that grades a partition by its weakest boundary, the
+    detect->measure companion modularity can't provide (modularity rewards
+    global structure; conductance exposes the single leaky community).
+
+    cut(C) = vol(C) - 2*internal(C), so one degree join and one
+    endpoint-community join produce every number; all counts exact int64,
+    ONE divide per community (den = 0 -> NULL: an isolated or whole-graph
+    community has no boundary to score).
+
+    Distributed shape: degrees from one groupBy; internal edges from one
+    hash join of both endpoint labels; partial-agg collapses by community.
+    No windows, no UDFs, no collects.
+
+    Output: (community, n_members, volume, cut_edges, conductance).
+    """
+    uw = canonical_edges(edges, src, dst)
+    lab = communities.select(F.col(id_col).alias("_v"), F.col(comm_col).alias("_c"))
+    deg = (
+        uw.select(F.col("a").alias("_v"))
+        .unionAll(uw.select(F.col("b").alias("_v")))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    vol = (
+        lab.join(deg, "_v", "left")
+        .groupBy("_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("_d", F.lit(0))).alias("volume"),
+        )
+    )
+    la = lab.select(F.col("_v").alias("a"), F.col("_c").alias("_ca"))
+    lb = lab.select(F.col("_v").alias("b"), F.col("_c").alias("_cb"))
+    internal = (
+        uw.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_int"))
+    )
+    m = uw.agg(F.count(F.lit(1)).alias("_m"))
+    g = (
+        vol.join(internal, "_c", "left")
+        .withColumn("_int", F.coalesce("_int", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+    )
+    cut = F.col("volume") - F.lit(2) * F.col("_int")
+    den = F.least(F.col("volume"), F.lit(2) * F.col("_m") - F.col("volume"))
+    return g.select(
+        F.col("_c").alias("community"),
+        "n_members",
+        "volume",
+        cut.alias("cut_edges"),
+        F.when(den > 0, cut.cast("double") / den.cast("double")).alias(
+            "conductance"
+        ),
+    )
