@@ -10564,6 +10564,86 @@ def _conductance_oracle_sql() -> str:
     return base.replace(old_tail, new_tail)
 
 
+def q_events_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD iterative outliers (operators/forecast.
+    esd_outliers — Rosner 1983): per event type, three rounds of
+    max-studentized-deviation extraction with re-studentization after
+    each removal — the masking-resistant refinement of the single-pass
+    events_anomaly z-filter (one huge spike can hide a second one in
+    the std it inflates).  Each argmax is the EXACT integer |n·x − S|
+    with earliest-day ties; scores close with one fixed
+    int→double/sqrt chain — bit-exact."""
+    from usearch_spark.operators.forecast import esd_outliers
+
+    ev = _events(spark, sf_dir)
+    return esd_outliers(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), rounds=3
+    ).orderBy("event_type", "esd_rank")
+
+
+def _esd_oracle_sql(rounds: int = 3) -> str:
+    """esd_outliers replay: day-ordered count lists, per-round
+    list-filtered active index set, the same exact-integer argmax and
+    fixed score chain, unrolled per round."""
+    parts = ["""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        c0 AS (
+            SELECT g, list(n ORDER BY d) AS v, list(d ORDER BY d) AS ds,
+                   count(*) AS t
+            FROM daily GROUP BY g HAVING count(*) >= %d
+        )""" % (rounds + 2)]
+    for r in range(1, rounds + 1):
+        excl = " AND ".join(f"i <> i{j}" for j in range(1, r))
+        pred = f" AND {excl}" if excl else ""
+        parts.append(f""",
+        a{r} AS (
+            SELECT *, list_filter(range(1, t + 1), i -> TRUE{pred}) AS act{r}
+            FROM c{r - 1}
+        ),
+        s{r} AS (
+            SELECT *, CAST(len(act{r}) AS BIGINT) AS n{r},
+                   CAST(list_sum(list_transform(act{r}, i -> v[i]))
+                        AS BIGINT) AS ss{r},
+                   CAST(list_sum(list_transform(act{r}, i -> v[i] * v[i]))
+                        AS BIGINT) AS qq{r}
+            FROM a{r}
+        ),
+        m{r} AS (
+            SELECT *, list_max(list_transform(act{r},
+                       i -> abs(n{r} * v[i] - ss{r}))) AS mx{r}
+            FROM s{r}
+        ),
+        c{r} AS (
+            SELECT *, list_filter(act{r},
+                       i -> abs(n{r} * v[i] - ss{r}) = mx{r})[1] AS i{r}
+            FROM m{r}
+        )""")
+    sels = []
+    for r in range(1, rounds + 1):
+        sels.append(f"""
+            SELECT g, CAST({r} AS BIGINT) AS esd_rank,
+                   strftime(ds[i{r}], '%Y-%m-%d') AS day,
+                   CAST(v[i{r}] AS BIGINT) AS n_events,
+                   CASE WHEN n{r} * qq{r} - ss{r} * ss{r} > 0
+                        THEN CAST(mx{r} AS DOUBLE)
+                             / (CAST(n{r} AS DOUBLE)
+                                * sqrt(CAST(n{r} * qq{r} - ss{r} * ss{r}
+                                            AS DOUBLE)
+                                       / CAST(n{r} * (n{r} - 1) AS DOUBLE)))
+                   END AS esd_score
+            FROM c{rounds}""")
+    union = "\n            UNION ALL".join(sels)
+    parts.append(f"""
+        SELECT g AS event_type, esd_rank, day, n_events, esd_score
+        FROM ({union})
+        ORDER BY event_type, esd_rank""")
+    return "".join(parts)
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12077,6 +12157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_kanonymity": q_audit_kanonymity,
         "eval_auc_bootstrap": q_eval_auc_bootstrap,
         "graph_conductance": q_graph_conductance,
+        "events_esd": q_events_esd,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13011,6 +13092,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_kanonymity": _kanonymity_oracle_sql(k=5),
         "eval_auc_bootstrap": _auc_bootstrap_oracle_sql(n_boot=20, max_w=6),
         "graph_conductance": _conductance_oracle_sql(),
+        "events_esd": _esd_oracle_sql(rounds=3),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

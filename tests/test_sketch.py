@@ -933,3 +933,50 @@ def test_abc_classification_hand_count(spark):
     )
     got = {r["p_partkey"]: r["abc_class"] for r in classed.collect()}
     assert got == {0: "A", 1: "A", 2: "B", 3: "C", 4: "C"}
+
+
+def test_esd_outliers_masking_resistance(spark):
+    """A giant spike masks a second spike from a single-pass z-filter;
+    ESD removes it and still finds the second one in round 2, with
+    scores matching a Python replay of the exact recurrence."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import esd_outliers
+
+    d0 = datetime.date(2024, 7, 1)
+    xs = [10, 11, 10, 9, 10, 200, 10, 11, 9, 10, 40, 10]  # spikes at 5, 10
+    rows = []
+    for i, n in enumerate(xs):
+        rows += [("g", d0 + datetime.timedelta(days=i))] * n
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {
+        r["esd_rank"]: r
+        for r in esd_outliers(df, ["g"], F.col("d"), rounds=3).collect()
+    }
+
+    def replay(vals, rounds=3):
+        active = list(range(len(vals)))
+        out = []
+        for _ in range(rounds):
+            n = len(active)
+            s = sum(vals[i] for i in active)
+            q = sum(vals[i] ** 2 for i in active)
+            mx, pick = max(
+                ((abs(n * vals[i] - s), -i) for i in active),
+                key=lambda p: (p[0], p[1]),
+            )
+            pick = -pick
+            var = (n * q - s * s) / (n * (n - 1))
+            out.append((pick, vals[pick], mx / (n * var ** 0.5)))
+            active.remove(pick)
+        return out
+
+    exp = replay(xs)
+    for r, (idx, x, sc) in enumerate(exp, 1):
+        assert got[r]["day"] == (d0 + datetime.timedelta(days=idx)).isoformat()
+        assert got[r]["n_events"] == x
+        assert got[r]["esd_score"] == pytest.approx(sc, rel=1e-12)
+    assert got[1]["day"] == "2024-07-06" and got[2]["day"] == "2024-07-11"

@@ -1283,3 +1283,137 @@ def runs_test(
             / F.sqrt((a * (a - F.col("_m"))).cast("double")),
         ).alias("z"),
     )
+
+
+def esd_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    rounds: int = 3,
+) -> DataFrame:
+    """Generalized-ESD style ITERATIVE outlier extraction (Rosner 1983)
+    over the daily count series — the masking-resistant companion to
+    the single-pass detectors (a huge spike inflates the std enough to
+    hide a second spike; ESD re-studentizes after REMOVING each
+    extreme, so round 2 sees round 1's spike gone): per group,
+    ``rounds`` iterations of "take the max studentized deviation, then
+    recompute".  The t-quantile significance ladder is deliberately NOT
+    computed engine-side (transcendental); callers compare scores to
+    published λ_i values.
+
+    Determinism: the per-round argmax is decided on the EXACT integer
+    |n·x − S| (argmax |x − mean| needs no divide — n and S = Σx are
+    int64), ties to the earliest day; the reported score closes as
+    |n·x − S| / (n·sqrt((n·Q − S²)/(n·(n−1)))) — an int→double + sqrt
+    + multiply + divide fixed chain, bit-identical.  Groups need
+    ≥ rounds + 2 days; a constant remainder (n·Q = S²) scores NULL.
+
+    Distributed shape: one (group, day) count shuffle, then bounded
+    in-row folds (rounds × T work per group).  No UDFs, no collects,
+    no global window.
+
+    Output: one row per (group, round): group_cols + (esd_rank, day,
+    n_events, esd_score).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = (
+        daily.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq"))
+        .filter(F.size("seq") >= rounds + 2)
+    )
+    per = per.withColumn(
+        "_v", F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    )
+    t = F.size("_v")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    def _mk_active(prev_cols):
+        # single-arg closure factory: F.filter feeds a 2-arg lambda the
+        # element INDEX as its second argument (the documented pitfall)
+        def pred(i):
+            c = F.lit(True)
+            for p in prev_cols:
+                c = c & (i != F.col(p))
+            return c
+
+        return pred
+
+    def _mk_dev(n_name, s_name):
+        def dev(i):
+            return F.abs(F.col(n_name) * el("_v", i) - F.col(s_name))
+
+        return dev
+
+    def _mk_cmp(dev_fn, max_name):
+        def cmp_(i):
+            return dev_fn(i) == F.col(max_name)
+
+        return cmp_
+
+    for r in range(1, rounds + 1):
+        prev = [f"_i{j}" for j in range(1, r)]
+        per = per.withColumn(
+            f"_a{r}", F.filter(F.sequence(F.lit(1), t), _mk_active(list(prev)))
+        )
+        a = F.col(f"_a{r}")
+        per = (
+            per.withColumn(f"_n{r}", F.size(a).cast("long"))
+            .withColumn(
+                f"_s{r}",
+                F.aggregate(
+                    a, F.lit(0).cast("long"), lambda acc, i: acc + el("_v", i)
+                ),
+            )
+            .withColumn(
+                f"_q{r}",
+                F.aggregate(
+                    a,
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc + el("_v", i) * el("_v", i),
+                ),
+            )
+        )
+        n_r, s_r, q_r = (F.col(f"_n{r}"), F.col(f"_s{r}"), F.col(f"_q{r}"))
+
+        dev = _mk_dev(f"_n{r}", f"_s{r}")
+        mname = f"_m{r}"
+        per = per.withColumn(
+            f"_m{r}", F.array_max(F.transform(a, dev))
+        ).withColumn(
+            f"_i{r}",
+            F.element_at(
+                F.filter(a, _mk_cmp(dev, mname)), 1
+            ),
+        )
+        var = (n_r * q_r - s_r * s_r).cast("double") / (
+            n_r * (n_r - F.lit(1))
+        ).cast("double")
+        per = per.withColumn(
+            f"_sc{r}",
+            F.when(
+                n_r * q_r - s_r * s_r > 0,
+                F.col(f"_m{r}").cast("double")
+                / (n_r.cast("double") * F.sqrt(var)),
+            ),
+        ).withColumn(
+            f"_day{r}",
+            F.date_format(el("seq", F.col(f"_i{r}"))["d"], "yyyy-MM-dd"),
+        ).withColumn(f"_x{r}", el("_v", F.col(f"_i{r}")))
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("esd_rank"),
+                F.col(f"_day{r}").alias("day"),
+                F.col(f"_x{r}").alias("n_events"),
+                F.col(f"_sc{r}").alias("esd_score"),
+            )
+            for r in range(1, rounds + 1)
+        ]
+    )
+    return per.select(*group_cols, F.explode(arr).alias("s")).select(
+        *group_cols, "s.esd_rank", "s.day", "s.n_events", "s.esd_score"
+    )
