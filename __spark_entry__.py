@@ -10644,6 +10644,115 @@ def _esd_oracle_sql(rounds: int = 3) -> str:
     return "".join(parts)
 
 
+def q_search_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK search (operators/search.
+    prf_expansion_terms — the Rocchio PRF loop): BM25 pass one, treat
+    the top-10 as relevant, pick 3 expansion terms by the PURE-INTEGER
+    (docs-containing, summed-tf, term) ranking, re-run BM25 with the
+    widened query — the recall-rescue move the reference's fixed MATCH
+    pipeline lacks.  Both passes ride the persistent bucketed postings;
+    the only driver transfer is the 3-term expansion list; scores are
+    round-4 BM25 (the gate-proven recipe) and the chosen expansion is
+    itself in the output, so the oracle re-derives the whole loop."""
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    doclen = S.doc_lengths(postings, id_col="doc_id")
+    n = docs.count()
+    s1 = S.score_bm25(
+        postings, dfreq, doclen, n, SEARCH_TERMS, id_col="doc_id", round_to=4
+    )
+    p1 = S.paginate(s1, [F.col("score").desc(), F.col("doc_id")], offset=0, size=10)
+    exp_df = S.prf_expansion_terms(
+        postings, p1, SEARCH_TERMS, k=3, id_col="doc_id"
+    )
+    exp = [r["term"] for r in exp_df.collect()]
+    s2 = S.score_bm25(
+        postings, dfreq, doclen, n, SEARCH_TERMS + exp, id_col="doc_id",
+        round_to=4,
+    )
+    page = S.paginate(
+        s2, [F.col("score").desc(), F.col("doc_id")], offset=0, size=10
+    )
+    return page.withColumn("expansion", F.lit(",".join(exp)))
+
+
+def _prf_oracle_sql(k_exp: int = 3) -> str:
+    """search_prf replay: the bm25 oracle's scoring CTEs run twice —
+    pass-one top-10, integer-ranked expansion pick, pass-two weights
+    over originals ∪ expansion — with the expansion string aggregated
+    in selection-rank order."""
+    orig_vals = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
+    orig_in = ", ".join(f"'{t}'" for t in sorted(set(SEARCH_TERMS)))
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+               FROM tf GROUP BY doc_id),
+        stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        w1 AS (
+            SELECT term,
+                   ln(1 + ((SELECT count(*) FROM documents)
+                           - count(DISTINCT doc_id) + 0.5)
+                          / (count(DISTINCT doc_id) + 0.5)) AS idf
+            FROM tf WHERE term IN (SELECT term FROM (VALUES {orig_vals}) t(term))
+            GROUP BY term
+        ),
+        p1 AS (
+            SELECT tf.doc_id,
+                   round(sum(w1.idf * tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                               / stats.avgdl))), 4) AS score
+            FROM tf JOIN w1 USING (term) JOIN dl USING (doc_id), stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 10
+        ),
+        exp AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tf) AS BIGINT) AS sum_tf
+            FROM tf
+            WHERE doc_id IN (SELECT doc_id FROM p1)
+              AND term NOT IN ({orig_in})
+            GROUP BY term
+            ORDER BY n_docs DESC, sum_tf DESC, term
+            LIMIT {k_exp}
+        ),
+        allt AS (
+            SELECT term FROM (VALUES {orig_vals}) t(term)
+            UNION SELECT term FROM exp
+        ),
+        w2 AS (
+            SELECT term,
+                   ln(1 + ((SELECT count(*) FROM documents)
+                           - count(DISTINCT doc_id) + 0.5)
+                          / (count(DISTINCT doc_id) + 0.5)) AS idf
+            FROM tf WHERE term IN (SELECT term FROM allt)
+            GROUP BY term
+        ),
+        es AS (
+            SELECT string_agg(term, ','
+                       ORDER BY n_docs DESC, sum_tf DESC, term) AS expansion
+            FROM exp
+        )
+        SELECT tf.doc_id,
+               round(sum(w2.idf * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                           / stats.avgdl))), 4) AS score,
+               es.expansion
+        FROM tf JOIN w2 USING (term) JOIN dl USING (doc_id), stats, es
+        GROUP BY tf.doc_id, es.expansion
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12158,6 +12267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_auc_bootstrap": q_eval_auc_bootstrap,
         "graph_conductance": q_graph_conductance,
         "events_esd": q_events_esd,
+        "search_prf": q_search_prf,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13093,6 +13203,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_auc_bootstrap": _auc_bootstrap_oracle_sql(n_boot=20, max_w=6),
         "graph_conductance": _conductance_oracle_sql(),
         "events_esd": _esd_oracle_sql(rounds=3),
+        "search_prf": _prf_oracle_sql(k_exp=3),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

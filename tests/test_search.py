@@ -293,3 +293,38 @@ def test_tfidf_cosine_pairs_ranks_topic_duplicates(spark):
     assert all(r["cosine"] <= 1.000001 for r in got)
     again = [(r["a"], r["b"]) for r in tfidf_cosine_pairs(postings, 5, id_col="doc_id", max_df=2, k=5).collect()]
     assert again == pairs
+
+
+def test_prf_expansion_widens_recall(spark):
+    """Expansion picks the term co-occurring with the originals in the
+    top page (integer rank), and the re-scored query then retrieves a
+    doc that pass one missed entirely."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join shuffle tuning"),
+            (2, "spark join shuffle skew"),
+            (3, "spark join broadcast"),
+            (4, "shuffle partitions deep dive"),   # no original terms
+            (5, "gardening tips for spring"),
+        ],
+        "doc_id long, content string",
+    )
+    postings = S.build_postings(docs, id_col="doc_id", text_cols=("content",))
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    doclen = S.doc_lengths(postings, id_col="doc_id")
+    terms = ["spark", "join"]
+    s1 = S.score_bm25(postings, dfreq, doclen, 5, terms, id_col="doc_id", round_to=4)
+    p1 = S.paginate(s1, [F.col("score").desc(), F.col("doc_id")], 0, 3)
+    assert 4 not in {r["doc_id"] for r in p1.collect()}
+    exp = S.prf_expansion_terms(postings, p1, terms, k=2, id_col="doc_id")
+    picked = [r["term"] for r in exp.collect()]
+    assert picked[0] == "shuffle"  # 2 of the top docs contain it
+    s2 = S.score_bm25(
+        postings, dfreq, doclen, 5, terms + picked, id_col="doc_id", round_to=4
+    )
+    p2 = S.paginate(s2, [F.col("score").desc(), F.col("doc_id")], 0, 4)
+    assert 4 in {r["doc_id"] for r in p2.collect()}

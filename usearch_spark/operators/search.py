@@ -595,3 +595,38 @@ class SearchIndex:
         # one; re-sort AFTER the join (join output order is undefined)
         enriched = page.join(self.docs.drop("pagerank"), self.id_col, "left").orderBy(*order)
         return total, enriched
+
+
+def prf_expansion_terms(
+    postings: DataFrame,
+    top_docs: DataFrame,
+    orig_terms: list[str],
+    k: int = 3,
+    id_col: str = "link_id",
+) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK expansion candidates (Rocchio 1971 /
+    the classic PRF loop): treat the first-pass top page as relevant,
+    rank the terms they contain — originals excluded — and return the
+    top ``k`` to widen the query.  Selection is a PURE INTEGER ranking
+    (docs-containing DESC, summed tf DESC, term ASC), so the expansion
+    choice itself is deterministic and hash-checkable; the float BM25
+    machinery only scores, never selects.
+
+    Distributed shape: the page is a broadcast semi-join against the
+    bucketed postings (touches only the top docs' rows), one partial-agg
+    groupBy over their term dimension, TakeOrdered k.  No windows, no
+    UDFs.
+
+    Output: (term, n_docs, sum_tf), the selected k in rank order.
+    """
+    return (
+        postings.join(F.broadcast(top_docs.select(id_col)), id_col)
+        .filter(~F.col("term").isin(list(orig_terms)))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("sum_tf").desc(), "term")
+        .limit(k)
+    )
