@@ -10753,6 +10753,96 @@ def _prf_oracle_sql(k_exp: int = 3) -> str:
     """
 
 
+def q_events_trend_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (operators/forecast.
+    seasonal_mann_kendall — Hirsch & Slack 1984): the weekly-
+    seasonality-robust form of events_trend — S sums only
+    within-weekday pairwise signs with the full tie-corrected variance,
+    z closes the significance, and the seasonal Sen slope pools the
+    within-weekday pairwise slopes through the explicit two-rank
+    median.  Weekday labels only partition (never enter arithmetic), so
+    engine dow conventions cancel; every sign/variance term exact
+    int64 — bit-exact."""
+    from usearch_spark.operators.forecast import seasonal_mann_kendall
+
+    ev = _events(spark, sf_dir)
+    return seasonal_mann_kendall(
+        ev.select("event_type", "ts"),
+        ["event_type"],
+        F.to_date("ts"),
+        F.dayofweek(F.to_date("ts")),
+    ).orderBy("event_type")
+
+
+def _trend_seasonal_oracle_sql() -> str:
+    """seasonal_mann_kendall replay: per-(type, weekday) day-ordered
+    lists, nested-range sign/slope folds, tie sums via the (value,
+    count) collapse (different algorithm than the engine's in-row run
+    scan, provably the same exact integers), pooled two-rank slope
+    median."""
+    return """
+        WITH daily AS (
+            SELECT event_type AS g, dayofweek(CAST(ts AS DATE)) AS w,
+                   CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        ),
+        tie AS (
+            SELECT g, w,
+                   CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+                       AS tsum
+            FROM (SELECT g, w, n, CAST(count(*) AS BIGINT) AS c
+                  FROM daily GROUP BY 1, 2, 3)
+            GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, w, list(n ORDER BY d) AS v,
+                   list(CAST(d - DATE '1970-01-01' AS BIGINT) ORDER BY d) AS e,
+                   CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT s.g, s.t,
+                   CASE WHEN s.t >= 2 THEN CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           flatten(list_transform(range(1, s.t), i ->
+                               list_transform(range(i + 1, s.t + 1), j ->
+                                   CAST(CASE WHEN v[j] > v[i] THEN 1
+                                             WHEN v[j] < v[i] THEN -1
+                                             ELSE 0 END AS BIGINT))))),
+                       (a, x) -> a + x) AS BIGINT)
+                   ELSE 0 END AS sw,
+                   CASE WHEN s.t >= 2
+                        THEN s.t * (s.t - 1) * (2 * s.t + 5) - tie.tsum
+                   ELSE 0 END AS vw,
+                   CASE WHEN s.t >= 2 THEN
+                       flatten(list_transform(range(1, s.t), i ->
+                           list_transform(range(i + 1, s.t + 1), j ->
+                               CAST(v[j] - v[i] AS DOUBLE)
+                               / CAST(e[j] - e[i] AS DOUBLE))))
+                   ELSE CAST([] AS DOUBLE[]) END AS sl
+            FROM seqs s JOIN tie ON tie.g = s.g AND tie.w = s.w
+        ),
+        g2 AS (
+            SELECT g, CAST(sum(t) AS BIGINT) AS n_days,
+                   CAST(sum(sw) AS BIGINT) AS s_stat,
+                   CAST(sum(vw) AS BIGINT) AS var18_num,
+                   list_sort(flatten(list(sl))) AS sl
+            FROM c GROUP BY g
+        )
+        SELECT g AS event_type, n_days, s_stat, var18_num,
+               CASE WHEN var18_num > 0
+                    THEN CAST(s_stat AS DOUBLE)
+                         / sqrt(CAST(var18_num AS DOUBLE)
+                                / CAST(18 AS DOUBLE))
+               END AS z,
+               CASE WHEN len(sl) > 0
+                    THEN (sl[(len(sl) + 1) // 2] + sl[(len(sl) + 2) // 2])
+                         / CAST(2 AS DOUBLE)
+               END AS sen_slope
+        FROM g2 ORDER BY g
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12268,6 +12358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_conductance": q_graph_conductance,
         "events_esd": q_events_esd,
         "search_prf": q_search_prf,
+        "events_trend_seasonal": q_events_trend_seasonal,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13204,6 +13295,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_conductance": _conductance_oracle_sql(),
         "events_esd": _esd_oracle_sql(rounds=3),
         "search_prf": _prf_oracle_sql(k_exp=3),
+        "events_trend_seasonal": _trend_seasonal_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

@@ -980,3 +980,76 @@ def test_esd_outliers_masking_resistance(spark):
         assert got[r]["n_events"] == x
         assert got[r]["esd_score"] == pytest.approx(sc, rel=1e-12)
     assert got[1]["day"] == "2024-07-06" and got[2]["day"] == "2024-07-11"
+
+
+def test_seasonal_mann_kendall_matches_replay(spark):
+    """S, the tie-corrected variance numerator, z and the pooled Sen
+    slope equal a Python replay; a pure weekly cycle with no trend gives
+    S = 0 while the plain test would see spurious comparisons."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import seasonal_mann_kendall
+
+    d0 = datetime.date(2024, 1, 1)  # a Monday
+    rows = []
+    # cycle: weekday-dependent level, NO trend -> within-weekday series
+    # constant -> S = 0
+    for t in range(28):
+        rows += [("cyc", d0 + datetime.timedelta(days=t))] * (5 + (t % 7) * 3)
+    # trend: +2/week within every weekday track
+    for t in range(28):
+        rows += [("up", d0 + datetime.timedelta(days=t))] * (5 + (t // 7) * 2)
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {
+        r["g"]: r
+        for r in seasonal_mann_kendall(
+            df, ["g"], F.col("d"), F.dayofweek(F.col("d"))
+        ).collect()
+    }
+    assert got["cyc"]["s_stat"] == 0 and got["cyc"]["z"] is None
+
+    def replay(vals_by_track):
+        S = V = 0
+        slopes = []
+        for track in vals_by_track:
+            t = len(track)
+            if t < 2:
+                continue
+            xs = [x for _, x in track]
+            S += sum(
+                (xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(t) for j in range(i + 1, t)
+            )
+            from collections import Counter
+
+            ties = Counter(xs)
+            V += t * (t - 1) * (2 * t + 5) - sum(
+                c * (c - 1) * (2 * c + 5) for c in ties.values()
+            )
+            es = [e for e, _ in track]
+            slopes += [
+                (xs[j] - xs[i]) / (es[j] - es[i])
+                for i in range(t) for j in range(i + 1, t)
+            ]
+        slopes.sort()
+        p = len(slopes)
+        med = (slopes[(p + 1) // 2 - 1] + slopes[(p + 2) // 2 - 1]) / 2
+        z = S / (V / 18) ** 0.5 if V > 0 else None
+        return S, V, z, med
+
+    tracks = {}
+    for t in range(28):
+        w = (d0 + datetime.timedelta(days=t)).weekday()
+        tracks.setdefault(w, []).append(
+            ((d0 + datetime.timedelta(days=t) - datetime.date(1970, 1, 1)).days,
+             5 + (t // 7) * 2)
+        )
+    S, V, z, med = replay(list(tracks.values()))
+    r = got["up"]
+    assert (r["s_stat"], r["var18_num"]) == (S, V)
+    assert r["z"] == pytest.approx(z, rel=1e-12)
+    assert r["sen_slope"] == med
+    assert r["s_stat"] > 0  # the trend is visible within tracks

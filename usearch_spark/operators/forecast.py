@@ -1417,3 +1417,160 @@ def esd_outliers(
     return per.select(*group_cols, F.explode(arr).alias("s")).select(
         *group_cols, "s.esd_rank", "s.day", "s.n_events", "s.esd_score"
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    period_col: Column,
+) -> DataFrame:
+    """SEASONAL Mann-Kendall trend test (Hirsch & Slack 1984) over daily
+    counts — the weekly-seasonality-robust form of
+    :func:`mann_kendall_trend`: a strong weekday cycle floods the plain
+    test with cross-weekday comparisons that are seasonality, not
+    trend; here S sums ONLY within-season (per-weekday) pairwise signs,
+
+        S = Σ_w S_w,   Var = Σ_w [n_w(n_w−1)(2n_w+5)
+                                  − Σ_ties t(t−1)(2t+5)] / 18
+        z = S / sqrt(Var)
+
+    with the full tie correction per season, and the seasonal Sen slope
+    is the pooled two-rank median of within-season pairwise slopes.
+    Season labels only partition (they never enter arithmetic), so
+    engine dow conventions can't matter.
+
+    Determinism: every pairwise sign, S_w, and the 18-scaled variance
+    numerator are exact int64; z closes with one int→double, one
+    divide-by-18, one sqrt, one divide — fixed chain; each pairwise
+    slope is one int→double divide and the pooled median is the
+    explicit two-rank average — bit-exact throughout.
+
+    Distributed shape: one (group, season, day) count shuffle, per-track
+    T² bounded in-row folds (7 tracks per group), one final collapse.
+    No UDFs, no collects, no global window.
+
+    Output: group_cols + (n_days, s_stat, var18_num, z, sen_slope).
+    """
+    daily = df.groupBy(
+        *group_cols, period_col.alias("w"), day_col.alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per = daily.groupBy(*group_cols, "w").agg(
+        F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq")
+    )
+    per = per.withColumn(
+        "_v", F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    ).withColumn(
+        "_e",
+        F.transform(
+            F.col("seq"),
+            lambda s: F.datediff(s["d"], F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        ),
+    )
+    t = F.size("_v")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    sign = lambda a, b: (  # noqa: E731
+        F.when(a > b, F.lit(1)).when(a < b, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("long")
+    # guarded fold domains: F.sequence(a, b) with b < a yields a DESCENDING
+    # range, so single-day tracks must get an empty domain, not a guard
+    # around the fold (when() does not prevent evaluation)
+    dom_pairs = F.when(t >= 2, F.sequence(F.lit(1), t - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    dom_run = F.when(t >= 2, F.sequence(F.lit(2), t)).otherwise(
+        F.array().cast("array<int>")
+    )
+    s_w = F.when(
+        t >= 2,
+        F.aggregate(
+            dom_pairs,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.aggregate(
+                F.sequence(i + 1, t),
+                F.lit(0).cast("long"),
+                lambda a2, j: a2 + sign(el("_v", j), el("_v", i)),
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    # tie-corrected variance numerator (x18): n(n-1)(2n+5) - sum over tie
+    # groups t(t-1)(2t+5); tie sizes from an in-row sorted-run scan
+    sv = F.array_sort(F.col("_v"))
+    run = F.aggregate(
+        dom_run,
+        F.struct(
+            F.lit(1).cast("long").alias("run"), F.lit(0).cast("long").alias("acc")
+        ),
+        lambda st, i: F.struct(
+            F.when(
+                F.element_at(sv, i.cast("int"))
+                == F.element_at(sv, (i - 1).cast("int")),
+                st["run"] + 1,
+            )
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                F.element_at(sv, i.cast("int"))
+                == F.element_at(sv, (i - 1).cast("int")),
+                st["acc"],
+            )
+            .otherwise(
+                st["acc"]
+                + st["run"] * (st["run"] - 1) * (F.lit(2) * st["run"] + 5)
+            )
+            .alias("acc"),
+        ),
+        lambda st: st["acc"]
+        + st["run"] * (st["run"] - 1) * (F.lit(2) * st["run"] + 5),
+    )
+    var_w = F.when(
+        t >= 2,
+        t.cast("long") * (t.cast("long") - 1) * (F.lit(2) * t.cast("long") + 5)
+        - run,
+    ).otherwise(F.lit(0).cast("long"))
+    slopes_w = F.when(
+        t >= 2,
+        F.flatten(
+            F.transform(
+                dom_pairs,
+                lambda i: F.transform(
+                    F.sequence(i + 1, t),
+                    lambda j: (el("_v", j) - el("_v", i)).cast("double")
+                    / (el("_e", j) - el("_e", i)).cast("double"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+    per = (
+        per.withColumn("_sw", s_w)
+        .withColumn("_vw", var_w)
+        .withColumn("_slw", slopes_w)
+        .withColumn("_t", t.cast("long"))
+    )
+    g = per.groupBy(*group_cols).agg(
+        F.sum("_t").alias("n_days"),
+        F.sum("_sw").alias("s_stat"),
+        F.sum("_vw").alias("var18_num"),
+        F.array_sort(F.flatten(F.collect_list("_slw"))).alias("_sl"),
+    )
+    p = F.size("_sl")
+    lo = F.element_at("_sl", ((p + 1) / 2).cast("int"))
+    hi = F.element_at("_sl", ((p + 2) / 2).cast("int"))
+    return g.select(
+        *group_cols,
+        "n_days",
+        "s_stat",
+        "var18_num",
+        F.when(
+            F.col("var18_num") > 0,
+            F.col("s_stat").cast("double")
+            / F.sqrt(F.col("var18_num").cast("double") / F.lit(18.0)),
+        ).alias("z"),
+        F.when(p > 0, (lo + hi) / F.lit(2.0)).alias("sen_slope"),
+    )
