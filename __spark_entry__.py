@@ -10843,6 +10843,95 @@ def _trend_seasonal_oracle_sql() -> str:
     """
 
 
+def q_events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust line fit + goodness of fit (operators/forecast.
+    theil_sen_fit): per type, the Sen slope, the Conover
+    median-of-residuals intercept, and MAE / R² against the mean
+    baseline — closes the robust-trend loop (events_trend says IF the
+    series drifts; this says whether the fitted line EXPLAINS it).
+    Two-rank medians, day-ordered residual folds, exact-integer SS_tot
+    numerator — bit-exact."""
+    from usearch_spark.operators.forecast import theil_sen_fit
+
+    ev = _events(spark, sf_dir)
+    return theil_sen_fit(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts")
+    ).orderBy("event_type")
+
+
+def _trend_fit_oracle_sql() -> str:
+    """theil_sen_fit replay: the trend oracle's slope lists, the same
+    two-rank medians, index-ordered list_reduce residual folds,
+    exact-integer SS_tot, identical close chains."""
+    return """
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS v,
+                   list(CAST(d - DATE '1970-01-01' AS BIGINT) ORDER BY d) AS e,
+                   CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY g HAVING count(*) >= 3
+        ),
+        s1 AS (
+            SELECT g, t, v, e,
+                   list_sort(flatten(list_transform(range(1, t), i ->
+                       list_transform(range(i + 1, t + 1), j ->
+                           CAST(v[j] - v[i] AS DOUBLE)
+                           / CAST(e[j] - e[i] AS DOUBLE))))) AS sl
+            FROM seqs
+        ),
+        s2 AS (
+            SELECT g, t, v, e,
+                   (sl[(len(sl) + 1) // 2] + sl[(len(sl) + 2) // 2])
+                       / CAST(2 AS DOUBLE) AS slope
+            FROM s1
+        ),
+        s3 AS (
+            SELECT g, t, v, e, slope,
+                   list_sort(list_transform(range(1, t + 1), i ->
+                       CAST(v[i] AS DOUBLE)
+                       - slope * CAST(e[i] AS DOUBLE))) AS r0
+            FROM s2
+        ),
+        s4 AS (
+            SELECT g, t, v, e, slope,
+                   (r0[(t + 1) // 2] + r0[(t + 2) // 2])
+                       / CAST(2 AS DOUBLE) AS b
+            FROM s3
+        ),
+        s5 AS (
+            SELECT g, t, slope, b,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, t + 1), i ->
+                           abs(CAST(v[i] AS DOUBLE)
+                               - (slope * CAST(e[i] AS DOUBLE) + b)))),
+                       (a, x) -> a + x) AS sae,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, t + 1), i ->
+                           (CAST(v[i] AS DOUBLE)
+                            - (slope * CAST(e[i] AS DOUBLE) + b))
+                           * (CAST(v[i] AS DOUBLE)
+                              - (slope * CAST(e[i] AS DOUBLE) + b)))),
+                       (a, x) -> a + x) AS ssr,
+                   CAST(t * CAST(list_sum(list_transform(v, x -> x * x))
+                                 AS BIGINT)
+                        - CAST(list_sum(v) AS BIGINT)
+                          * CAST(list_sum(v) AS BIGINT) AS DOUBLE) AS tot
+            FROM s4
+        )
+        SELECT g AS event_type, CAST(t AS BIGINT) AS n_days, slope AS sen_slope,
+               b AS intercept,
+               sae / CAST(t AS DOUBLE) AS mae,
+               CASE WHEN tot > 0
+                    THEN CAST(1 AS DOUBLE) - ssr / (tot / CAST(t AS DOUBLE))
+               END AS r2
+        FROM s5 ORDER BY g
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12359,6 +12448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_esd": q_events_esd,
         "search_prf": q_search_prf,
         "events_trend_seasonal": q_events_trend_seasonal,
+        "events_trend_fit": q_events_trend_fit,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13296,6 +13386,7 @@ def oracle_sql() -> dict[str, str]:
         "events_esd": _esd_oracle_sql(rounds=3),
         "search_prf": _prf_oracle_sql(k_exp=3),
         "events_trend_seasonal": _trend_seasonal_oracle_sql(),
+        "events_trend_fit": _trend_fit_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

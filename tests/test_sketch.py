@@ -1053,3 +1053,32 @@ def test_seasonal_mann_kendall_matches_replay(spark):
     assert r["z"] == pytest.approx(z, rel=1e-12)
     assert r["sen_slope"] == med
     assert r["s_stat"] > 0  # the trend is visible within tracks
+
+
+def test_theil_sen_fit_anchors(spark):
+    """A perfectly linear integer series fits exactly (MAE 0, R² 1,
+    intercept equal to the true line's); a flat series has slope 0 and
+    NULL R² (zero total variance)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import theil_sen_fit
+
+    d0 = datetime.date(2024, 2, 1)
+    e0 = (d0 - datetime.date(1970, 1, 1)).days
+    rows = []
+    for t in range(10):
+        rows += [("lin", d0 + datetime.timedelta(days=t))] * (20 + 3 * t)
+        rows += [("flat", d0 + datetime.timedelta(days=t))] * 6
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {
+        r["g"]: r for r in theil_sen_fit(df, ["g"], F.col("d")).collect()
+    }
+    lin = got["lin"]
+    assert lin["sen_slope"] == 3.0
+    assert lin["intercept"] == 20 - 3.0 * e0
+    assert lin["mae"] == 0.0 and lin["r2"] == 1.0
+    flat = got["flat"]
+    assert flat["sen_slope"] == 0.0 and flat["mae"] == 0.0
+    assert flat["r2"] is None

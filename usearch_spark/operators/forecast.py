@@ -1574,3 +1574,124 @@ def seasonal_mann_kendall(
         ).alias("z"),
         F.when(p > 0, (lo + hi) / F.lit(2.0)).alias("sen_slope"),
     )
+
+
+def theil_sen_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+) -> DataFrame:
+    """THEIL-SEN line fit + GOODNESS OF FIT over the daily counts — the
+    closing half of the robust-trend story: events_trend's
+    :func:`mann_kendall_trend` answers "is there drift and how fast";
+    this fits the full robust line (Sen slope + the median-of-residuals
+    intercept, Conover's form) and scores it with MAE and R² against
+    the mean baseline, so a pipeline can decide whether the trend model
+    EXPLAINS the series or merely exists.
+
+    Determinism: the slope is the two-rank median of exact
+    one-divide pairwise slopes; the intercept is the two-rank median of
+    (y_i − slope·e_i) doubles (identical multiply-subtract chains);
+    residual folds run in DAY ORDER (the events_ewma order-pinned
+    contract); SS_tot uses the exact integer numerator T·Σy² − (Σy)²
+    with one divide — bit-exact throughout.
+
+    Distributed shape: one (group, day) count shuffle, T²-bounded
+    in-row folds.  No UDFs, no collects, no global window.
+
+    Output: group_cols + (n_days, sen_slope, intercept, mae, r2).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = (
+        daily.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq"))
+        .filter(F.size("seq") >= 3)
+    )
+    per = per.withColumn(
+        "_v", F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    ).withColumn(
+        "_e",
+        F.transform(
+            F.col("seq"),
+            lambda s: F.datediff(s["d"], F.lit("1970-01-01").cast("date")).cast(
+                "long"
+            ),
+        ),
+    )
+    t = F.size("_v")
+
+    def el(col, i):
+        return F.element_at(F.col(col), i.cast("int"))
+
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), t - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, t),
+                    lambda j: (el("_v", j) - el("_v", i)).cast("double")
+                    / (el("_e", j) - el("_e", i)).cast("double"),
+                ),
+            )
+        )
+    )
+    per = per.withColumn("_sl", slopes)
+    p = F.size("_sl")
+    slope = (
+        F.element_at("_sl", ((p + 1) / 2).cast("int"))
+        + F.element_at("_sl", ((p + 2) / 2).cast("int"))
+    ) / F.lit(2.0)
+    per = per.withColumn("_slope", slope)
+    resid0 = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), t),
+            lambda i: el("_v", i).cast("double")
+            - F.col("_slope") * el("_e", i).cast("double"),
+        )
+    )
+    per = per.withColumn("_r0", resid0)
+    b = (
+        F.element_at("_r0", ((t + 1) / 2).cast("int"))
+        + F.element_at("_r0", ((t + 2) / 2).cast("int"))
+    ) / F.lit(2.0)
+    per = per.withColumn("_b", b)
+    res = lambda i: (  # noqa: E731
+        el("_v", i).cast("double")
+        - (F.col("_slope") * el("_e", i).cast("double") + F.col("_b"))
+    )
+    sae = F.aggregate(
+        F.sequence(F.lit(1), t),
+        F.lit(0.0),
+        lambda acc, i: acc + F.abs(res(i)),
+    )
+    ssr = F.aggregate(
+        F.sequence(F.lit(1), t),
+        F.lit(0.0),
+        lambda acc, i: acc + res(i) * res(i),
+    )
+    sy = F.aggregate(
+        F.col("_v"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    sy2 = F.aggregate(
+        F.col("_v"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    tot_num = (t.cast("long") * sy2 - sy * sy).cast("double")
+    per = (
+        per.withColumn("_sae", sae)
+        .withColumn("_ssr", ssr)
+        .withColumn("_tot", tot_num)
+    )
+    return per.select(
+        *group_cols,
+        t.cast("long").alias("n_days"),
+        F.col("_slope").alias("sen_slope"),
+        F.col("_b").alias("intercept"),
+        (F.col("_sae") / t.cast("double")).alias("mae"),
+        F.when(
+            F.col("_tot") > 0,
+            F.lit(1.0)
+            - F.col("_ssr") / (F.col("_tot") / t.cast("double")),
+        ).alias("r2"),
+    )
