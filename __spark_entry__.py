@@ -10932,6 +10932,76 @@ def _trend_fit_oracle_sql() -> str:
     """
 
 
+def q_audit_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PAYMENT audit: order pairs from the same customer in the
+    SAME $10k amount band within 7 days — the double-billing /
+    replayed-invoice screen, banded because real screens match on
+    amount MAGNITUDE (exact-cents equality over a continuous price
+    distribution fires never; the band is the blocking key).  Self-join
+    keyed on (custkey, band) so only magnitude collisions ever pair
+    (the date filter prunes the tiny candidate set); top-20 with full
+    integer tie-breaks.  All integer/date decisions — no float
+    anywhere."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).withColumn("band", F.expr("cents div 1000000"))
+    a, b = o.alias("a"), o.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .withColumn("gap_days", F.abs(F.datediff(F.col("b.d"), F.col("a.d"))))
+        .filter(F.col("gap_days") <= 7)
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.band").alias("band"),
+            F.col("a.cents").alias("cents1"),
+            F.col("b.cents").alias("cents2"),
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+            F.date_format("a.d", "yyyy-MM-dd").alias("d1"),
+            F.date_format("b.d", "yyyy-MM-dd").alias("d2"),
+            "gap_days",
+        )
+    )
+    return pairs.orderBy(F.col("band").desc(), "k1", "k2").limit(20)
+
+
+def _duplicate_payments_oracle_sql() -> str:
+    """audit_duplicate_payments replay: the same (custkey, cents)
+    self-join, 7-day band, tie-broken top-20."""
+    return """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(CAST(o_totalprice AS DECIMAL(20,2)) * 100 AS BIGINT)
+                       // 1000000 AS band,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        )
+        SELECT a.o_custkey, a.band, a.cents AS cents1, b.cents AS cents2,
+               a.o_orderkey AS k1, b.o_orderkey AS k2,
+               strftime(a.d, '%Y-%m-%d') AS d1,
+               strftime(b.d, '%Y-%m-%d') AS d2,
+               CAST(abs(b.d - a.d) AS BIGINT) AS gap_days
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey AND a.band = b.band
+         AND a.o_orderkey < b.o_orderkey
+        WHERE abs(b.d - a.d) <= 7
+        ORDER BY a.band DESC, k1, k2
+        LIMIT 20
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12449,6 +12519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prf": q_search_prf,
         "events_trend_seasonal": q_events_trend_seasonal,
         "events_trend_fit": q_events_trend_fit,
+        "audit_duplicate_payments": q_audit_duplicate_payments,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13387,6 +13458,7 @@ def oracle_sql() -> dict[str, str]:
         "search_prf": _prf_oracle_sql(k_exp=3),
         "events_trend_seasonal": _trend_seasonal_oracle_sql(),
         "events_trend_fit": _trend_fit_oracle_sql(),
+        "audit_duplicate_payments": _duplicate_payments_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

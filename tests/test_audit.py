@@ -157,3 +157,38 @@ def test_chisq_uniformity_anchors(spark):
     naive = sum((k - e) ** 2 / e for k in skew.values())
     assert got["s"]["chi2"] == pytest.approx(naive, abs=1e-12)
     assert got["s"]["n"] == 100
+
+
+def test_duplicate_payment_banding(spark):
+    """Same-band pairs within the week pair up (including cross-cent
+    amounts in one $10k band); different bands or >7-day gaps don't."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    d = datetime.date
+    rows = [
+        (1, 100, 1_050_000_00, d(2024, 1, 1)),   # band 105
+        (2, 100, 1_059_999_99, d(2024, 1, 5)),   # band 105, 4 days later
+        (3, 100, 1_150_000_00, d(2024, 1, 2)),   # different band
+        (4, 200, 2_000_000_00, d(2024, 2, 1)),
+        (5, 200, 2_000_000_00, d(2024, 2, 20)),  # same band, 19 days -> out
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, cents long, d date"
+    ).withColumn("band", F.expr("cents div 1000000"))
+    a, b = o.alias("a"), o.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .withColumn("gap_days", F.abs(F.datediff(F.col("b.d"), F.col("a.d"))))
+        .filter(F.col("gap_days") <= 7)
+        .select("a.o_orderkey", "b.o_orderkey", "gap_days")
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in pairs}
+    assert got == {(1, 2)}
