@@ -11002,6 +11002,172 @@ def _duplicate_payments_oracle_sql() -> str:
     """
 
 
+def q_events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-SHAPED (position-based) MULTI-TOUCH ATTRIBUTION: every purchase
+    splits 10000 basis points over its 24h touch journey — 100% to a
+    lone touch, 50/50 over a pair, 40/20/40 (first/middles/last) for
+    longer paths — the position-based model last-touch
+    (events_attribution) systematically under-credits discovery
+    channels against.  Journeys come from one user-keyed join with a
+    time-band filter (per-user volume bounds the pair count; skew =
+    whale users, the documented salting case); roles are integer rank
+    decisions per purchase window; ALL credit terms are exact integers
+    except the middle share 2000·n/(k−2), which collapses to (channel,
+    k) cells first — one divide per CELL, summed in k order through a
+    bounded in-row fold (the events_ewma order-pinned contract)."""
+    from pyspark.sql import Window
+
+    H24 = 86_400_000_000  # 24h in MICROS (the truncation-stable domain
+    # both physical ts generations agree on; ns would diverge on the
+    # nanos-as-long testdata where DuckDB's TIMESTAMP cast drops them)
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.expr("ts_ns div 1000").alias("pns"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.expr("ts_ns div 1000").alias("tns"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("tns") < F.col("pns")) & (F.col("tns") >= F.col("pns") - F.lit(H24))
+    )
+    w = Window.partitionBy("pid").orderBy("tns", "tid")
+    wk = Window.partitionBy("pid")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+    )
+    role = (
+        F.when(F.col("k") == 1, F.lit("single"))
+        .when(F.col("k") == 2, F.lit("pair"))
+        .when(F.col("rn") == 1, F.lit("first"))
+        .when(F.col("rn") == F.col("k"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    r = ranked.withColumn("role", role)
+    ints = r.groupBy("channel").agg(
+        F.sum((F.col("role") == "single").cast("long")).alias("n_single"),
+        F.sum((F.col("role") == "pair").cast("long")).alias("n_pair_ends"),
+        F.sum((F.col("role") == "first").cast("long")).alias("n_first"),
+        F.sum((F.col("role") == "last").cast("long")).alias("n_last"),
+        F.sum((F.col("role") == "middle").cast("long")).alias("n_middle"),
+    )
+    mid_cells = (
+        r.filter(F.col("role") == "middle")
+        .groupBy("channel", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mid = mid_cells.groupBy("channel").agg(
+        F.sort_array(F.collect_list(F.struct("k", "cnt"))).alias("_cells")
+    ).select(
+        "channel",
+        F.aggregate(
+            F.col("_cells"),
+            F.lit(0.0),
+            lambda acc, c: acc
+            + F.lit(2000.0) * c["cnt"].cast("double")
+            / (c["k"] - F.lit(2)).cast("double"),
+        ).alias("mid_credit"),
+    )
+    g = ints.join(mid, "channel", "left").withColumn(
+        "mid_credit", F.coalesce("mid_credit", F.lit(0.0))
+    )
+    credit = (
+        (
+            F.lit(10000) * F.col("n_single")
+            + F.lit(5000) * F.col("n_pair_ends")
+            + F.lit(4000) * (F.col("n_first") + F.col("n_last"))
+        ).cast("double")
+        + F.col("mid_credit")
+    )
+    return g.select(
+        "channel",
+        "n_single",
+        "n_pair_ends",
+        "n_first",
+        "n_last",
+        "n_middle",
+        credit.alias("credit_bp"),
+    ).orderBy("channel")
+
+
+def _ushape_oracle_sql() -> str:
+    """events_attribution_ushape replay: identical user-keyed band join,
+    per-purchase rank/size windows, integer role counts, and the
+    k-ordered middle-cell fold with one divide per cell."""
+    return """
+        WITH p AS (
+            SELECT user_id, event_id AS pid,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS pns
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id, event_id AS tid,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tns,
+                   event_type AS channel
+            FROM events WHERE event_type IN ('click', 'view', 'signup')
+        ),
+        j AS (
+            SELECT p.pid, t.tid, t.tns, t.channel
+            FROM p JOIN t ON t.user_id = p.user_id
+            WHERE t.tns < p.pns AND t.tns >= p.pns - 86400000000
+        ),
+        rk AS (
+            SELECT pid, channel,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY tns, tid) AS rn,
+                   count(*) OVER (PARTITION BY pid) AS k
+            FROM j
+        ),
+        rl AS (
+            SELECT channel, k,
+                   CASE WHEN k = 1 THEN 'single'
+                        WHEN k = 2 THEN 'pair'
+                        WHEN rn = 1 THEN 'first'
+                        WHEN rn = k THEN 'last'
+                        ELSE 'middle' END AS role
+            FROM rk
+        ),
+        ints AS (
+            SELECT channel,
+                   CAST(sum(CASE WHEN role = 'single' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single,
+                   CAST(sum(CASE WHEN role = 'pair' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pair_ends,
+                   CAST(sum(CASE WHEN role = 'first' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_first,
+                   CAST(sum(CASE WHEN role = 'last' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_last,
+                   CAST(sum(CASE WHEN role = 'middle' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_middle
+            FROM rl GROUP BY channel
+        ),
+        mc AS (
+            SELECT channel, k, CAST(count(*) AS BIGINT) AS cnt
+            FROM rl WHERE role = 'middle' GROUP BY 1, 2
+        ),
+        mid AS (
+            SELECT channel,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(CAST(2000 AS DOUBLE) * CAST(cnt AS DOUBLE)
+                            / CAST(k - 2 AS DOUBLE) ORDER BY k)),
+                       (a, x) -> a + x) AS mid_credit
+            FROM mc GROUP BY channel
+        )
+        SELECT i.channel, i.n_single, i.n_pair_ends, i.n_first, i.n_last,
+               i.n_middle,
+               CAST(10000 * i.n_single + 5000 * i.n_pair_ends
+                    + 4000 * (i.n_first + i.n_last) AS DOUBLE)
+                   + coalesce(mid.mid_credit, CAST(0 AS DOUBLE)) AS credit_bp
+        FROM ints i LEFT JOIN mid ON mid.channel = i.channel
+        ORDER BY i.channel
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12520,6 +12686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_seasonal": q_events_trend_seasonal,
         "events_trend_fit": q_events_trend_fit,
         "audit_duplicate_payments": q_audit_duplicate_payments,
+        "events_attribution_ushape": q_events_attribution_ushape,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13459,6 +13626,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trend_seasonal": _trend_seasonal_oracle_sql(),
         "events_trend_fit": _trend_fit_oracle_sql(),
         "audit_duplicate_payments": _duplicate_payments_oracle_sql(),
+        "events_attribution_ushape": _ushape_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

@@ -1082,3 +1082,56 @@ def test_theil_sen_fit_anchors(spark):
     flat = got["flat"]
     assert flat["sen_slope"] == 0.0 and flat["mae"] == 0.0
     assert flat["r2"] is None
+
+
+def test_ushape_attribution_credit_conservation(spark):
+    """Every attributed purchase distributes exactly 10000 bp across the
+    roles: replayed on a constructed journey set with k = 1, 2, 3 and 5
+    paths, per-channel credits match the hand split and the grand total
+    is 10000 x n_attributed."""
+    from pyspark.sql import Window, functions as F
+
+    # journeys (purchase -> ordered touch channels):
+    js = {
+        1: ["click"],                                     # single: 10000
+        2: ["view", "click"],                             # pair: 5000/5000
+        3: ["click", "view", "signup"],                   # 4000/2000/4000
+        4: ["view", "click", "click", "signup", "view"],  # 4000/666.6x3/4000
+    }
+    rows = []
+    for pid, chans in js.items():
+        for i, c in enumerate(chans):
+            rows.append((pid, i + 1, c))
+    j = spark.createDataFrame(rows, "pid long, tid long, channel string")
+    w = Window.partitionBy("pid").orderBy("tid")
+    wk = Window.partitionBy("pid")
+    r = (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "role",
+            F.when(F.col("k") == 1, F.lit("single"))
+            .when(F.col("k") == 2, F.lit("pair"))
+            .when(F.col("rn") == 1, F.lit("first"))
+            .when(F.col("rn") == F.col("k"), F.lit("last"))
+            .otherwise(F.lit("middle")),
+        )
+    )
+    credit = (
+        F.when(F.col("role") == "single", F.lit(10000.0))
+        .when(F.col("role") == "pair", F.lit(5000.0))
+        .when(F.col("role").isin("first", "last"), F.lit(4000.0))
+        .otherwise(F.lit(2000.0) / (F.col("k") - 2).cast("double"))
+    )
+    got = {
+        row["channel"]: row["c"]
+        for row in r.groupBy("channel").agg(F.sum(credit).alias("c")).collect()
+    }
+    want = {
+        "click": 10000 + 5000 + 4000 + 2000 / 3 * 2,
+        "view": 5000 + 2000 + 4000 + 4000,
+        "signup": 4000 + 2000 / 3,
+    }
+    for c, v in want.items():
+        assert abs(got[c] - v) < 1e-9, c
+    assert abs(sum(got.values()) - 10000 * 4) < 1e-9
