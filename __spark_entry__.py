@@ -11168,6 +11168,99 @@ def _ushape_oracle_sql() -> str:
     """
 
 
+_PCT_GRID = [1, 5, 25, 50, 75, 95, 99]
+
+
+def q_events_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value percentiles at a fixed grid WITHOUT a
+    per-group sort: values quantize to exact integer cents
+    (floor(v·100 + 0.5), same IEEE steps both engines), collapse to
+    (type, cents) CELLS (the distinct-value dimension — the group_auc
+    rank-block discipline), and each grid percentile is a
+    rank-threshold lookup on the cells' running count: value at rank
+    ceil(n·q/100) (the "lower" interpolation, pinned).  The
+    scale-correct exact counterpart of the approx_quantiles sketch and
+    the rounded engine-percentile events_median — one cell shuffle, no
+    row-volume sort, all-integer decisions, ONE divide to render
+    cents."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+        .groupBy("event_type", "vc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cells.withColumn("cum", F.sum("cnt").over(w))
+    n = cells.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    grid = F.explode(
+        F.array(*[F.lit(q) for q in _PCT_GRID])
+    ).alias("q")
+    targets = n.select("event_type", "n", grid).withColumn(
+        "rank", F.greatest(F.lit(1), F.expr("(n * q + 99) div 100"))
+    )
+    j = run.join(F.broadcast(targets), "event_type").filter(
+        F.col("cum") >= F.col("rank")
+    )
+    g = j.groupBy("event_type", "q").agg(
+        F.max("n").alias("n"),
+        F.max("rank").alias("rank"),
+        F.min("vc").alias("vc"),
+    )
+    return g.select(
+        "event_type",
+        F.col("q").cast("long").alias("q"),
+        "n",
+        "rank",
+        "vc",
+        (F.col("vc").cast("double") / F.lit(100.0)).alias("value"),
+    ).orderBy("event_type", "q")
+
+
+def _percentiles_oracle_sql() -> str:
+    """events_percentiles_exact replay: identical cent quantization,
+    cell running counts, ceil-rank lookup per grid point."""
+    grid = ", ".join(f"({q})" for q in _PCT_GRID)
+    return f"""
+        WITH cells AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * CAST(100 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vc,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        run AS (
+            SELECT g, vc,
+                   CAST(sum(cnt) OVER (PARTITION BY g ORDER BY vc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+            FROM cells
+        ),
+        n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY g),
+        t AS (
+            SELECT n.g, n.n, CAST(grid.q AS BIGINT) AS q,
+                   greatest(1, (n.n * grid.q + 99) // 100) AS rank
+            FROM n, (SELECT q FROM (VALUES {grid}) v(q)) grid
+        )
+        SELECT t.g AS event_type, t.q, t.n, CAST(t.rank AS BIGINT) AS rank,
+               CAST(min(run.vc) AS BIGINT) AS vc,
+               CAST(min(run.vc) AS DOUBLE) / CAST(100 AS DOUBLE) AS value
+        FROM t JOIN run ON run.g = t.g AND run.cum >= t.rank
+        GROUP BY t.g, t.q, t.n, t.rank
+        ORDER BY t.g, t.q
+    """
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12687,6 +12780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_fit": q_events_trend_fit,
         "audit_duplicate_payments": q_audit_duplicate_payments,
         "events_attribution_ushape": q_events_attribution_ushape,
+        "events_percentiles_exact": q_events_percentiles_exact,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -13627,6 +13721,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trend_fit": _trend_fit_oracle_sql(),
         "audit_duplicate_payments": _duplicate_payments_oracle_sql(),
         "events_attribution_ushape": _ushape_oracle_sql(),
+        "events_percentiles_exact": _percentiles_oracle_sql(),
         "audit_iqr": _iqr_oracle_sql(),
         "eval_spearman": _spearman_oracle_sql(),
         "events_trend": _trend_oracle_sql(),

@@ -1135,3 +1135,41 @@ def test_ushape_attribution_credit_conservation(spark):
     for c, v in want.items():
         assert abs(got[c] - v) < 1e-9, c
     assert abs(sum(got.values()) - 10000 * 4) < 1e-9
+
+
+def test_exact_percentiles_cell_rank_lookup(spark):
+    """The cell-rank lookup equals numpy-style 'lower' percentiles
+    (value at rank ceil(n*q/100)) on a small mixed group, including
+    duplicate-heavy cells."""
+    from pyspark.sql import Window, functions as F
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]  # n = 11
+    cells = (
+        spark.createDataFrame([("g", v) for v in vals], "g string, vc long")
+        .groupBy("g", "vc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cells.withColumn("cum", F.sum("cnt").over(w))
+    n = cells.groupBy("g").agg(F.sum("cnt").alias("n"))
+    targets = n.select(
+        "g", "n", F.explode(F.array(*[F.lit(q) for q in (1, 50, 75, 99)])).alias("q")
+    ).withColumn("rank", F.greatest(F.lit(1), F.expr("(n * q + 99) div 100")))
+    got = {
+        r["q"]: r["vc"]
+        for r in run.join(targets, "g")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q")
+        .agg(F.min("vc").alias("vc"))
+        .collect()
+    }
+    s = sorted(vals)
+    import math
+
+    for q in (1, 50, 75, 99):
+        rank = max(1, math.ceil(len(s) * q / 100))
+        assert got[q] == s[rank - 1], q
