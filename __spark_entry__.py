@@ -11261,6 +11261,93 @@ def _percentiles_oracle_sql() -> str:
     """
 
 
+def q_events_percentiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED exact-percentile monitor: the quantized (type, cents)
+    value cells arrive as two replayed micro-batches into the additive
+    rollup under the idempotent pointer (second run a deliberate
+    restart), and the drained cells feed the identical rank-threshold
+    lookup — cell counts are count-additive, so the exact grid rebuilt
+    from the rollup shares events_percentiles_exact's BATCH oracle
+    verbatim.  A latency/value SLO monitor with EXACT percentiles kept
+    hot — the stream-twin contract applied to order statistics (the
+    sketch twins approximate; this one doesn't have to, because the
+    state is the value dimension, not the stream)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"pct_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+            "user_id",
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i).drop(
+                "user_id"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(
+                os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"pct_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, vc long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "vc"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rolled = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    cells = rolled.groupBy("event_type", "vc").agg(F.sum("n").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_df = cells.withColumn("cum", F.sum("cnt").over(w))
+    n = cells.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    targets = n.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(q) for q in _PCT_GRID])).alias("q"),
+    ).withColumn("rank", F.greatest(F.lit(1), F.expr("(n * q + 99) div 100")))
+    j = run_df.join(F.broadcast(targets), "event_type").filter(
+        F.col("cum") >= F.col("rank")
+    )
+    g = j.groupBy("event_type", "q").agg(
+        F.max("n").alias("n"),
+        F.max("rank").alias("rank"),
+        F.min("vc").alias("vc"),
+    )
+    return g.select(
+        "event_type",
+        F.col("q").cast("long").alias("q"),
+        "n",
+        "rank",
+        "vc",
+        (F.col("vc").cast("double") / F.lit(100.0)).alias("value"),
+    ).orderBy("event_type", "q")
+
+
 def _map_oracle_sql(k: int = 20) -> str:
     """group_avg_precision replay: the same segment rank window, running
     hit counts over the top k, the exact lcm(1..k)-scaled integer
@@ -12781,6 +12868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_duplicate_payments": q_audit_duplicate_payments,
         "events_attribution_ushape": q_events_attribution_ushape,
         "events_percentiles_exact": q_events_percentiles_exact,
+        "events_percentiles_stream": q_events_percentiles_stream,
         # --- round-7 spill (3) ---
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
@@ -16645,6 +16733,7 @@ def oracle_sql() -> dict[str, str]:
     out["eval_auc_stream"] = out["eval_auc"]
     out["sketch_ams_stream"] = out["sketch_ams_f2"]
     out["events_concurrency_stream"] = out["events_concurrency"]
+    out["events_percentiles_stream"] = out["events_percentiles_exact"]
     return out
 
 
