@@ -531,3 +531,41 @@ def test_butterfly_count_sf1_scale_closed_form(spark):
     # right with each block's left quad -> no second common right, no
     # extra butterfly
     assert r["n_butterflies"] == blocks * (a * (a - 1) // 2) * (b * (b - 1) // 2)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale MMR smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_mmr_topk_sf1_scale(spark):
+    """100k synthetic 16-dim vectors: the pool scan + greedy completes,
+    picks are distinct, round 1 is the global relevance argmax, and the
+    picked score sequence is non-increasing (argmax over a shrinking
+    set whose per-item scores only fall as the selected set grows)."""
+    from usearch_spark.operators.similarity import mmr_topk
+
+    n, dim = 100_000, 16
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i, F.lit(7)), F.lit(2001))
+                - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    out = (
+        mmr_topk(emb, query_id=0, k=8, pool=40)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert len(out) == 8
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == 8 and 0 not in ids
+    # round 1 = pure relevance argmax over the pool (and hence globally,
+    # since the pool is the relevance top-40)
+    assert out[0]["rel_q"] == max(r["rel_q"] for r in out)
+    s2 = [r["score2"] for r in out]
+    assert all(a >= b for a, b in zip(s2, s2[1:]))
