@@ -9831,13 +9831,16 @@ def _cdc_oracle_sql(w: int = 8, base: int = 131, prime: int = 1_000_003,
         ),
         nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
                FROM documents GROUP BY source)
-        SELECT nd.source, nd.n_docs, g.n_chunks, g.n_distinct, g.total_chars,
-               g.distinct_chars,
+        SELECT nd.source, nd.n_docs,
+               coalesce(g.n_chunks, 0) AS n_chunks,
+               coalesce(g.n_distinct, 0) AS n_distinct,
+               coalesce(g.total_chars, 0) AS total_chars,
+               coalesce(g.distinct_chars, 0) AS distinct_chars,
                CASE WHEN g.total_chars > 0
                     THEN CAST(g.distinct_chars AS DOUBLE)
                          / CAST(g.total_chars AS DOUBLE)
                END AS dedup_ratio
-        FROM nd JOIN g ON g.source = nd.source
+        FROM nd LEFT JOIN g ON g.source = nd.source
         ORDER BY nd.source
     """
 
@@ -12750,6 +12753,309 @@ def _holt_backtest_oracle_sql(n_origins: int = 7, m: int = 7) -> str:
         """
 
 
+def q_search_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATED-PAGES for doc 0 (operators/search.related_pages): tf-idf
+    more-like-this (content arm) fused by RRF with PERSONALIZED PAGERANK
+    from the seed on the bipartite doc<->term content graph (structure
+    arm, plans/pagerank.personalized_pagerank — reference rank-blend Q3
+    es.go:214-231 + pagerank/compute.go:24-103 teleport semantics).  The
+    graph is LINEAR in postings (two directed edges per posting row, no
+    doc-pair surface); ranks are integers over (rounded score, id)
+    orders; the RRF score is two integer-denominator divides — the whole
+    blend replays bit-for-bit in the unrolled-PPR oracle."""
+    from usearch_spark.operators.search import related_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = _postings_df(spark, sf_dir)
+    dfreq = S.doc_frequencies(postings, id_col="doc_id")
+    return related_pages(postings, dfreq, docs.count(), query_doc=0, id_col="doc_id")
+
+
+def _related_oracle_sql(
+    iters: int = 10,
+    d: float = 0.85,
+    pool: int = 50,
+    top_k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    """related_pages replay: the search_mlt CTE chain (pool cut), the
+    bipartite doc<->term edge set, the _ppr_oracle_sql recurrence with
+    identical float literals, rank windows over the <= pool-row slice,
+    and the two-divide RRF blend."""
+    p_val = 1.0
+    omd = 1.0 - d
+    head = f"""
+        WITH tf AS MATERIALIZED (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY doc_id, term
+        ),
+        n AS (SELECT count(*) AS n FROM documents),
+        dfq AS MATERIALIZED (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ),
+        w AS MATERIALIZED (
+            SELECT doc_id, term,
+                   tf * ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS w
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        qv AS (SELECT term, w AS qw FROM w WHERE doc_id = 0),
+        dots AS (
+            SELECT w.doc_id, sum(w.w * qv.qw) AS dot
+            FROM w JOIN qv USING (term) GROUP BY w.doc_id
+        ),
+        mlt AS MATERIALIZED (
+            SELECT d.doc_id, round(d.dot / (nd.nrm * nq.nrm), 6) AS similarity
+            FROM dots d
+            JOIN norms nd ON nd.doc_id = d.doc_id
+            JOIN (SELECT nrm FROM norms WHERE doc_id = 0) nq ON TRUE
+            WHERE d.doc_id <> 0
+            ORDER BY similarity DESC, d.doc_id
+            LIMIT {pool}
+        ),
+        cand AS MATERIALIZED (
+            SELECT doc_id, similarity,
+                   row_number() OVER (ORDER BY similarity DESC, doc_id) AS r_mlt
+            FROM mlt
+        ),
+        edges AS MATERIALIZED (
+            SELECT 'd' || doc_id AS src, 't' || term AS dst FROM tf
+            UNION ALL
+            SELECT 't' || term AS src, 'd' || doc_id AS dst FROM tf
+        ),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+        pv AS MATERIALIZED (
+            SELECT id, CASE WHEN id = 'd0' THEN {p_val!r} ELSE 0e0 END AS p
+            FROM verts
+        ),
+        r0 AS MATERIALIZED (SELECT id, p AS score FROM pv)
+    """
+    parts = [head]
+    for k in range(1, iters + 1):
+        pk = k - 1
+        parts.append(
+            f""",
+        res{k} AS MATERIALIZED (
+            SELECT coalesce(sum(r.score), 0) AS r
+            FROM r{pk} r LEFT JOIN outdeg o ON o.id = r.id
+            WHERE o.id IS NULL
+        ),
+        msg{k} AS MATERIALIZED (
+            SELECT e.dst AS id, sum(r.score / o.od) AS msg
+            FROM r{pk} r JOIN outdeg o ON o.id = r.id JOIN edges e ON e.src = r.id
+            GROUP BY e.dst
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT v.id,
+                   {omd!r} * v.p + {d!r} * coalesce(m.msg, 0)
+                   + ({d!r} * res{k}.r) * v.p AS score
+            FROM pv v CROSS JOIN res{k}
+            LEFT JOIN msg{k} m ON m.id = v.id
+        )"""
+        )
+    parts.append(
+        f""",
+        dscore AS MATERIALIZED (
+            SELECT CAST(substring(id, 2) AS BIGINT) AS doc_id,
+                   round(score, 8) AS ppr
+            FROM r{iters} WHERE substring(id, 1, 1) = 'd'
+        ),
+        cp AS MATERIALIZED (
+            SELECT c.doc_id, c.similarity, c.r_mlt, s.ppr,
+                   row_number() OVER (ORDER BY s.ppr DESC, c.doc_id) AS r_ppr
+            FROM cand c JOIN dscore s USING (doc_id)
+        ),
+        fused AS MATERIALIZED (
+            SELECT doc_id, similarity, ppr,
+                   round(CAST(1 AS DOUBLE) / ({rrf_k} + r_mlt)
+                         + CAST(1 AS DOUBLE) / ({rrf_k} + r_ppr), 9) AS rrf_score
+            FROM cp
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+                   AS related_rank,
+               similarity, ppr, rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {top_k}"""
+    )
+    return "".join(parts)
+
+
+
+def q_sketch_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ACCURACY AUDIT for the portable HLL family (the r12-verdict
+    observability ask): per event_type (and the merged ALL row) the HLL
+    estimate sits NEXT TO the exact distinct count with signed error,
+    relative error, and a flag that |rel| is within twice the standard
+    HLL relative-standard-error 1.04/sqrt(m) (m = 16 registers -> RSE
+    0.26) — the sketch goes from "trust me" to measured.  est is the
+    gate-proven 6dp-rounded estimate, so every error column is
+    arithmetic over identical doubles on both engines."""
+    df = q_sketch_hll_users(spark, sf_dir)
+    rel = (F.abs(F.col("est") - F.col("exact_users"))
+           / F.col("exact_users").cast("double"))
+    return df.select(
+        "event_type",
+        "est",
+        "exact_users",
+        F.round(F.col("est") - F.col("exact_users"), 6).alias("err"),
+        F.round(rel, 6).alias("rel_err"),
+        F.lit(0.26).alias("rse_bound"),
+        (rel <= F.lit(0.52)).cast("int").alias("within_2rse"),
+    )
+
+
+def _hll_error_oracle_sql() -> str:
+    """sketch_hll_error replay: the sketch_hll_users oracle as a subquery
+    plus the identical error arithmetic (rel computed from the same
+    6dp-rounded est and integer exact count)."""
+    return f"""
+        SELECT event_type, est, exact_users,
+               round(est - exact_users, 6) AS err,
+               round(abs(est - exact_users) / CAST(exact_users AS DOUBLE), 6)
+                   AS rel_err,
+               CAST('0.26' AS DOUBLE) AS rse_bound,
+               CAST(abs(est - exact_users) / CAST(exact_users AS DOUBLE)
+                    <= CAST('0.52' AS DOUBLE) AS INT) AS within_2rse
+        FROM ({_hll_users_oracle_sql()})
+    """
+
+
+
+def q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ACCURACY AUDIT for the log-histogram quantile sketch: per
+    l_returnflag and percentile (p50/p90/p99 of l_extendedprice), the
+    sketch estimate (operators/sketch.log_hist_quantile) next to the
+    EXACT order statistic at the SAME ceil(q*N) rank rule — computed
+    scale-correctly from cent-quantized (flag, value) CELLS and a
+    rank-threshold lookup (the events_percentiles_exact shape, never a
+    row-volume sort).  The construction guarantees est <= exact <
+    1.25*est (bin lower bound, top-3-bit sub-buckets), asserted here as
+    the PURE-INTEGER flag 4*exact_cents < 5*est_cents on the same cents
+    the estimates divide from — bit-exact, one divide per output float."""
+    from pyspark.sql import Window
+
+    from usearch_spark.operators.sketch import log_hist_quantile, log_hist_sketch
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = log_hist_sketch(li, "l_extendedprice", ["l_returnflag"]).localCheckpoint(
+        eager=True
+    )
+    cents = F.floor(F.col("l_extendedprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+    cells = (
+        li.select("l_returnflag", cents.alias("v"))
+        .groupBy("l_returnflag", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    cum = cells.withColumn("cum", F.sum("cnt").over(w))
+    tot = cells.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    out = None
+    for qn, qd, name in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
+        est = log_hist_quantile(sk, ["l_returnflag"], qn, qd, out_col="est").select(
+            "l_returnflag", "est"
+        )
+        thr = F.expr(f"CAST(({qn} * n + {qd} - 1) DIV {qd} AS BIGINT)")
+        exact = (
+            cum.join(tot, "l_returnflag")
+            .filter(F.col("cum") >= thr)
+            .groupBy("l_returnflag")
+            .agg(F.min("v").alias("exact_cents"), F.max("n").alias("n"))
+        )
+        one = est.join(exact, "l_returnflag").select(
+            "l_returnflag",
+            F.lit(name).alias("q"),
+            "n",
+            "est",
+            (F.col("exact_cents").cast("double") / F.lit(100.0)).alias("exact"),
+            F.round(
+                (F.col("est") - F.col("exact_cents").cast("double") / F.lit(100.0))
+                / (F.col("exact_cents").cast("double") / F.lit(100.0)),
+                6,
+            ).alias("rel_err"),
+            (
+                (F.floor(F.col("est") * F.lit(100.0) + F.lit(0.5)) <= F.col("exact_cents"))
+                & (F.lit(4) * F.col("exact_cents")
+                   < F.lit(5) * F.floor(F.col("est") * F.lit(100.0) + F.lit(0.5)))
+            ).cast("int").alias("within_25pct"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("l_returnflag", "q")
+
+
+def _quantile_error_oracle_sql() -> str:
+    """sketch_quantile_error replay: the sketch_quantile_hist bin chain
+    (whole-input sketch), the exact cent-cell rank-threshold lookup at
+    the identical ceil rank rule, and the integer 4*exact<5*est bound."""
+    qs = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+    sels = []
+    for qn, qd, name in qs:
+        sels.append(f"""
+            SELECT s.l_returnflag, '{name}' AS q, s.n, s.est,
+                   CAST(x.exact_cents AS DOUBLE) / 100.0 AS exact,
+                   round((s.est - CAST(x.exact_cents AS DOUBLE) / 100.0)
+                         / (CAST(x.exact_cents AS DOUBLE) / 100.0), 6) AS rel_err,
+                   CAST(CAST(floor(s.est * 100.0 + 0.5) AS BIGINT) <= x.exact_cents
+                        AND 4 * x.exact_cents
+                            < 5 * CAST(floor(s.est * 100.0 + 0.5) AS BIGINT)
+                        AS INT) AS within_25pct
+            FROM (
+                SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                       CAST(min(CASE WHEN cum >= ({qn} * n + {qd} - 1) // {qd}
+                                     THEN (sub3 << greatest(blen - 3, 0)) END)
+                            AS DOUBLE) / 100.0 AS est
+                FROM wcum GROUP BY g
+            ) s
+            JOIN (
+                SELECT l_returnflag, CAST(min(CASE WHEN cum >= ({qn} * n + {qd} - 1) // {qd}
+                                     THEN v END) AS BIGINT) AS exact_cents
+                FROM ccum GROUP BY l_returnflag
+            ) x ON x.l_returnflag = s.l_returnflag""")
+    union = "\n            UNION ALL".join(sels)
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT l_returnflag AS g,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+            FROM lineitem
+        ),
+        b AS (
+            SELECT g, v,
+                   CASE WHEN v <= 0 THEN 0
+                        ELSE length(to_base(v, 2)) END AS blen,
+                   CASE WHEN v <= 0 THEN 0
+                        ELSE v >> greatest(length(to_base(v, 2)) - 3, 0)
+                   END AS sub3
+            FROM src
+        ),
+        whole AS (
+            SELECT g, blen, sub3, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2, 3
+        ),
+        wcum AS MATERIALIZED (
+            SELECT g, blen, sub3, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY blen, sub3) AS cum,
+                   sum(cnt) OVER (PARTITION BY g) AS n
+            FROM whole
+        ),
+        cells AS (
+            SELECT g AS l_returnflag, v, CAST(count(*) AS BIGINT) AS cnt
+            FROM src GROUP BY 1, 2
+        ),
+        ccum AS MATERIALIZED (
+            SELECT l_returnflag, v, cnt,
+                   sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                   sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM cells
+        )
+        SELECT * FROM ({union})
+        ORDER BY l_returnflag, q
+    """
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -12757,17 +13063,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-12 rotation (the
-    r11-verdict ask): (1) the fifteen round-11 queries that have never
-    had a driver gate (eval_forecast_backtest .. graph_kcenters);
-    (2) the round-7 remainder front — 35 fit (salted_join_revenue ..
-    doc_keywords; the last 3 r07 queries spill to round 13).  Past the
-    boundary: new round-12 entries (first in line for the round-13
-    window), the round-7 spill (3), then the round-8, round-9,
-    round-10 and round-11 gated cohorts in gate order.  Position math:
+    cap sweeps the whole surface across rounds.  Round-13 rotation (the
+    r12-verdict ask #1): (1) the forty-eight round-12 queries that have
+    never had a driver gate (eval_map .. events_percentiles_stream), in
+    their round-12 order; (2) the two oldest round-7 spill entries
+    (events_anomaly, vocab_zipf).  pricing_summary heads the round-14
+    window, followed by new round-13 entries, then the round-12-gated
+    cohort (15 r11 + 35 r07-front), then the round-8, round-9, round-10
+    and round-11 gated cohorts in gate order.  Position math:
     qs.index(name) < 50 is the gated set."""
     return {
-        # --- new round 11, never driver-gated: gate first ---
+        # --- new round 12, never driver-gated: gate first (r13 window) ---
+        "eval_map": q_eval_map,
+        "eval_mrr": q_eval_mrr,
+        "events_stl_anomaly": q_events_stl_anomaly,
+        "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
+        "events_cusum_stream": q_events_cusum_stream,
+        "eval_f1": q_eval_f1,
+        "audit_iqr": q_audit_iqr,
+        "eval_spearman": q_eval_spearman,
+        "events_trend": q_events_trend,
+        "sketch_ams_f2": q_sketch_ams_f2,
+        "graph_scc": q_graph_scc,
+        "events_survival": q_events_survival,
+        "events_seasonal_strength": q_events_seasonal_strength,
+        "eval_lift": q_eval_lift,
+        "eval_kendall": q_eval_kendall,
+        "events_holt_winters_stream": q_events_holt_winters_stream,
+        "eval_auc_stream": q_eval_auc_stream,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
+        "eval_mcc": q_eval_mcc,
+        "eval_kappa": q_eval_kappa,
+        "eval_mcnemar": q_eval_mcnemar,
+        "eval_mannwhitney": q_eval_mannwhitney,
+        "events_pettitt": q_events_pettitt,
+        "audit_gini": q_audit_gini,
+        "audit_chisq_dow": q_audit_chisq_dow,
+        "graph_butterflies": q_graph_butterflies,
+        "graph_richclub": q_graph_richclub,
+        "parts_croston": q_parts_croston,
+        "sim_mmr": q_sim_mmr,
+        "dedup_cdc": q_dedup_cdc,
+        "sketch_ams_stream": q_sketch_ams_stream,
+        "events_runs": q_events_runs,
+        "events_concurrency": q_events_concurrency,
+        "graph_bipartite": q_graph_bipartite,
+        "parts_abc": q_parts_abc,
+        "events_concurrency_stream": q_events_concurrency_stream,
+        "audit_kanonymity": q_audit_kanonymity,
+        "eval_auc_bootstrap": q_eval_auc_bootstrap,
+        "graph_conductance": q_graph_conductance,
+        "events_esd": q_events_esd,
+        "search_prf": q_search_prf,
+        "events_trend_seasonal": q_events_trend_seasonal,
+        "events_trend_fit": q_events_trend_fit,
+        "audit_duplicate_payments": q_audit_duplicate_payments,
+        "events_attribution_ushape": q_events_attribution_ushape,
+        "events_percentiles_exact": q_events_percentiles_exact,
+        "events_percentiles_stream": q_events_percentiles_stream,
+        # --- round-7 spill tail (2 fit; pricing_summary heads r14) ---
+        "events_anomaly": q_events_anomaly,
+        "vocab_zipf": q_vocab_zipf,
+        # ---------- 50-entry window boundary (round 13) ----------
+        "pricing_summary": q_pricing_summary,
+        # --- new round 13 entries land here (first in line for the r14 window) ---
+        "search_related": q_search_related,
+        "sketch_hll_error": q_sketch_hll_error,
+        "sketch_quantile_error": q_sketch_quantile_error,
+        # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
         "eval_ndcg": q_eval_ndcg,
@@ -12819,60 +13183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "supplier_cooccurrence": q_supplier_cooccurrence,
         "doc_keywords": q_doc_keywords,
-        # ---------- 50-entry window boundary (round 12) ----------
-        # --- new round 12 entries land here (first in line for the r13 window) ---
-        "eval_map": q_eval_map,
-        "eval_mrr": q_eval_mrr,
-        "events_stl_anomaly": q_events_stl_anomaly,
-        "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
-        "events_cusum_stream": q_events_cusum_stream,
-        "eval_f1": q_eval_f1,
-        "audit_iqr": q_audit_iqr,
-        "eval_spearman": q_eval_spearman,
-        "events_trend": q_events_trend,
-        "sketch_ams_f2": q_sketch_ams_f2,
-        "graph_scc": q_graph_scc,
-        "events_survival": q_events_survival,
-        "events_seasonal_strength": q_events_seasonal_strength,
-        "eval_lift": q_eval_lift,
-        "eval_kendall": q_eval_kendall,
-        "events_holt_winters_stream": q_events_holt_winters_stream,
-        "eval_auc_stream": q_eval_auc_stream,
-        "graph_reciprocity": q_graph_reciprocity,
-        "graph_assortativity": q_graph_assortativity,
-        "eval_mcc": q_eval_mcc,
-        "eval_kappa": q_eval_kappa,
-        "eval_mcnemar": q_eval_mcnemar,
-        "eval_mannwhitney": q_eval_mannwhitney,
-        "events_pettitt": q_events_pettitt,
-        "audit_gini": q_audit_gini,
-        "audit_chisq_dow": q_audit_chisq_dow,
-        "graph_butterflies": q_graph_butterflies,
-        "graph_richclub": q_graph_richclub,
-        "parts_croston": q_parts_croston,
-        "sim_mmr": q_sim_mmr,
-        "dedup_cdc": q_dedup_cdc,
-        "sketch_ams_stream": q_sketch_ams_stream,
-        "events_runs": q_events_runs,
-        "events_concurrency": q_events_concurrency,
-        "graph_bipartite": q_graph_bipartite,
-        "parts_abc": q_parts_abc,
-        "events_concurrency_stream": q_events_concurrency_stream,
-        "audit_kanonymity": q_audit_kanonymity,
-        "eval_auc_bootstrap": q_eval_auc_bootstrap,
-        "graph_conductance": q_graph_conductance,
-        "events_esd": q_events_esd,
-        "search_prf": q_search_prf,
-        "events_trend_seasonal": q_events_trend_seasonal,
-        "events_trend_fit": q_events_trend_fit,
-        "audit_duplicate_payments": q_audit_duplicate_payments,
-        "events_attribution_ushape": q_events_attribution_ushape,
-        "events_percentiles_exact": q_events_percentiles_exact,
-        "events_percentiles_stream": q_events_percentiles_stream,
-        # --- round-7 spill (3) ---
-        "events_anomaly": q_events_anomaly,
-        "vocab_zipf": q_vocab_zipf,
-        "pricing_summary": q_pricing_summary,
         # --- round-8 cohort ---
         "embedding_covariance": q_embedding_covariance,
         "graph_modularity": q_graph_modularity,
@@ -13796,6 +14106,9 @@ def oracle_sql() -> dict[str, str]:
         "parts_croston": _croston_oracle_sql(),
         "sim_mmr": _mmr_oracle_sql(k=10, pool=30),
         "dedup_cdc": _cdc_oracle_sql(),
+        "search_related": _related_oracle_sql(),
+        "sketch_hll_error": _hll_error_oracle_sql(),
+        "sketch_quantile_error": _quantile_error_oracle_sql(),
         "events_runs": _runs_oracle_sql(),
         "events_concurrency": _concurrency_oracle_sql(),
         "graph_bipartite": _bipartite_oracle_sql(),

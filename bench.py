@@ -72,6 +72,18 @@ def pagerank_100k(spark) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Stamp the 1-minute load average before any work: round-12's committed
+    # headline was taken on a box with external load (LA 5-7, uniform
+    # 1.3-1.7x inflation on byte-identical code) and only the builder's ad-hoc
+    # log caught it.  A pre-run LA above ~2 means the number will not be
+    # comparable across rounds — warn loudly so the runner re-runs on idle.
+    load_before = round(os.getloadavg()[0], 2)
+    if load_before > 2.0:
+        print(
+            f"bench WARNING: pre-run load average {load_before} > 2 — "
+            "timings will be contaminated by external load; prefer re-running idle",
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
 
     import __spark_entry__ as E
@@ -147,6 +159,7 @@ def main() -> None:
     # never parses (round 3 lost its headline total this way).  Keep the
     # stdout line compact — totals + the top-10 slowest — and write the
     # complete medians/spread to BENCH_DETAIL.json beside this script.
+    load_after = round(os.getloadavg()[0], 2)
     detail = {
         "queries": timings,
         "cold_sec": cold,
@@ -156,6 +169,8 @@ def main() -> None:
         "runs": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pagerank_100k": pr_gate,
+        "load_avg_before": load_before,
+        "load_avg_after": load_after,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -174,6 +189,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": n_runs,
                 "pagerank_100k": pr_gate,
+                "load_avg_before": load_before,
+                "load_avg_after": load_after,
                 "detail": "BENCH_DETAIL.json",
             }
         )

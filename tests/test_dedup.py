@@ -432,3 +432,21 @@ def test_cdc_dedup_matches_replay_and_resyncs_after_shift(spark):
     assert got["dup"]["dedup_ratio"] == 0.5
     # shifted copy: rolling hash resyncs, so well under 1.0 (shared tail)
     assert got["shift"]["dedup_ratio"] < 0.75
+
+
+def test_cdc_dedup_keeps_all_empty_group(spark):
+    """A group whose every document has empty text still appears in the
+    audit: n_docs kept, chunk counters coalesced to 0, NULL dedup_ratio."""
+    from usearch_spark.operators.dedup import cdc_dedup_stats
+
+    df = spark.createDataFrame(
+        [("a", "hello world, a real payload"), ("b", ""), ("b", "")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in cdc_dedup_stats(df, ["source"]).collect()}
+    assert set(rows) == {"a", "b"}
+    b = rows["b"]
+    assert (b["n_docs"], b["n_chunks"], b["n_distinct"]) == (2, 0, 0)
+    assert (b["total_chars"], b["distinct_chars"]) == (0, 0)
+    assert b["dedup_ratio"] is None
+    assert rows["a"]["n_chunks"] > 0

@@ -498,3 +498,17 @@ def test_mmr_topk_diversifies_and_matches_replay(spark):
     # behind the diverse vector 3
     assert sorted(rel, key=lambda i: -rel[i])[:2] == [1, 2]
     assert order[:3] == [1, 3, 2]
+
+
+def test_mmr_topk_empty_pool_returns_typed_empty(spark):
+    """A corpus holding only the query vector yields an EMPTY result with
+    the full 5-column long schema (not an array<null> AnalysisException)."""
+    from usearch_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = mmr_topk(df, query_id=0, k=3, pool=5)
+    assert out.columns == ["mmr_rank", "vec_id", "rel_q", "max_sim_q", "score2"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint"] * 5
+    assert out.count() == 0

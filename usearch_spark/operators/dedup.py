@@ -931,7 +931,9 @@ def cdc_dedup_stats(
     (group, md5) collapse, one final groupBy.  No windows, no collects.
 
     Output: group_cols + (n_docs, n_chunks, n_distinct, total_chars,
-    distinct_chars, dedup_ratio).
+    distinct_chars, dedup_ratio).  A group whose every document has
+    empty text still appears (n_docs kept, chunk counters 0, NULL
+    dedup_ratio) — the audit must not silently drop groups.
     """
     n = F.length(F.col(text_col))
     chars = F.transform(F.split(F.col(text_col), ""), F.ascii)
@@ -985,13 +987,13 @@ def cdc_dedup_stats(
         F.sum("clen").alias("distinct_chars"),
     )
     nd = docs.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
-    return nd.join(g, group_cols).select(
+    return nd.join(g, group_cols, "left").select(
         *group_cols,
         "n_docs",
-        "n_chunks",
-        "n_distinct",
-        "total_chars",
-        "distinct_chars",
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+        F.coalesce("distinct_chars", F.lit(0)).alias("distinct_chars"),
         F.when(
             F.col("total_chars") > 0,
             F.col("distinct_chars").cast("double")

@@ -630,3 +630,97 @@ def prf_expansion_terms(
         .orderBy(F.col("n_docs").desc(), F.col("sum_tf").desc(), "term")
         .limit(k)
     )
+
+
+def related_pages(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    query_doc: int,
+    id_col: str = "doc_id",
+    pool: int = 50,
+    top_k: int = 10,
+    rrf_k: int = 60,
+    ppr_steps: int = 10,
+) -> DataFrame:
+    """RELATED-PAGES query ("more pages like this one"): blends CONTENT
+    similarity with LINK-STRUCTURE proximity — the classic search feature
+    the reference's rank blend (es.go:214-231, Q3 score+PageRank mix)
+    plus its PageRank machinery (pagerank/compute.go:24-103) together
+    imply, re-expressed for a corpus without an explicit link graph:
+
+      * content arm: tf-idf cosine ``more_like_this`` ranking (term
+        space, served from the same postings table as MATCH/BM25);
+      * structure arm: PERSONALIZED PageRank from the seed document on
+        the bipartite doc<->term content graph (doc→term→doc random walk
+        with restart — Lao & Cohen 2010's RWR retrieval shape), which
+        rewards documents reachable through many shared, low-fanout
+        vocabulary paths rather than raw cosine overlap;
+      * blend: reciprocal-rank fusion over the bounded candidate pool
+        (Cormack et al. 2009), the same combiner as search_hybrid_rrf.
+
+    Scale shape: the bipartite graph is LINEAR in postings (each (doc,
+    term) row contributes two directed edges — no quadratic doc-pair
+    surface anywhere); PPR runs the gate-proven
+    plans/pagerank.personalized_pagerank (auto local/distributed); both
+    rank passes use the window-free counting-rank over the <= ``pool``
+    row slice (topn_with_ranks).  Determinism: ranks are integers over
+    (rounded score desc, id) orders, and the RRF score is two integer
+    divides summed — identical IEEE ops on any engine.
+
+    Output: (id, related_rank, similarity, ppr, rrf_score) top_k by
+    (rrf_score desc, id).
+    """
+    from usearch_spark.plans.pagerank import personalized_pagerank
+
+    mlt = more_like_this(postings, dfreq, n_docs, query_doc, id_col=id_col, top_k=pool)
+    mlt_ranked = topn_with_ranks(
+        mlt.select(F.col(id_col), F.col("similarity").alias("score")), pool, id_col=id_col
+    )
+    cand = mlt_ranked.select(
+        id_col, F.col("score").alias("similarity"), F.col("rank").alias("r_mlt")
+    )
+
+    d_id = F.concat(F.lit("d"), F.col(id_col).cast("string"))
+    t_id = F.concat(F.lit("t"), F.col("term"))
+    fwd = postings.select(d_id.alias("src"), t_id.alias("dst"))
+    rev = postings.select(t_id.alias("src"), d_id.alias("dst"))
+    edges = fwd.unionByName(rev)  # postings rows are (term, doc) unique
+    verts = edges.select(F.col("src").alias("id")).dropDuplicates(["id"])
+    ppr = personalized_pagerank(
+        verts,
+        edges,
+        [f"d{query_doc}"],
+        min_sad=0.0,
+        max_steps=ppr_steps,
+        edges_deduped=True,
+    )
+    dscores = ppr.state.filter(F.col("id").startswith("d")).select(
+        F.expr("CAST(substring(id, 2) AS BIGINT)").alias(id_col),
+        F.round(F.col("score"), 8).alias("ppr"),
+    )
+    cand = cand.join(dscores, id_col)
+    ppr_ranked = topn_with_ranks(
+        cand.select(id_col, F.col("ppr").alias("score")), pool, id_col=id_col
+    )
+    fused = cand.join(
+        ppr_ranked.select(id_col, F.col("rank").alias("r_ppr")), id_col
+    ).select(
+        id_col,
+        "similarity",
+        "ppr",
+        F.round(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_mlt"))
+            + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_ppr")),
+            9,
+        ).alias("rrf_score"),
+    )
+    final = topn_with_ranks(
+        fused.select(id_col, F.col("rrf_score").alias("score")), top_k, id_col=id_col
+    )
+    return (
+        final.select(id_col, F.col("rank").alias("related_rank"))
+        .join(fused, id_col)
+        .select(id_col, "related_rank", "similarity", "ppr", "rrf_score")
+        .orderBy("related_rank")
+    )

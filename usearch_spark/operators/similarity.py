@@ -1278,6 +1278,14 @@ def mmr_topk(
         picks.append((r, row["vec_id"], row["rel"], row["_ms"], row["_s2"]))
         sel_vecs.append([int(v) for v in row["xq"]])
         rem = rem.filter(F.col("vec_id") != row["vec_id"])
+    out_cols = ["mmr_rank", "vec_id", "rel_q", "max_sim_q", "score2"]
+    if not picks:
+        # Empty candidate pool (corpus holds only the query vector):
+        # F.array() with zero struct children would type as array<null>
+        # and the s.* field access below could not resolve — return an
+        # explicitly-typed empty frame instead.
+        schema = ", ".join(f"{c} long" for c in out_cols)
+        return emb.sparkSession.createDataFrame([], schema)
     arr = F.array(
         *[
             F.struct(
@@ -1291,6 +1299,4 @@ def mmr_topk(
         ]
     )
     carrier = pool_df.agg(F.count(F.lit(1)).alias("_n"))
-    return carrier.select(F.explode(arr).alias("s")).select(
-        "s.mmr_rank", "s.vec_id", "s.rel_q", "s.max_sim_q", "s.score2"
-    )
+    return carrier.select(F.explode(arr).alias("s")).select(*[f"s.{c}" for c in out_cols])

@@ -1849,8 +1849,15 @@ def butterfly_count(
 
     Output: one row (n_edges, n_left, n_right, n_wedges, n_butterflies,
     butterflies_per_wedge — NULL when wedge-free).
+
+    Input edges are deduplicated on (left, right) here: a duplicate
+    edge would inflate wedge and butterfly counts quadratically, so the
+    census is defined over the SIMPLE bipartite graph (n_edges is the
+    distinct-edge count).
     """
-    e = edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+    e = edges.select(F.col(left).alias("l"), F.col(right).alias("r")).dropDuplicates(
+        ["l", "r"]
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, "r")
