@@ -569,3 +569,57 @@ def test_mmr_topk_sf1_scale(spark):
     assert out[0]["rel_q"] == max(r["rel_q"] for r in out)
     s2 = [r["score2"] for r in out]
     assert all(a >= b for a, b in zip(s2, s2[1:]))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale deep-chain SCC smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_graph_scc_sf1_deep_chain_condensation(spark):
+    """SCC at sf1 scale on the MULTI-PEEL adversarial shape: 6000 parallel
+    CHAINS of five 3-cycles (90k vertices; cycle (b,l) feeds cycle
+    (b,l+1)), so the condensation is a depth-5 path and trim never fires
+    (every vertex sits on a cycle).  Each peel's fused F/B min-label pass
+    can only resolve the condensation's current source layer — peel k
+    strips layer k-1 across ALL chains simultaneously — so the run
+    exercises the full rounds-bounded-by-condensation-depth budget the
+    single-peel sf1 smoke (test_graph_scc_sf1_scale) never touches.
+    Asserted BOTH ways: max_peels=5 labels everything to its cycle
+    minimum, and max_peels=4 leaves exactly the last layer (3 per chain)
+    unlabeled — the depth bound is tight, not slack."""
+    from usearch_spark.plans.scc import strongly_connected_components
+
+    blocks, depth = 6_000, 5  # vertex id = b*(3*depth) + l*3 + j
+    base = (
+        spark.range(blocks)
+        .select(
+            F.col("id").alias("b"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("l"),
+        )
+        .select("b", "l", (F.col("b") * (3 * depth) + F.col("l") * 3).alias("m"))
+    )
+    cyc = base.select(
+        "b", "l", "m", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    ).select(
+        (F.col("m") + F.col("j")).alias("src"),
+        (F.col("m") + F.pmod(F.col("j") + 1, F.lit(3))).alias("dst"),
+    )
+    chain = base.filter(F.col("l") < depth - 1).select(
+        F.col("m").alias("src"), (F.col("m") + 3).alias("dst")
+    )
+    n = blocks * depth * 3
+    v = spark.range(n).select("id")
+    e = cyc.unionAll(chain)
+
+    out = strongly_connected_components(v, e, max_peels=depth).localCheckpoint(
+        eager=True
+    )
+    assert out.count() == n
+    # every vertex labels to its own 3-cycle's minimum: (id div 3) * 3
+    assert out.filter(F.col("component") != F.expr("(id div 3) * 3")).count() == 0
+    sizes = out.groupBy("component").count()
+    assert sizes.filter(F.col("count") == 3).count() == blocks * depth
+
+    short = strongly_connected_components(v, e, max_peels=depth - 1)
+    labeled = short.count()
+    assert labeled == n - blocks * 3  # exactly the deepest layer remains
