@@ -13056,6 +13056,120 @@ def _quantile_error_oracle_sql() -> str:
 
 
 
+def q_events_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-DIVERSITY audit per event type (operators/audit.
+    simpson_diversity): exact Gini-Simpson index and Hill effective-user
+    number over the (type, user) count cells — the log-free "is this
+    stream dominated by a few users?" measure (entropy would need
+    engine-side transcendentals; Simpson needs only exact integers and
+    one decimal→double divide per output)."""
+    from usearch_spark.operators.audit import simpson_diversity
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return simpson_diversity(ev, ["event_type"], "user_id").orderBy("event_type")
+
+
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST OUTLIER audit per event type (operators/audit.mad_outliers,
+    the Hampel identifier): median and MAD of the cent-quantized event
+    values plus the count past the 3·1.4826·MAD fence — every decision
+    rides exact integers (med2/mad4 two-rank sums, the 20000·dev2 >
+    44478·mad4 cleared comparison), the two output floats are one
+    divide each."""
+    from usearch_spark.operators.audit import mad_outliers
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return mad_outliers(ev, ["event_type"], "cents").orderBy("event_type")
+
+
+def q_audit_round_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUND-AMOUNT fraud screen per part brand (operators/audit.
+    round_amount_audit — the Nigrini round-number test): share of
+    whole-dollar extended prices per brand with a binomial z-score
+    against the global rate; counts exact, p/share one divide each,
+    z a fixed IEEE chain (sqrt is correctly rounded everywhere)."""
+    from usearch_spark.operators.audit import round_amount_audit
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand",
+        F.floor(F.col("l_extendedprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return round_amount_audit(x, ["p_brand"], "cents", modulus=100).orderBy("p_brand")
+
+
+def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL-DIVERSITY profile per source (operators/text_analysis.
+    lexical_diversity): type-token ratio, hapax share, and the Simpson
+    repeat rate over the tokenizer's (source, term) cells — the
+    vocabulary-health triple a mixing pass reads before weighting a
+    source; all exact-integer numerators, one divide per output."""
+    from usearch_spark.operators.text_analysis import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return lexical_diversity(docs, ["source"]).orderBy("source")
+
+
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document N-GRAM NOVELTY (operators/corpus.ngram_novelty): the
+    share of a doc's distinct word trigrams whose first corpus occurrence
+    (min doc_id) is the doc itself — the "how much is new?" ingest
+    measure, the ordered complement of corpus_decontaminate.  Gram
+    ownership is an integer min, novelty one divide."""
+    from usearch_spark.operators.corpus import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs).orderBy("doc_id")
+
+
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILITY-CALIBRATION error per segment (operators/evaluate.
+    brier_scaled): the Brier score of min-max-scaled account balance as
+    a "will this customer order?" probability — the magnitude companion
+    to eval_auc's ranking view and eval_calibration's reliability bins.
+    The numerator is an exact int64 sum of squared integer residuals
+    (cents-scaled scores, the eval_auc decimal recipe), one divide."""
+    from usearch_spark.operators.evaluate import brier_scaled
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100).cast("long").alias("cents"),
+    )
+    buyers = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    lab = c.join(buyers, c["c_custkey"] == buyers["o_custkey"], "left").select(
+        "c_mktsegment",
+        "cents",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("label"),
+    )
+    return brier_scaled(lab, ["c_mktsegment"], "cents", "label").orderBy(
+        "c_mktsegment"
+    )
+
+
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK-PREDICTION baseline panel over the supplier↔part graph
+    (plans/graph_stats.link_prediction_scores — Liben-Nowell & Kleinberg
+    2003): common neighbors, Jaccard, preferential attachment for the
+    top-20 supplier pairs by shared parts — the integer-exact baselines
+    beside graph_adamic_adar's 1/ln-weighted score, from the same ONE
+    per-part self-join."""
+    from usearch_spark.plans.graph_stats import link_prediction_scores
+
+    _, e = _supplier_part_graph(spark, sf_dir)
+    out = link_prediction_scores(e, edges_deduped=True)
+    return out.orderBy(F.col("common_neighbors").desc(), "a", "b").limit(20)
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -13131,6 +13245,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_related": q_search_related,
         "sketch_hll_error": q_sketch_hll_error,
         "sketch_quantile_error": q_sketch_quantile_error,
+        "events_diversity": q_events_diversity,
+        "events_mad": q_events_mad,
+        "audit_round_amounts": q_audit_round_amounts,
+        "text_diversity": q_text_diversity,
+        "corpus_novelty": q_corpus_novelty,
+        "eval_brier": q_eval_brier,
+        "graph_linkpred": q_graph_linkpred,
         # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
@@ -14109,6 +14230,186 @@ def oracle_sql() -> dict[str, str]:
         "search_related": _related_oracle_sql(),
         "sketch_hll_error": _hll_error_oracle_sql(),
         "sketch_quantile_error": _quantile_error_oracle_sql(),
+        "events_diversity": """
+            WITH cells AS (
+                SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_keys,
+                       sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+                FROM cells GROUP BY event_type
+            )
+            SELECT event_type, n, n_keys,
+                   round(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - s2 AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE), 6)
+                       AS gini_simpson,
+                   round(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+                         / CAST(s2 AS DOUBLE), 6) AS effective_keys
+            FROM g ORDER BY event_type
+        """,
+        "events_mad": """
+            WITH v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ),
+            r AS (
+                SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            ),
+            med AS (
+                SELECT g, CAST(max(n) AS BIGINT) AS n,
+                       min(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN v END)
+                     + max(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN v END)
+                           AS med2
+                FROM r GROUP BY g
+            ),
+            d AS (
+                SELECT v.g, abs(2 * v.v - m.med2) AS d
+                FROM v JOIN med m ON m.g = v.g
+            ),
+            rd AS (
+                SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM d
+            ),
+            mad AS (
+                SELECT g,
+                       min(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN d END)
+                     + max(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN d END)
+                           AS mad4
+                FROM rd GROUP BY g
+            ),
+            outl AS (
+                SELECT d.g, CAST(count(*) AS BIGINT) AS n_outliers
+                FROM d JOIN mad a ON a.g = d.g
+                WHERE 20000 * d.d > 44478 * a.mad4
+                GROUP BY d.g
+            )
+            SELECT m.g AS event_type, m.n,
+                   CAST(m.med2 AS DOUBLE) / 200.0 AS median,
+                   CAST(a.mad4 AS DOUBLE) / 400.0 AS mad,
+                   coalesce(o.n_outliers, 0) AS n_outliers
+            FROM med m JOIN mad a ON a.g = m.g
+            LEFT JOIN outl o ON o.g = m.g
+            ORDER BY event_type
+        """,
+        "audit_round_amounts": """
+            WITH x AS (
+                SELECT p_brand,
+                       CASE WHEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                 % 100 = 0 THEN 1 ELSE 0 END AS r
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            per AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(r) AS BIGINT) AS n_round
+                FROM x GROUP BY p_brand
+            ),
+            gl AS (
+                SELECT CAST(sum(n_round) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS p
+                FROM per
+            )
+            SELECT p_brand, n, n_round,
+                   round(CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+                   round(CAST(n AS DOUBLE) * p, 6) AS expected_round,
+                   round((CAST(n_round AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                         / sqrt(CAST(n AS DOUBLE) * p * (1 - p)), 6) AS z
+            FROM per, gl ORDER BY p_brand
+        """,
+        "text_diversity": f"""
+            WITH cells AS (
+                SELECT source, term, count(*) AS c
+                FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY source, term
+            ),
+            g AS (
+                SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hapax,
+                       sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS rep
+                FROM cells GROUP BY source
+            )
+            SELECT source, n_tokens, n_types, n_hapax,
+                   round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                       AS ttr,
+                   round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+                       AS hapax_share,
+                   CASE WHEN n_tokens > 1 THEN
+                       round(CAST(rep AS DOUBLE)
+                             / CAST(CAST(n_tokens AS HUGEINT)
+                                    * CAST(n_tokens - 1 AS HUGEINT) AS DOUBLE), 6)
+                   END AS repeat_rate
+            FROM g ORDER BY source
+        """,
+        "corpus_novelty": f"""
+            WITH tk AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
+                FROM tk
+            ),
+            first_ AS (SELECT gram, min(doc_id) AS f FROM g GROUP BY gram)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN g.doc_id = first_.f THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN g.doc_id = first_.f THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM g JOIN first_ USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "eval_brier": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS s
+                FROM customer
+            ),
+            span AS (SELECT max(s) - min(s) AS d, min(s) AS lo FROM c),
+            lab AS (
+                SELECT c_mktsegment, s,
+                       CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                         WHERE o.o_custkey = c.c_custkey)
+                            THEN 1 ELSE 0 END AS y
+                FROM c
+            )
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   round(CAST(sum((s - lo - y * d) * (s - lo - y * d)) AS DOUBLE)
+                         / CAST(count(*) * d * d AS DOUBLE), 8) AS brier
+            FROM lab, span
+            GROUP BY c_mktsegment, d, lo
+            ORDER BY c_mktsegment
+        """,
+        "graph_linkpred": """
+            WITH e AS (
+                SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+                FROM lineitem
+            ),
+            deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+            cn AS (
+                SELECT a.s AS a, b.s AS b, count(*) AS common_neighbors
+                FROM e a JOIN e b ON a.d = b.d AND a.s < b.s
+                GROUP BY 1, 2
+            )
+            SELECT cn.a, cn.b,
+                   CAST(common_neighbors AS BIGINT) AS common_neighbors,
+                   CAST(da.deg AS BIGINT) AS deg_a,
+                   CAST(db.deg AS BIGINT) AS deg_b,
+                   round(CAST(common_neighbors AS DOUBLE)
+                         / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 6)
+                       AS jaccard,
+                   CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
+            FROM cn JOIN deg da ON da.s = cn.a JOIN deg db ON db.s = cn.b
+            ORDER BY common_neighbors DESC, a, b
+            LIMIT 20
+        """,
         "events_runs": _runs_oracle_sql(),
         "events_concurrency": _concurrency_oracle_sql(),
         "graph_bipartite": _bipartite_oracle_sql(),

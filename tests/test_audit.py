@@ -192,3 +192,57 @@ def test_duplicate_payment_banding(spark):
     )
     got = {(r[0], r[1]) for r in pairs}
     assert got == {(1, 2)}
+
+
+def test_round_amount_audit_counts_and_z(spark):
+    """Known mix: group A has 3/4 round amounts, B has 1/4; counts, the
+    global rate, and the binomial z replay exactly in Python."""
+    import math
+
+    from usearch_spark.operators.audit import round_amount_audit
+
+    rows = [("A", 100), ("A", 200), ("A", 300), ("A", 157),
+            ("B", 100), ("B", 123), ("B", 257), ("B", 399)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = {r["g"]: r for r in round_amount_audit(df, ["g"], "cents").collect()}
+    p = 4 / 8
+    for g, n_round in (("A", 3), ("B", 1)):
+        r = got[g]
+        assert (r["n"], r["n_round"]) == (4, n_round)
+        assert r["share"] == round(n_round / 4, 6)
+        assert r["expected_round"] == round(4 * p, 6)
+        assert r["z"] == round((n_round - 4 * p) / math.sqrt(4 * p * (1 - p)), 6)
+
+
+def test_mad_outliers_exact_integer_fence(spark):
+    """Median/MAD via two-rank sums and the cleared-denominator fence:
+    values 1..9 plus one wild point — median 5.5 (even n), MAD replayed,
+    and only the wild point passes 3*1.4826*MAD."""
+    from usearch_spark.operators.audit import mad_outliers
+
+    vals = [100, 200, 300, 400, 500, 600, 700, 800, 900, 100000]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, cents long")
+    r = mad_outliers(df, ["g"], "cents").collect()[0]
+    assert r["n"] == 10
+    assert r["median"] == 5.5  # (500+600)/2 cents -> dollars
+    # dev2 = |2v - 1100|: [900,700,500,300,100,100,300,500,700,198900]
+    # sorted -> middle two are 500,500 -> mad4=1000 -> MAD = 2.5 dollars
+    assert r["mad"] == 2.5
+    assert r["n_outliers"] == 1  # only 100000: 20000*198900 > 44478*1000
+
+
+def test_simpson_diversity_exact(spark):
+    """Uniform keys maximize diversity; a dominated group scores low;
+    both replay the exact N2/S2 arithmetic."""
+    from usearch_spark.operators.audit import simpson_diversity
+
+    rows = [("u", k) for k in range(10)] + [("d", 0)] * 9 + [("d", 1)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {r["g"]: r for r in simpson_diversity(df, ["g"], "k").collect()}
+    u, d = got["u"], got["d"]
+    assert (u["n"], u["n_keys"]) == (10, 10)
+    assert u["gini_simpson"] == round(1 - 10 / 100, 6)
+    assert u["effective_keys"] == 10.0
+    assert (d["n"], d["n_keys"]) == (10, 2)
+    assert d["gini_simpson"] == round(1 - 82 / 100, 6)
+    assert d["effective_keys"] == round(100 / 82, 6)

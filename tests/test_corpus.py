@@ -210,3 +210,19 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     df = spark.createDataFrame([(1, 5), (2, 0), (3, -4), (4, 3)], "k long, w int")
     got = {r["k"] for r in weighted_sample(df, "k", "w", k=10).collect()}
     assert got == {1, 4}
+
+
+def test_ngram_novelty_first_occurrence_owns_gram(spark):
+    """Doc 0 owns all its trigrams (novelty 1); an exact copy at doc 1
+    scores 0; a half-overlapping doc 2 scores its new-gram share."""
+    from usearch_spark.operators.corpus import ngram_novelty
+
+    t0 = "the quick brown fox jumps"
+    rows = [(0, t0), (1, t0), (2, "brown fox jumps over lazy dogs")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert got[0]["novelty"] == 1.0 and got[0]["n_grams"] == 3
+    assert got[1]["novelty"] == 0.0 and got[1]["n_grams"] == 3
+    # doc 2 grams: 'brown fox jumps' (seen), + 3 new
+    assert got[2]["n_grams"] == 4 and got[2]["n_novel"] == 3
+    assert got[2]["novelty"] == 0.75

@@ -684,3 +684,21 @@ def test_group_auc_bootstrap_matches_python_replay(spark):
     assert got["ci_lo"] == aucs[max(1, n // 10) - 1]
     assert got["ci_hi"] == aucs[min(n, n - n // 10 + 1) - 1]
     assert got["ci_lo"] <= got["auc"] <= got["ci_hi"] or n < 5
+
+
+def test_brier_scaled_exact_integer_numerator(spark):
+    """Brier over integer-scaled scores replays exactly: scores 0..10
+    (D=10), perfect/worst/mid predictions give 0, 1, and 0.25."""
+    from usearch_spark.operators.evaluate import brier_scaled
+
+    rows = [
+        ("perfect", 10, 1), ("perfect", 0, 0),
+        ("worst", 0, 1), ("worst", 10, 0),
+        ("mid", 5, 1), ("mid", 5, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    got = {r["g"]: r for r in brier_scaled(df, ["g"], "s", "y").collect()}
+    assert got["perfect"]["brier"] == 0.0
+    assert got["worst"]["brier"] == 1.0
+    assert got["mid"]["brier"] == 0.25
+    assert got["mid"]["n"] == 2 and got["mid"]["n_pos"] == 1

@@ -805,3 +805,25 @@ def test_conductance_two_triangles_bridge(spark):
     )
     r = conductance(one, e).collect()[0]
     assert r["cut_edges"] == 0 and r["conductance"] is None
+
+
+def test_link_prediction_scores_panel(spark):
+    """CN / Jaccard / PA replay on a known bipartite graph: a and b share
+    2 of (3 u 3) parts; c shares 1 with each."""
+    from usearch_spark.plans.graph_stats import link_prediction_scores
+
+    e = spark.createDataFrame(
+        [("a", "p1"), ("a", "p2"), ("a", "p3"),
+         ("b", "p2"), ("b", "p3"), ("b", "p4"),
+         ("c", "p4")],
+        "src string, dst string",
+    )
+    got = {(r["a"], r["b"]): r for r in link_prediction_scores(e).collect()}
+    ab = got[("a", "b")]
+    assert ab["common_neighbors"] == 2
+    assert (ab["deg_a"], ab["deg_b"]) == (3, 3)
+    assert ab["jaccard"] == 0.5
+    assert ab["pref_attachment"] == 9
+    bc = got[("b", "c")]
+    assert bc["common_neighbors"] == 1 and bc["jaccard"] == round(1 / 3, 6)
+    assert ("a", "c") not in got  # no shared part -> pair never materializes

@@ -296,3 +296,16 @@ def test_rake_keyphrases_textbook_example(spark):
     assert got["networks"][2] == s_net == 1.5
     # ranking: score desc, phrase asc
     assert [r["phrase"] for r in out] == ["deep learning", "deep networks", "networks"]
+
+
+def test_lexical_diversity_exact(spark):
+    """TTR / hapax / repeat-rate replay on a known token multiset:
+    'a a a b c' -> 3 types, 2 hapax, repeat = (3*2)/(5*4)."""
+    from usearch_spark.operators.text_analysis import lexical_diversity
+
+    df = spark.createDataFrame([("s", "a a a b c")], "g string, text string")
+    r = lexical_diversity(df, ["g"]).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (5, 3, 2)
+    assert r["ttr"] == 0.6
+    assert r["hapax_share"] == round(2 / 3, 6)
+    assert r["repeat_rate"] == round(6 / 20, 6)

@@ -252,3 +252,173 @@ def chisq_uniformity(
             / F.col("n").cast("double")
         ).alias("chi2"),
     )
+
+
+def round_amount_audit(
+    df: DataFrame,
+    group_cols: list[str],
+    cents_col: str,
+    modulus: int = 100,
+) -> DataFrame:
+    """ROUND-AMOUNT forensic audit (the Nigrini number-duplication /
+    round-number test): per group, the count and share of amounts that
+    are exact multiples of ``modulus`` cents, with a binomial z-score
+    against the GLOBAL round-amount rate — groups whose fabricated or
+    hand-keyed amounts cluster on round numbers light up (|z| large),
+    the classic invoice-fraud screen next to the Benford digit tests.
+
+    Determinism: counts are exact integers, the global rate p and the
+    group share are each ONE long→double divide, and
+    z = (r − n·p)/sqrt(n·p·(1−p)) is a fixed IEEE chain over those
+    identical doubles (sqrt is correctly rounded by IEEE-754 on both
+    engines) — bit-exact with one closing round.
+
+    Distributed shape: one partial-agg groupBy for the groups, one
+    1-row global aggregate broadcast-crossed back.  No windows, no
+    UDFs, no collects.
+
+    Output: group_cols + (n, n_round, share, expected_round, z).
+    """
+    is_round = (F.pmod(F.col(cents_col).cast("long"), F.lit(modulus)) == 0).cast(
+        "long"
+    )
+    per = df.select(*group_cols, is_round.alias("_r")).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_r").alias("n_round")
+    )
+    glob = per.agg(
+        F.sum("n").alias("_gn"), F.sum("n_round").alias("_gr")
+    ).select((F.col("_gr").cast("double") / F.col("_gn").cast("double")).alias("_p"))
+    np_ = F.col("n").cast("double") * F.col("_p")
+    return per.crossJoin(F.broadcast(glob)).select(
+        *group_cols,
+        "n",
+        "n_round",
+        F.round(F.col("n_round").cast("double") / F.col("n").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(np_, 6).alias("expected_round"),
+        F.round(
+            (F.col("n_round").cast("double") - np_)
+            / F.sqrt(np_ * (F.lit(1.0) - F.col("_p"))),
+            6,
+        ).alias("z"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    cents_col: str,
+) -> DataFrame:
+    """Per-group MEDIAN-ABSOLUTE-DEVIATION outlier audit (Hampel
+    identifier, the robust cousin of iqr_outliers): median and MAD of an
+    integer-cents column, plus the count of rows whose robust z-score
+    |x − med| / (1.4826·MAD) exceeds 3 — the outlier rule that, unlike
+    mean/stddev, survives the outliers it is hunting.
+
+    Determinism — every decision is EXACT INTEGER: the median is the
+    two-middle-rank sum med2 = lo + hi (2× median in cents, exact int),
+    deviations dev2 = |2·x − med2| are ints, MAD rides as
+    mad4 = lo' + hi' (4× MAD in cents, exact int), and the outlier
+    comparison clears all denominators —
+
+        |x − med| > 3·1.4826·MAD   ⇔   20000·dev2 > 44478·mad4
+
+    — so no float influences any count; the two output floats are one
+    divide each (med2/200, mad4/400).
+
+    Distributed shape: two group-partitioned rank windows (values, then
+    deviations) + partial-agg groupBys + one broadcast join back — the
+    iqr_outliers shape run twice.  No UDFs, no collects.
+
+    Output: group_cols + (n, median, mad, n_outliers).
+    """
+
+    def two_middle(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy(col)
+        ranked = frame.select(
+            *group_cols,
+            col,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("_n"),
+        )
+        lo, hi = F.expr("(_n + 1) div 2"), F.expr("(_n + 2) div 2")
+        pick = (F.col("_rn") == lo) | (F.col("_rn") == hi)
+        return ranked.groupBy(*group_cols).agg(
+            F.max("_n").alias("_n"),
+            (
+                F.min(F.when(pick, F.col(col))) + F.max(F.when(pick, F.col(col)))
+            ).alias(out),
+        )
+
+    vals = df.select(*group_cols, F.col(cents_col).cast("long").alias("_v"))
+    med = two_middle(vals, "_v", "med2").select(*group_cols, F.col("_n").alias("n"), "med2")
+    dev = vals.join(F.broadcast(med.select(*group_cols, "med2")), group_cols).select(
+        *group_cols,
+        "_v",
+        F.abs(F.lit(2) * F.col("_v") - F.col("med2")).alias("_d"),
+    )
+    mad = two_middle(dev.select(*group_cols, "_d"), "_d", "mad4").select(
+        *group_cols, "mad4"
+    )
+    stats = med.join(mad, group_cols)
+    outl = (
+        dev.join(F.broadcast(stats.select(*group_cols, "mad4")), group_cols)
+        .filter(F.lit(20000) * F.col("_d") > F.lit(44478) * F.col("mad4"))
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return stats.join(outl, group_cols, "left").select(
+        *group_cols,
+        "n",
+        (F.col("med2").cast("double") / F.lit(200.0)).alias("median"),
+        (F.col("mad4").cast("double") / F.lit(400.0)).alias("mad"),
+        F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Per-group SIMPSON DIVERSITY of a categorical key (Simpson 1949 /
+    Gini-Simpson; "effective number" per Hill 1973): with c_k the key
+    counts and N = Σc_k,
+
+        gini_simpson   = 1 − Σc_k²/N²   (chance two draws differ)
+        effective_keys = N²/Σc_k²       (Hill number of order 2)
+
+    — the exact log-free diversity measures (entropy needs engine
+    transcendentals; these need none), the audit behind "is this event
+    stream dominated by a handful of users?".
+
+    Determinism: counts and squared sums are exact integers carried in
+    lossless DECIMAL(38,0) (N² at 100-TB cardinalities overflows int64),
+    each output is ONE decimal→double divide (correctly rounded on both
+    engines) with one closing round.
+
+    Distributed shape: one (group, key) partial-agg collapse, then one
+    group aggregate over key-cardinality rows.  No windows, no UDFs.
+
+    Output: group_cols + (n, n_keys, gini_simpson, effective_keys).
+    """
+    cells = df.groupBy(*group_cols, key_col).agg(F.count(F.lit(1)).alias("c"))
+    d38 = "decimal(38,0)"
+    g = cells.groupBy(*group_cols).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c").cast(d38) * F.col("c").cast(d38)).alias("_s2"),
+    )
+    n2 = F.col("n").cast(d38) * F.col("n").cast(d38)
+    return g.select(
+        *group_cols,
+        "n",
+        "n_keys",
+        F.round(
+            (n2 - F.col("_s2")).cast("double") / n2.cast("double"), 6
+        ).alias("gini_simpson"),
+        F.round(n2.cast("double") / F.col("_s2").cast("double"), 6).alias(
+            "effective_keys"
+        ),
+    )

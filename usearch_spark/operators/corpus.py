@@ -398,3 +398,49 @@ def weighted_sample(
         .orderBy(F.col(draw_col).asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document N-GRAM NOVELTY against the corpus prefix: the share
+    of a document's distinct word n-grams whose FIRST corpus occurrence
+    (minimum ``id_col`` over all documents containing the gram) is the
+    document itself — the incremental-information measure a dedup-aware
+    ingest uses to rank "how much of this document have we already
+    seen?", the ordered complement of decontaminate's set overlap (and a
+    streaming-friendly stat: first-occurrence is a plain min).
+
+    Determinism: gram ownership is an integer min, counts are exact
+    integers, novelty is ONE divide + round.
+
+    Distributed shape: one tokenize/explode pass to the (id, gram)
+    table, one gram-keyed min aggregate (the decontaminate gram-table
+    join shape), one id-keyed count rollup.  No windows, no UDFs.
+
+    Output: (id, n_grams, n_novel, novelty) — documents with no n-grams
+    (fewer than ``n`` tokens) are omitted, as in decontaminate.
+    """
+    grams = _gram_table(docs, id_col, text_col, n)
+    first = grams.groupBy("gram").agg(F.min("id").alias("_first"))
+    per = (
+        grams.join(first, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("id") == F.col("_first"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("novelty"),
+    )

@@ -1338,3 +1338,62 @@ def group_auc_bootstrap(
         F.when(F.col("_n") > 0, lo).alias("ci_lo"),
         F.when(F.col("_n") > 0, hi).alias("ci_hi"),
     )
+
+
+def brier_scaled(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group BRIER SCORE (Brier 1950) of an INTEGER-scaled probability
+    forecast: ``score_col`` holds integer scores s_i in [0, D] (the
+    prediction is p_i = s_i/D) and ``label_col`` holds 0/1 outcomes.
+    With D the global score span,
+
+        brier = Σ (s_i − y_i·D)² / (n·D²)
+
+    — the mean squared probability error, companion to eval_calibration
+    (reliability bins) and eval_auc (ranking): AUC can look healthy while
+    the probabilities themselves are off; Brier catches that.
+
+    Determinism: the numerator is an EXACT int64 sum of squared integer
+    residuals (callers size D so n·D² < 2⁶³ per group — documented
+    contract, same as the LSH dot budget), the denominator n·D² is an
+    exact int64, and the score is ONE long→double divide + round — no
+    float accumulation anywhere.
+
+    Distributed shape: one partial-agg groupBy.  No windows, no UDFs.
+
+    Output: group_cols + (n, n_pos, brier).
+    """
+    span = df.agg(
+        (F.max(score_col).cast("long") - F.min(score_col).cast("long")).alias("_d"),
+        F.min(score_col).cast("long").alias("_lo"),
+    )
+    resid = F.col("_s") - F.col("_lo") - F.col("_y") * F.col("_d")
+    return (
+        df.select(
+            *group_cols,
+            F.col(score_col).cast("long").alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .crossJoin(F.broadcast(span))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.sum(resid * resid).alias("_num"),
+            F.max("_d").alias("_dd"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "n_pos",
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("n") * F.col("_dd") * F.col("_dd")).cast("double"),
+                8,
+            ).alias("brier"),
+        )
+    )

@@ -2117,3 +2117,73 @@ def conductance(
             "conductance"
         ),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_dst_degree: int | None = None,
+    edges_deduped: bool = False,
+) -> DataFrame:
+    """CLASSIC LINK-PREDICTION score panel over a bipartite src→dst graph
+    projected on the src side (Liben-Nowell & Kleinberg 2003) — the three
+    standard baselines next to :func:`adamic_adar`'s weighted one, all
+    from a single pair table:
+
+        common_neighbors = |Γ(a) ∩ Γ(b)|            (exact int)
+        jaccard          = |Γ∩| / |Γ(a) ∪ Γ(b)|     (one divide)
+        pref_attachment  = deg(a)·deg(b)            (exact int)
+
+    Distributed shape: the per-dst self-join is the ONE quadratic
+    surface (same hazard and same ``max_dst_degree`` hub-cap lever as
+    adamic_adar / project_bipartite — hub dsts are both the cost AND the
+    least informative shared neighbors); degrees join in by key.
+    Pairs with no shared dst never materialize (their CN is 0 by
+    construction), matching the standard sparse formulation.
+
+    Determinism: every score but jaccard is an exact integer; jaccard is
+    one long→double divide of exact integers + round.
+
+    Output: (a, b, common_neighbors, deg_a, deg_b, jaccard,
+    pref_attachment) with a < b.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not edges_deduped:
+        e = e.dropDuplicates(["s", "d"])
+    if max_dst_degree is not None:
+        keep = (
+            e.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") <= max_dst_degree)
+            .select("d")
+        )
+        e = e.join(keep, "d", "left_semi")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    left = e.select(F.col("s").alias("a"), "d")
+    right = e.select(F.col("s").alias("b"), "d")
+    cn = (
+        left.join(right, "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        cn.join(deg.select(F.col("s").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("s").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            (F.col("deg_a") * F.col("deg_b")).alias("pref_attachment"),
+        )
+    )
