@@ -13170,6 +13170,215 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_events_diversity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED user-diversity monitor: the event rows arrive as two
+    replayed micro-batches, a streamed ADDITIVE (event_type, user_id)
+    count rollup is maintained under the lineage-aware idempotent
+    pointer (second run a deliberate restart that must change nothing),
+    and the drained cells feed operators/audit.
+    simpson_diversity_from_cells — Simpson cells are COUNT-LINEAR, so
+    the concentration monitor rebuilt from the rollup shares
+    events_diversity's BATCH oracle verbatim (the sketch_ams_stream
+    contract applied to the diversity audit).  The "is one user
+    flooding this stream?" gauge kept hot without rescanning history."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.audit import simpson_diversity_from_cells
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"ams_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select("event_type", "user_id")
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(
+                os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"div_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "user_id"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rolled = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    cells = rolled.groupBy("event_type", "user_id").agg(F.sum("n").alias("_n"))
+    return simpson_diversity_from_cells(cells, ["event_type"], cnt_col="_n").orderBy(
+        "event_type"
+    )
+
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction over the embeddings table
+    (operators/similarity.knn_graph): LSH-bucketed candidates (4-plane
+    exact-integer sign signatures — never all-pairs), exact int64
+    quantized MIPS dots as edge scores, top-5 per vector — the input
+    artifact for graph-based dedup/clustering.  Every signature bit and
+    every edge score is exact integer arithmetic, so the oracle replays
+    bucketing, scoring, and ranking bit-for-bit."""
+    from usearch_spark.operators.similarity import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=5, n_planes=4).orderBy(
+        "vec_id", "knn_rank"
+    )
+
+
+def _knn_graph_oracle_sql(k: int = 5, n_planes: int = 4, dim: int = 64) -> str:
+    """knn_graph replay: injected integer plane matrix, exact sign-test
+    signatures (the _ann_lsh_oracle_sql recipe), signature-keyed pair
+    join, exact int64 quantized dots, per-source rank window."""
+    from usearch_spark.operators.similarity import _plane_components
+
+    rows = ", ".join(
+        f"({p}, {d + 1}, {c})"
+        for p in range(n_planes)
+        for d, c in enumerate(_plane_components(p, dim))
+    )
+    return f"""
+        WITH planes(p, i, c) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        xq AS MATERIALIZED (
+            SELECT vec_id, i, CAST(floor(x * 100000000.0 + 0.5) AS BIGINT) AS q
+            FROM e
+        ),
+        bits AS (
+            SELECT e.vec_id, pl.p,
+                   CASE WHEN sum(pl.c * CAST(floor(e.x * 100000000.0 + 0.5) AS BIGINT)) >= 0
+                        THEN '1' ELSE '0' END AS b
+            FROM e JOIN planes pl ON pl.i = e.i
+            GROUP BY 1, 2
+        ),
+        sig AS MATERIALIZED (
+            SELECT vec_id, string_agg(b, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id
+        ),
+        pairs AS (
+            SELECT sa.vec_id AS a, sb.vec_id AS b
+            FROM sig sa JOIN sig sb
+              ON sa.sig = sb.sig AND sa.vec_id <> sb.vec_id
+        ),
+        dots AS (
+            SELECT p.a, p.b, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot2
+            FROM pairs p
+            JOIN xq qa ON qa.vec_id = p.a
+            JOIN xq qb ON qb.vec_id = p.b AND qb.i = qa.i
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT a, b, dot2,
+                   row_number() OVER (PARTITION BY a ORDER BY dot2 DESC, b) AS rn
+            FROM dots
+        )
+        SELECT a AS vec_id, b AS nbr_id, CAST(rn AS BIGINT) AS knn_rank, dot2
+        FROM r WHERE rn <= {k}
+        ORDER BY vec_id, knn_rank
+    """
+
+
+
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-series PARTIAL autocorrelation (operators/forecast.
+    daily_pacf, Durbin-Levinson): per-type PACF at lags 1..7 — the
+    AR-order cutoff diagnostic beside events_acf.  The r_k inputs are
+    exact-int64-ratio doubles and the recursion is the identical
+    unrolled IEEE chain on both engines — bit-exact."""
+    from usearch_spark.operators.forecast import daily_pacf
+
+    ev = _events(spark, sf_dir)
+    return daily_pacf(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), max_lag=7
+    ).orderBy("event_type", "lag")
+
+
+def _pacf_oracle_sql(max_lag: int = 7) -> str:
+    """daily_pacf replay: the _acf_oracle_sql r_k machinery pivoted to
+    columns, then the Durbin-Levinson recursion as a chained-CTE unroll
+    with the identical textual operation order (j ascending,
+    left-associated sums)."""
+    rcols = []
+    for k in range(1, max_lag + 1):
+        rcols.append(f"""
+                   CASE WHEN den > 0 THEN
+                       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, len(c) - {k} + 1),
+                                           i -> c[i] * c[i + {k}])),
+                            (a, x) -> a + x) AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS r{k}""")
+    parts = [f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS vals
+            FROM daily GROUP BY g HAVING count(*) > {max_lag}
+        ),
+        base AS (
+            SELECT g, CAST(len(vals) AS BIGINT) AS t,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                               (a, x) -> a + x) AS s,
+                   vals
+            FROM seqs
+        ),
+        cb AS (SELECT g, t, list_transform(vals, y -> t * y - s) AS c FROM base),
+        den AS (
+            SELECT g, t, c,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, len(c) + 1), i -> c[i] * c[i])),
+                       (a, x) -> a + x) AS den
+            FROM cb
+        ),
+        racf AS (
+            SELECT g, t AS n_days,{','.join(rcols)}
+            FROM den
+        ),
+        l1 AS (SELECT *, r1 AS p1_1 FROM racf)"""]
+    for k in range(2, max_lag + 1):
+        num = " + ".join(f"p{k-1}_{j} * r{k-j}" for j in range(1, k))
+        dnm = " + ".join(f"p{k-1}_{j} * r{j}" for j in range(1, k))
+        parts.append(f""",
+        l{k}a AS (SELECT *, (r{k} - ({num})) / (1.0 - ({dnm})) AS p{k}_{k} FROM l{k-1 if k == 2 else str(k-1) + 'b'})""")
+        pj = ", ".join(
+            f"p{k-1}_{j} - p{k}_{k} * p{k-1}_{k-j} AS p{k}_{j}" for j in range(1, k)
+        )
+        parts.append(f""",
+        l{k}b AS (SELECT *, {pj} FROM l{k}a)""")
+    sels = "\n            UNION ALL".join(
+        f"""
+            SELECT g AS event_type, n_days, CAST({k} AS BIGINT) AS lag,
+                   round(p{k}_{k}, 6) AS pacf
+            FROM l{max_lag}b"""
+        for k in range(1, max_lag + 1)
+    )
+    parts.append(f"""
+        {sels}
+        ORDER BY event_type, lag""")
+    return "".join(parts)
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -13252,6 +13461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_novelty": q_corpus_novelty,
         "eval_brier": q_eval_brier,
         "graph_linkpred": q_graph_linkpred,
+        "events_diversity_stream": q_events_diversity_stream,
+        "sim_knn_graph": q_sim_knn_graph,
+        "events_pacf": q_events_pacf,
         # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
@@ -14387,6 +14599,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment, d, lo
             ORDER BY c_mktsegment
         """,
+        "sim_knn_graph": _knn_graph_oracle_sql(),
+        "events_pacf": _pacf_oracle_sql(),
         "graph_linkpred": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
@@ -17346,6 +17560,9 @@ def oracle_sql() -> dict[str, str]:
     out["events_holt_winters_stream"] = out["events_holt_winters"]
     out["eval_auc_stream"] = out["eval_auc"]
     out["sketch_ams_stream"] = out["sketch_ams_f2"]
+    # Simpson cells are count-linear: the drained stream rollup rebuilds the
+    # batch cells exactly, so the streamed monitor shares the batch oracle
+    out["events_diversity_stream"] = out["events_diversity"]
     out["events_concurrency_stream"] = out["events_concurrency"]
     out["events_percentiles_stream"] = out["events_percentiles_exact"]
     return out

@@ -512,3 +512,38 @@ def test_mmr_topk_empty_pool_returns_typed_empty(spark):
     assert out.columns == ["mmr_rank", "vec_id", "rel_q", "max_sim_q", "score2"]
     assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint"] * 5
     assert out.count() == 0
+
+
+def test_knn_graph_bucketed_edges_and_ranks(spark):
+    """Within-bucket candidates only, exact integer dots, ranks tie-broken
+    by neighbor id; a vector alone in its bucket emits no rows."""
+    import math
+
+    import numpy as np
+
+    from usearch_spark.operators.similarity import (
+        knn_graph,
+        lsh_signature_py,
+        _quantize_vec,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = {i: [float(x) for x in rng.uniform(-1, 1, 8)] for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["vec_id"], r["nbr_id"]): (r["knn_rank"], r["dot2"])
+        for r in knn_graph(df, k=3, n_planes=2).collect()
+    }
+    sigs = {i: lsh_signature_py(v, 2) for i, v in vecs.items()}
+    q = {i: [int(x) for x in _quantize_vec(v)] for i, v in vecs.items()}
+    want = {}
+    for i in vecs:
+        cands = [j for j in vecs if j != i and sigs[j] == sigs[i]]
+        scored = sorted(
+            ((-(sum(a * b for a, b in zip(q[i], q[j]))), j) for j in cands)
+        )[:3]
+        for rank, (negdot, j) in enumerate(scored, 1):
+            want[(i, j)] = (rank, -negdot)
+    assert got == want

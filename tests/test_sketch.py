@@ -1173,3 +1173,51 @@ def test_exact_percentiles_cell_rank_lookup(spark):
     for q in (1, 50, 75, 99):
         rank = max(1, math.ceil(len(s) * q / 100))
         assert got[q] == s[rank - 1], q
+
+
+def test_daily_pacf_durbin_levinson_replay(spark):
+    """PACF equals a Python Durbin-Levinson replay over the exact-ratio
+    ACF values (same operation order), and an AR(1)-like geometric ACF
+    yields a PACF that cuts off after lag 1 (|pacf_k| << |pacf_1|)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import daily_pacf
+
+    irr = [9, 3, 14, 7, 7, 11, 2, 10, 4, 13, 8, 6]
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    for t, y in enumerate(irr):
+        rows += [("irr", d0 + datetime.timedelta(days=t))] * y
+    df = spark.createDataFrame(rows, "g string, d date")
+    got = {
+        r["lag"]: r["pacf"]
+        for r in daily_pacf(df, ["g"], F.col("d"), max_lag=7).collect()
+    }
+
+    def acf(series, k):
+        T = len(series)
+        S = sum(series)
+        c = [T * y - S for y in series]
+        den = sum(x * x for x in c)
+        return sum(c[i] * c[i + k] for i in range(T - k)) / den
+
+    r = {k: acf(irr, k) for k in range(1, 8)}
+    phi = {(1, 1): r[1]}
+    for k in range(2, 8):
+        num = r[k]
+        den = 1.0
+        # identical order: j ascending, left-associated sums
+        nsum = None
+        dsum = None
+        for j in range(1, k):
+            nt = phi[(k - 1, j)] * r[k - j]
+            dt = phi[(k - 1, j)] * r[j]
+            nsum = nt if nsum is None else nsum + nt
+            dsum = dt if dsum is None else dsum + dt
+        phi[(k, k)] = (r[k] - nsum) / (1.0 - dsum)
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 8):
+        assert got[k] == round(phi[(k, k)], 6), (k, got[k], phi[(k, k)])

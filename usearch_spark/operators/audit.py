@@ -404,11 +404,24 @@ def simpson_diversity(
     Output: group_cols + (n, n_keys, gini_simpson, effective_keys).
     """
     cells = df.groupBy(*group_cols, key_col).agg(F.count(F.lit(1)).alias("c"))
+    return simpson_diversity_from_cells(cells, group_cols, cnt_col="c")
+
+
+def simpson_diversity_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    cnt_col: str = "c",
+) -> DataFrame:
+    """:func:`simpson_diversity` from pre-aggregated (group, key, count)
+    CELLS — the count-additive form a streamed rollup maintains (cells
+    merge by addition, so a drained incremental rollup feeds this and
+    shares the batch oracle verbatim, the sketch_ams_stream contract).
+    Same output columns and exact arithmetic as simpson_diversity."""
     d38 = "decimal(38,0)"
     g = cells.groupBy(*group_cols).agg(
-        F.sum("c").alias("n"),
+        F.sum(cnt_col).alias("n"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.col("c").cast(d38) * F.col("c").cast(d38)).alias("_s2"),
+        F.sum(F.col(cnt_col).cast(d38) * F.col(cnt_col).cast(d38)).alias("_s2"),
     )
     n2 = F.col("n").cast(d38) * F.col("n").cast(d38)
     return g.select(

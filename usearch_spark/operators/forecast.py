@@ -1695,3 +1695,100 @@ def theil_sen_fit(
             - F.col("_ssr") / (F.col("_tot") / t.cast("double")),
         ).alias("r2"),
     )
+
+
+def daily_pacf(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-group PARTIAL AUTOCORRELATION function of daily counts at lags
+    1..max_lag via the Durbin-Levinson recursion (Box & Jenkins 1970) —
+    the AR-order diagnostic beside :func:`daily_acf`: ACF says "is there
+    memory?", PACF says "how many AR lags explain it" (the cutoff picks
+    p for an AR(p) model of the metric stream).
+
+        phi_{1,1} = r_1
+        phi_{k,k} = (r_k − Σ_j phi_{k−1,j}·r_{k−j})
+                    / (1 − Σ_j phi_{k−1,j}·r_j)
+        phi_{k,j} = phi_{k−1,j} − phi_{k,k}·phi_{k−1,k−j}
+
+    Determinism: each r_k is daily_acf's ONE divide of exact int64 sums
+    (identical doubles on both engines), and the recursion is a FIXED
+    finite IEEE chain over them — unrolled here and in the oracle with
+    the identical textual operation order (j ascending, left-assoc), so
+    every phi is bit-identical.  Each level's coefficients are
+    checkpointed real columns (one tiny job per level over
+    group-cardinality rows), which keeps Catalyst's expression trees
+    linear instead of exponentially inlined.
+
+    Distributed shape: one (group, day) partial-agg collapse, in-row
+    array folds for the r_k, then max_lag − 1 driver-free levels over a
+    group-cardinality frame.  Output: group_cols + (n_days, lag, pacf).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = (
+        daily.groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("d", "n"))).alias("seq"))
+        .filter(F.size("seq") > max_lag)
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["n"].cast("long"))
+    per = per.withColumn("_vals", vals)
+    t = F.size("_vals").cast("long")
+    s = F.aggregate(F.col("_vals"), F.lit(0).cast("long"), lambda a, x: a + x)
+    per = per.withColumn("_c", F.transform(F.col("_vals"), lambda y: t * y - s))
+    den = F.aggregate(
+        F.zip_with(F.col("_c"), F.col("_c"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cols = [F.size("_vals").cast("long").alias("n_days")]
+    for k in range(1, max_lag + 1):
+        ln = F.size("_c") - F.lit(k)
+        num = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_c"), 1, ln),
+                F.slice(F.col("_c"), F.lit(k + 1), ln),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        cols.append(
+            F.when(den > 0, num.cast("double") / den.cast("double")).alias(f"_r{k}")
+        )
+    lev = per.select(*group_cols, *cols).localCheckpoint(eager=True)
+    lev = lev.withColumn("_p1_1", F.col("_r1")).localCheckpoint(eager=True)
+    for k in range(2, max_lag + 1):
+        num_terms = None
+        den_terms = None
+        for j in range(1, k):
+            nt = F.col(f"_p{k-1}_{j}") * F.col(f"_r{k-j}")
+            dt = F.col(f"_p{k-1}_{j}") * F.col(f"_r{j}")
+            num_terms = nt if num_terms is None else num_terms + nt
+            den_terms = dt if den_terms is None else den_terms + dt
+        lev = lev.withColumn(
+            f"_p{k}_{k}",
+            (F.col(f"_r{k}") - num_terms) / (F.lit(1.0) - den_terms),
+        )
+        for j in range(1, k):
+            lev = lev.withColumn(
+                f"_p{k}_{j}",
+                F.col(f"_p{k-1}_{j}") - F.col(f"_p{k}_{k}") * F.col(f"_p{k-1}_{k-j}"),
+            )
+        lev = lev.localCheckpoint(eager=True)
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.round(F.col(f"_p{k}_{k}"), 6).alias("pacf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return lev.select(*group_cols, "n_days", F.explode(out).alias("_l")).select(
+        *group_cols, "n_days", F.col("_l.lag").alias("lag"), F.col("_l.pacf").alias("pacf")
+    )

@@ -1300,3 +1300,66 @@ def mmr_topk(
     )
     carrier = pool_df.agg(F.count(F.lit(1)).alias("_n"))
     return carrier.select(F.explode(arr).alias("s")).select(*[f"s.{c}" for c in out_cols])
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NEAREST-NEIGHBOR GRAPH construction over an embedding column —
+    the input artifact of graph-based dedup/clustering/diversity passes
+    (connect each vector to its k most similar peers, then run the
+    engine's CC/Louvain/coreness on the result).
+
+    Candidate generation is LSH-BUCKETED, never all-pairs: vectors
+    sharing an ``n_planes``-bit hyperplane signature form a bucket, and
+    only within-bucket pairs are scored — Σ bucket² work, controlled by
+    ``n_planes`` (the documented 100-TB lever: more planes = smaller
+    buckets = higher recall loss, the standard LSH trade; multi-probe
+    as in lsh_index_topk recovers boundary neighbors when needed).
+    Edges are ranked by the MIPS dot product (mips_topk's metric).
+
+    Determinism — NO float anywhere: signatures are exact int64 sign
+    tests (the proven floor(x·1e8 + 0.5) quantization against the
+    md5-derived integer plane matrix), edge scores are exact int64 dots
+    of the quantized vectors (d·(max|x|·1e8)² < 2⁶³ budget, documented
+    at mmr_topk), and ranks break ties on neighbor id.
+
+    Distributed shape: one Arrow-batched signature pass, one
+    signature-keyed self-join, one partitioned rank window per source
+    vertex.  No global windows, no collects.
+
+    Output: (id, nbr_id, knn_rank, dot2) — dot2 the exact quantized
+    dot; vectors alone in their bucket emit no rows (no candidates).
+    """
+    from pyspark.sql import Window
+
+    dim = len(emb.select(vec_col).first()[0])
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1e8) + F.lit(0.5)).cast("long"),
+    )
+    base = with_lsh_signature(emb, n_planes, dim, vec_col=vec_col).select(
+        F.col(id_col).alias("_id"), "sig", xq.alias("xq")
+    )
+    a = base.select(F.col("_id").alias(id_col), "sig", F.col("xq").alias("xa"))
+    b = base.select(F.col("_id").alias("nbr_id"), "sig", F.col("xq").alias("xb"))
+    dot2 = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "sig")
+        .filter(F.col(id_col) != F.col("nbr_id"))
+        .select(id_col, "nbr_id", dot2.alias("dot2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dot2").desc(), "nbr_id")
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(id_col, "nbr_id", F.col("knn_rank").cast("long").alias("knn_rank"), "dot2")
+    )
