@@ -13379,6 +13379,212 @@ def _pacf_oracle_sql(max_lag: int = 7) -> str:
 
 
 
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (plans/graph_stats.katz_centrality): 10-term
+    truncated power series (beta = 0.01) over the undirected
+    supplier↔part graph — the no-degree-normalization influence measure
+    beside PageRank (G1 family); the oracle unrolls the identical
+    recurrence as 10 chained CTEs, round-8 like the PageRank gates."""
+    from usearch_spark.plans.graph_stats import katz_centrality
+
+    v, e = _supplier_part_graph(spark, sf_dir)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = katz_centrality(v, und, beta=0.01, steps=10, edges_deduped=True)
+    return out.select("id", F.round(F.col("score"), 8).alias("score"))
+
+
+def _katz_oracle_sql(iters: int = 10, beta: float = 0.01) -> str:
+    """katz_centrality replay on the doubled supplier↔part edge set:
+    x_{t+1} = 1 + beta·Σ_in x_t unrolled, beta injected as a string-cast
+    double literal (DuckDB numeric literals parse as DECIMAL)."""
+    b = f"CAST('{beta!r}' AS DOUBLE)"
+    head = """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+        x0 AS MATERIALIZED (SELECT id, 1e0 AS score FROM verts)
+    """
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        x{k} AS MATERIALIZED (
+            SELECT v.id, 1e0 + {b} * coalesce(m.s, 0e0) AS score
+            FROM verts v
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(x.score) AS s
+                FROM x{k-1} x JOIN edges e ON e.src = x.id
+                GROUP BY e.dst
+            ) m ON m.id = v.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, round(score, 8) AS score FROM x{iters}")
+    return "".join(parts)
+
+
+def q_parts_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVENTORY PLANNING per brand (operators/forecast.safety_stock —
+    the normal-approximation King formula): daily-demand mean and sigma
+    from n²-cleared exact-integer sums, safety stock at z = 1.645 over a
+    7-day lead, reorder point — the buffer-sizing companion to
+    parts_croston's intermittent-demand forecast.  sqrt is
+    IEEE-correctly-rounded on both engines; every chain is fixed-order
+    over identical doubles."""
+    from usearch_spark.operators.forecast import safety_stock
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand", F.to_date("l_shipdate").alias("d"), "l_quantity"
+    )
+    return safety_stock(x, ["p_brand"], F.col("d"), "l_quantity").orderBy("p_brand")
+
+
+def q_eval_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-TEST readout (operators/evaluate.two_proportion_ztest): users
+    split into two deterministic arms by id parity, success = the user
+    fired 14+ purchase events (the ~median heavy-buyer cut — "every user
+    buys once" saturates, a threshold keeps both outcome classes
+    populated); pooled two-proportion z and relative lift — the
+    conversion-experiment evaluator.  Counts exact, one divide per
+    rate, fixed IEEE chain for z."""
+    from usearch_spark.operators.evaluate import two_proportion_ztest
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    units = units.select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "converted"
+    )
+    return two_proportion_ztest(units, "arm", "converted")
+
+
+def q_events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution with EXACT DYADIC credit: every
+    click/view within 48h before a same-user purchase earns weight
+    2^(−hours_elapsed) — carried as the exact integer 2^(52−h)
+    (h = whole hours, ≤ 48 by the window), summed per channel in
+    lossless DECIMAL(38,0), so the credit totals are order-independent
+    EXACT integers and the share is one decimal→double divide.  The
+    decay curve marketing stacks call "time decay" (half-life 1h here),
+    positioned between last-touch (events_attribution) and U-shaped
+    (events_attribution_ushape).  Pair surface: per-user equi-join
+    bounded by the 48h window — per-user activity, never corpus²."""
+    ev = _events(spark, sf_dir)
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts_ns").alias("t_ns"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_ns").alias("p_ns")
+    )
+    hour_ns = 3_600_000_000_000
+    pairs = touches.join(
+        purch,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ns") <= F.col("p_ns"))
+        & (F.col("p_ns") - F.col("t_ns") < F.lit(48 * hour_ns)),
+    ).select(
+        "channel",
+        F.expr(f"CAST((p_ns - t_ns) DIV {hour_ns} AS INT)").alias("h"),
+    )
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), 52 - least(h, 52))")
+    per = pairs.select("channel", w.alias("w")).groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("_credit"),
+    )
+    tot = per.agg(F.sum("_credit").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            F.col("_credit").cast("double").alias("credit_scaled"),
+            F.round(
+                F.col("_credit").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_events_mad_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED robust-outlier monitor: (event_type, cents) count CELLS
+    are maintained by the replayed two-batch additive rollup (idempotent
+    restart checked) and the drained cells feed operators/audit.
+    mad_outliers_from_cells — MAD cells are COUNT-LINEAR, so the
+    streamed monitor rebuilds the exact median/MAD/outlier counts and
+    shares events_mad's BATCH oracle verbatim (the sketch_ams_stream
+    contract applied to the Hampel audit)."""
+    import shutil
+    import uuid
+
+    from usearch_spark.operators.audit import mad_outliers_from_cells
+    from usearch_spark.streaming.sketches import read_cms, rollup_stream_merge
+
+    base = os.path.join(_ARTIFACT_DIR, f"mad_stream_src_{_sf_token(sf_dir)}")
+    if not os.path.exists(os.path.join(base, "_DONE")):
+        os.makedirs(base, exist_ok=True)
+        ev = _events(spark, sf_dir).select(
+            "event_type",
+            F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            "user_id",
+        )
+        for i in (0, 1):
+            tmp = os.path.join(base, f"_tmp{i}")
+            ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == i).select(
+                "event_type", "cents"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(
+                os.path.join(tmp, part), os.path.join(base, f"batch{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+        with open(os.path.join(base, "_DONE"), "w") as f:
+            f.write("ok")
+    run = os.path.join(_ARTIFACT_DIR, f"mad_stream_run_{uuid.uuid4().hex[:8]}")
+    target, ckpt = os.path.join(run, "rollup"), os.path.join(run, "ckpt")
+    stream = (
+        spark.readStream.schema("event_type string, cents long")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    for _ in range(2):  # second run = deliberate restart against the checkpoint
+        q = rollup_stream_merge(stream, ["event_type", "cents"], target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rolled = read_cms(spark, target).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)
+    cells = rolled.groupBy("event_type", "cents").agg(F.sum("n").alias("_n"))
+    return mad_outliers_from_cells(
+        cells, ["event_type"], val_col="cents", cnt_col="_n"
+    ).orderBy("event_type")
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -13464,6 +13670,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_diversity_stream": q_events_diversity_stream,
         "sim_knn_graph": q_sim_knn_graph,
         "events_pacf": q_events_pacf,
+        "graph_katz": q_graph_katz,
+        "parts_safety_stock": q_parts_safety_stock,
+        "eval_abtest": q_eval_abtest,
+        "events_attribution_decay": q_events_attribution_decay,
+        "events_mad_stream": q_events_mad_stream,
         # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
@@ -14601,6 +14812,95 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_knn_graph": _knn_graph_oracle_sql(),
         "events_pacf": _pacf_oracle_sql(),
+        "graph_katz": _katz_oracle_sql(),
+        "parts_safety_stock": """
+            WITH daily AS (
+                SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(q) AS BIGINT) AS total_qty,
+                       CAST(sum(q * q) AS BIGINT) AS q2
+                FROM daily GROUP BY p_brand
+            )
+            SELECT p_brand, n_days, total_qty,
+                   round(CAST(total_qty AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+                       AS mean_daily,
+                   round(sqrt(CAST(n_days * q2 - total_qty * total_qty AS DOUBLE))
+                         / CAST(n_days AS DOUBLE), 6) AS sigma_daily,
+                   round(CAST('1.645' AS DOUBLE)
+                         * (sqrt(CAST(n_days * q2 - total_qty * total_qty AS DOUBLE))
+                            / CAST(n_days AS DOUBLE))
+                         * sqrt(CAST('7.0' AS DOUBLE)), 6) AS safety_stock,
+                   round((CAST(total_qty AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * CAST('7.0' AS DOUBLE)
+                         + CAST('1.645' AS DOUBLE)
+                           * (sqrt(CAST(n_days * q2 - total_qty * total_qty AS DOUBLE))
+                              / CAST(n_days AS DOUBLE))
+                           * sqrt(CAST('7.0' AS DOUBLE)), 6) AS reorder_point
+            FROM g ORDER BY p_brand
+        """,
+        "eval_abtest": """
+            WITH units AS (
+                SELECT user_id % 2 AS arm,
+                       CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END) >= 14
+                            THEN 1 ELSE 0 END AS c
+                FROM events GROUP BY user_id
+            ),
+            g AS (
+                SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS x0,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS x1
+                FROM units
+            )
+            SELECT n0, x0,
+                   round(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+                   n1, x1,
+                   round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+                   round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                          - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                         / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) AS lift,
+                   round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                          - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                         / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                * (1e0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE))), 6)
+                       AS z
+            FROM g
+        """,
+        "events_attribution_decay": """
+            WITH t AS (
+                SELECT user_id AS t_user, event_type AS channel,
+                       epoch_us(ts) * 1000 AS t_ns
+                FROM events WHERE event_type IN ('click', 'view')
+            ),
+            p AS (
+                SELECT user_id AS p_user, epoch_us(ts) * 1000 AS p_ns
+                FROM events WHERE event_type = 'purchase'
+            ),
+            pairs AS (
+                SELECT channel,
+                       CAST((p_ns - t_ns) // 3600000000000 AS INT) AS h
+                FROM t JOIN p ON t_user = p_user
+                WHERE t_ns <= p_ns AND p_ns - t_ns < 48 * 3600000000000
+            ),
+            per AS (
+                SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+                       sum(CAST(1::BIGINT << (52 - least(h, 52)) AS HUGEINT))
+                           AS credit
+                FROM pairs GROUP BY channel
+            ),
+            tot AS (SELECT sum(credit) AS total FROM per)
+            SELECT channel, n_touches,
+                   CAST(credit AS DOUBLE) AS credit_scaled,
+                   round(CAST(credit AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+            FROM per, tot ORDER BY channel
+        """,
         "graph_linkpred": """
             WITH e AS (
                 SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
@@ -17563,6 +17863,9 @@ def oracle_sql() -> dict[str, str]:
     # Simpson cells are count-linear: the drained stream rollup rebuilds the
     # batch cells exactly, so the streamed monitor shares the batch oracle
     out["events_diversity_stream"] = out["events_diversity"]
+    # MAD cells are count-linear: the drained stream rollup rebuilds the
+    # batch (type, cents) cells exactly, so the streamed monitor shares it
+    out["events_mad_stream"] = out["events_mad"]
     out["events_concurrency_stream"] = out["events_concurrency"]
     out["events_percentiles_stream"] = out["events_percentiles_exact"]
     return out

@@ -702,3 +702,21 @@ def test_brier_scaled_exact_integer_numerator(spark):
     assert got["worst"]["brier"] == 1.0
     assert got["mid"]["brier"] == 0.25
     assert got["mid"]["n"] == 2 and got["mid"]["n_pos"] == 1
+
+
+def test_two_proportion_ztest_replay(spark):
+    """z and lift replay the pooled two-proportion formula on known
+    counts (n0=4/x0=1, n1=4/x1=3)."""
+    import math
+
+    from usearch_spark.operators.evaluate import two_proportion_ztest
+
+    rows = [(0, 1), (0, 0), (0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, "arm int, converted int")
+    r = two_proportion_ztest(df, "arm", "converted").collect()[0]
+    p0, p1, pp = 0.25, 0.75, 0.5
+    se = math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert (r["n0"], r["x0"], r["n1"], r["x1"]) == (4, 1, 4, 3)
+    assert r["p0"] == p0 and r["p1"] == p1
+    assert r["lift"] == round((p1 - p0) / p0, 6)
+    assert r["z"] == round((p1 - p0) / se, 6)

@@ -827,3 +827,19 @@ def test_link_prediction_scores_panel(spark):
     bc = got[("b", "c")]
     assert bc["common_neighbors"] == 1 and bc["jaccard"] == round(1 / 3, 6)
     assert ("a", "c") not in got  # no shared part -> pair never materializes
+
+
+def test_katz_centrality_truncated_series_replay(spark):
+    """Katz on a directed path a->b->c with beta=0.5: the 10-step
+    truncation replays the closed recurrence exactly (a=1, b=1.5,
+    c=1.75), and an isolated vertex stays at 1."""
+    from usearch_spark.plans.graph_stats import katz_centrality
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "id string")
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {
+        r["id"]: r["score"]
+        for r in katz_centrality(v, e, beta=0.5, steps=10).collect()
+    }
+    # fixpoint after 2 steps: b = 1 + 0.5*1; c = 1 + 0.5*1.5
+    assert got == {"a": 1.0, "b": 1.5, "c": 1.75, "z": 1.0}

@@ -1221,3 +1221,28 @@ def test_daily_pacf_durbin_levinson_replay(spark):
             phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
     for k in range(1, 8):
         assert got[k] == round(phi[(k, k)], 6), (k, got[k], phi[(k, k)])
+
+
+def test_safety_stock_replay(spark):
+    """King-formula replay on known daily demands [10, 14, 12]."""
+    import datetime
+    import math
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.forecast import safety_stock
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    for t, q in enumerate([10, 14, 12]):
+        rows.append(("b", d0 + datetime.timedelta(days=t), q))
+    df = spark.createDataFrame(rows, "g string, d date, q long")
+    r = safety_stock(df, ["g"], F.col("d"), "q").collect()[0]
+    t, s, q2 = 3, 36, 440
+    sigma = math.sqrt(t * q2 - s * s) / t
+    ss = 1.645 * sigma * math.sqrt(7.0)
+    assert (r["n_days"], r["total_qty"]) == (3, 36)
+    assert r["mean_daily"] == 12.0
+    assert r["sigma_daily"] == round(sigma, 6)
+    assert r["safety_stock"] == round(ss, 6)
+    assert r["reorder_point"] == round(12.0 * 7.0 + ss, 6)

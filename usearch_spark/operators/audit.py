@@ -327,46 +327,74 @@ def mad_outliers(
     — so no float influences any count; the two output floats are one
     divide each (med2/200, mad4/400).
 
-    Distributed shape: two group-partitioned rank windows (values, then
-    deviations) + partial-agg groupBys + one broadcast join back — the
-    iqr_outliers shape run twice.  No UDFs, no collects.
+    Distributed shape: rows collapse to (group, value) CELLS first, so
+    every rank lookup is a running-count threshold over value-cardinality
+    cells (the events_percentiles_exact shape) — never a row-volume
+    window.  Thin wrapper over :func:`mad_outliers_from_cells`.
 
     Output: group_cols + (n, median, mad, n_outliers).
     """
+    cells = (
+        df.select(*group_cols, F.col(cents_col).cast("long").alias("_v"))
+        .groupBy(*group_cols, "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return mad_outliers_from_cells(cells, group_cols, val_col="_v", cnt_col="_cnt")
 
-    def two_middle(frame: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy(*group_cols).orderBy(col)
-        ranked = frame.select(
-            *group_cols,
-            col,
-            F.row_number().over(w).alias("_rn"),
-            F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("_n"),
-        )
-        lo, hi = F.expr("(_n + 1) div 2"), F.expr("(_n + 2) div 2")
-        pick = (F.col("_rn") == lo) | (F.col("_rn") == hi)
-        return ranked.groupBy(*group_cols).agg(
+
+def mad_outliers_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    val_col: str = "_v",
+    cnt_col: str = "_cnt",
+) -> DataFrame:
+    """:func:`mad_outliers` from pre-aggregated (group, value, count)
+    CELLS — the count-additive form a streamed rollup maintains (cells
+    merge by addition, so a drained incremental rollup feeds this and
+    shares the batch oracle verbatim, the sketch_ams_stream contract).
+    The two-middle-rank picks are running-count threshold lookups on the
+    cell table: the value at sorted rank r is the smallest value whose
+    cumulative count reaches r, identical to the row-rank formulation.
+    Same output columns and exact arithmetic as mad_outliers."""
+
+    def two_middle(frame: DataFrame, vc: str, cc: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy(vc)
+        cum = frame.withColumn("_cum", F.sum(cc).over(w))
+        tot = frame.groupBy(*group_cols).agg(F.sum(cc).alias("_n"))
+        j = cum.join(tot, group_cols)
+        lo_thr = F.expr("(_n + 1) div 2")
+        hi_thr = F.expr("(_n + 2) div 2")
+        return j.groupBy(*group_cols).agg(
             F.max("_n").alias("_n"),
             (
-                F.min(F.when(pick, F.col(col))) + F.max(F.when(pick, F.col(col)))
+                F.min(F.when(F.col("_cum") >= lo_thr, F.col(vc)))
+                + F.min(F.when(F.col("_cum") >= hi_thr, F.col(vc)))
             ).alias(out),
         )
 
-    vals = df.select(*group_cols, F.col(cents_col).cast("long").alias("_v"))
-    med = two_middle(vals, "_v", "med2").select(*group_cols, F.col("_n").alias("n"), "med2")
-    dev = vals.join(F.broadcast(med.select(*group_cols, "med2")), group_cols).select(
-        *group_cols,
-        "_v",
-        F.abs(F.lit(2) * F.col("_v") - F.col("med2")).alias("_d"),
+    vals = cells.select(
+        *group_cols, F.col(val_col).alias("_v"), F.col(cnt_col).alias("_cnt")
     )
-    mad = two_middle(dev.select(*group_cols, "_d"), "_d", "mad4").select(
-        *group_cols, "mad4"
+    med = two_middle(vals, "_v", "_cnt", "med2").select(
+        *group_cols, F.col("_n").alias("n"), "med2"
     )
+    dev = (
+        vals.join(F.broadcast(med.select(*group_cols, "med2")), group_cols)
+        .select(
+            *group_cols,
+            F.abs(F.lit(2) * F.col("_v") - F.col("med2")).alias("_d"),
+            "_cnt",
+        )
+        .groupBy(*group_cols, "_d")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )
+    mad = two_middle(dev, "_d", "_cnt", "mad4").select(*group_cols, "mad4")
     stats = med.join(mad, group_cols)
     outl = (
         dev.join(F.broadcast(stats.select(*group_cols, "mad4")), group_cols)
         .filter(F.lit(20000) * F.col("_d") > F.lit(44478) * F.col("mad4"))
         .groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .agg(F.sum("_cnt").alias("n_outliers"))
     )
     return stats.join(outl, group_cols, "left").select(
         *group_cols,

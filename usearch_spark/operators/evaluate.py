@@ -1397,3 +1397,62 @@ def brier_scaled(
             ).alias("brier"),
         )
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """A/B-TEST evaluation: the pooled two-proportion z-test over a
+    2-arm experiment frame (one row per unit, ``arm_col`` in {0, 1},
+    ``success_col`` in {0, 1}):
+
+        z = (p1 − p0) / sqrt( p̂(1−p̂)(1/n0 + 1/n1) ),   p̂ pooled
+
+    with the relative lift (p1 − p0)/p0 — the conversion-experiment
+    readout every growth pipeline runs; |z| > 1.96 is the usual 95%
+    call.
+
+    Determinism: all counts are exact integers; every rate is one
+    divide; z and lift are fixed left-associated IEEE chains (sqrt
+    correctly rounded) over those identical doubles — bit-exact with
+    one closing round.
+
+    Distributed shape: ONE partial-agg aggregate over the unit frame;
+    the test statistic assembles on a 1-row frame.  No windows, no
+    UDFs.
+
+    Output: one row (n0, x0, p0, n1, x1, p1, lift, z).
+    """
+    a = F.col(arm_col).cast("long")
+    s = F.col(success_col).cast("long")
+    g = df.agg(
+        F.sum(F.when(a == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(a == 0, s).otherwise(0)).cast("long").alias("x0"),
+        F.sum(F.when(a == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(a == 1, s).otherwise(0)).cast("long").alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return g.select(
+        "n0",
+        "x0",
+        F.round(p0, 6).alias("p0"),
+        "n1",
+        "x1",
+        F.round(p1, 6).alias("p1"),
+        F.round((p1 - p0) / p0, 6).alias("lift"),
+        F.round((p1 - p0) / se, 6).alias("z"),
+    )

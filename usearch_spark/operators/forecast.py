@@ -1792,3 +1792,64 @@ def daily_pacf(
     return lev.select(*group_cols, "n_days", F.explode(out).alias("_l")).select(
         *group_cols, "n_days", F.col("_l.lag").alias("lag"), F.col("_l.pacf").alias("pacf")
     )
+
+
+def safety_stock(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: Column,
+    qty_col: str,
+    lead_days: int = 7,
+    z: float = 1.645,
+) -> DataFrame:
+    """Per-group SAFETY STOCK and REORDER POINT from daily demand (the
+    textbook King/normal-approximation formula, deterministic lead
+    time):
+
+        ss  = z · σ_daily · sqrt(L)
+        rop = mean_daily · L + ss
+
+    — the inventory planning number next to parts_croston's intermittent
+    forecast (Croston says WHAT demand to expect; this says how much
+    buffer a service level z needs).
+
+    Determinism: daily demands are exact integer sums, mean and variance
+    come from the n²-cleared integer identity (T·ΣQ² − S²), σ is ONE
+    sqrt over the exact-integer double (sqrt is IEEE-correctly-rounded
+    on both engines), and ss/rop are fixed left-associated IEEE chains
+    over those values with injected literals — bit-exact with one
+    closing round each.
+
+    Distributed shape: one (group, day) partial-agg collapse, one group
+    aggregate.  No windows, no UDFs.
+
+    Output: group_cols + (n_days, total_qty, mean_daily, sigma_daily,
+    safety_stock, reorder_point).
+    """
+    daily = df.groupBy(*group_cols, day_col.alias("_d")).agg(
+        F.sum(F.col(qty_col).cast("long")).alias("_q")
+    )
+    g = daily.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_q").alias("total_qty"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_q2"),
+    )
+    t = F.col("n_days").cast("double")
+    mean = F.col("total_qty").cast("double") / t
+    sigma = (
+        F.sqrt(
+            (F.col("n_days") * F.col("_q2") - F.col("total_qty") * F.col("total_qty"))
+            .cast("double")
+        )
+        / t
+    )
+    ss = F.lit(z) * sigma * F.sqrt(F.lit(float(lead_days)))
+    return g.select(
+        *group_cols,
+        "n_days",
+        "total_qty",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(sigma, 6).alias("sigma_daily"),
+        F.round(ss, 6).alias("safety_stock"),
+        F.round(mean * F.lit(float(lead_days)) + ss, 6).alias("reorder_point"),
+    )
