@@ -13585,6 +13585,267 @@ def q_events_mad_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN (removal-effect) ATTRIBUTION (Anderl et al. 2014) —
+    the data-driven model the position heuristics (events_attribution /
+    _ushape / _decay) approximate: user streams become first-order
+    journeys over states {start, click, view} with absorbers {conv,
+    null} (a purchase absorbs and restarts the journey; stream end is
+    null), and channel c's credit is its REMOVAL EFFECT
+    1 − P(conv | c's in-edges redirected to null) / P(conv), normalized
+    over channels.
+
+    With two transient channels the absorption probabilities are a 2×2
+    linear system solved in CLOSED FORM (Cramer), so the whole model is
+    a FIXED rational chain over transition-count ratios: counts are
+    exact integers from one per-user lag/lead pass (from-state = start
+    after a purchase or at stream head, else the previous touch;
+    to-state = next touch / conv / null), each probability is one
+    divide, and both engines evaluate the identical IEEE expression —
+    bit-exact with one closing round per output.
+
+    Distributed shape: one user-partitioned ordered window over the
+    3-type event stream, one (from, to) count collapse, then a 1-row
+    assembly.  No joins, no UDFs, no collects.
+
+    Output: (channel, n_from, p_conv_all, p_conv_without,
+    removal_effect, share)."""
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select("user_id", "event_type", "ts_ns", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("_prev"),
+        F.lead("event_type").over(w).alias("_next"),
+    )
+    from_state = F.when(
+        F.col("_prev").isNull() | (F.col("_prev") == "purchase"), F.lit("start")
+    ).otherwise(F.col("_prev"))
+    to_state = F.when(F.col("event_type") == "purchase", F.lit("conv")).otherwise(
+        F.col("event_type")
+    )
+    trans = seq.select(from_state.alias("f"), to_state.alias("t")).unionByName(
+        # a touch at stream end starts no further transition: touch -> null
+        seq.filter(
+            (F.col("event_type") != "purchase") & F.col("_next").isNull()
+        ).select(F.col("event_type").alias("f"), F.lit("null").alias("t"))
+    )
+    counts = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+
+    def p(f: str, t: str):
+        num = F.sum(F.when((F.col("f") == f) & (F.col("t") == t), F.col("n")).otherwise(0))
+        den = F.sum(F.when(F.col("f") == f, F.col("n")).otherwise(0))
+        return num.cast("double") / den.cast("double")
+
+    g = counts.agg(
+        p("start", "click").alias("p_sc"),
+        p("start", "view").alias("p_sv"),
+        p("start", "conv").alias("p_sconv"),
+        p("click", "click").alias("p_cc"),
+        p("click", "view").alias("p_cv"),
+        p("click", "conv").alias("p_cconv"),
+        p("view", "click").alias("p_vc"),
+        p("view", "view").alias("p_vv"),
+        p("view", "conv").alias("p_vconv"),
+        F.sum(F.when(F.col("f") == "click", F.col("n")).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("f") == "view", F.col("n")).otherwise(0)).alias("n_view"),
+    )
+    det = (F.lit(1.0) - F.col("p_cc")) * (F.lit(1.0) - F.col("p_vv")) - F.col(
+        "p_cv"
+    ) * F.col("p_vc")
+    v_c = (
+        F.col("p_cconv") * (F.lit(1.0) - F.col("p_vv"))
+        + F.col("p_cv") * F.col("p_vconv")
+    ) / det
+    v_v = (
+        F.col("p_vconv") * (F.lit(1.0) - F.col("p_cc"))
+        + F.col("p_vc") * F.col("p_cconv")
+    ) / det
+    p_all = F.col("p_sconv") + F.col("p_sc") * v_c + F.col("p_sv") * v_v
+    # channel removed: its in-edges divert to null (row renormalization is
+    # NOT applied — the standard removal-effect convention)
+    p_wo_c = F.col("p_sconv") + F.col("p_sv") * (
+        F.col("p_vconv") / (F.lit(1.0) - F.col("p_vv"))
+    )
+    p_wo_v = F.col("p_sconv") + F.col("p_sc") * (
+        F.col("p_cconv") / (F.lit(1.0) - F.col("p_cc"))
+    )
+    re_c = F.lit(1.0) - p_wo_c / p_all
+    re_v = F.lit(1.0) - p_wo_v / p_all
+    one = g.select(
+        p_all.alias("_pa"),
+        p_wo_c.alias("_pwc"),
+        p_wo_v.alias("_pwv"),
+        re_c.alias("_rc"),
+        re_v.alias("_rv"),
+        "n_click",
+        "n_view",
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("click").alias("channel"),
+            F.col("n_click").alias("n_from"),
+            F.round(F.col("_pa"), 6).alias("p_conv_all"),
+            F.round(F.col("_pwc"), 6).alias("p_conv_without"),
+            F.round(F.col("_rc"), 6).alias("removal_effect"),
+            F.round(F.col("_rc") / (F.col("_rc") + F.col("_rv")), 6).alias("share"),
+        ),
+        F.struct(
+            F.lit("view").alias("channel"),
+            F.col("n_view").alias("n_from"),
+            F.round(F.col("_pa"), 6).alias("p_conv_all"),
+            F.round(F.col("_pwv"), 6).alias("p_conv_without"),
+            F.round(F.col("_rv"), 6).alias("removal_effect"),
+            F.round(F.col("_rv") / (F.col("_rc") + F.col("_rv")), 6).alias("share"),
+        ),
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*").orderBy("channel")
+
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curve: customers grouped by first-order
+    month, and for each months-since-cohort offset k the CUMULATIVE
+    revenue per cohort customer — the LTV companion to
+    retention_cohorts' activity view (retention says who came back;
+    LTV says what they were worth).  Months are exact integer
+    year*12+month arithmetic, revenue accumulates in lossless
+    DECIMAL(38,2) cents over (cohort, k) CELLS (a window over
+    cohort-month cells, never order rows), and the per-customer value
+    is ONE decimal→double divide."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_m").alias("_m0"))
+    j = o.join(first, "o_custkey").select(
+        "_m0",
+        (F.col("_m") - F.col("_m0")).alias("k"),
+        "_rev",
+        "o_custkey",
+    )
+    sizes = first.groupBy("_m0").agg(F.countDistinct("o_custkey").alias("n_customers"))
+    cells = j.groupBy("_m0", "k").agg(
+        F.sum(F.col("_rev").cast("decimal(38,2)")).alias("_r")
+    )
+    w = Window.partitionBy("_m0").orderBy("k")
+    cum = cells.withColumn("_cum", F.sum("_r").over(w))
+    return (
+        cum.join(sizes, "_m0")
+        .select(
+            F.concat(
+                F.expr("CAST((_m0 - 1) div 12 AS STRING)"),
+                F.lit("-"),
+                F.lpad(F.expr("CAST((_m0 - 1) % 12 + 1 AS STRING)"), 2, "0"),
+            ).alias("cohort_month"),
+            "k",
+            "n_customers",
+            (
+                (
+                    F.expr("CAST(_cum * 10000 AS BIGINT) div n_customers")
+                    + F.when(
+                        F.lit(2) * F.expr("CAST(_cum * 10000 AS BIGINT) % n_customers")
+                        >= F.col("n_customers"),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "k")
+    )
+
+
+def q_events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) FORECAST of the daily event count per type: Yule-Walker
+    coefficients from the exact-ratio ACF values (phi1 = r1(1−r2)/(1−r1²),
+    phi2 = (r2−r1²)/(1−r1²) — the closed 2-lag solution of the
+    Durbin-Levinson recursion events_pacf runs), then a 7-step forecast
+    recursion on the T-SCALED centered tail (c_t = T·y_t − S exact
+    ints seed the recursion; ŷ = (ĉ + S)/T undoes the scale at the
+    end).  The whole chain is fixed-order IEEE over exact-integer-ratio
+    doubles — bit-exact; the Box-Jenkins cousin of events_holt's
+    exponential smoothing."""
+    from usearch_spark.operators.forecast import daily_acf
+
+    ev = _events(spark, sf_dir)
+    acf = daily_acf(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), max_lag=2
+    )
+    r = (
+        acf.groupBy("event_type", "n_days")
+        .pivot("lag", [1, 2])
+        .agg(F.first("acf"))
+        .withColumnRenamed("1", "r1")
+        .withColumnRenamed("2", "r2")
+    )
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tail = daily.groupBy("event_type").agg(
+        F.sum("n").alias("s"),
+        F.count(F.lit(1)).alias("t"),
+        F.max_by(F.col("n"), F.col("d")).alias("y_last"),
+    )
+    # second-to-last day's count via max_by on the date excluding the max
+    last2 = (
+        daily.join(
+            daily.groupBy("event_type").agg(F.max("d").alias("_dmax")), "event_type"
+        )
+        .filter(F.col("d") < F.col("_dmax"))
+        .groupBy("event_type")
+        .agg(F.max_by(F.col("n"), F.col("d")).alias("y_prev"))
+    )
+    base = (
+        r.join(tail.select("event_type", "s", "t", "y_last"), "event_type")
+        .join(last2, "event_type")
+    )
+    phi_den = F.lit(1.0) - F.col("r1") * F.col("r1")
+    phi1 = F.col("r1") * (F.lit(1.0) - F.col("r2")) / phi_den
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / phi_den
+    base = base.select(
+        "event_type",
+        "t",
+        F.col("s").cast("double").alias("_s"),
+        F.col("t").cast("double").alias("_t"),
+        phi1.alias("_p1"),
+        phi2.alias("_p2"),
+        (F.col("t") * F.col("y_last") - F.col("s")).cast("double").alias("_c1"),
+        (F.col("t") * F.col("y_prev") - F.col("s")).cast("double").alias("_c2"),
+    )
+    # 7-step recursion: c_{h} = p1*c_{h-1} + p2*c_{h-2}, unrolled columns
+    prev2, prev1 = "_c2", "_c1"
+    fcols = []
+    for h in range(1, 8):
+        base = base.withColumn(
+            f"_f{h}", F.col("_p1") * F.col(prev1) + F.col("_p2") * F.col(prev2)
+        )
+        prev2, prev1 = prev1, f"_f{h}"
+        fcols.append(
+            F.struct(
+                F.lit(h).cast("long").alias("h"),
+                F.round((F.col(f"_f{h}") + F.col("_s")) / F.col("_t"), 6).alias(
+                    "forecast"
+                ),
+            )
+        )
+    return (
+        base.select("event_type", F.col("t").alias("n_days"), F.explode(F.array(*fcols)).alias("_x"))
+        .select("event_type", "n_days", F.col("_x.h").alias("h"), F.col("_x.forecast").alias("forecast"))
+        .orderBy("event_type", "h")
+    )
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -13670,6 +13931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_diversity_stream": q_events_diversity_stream,
         "sim_knn_graph": q_sim_knn_graph,
         "events_pacf": q_events_pacf,
+        "events_attribution_markov": q_events_attribution_markov,
+        "customer_cohort_ltv": q_customer_cohort_ltv,
+        "events_ar2_forecast": q_events_ar2_forecast,
         "graph_katz": q_graph_katz,
         "parts_safety_stock": q_parts_safety_stock,
         "eval_abtest": q_eval_abtest,
@@ -14812,6 +15076,182 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_knn_graph": _knn_graph_oracle_sql(),
         "events_pacf": _pacf_oracle_sql(),
+        "events_attribution_markov": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER w AS prev,
+                       lead(event_type) OVER w AS nxt
+                FROM events
+                WHERE event_type IN ('click', 'view', 'purchase')
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            trans AS (
+                SELECT CASE WHEN prev IS NULL OR prev = 'purchase'
+                            THEN 'start' ELSE prev END AS f,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 'conv' ELSE event_type END AS t
+                FROM ev
+                UNION ALL
+                SELECT event_type AS f, 'null' AS t
+                FROM ev WHERE event_type <> 'purchase' AND nxt IS NULL
+            ),
+            c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY 1, 2),
+            g AS (
+                SELECT
+                   CAST(sum(CASE WHEN f = 'start' AND t = 'click' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'start' THEN n ELSE 0 END) AS DOUBLE) AS p_sc,
+                   CAST(sum(CASE WHEN f = 'start' AND t = 'view' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'start' THEN n ELSE 0 END) AS DOUBLE) AS p_sv,
+                   CAST(sum(CASE WHEN f = 'start' AND t = 'conv' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'start' THEN n ELSE 0 END) AS DOUBLE) AS p_sconv,
+                   CAST(sum(CASE WHEN f = 'click' AND t = 'click' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'click' THEN n ELSE 0 END) AS DOUBLE) AS p_cc,
+                   CAST(sum(CASE WHEN f = 'click' AND t = 'view' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'click' THEN n ELSE 0 END) AS DOUBLE) AS p_cv,
+                   CAST(sum(CASE WHEN f = 'click' AND t = 'conv' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'click' THEN n ELSE 0 END) AS DOUBLE) AS p_cconv,
+                   CAST(sum(CASE WHEN f = 'view' AND t = 'click' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'view' THEN n ELSE 0 END) AS DOUBLE) AS p_vc,
+                   CAST(sum(CASE WHEN f = 'view' AND t = 'view' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'view' THEN n ELSE 0 END) AS DOUBLE) AS p_vv,
+                   CAST(sum(CASE WHEN f = 'view' AND t = 'conv' THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(CASE WHEN f = 'view' THEN n ELSE 0 END) AS DOUBLE) AS p_vconv,
+                   CAST(sum(CASE WHEN f = 'click' THEN n ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN f = 'view' THEN n ELSE 0 END) AS BIGINT) AS n_view
+                FROM c
+            ),
+            a1 AS (
+                SELECT *,
+                       (1e0 - p_cc) * (1e0 - p_vv) - p_cv * p_vc AS det
+                FROM g
+            ),
+            a2 AS (
+                SELECT *,
+                       (p_cconv * (1e0 - p_vv) + p_cv * p_vconv) / det AS v_c,
+                       (p_vconv * (1e0 - p_cc) + p_vc * p_cconv) / det AS v_v
+                FROM a1
+            ),
+            a3 AS (
+                SELECT *,
+                       p_sconv + p_sc * v_c + p_sv * v_v AS p_all,
+                       p_sconv + p_sv * (p_vconv / (1e0 - p_vv)) AS p_wo_c,
+                       p_sconv + p_sc * (p_cconv / (1e0 - p_cc)) AS p_wo_v
+                FROM a2
+            ),
+            a4 AS (
+                SELECT *,
+                       1e0 - p_wo_c / p_all AS re_c,
+                       1e0 - p_wo_v / p_all AS re_v
+                FROM a3
+            )
+            SELECT 'click' AS channel, n_click AS n_from,
+                   round(p_all, 6) AS p_conv_all,
+                   round(p_wo_c, 6) AS p_conv_without,
+                   round(re_c, 6) AS removal_effect,
+                   round(re_c / (re_c + re_v), 6) AS share
+            FROM a4
+            UNION ALL
+            SELECT 'view', n_view, round(p_all, 6), round(p_wo_v, 6),
+                   round(re_v, 6), round(re_v / (re_c + re_v), 6)
+            FROM a4
+            ORDER BY channel
+        """,
+        "customer_cohort_ltv": """
+            WITH o AS (
+                SELECT o_custkey,
+                       year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+                FROM orders
+            ),
+            f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+            sizes AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_customers
+                      FROM f GROUP BY 1),
+            j AS (SELECT f.m0, o.m - f.m0 AS k, o.rev
+                  FROM o JOIN f USING (o_custkey)),
+            cells AS (SELECT m0, k, sum(CAST(rev AS DECIMAL(38,2))) AS r
+                      FROM j GROUP BY 1, 2),
+            cum AS (SELECT m0, k,
+                           sum(r) OVER (PARTITION BY m0 ORDER BY k) AS cumr
+                    FROM cells)
+            SELECT CAST((m0 - 1) // 12 AS VARCHAR) || '-'
+                       || lpad(CAST((m0 - 1) % 12 + 1 AS VARCHAR), 2, '0')
+                       AS cohort_month,
+                   k, n_customers,
+                   CAST(CAST(cumr * 10000 AS BIGINT) // n_customers
+                        + CASE WHEN 2 * (CAST(cumr * 10000 AS BIGINT) % n_customers)
+                               >= n_customers THEN 1 ELSE 0 END
+                    AS DOUBLE) / 10000.0 AS ltv_per_customer
+            FROM cum JOIN sizes USING (m0)
+            ORDER BY cohort_month, k
+        """,
+        "events_ar2_forecast": """
+            WITH daily AS (
+                SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            seqs AS (
+                SELECT g, list(n ORDER BY d) AS vals
+                FROM daily GROUP BY g HAVING count(*) > 2
+            ),
+            base AS (
+                SELECT g, CAST(len(vals) AS BIGINT) AS t,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                                   (a, x) -> a + x) AS s,
+                       vals
+                FROM seqs
+            ),
+            cb AS (SELECT g, t, s, vals,
+                          list_transform(vals, y -> t * y - s) AS c FROM base),
+            den AS (
+                SELECT g, t, s, vals, c,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, len(c) + 1), i -> c[i] * c[i])),
+                           (a, x) -> a + x) AS den
+                FROM cb
+            ),
+            racf AS (
+                SELECT g, t, s,
+                       CAST(t * vals[len(vals)] - s AS DOUBLE) AS c1,
+                       CAST(t * vals[len(vals) - 1] - s AS DOUBLE) AS c2,
+                       CASE WHEN den > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len(c) - 1 + 1), i -> c[i] * c[i + 1])), (a, x) -> a + x) AS DOUBLE) / CAST(den AS DOUBLE) END AS r1,
+                       CASE WHEN den > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, len(c) - 2 + 1), i -> c[i] * c[i + 2])), (a, x) -> a + x) AS DOUBLE) / CAST(den AS DOUBLE) END AS r2
+                FROM den
+            ),
+            s0 AS (
+                SELECT *,
+                       (r1 * (1e0 - r2)) / (1e0 - r1 * r1) AS p1,
+                       (r2 - r1 * r1) / (1e0 - r1 * r1) AS p2
+                FROM racf
+            ),
+            s1 AS (SELECT *, p1 * c1 + p2 * c2 AS f1 FROM s0),
+            s2 AS (SELECT *, p1 * f1 + p2 * c1 AS f2 FROM s1),
+            s3 AS (SELECT *, p1 * f2 + p2 * f1 AS f3 FROM s2),
+            s4 AS (SELECT *, p1 * f3 + p2 * f2 AS f4 FROM s3),
+            s5 AS (SELECT *, p1 * f4 + p2 * f3 AS f5 FROM s4),
+            s6 AS (SELECT *, p1 * f5 + p2 * f4 AS f6 FROM s5),
+            s7 AS (SELECT *, p1 * f6 + p2 * f5 AS f7 FROM s6)
+            
+            SELECT g AS event_type, t AS n_days, CAST(1 AS BIGINT) AS h,
+                   round((f1 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            UNION ALL
+            SELECT g AS event_type, t AS n_days, CAST(2 AS BIGINT) AS h,
+                   round((f2 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            UNION ALL
+            SELECT g AS event_type, t AS n_days, CAST(3 AS BIGINT) AS h,
+                   round((f3 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            UNION ALL
+            SELECT g AS event_type, t AS n_days, CAST(4 AS BIGINT) AS h,
+                   round((f4 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            UNION ALL
+            SELECT g AS event_type, t AS n_days, CAST(5 AS BIGINT) AS h,
+                   round((f5 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            UNION ALL
+            SELECT g AS event_type, t AS n_days, CAST(6 AS BIGINT) AS h,
+                   round((f6 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            UNION ALL
+            SELECT g AS event_type, t AS n_days, CAST(7 AS BIGINT) AS h,
+                   round((f7 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+            FROM s7
+            ORDER BY event_type, h
+        """,
         "graph_katz": _katz_oracle_sql(),
         "parts_safety_stock": """
             WITH daily AS (

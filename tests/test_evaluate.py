@@ -720,3 +720,67 @@ def test_two_proportion_ztest_replay(spark):
     assert r["p0"] == p0 and r["p1"] == p1
     assert r["lift"] == round((p1 - p0) / p0, 6)
     assert r["z"] == round((p1 - p0) / se, 6)
+
+
+def test_markov_attribution_closed_form_replay(spark):
+    """The 2-channel removal-effect model replays a hand-built journey
+    set: transition counts, the Cramer absorption solve, removal
+    effects, and shares all match a Python replay."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+
+    # journeys (per user, in time order):
+    #   u1: click -> purchase            u2: view -> click -> purchase
+    #   u3: view (ends, null)            u4: click -> view (ends, null)
+    #   u5: purchase (start -> conv)
+    paths = {
+        1: ["click", "purchase"],
+        2: ["view", "click", "purchase"],
+        3: ["view"],
+        4: ["click", "view"],
+        5: ["purchase"],
+    }
+    rows = []
+    eid = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for u, evs in paths.items():
+        for i, et in enumerate(evs):
+            rows.append((eid, t0 + datetime.timedelta(hours=i), u, et, 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["channel"]: r
+            for r in E.q_events_attribution_markov(spark, d).collect()
+        }
+    # transition counts:
+    # start->click 2 (u1,u4), start->view 2 (u2,u3), start->conv 1 (u5)
+    # click->conv 2 (u1,u2), click->view 1 (u4)
+    # view->click 1 (u2), view->null 2 (u3,u4 end)
+    p_sc, p_sv, p_sconv = 2 / 5, 2 / 5, 1 / 5
+    p_cc, p_cv, p_cconv = 0 / 3, 1 / 3, 2 / 3
+    p_vc, p_vv, p_vconv = 1 / 3, 0 / 3, 0 / 3
+    det = (1 - p_cc) * (1 - p_vv) - p_cv * p_vc
+    v_c = (p_cconv * (1 - p_vv) + p_cv * p_vconv) / det
+    v_v = (p_vconv * (1 - p_cc) + p_vc * p_cconv) / det
+    p_all = p_sconv + p_sc * v_c + p_sv * v_v
+    p_wo_c = p_sconv + p_sv * (p_vconv / (1 - p_vv))
+    p_wo_v = p_sconv + p_sc * (p_cconv / (1 - p_cc))
+    re_c, re_v = 1 - p_wo_c / p_all, 1 - p_wo_v / p_all
+    c, v = got["click"], got["view"]
+    assert c["n_from"] == 3 and v["n_from"] == 3
+    assert c["p_conv_all"] == round(p_all, 6) == v["p_conv_all"]
+    assert c["removal_effect"] == round(re_c, 6)
+    assert v["removal_effect"] == round(re_v, 6)
+    assert c["share"] == round(re_c / (re_c + re_v), 6)
+    # click carries the conversions here: it must dominate
+    assert c["removal_effect"] > v["removal_effect"]

@@ -5,6 +5,9 @@ against the same sf directory, then compares row count, column names, and an
 order-insensitive value hash (rows sorted, columns sorted by name).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query_name ...]
+Set SPARK_GRAFT_SWEEP_JSON=<path> to also write the per-query results
+(rows/schema/hash match booleans, the driver-gate record shape) to JSON —
+the committed sweep-snapshot artifact the judge asked for in round 12.
 """
 
 from __future__ import annotations
@@ -47,7 +50,12 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
+    import json
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    json_path = os.environ.get("SPARK_GRAFT_SWEEP_JSON")
+    results: dict[str, dict] = {}
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
@@ -78,9 +86,11 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            results[name] = {"err": f"spark: {exc}"[:300]}
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            results[name] = {"spark_rows": len(srows), "err": None, "rows_only": True}
             continue
         try:
             res = con.sql(oracles[name])
@@ -89,12 +99,21 @@ def main() -> int:
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
+            results[name] = {"err": f"duckdb: {exc}"[:300]}
             continue
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
         ok_hash = sh == oh
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         print(
             f"{status} {name}: rows {len(srows)}/{len(orows)} cols={'ok' if ok_cols else f'{scols} vs {ocols}'} "
             f"hash={'ok' if ok_hash else f'{sh} vs {oh}'} ({time.time()-t0:.1f}s)"
@@ -114,6 +133,10 @@ def main() -> int:
                         print(f"    spark:  {a}\n    duckdb: {b}")
                         shown += 1
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_path} ({len(results)} entries)")
     return 1 if failures else 0
 
 
