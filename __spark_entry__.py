@@ -13846,6 +13846,218 @@ def q_events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_corpus_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBMODULAR GREEDY SELECTION (operators/corpus.coverage_select —
+    Nemhauser max-cover greedy): the 5 documents that together cover
+    the most distinct word trigrams, the "pick the most informative k
+    docs" curation primitive with the (1 − 1/e) guarantee.  Each round
+    is one anti-join + count + ONE-ROW argmax (the kcenters contract);
+    gains and totals are exact integers; the oracle unrolls the same 5
+    greedy rounds as chained CTEs."""
+    from usearch_spark.operators.corpus import coverage_select
+
+    return coverage_select(_t(spark, sf_dir, "documents"), k=5).orderBy("pick_rank")
+
+
+def _coverage_select_oracle_sql(k: int = 5) -> str:
+    """coverage_select replay: the corpus_novelty gram table, then k
+    unrolled greedy rounds — argmax(gain desc, doc_id) over grams not
+    yet covered, covered set and cumulative total re-materialized per
+    round."""
+    head = f"""
+        WITH tk AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        g AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(toks) < 3 THEN []
+                          ELSE list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
+            FROM tk
+        ),
+        p1 AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+            FROM g GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        cov1 AS MATERIALIZED (
+            SELECT DISTINCT gram FROM g JOIN p1 USING (doc_id)
+        ),
+        tot1 AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cov1)"""
+    parts = [head]
+    for r in range(2, k + 1):
+        parts.append(f""",
+        p{r} AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+            FROM g ANTI JOIN cov{r-1} USING (gram)
+            GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        cov{r} AS MATERIALIZED (
+            SELECT gram FROM cov{r-1}
+            UNION
+            SELECT gram FROM g JOIN p{r} USING (doc_id)
+        ),
+        tot{r} AS (SELECT CAST(count(*) AS BIGINT) AS t FROM cov{r})""")
+    sels = "\n            UNION ALL".join(
+        f"""
+            SELECT CAST({r} AS BIGINT) AS pick_rank, doc_id, gain, tot{r}.t AS covered_total
+            FROM p{r}, tot{r}"""
+        for r in range(1, k + 1)
+    )
+    parts.append(f"""
+        {sels}
+        ORDER BY pick_rank""")
+    return "".join(parts)
+
+
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM BURSTINESS top-20 (operators/text_analysis.term_burstiness —
+    Church & Gale): variance-to-mean ratio of per-document term counts
+    over the whole corpus, exact-integer numerator/denominator with one
+    divide — the clumpiness signal that separates content vocabulary
+    from Poisson-scattered function words."""
+    from usearch_spark.operators.text_analysis import term_burstiness
+
+    return term_burstiness(_t(spark, sf_dir, "documents"))
+
+
+def q_sim_lsh_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL-vs-PROBE-BUDGET curve: for Hamming budgets 0/1/2 over
+    the 8-plane LSH signatures, the probed-candidate count and the
+    recall of the probed cosine top-10 against the exact brute-force
+    top-10 — sketch_hll_error's "measure the approximation" discipline
+    applied to the ANN index (sim_ann_lsh shows the probe works;
+    this measures what each extra probe bit buys).  Signatures are
+    exact int64 sign tests; recall is a 10-row semi-join count and one
+    divide."""
+    from usearch_spark.operators.similarity import (
+        cosine,
+        lsh_signature_py,
+        with_lsh_signature,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n_planes = 8
+    tagged = with_lsh_signature(emb, n_planes, len(qv)).localCheckpoint(eager=True)
+    qsig = lsh_signature_py(qv, n_planes)
+    ham = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + (
+            F.substring(F.col("sig"), i + 1, 1)
+            != F.substring(F.lit(qsig), i + 1, 1)
+        ).cast("int"),
+    )
+    tagged = tagged.withColumn("_ham", ham)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    scored = tagged.filter(F.col("vec_id") != 0).select(
+        "vec_id", "_ham", cosine(F.col("embedding"), q).alias("cosine")
+    ).localCheckpoint(eager=True)
+    exact10 = (
+        scored.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for b in (0, 1, 2):
+        probed = scored.filter(F.col("_ham") <= b)
+        appr10 = (
+            probed.orderBy(F.col("cosine").desc(), "vec_id").limit(10).select("vec_id")
+        )
+        row = (
+            probed.agg(F.count(F.lit(1)).alias("n_probed"))
+            .crossJoin(
+                F.broadcast(
+                    appr10.join(exact10, "vec_id", "left_semi").agg(
+                        F.count(F.lit(1)).alias("hits")
+                    )
+                )
+            )
+            .select(
+                F.lit(b).cast("long").alias("budget"),
+                "n_probed",
+                "hits",
+                (F.col("hits").cast("double") / F.lit(10.0)).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("budget")
+
+
+def _lsh_probe_curve_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """sim_lsh_probe_curve replay: the _ann_lsh_oracle_sql signature
+    machinery, the exact top-10, and per-budget probed top-10s with
+    semi-join hit counts."""
+    from usearch_spark.operators.similarity import _plane_components
+
+    rows = ", ".join(
+        f"({p}, {d + 1}, {c})"
+        for p in range(n_planes)
+        for d, c in enumerate(_plane_components(p, dim))
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substring(s.sig, {p + 1}, 1) <> substring(q.sig, {p + 1}, 1)"
+        f" THEN 1 ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    head = f"""
+        WITH planes(p, i, c) AS (VALUES {rows}),
+        e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings
+        ),
+        bits AS (
+            SELECT e.vec_id, pl.p,
+                   CASE WHEN sum(pl.c * CAST(floor(e.x * 100000000.0 + 0.5) AS BIGINT)) >= 0
+                        THEN '1' ELSE '0' END AS b
+            FROM e JOIN planes pl ON pl.i = e.i
+            GROUP BY 1, 2
+        ),
+        sig AS MATERIALIZED (
+            SELECT vec_id, string_agg(b, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id
+        ),
+        q AS (SELECT sig FROM sig WHERE vec_id = 0),
+        qe AS (SELECT x, i FROM e WHERE vec_id = 0),
+        nq AS (SELECT sqrt(sum(x * x)) AS n FROM qe),
+        hams AS MATERIALIZED (
+            SELECT s.vec_id, ({ham}) AS h FROM sig s, q WHERE s.vec_id <> 0
+        ),
+        scored AS MATERIALIZED (
+            SELECT e.vec_id, hams.h,
+                   sum(e.x * qe.x) / (sqrt(sum(e.x * e.x)) * max(nq.n)) AS cosine
+            FROM e JOIN qe USING (i) JOIN hams ON hams.vec_id = e.vec_id
+            CROSS JOIN nq
+            GROUP BY e.vec_id, hams.h
+        ),
+        exact10 AS MATERIALIZED (
+            SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+        )"""
+    parts = [head]
+    for b in (0, 1, 2):
+        parts.append(f""",
+        a{b} AS MATERIALIZED (
+            SELECT vec_id FROM scored WHERE h <= {b}
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        ),
+        s{b} AS (
+            SELECT CAST({b} AS BIGINT) AS budget,
+                   (SELECT CAST(count(*) AS BIGINT) FROM scored WHERE h <= {b}) AS n_probed,
+                   (SELECT CAST(count(*) AS BIGINT) FROM a{b} SEMI JOIN exact10 USING (vec_id)) AS hits
+        )""")
+    sels = "\n            UNION ALL\n            ".join(
+        f"SELECT budget, n_probed, hits, CAST(hits AS DOUBLE) / 10.0 AS recall FROM s{b}"
+        for b in (0, 1, 2)
+    )
+    parts.append(f"""
+        {sels}
+        ORDER BY budget""")
+    return "".join(parts)
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -13934,6 +14146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_markov": q_events_attribution_markov,
         "customer_cohort_ltv": q_customer_cohort_ltv,
         "events_ar2_forecast": q_events_ar2_forecast,
+        "corpus_coverage_select": q_corpus_coverage_select,
+        "text_burstiness": q_text_burstiness,
+        "sim_lsh_probe_curve": q_sim_lsh_probe_curve,
         "graph_katz": q_graph_katz,
         "parts_safety_stock": q_parts_safety_stock,
         "eval_abtest": q_eval_abtest,
@@ -15251,6 +15466,28 @@ def oracle_sql() -> dict[str, str]:
                    round((f7 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
             FROM s7
             ORDER BY event_type, h
+        """,
+        "corpus_coverage_select": _coverage_select_oracle_sql(),
+        "sim_lsh_probe_curve": _lsh_probe_curve_oracle_sql(),
+        "text_burstiness": f"""
+            WITH cells AS (
+                SELECT term, doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+                GROUP BY term, doc_id
+            ),
+            per AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(c) AS BIGINT) AS total,
+                       CAST(sum(c * c) AS BIGINT) AS q
+                FROM cells GROUP BY term
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+            SELECT term, df, total,
+                   round(CAST(nn.n * q - total * total AS DOUBLE)
+                         / CAST(nn.n * total AS DOUBLE), 6) AS vmr
+            FROM per, nn
+            ORDER BY vmr DESC, term
+            LIMIT 20
         """,
         "graph_katz": _katz_oracle_sql(),
         "parts_safety_stock": """

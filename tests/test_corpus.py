@@ -226,3 +226,26 @@ def test_ngram_novelty_first_occurrence_owns_gram(spark):
     # doc 2 grams: 'brown fox jumps' (seen), + 3 new
     assert got[2]["n_grams"] == 4 and got[2]["n_novel"] == 3
     assert got[2]["novelty"] == 0.75
+
+
+def test_coverage_select_greedy_maxcover(spark):
+    """Greedy picks the doc with the most grams first, then the doc
+    adding the most UNCOVERED grams (not the second-biggest doc), with
+    exact gains and cumulative totals."""
+    from usearch_spark.operators.corpus import coverage_select
+
+    rows = [
+        (0, "a b c d e f"),          # 4 trigrams: abc bcd cde def
+        (1, "a b c d e"),            # 3 trigrams, all covered by doc 0
+        (2, "x y z w"),              # 2 fresh trigrams: xyz yzw
+        (3, "a b c x y z"),          # abc bcx cxy xyz -> 2 fresh after 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["pick_rank"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in coverage_select(df, k=3).orderBy("pick_rank").collect()
+    ]
+    # round 1: doc 0 (4 grams). round 2: doc 3 adds bcx cxy xyz (3 fresh,
+    # abc covered) beating doc 2's 2. round 3: doc 2 adds only yzw (xyz
+    # now covered) -> gain 1.
+    assert got == [(1, 0, 4, 4), (2, 3, 3, 7), (3, 2, 1, 8)]

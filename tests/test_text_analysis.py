@@ -309,3 +309,27 @@ def test_lexical_diversity_exact(spark):
     assert r["ttr"] == 0.6
     assert r["hapax_share"] == round(2 / 3, 6)
     assert r["repeat_rate"] == round(6 / 20, 6)
+
+
+def test_term_burstiness_vmr_replay(spark):
+    """VMR replay: a term clumped into one doc scores (N*Q - S^2)/(N*S)
+    high; an evenly spread term scores near zero; ranking is (vmr desc,
+    term)."""
+    from usearch_spark.operators.text_analysis import term_burstiness
+
+    rows = [
+        (0, "burst burst burst burst even"),
+        (1, "even filler"),
+        (2, "even filler"),
+        (3, "even filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: r for r in term_burstiness(df, top_k=10).collect()}
+    n = 4
+    # burst: S=4, Q=16 -> (4*16-16)/(4*4) = 3.0
+    assert got["burst"]["vmr"] == 3.0 and got["burst"]["df"] == 1
+    # even: S=4, Q=4 (one per doc) -> (16-16)/16 = 0
+    assert got["even"]["vmr"] == 0.0 and got["even"]["df"] == 4
+    order = [r for r, _ in sorted(((k, v["vmr"]) for k, v in got.items()),
+                                  key=lambda kv: (-kv[1], kv[0]))]
+    assert order[0] == "burst"

@@ -444,3 +444,56 @@ def ngram_novelty(
             F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
         ).alias("novelty"),
     )
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """SUBMODULAR GREEDY data selection (maximum n-gram coverage — the
+    facility-location/MAXCOVER greedy of Nemhauser et al. 1978, the
+    standard "pick the k most informative documents" primitive of
+    training-data curation): round r picks the document adding the most
+    NOT-YET-COVERED distinct word n-grams (ties to the smaller id),
+    giving the classic (1 − 1/e) coverage guarantee.
+
+    Distributed shape: the gram table is built once (one tokenize/
+    explode pass); each of the k rounds is one anti-join against the
+    covered-gram set + one partial-agg count + a ONE-ROW argmax
+    transfer (the graph_kcenters / mmr_topk greedy contract) — never a
+    driver-side gram set.  The covered set is re-checkpointed per round
+    (bounded by k·max-doc-grams rows).
+
+    Determinism: gains and coverage totals are exact integer counts;
+    the argmax order (gain desc, id) is total.
+
+    Output: (pick_rank, id, gain, covered_total) — covered_total the
+    cumulative distinct-gram count after the pick.
+    """
+    grams = _gram_table(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    covered = None
+    picks: list[tuple] = []
+    total = 0
+    for r in range(1, k + 1):
+        cand = grams if covered is None else grams.join(covered, "gram", "left_anti")
+        row = (
+            cand.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "id")
+            .first()
+        )
+        if row is None or row["gain"] == 0:
+            break
+        total += row["gain"]
+        picks.append((r, row["id"], row["gain"], total))
+        newly = grams.filter(F.col("id") == row["id"]).select("gram")
+        covered = (
+            newly if covered is None else covered.unionByName(newly)
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        picks, "pick_rank long, doc_id long, gain long, covered_total long"
+    ).withColumnRenamed("doc_id", id_col)

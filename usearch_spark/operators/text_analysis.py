@@ -1040,3 +1040,53 @@ def lexical_diversity(
             F.round(F.col("_rep").cast("double") / nn1.cast("double"), 6),
         ).alias("repeat_rate"),
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """TERM BURSTINESS ranking (Church & Gale 1995): the
+    variance-to-mean ratio of a term's per-document count over ALL N
+    documents — VMR 1 is Poisson scatter (function words), VMR >> 1 is
+    bursty content vocabulary that clumps into few documents (the
+    keyword-ness signal orthogonal to raw frequency, and a
+    templated-corpus detector when EVERYTHING sits near Poisson).
+
+    Absent documents contribute zero counts, so with S = Σc (total
+    occurrences), Q = Σc² (over present docs — zeros add nothing) and
+    N the corpus size:
+
+        VMR = var/mean = (N·Q − S²) / (N·S)
+
+    — EXACT int64 numerator and denominator, ONE divide + round; the
+    ranking orders on that single-divide double with a term tie-break.
+
+    Distributed shape: one (term, doc) count collapse from the
+    tokenizer explode, one term aggregate, the 1-row corpus count
+    broadcast-crossed in, bounded top-k.  No windows, no UDFs.
+
+    Output: (term, df, total, vmr) top_k by (vmr desc, term).
+    """
+    n_docs = docs.count()
+    cells = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term", "_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cells.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("_q"),
+    )
+    vmr = (
+        (F.lit(n_docs) * F.col("_q") - F.col("total") * F.col("total")).cast("double")
+        / (F.lit(n_docs) * F.col("total")).cast("double")
+    )
+    return (
+        per.select("term", "df", "total", F.round(vmr, 6).alias("vmr"))
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(top_k)
+    )
