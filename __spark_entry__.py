@@ -12869,8 +12869,8 @@ def _related_oracle_sql(
         ),
         fused AS MATERIALIZED (
             SELECT doc_id, similarity, ppr,
-                   round(CAST(1 AS DOUBLE) / ({rrf_k} + r_mlt)
-                         + CAST(1 AS DOUBLE) / ({rrf_k} + r_ppr), 9) AS rrf_score
+                   CAST(1 AS DOUBLE) / ({rrf_k} + r_mlt)
+                       + CAST(1 AS DOUBLE) / ({rrf_k} + r_ppr) AS rrf_score
             FROM cp
         )
         SELECT doc_id,
@@ -12971,10 +12971,9 @@ def q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "est",
             (F.col("exact_cents").cast("double") / F.lit(100.0)).alias("exact"),
-            F.round(
+            (
                 (F.col("est") - F.col("exact_cents").cast("double") / F.lit(100.0))
-                / (F.col("exact_cents").cast("double") / F.lit(100.0)),
-                6,
+                / (F.col("exact_cents").cast("double") / F.lit(100.0))
             ).alias("rel_err"),
             (
                 (F.floor(F.col("est") * F.lit(100.0) + F.lit(0.5)) <= F.col("exact_cents"))
@@ -12996,8 +12995,8 @@ def _quantile_error_oracle_sql() -> str:
         sels.append(f"""
             SELECT s.l_returnflag, '{name}' AS q, s.n, s.est,
                    CAST(x.exact_cents AS DOUBLE) / 100.0 AS exact,
-                   round((s.est - CAST(x.exact_cents AS DOUBLE) / 100.0)
-                         / (CAST(x.exact_cents AS DOUBLE) / 100.0), 6) AS rel_err,
+                   (s.est - CAST(x.exact_cents AS DOUBLE) / 100.0)
+                       / (CAST(x.exact_cents AS DOUBLE) / 100.0) AS rel_err,
                    CAST(CAST(floor(s.est * 100.0 + 0.5) AS BIGINT) <= x.exact_cents
                         AND 4 * x.exact_cents
                             < 5 * CAST(floor(s.est * 100.0 + 0.5) AS BIGINT)
@@ -13518,8 +13517,8 @@ def q_events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel",
             "n_touches",
             F.col("_credit").cast("double").alias("credit_scaled"),
-            F.round(
-                F.col("_credit").cast("double") / F.col("_total").cast("double"), 6
+            (
+                F.col("_credit").cast("double") / F.col("_total").cast("double")
             ).alias("share"),
         )
         .orderBy("channel")
@@ -13694,7 +13693,7 @@ def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_pa"), 6).alias("p_conv_all"),
             F.round(F.col("_pwc"), 6).alias("p_conv_without"),
             F.round(F.col("_rc"), 6).alias("removal_effect"),
-            F.round(F.col("_rc") / (F.col("_rc") + F.col("_rv")), 6).alias("share"),
+            (F.col("_rc") / (F.col("_rc") + F.col("_rv"))).alias("share"),
         ),
         F.struct(
             F.lit("view").alias("channel"),
@@ -13702,7 +13701,7 @@ def q_events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_pa"), 6).alias("p_conv_all"),
             F.round(F.col("_pwv"), 6).alias("p_conv_without"),
             F.round(F.col("_rv"), 6).alias("removal_effect"),
-            F.round(F.col("_rv") / (F.col("_rc") + F.col("_rv")), 6).alias("share"),
+            (F.col("_rv") / (F.col("_rc") + F.col("_rv"))).alias("share"),
         ),
     )
     return one.select(F.explode(rows).alias("s")).select("s.*").orderBy("channel")
@@ -13833,9 +13832,7 @@ def q_events_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fcols.append(
             F.struct(
                 F.lit(h).cast("long").alias("h"),
-                F.round((F.col(f"_f{h}") + F.col("_s")) / F.col("_t"), 6).alias(
-                    "forecast"
-                ),
+                ((F.col(f"_f{h}") + F.col("_s")) / F.col("_t")).alias("forecast"),
             )
         )
     return (
@@ -15143,11 +15140,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells GROUP BY event_type
             )
             SELECT event_type, n, n_keys,
-                   round(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - s2 AS DOUBLE)
-                         / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE), 6)
+                   CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - s2 AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
                        AS gini_simpson,
-                   round(CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
-                         / CAST(s2 AS DOUBLE), 6) AS effective_keys
+                   CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+                       / CAST(s2 AS DOUBLE) AS effective_keys
             FROM g ORDER BY event_type
         """,
         "events_mad": """
@@ -15215,10 +15212,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM per
             )
             SELECT p_brand, n, n_round,
-                   round(CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+                   CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE) AS share,
                    round(CAST(n AS DOUBLE) * p, 6) AS expected_round,
-                   round((CAST(n_round AS DOUBLE) - CAST(n AS DOUBLE) * p)
-                         / sqrt(CAST(n AS DOUBLE) * p * (1 - p)), 6) AS z
+                   (CAST(n_round AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                       / sqrt(CAST(n AS DOUBLE) * p * (1 - p)) AS z
             FROM per, gl ORDER BY p_brand
         """,
         "text_diversity": f"""
@@ -15236,14 +15233,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells GROUP BY source
             )
             SELECT source, n_tokens, n_types, n_hapax,
-                   round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-                       AS ttr,
-                   round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
-                       AS hapax_share,
+                   CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+                   CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share,
                    CASE WHEN n_tokens > 1 THEN
-                       round(CAST(rep AS DOUBLE)
-                             / CAST(CAST(n_tokens AS HUGEINT)
-                                    * CAST(n_tokens - 1 AS HUGEINT) AS DOUBLE), 6)
+                       CAST(rep AS DOUBLE)
+                           / CAST(CAST(n_tokens AS HUGEINT)
+                                  * CAST(n_tokens - 1 AS HUGEINT) AS DOUBLE)
                    END AS repeat_rate
             FROM g ORDER BY source
         """,
@@ -15262,8 +15257,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                    CAST(sum(CASE WHEN g.doc_id = first_.f THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_novel,
-                   round(CAST(sum(CASE WHEN g.doc_id = first_.f THEN 1 ELSE 0 END)
-                              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+                   CAST(sum(CASE WHEN g.doc_id = first_.f THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
             FROM g JOIN first_ USING (gram)
             GROUP BY g.doc_id ORDER BY g.doc_id
         """,
@@ -15283,8 +15278,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(y) AS BIGINT) AS n_pos,
-                   round(CAST(sum((s - lo - y * d) * (s - lo - y * d)) AS DOUBLE)
-                         / CAST(count(*) * d * d AS DOUBLE), 8) AS brier
+                   CAST(sum((s - lo - y * d) * (s - lo - y * d)) AS DOUBLE)
+                       / CAST(count(*) * d * d AS DOUBLE) AS brier
             FROM lab, span
             GROUP BY c_mktsegment, d, lo
             ORDER BY c_mktsegment
@@ -15354,11 +15349,11 @@ def oracle_sql() -> dict[str, str]:
                    round(p_all, 6) AS p_conv_all,
                    round(p_wo_c, 6) AS p_conv_without,
                    round(re_c, 6) AS removal_effect,
-                   round(re_c / (re_c + re_v), 6) AS share
+                   re_c / (re_c + re_v) AS share
             FROM a4
             UNION ALL
             SELECT 'view', n_view, round(p_all, 6), round(p_wo_v, 6),
-                   round(re_v, 6), round(re_v / (re_c + re_v), 6)
+                   round(re_v, 6), re_v / (re_c + re_v)
             FROM a4
             ORDER BY channel
         """,
@@ -15439,31 +15434,31 @@ def oracle_sql() -> dict[str, str]:
             s7 AS (SELECT *, p1 * f6 + p2 * f5 AS f7 FROM s6)
             
             SELECT g AS event_type, t AS n_days, CAST(1 AS BIGINT) AS h,
-                   round((f1 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f1 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             UNION ALL
             SELECT g AS event_type, t AS n_days, CAST(2 AS BIGINT) AS h,
-                   round((f2 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f2 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             UNION ALL
             SELECT g AS event_type, t AS n_days, CAST(3 AS BIGINT) AS h,
-                   round((f3 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f3 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             UNION ALL
             SELECT g AS event_type, t AS n_days, CAST(4 AS BIGINT) AS h,
-                   round((f4 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f4 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             UNION ALL
             SELECT g AS event_type, t AS n_days, CAST(5 AS BIGINT) AS h,
-                   round((f5 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f5 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             UNION ALL
             SELECT g AS event_type, t AS n_days, CAST(6 AS BIGINT) AS h,
-                   round((f6 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f6 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             UNION ALL
             SELECT g AS event_type, t AS n_days, CAST(7 AS BIGINT) AS h,
-                   round((f7 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE), 6) AS forecast
+                   (f7 + CAST(s AS DOUBLE)) / CAST(t AS DOUBLE) AS forecast
             FROM s7
             ORDER BY event_type, h
         """,
@@ -15539,14 +15534,14 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
                    n1, x1,
                    round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
-                   round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                          - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                         / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 6) AS lift,
-                   round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                          - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                         / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                                * (1e0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                                * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE))), 6)
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS lift,
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                              * (1e0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                              * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE)))
                        AS z
             FROM g
         """,
@@ -15575,7 +15570,7 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(credit) AS total FROM per)
             SELECT channel, n_touches,
                    CAST(credit AS DOUBLE) AS credit_scaled,
-                   round(CAST(credit AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+                   CAST(credit AS DOUBLE) / CAST(total AS DOUBLE) AS share
             FROM per, tot ORDER BY channel
         """,
         "graph_linkpred": """
@@ -15593,8 +15588,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(common_neighbors AS BIGINT) AS common_neighbors,
                    CAST(da.deg AS BIGINT) AS deg_a,
                    CAST(db.deg AS BIGINT) AS deg_b,
-                   round(CAST(common_neighbors AS DOUBLE)
-                         / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 6)
+                   CAST(common_neighbors AS DOUBLE)
+                       / CAST(da.deg + db.deg - common_neighbors AS DOUBLE)
                        AS jaccard,
                    CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
             FROM cn JOIN deg da ON da.s = cn.a JOIN deg db ON db.s = cn.b

@@ -209,9 +209,9 @@ def test_round_amount_audit_counts_and_z(spark):
     for g, n_round in (("A", 3), ("B", 1)):
         r = got[g]
         assert (r["n"], r["n_round"]) == (4, n_round)
-        assert r["share"] == round(n_round / 4, 6)
+        assert r["share"] == n_round / 4
         assert r["expected_round"] == round(4 * p, 6)
-        assert r["z"] == round((n_round - 4 * p) / math.sqrt(4 * p * (1 - p)), 6)
+        assert r["z"] == (n_round - 4 * p) / math.sqrt(4 * p * (1 - p))
 
 
 def test_mad_outliers_exact_integer_fence(spark):
@@ -241,8 +241,8 @@ def test_simpson_diversity_exact(spark):
     got = {r["g"]: r for r in simpson_diversity(df, ["g"], "k").collect()}
     u, d = got["u"], got["d"]
     assert (u["n"], u["n_keys"]) == (10, 10)
-    assert u["gini_simpson"] == round(1 - 10 / 100, 6)
+    assert u["gini_simpson"] == (100 - 10) / 100
     assert u["effective_keys"] == 10.0
     assert (d["n"], d["n_keys"]) == (10, 2)
-    assert d["gini_simpson"] == round(1 - 82 / 100, 6)
-    assert d["effective_keys"] == round(100 / 82, 6)
+    assert d["gini_simpson"] == (100 - 82) / 100
+    assert d["effective_keys"] == 100 / 82

@@ -718,8 +718,8 @@ def test_two_proportion_ztest_replay(spark):
     se = math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
     assert (r["n0"], r["x0"], r["n1"], r["x1"]) == (4, 1, 4, 3)
     assert r["p0"] == p0 and r["p1"] == p1
-    assert r["lift"] == round((p1 - p0) / p0, 6)
-    assert r["z"] == round((p1 - p0) / se, 6)
+    assert r["lift"] == (p1 - p0) / p0
+    assert r["z"] == (p1 - p0) / se
 
 
 def test_markov_attribution_closed_form_replay(spark):
@@ -781,6 +781,6 @@ def test_markov_attribution_closed_form_replay(spark):
     assert c["p_conv_all"] == round(p_all, 6) == v["p_conv_all"]
     assert c["removal_effect"] == round(re_c, 6)
     assert v["removal_effect"] == round(re_v, 6)
-    assert c["share"] == round(re_c / (re_c + re_v), 6)
+    assert c["share"] == re_c / (re_c + re_v)
     # click carries the conversions here: it must dominate
     assert c["removal_effect"] > v["removal_effect"]

@@ -825,7 +825,7 @@ def test_link_prediction_scores_panel(spark):
     assert ab["jaccard"] == 0.5
     assert ab["pref_attachment"] == 9
     bc = got[("b", "c")]
-    assert bc["common_neighbors"] == 1 and bc["jaccard"] == round(1 / 3, 6)
+    assert bc["common_neighbors"] == 1 and bc["jaccard"] == 1 / 3
     assert ("a", "c") not in got  # no shared part -> pair never materializes
 
 

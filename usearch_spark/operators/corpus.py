@@ -440,8 +440,8 @@ def ngram_novelty(
         F.col("id").alias(id_col),
         "n_grams",
         "n_novel",
-        F.round(
-            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+        (
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
         ).alias("novelty"),
     )
 

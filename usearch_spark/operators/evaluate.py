@@ -1390,10 +1390,9 @@ def brier_scaled(
             *group_cols,
             "n",
             "n_pos",
-            F.round(
+            (
                 F.col("_num").cast("double")
-                / (F.col("n") * F.col("_dd") * F.col("_dd")).cast("double"),
-                8,
+                / (F.col("n") * F.col("_dd") * F.col("_dd")).cast("double")
             ).alias("brier"),
         )
     )
@@ -1453,6 +1452,6 @@ def two_proportion_ztest(
         "n1",
         "x1",
         F.round(p1, 6).alias("p1"),
-        F.round((p1 - p0) / p0, 6).alias("lift"),
-        F.round((p1 - p0) / se, 6).alias("z"),
+        ((p1 - p0) / p0).alias("lift"),
+        ((p1 - p0) / se).alias("z"),
     )

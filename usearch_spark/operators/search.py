@@ -709,10 +709,9 @@ def related_pages(
         id_col,
         "similarity",
         "ppr",
-        F.round(
+        (
             F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_mlt"))
-            + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_ppr")),
-            9,
+            + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_ppr"))
         ).alias("rrf_score"),
     )
     final = topn_with_ranks(

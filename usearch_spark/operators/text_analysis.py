@@ -1029,15 +1029,15 @@ def lexical_diversity(
         "n_tokens",
         "n_types",
         "n_hapax",
-        F.round(
-            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
-        ).alias("ttr"),
-        F.round(
-            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"), 6
-        ).alias("hapax_share"),
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "ttr"
+        ),
+        (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias(
+            "hapax_share"
+        ),
         F.when(
             F.col("n_tokens") > 1,
-            F.round(F.col("_rep").cast("double") / nn1.cast("double"), 6),
+            F.col("_rep").cast("double") / nn1.cast("double"),
         ).alias("repeat_rate"),
     )
 

@@ -2177,12 +2177,11 @@ def link_prediction_scores(
             "common_neighbors",
             "deg_a",
             "deg_b",
-            F.round(
+            (
                 F.col("common_neighbors").cast("double")
                 / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")).cast(
                     "double"
-                ),
-                6,
+                )
             ).alias("jaccard"),
             (F.col("deg_a") * F.col("deg_b")).alias("pref_attachment"),
         )
