@@ -107,6 +107,11 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_run: dict[str, list[float]] = {name: [] for name in qs}
+    # External load can arrive MID-run (round 13: pre-run LA 0.46, but a
+    # contention window opened during the sweep and inflated the common
+    # set 2-3x) — sample the 1-minute LA after every query so the detail
+    # file records the run's actual load profile, not just the endpoints.
+    la_samples: list[float] = []
     for run in range(n_runs):
         for name, fn in qs.items():
             # drop py4j refs from the previous query so the ContextCleaner
@@ -126,6 +131,7 @@ def main() -> None:
                 per_run[name].append(time.time() - t0)
             except Exception as exc:  # a failing query must not hide the rest
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
+            la_samples.append(round(os.getloadavg()[0], 2))
 
     # median of n_runs so round-over-round deltas are signal, not the box's
     # +/-30% wall-clock noise; cold (run-0), the WARM median (runs 1..,
@@ -171,6 +177,8 @@ def main() -> None:
         "pagerank_100k": pr_gate,
         "load_avg_before": load_before,
         "load_avg_after": load_after,
+        "load_avg_max": max(la_samples) if la_samples else load_after,
+        "load_avg_samples": la_samples[:: max(1, len(la_samples) // 100)],
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -191,6 +199,7 @@ def main() -> None:
                 "pagerank_100k": pr_gate,
                 "load_avg_before": load_before,
                 "load_avg_after": load_after,
+                "load_avg_max": max(la_samples) if la_samples else load_after,
                 "detail": "BENCH_DETAIL.json",
             }
         )
