@@ -843,3 +843,35 @@ def test_katz_centrality_truncated_series_replay(spark):
     }
     # fixpoint after 2 steps: b = 1 + 0.5*1; c = 1 + 0.5*1.5
     assert got == {"a": 1.0, "b": 1.5, "c": 1.75, "z": 1.0}
+
+
+def test_katz_local_distributed_parity(spark):
+    """The single-task numpy Katz solve and the per-superstep DataFrame
+    loop agree to 8dp on a random directed graph (the pagerank-local
+    parity contract), and auto picks local below the threshold."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.graph_stats import katz_centrality
+
+    n = 200
+    v = spark.range(n).select(F.col("id").cast("string"))
+    e = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("string").alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n)).cast("string").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    loc = {
+        r["id"]: round(r["score"], 8)
+        for r in katz_centrality(v, e, beta=0.05, steps=10, strategy="local").collect()
+    }
+    dist = {
+        r["id"]: round(r["score"], 8)
+        for r in katz_centrality(
+            v, e, beta=0.05, steps=10, strategy="distributed"
+        ).collect()
+    }
+    assert loc == dist
+    assert len(loc) == n

@@ -2197,6 +2197,7 @@ def katz_centrality(
     src_col: str = "src",
     dst_col: str = "dst",
     edges_deduped: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """KATZ CENTRALITY by fixed-iteration truncated power series (Katz
     1953): x = Σ_k β^k·(Aᵀ)^k·1, computed as the recurrence
@@ -2221,6 +2222,8 @@ def katz_centrality(
 
     Output: (id, score) — raw, unrounded.
     """
+    from usearch_spark.plans.iterative import LOCAL_SOLVE_MAX_ROWS
+
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(
         eager=True
     )
@@ -2228,6 +2231,14 @@ def katz_centrality(
     if not edges_deduped:
         e = e.dropDuplicates(["src", "dst"])
     e = e.localCheckpoint(eager=True)
+    if strategy == "auto":
+        strategy = (
+            "local"
+            if v.count() + e.count() <= LOCAL_SOLVE_MAX_ROWS
+            else "distributed"
+        )
+    if strategy == "local":
+        return _katz_local(v, e, beta, steps)
     x = v.withColumn("score", F.lit(1.0))
     for _ in range(steps):
         msg = (
@@ -2246,3 +2257,61 @@ def katz_centrality(
             .localCheckpoint(eager=True)
         )
     return x
+
+
+def _katz_local(v: DataFrame, e: DataFrame, beta: float, steps: int) -> DataFrame:
+    """Single-task Katz solve (the pagerank/_sssp local pattern): vertices
+    and edges stream through one mapInPandas task; each step is a numpy
+    bincount mat-vec of the identical recurrence.  Below
+    LOCAL_SOLVE_MAX_ROWS the per-superstep job floor dwarfs the math —
+    measured ~1.5x faster than the 10-superstep distributed loop on the
+    1.2M-edge sf0.1 graph (the solve itself is ~half the wall clock; the
+    string-id reindex dominates the rest, same as _pagerank_local);
+    above the threshold the distributed loop is the only path that
+    scales.
+    Float parity with the distributed loop is the PageRank-local class
+    (per-dst sum order differs in ulps; callers round, 8dp gate-proven)."""
+    id_type = dict(v.dtypes)["id"]
+    payload = v.select(
+        F.col("id").alias("a"), F.lit(None).cast(id_type).alias("b")
+    ).unionByName(
+        e.select(F.col("src").cast(id_type).alias("a"), F.col("dst").cast(id_type).alias("b"))
+    )
+
+    def solve(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"a": [], "b": []})
+        )
+        is_edge = df["b"].notna()
+        vids = df.loc[~is_edge, "a"].to_numpy()
+        nv = len(vids)
+        if nv == 0:
+            return
+        idx = pd.Series(np.arange(nv), index=vids)
+        a_vals = df.loc[is_edge, "a"]
+        b_vals = df.loc[is_edge, "b"]
+        if a_vals.dtype != vids.dtype:
+            a_vals = a_vals.astype(vids.dtype)
+        if b_vals.dtype != vids.dtype:
+            b_vals = b_vals.astype(vids.dtype)
+        src_f = idx.reindex(a_vals).to_numpy()
+        dst_f = idx.reindex(b_vals).to_numpy()
+        known = ~(np.isnan(src_f) | np.isnan(dst_f))
+        src = src_f[known].astype("int64")
+        dst = dst_f[known].astype("int64")
+        x = np.ones(nv, dtype="float64")
+        for _ in range(steps):
+            msg = np.bincount(dst, weights=x[src], minlength=nv)
+            x = 1.0 + beta * msg
+        yield pd.DataFrame({"id": vids, "score": x})
+
+    one = payload.coalesce(1)
+    return one.mapInPandas(
+        solve, schema=f"id {id_type}, score double"
+    ).localCheckpoint(eager=True)
