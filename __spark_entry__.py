@@ -14055,6 +14055,125 @@ def _lsh_probe_curve_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
 
 
 
+def _benford2_weights() -> list[float]:
+    """Benford SECOND-digit probabilities (Nigrini's second-digit test,
+    the standard follow-up when the first-digit screen is borderline):
+    P(d2 = d) = Σ_{d1=1..9} log10(1 + 1/(10·d1 + d)), d = 0..9 —
+    computed once in Python and injected as literals on both engines
+    (the _benford_weights pattern; log10 is libm)."""
+    import math
+
+    return [
+        sum(math.log10(1.0 + 1.0 / (10 * d1 + d)) for d1 in range(1, 10))
+        for d in range(10)
+    ]
+
+
+def q_audit_benford2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-significant-digit audit of invoice amounts — the
+    forensic refinement of audit_benford (fabricators who learn the
+    first-digit law still fail the second; Nigrini 1996).  Second digits
+    come from the same exact integer cents, expected counts multiply the
+    total by injected literals, and each digit row reports its
+    chi-square term — identical float chains both engines, no
+    engine-side log."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (_dec("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    d = F.substring(F.col("cents").cast("string"), 2, 1).cast("int")
+    g = li.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = g.agg(F.sum("n_obs").alias("n"))
+    warr = F.array(*[F.lit(w) for w in _benford2_weights()])
+    j = g.crossJoin(F.broadcast(tot))
+    exp = F.col("n").cast("double") * F.element_at(warr, F.col("digit") + 1)
+    term = (F.col("n_obs").cast("double") - exp) * (
+        F.col("n_obs").cast("double") - exp
+    ) / exp
+    return j.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        exp.alias("expected"),
+        term.alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def _benford2_oracle_sql() -> str:
+    """audit_benford2 replay: same exact-cents second digit, the same
+    string-cast double literals, the same (obs−exp)²/exp chain."""
+    vals = ", ".join(
+        f"({d}, CAST('{w!r}' AS DOUBLE))"
+        for d, w in enumerate(_benford2_weights())
+    )
+    return f"""
+        WITH w(digit, p) AS (VALUES {vals}),
+        c AS (
+            SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * 100 AS BIGINT) AS VARCHAR), 2, 1) AS INT)
+                       AS digit
+            FROM lineitem
+        ),
+        g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+        SELECT g.digit, g.n_obs,
+               CAST(t.n AS DOUBLE) * w.p AS expected,
+               (CAST(g.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * w.p)
+                   * (CAST(g.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * w.p)
+                   / (CAST(t.n AS DOUBLE) * w.p) AS chi2_term
+        FROM g, t JOIN w ON w.digit = g.digit
+        ORDER BY g.digit
+    """
+
+
+def q_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-CONCENTRATION audit: the Herfindahl-Hirschman index of
+    supplier revenue within each nation — HHI = Σ share_i² with share_i
+    the supplier's slice of the nation's lineitem revenue (the antitrust
+    screen; >0.25 is the "highly concentrated" line), plus the top
+    supplier's share.  The n²-cleared form Σ r_i² / R² keeps everything
+    in EXACT int64 WHOLE-DOLLAR units (cents div 100 — cents squared
+    would exceed 2⁶³ at sf0.1, and wide-decimal→double conversion is NOT
+    correctly rounded in every engine: DuckDB's DECIMAL(38)→DOUBLE
+    misrounds 89949672150267649801 by one ulp, found live), so each
+    output is ONE long→double divide; rescale the unit at larger
+    corpora (the brier_scaled sizing contract).  One
+    (nation, supplier) collapse + one nation aggregate; the
+    concentration dual of audit_gini's inequality curve."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
+        .alias("_r"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum("_r").alias("r"))
+    )
+    g = per.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("_rr"),
+        F.sum(F.col("r") * F.col("r")).alias("_s2"),
+        F.max("r").alias("_top"),
+    )
+    r2 = F.col("_rr") * F.col("_rr")
+    return (
+        g.join(n, g["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            "n_suppliers",
+            (F.col("_s2").cast("double") / r2.cast("double")).alias("hhi"),
+            (F.col("_top").cast("double") / F.col("_rr").cast("double")).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -14151,6 +14270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_abtest": q_eval_abtest,
         "events_attribution_decay": q_events_attribution_decay,
         "events_mad_stream": q_events_mad_stream,
+        "audit_benford2": q_audit_benford2,
+        "nation_hhi": q_nation_hhi,
         # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
@@ -15483,6 +15604,28 @@ def oracle_sql() -> dict[str, str]:
             FROM per, nn
             ORDER BY vmr DESC, term
             LIMIT 20
+        """,
+        "audit_benford2": _benford2_oracle_sql(),
+        "nation_hhi": """
+            WITH per AS (
+                SELECT s_nationkey, s_suppkey,
+                       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) // 100) AS BIGINT) AS r
+                FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+                       CAST(sum(r) AS BIGINT) AS rr,
+                       CAST(sum(r * r) AS BIGINT) AS s2,
+                       max(r) AS top
+                FROM per GROUP BY s_nationkey
+            )
+            SELECT n_name, n_suppliers,
+                   CAST(s2 AS DOUBLE) / CAST(rr * rr AS DOUBLE) AS hhi,
+                   CAST(top AS DOUBLE) / CAST(rr AS DOUBLE) AS top_share
+            FROM g JOIN nation ON n_nationkey = s_nationkey
+            ORDER BY n_name
         """,
         "graph_katz": _katz_oracle_sql(),
         "parts_safety_stock": """
