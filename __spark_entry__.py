@@ -14174,6 +14174,54 @@ def q_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_audit_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL MIX-SHIFT audit: the two-sample chi-square
+    homogeneity test on the order-priority mix before vs after a fixed
+    cut date (1998-07-01) — the drift detector for a categorical column
+    (did the composition of incoming work change?), the discrete
+    companion to corpus_drift's vocabulary JS divergence.  Counts are
+    exact integers; each expected cell is (row·col)/N and each
+    chi-square term (obs−exp)²/exp — fixed identical IEEE chains over
+    exact-integer doubles, no rounding anywhere.
+
+    Output per priority: (o_orderpriority, n_before, n_after,
+    exp_before, chi2_term) with chi2_term the priority's two-cell
+    contribution; Σ chi2_term ~ χ²(4) under no shift."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        .cast("long")
+        .alias("_before"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum("_before").alias("n_before"),
+        F.sum(F.lit(1) - F.col("_before")).alias("n_after"),
+    )
+    tot = g.agg(
+        F.sum("n_before").alias("_ca"),
+        F.sum("n_after").alias("_cb"),
+        (F.sum("n_before") + F.sum("n_after")).alias("_n"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    row = (F.col("n_before") + F.col("n_after")).cast("double")
+    ea = row * F.col("_ca").cast("double") / F.col("_n").cast("double")
+    eb = row * F.col("_cb").cast("double") / F.col("_n").cast("double")
+    ta = (F.col("n_before").cast("double") - ea) * (
+        F.col("n_before").cast("double") - ea
+    ) / ea
+    tb = (F.col("n_after").cast("double") - eb) * (
+        F.col("n_after").cast("double") - eb
+    ) / eb
+    return j.select(
+        "o_orderpriority",
+        "n_before",
+        "n_after",
+        ea.alias("exp_before"),
+        (ta + tb).alias("chi2_term"),
+    ).orderBy("o_orderpriority")
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full-text MATCH search with rank-blend on sf0.001."""
     return q_search_match(spark, "/root/testdata/sf0.001")
@@ -14272,6 +14320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_stream": q_events_mad_stream,
         "audit_benford2": q_audit_benford2,
         "nation_hhi": q_nation_hhi,
+        "audit_mix_shift": q_audit_mix_shift,
         # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
@@ -15604,6 +15653,45 @@ def oracle_sql() -> dict[str, str]:
             FROM per, nn
             ORDER BY vmr DESC, term
             LIMIT 20
+        """,
+        "audit_mix_shift": """
+            WITH o AS (
+                SELECT o_orderpriority,
+                       CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                            THEN 1 ELSE 0 END AS b
+                FROM orders
+            ),
+            g AS (
+                SELECT o_orderpriority, CAST(sum(b) AS BIGINT) AS n_before,
+                       CAST(sum(1 - b) AS BIGINT) AS n_after
+                FROM o GROUP BY o_orderpriority
+            ),
+            t AS (
+                SELECT CAST(sum(n_before) AS BIGINT) AS ca,
+                       CAST(sum(n_after) AS BIGINT) AS cb,
+                       CAST(sum(n_before) + sum(n_after) AS BIGINT) AS n
+                FROM g
+            )
+            SELECT o_orderpriority, n_before, n_after,
+                   CAST(n_before + n_after AS DOUBLE) * CAST(ca AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS exp_before,
+                   (CAST(n_before AS DOUBLE)
+                    - CAST(n_before + n_after AS DOUBLE) * CAST(ca AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(n_before AS DOUBLE)
+                          - CAST(n_before + n_after AS DOUBLE) * CAST(ca AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                       / (CAST(n_before + n_after AS DOUBLE) * CAST(ca AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                   + (CAST(n_after AS DOUBLE)
+                      - CAST(n_before + n_after AS DOUBLE) * CAST(cb AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       * (CAST(n_after AS DOUBLE)
+                          - CAST(n_before + n_after AS DOUBLE) * CAST(cb AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                       / (CAST(n_before + n_after AS DOUBLE) * CAST(cb AS DOUBLE)
+                          / CAST(n AS DOUBLE)) AS chi2_term
+            FROM g, t ORDER BY o_orderpriority
         """,
         "audit_benford2": _benford2_oracle_sql(),
         "nation_hhi": """

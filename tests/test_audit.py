@@ -246,3 +246,79 @@ def test_simpson_diversity_exact(spark):
     assert (d["n"], d["n_keys"]) == (10, 2)
     assert d["gini_simpson"] == (100 - 82) / 100
     assert d["effective_keys"] == 100 / 82
+
+
+def test_benford2_weights_form_a_distribution():
+    """Second-digit Benford probabilities: 10 weights summing to 1, with
+    the known monotone decline P(0) > P(1) > ... > P(9) and the textbook
+    P(d2=0) ~ 0.11968."""
+    import __spark_entry__ as E
+
+    w = E._benford2_weights()
+    assert len(w) == 10
+    assert abs(sum(w) - 1.0) < 1e-12
+    assert all(a > b for a, b in zip(w, w[1:]))
+    assert abs(w[0] - 0.11968) < 1e-4
+
+
+def test_nation_hhi_replay(spark):
+    """HHI replay on a known market: one monopoly nation (HHI 1) and one
+    3-supplier split nation with exact sum-of-squares over R^2."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as E
+
+    li = [
+        (1, 100.00), (1, 50.00),          # nation 0, supplier 1 only
+        (2, 60.00), (3, 30.00), (4, 10.00),  # nation 1: 60/30/10 split
+    ]
+    sup = [(1, 0), (2, 1), (3, 1), (4, 1)]
+    nat = [(0, "ALPHA"), (1, "BETA")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            li, "l_suppkey long, l_extendedprice double"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            sup, "s_suppkey long, s_nationkey long"
+        ).write.parquet(os.path.join(d, "supplier.parquet"))
+        spark.createDataFrame(
+            nat, "n_nationkey long, n_name string"
+        ).write.parquet(os.path.join(d, "nation.parquet"))
+        got = {r["n_name"]: r for r in E.q_nation_hhi(spark, d).collect()}
+    assert got["ALPHA"]["hhi"] == 1.0 and got["ALPHA"]["n_suppliers"] == 1
+    b = got["BETA"]
+    # whole dollars: 60,30,10 -> (3600+900+100)/10000
+    assert b["hhi"] == (3600 + 900 + 100) / 10000
+    assert b["top_share"] == 60 / 100
+    assert b["n_suppliers"] == 3
+
+
+def test_mix_shift_chi2_replay(spark):
+    """Two-sample homogeneity terms replay exactly on a planted shift."""
+    import datetime
+    import os
+    import tempfile
+
+    import __spark_entry__ as E
+
+    rows = []
+    early = datetime.datetime(1997, 1, 1)
+    late = datetime.datetime(1999, 1, 1)
+    # priority A: 30 before / 10 after; priority B: 10 before / 30 after
+    rows += [("A", early)] * 30 + [("A", late)] * 10
+    rows += [("B", early)] * 10 + [("B", late)] * 30
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "o_orderpriority string, o_orderdate timestamp_ntz"
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["o_orderpriority"]: r
+            for r in E.q_audit_mix_shift(spark, d).collect()
+        }
+    a = got["A"]
+    ea = 40 * 40 / 80.0
+    ta = (30 - ea) ** 2 / ea + (10 - 40 * 40 / 80.0) ** 2 / (40 * 40 / 80.0)
+    assert (a["n_before"], a["n_after"]) == (30, 10)
+    assert a["exp_before"] == ea
+    assert a["chi2_term"] == ta
