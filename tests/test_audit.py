@@ -214,6 +214,22 @@ def test_round_amount_audit_counts_and_z(spark):
         assert r["z"] == (n_round - 4 * p) / math.sqrt(4 * p * (1 - p))
 
 
+def test_round_amount_audit_degenerate_rate_null_z(spark):
+    """Global rate p = 1 (modulus 1: everything is 'round') yields NULL
+    z, not NaN; counts and share still emit."""
+    from usearch_spark.operators.audit import round_amount_audit
+
+    rows = [("A", 100), ("A", 157), ("B", 123)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = {
+        r["g"]: r
+        for r in round_amount_audit(df, ["g"], "cents", modulus=1).collect()
+    }
+    for g in ("A", "B"):
+        assert got[g]["z"] is None
+        assert got[g]["share"] == 1.0
+
+
 def test_mad_outliers_exact_integer_fence(spark):
     """Median/MAD via two-rank sums and the cleared-denominator fence:
     values 1..9 plus one wild point — median 5.5 (even n), MAD replayed,

@@ -722,6 +722,46 @@ def test_two_proportion_ztest_replay(spark):
     assert r["z"] == (p1 - p0) / se
 
 
+def test_two_proportion_ztest_degenerate_arms_null(spark):
+    """Degenerate arms are NULL, never Inf/NaN: a zero-success control
+    gives NULL lift; an all-success (pooled p = 1) experiment gives
+    NULL z (se = 0)."""
+    from usearch_spark.operators.evaluate import two_proportion_ztest
+
+    zero_ctl = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 1), (1, 0)], "arm int, converted int"
+    )
+    r = two_proportion_ztest(zero_ctl, "arm", "converted").collect()[0]
+    assert r["lift"] is None
+    assert r["z"] is not None  # pooled p = 1/4, se > 0
+
+    all_succ = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 1), (1, 1)], "arm int, converted int"
+    )
+    r = two_proportion_ztest(all_succ, "arm", "converted").collect()[0]
+    assert r["z"] is None  # pooled p = 1 -> no spread
+    assert r["lift"] == 0.0
+
+    none_succ = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 0), (1, 0)], "arm int, converted int"
+    )
+    r = two_proportion_ztest(none_succ, "arm", "converted").collect()[0]
+    assert r["z"] is None and r["lift"] is None
+
+
+def test_brier_scaled_degenerate_span_null(spark):
+    """A single distinct score (global span D = 0) yields NULL brier,
+    not NaN/Inf."""
+    from usearch_spark.operators.evaluate import brier_scaled
+
+    df = spark.createDataFrame(
+        [("g", 7, 1), ("g", 7, 0)], "g string, s long, y int"
+    )
+    r = brier_scaled(df, ["g"], "s", "y").collect()[0]
+    assert r["brier"] is None
+    assert (r["n"], r["n_pos"]) == (2, 1)
+
+
 def test_markov_attribution_closed_form_replay(spark):
     """The 2-channel removal-effect model replays a hand-built journey
     set: transition counts, the Cramer absorption solve, removal

@@ -547,3 +547,17 @@ def test_knn_graph_bucketed_edges_and_ranks(spark):
         for rank, (negdot, j) in enumerate(scored, 1):
             want[(i, j)] = (rank, -negdot)
     assert got == want
+
+
+def test_knn_graph_empty_frame_typed_empty_result(spark):
+    """An empty embeddings frame returns an explicitly-typed empty edge
+    frame (mmr_topk's empty-pool contract) instead of raising on
+    first()[0]."""
+    from usearch_spark.operators.similarity import knn_graph
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = knn_graph(empty, k=3, n_planes=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "nbr_id", "knn_rank", "dot2",
+    ]

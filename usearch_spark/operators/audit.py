@@ -271,7 +271,9 @@ def round_amount_audit(
     group share are each ONE long→double divide, and
     z = (r − n·p)/sqrt(n·p·(1−p)) is a fixed IEEE chain over those
     identical doubles (sqrt is correctly rounded by IEEE-754 on both
-    engines) — bit-exact with one closing round.
+    engines) — bit-exact with one closing round.  Degenerate global
+    rates p ∈ {0, 1} (modulus 1, or all/none round) yield NULL z
+    instead of NaN — there is no binomial spread to standardize by.
 
     Distributed shape: one partial-agg groupBy for the groups, one
     1-row global aggregate broadcast-crossed back.  No windows, no
@@ -295,9 +297,10 @@ def round_amount_audit(
         "n_round",
         (F.col("n_round").cast("double") / F.col("n").cast("double")).alias("share"),
         F.round(np_, 6).alias("expected_round"),
-        (
+        F.when(
+            (F.col("_p") > 0.0) & (F.col("_p") < 1.0),
             (F.col("n_round").cast("double") - np_)
-            / F.sqrt(np_ * (F.lit(1.0) - F.col("_p")))
+            / F.sqrt(np_ * (F.lit(1.0) - F.col("_p"))),
         ).alias("z"),
     )
 

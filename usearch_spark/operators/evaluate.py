@@ -1361,7 +1361,9 @@ def brier_scaled(
     residuals (callers size D so n·D² < 2⁶³ per group — documented
     contract, same as the LSH dot budget), the denominator n·D² is an
     exact int64, and the score is ONE long→double divide + round — no
-    float accumulation anywhere.
+    float accumulation anywhere.  Degenerate edge: a single distinct
+    score (D = 0) gives NULL brier, not NaN/Inf — the forecast carries
+    no information to score.
 
     Distributed shape: one partial-agg groupBy.  No windows, no UDFs.
 
@@ -1390,9 +1392,10 @@ def brier_scaled(
             *group_cols,
             "n",
             "n_pos",
-            (
+            F.when(
+                F.col("_dd") > 0,
                 F.col("_num").cast("double")
-                / (F.col("n") * F.col("_dd") * F.col("_dd")).cast("double")
+                / (F.col("n") * F.col("_dd") * F.col("_dd")).cast("double"),
             ).alias("brier"),
         )
     )
@@ -1416,7 +1419,10 @@ def two_proportion_ztest(
     Determinism: all counts are exact integers; every rate is one
     divide; z and lift are fixed left-associated IEEE chains (sqrt
     correctly rounded) over those identical doubles — bit-exact with
-    one closing round.
+    one closing round.  Degenerate arms are guarded: a zero-success
+    control (x0 = 0) yields NULL lift instead of engine-dependent
+    Inf, and a pooled rate of exactly 0 or 1 (se = 0) yields NULL z —
+    both mirrored verbatim in the oracle.
 
     Distributed shape: ONE partial-agg aggregate over the unit frame;
     the test statistic assembles on a 1-row frame.  No windows, no
@@ -1452,6 +1458,10 @@ def two_proportion_ztest(
         "n1",
         "x1",
         F.round(p1, 6).alias("p1"),
-        ((p1 - p0) / p0).alias("lift"),
-        ((p1 - p0) / se).alias("z"),
+        F.when(F.col("x0") > 0, (p1 - p0) / p0).alias("lift"),
+        F.when(
+            (F.col("x0") + F.col("x1") > 0)
+            & (F.col("x0") + F.col("x1") < F.col("n0") + F.col("n1")),
+            (p1 - p0) / se,
+        ).alias("z"),
     )

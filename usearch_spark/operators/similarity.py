@@ -1337,7 +1337,15 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        # Empty embeddings frame: no dim to derive and no edges to emit —
+        # return an explicitly-typed empty result (mmr_topk's empty-pool
+        # contract) instead of raising TypeError on first()[0].
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, nbr_id long, knn_rank long, dot2 long"
+        )
+    dim = len(first[0])
     xq = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(1e8) + F.lit(0.5)).cast("long"),
