@@ -875,3 +875,46 @@ def test_katz_local_distributed_parity(spark):
     }
     assert loc == dist
     assert len(loc) == n
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_iterative_loops_release_superseded_checkpoints(spark):
+    """The r13-verdict ask: a 10-round harmonic/betweenness distributed
+    run must leave O(1) pinned checkpoint RDDs, not O(rounds) — each
+    round's eager localCheckpoint is released as soon as the next round
+    materializes (release_local_checkpoint), instead of waiting for
+    Python GC + ContextCleaner."""
+    import gc
+
+    from usearch_spark.plans.graph_stats import (
+        betweenness_centrality,
+        harmonic_centrality,
+        katz_centrality,
+    )
+
+    n = 40
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(
+        [(str(i), str((i + 1) % n)) for i in range(n)], "src string, dst string"
+    )
+
+    for run in (
+        lambda: harmonic_centrality(v, e, ["0", "7"], rounds=10, strategy="distributed"),
+        lambda: betweenness_centrality(v, e, ["0", "7"], rounds=10, strategy="distributed"),
+        lambda: katz_centrality(v, e, beta=0.05, steps=10, strategy="distributed"),
+    ):
+        gc.collect()  # settle leftovers from other tests first
+        before = _persistent_rdd_count(spark)
+        out = run()
+        out.count()  # materialize the full loop
+        # NO gc here — the point is that release happens eagerly in the
+        # loop, not via Python GC; only frames still referenced by `out`
+        # (the input edge checkpoint + the final state) may remain pinned
+        after = _persistent_rdd_count(spark)
+        assert after - before <= 4, (
+            f"pinned RDDs grew by {after - before} (O(rounds) leak): "
+            f"{before} -> {after}"
+        )

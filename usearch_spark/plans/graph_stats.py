@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from usearch_spark.plans.iterative import release_local_checkpoint
+
 
 def degree_distribution(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Histogram of out- and in-degrees: (side, degree, n_vertices).
@@ -173,6 +175,10 @@ def kcore_peel(
     alive = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     n_alive = alive.count()
     deg = None
+    # 2-generation liveness: the lazy `deg` of round r still references
+    # round r-1's alive checkpoint (the final result joins it), so only
+    # the checkpoint TWO generations back is provably dead
+    stale, older = alive, None
     for r in range(rounds):
         if r == 0 and vertices_cover_edges:
             # caller guarantees every edge endpoint is a vertex, so round
@@ -184,6 +190,8 @@ def kcore_peel(
             ).join(alive.select(F.col("id").alias("b")), "b", "left_semi")
         deg = e_alive.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("core_degree"))
         alive = deg.filter(F.col("core_degree") >= k).select("id").localCheckpoint(eager=True)
+        release_local_checkpoint(older)
+        older, stale = stale, alive
         n_next = alive.count()
         if n_next == n_alive:
             # fixpoint: every further round recomputes the identical
@@ -253,7 +261,9 @@ def coreness(
                     .alias("val")
                 )
             )
+            prev_h = h
             h, m = checkpoint_with_metrics(nxt, total=F.coalesce(F.sum("val"), F.lit(0)))
+            release_local_checkpoint(prev_h)
             t_next = int(m["total"])
             if t_next == total:
                 break  # h is monotone non-increasing: unchanged total = fixpoint
@@ -293,6 +303,7 @@ def maximal_matching(
     """
     e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     matching = None
+    prev_e = e  # sel checkpoints stay live (matching unions them); e does not
     for _ in range(rounds):
         pr = F.md5(
             F.concat(
@@ -320,6 +331,8 @@ def maximal_matching(
             .join(touched.select(F.col("v").alias("b")), "b", "left_anti")
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev_e)
+        prev_e = e
         if e.isEmpty():
             break
     if matching is None:
@@ -734,10 +747,17 @@ def densest_subgraph(
     )
     c_thr = 2.0 * (1.0 + eps)
     best_density, best_members = -1.0, s
+    prev_e_s, prev_s = None, None
     for _ in range(rounds):
         e_s = und.join(s.select(F.col("id").alias("a")), "a", "left_semi").join(
             s.select(F.col("id").alias("b")), "b", "left_semi"
         ).localCheckpoint(eager=True)
+        # the previous round's survivor frames are dead once this round's
+        # e_s materializes — except a survivor set still held as the best
+        release_local_checkpoint(prev_e_s)
+        if prev_s is not None and prev_s is not best_members:
+            release_local_checkpoint(prev_s)
+        prev_e_s, prev_s = e_s, s
         n = s.count()
         if n == 0:
             break
@@ -880,12 +900,15 @@ def partition_kway(
     ).localCheckpoint(eager=True)
 
     # phase 3: project down + refine at every level
+    prev_parts = parts  # the phase-2 checkpoint, superseded by the first refine
     for lvl_v, lvl_e, lmap in reversed(hierarchy):
         parts = lmap.join(
             parts.withColumnRenamed("v", "rep"), "rep"
         ).select("v", "part")
         for _ in range(refine_rounds):
             parts = _refine_round(lvl_v, lvl_e, parts, k, cap).localCheckpoint(eager=True)
+            release_local_checkpoint(prev_parts)
+            prev_parts = parts
 
     sizes = (
         parts.join(hierarchy[0][0], "v")
@@ -1006,9 +1029,12 @@ def ktruss(
     e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
     min_sup = k - 2
+    prev_e = e
     for _ in range(rounds):
         sup = _edge_support(e)
         e = sup.filter(F.col("support") >= min_sup).select("a", "b").localCheckpoint(eager=True)
+        release_local_checkpoint(prev_e)
+        prev_e = e
         n_next = e.count()
         if n_next == n_edges:
             break  # fixpoint: supports can only drop when edges drop
@@ -1250,6 +1276,7 @@ def harmonic_centrality(
         [(str(s), str(s), 0) for s in sources], "s string, id string, dist int"
     ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist")
     with loop_tuned_session(spark, n_rows):
+        prev_state = None
         for _ in range(rounds):
             msgs = state.join(e, state.id == e.a).select(
                 "s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist")
@@ -1260,6 +1287,8 @@ def harmonic_centrality(
                 .agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True)
             )
+            release_local_checkpoint(prev_state)
+            prev_state = state
     # exact fixed-point: distances are integers in [1, rounds], so
     # Σ 1/d = (Σ L/d) / L with L = lcm(1..rounds) — an exact integer
     # numerator; the 6dp half-up quantization is pure integer arithmetic
@@ -1330,6 +1359,7 @@ def betweenness_centrality(
         [(str(s), str(s), 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
     ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist", "sigma")
     with loop_tuned_session(spark, n_rows):
+        prev_cp = None
         for r in range(1, rounds + 1):
             frontier = state.filter(F.col("dist") == r - 1)
             msgs = (
@@ -1342,6 +1372,8 @@ def betweenness_centrality(
                 "s", "id", F.lit(r).alias("dist"), "sigma"
             )
             state = state.unionByName(fresh).localCheckpoint(eager=True)
+            release_local_checkpoint(prev_cp)
+            prev_cp = state
 
         delta = state.withColumn("delta", F.lit(0.0))
         for lev in range(rounds, 0, -1):
@@ -1373,6 +1405,11 @@ def betweenness_centrality(
                 )
                 .localCheckpoint(eager=True)
             )
+            # frees the superseded delta — and, on the first backward
+            # level, the forward sweep's final state (its rows are now
+            # folded into this delta checkpoint)
+            release_local_checkpoint(prev_cp)
+            prev_cp = delta
     per = (
         delta.filter(F.col("id") != F.col("s"))
         .groupBy("id")
@@ -1408,6 +1445,7 @@ def coarsen_levels(
     mapping = v.select("id", F.col("id").alias("rep"))
     cur_v = v.select(F.col("id").alias("v"))
     cur_e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    prev_lmap = prev_mapping = None
     for _ in range(levels):
         m = maximal_matching(
             cur_v.select(F.col("v").alias("id")), cur_e, rounds=rounds, src="a", dst="b"
@@ -1418,12 +1456,18 @@ def coarsen_levels(
         lmap = cur_v.join(pair_map, "v", "left").select(
             "v", F.coalesce(F.col("lrep"), F.col("v")).alias("lrep")
         ).localCheckpoint(eager=True)
-        mapping = (
+        # every consumer of the previous level's lmap (this level's m and
+        # the join above) has now materialized; m itself is folded in too
+        release_local_checkpoint(prev_lmap)
+        release_local_checkpoint(m)
+        prev_lmap = lmap
+        prev_mapping, mapping = mapping, (
             mapping.join(lmap, mapping.rep == lmap.v)
             .select("id", F.col("lrep").alias("rep"))
             .localCheckpoint(eager=True)
         )
-        cur_e = (
+        release_local_checkpoint(prev_mapping)
+        prev_cur_e, cur_e = cur_e, (
             cur_e.join(lmap.select(F.col("v").alias("a"), F.col("lrep").alias("ra")), "a")
             .join(lmap.select(F.col("v").alias("b"), F.col("lrep").alias("rb")), "b")
             .filter(F.col("ra") != F.col("rb"))
@@ -1431,6 +1475,7 @@ def coarsen_levels(
             .dropDuplicates(["a", "b"])
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev_cur_e)
         cur_v = lmap.select(F.col("lrep").alias("v")).dropDuplicates(["v"])
     return mapping.select("id", F.col("rep").alias("cluster"))
 
@@ -1518,11 +1563,15 @@ def _louvain_local_move(
                           F.struct((-F.col("score")).alias("ns"), "c")).alias("b"))
             .select("v", F.col("b.c").alias("newc"))
         )
+        prev_labels = labels
         labels = (
             labels.join(best, "v", "left")
             .select("v", F.coalesce(F.col("newc"), F.col("c")).alias("c"))
             .localCheckpoint(eager=True)  # |V| rows; truncates round lineage
         )
+        # no-op on round 0 (the caller's labels frame is not a bare
+        # checkpoint); frees each superseded round from round 1 on
+        release_local_checkpoint(prev_labels)
     return labels
 
 
@@ -2240,6 +2289,7 @@ def katz_centrality(
     if strategy == "local":
         return _katz_local(v, e, beta, steps)
     x = v.withColumn("score", F.lit(1.0))
+    prev = None
     for _ in range(steps):
         msg = (
             x.join(e, x["id"] == e["src"])
@@ -2256,6 +2306,8 @@ def katz_centrality(
             )
             .localCheckpoint(eager=True)
         )
+        release_local_checkpoint(prev)  # superseded step's blocks, freed now
+        prev = x
     return x
 
 

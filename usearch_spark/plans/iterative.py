@@ -71,6 +71,39 @@ def checkpoint_with_metrics(df: DataFrame, **metrics: Column) -> tuple[DataFrame
     return out, obs.get
 
 
+def release_local_checkpoint(df: DataFrame | None) -> None:
+    """Free the block-manager storage pinned by a superseded
+    ``localCheckpoint(eager=True)`` DataFrame IMMEDIATELY, instead of
+    waiting for Python GC + ContextCleaner to notice the dead handle
+    (the r13-verdict finding: iterative loops re-checkpoint every round,
+    so a long-lived session accumulates O(rounds) pinned block sets per
+    query — ``clearCache()`` does not release them because checkpoint
+    blocks are not relation-cache entries).
+
+    Only call this on a handle that is provably DEAD: local-checkpoint
+    blocks are NOT recomputable, so reading the frame after release
+    raises checkpointRDDBlockIdNotFoundError.  The loop pattern is
+
+        prev = None
+        for ...:
+            state = step(state).localCheckpoint(eager=True)
+            release_local_checkpoint(prev)   # prev's rows already copied
+            prev = state
+        # never release the final state — it IS the result
+
+    Best-effort by design: the JVM walk (analyzed plan -> LogicalRDD ->
+    rdd.unpersist) silently degrades to the old GC-driven behavior if the
+    frame is not a bare checkpoint (e.g. a select over one) or the
+    internals move.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 @dataclass
 class IterationResult:
     state: DataFrame
@@ -96,10 +129,16 @@ def run_fixpoint(
     current = state
     steps = 0
     converged = False
+    prev_cp: DataFrame | None = None  # last checkpoint created HERE (never the caller's state)
     for step in range(1, max_steps + 1):
         new_state, metrics = step_fn(current, step)
         if step % checkpoint_every == 0:
             new_state = new_state.localCheckpoint(eager=True)
+            # the new checkpoint is self-contained, so the one it
+            # supersedes (and every un-checkpointed state between them)
+            # is dead — release its blocks now instead of at GC time
+            release_local_checkpoint(prev_cp)
+            prev_cp = new_state
         history.append(metrics)
         current = new_state
         steps = step
