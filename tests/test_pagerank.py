@@ -296,3 +296,57 @@ def test_pagerank_warm_start_graph_churn(spark):
     assert set(cw) == set(ww)
     assert max(abs(cw[k] - ww[k]) for k in cw) < 2e-3
     assert abs(sum(ww.values()) - 1.0) < 1e-6
+
+
+def test_ppr_push_converges_to_power_iteration_fixpoint(spark):
+    """Forward push (eps=0) and the dense power iteration solve the SAME
+    stationary equation: with enough rounds both approximate the PPR
+    fixpoint, so their scores agree to the push's residual bound."""
+    from usearch_spark.plans.pagerank import personalized_pagerank, ppr_forward_push
+
+    v, e = _rand_graph(spark, n=60)
+    dense = personalized_pagerank(
+        v, e, ["1"], min_sad=0.0, max_steps=80, edges_deduped=True, strategy="local"
+    )
+    ds = {r["id"]: r["score"] for r in dense.state.collect()}
+    push = ppr_forward_push(e, ["1"], rounds=80, edges_deduped=True)
+    ps = {r["id"]: r["score"] for r in push.collect()}
+    resid = {r["id"]: r["residual"] for r in push.collect()}
+    assert sum(resid.values()) < 1e-5  # 0.85^80
+    for k, s in ps.items():
+        assert abs(s - ds[k]) < 1e-4, (k, s, ds[k])
+    # untouched vertices carry (numerically) zero mass in the dense solve
+    for k, s in ds.items():
+        if k not in ps:
+            assert s < 1e-4
+
+
+def test_ppr_push_support_bounded_by_k_ball(spark):
+    """The sparse state never leaves the seed's k-hop out-ball: on a
+    directed path 0->1->...->9, k push rounds touch exactly vertices
+    0..k (the frontier bound the docstring promises)."""
+    from usearch_spark.plans.pagerank import ppr_forward_push
+
+    e = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(9)], "src string, dst string"
+    )
+    out = ppr_forward_push(e, ["0"], rounds=3, edges_deduped=True)
+    assert {r["id"] for r in out.collect()} == {"0", "1", "2", "3"}
+
+
+def test_ppr_push_eps_threshold_prunes_frontier(spark):
+    """With eps large enough, sub-threshold residuals are never pushed:
+    mass conservation still holds (p + r sums to 1) but the support
+    stays smaller than the push-all run."""
+    from usearch_spark.plans.pagerank import ppr_forward_push
+
+    e = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(9)], "src string, dst string"
+    )
+    # r at hop k is 0.85^k (od = 1 everywhere): eps = 0.5 stops the push
+    # after hop 4 (0.85^5 = 0.44 < 0.5), stranding the tail as residual
+    rows = ppr_forward_push(e, ["0"], rounds=9, eps=0.5, edges_deduped=True).collect()
+    all_rows = ppr_forward_push(e, ["0"], rounds=9, edges_deduped=True).collect()
+    assert len(rows) < len(all_rows)
+    assert abs(sum(r["score"] + r["residual"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["score"] + r["residual"] for r in all_rows) - 1.0) < 1e-6

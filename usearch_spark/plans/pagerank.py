@@ -177,6 +177,123 @@ def personalized_pagerank(
         return _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col)
 
 
+def ppr_forward_push(
+    edges: DataFrame,
+    sources: list,
+    damping: float = 0.85,
+    rounds: int = 10,
+    eps: float = 0.0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    edges_deduped: bool = False,
+) -> DataFrame:
+    """Personalized PageRank by FORWARD LOCAL PUSH (Andersen, Chung &
+    Lang 2006, the single-seed PPR shape at scale): instead of iterating
+    a dense |V|-row score vector like :func:`personalized_pagerank`, the
+    state is the SPARSE (id, p, r) pair — p the settled estimate, r the
+    un-pushed residual — seeded with r = 1/|sources| on the seeds only.
+    Each synchronous round pushes every frontier vertex at once:
+
+        p += (1-d)·r          (teleport share settles)
+        d·r/od  ->  each out-neighbor's r
+        d·r     ->  the seed distribution, for dead ends
+
+    — the same teleport/dead-end semantics as the reference recurrence
+    (compute.go:24-103 via personalized_pagerank): in the fixpoint limit
+    p equals the stationary PPR vector, and Σr bounds the truncation
+    error by (d)^rounds.
+
+    FRONTIER BOUND (the 100-TB story): state rows exist only where mass
+    has arrived, so after k rounds the support is contained in the
+    k-hop out-ball of the seed set — each round's only shuffle is
+    frontier⋈edges, proportional to the BALL's out-degree, never |V|.
+    With ``eps`` > 0 the classic ACL threshold (push only r > eps·od)
+    additionally caps TOTAL pushed volume at O(1/(eps·(1-d))) — the
+    production knob for planet-scale graphs where an approximation is
+    acceptable; the oracled entry runs eps = 0 (push-all), which keeps
+    the discrete frontier decision EXACT (support membership — a
+    positive sum of positives — is summation-order-safe, unlike an
+    eps-threshold on a float sum) so the DuckDB oracle can unroll the
+    identical recurrence.
+
+    Returns the sparse touched set as (id, score, residual), both
+    rounded to 8dp (the graph_ppr float-parity class: linear float ops
+    only, one closing round).
+    """
+    from usearch_spark.plans.iterative import release_local_checkpoint
+
+    spark = edges.sparkSession
+    if not sources:
+        raise ValueError("ppr_forward_push needs a non-empty source set")
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not edges_deduped:
+        e0 = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    e = e0.localCheckpoint(eager=True)
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
+    seeds = sorted(set(sources))
+    p_val = 1.0 / len(seeds)
+    d, omd = damping, 1.0 - damping
+    id_type = dict(e.dtypes)["src"]
+    seed_df = spark.createDataFrame([(str(s),) for s in seeds], "id string").select(
+        F.col("id").cast(id_type)
+    )
+    fr = F.col("r") > F.lit(eps) * F.coalesce(F.col("od"), F.lit(0)).cast("double")
+    dm_metric = F.coalesce(
+        F.sum(F.when(F.col("od").isNull() & (F.col("r") > F.lit(0.0)), F.col("r"))),
+        F.lit(0.0),
+    )
+    state, m = checkpoint_with_metrics(
+        seed_df.withColumn("p", F.lit(0.0))
+        .withColumn("r", F.lit(p_val))
+        .join(out_deg, "id", "left"),
+        dm=dm_metric,
+    )
+    dead_mass = float(m["dm"])
+    prev = state
+    with loop_tuned_session(spark, e.count()):
+        for _ in range(rounds):
+            msgs = (
+                state.filter(fr & F.col("od").isNotNull())
+                .join(e, state["id"] == e["src"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.lit(d) * F.col("r") / F.col("od").cast("double")).alias("mr"),
+                )
+                .groupBy("id")
+                .agg(F.sum("mr").alias("add_r"))
+            )
+            seed_add = (d * dead_mass) * p_val  # driver float, like _ppr_loop's residual
+            base = state.select("id", "p", "r", "od").join(msgs, "id", "full")
+            nxt = base.select(
+                "id",
+                (
+                    F.coalesce(F.col("p"), F.lit(0.0))
+                    + F.when(fr, F.lit(omd) * F.col("r")).otherwise(F.lit(0.0))
+                ).alias("p"),
+                (
+                    F.when(fr, F.lit(0.0)).otherwise(F.coalesce(F.col("r"), F.lit(0.0)))
+                    + F.coalesce(F.col("add_r"), F.lit(0.0))
+                    + F.when(
+                        F.col("id").isin(seeds), F.lit(seed_add)
+                    ).otherwise(F.lit(0.0))
+                ).alias("r"),
+            ).drop("od").join(out_deg, "id", "left")
+            state, m = checkpoint_with_metrics(nxt, dm=dm_metric)
+            release_local_checkpoint(prev)
+            prev = state
+            dead_mass = float(m["dm"])
+    return state.select(
+        "id",
+        F.round("p", 8).alias("score"),
+        F.round("r", 8).alias("residual"),
+    )
+
+
 def weighted_pagerank(
     vertices: DataFrame,
     edges: DataFrame,
