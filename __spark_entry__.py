@@ -1798,6 +1798,84 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
 
 
+def q_graph_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-seed PPR by FORWARD LOCAL PUSH (Andersen–Chung–Lang) from
+    supplier s1, 10 synchronous push rounds at eps=0
+    (plans/pagerank.ppr_forward_push): the sparse (p, r) state touches
+    only the seed's out-ball — the 100-TB shape for related-pages where
+    graph_ppr's dense power iteration would carry every vertex.  Same
+    teleport/dead-end semantics as graph_ppr; the oracle unrolls the
+    identical push recurrence over the sparse support."""
+    from usearch_spark.plans.pagerank import ppr_forward_push
+
+    _, edges = _supplier_part_graph(spark, sf_dir)
+    return ppr_forward_push(
+        edges, PPR_SOURCES, damping=0.85, rounds=10, eps=0.0, edges_deduped=True
+    )
+
+
+def _ppr_push_oracle_sql(rounds: int = 10, d: float = 0.85, sources: tuple = ("s1",)) -> str:
+    """The push recurrence unrolled over the SPARSE state: per round,
+    dead mass d{k}, messages m{k} = (d·r)/od along frontier out-edges,
+    then s{k} = full-join accumulate with the seed dead-end credit
+    ({d}·dm)·p_val.  Float literals injected as Python double reprs;
+    all float use is linear (the graph_ppr parity class), rounded 8dp
+    at the end."""
+    seeds = sorted(set(sources))
+    p_val = 1.0 / len(seeds)
+    omd = 1.0 - d
+    in_list = ", ".join(f"'{s}'" for s in seeds)
+    seed_rows = " UNION ALL ".join(f"SELECT '{s}' AS id" for s in seeds)
+    parts = [
+        f"""
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem
+        ),
+        outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY src),
+        s0 AS MATERIALIZED (
+            SELECT id, 0e0 AS p, {p_val!r} AS r, od
+            FROM ({seed_rows}) LEFT JOIN outdeg USING (id)
+        )"""
+    ]
+    for k in range(1, rounds + 1):
+        pk = k - 1
+        parts.append(
+            f""",
+        d{k} AS (
+            SELECT coalesce(sum(CASE WHEN od IS NULL AND r > 0e0 THEN r END), 0e0) AS dm
+            FROM s{pk}
+        ),
+        m{k} AS (
+            SELECT e.dst AS id, sum(({d!r} * s.r) / CAST(s.od AS DOUBLE)) AS add_r
+            FROM s{pk} s JOIN edges e ON e.src = s.id
+            WHERE s.r > 0e0 AND s.od IS NOT NULL
+            GROUP BY e.dst
+        ),
+        s{k} AS MATERIALIZED (
+            SELECT b.id,
+                   coalesce(b.p, 0e0)
+                     + CASE WHEN b.r > 0e0 THEN {omd!r} * b.r ELSE 0e0 END AS p,
+                   CASE WHEN b.r > 0e0 THEN 0e0 ELSE coalesce(b.r, 0e0) END
+                     + coalesce(b.add_r, 0e0)
+                     + CASE WHEN b.id IN ({in_list})
+                            THEN ({d!r} * d{k}.dm) * {p_val!r} ELSE 0e0 END AS r,
+                   o.od AS od
+            FROM (
+                SELECT coalesce(s.id, m.id) AS id, s.p, s.r, m.add_r
+                FROM s{pk} s FULL JOIN m{k} m ON s.id = m.id
+            ) b
+            CROSS JOIN d{k}
+            LEFT JOIN outdeg o ON o.id = b.id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT id, round(p, 8) AS score, round(r, 8) AS residual FROM s{rounds}
+    """
+    )
+    return "".join(parts)
+
+
 def _ppr_oracle_sql(iters: int = 10, d: float = 0.85, sources: tuple = ("s1",)) -> str:
     """PPR unrolled: r0 = p; r_t = (1-d)·p + d·msg + (d·res)·p with res the
     total dead-end mass.  Float literals are injected as Python double
@@ -4409,28 +4487,14 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data semantics under the hard gate (SURVEY §2.13
-    extension): replay the events table as THREE deterministic micro-batches
-    through an append-mode hourly aggregation with a 30-minute watermark —
-    batch0 = bulk of the data including the global max ts (fixes the
-    watermark at gmax-30min), batch1 = a bridge cohort (md5(event_id) hex
-    digit '1'), batch2 = the LATE cohort (digit '0', restricted to rows
-    whose hour-window end <= watermark, so every one of them is genuinely
-    late).  Three batches because Spark filters late events with the
-    PREVIOUS batch's watermark (SPARK-24634): batch0 sets it, batch1
-    propagates it into the late-events filter, batch2's rows hit it.
-
-    The emitted result is then exactly computable: hourly windows with
-    window_end <= gmax-30min, aggregated over batch0+batch1 rows only —
-    every batch2 row is dropped by the watermark, and rows in newer windows
-    are never finalized.  The DuckDB oracle reproduces that rule, so
-    Spark's late-row drop + append-mode finalization behavior itself is
-    what gets hash-checked.  Replay files are a per-sf artifact (built
-    once; mtime ordering + maxFilesPerTrigger=1 forces the batch
-    sequence)."""
+def _wm_replay_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) the 3-batch late-data replay artifact shared by
+    events_watermark_late and events_mad_late: batch0 = bulk incl. the
+    global max ts, batch1 = bridge cohort (md5(event_id) hex digit '1',
+    emittable), batch2 = genuinely-LATE cohort (digit '0', hour-window
+    end <= gmax-30min).  Files carry (ts_us, event_type, value); mtimes
+    force the batch order under maxFilesPerTrigger=1."""
     import shutil
-    import uuid
 
     base = os.path.join(_ARTIFACT_DIR, f"wm_replay_{_sf_token(sf_dir)}")
     if not os.path.exists(os.path.join(base, "_DONE")):
@@ -4477,6 +4541,88 @@ def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(os.path.join(base, f"batch{i}.parquet"), (t, t))
         with open(os.path.join(base, "_DONE"), "w") as f:
             f.write("ok")
+    return base
+
+
+def q_events_mad_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFTING-SOURCE robust-outlier twin (the r13-verdict ask): the MAD
+    cell family fed through the WATERMARK path.  The shared 3-batch
+    replay delivers out-of-order data whose batch2 cohort is genuinely
+    late; a watermarked append-mode aggregation maintains (hour-window,
+    event_type, cents) count CELLS — Spark DROPS the late cohort and
+    finalizes only windows whose end clears the watermark — and the
+    drained cells, collapsed over windows (cells are count-additive),
+    feed operators/audit.mad_outliers_from_cells.  The oracle applies the
+    deterministic keep rule (emittable AND md5 digit != '0') and replays
+    events_mad's exact-integer MAD pipeline on the kept rows, so what is
+    hash-checked is the watermark's drop/finalize behavior COMPOSED with
+    the robust-stats cell contract (scd2_stream's proof carried to the
+    Hampel audit)."""
+    import uuid
+
+    base = _wm_replay_artifact(spark, sf_dir)
+    from usearch_spark.operators.audit import mad_outliers_from_cells
+
+    stream = (
+        spark.readStream.schema("ts_us long, event_type string, value double")
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+    )
+    agg = (
+        stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withColumn(
+            "cents",
+            F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5))
+            .cast("long"),
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    name = f"ev_madlate_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cells = (
+        spark.table(name)
+        .groupBy("event_type", "cents")
+        .agg(F.sum("_cnt").alias("_cnt"))
+        # materialize: the MAD pipeline self-joins the cell table, and a
+        # MemoryPlan (memory-sink view) on both sides of a join trips
+        # Spark's conflicting-reference resolution
+        .localCheckpoint(eager=True)
+    )
+    return mad_outliers_from_cells(cells, ["event_type"], "cents", "_cnt").orderBy(
+        "event_type"
+    )
+
+
+def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics under the hard gate (SURVEY §2.13
+    extension): replay the events table as THREE deterministic micro-batches
+    through an append-mode hourly aggregation with a 30-minute watermark —
+    batch0 = bulk of the data including the global max ts (fixes the
+    watermark at gmax-30min), batch1 = a bridge cohort (md5(event_id) hex
+    digit '1'), batch2 = the LATE cohort (digit '0', restricted to rows
+    whose hour-window end <= watermark, so every one of them is genuinely
+    late).  Three batches because Spark filters late events with the
+    PREVIOUS batch's watermark (SPARK-24634): batch0 sets it, batch1
+    propagates it into the late-events filter, batch2's rows hit it.
+
+    The emitted result is then exactly computable: hourly windows with
+    window_end <= gmax-30min, aggregated over batch0+batch1 rows only —
+    every batch2 row is dropped by the watermark, and rows in newer windows
+    are never finalized.  The DuckDB oracle reproduces that rule, so
+    Spark's late-row drop + append-mode finalization behavior itself is
+    what gets hash-checked.  Replay files are a per-sf artifact (built
+    once; mtime ordering + maxFilesPerTrigger=1 forces the batch
+    sequence, shared with events_mad_late)."""
+    import uuid
+
+    base = _wm_replay_artifact(spark, sf_dir)
     stream = (
         spark.readStream.schema("ts_us long, event_type string, value double")
         .option("pathGlobFilter", "batch*.parquet")
@@ -13478,10 +13624,16 @@ def q_eval_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-DECAY multi-touch attribution with EXACT DYADIC credit: every
     click/view within 48h before a same-user purchase earns weight
-    2^(−hours_elapsed) — carried as the exact integer 2^(52−h)
-    (h = whole hours, ≤ 48 by the window), summed per channel in
-    lossless DECIMAL(38,0), so the credit totals are order-independent
-    EXACT integers and the share is one decimal→double divide.  The
+    2^(−hours_elapsed) — carried as the exact integer 2^(44−h)
+    (h = whole hours, ≤ 48 by the window; h ≥ 45 flattens to weight 1,
+    a ≤2^-45 relative error), summed per channel in lossless
+    DECIMAL(38,0), so the credit totals are order-independent EXACT
+    integers and the share is one decimal→double divide.  SIZING
+    CONTRACT (the nation_hhi rule): the per-channel credit total must
+    stay under 2^63 because the ORACLE's HUGEINT→DOUBLE cast misrounds
+    above it (see SKILL.md) — scale 2^44 measures ~1.3e16 at sf0.1, so
+    sf1 (~1.3e17) and sf10 (~1.3e18) hold with ≥7× margin, where the
+    previous 2^52 scale crossed the line at sf1.  The
     decay curve marketing stacks call "time decay" (half-life 1h here),
     positioned between last-touch (events_attribution) and U-shaped
     (events_attribution_ushape).  Pair surface: per-user equi-join
@@ -13505,7 +13657,7 @@ def q_events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel",
         F.expr(f"CAST((p_ns - t_ns) DIV {hour_ns} AS INT)").alias("h"),
     )
-    w = F.expr("shiftleft(CAST(1 AS BIGINT), 52 - least(h, 52))")
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), 44 - least(h, 44))")
     per = pairs.select("channel", w.alias("w")).groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),
         F.sum(F.col("w").cast("decimal(38,0)")).alias("_credit"),
@@ -14229,71 +14381,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-13 rotation (the
-    r12-verdict ask #1): (1) the forty-eight round-12 queries that have
-    never had a driver gate (eval_map .. events_percentiles_stream), in
-    their round-12 order; (2) the two oldest round-7 spill entries
-    (events_anomaly, vocab_zipf).  pricing_summary heads the round-14
-    window, followed by new round-13 entries, then the round-12-gated
-    cohort (15 r11 + 35 r07-front), then the round-8, round-9, round-10
-    and round-11 gated cohorts in gate order.  Position math:
-    qs.index(name) < 50 is the gated set."""
+    cap sweeps the whole surface across rounds.  Round-14 rotation (the
+    r13-verdict ask #2, followed verbatim): (1) pricing_summary plus the
+    twenty-seven round-13 queries that have never had a driver gate
+    (search_related .. audit_mix_shift); (2) the 22 oldest aged entries
+    next in round-13 order (the 15-entry r12-gated cohort + the first 7
+    of the r07 front).  New round-14 entries land just past the boundary
+    (first in line for the r15 window), then the remaining r07 front,
+    the round-8, round-9, round-10 and round-11 gated cohorts in gate
+    order, and the round-13-gated cohort (freshest) at the back.
+    Position math: qs.index(name) < 50 is the gated set."""
     return {
-        # --- new round 12, never driver-gated: gate first (r13 window) ---
-        "eval_map": q_eval_map,
-        "eval_mrr": q_eval_mrr,
-        "events_stl_anomaly": q_events_stl_anomaly,
-        "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
-        "events_cusum_stream": q_events_cusum_stream,
-        "eval_f1": q_eval_f1,
-        "audit_iqr": q_audit_iqr,
-        "eval_spearman": q_eval_spearman,
-        "events_trend": q_events_trend,
-        "sketch_ams_f2": q_sketch_ams_f2,
-        "graph_scc": q_graph_scc,
-        "events_survival": q_events_survival,
-        "events_seasonal_strength": q_events_seasonal_strength,
-        "eval_lift": q_eval_lift,
-        "eval_kendall": q_eval_kendall,
-        "events_holt_winters_stream": q_events_holt_winters_stream,
-        "eval_auc_stream": q_eval_auc_stream,
-        "graph_reciprocity": q_graph_reciprocity,
-        "graph_assortativity": q_graph_assortativity,
-        "eval_mcc": q_eval_mcc,
-        "eval_kappa": q_eval_kappa,
-        "eval_mcnemar": q_eval_mcnemar,
-        "eval_mannwhitney": q_eval_mannwhitney,
-        "events_pettitt": q_events_pettitt,
-        "audit_gini": q_audit_gini,
-        "audit_chisq_dow": q_audit_chisq_dow,
-        "graph_butterflies": q_graph_butterflies,
-        "graph_richclub": q_graph_richclub,
-        "parts_croston": q_parts_croston,
-        "sim_mmr": q_sim_mmr,
-        "dedup_cdc": q_dedup_cdc,
-        "sketch_ams_stream": q_sketch_ams_stream,
-        "events_runs": q_events_runs,
-        "events_concurrency": q_events_concurrency,
-        "graph_bipartite": q_graph_bipartite,
-        "parts_abc": q_parts_abc,
-        "events_concurrency_stream": q_events_concurrency_stream,
-        "audit_kanonymity": q_audit_kanonymity,
-        "eval_auc_bootstrap": q_eval_auc_bootstrap,
-        "graph_conductance": q_graph_conductance,
-        "events_esd": q_events_esd,
-        "search_prf": q_search_prf,
-        "events_trend_seasonal": q_events_trend_seasonal,
-        "events_trend_fit": q_events_trend_fit,
-        "audit_duplicate_payments": q_audit_duplicate_payments,
-        "events_attribution_ushape": q_events_attribution_ushape,
-        "events_percentiles_exact": q_events_percentiles_exact,
-        "events_percentiles_stream": q_events_percentiles_stream,
-        # --- round-7 spill tail (2 fit; pricing_summary heads r14) ---
-        "events_anomaly": q_events_anomaly,
-        "vocab_zipf": q_vocab_zipf,
-        # ---------- 50-entry window boundary (round 13) ----------
+        # --- r14 window head: pricing_summary + the 27 never-driver-gated
+        # --- round-13 queries + the 22 oldest aged (r12-gated) entries ---
         "pricing_summary": q_pricing_summary,
-        # --- new round 13 entries land here (first in line for the r14 window) ---
         "search_related": q_search_related,
         "sketch_hll_error": q_sketch_hll_error,
         "sketch_quantile_error": q_sketch_quantile_error,
@@ -14321,7 +14422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_benford2": q_audit_benford2,
         "nation_hhi": q_nation_hhi,
         "audit_mix_shift": q_audit_mix_shift,
-        # --- round-12 gated cohort (freshest gate: 15 r11 + 35 r07 front) ---
+        # --- aged r12-gated refresh (15 + first 7 of the r07 front) ---
         "eval_forecast_backtest": q_eval_forecast_backtest,
         "eval_recall_at_k": q_eval_recall_at_k,
         "eval_ndcg": q_eval_ndcg,
@@ -14337,7 +14438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_benford": q_audit_benford,
         "graph_eccentricity": q_graph_eccentricity,
         "graph_kcenters": q_graph_kcenters,
-        # --- round-7 remainder front (35 fit) ---
         "salted_join_revenue": q_salted_join_revenue,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -14345,6 +14445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_logprob": q_text_bigram_logprob,
         "graph_neighborhood": q_graph_neighborhood,
         "type_market_share": q_type_market_share,
+        # ---------- 50-entry window boundary (round 14) ----------
+        # --- new round 14 entries land here (first in line for the r15 window) ---
+        "graph_ppr_push": q_graph_ppr_push,
+        "events_mad_late": q_events_mad_late,
+        # --- round-7 remainder (re-gated r12) ---
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
         "orders_monthly_growth": q_orders_monthly_growth,
@@ -14575,6 +14680,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_pruned": q_events_partition_pruned,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "graph_densest": q_graph_densest,
+        # --- round-13 gated cohort (freshest gate) ---
+        "eval_map": q_eval_map,
+        "eval_mrr": q_eval_mrr,
+        "events_stl_anomaly": q_events_stl_anomaly,
+        "events_stl_anomaly_stream": q_events_stl_anomaly_stream,
+        "events_cusum_stream": q_events_cusum_stream,
+        "eval_f1": q_eval_f1,
+        "audit_iqr": q_audit_iqr,
+        "eval_spearman": q_eval_spearman,
+        "events_trend": q_events_trend,
+        "sketch_ams_f2": q_sketch_ams_f2,
+        "graph_scc": q_graph_scc,
+        "events_survival": q_events_survival,
+        "events_seasonal_strength": q_events_seasonal_strength,
+        "eval_lift": q_eval_lift,
+        "eval_kendall": q_eval_kendall,
+        "events_holt_winters_stream": q_events_holt_winters_stream,
+        "eval_auc_stream": q_eval_auc_stream,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_assortativity": q_graph_assortativity,
+        "eval_mcc": q_eval_mcc,
+        "eval_kappa": q_eval_kappa,
+        "eval_mcnemar": q_eval_mcnemar,
+        "eval_mannwhitney": q_eval_mannwhitney,
+        "events_pettitt": q_events_pettitt,
+        "audit_gini": q_audit_gini,
+        "audit_chisq_dow": q_audit_chisq_dow,
+        "graph_butterflies": q_graph_butterflies,
+        "graph_richclub": q_graph_richclub,
+        "parts_croston": q_parts_croston,
+        "sim_mmr": q_sim_mmr,
+        "dedup_cdc": q_dedup_cdc,
+        "sketch_ams_stream": q_sketch_ams_stream,
+        "events_runs": q_events_runs,
+        "events_concurrency": q_events_concurrency,
+        "graph_bipartite": q_graph_bipartite,
+        "parts_abc": q_parts_abc,
+        "events_concurrency_stream": q_events_concurrency_stream,
+        "audit_kanonymity": q_audit_kanonymity,
+        "eval_auc_bootstrap": q_eval_auc_bootstrap,
+        "graph_conductance": q_graph_conductance,
+        "events_esd": q_events_esd,
+        "search_prf": q_search_prf,
+        "events_trend_seasonal": q_events_trend_seasonal,
+        "events_trend_fit": q_events_trend_fit,
+        "audit_duplicate_payments": q_audit_duplicate_payments,
+        "events_attribution_ushape": q_events_attribution_ushape,
+        "events_percentiles_exact": q_events_percentiles_exact,
+        "events_percentiles_stream": q_events_percentiles_stream,
+        "events_anomaly": q_events_anomaly,
+        "vocab_zipf": q_vocab_zipf,
     }
 
 
@@ -15384,8 +15540,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, n, n_round,
                    CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE) AS share,
                    round(CAST(n AS DOUBLE) * p, 6) AS expected_round,
-                   (CAST(n_round AS DOUBLE) - CAST(n AS DOUBLE) * p)
-                       / sqrt(CAST(n AS DOUBLE) * p * (1 - p)) AS z
+                   CASE WHEN p > 0 AND p < 1 THEN
+                       (CAST(n_round AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                           / sqrt(CAST(n AS DOUBLE) * p * (1e0 - p))
+                   END AS z
             FROM per, gl ORDER BY p_brand
         """,
         "text_diversity": f"""
@@ -15448,8 +15606,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(y) AS BIGINT) AS n_pos,
-                   CAST(sum((s - lo - y * d) * (s - lo - y * d)) AS DOUBLE)
-                       / CAST(count(*) * d * d AS DOUBLE) AS brier
+                   CASE WHEN d > 0 THEN
+                       CAST(sum((s - lo - y * d) * (s - lo - y * d)) AS DOUBLE)
+                           / CAST(count(*) * d * d AS DOUBLE)
+                   END AS brier
             FROM lab, span
             GROUP BY c_mktsegment, d, lo
             ORDER BY c_mktsegment
@@ -15765,15 +15925,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
                    n1, x1,
                    round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
-                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                       / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS lift,
-                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                       / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                              * (1e0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                              * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE)))
-                       AS z
+                   CASE WHEN x0 > 0 THEN
+                       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                           / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   END AS lift,
+                   CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+                       (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                           / sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                  * (1e0 - CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                  * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE)))
+                   END AS z
             FROM g
         """,
         "events_attribution_decay": """
@@ -15794,7 +15957,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             per AS (
                 SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
-                       sum(CAST(1::BIGINT << (52 - least(h, 52)) AS HUGEINT))
+                       sum(CAST(1::BIGINT << (44 - least(h, 44)) AS HUGEINT))
                            AS credit
                 FROM pairs GROUP BY channel
             ),
@@ -18695,6 +18858,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY prev_type, curr_type
         """,
         "graph_ppr": _ppr_oracle_sql(10, 0.85, ("s1",)),
+        "graph_ppr_push": _ppr_push_oracle_sql(10, 0.85, ("s1",)),
         "graph_pagerank_weighted": _weighted_pagerank_oracle_sql(10, 0.85),
         "graph_kcore": _kcore_oracle_sql(30, 4),
         "graph_hits": _hits_oracle_sql(5),
@@ -18769,6 +18933,25 @@ def oracle_sql() -> dict[str, str]:
     # MAD cells are count-linear: the drained stream rollup rebuilds the
     # batch (type, cents) cells exactly, so the streamed monitor shares it
     out["events_mad_stream"] = out["events_mad"]
+    # events_mad_late = events_mad restricted to the deterministic
+    # watermark-kept subset (finalized hour windows, late cohort dropped):
+    # swap the value CTE, keep the exact-integer MAD pipeline verbatim
+    out["events_mad_late"] = out["events_mad"].replace(
+        """WITH v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ),""",
+        """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+            v AS (
+                SELECT event_type AS g,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events, wm
+                WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+                  AND substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> '0'
+            ),""",
+    )
+    assert "wm AS" in out["events_mad_late"]  # guard the replace against drift
     out["events_concurrency_stream"] = out["events_concurrency"]
     out["events_percentiles_stream"] = out["events_percentiles_exact"]
     return out

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as E
 
 from tests.conftest import SF_SMOKE
@@ -21,6 +23,7 @@ def test_queries_have_oracles(spark):
     assert set(oracles) <= set(qs)
 
 
+@pytest.mark.slow  # full 326-query surface sweep at sf0.001 — minutes, not seconds
 def test_all_queries_run_smoke(spark):
     for name, fn in E.queries().items():
         df = fn(spark, SF_SMOKE)

@@ -182,6 +182,7 @@ def _templated_corpus_sf1(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale skew smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_caps_bound_candidates_at_sf1_scale(spark):
     from usearch_spark.operators.dedup import substring_containment_pairs
 
@@ -220,6 +221,7 @@ def test_caps_bound_candidates_at_sf1_scale(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale skew smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_substring_inner_side_bound_at_sf1_scale(spark):
     """The documented candidate-row bound Σ min(df(rarest), cap) <=
     |inner|·cap, measured on the actual rarest-gram table at scale."""
@@ -261,6 +263,7 @@ def test_substring_inner_side_bound_at_sf1_scale(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale skew smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_kmv_bottom_k_at_scale_one_hot_group(spark):
     """One group holding 1M distinct keys (the hot-group case the
     two-level salted bottom-k exists for): the result must equal a
@@ -292,6 +295,7 @@ def test_kmv_bottom_k_at_scale_one_hot_group(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale walks smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_walks_sf1_scale(spark):
     """Hash-chain walks at sf1 graph scale (100k vertices, ~350k edges,
     2000 concurrent walks): completion without lineage blowup, exact
@@ -338,6 +342,7 @@ def test_walks_sf1_scale(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale scd2 smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_scd2_stream_sf1_scale(spark, tmp_path):
     """Streaming SCD2 at sf1 scale: 100k keys x 4 changes delivered as
     hash-split micro-batches (per-key out-of-order arrival across
@@ -397,6 +402,7 @@ def test_scd2_stream_sf1_scale(spark, tmp_path):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale MST smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_graph_mst_sf1_scale(spark):
     """Borůvka MST at sf1 graph scale (100k vertices, ~200k weighted
     edges, ring + hash chords so the graph is connected): the forest is
@@ -443,6 +449,7 @@ def test_graph_mst_sf1_scale(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale SCC smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_graph_scc_sf1_scale(spark):
     """SCC at sf1 graph scale: 25k disjoint 4-cycles (100k core vertices)
     plus 50k one-way satellite vertices each pointing into a cycle.  The
@@ -488,6 +495,7 @@ def test_graph_scc_sf1_scale(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale butterfly smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_butterfly_count_sf1_scale_closed_form(spark):
     """100k-edge bipartite graph of 500 disjoint K(4,50) blocks plus a
     degree-skew hub: the census equals the closed form exactly (exact
@@ -537,6 +545,7 @@ def test_butterfly_count_sf1_scale_closed_form(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale MMR smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_mmr_topk_sf1_scale(spark):
     """100k synthetic 16-dim vectors: the pool scan + greedy completes,
     picks are distinct, round 1 is the global relevance argmax, and the
@@ -575,6 +584,7 @@ def test_mmr_topk_sf1_scale(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale deep-chain SCC smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_graph_scc_sf1_deep_chain_condensation(spark):
     """SCC at sf1 scale on the MULTI-PEEL adversarial shape: 6000 parallel
     CHAINS of five 3-cycles (90k vertices; cycle (b,l) feeds cycle
@@ -629,6 +639,7 @@ def test_graph_scc_sf1_deep_chain_condensation(spark):
     not os.environ.get("SPARK_GRAFT_SLOW"),
     reason="sf1-scale knn-graph smoke; set SPARK_GRAFT_SLOW=1 to run",
 )
+@pytest.mark.slow
 def test_knn_graph_sf1_scale_bucketed(spark):
     """k-NN graph at sf1 scale: 50k 16-dim vectors, 8-plane signatures
     (256 buckets, ~195 vectors each — the pair surface stays Σ bucket²

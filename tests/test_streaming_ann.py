@@ -18,6 +18,9 @@ from usearch_spark.streaming.ann import (
 )
 from tests.test_streaming import _drop_last_commit
 
+pytestmark = pytest.mark.slow  # streaming replays: multi-micro-batch runs dominate the suite clock
+
+
 
 def _vec(i: int) -> list[float]:
     return [float((i * 7 + j * 3) % 11) / 11.0 + (1.0 if j % 4 == i % 4 else 0.0) for j in range(8)]

@@ -18,6 +18,9 @@ from usearch_spark.streaming.graph import (
 )
 from tests.test_streaming import _drop_last_commit
 
+pytestmark = pytest.mark.slow  # streaming replays: multi-micro-batch runs dominate the suite clock
+
+
 
 def _ring_edges(spark, n=60):
     return spark.range(n).select(

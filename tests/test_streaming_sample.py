@@ -14,6 +14,9 @@ from usearch_spark.operators.corpus import weighted_sample
 from usearch_spark.streaming.sample import read_reservoir, weighted_sample_stream
 from tests.test_streaming import _drop_last_commit
 
+pytestmark = pytest.mark.slow  # streaming replays: multi-micro-batch runs dominate the suite clock
+
+
 
 def _write_batches(spark, tmp_path, n=400):
     df = spark.range(1, n + 1).select(
