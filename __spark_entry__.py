@@ -4581,11 +4581,14 @@ def q_events_mad_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     name = f"ev_madlate_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from usearch_spark.streaming import replay_tuned_session
+
+    with replay_tuned_session(spark):
+        q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     cells = (
         spark.table(name)
         .groupBy("event_type", "cents")
@@ -4654,11 +4657,14 @@ def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"ev_wm_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from usearch_spark.streaming import replay_tuned_session
+
+    with replay_tuned_session(spark):
+        q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -4726,11 +4732,14 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, gap_minutes=30, watermark="30 minutes", micros_col="ts_us"
     )
     name = f"sess_st_{uuid.uuid4().hex[:8]}"
-    q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from usearch_spark.streaming import replay_tuned_session
+
+    with replay_tuned_session(spark):
+        q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
