@@ -43,6 +43,7 @@ from usearch_spark.operators.summarize import assemble_results
 from usearch_spark.plans.coloring import color_graph
 from usearch_spark.plans.pregel import connected_components
 from usearch_spark.plans.pagerank import pagerank
+from usearch_spark.streaming import replay_tuned_session
 from usearch_spark.plans.shortest_path import shortest_paths
 
 # ---------------------------------------------------------------------------
@@ -716,12 +717,13 @@ def q_sim_ann_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = ivf_stream_maintain(stream, target, ckpt, n_clusters=8)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = ivf_stream_maintain(stream, target, ckpt, n_clusters=8)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     out = (
         ivf_stream_topk(spark, target, qv, k=10, n_probe=2, exclude_ids=[0])
         .select("vec_id", F.round(F.col("cosine"), 6).alias("cosine"))
@@ -1156,12 +1158,13 @@ def q_sketch_mg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = mg_stream_merge(stream, "user_id", 20, target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = mg_stream_merge(stream, "user_id", 20, target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     out = (
         read_cms(spark, target)
         .select("key", F.col("est").cast("long").alias("est"))
@@ -1208,12 +1211,13 @@ def q_sample_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = weighted_sample_stream(stream, "p_partkey", "p_size", 50, target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = weighted_sample_stream(stream, "p_partkey", "p_size", 50, target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     out = (
         read_reservoir(spark, target)
         .orderBy(F.col("draw").asc(), F.col("p_partkey").asc())
@@ -1279,12 +1283,13 @@ def q_graph_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = pagerank_stream_rerank(stream, target, ckpt, steps=10)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = pagerank_stream_rerank(stream, target, ckpt, steps=10)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     out = (
         read_stream_scores(spark, target)
         .select("id", F.round(F.col("score"), 8).alias("score"))
@@ -3463,11 +3468,12 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = raw
     base = os.path.join(_ARTIFACT_DIR, f"rollup_{uuid.uuid4().hex[:8]}")
     target, ckpt = os.path.join(base, "t"), os.path.join(base, "c")
-    q = continuous_hourly_rollup(ev, target, ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with replay_tuned_session(spark):
+        q = continuous_hourly_rollup(ev, target, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     out = (
         spark.read.parquet(target)
         .select(
@@ -4005,11 +4011,12 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("value")).cast("double").alias("sum_value"),
     )
     name = f"ev_hourly_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with replay_tuned_session(spark):
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -4581,8 +4588,6 @@ def q_events_mad_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     name = f"ev_madlate_{uuid.uuid4().hex[:8]}"
-    from usearch_spark.streaming import replay_tuned_session
-
     with replay_tuned_session(spark):
         q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
         try:
@@ -4657,8 +4662,6 @@ def q_events_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"ev_wm_{uuid.uuid4().hex[:8]}"
-    from usearch_spark.streaming import replay_tuned_session
-
     with replay_tuned_session(spark):
         q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
         try:
@@ -4732,8 +4735,6 @@ def q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, gap_minutes=30, watermark="30 minutes", micros_col="ts_us"
     )
     name = f"sess_st_{uuid.uuid4().hex[:8]}"
-    from usearch_spark.streaming import replay_tuned_session
-
     with replay_tuned_session(spark):
         q = sess.writeStream.outputMode("append").format("memory").queryName(name).start()
         try:
@@ -5750,11 +5751,12 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     deduped = deduplicate_stream(src, keys=["event_id"], watermark="30 minutes")
     name = f"ev_dd_{uuid.uuid4().hex[:8]}"
-    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with replay_tuned_session(spark):
+        q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select("event_id", "ts_us", "event_type")
 
 
@@ -5926,12 +5928,13 @@ def q_sketch_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = hll_stream_merge(stream, "user_id", ["g"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = hll_stream_merge(stream, "user_id", ["g"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     sk = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     exact = (
@@ -5981,12 +5984,13 @@ def q_sketch_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = bloom_stream_merge(stream, "c_custkey", target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = bloom_stream_merge(stream, "c_custkey", target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     bloom = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     flags = bloom_maybe_contains(bloom, cust, "c_custkey", hashes=3, prefix_len=3)
@@ -6060,12 +6064,13 @@ def q_sketch_quantile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = log_hist_stream_merge(stream, "user_id", ["g"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = log_hist_stream_merge(stream, "user_id", ["g"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     sk = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     p50 = log_hist_quantile(sk, ["g"], 1, 2, out_col="p50")
@@ -6148,12 +6153,13 @@ def q_sketch_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = cms_stream_merge(stream, "user_id", target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = cms_stream_merge(stream, "user_id", target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     sketch = read_cms(spark, target)
     probes = _events(spark, sf_dir).filter(F.col("user_id") < 20)
     out = cms_estimate(sketch, probes, "user_id", depth=4, prefix_len=2).localCheckpoint(
@@ -6254,11 +6260,12 @@ def q_events_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("r.ts_us") - F.col("l.ts_us")).alias("lag_us"),
     )
     name = f"ivj_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with replay_tuned_session(spark):
+        q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -7406,12 +7413,13 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = dedup_stream_against_index(stream, corpus_sh, corpus_banded, sink, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = dedup_stream_against_index(stream, corpus_sh, corpus_banded, sink, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     out = (
         spark.read.schema("batch_id long, corpus_id long, jaccard double, epoch_id int")
         .parquet(sink)
@@ -7553,12 +7561,13 @@ def _drained_daily_rollup(spark: SparkSession, sf_dir: str, run_prefix: str) -> 
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["event_type", "d"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     daily = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     return daily
@@ -7862,14 +7871,15 @@ def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = scd2_stream_merge(
-            stream, "custkey", "priority", "eff_us", "okey", target, ckpt
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = scd2_stream_merge(
+                stream, "custkey", "priority", "eff_us", "okey", target, ckpt
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     dim = read_scd2(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     eff_ts = F.expr(f"timestampadd(MICROSECOND, eff_us, {_EPOCH_NTZ})")
@@ -8028,12 +8038,13 @@ def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .withColumn("g", F.pmod(F.col("user_id"), F.lit(2)))
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = kmv_stream_merge(stream, "user_id", ["g"], 32, target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = kmv_stream_merge(stream, "user_id", ["g"], 32, target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     sk = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     return kmv_estimate(sk, ["g"], k=32)
@@ -8471,12 +8482,13 @@ def q_eval_auc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["seg", "cents", "label"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["seg", "cents", "label"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     rolled = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     cells = rolled.groupBy(
@@ -10041,12 +10053,13 @@ def q_sketch_ams_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "user_id"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["event_type", "user_id"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     rolled = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     cells = rolled.groupBy("event_type", "user_id").agg(F.sum("n").alias("_n"))
@@ -10446,12 +10459,13 @@ def q_events_concurrency_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "sec"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["event_type", "sec"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     rolled = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     from pyspark.sql import Window
@@ -11467,12 +11481,13 @@ def q_events_percentiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "vc"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["event_type", "vc"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     rolled = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     cells = rolled.groupBy("event_type", "vc").agg(F.sum("n").alias("cnt"))
@@ -11588,6 +11603,72 @@ def _calibration_oracle_sql(n_bins: int = 10) -> str:
                CAST(sq AS DOUBLE) / CAST(n * n * n_bin AS DOUBLE) AS brier
         FROM g
         ORDER BY c_mktsegment, bin
+    """
+
+
+def q_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED/MAXIMUM CALIBRATION ERROR per segment (operators/
+    evaluate.expected_calibration_error, the Naeini one-number summary
+    of eval_calibration's reliability diagram) over the same
+    balance-percentile score vs has-ever-ordered label: per bin
+    n_b·|obs−pred| clears to the exact int64 |pos_b·N − Σrank_b|/N, so
+    ECE is one long→double divide and MCE a max over per-bin single
+    divides."""
+    from usearch_spark.operators.evaluate import expected_calibration_error
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(20,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    buyers = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(1))
+    )
+    lab = c.join(buyers, "c_custkey", "left").withColumn(
+        "label", F.coalesce("has_order", F.lit(0))
+    )
+    return expected_calibration_error(
+        lab, ["c_mktsegment"], "cents", "label", "c_custkey", n_bins=10
+    ).orderBy("c_mktsegment")
+
+
+def _ece_oracle_sql(n_bins: int = 10) -> str:
+    """expected_calibration_error replay: the calibration rank/bin CTEs,
+    then the exact |pos·N − Σrank| fold (one divide for ECE, one per
+    bin inside the MCE max)."""
+    return f"""
+        WITH buyers AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+        base AS (
+            SELECT c_mktsegment AS seg, c_custkey AS id,
+                   CAST(CAST(c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents,
+                   CASE WHEN ck IS NULL THEN 0 ELSE 1 END AS y
+            FROM customer LEFT JOIN buyers ON ck = c_custkey
+        ),
+        ranked AS (
+            SELECT seg, y,
+                   CAST(row_number() OVER (PARTITION BY seg ORDER BY cents, id)
+                        AS BIGINT) AS rank,
+                   CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+            FROM base
+        ),
+        g AS (
+            SELECT seg, CAST(((rank - 1) * {n_bins}) // n AS INT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_bin,
+                   CAST(abs(sum(y) * max(n) - sum(rank)) AS BIGINT) AS t,
+                   max(n) AS n
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT seg AS c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_bins_used,
+               CAST(sum(t) AS DOUBLE) / CAST(max(n) * max(n) AS DOUBLE) AS ece,
+               max(CAST(t AS DOUBLE) / CAST(n_bin * n AS DOUBLE)) AS mce
+        FROM g GROUP BY seg
+        ORDER BY c_mktsegment
     """
 
 
@@ -13365,12 +13446,13 @@ def q_events_diversity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "user_id"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["event_type", "user_id"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     rolled = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     cells = rolled.groupBy("event_type", "user_id").agg(F.sum("n").alias("_n"))
@@ -13730,12 +13812,13 @@ def q_events_mad_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(base)
     )
-    for _ in range(2):  # second run = deliberate restart against the checkpoint
-        q = rollup_stream_merge(stream, ["event_type", "cents"], target, ckpt)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    with replay_tuned_session(spark):
+        for _ in range(2):  # second run = deliberate restart against the checkpoint
+            q = rollup_stream_merge(stream, ["event_type", "cents"], target, ckpt)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     rolled = read_cms(spark, target).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)
     cells = rolled.groupBy("event_type", "cents").agg(F.sum("n").alias("_n"))
@@ -13920,6 +14003,50 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
                 / F.lit(10000.0)
             ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "k")
+    )
+
+
+def q_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION TRIANGLE — the companion readout to
+    customer_cohort_ltv every growth dashboard pairs with it: customers
+    cohorted by FIRST-order month, and for each month offset k the share
+    of the cohort that placed any order that month.  Month indices are
+    exact integers (year·12+month — never months_between's float), every
+    cell is a count-distinct, and retention is ONE long→double divide, so
+    the whole triangle is bit-exact.  Scale shape: one per-customer min
+    agg, one keyed join back, one (cohort, k) distinct-count — all
+    partial-agg shuffles on customer id; no windows, no UDFs."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_m").alias("_m0"))
+    sizes = first.groupBy("_m0").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .select("_m0", (F.col("_m") - F.col("_m0")).alias("k"), "o_custkey")
+        .groupBy("_m0", "k")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "_m0")
+        .select(
+            F.concat(
+                F.expr("CAST((_m0 - 1) div 12 AS STRING)"),
+                F.lit("-"),
+                F.lpad(F.expr("CAST((_m0 - 1) % 12 + 1 AS STRING)"), 2, "0"),
+            ).alias("cohort_month"),
+            "k",
+            "cohort_size",
+            "n_active",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
         )
         .orderBy("cohort_month", "k")
     )
@@ -14458,6 +14585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 14 entries land here (first in line for the r15 window) ---
         "graph_ppr_push": q_graph_ppr_push,
         "events_mad_late": q_events_mad_late,
+        "eval_ece": q_eval_ece,
+        "customer_retention": q_customer_retention,
         # --- round-7 remainder (re-gated r12) ---
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -15439,6 +15568,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "eval_ndcg": _ndcg_oracle_sql(k=20),
         "eval_calibration": _calibration_oracle_sql(n_bins=10),
+        "eval_ece": _ece_oracle_sql(n_bins=10),
         "events_stl": _stl_oracle_sql(m=7),
         "events_sax": _sax_oracle_sql(w=6, alphabet=4),
         "text_rake": _rake_oracle_sql(k=15),
@@ -15695,6 +15825,30 @@ def oracle_sql() -> dict[str, str]:
                    round(re_v, 6), re_v / (re_c + re_v)
             FROM a4
             ORDER BY channel
+        """,
+        "customer_retention": """
+            WITH o AS (
+                SELECT o_custkey,
+                       year(o_orderdate) * 12 + month(o_orderdate) AS m
+                FROM orders
+            ),
+            f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+            sizes AS (SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size
+                      FROM f GROUP BY 1),
+            cells AS (
+                SELECT f.m0, o.m - f.m0 AS k,
+                       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+                FROM o JOIN f USING (o_custkey)
+                GROUP BY 1, 2
+            )
+            SELECT CAST((m0 - 1) // 12 AS VARCHAR) || '-'
+                       || lpad(CAST((m0 - 1) % 12 + 1 AS VARCHAR), 2, '0')
+                       AS cohort_month,
+                   k, cohort_size, n_active,
+                   CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+                       AS retention
+            FROM cells JOIN sizes USING (m0)
+            ORDER BY cohort_month, k
         """,
         "customer_cohort_ltv": """
             WITH o AS (

@@ -824,3 +824,16 @@ def test_markov_attribution_closed_form_replay(spark):
     assert c["share"] == re_c / (re_c + re_v)
     # click carries the conversions here: it must dominate
     assert c["removal_effect"] > v["removal_effect"]
+
+
+def test_expected_calibration_error_exact_integer_fold(spark):
+    """Hand-computed 4-row, 2-bin case: bin terms |pos*N - sum_rank| are
+    1 and 3, so ECE = 4/16 = 0.25 and MCE = 3/8 = 0.375."""
+    from usearch_spark.operators.evaluate import expected_calibration_error
+
+    rows = [("g", 1, 10, 0), ("g", 2, 20, 1), ("g", 3, 30, 0), ("g", 4, 40, 1)]
+    df = spark.createDataFrame(rows, "g string, id int, s long, y int")
+    r = expected_calibration_error(df, ["g"], "s", "y", "id", n_bins=2).collect()[0]
+    assert (r["n"], r["n_bins_used"]) == (4, 2)
+    assert r["ece"] == 0.25
+    assert r["mce"] == 0.375

@@ -1401,6 +1401,75 @@ def brier_scaled(
     )
 
 
+def expected_calibration_error(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group EXPECTED CALIBRATION ERROR (Naeini et al. 2015, the
+    one-number summary of :func:`calibration_bins`' reliability diagram):
+    with rank-percentile predictions p = rank/N in ``n_bins``
+    equal-population bins,
+
+        ECE = Σ_b (n_b/N)·|obs_b − pred_b|
+        MCE = max_b |obs_b − pred_b|
+
+    — the headline a model-monitoring dashboard tracks next to AUC
+    (ranking can stay healthy while the probabilities drift; ECE is the
+    drift number).
+
+    Determinism — exact to the last bit: per bin,
+    n_b·|obs_b − pred_b| = |pos_b·N − Σrank_b| / N, an EXACT int64
+    numerator, so ECE = Σ_b |pos_b·N − Σrank_b| / N² is ONE
+    long→double divide and MCE a max over per-bin single divides (each
+    bit-exact, max order-independent).  Bound: the summed numerator is
+    ≤ N², so groups must stay under ~3e9 rows for int64 — the same
+    per-segment-dimension contract as calibration_bins.
+
+    Distributed shape: one tie-broken group window for ranks (the
+    calibration_bins shape), one partial-agg groupBy per bin, one
+    per-group fold.  No UDFs, no collects.
+
+    Output: group_cols + (n, n_bins_used, ece, mce).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(score_col, id_col)
+    ranked = df.select(
+        *group_cols,
+        F.col(label_col).cast("long").alias("_y"),
+        F.row_number().over(w).cast("long").alias("_rank"),
+    )
+    n = ranked.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    j = ranked.join(n, group_cols).withColumn(
+        "bin", F.expr(f"CAST(((_rank - 1) * {n_bins}) div _n AS INT)")
+    )
+    g = j.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n_bin"),
+        F.sum("_rank").alias("_sum_rank"),
+        F.sum("_y").alias("_n_pos"),
+        F.max("_n").alias("_n"),
+    )
+    term = F.abs(F.col("_n_pos") * F.col("_n") - F.col("_sum_rank"))
+    return (
+        g.select(*group_cols, "n_bin", "_n", term.alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+            (
+                F.sum("_t").cast("double")
+                / (F.max("_n") * F.max("_n")).cast("double")
+            ).alias("ece"),
+            F.max(
+                F.col("_t").cast("double")
+                / (F.col("n_bin") * F.col("_n")).cast("double")
+            ).alias("mce"),
+        )
+    )
+
+
 def two_proportion_ztest(
     df: DataFrame,
     arm_col: str,
