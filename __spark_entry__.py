@@ -8195,6 +8195,105 @@ def q_events_holt_winters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX per event type (operators/evaluate.
+    population_stability_index): the standard score-drift monitor —
+    decile cuts from the EARLIER half of the time range (split at the
+    exact integer (min+max) div 2 nanosecond midpoint), both halves
+    binned on those exact-integer cuts, PSI = Σ(p−q)·ln(p/q) with each
+    bin term quantized at 9dp and the total an exact decimal sum (the
+    corpus_drift transcendental contract); empty bins clamp to count 1
+    on both engines."""
+    from usearch_spark.operators.evaluate import population_stability_index
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts_ns",
+        F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mid = ev.agg(
+        F.expr("CAST((min(ts_ns) + max(ts_ns)) div 2 AS BIGINT)").alias("_mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid))
+    ref = tagged.filter(F.col("ts_ns") <= F.col("_mid"))
+    cur = tagged.filter(F.col("ts_ns") > F.col("_mid"))
+    return population_stability_index(
+        ref, cur, ["event_type"], "cents", n_bins=10
+    ).orderBy("event_type", "bin")
+
+
+def _psi_oracle_sql(n_bins: int = 10) -> str:
+    """population_stability_index replay: exact rank-threshold decile
+    cuts on reference cells, LEFT-JOIN bin assignment (count of cuts
+    strictly below the value), clamp-to-1 shares, round-at-9 decimal
+    contributions, exact decimal PSI sum."""
+    kmax = n_bins - 1
+    return f"""
+        WITH ev AS (
+            SELECT event_type AS g, epoch_us(ts) * 1000 AS ns,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+            FROM events
+        ),
+        mid AS (SELECT (min(ns) + max(ns)) // 2 AS m FROM ev),
+        cellsr AS (
+            SELECT g, v, CAST(count(*) AS BIGINT) AS cr
+            FROM ev, mid WHERE ns <= m GROUP BY 1, 2
+        ),
+        cellsc AS (
+            SELECT g, v, CAST(count(*) AS BIGINT) AS cc
+            FROM ev, mid WHERE ns > m GROUP BY 1, 2
+        ),
+        totr AS (SELECT g, CAST(sum(cr) AS BIGINT) AS nr FROM cellsr GROUP BY 1),
+        totc AS (SELECT g, CAST(sum(cc) AS BIGINT) AS nc FROM cellsc GROUP BY 1),
+        cum AS (
+            SELECT g, v, sum(cr) OVER (PARTITION BY g ORDER BY v) AS cum
+            FROM cellsr
+        ),
+        cuts AS (
+            SELECT g, k, min(v) AS cut
+            FROM cum JOIN totr USING (g)
+            CROSS JOIN (SELECT unnest(range(1, {kmax + 1})) AS k)
+            WHERE cum >= (k * nr + {n_bins} - 1) // {n_bins}
+            GROUP BY 1, 2
+        ),
+        binr AS (
+            SELECT c.g, c.v, c.cr, CAST(count(t.cut) AS INT) AS bin
+            FROM cellsr c LEFT JOIN cuts t ON t.g = c.g AND c.v > t.cut
+            GROUP BY 1, 2, 3
+        ),
+        binc AS (
+            SELECT c.g, c.v, c.cc, CAST(count(t.cut) AS INT) AS bin
+            FROM cellsc c LEFT JOIN cuts t ON t.g = c.g AND c.v > t.cut
+            GROUP BY 1, 2, 3
+        ),
+        br AS (SELECT g, bin, CAST(sum(cr) AS BIGINT) AS n_ref FROM binr GROUP BY 1, 2),
+        bc AS (SELECT g, bin, CAST(sum(cc) AS BIGINT) AS n_cur FROM binc GROUP BY 1, 2),
+        grid AS (
+            SELECT coalesce(br.g, bc.g) AS g, coalesce(br.bin, bc.bin) AS bin,
+                   coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+            FROM br FULL OUTER JOIN bc ON br.g = bc.g AND br.bin = bc.bin
+        ),
+        terms AS (
+            SELECT grid.g, bin, n_ref, n_cur,
+                   CAST(greatest(n_ref, 1) AS DOUBLE) / CAST(nr AS DOUBLE) AS p,
+                   CAST(greatest(n_cur, 1) AS DOUBLE) / CAST(nc AS DOUBLE) AS q
+            FROM grid JOIN totr ON totr.g = grid.g JOIN totc ON totc.g = grid.g
+        ),
+        c AS (
+            SELECT g, bin, n_ref, n_cur,
+                   CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9)) AS t
+            FROM terms
+        ),
+        tot2 AS (SELECT g, CAST(sum(t) AS DOUBLE) AS psi FROM c GROUP BY 1)
+        SELECT c.g AS event_type, bin, n_ref, n_cur,
+               CAST(t AS DOUBLE) AS psi_contrib, psi
+        FROM c JOIN tot2 ON tot2.g = c.g
+        ORDER BY event_type, bin
+    """
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-distribution DRIFT between the even- and odd-numbered
     document sources (operators/text_analysis.corpus_js_drift):
@@ -14587,6 +14686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_late": q_events_mad_late,
         "eval_ece": q_eval_ece,
         "customer_retention": q_customer_retention,
+        "events_psi": q_events_psi,
         # --- round-7 remainder (re-gated r12) ---
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -15569,6 +15669,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_ndcg": _ndcg_oracle_sql(k=20),
         "eval_calibration": _calibration_oracle_sql(n_bins=10),
         "eval_ece": _ece_oracle_sql(n_bins=10),
+        "events_psi": _psi_oracle_sql(n_bins=10),
         "events_stl": _stl_oracle_sql(m=7),
         "events_sax": _sax_oracle_sql(w=6, alphabet=4),
         "text_rake": _rake_oracle_sql(k=15),

@@ -837,3 +837,25 @@ def test_expected_calibration_error_exact_integer_fold(spark):
     assert (r["n"], r["n_bins_used"]) == (4, 2)
     assert r["ece"] == 0.25
     assert r["mce"] == 0.375
+
+
+def test_psi_identical_distributions_zero_and_shift_positive(spark):
+    """PSI anchors: binning the SAME frame against itself gives exactly
+    0.0 per bin (p == q -> ln(1) == 0.0, no float residue); a hard
+    location shift gives a large PSI; cuts come from the REFERENCE."""
+    from usearch_spark.operators.evaluate import population_stability_index
+
+    ref_rows = [("g", v) for v in range(1, 101)]
+    ref = spark.createDataFrame(ref_rows, "g string, v long")
+    same = population_stability_index(ref, ref, ["g"], "v", n_bins=5).collect()
+    assert len(same) == 5
+    assert all(r["psi_contrib"] == 0.0 and r["psi"] == 0.0 for r in same)
+    assert all(r["n_ref"] == r["n_cur"] == 20 for r in same)
+
+    cur = spark.createDataFrame([("g", v + 80) for v in range(1, 101)], "g string, v long")
+    shifted = population_stability_index(ref, cur, ["g"], "v", n_bins=5).collect()
+    psi = shifted[0]["psi"]
+    assert psi > 1.0  # hard shift: most mass lands in the top bin
+    # every current row above the last cut (cut_4 = 80) -> top bin holds 100
+    top = {r["bin"]: r for r in shifted}
+    assert top[4]["n_cur"] == 100

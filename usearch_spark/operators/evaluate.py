@@ -1401,6 +1401,117 @@ def brier_scaled(
     )
 
 
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group POPULATION STABILITY INDEX (the standard model-input
+    drift monitor; PSI < 0.1 stable, > 0.25 action): quantile bins are
+    cut on the REFERENCE period's integer values, both periods are
+    binned against those cuts, and
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    with p/q the reference/current bin shares.  The score-level
+    companion to corpus_js_drift's token-level divergence.
+
+    Determinism (the corpus_js_drift contract): bin CUTS are exact
+    integers — cut_k = the smallest value whose running cell count
+    reaches ceil(k·n_ref/n_bins), a rank-threshold lookup on
+    (group, value) CELLS, never a float quantile — and bin assignment
+    compares integers, so binning is bit-stable.  Each bin's
+    contribution is one identical IEEE chain (two exact divides, one
+    subtract, one divide, one ln, one multiply) quantized by round-at-9
+    to DECIMAL(18,9); the per-group PSI is the exact decimal sum of the
+    quantized terms, closed by one double cast.  Empty bins clamp their
+    count to 1 (the standard zero-replacement) on BOTH engines.
+
+    Distributed shape: two (group, value) cell collapses, one
+    group-partitioned running-count window over CELLS (value
+    cardinality, not row volume), broadcast cut arrays, two partial-agg
+    bin counts.  No global windows, no UDFs, no collects.
+
+    Output: group_cols + (bin, n_ref, n_cur, psi_contrib, psi) — one
+    row per bin, psi repeated per group (the js_total pattern).
+    """
+    def cells(df: DataFrame, cnt: str) -> DataFrame:
+        return (
+            df.select(*group_cols, F.col(val_col).alias("_v"))
+            .groupBy(*group_cols, "_v")
+            .agg(F.count(F.lit(1)).alias(cnt))
+        )
+
+    cr = cells(ref, "_cr")
+    cc = cells(cur, "_cc")
+    tot_r = cr.groupBy(*group_cols).agg(F.sum("_cr").alias("_nr"))
+    tot_c = cc.groupBy(*group_cols).agg(F.sum("_cc").alias("_nc"))
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    cum = cr.withColumn("_cum", F.sum("_cr").over(w)).join(tot_r, group_cols)
+    kframe = ref.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("_k")
+    )
+    cuts = (
+        cum.select(*group_cols, "_v", "_cum", "_nr")
+        .crossJoin(F.broadcast(kframe))
+        .filter(
+            F.col("_cum")
+            >= F.expr(f"(_k * _nr + {n_bins} - 1) div {n_bins}")
+        )
+        .groupBy(*group_cols, "_k")
+        .agg(F.min("_v").alias("_cut"))
+    )
+    carr = cuts.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("_k", "_cut"))).alias("_s")
+    ).select(
+        *group_cols, F.expr("transform(_s, x -> x._cut)").alias("_cuts")
+    )
+
+    def binned(cell: DataFrame, cnt: str) -> DataFrame:
+        b = F.expr(
+            "aggregate(_cuts, 0, (acc, c) -> acc + IF(_v > c, 1, 0))"
+        ).alias("bin")
+        return (
+            cell.join(F.broadcast(carr), group_cols)
+            .select(*group_cols, b, F.col(cnt))
+            .groupBy(*group_cols, "bin")
+            .agg(F.sum(cnt).alias(cnt))
+        )
+
+    br = binned(cr, "_cr")
+    bc = binned(cc, "_cc")
+    grid = (
+        br.join(bc, [*group_cols, "bin"], "full")
+        .select(
+            *group_cols,
+            "bin",
+            F.coalesce("_cr", F.lit(0)).alias("n_ref"),
+            F.coalesce("_cc", F.lit(0)).alias("n_cur"),
+        )
+        .join(tot_r, group_cols)
+        .join(tot_c, group_cols)
+    )
+    p = F.greatest(F.col("n_ref"), F.lit(1)).cast("double") / F.col("_nr").cast(
+        "double"
+    )
+    q = F.greatest(F.col("n_cur"), F.lit(1)).cast("double") / F.col("_nc").cast(
+        "double"
+    )
+    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    per = grid.select(*group_cols, "bin", "n_ref", "n_cur", contrib.alias("_t"))
+    tot = per.groupBy(*group_cols).agg(F.sum("_t").cast("double").alias("psi"))
+    return per.join(tot, group_cols).select(
+        *group_cols,
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.col("_t").cast("double").alias("psi_contrib"),
+        "psi",
+    )
+
+
 def expected_calibration_error(
     df: DataFrame,
     group_cols: list[str],
