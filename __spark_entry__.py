@@ -12423,6 +12423,87 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "lag")
 
 
+def q_events_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test per event type (operators/forecast.
+    ljung_box over daily_acf, lags 1..7): Q = T(T+2)·Σ r_j²/(T−j)
+    against the χ²₇ 95% critical value — the joint "any serial
+    correlation at all?" verdict that closes events_acf's per-lag
+    diagnostic.  r_j are exact-integer divides; Q is a fixed
+    left-associated IEEE chain (the oracle spells out the identical
+    chain), rounded at 6dp; the critical value is an injected
+    literal."""
+    from usearch_spark.operators.forecast import daily_acf, ljung_box
+
+    ev = _events(spark, sf_dir)
+    acf = daily_acf(
+        ev.select("event_type", "ts"), ["event_type"], F.to_date("ts"), max_lag=7
+    )
+    return ljung_box(acf, ["event_type"], k=7).orderBy("event_type")
+
+
+def _ljungbox_oracle_sql(max_lag: int = 7) -> str:
+    """ljung_box replay: the daily_acf integer CTEs, per-lag r_j columns,
+    then the EXPLICIT left-associated Q chain (identical IEEE order to
+    the Spark expression) with the injected chi-square literal."""
+    crit = repr(14.067140449340169)
+    rk_cols = []
+    for j in range(1, max_lag + 1):
+        rk_cols.append(
+            f"""CASE WHEN den > 0 THEN
+                       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, len(c) - {j} + 1),
+                                           i -> c[i] * c[i + {j}])),
+                            (a, x) -> a + x) AS DOUBLE) / CAST(den AS DOUBLE)
+                   END AS r{j}"""
+        )
+    chain = " + ".join(
+        f"r{j} * r{j} / (CAST(t AS DOUBLE) - {float(j)!r})"
+        for j in range(1, max_lag + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT g, list(n ORDER BY d) AS vals
+            FROM daily GROUP BY g HAVING count(*) > {max_lag}
+        ),
+        base AS (
+            SELECT g, CAST(len(vals) AS BIGINT) AS t,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                               (a, x) -> a + x) AS s,
+                   vals
+            FROM seqs
+        ),
+        cb AS (SELECT g, t, list_transform(vals, y -> t * y - s) AS c FROM base),
+        den AS (
+            SELECT g, t, c,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, len(c) + 1), i -> c[i] * c[i])),
+                       (a, x) -> a + x) AS den
+            FROM cb
+        ),
+        rks AS (
+            SELECT g, t,
+                   {", ".join(rk_cols)}
+            FROM den
+        ),
+        q AS (
+            SELECT g, t,
+                   round((CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) + 2e0))
+                         * ({chain}), 6) AS q_stat
+            FROM rks
+        )
+        SELECT g AS event_type, CAST(t AS BIGINT) AS n_days, q_stat,
+               CAST('{crit}' AS DOUBLE) AS lb_crit,
+               q_stat > CAST('{crit}' AS DOUBLE) AS significant
+        FROM q
+        ORDER BY event_type
+    """
+
+
 def _acf_oracle_sql(max_lag: int = 7) -> str:
     """daily_acf replay: day-ordered count list, T-scaled centered
     integers, per-lag integer dot products via list_reduce, one divide
@@ -14687,6 +14768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ece": q_eval_ece,
         "customer_retention": q_customer_retention,
         "events_psi": q_events_psi,
+        "events_ljungbox": q_events_ljungbox,
         # --- round-7 remainder (re-gated r12) ---
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -15670,6 +15752,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_calibration": _calibration_oracle_sql(n_bins=10),
         "eval_ece": _ece_oracle_sql(n_bins=10),
         "events_psi": _psi_oracle_sql(n_bins=10),
+        "events_ljungbox": _ljungbox_oracle_sql(7),
         "events_stl": _stl_oracle_sql(m=7),
         "events_sax": _sax_oracle_sql(w=6, alphabet=4),
         "text_rake": _rake_oracle_sql(k=15),

@@ -1246,3 +1246,26 @@ def test_safety_stock_replay(spark):
     assert r["sigma_daily"] == round(sigma, 6)
     assert r["safety_stock"] == round(ss, 6)
     assert r["reorder_point"] == round(12.0 * 7.0 + ss, 6)
+
+
+def test_ljung_box_python_replay_and_null_propagation(spark):
+    """Q replays the exact left-associated chain on a hand-built ACF
+    frame; a NULL acf lag (constant series) propagates to NULL Q and
+    NULL verdict; a strong weekly pattern reads significant."""
+    from usearch_spark.operators.forecast import ljung_box
+
+    t = 100
+    rs = [0.6, 0.3, 0.1, -0.05, 0.02, 0.01, 0.4]
+    rows = [("strong", t, k, r) for k, r in enumerate(rs, 1)]
+    rows += [("flat", 50, k, None) for k in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, n_days long, lag long, acf double")
+    got = {r["g"]: r for r in ljung_box(df, ["g"], k=7).collect()}
+
+    chain = 0.0
+    for j, r in enumerate(rs, 1):
+        chain = chain + (r * r) / (float(t) - float(j))
+    q = round((float(t) * (float(t) + 2.0)) * chain, 6)
+    assert got["strong"]["q_stat"] == q
+    assert got["strong"]["significant"] is (q > 14.067140449340169)
+    assert got["strong"]["significant"]  # 0.6 autocorrelation at T=100
+    assert got["flat"]["q_stat"] is None and got["flat"]["significant"] is None

@@ -727,6 +727,54 @@ def daily_acf(
     ).select(*group_cols, "n_days", F.col("_l.lag").alias("lag"), F.col("_l.acf").alias("acf"))
 
 
+def ljung_box(
+    acf_frame: DataFrame,
+    group_cols: list[str],
+    k: int = 7,
+    crit: float = 14.067140449340169,
+) -> DataFrame:
+    """Per-group LJUNG-BOX portmanteau test (Ljung & Box 1978) over a
+    :func:`daily_acf` result — the single yes/no "is there ANY serial
+    correlation up to lag K" gate that closes the Box-Jenkins loop
+    daily_acf opens (per-lag eyeballing doesn't control joint size;
+    Q does):
+
+        Q = T·(T+2) · Σ_{j=1..K} r_j² / (T − j)   ~  χ²_K under H0
+
+    ``crit`` defaults to the χ²₇ 95th percentile (14.0671404493…),
+    PRECOMPUTED and injected as a literal per the engine-portability
+    rule (never recompute a transcendental constant engine-side).
+
+    Determinism: each r_j is daily_acf's exact-integer divide; Q is a
+    FIXED left-associated IEEE chain over j = 1..K (explicit additions,
+    not a group aggregate — summation order is part of the contract and
+    the oracle spells out the identical chain), closed by round-at-6.
+    A NULL r_j (constant series) propagates to NULL Q and NULL verdict.
+
+    Distributed shape: one collect_list-free groupBy pivot of the
+    K-row-per-group ACF frame.  Output: group_cols + (n_days, q_stat,
+    lb_crit, significant).
+    """
+    m = acf_frame.groupBy(*group_cols).agg(
+        F.max("n_days").alias("_t"),
+        F.map_from_entries(F.collect_list(F.struct("lag", "acf"))).alias("_m"),
+    )
+    t = F.col("_t").cast("double")
+    chain = None
+    for j in range(1, k + 1):
+        r = F.element_at(F.col("_m"), F.lit(j).cast("long"))
+        term = (r * r) / (t - F.lit(float(j)))
+        chain = term if chain is None else chain + term
+    q = F.round((t * (t + F.lit(2.0))) * chain, 6)
+    return m.select(
+        *group_cols,
+        F.col("_t").alias("n_days"),
+        q.alias("q_stat"),
+        F.lit(crit).alias("lb_crit"),
+        (q > F.lit(crit)).alias("significant"),
+    )
+
+
 def mann_kendall_trend(
     df: DataFrame,
     group_cols: list[str],
