@@ -14188,6 +14188,96 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION per market segment — the classic marketing
+    cohorting: per customer, Recency (days since last order, vs the
+    global max order date), Frequency (order count) and Monetary
+    (lifetime spend in exact cents); each dimension is cut into
+    QUINTILES per segment with the exact rank-threshold-on-cells
+    pattern (the events_psi cut machinery — never a float quantile),
+    and customers aggregate into (segment, r_score, f_score, m_score)
+    cells.  r_score counts DOWN (most recent = 5); f/m count up.
+    Every decision is integer; the only float is the one closing spend
+    divide.  Scale shape: one per-customer agg, three cell collapses +
+    segment-partitioned running-count windows over CELLS, broadcast cut
+    arrays, one final partial agg — no global windows, no UDFs."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    gmax = o.agg(F.max("o_orderdate").alias("_gd"))
+    per = (
+        o.crossJoin(F.broadcast(gmax))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_gd"), F.col("o_orderdate"))).alias("rdays"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("_cents").alias("cents"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base = per.join(cust, "o_custkey").localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    def cuts_for(col: str):
+        cells = base.groupBy("c_mktsegment", col).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        w = Window.partitionBy("c_mktsegment").orderBy(col)
+        cum = cells.withColumn("_cum", F.sum("_n").over(w))
+        tot = cells.groupBy("c_mktsegment").agg(F.sum("_n").alias("_t"))
+        kframe = base.sparkSession.range(1).select(
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("_k")
+        )
+        return (
+            cum.join(tot, "c_mktsegment")
+            .crossJoin(F.broadcast(kframe))
+            .filter(F.col("_cum") >= F.expr("(_k * _t + 4) div 5"))
+            .groupBy("c_mktsegment", "_k")
+            .agg(F.min(col).alias("_cut"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_k", "_cut"))).alias("_s")
+            )
+            .select(
+                "c_mktsegment",
+                F.expr("transform(_s, x -> x._cut)").alias(f"_cuts_{col}"),
+            )
+        )
+
+    j = (
+        base.join(F.broadcast(cuts_for("rdays")), "c_mktsegment")
+        .join(F.broadcast(cuts_for("freq")), "c_mktsegment")
+        .join(F.broadcast(cuts_for("cents")), "c_mktsegment")
+    )
+    rb = F.expr("aggregate(_cuts_rdays, 0, (acc, c) -> acc + IF(rdays > c, 1, 0))")
+    fb = F.expr("aggregate(_cuts_freq, 0, (acc, c) -> acc + IF(freq > c, 1, 0))")
+    mb = F.expr("aggregate(_cuts_cents, 0, (acc, c) -> acc + IF(cents > c, 1, 0))")
+    return (
+        j.select(
+            "c_mktsegment",
+            (F.lit(5) - rb).alias("r_score"),
+            (fb + F.lit(1)).alias("f_score"),
+            (mb + F.lit(1)).alias("m_score"),
+            "cents",
+        )
+        .groupBy("c_mktsegment", "r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum("cents").cast("decimal(38,0)").cast("double")
+                / F.lit(100.0)
+            ).alias("total_spend"),
+        )
+        .orderBy("c_mktsegment", "r_score", "f_score", "m_score")
+    )
+
+
 def q_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COHORT RETENTION TRIANGLE — the companion readout to
     customer_cohort_ltv every growth dashboard pairs with it: customers
@@ -14769,6 +14859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_retention": q_customer_retention,
         "events_psi": q_events_psi,
         "events_ljungbox": q_events_ljungbox,
+        "orders_rfm": q_orders_rfm,
         # --- round-7 remainder (re-gated r12) ---
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
@@ -16009,6 +16100,58 @@ def oracle_sql() -> dict[str, str]:
                    round(re_v, 6), re_v / (re_c + re_v)
             FROM a4
             ORDER BY channel
+        """,
+        "orders_rfm": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                FROM orders
+            ),
+            g AS (SELECT max(o_orderdate) AS gd FROM o),
+            per AS (
+                SELECT o_custkey,
+                       min(datediff('day', o_orderdate, gd)) AS rdays,
+                       CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(cents) AS BIGINT) AS cents
+                FROM o, g GROUP BY o_custkey
+            ),
+            base AS (
+                SELECT c_mktsegment AS seg, per.o_custkey, rdays, freq, cents
+                FROM per JOIN customer ON c_custkey = o_custkey
+            ),
+            ks AS (SELECT unnest(range(1, 5)) AS k),
+            cells_r AS (SELECT seg, rdays AS v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+            cum_r AS (SELECT seg, v, sum(n) OVER (PARTITION BY seg ORDER BY v) AS cum FROM cells_r),
+            tot_r AS (SELECT seg, CAST(sum(n) AS BIGINT) AS t FROM cells_r GROUP BY 1),
+            cuts_r AS (SELECT seg, k, min(v) AS cut FROM cum_r JOIN tot_r USING (seg) CROSS JOIN ks
+                       WHERE cum >= (k * t + 4) // 5 GROUP BY 1, 2),
+            cells_f AS (SELECT seg, freq AS v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+            cum_f AS (SELECT seg, v, sum(n) OVER (PARTITION BY seg ORDER BY v) AS cum FROM cells_f),
+            tot_f AS (SELECT seg, CAST(sum(n) AS BIGINT) AS t FROM cells_f GROUP BY 1),
+            cuts_f AS (SELECT seg, k, min(v) AS cut FROM cum_f JOIN tot_f USING (seg) CROSS JOIN ks
+                       WHERE cum >= (k * t + 4) // 5 GROUP BY 1, 2),
+            cells_m AS (SELECT seg, cents AS v, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2),
+            cum_m AS (SELECT seg, v, sum(n) OVER (PARTITION BY seg ORDER BY v) AS cum FROM cells_m),
+            tot_m AS (SELECT seg, CAST(sum(n) AS BIGINT) AS t FROM cells_m GROUP BY 1),
+            cuts_m AS (SELECT seg, k, min(v) AS cut FROM cum_m JOIN tot_m USING (seg) CROSS JOIN ks
+                       WHERE cum >= (k * t + 4) // 5 GROUP BY 1, 2),
+            scored AS (
+                SELECT seg,
+                       CAST(5 - (SELECT count(*) FROM cuts_r c
+                                 WHERE c.seg = b.seg AND b.rdays > c.cut) AS INT) AS r_score,
+                       CAST(1 + (SELECT count(*) FROM cuts_f c
+                                 WHERE c.seg = b.seg AND b.freq > c.cut) AS INT) AS f_score,
+                       CAST(1 + (SELECT count(*) FROM cuts_m c
+                                 WHERE c.seg = b.seg AND b.cents > c.cut) AS INT) AS m_score,
+                       cents
+                FROM base b
+            )
+            SELECT seg AS c_mktsegment, r_score, f_score, m_score,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS DOUBLE) / 1e2 AS total_spend
+            FROM scored
+            GROUP BY 1, 2, 3, 4
+            ORDER BY c_mktsegment, r_score, f_score, m_score
         """,
         "customer_retention": """
             WITH o AS (
