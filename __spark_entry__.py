@@ -8201,9 +8201,10 @@ def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile cuts from the EARLIER half of the time range (split at the
     exact integer (min+max) div 2 nanosecond midpoint), both halves
     binned on those exact-integer cuts, PSI = Σ(p−q)·ln(p/q) with each
-    bin term quantized at 9dp and the total an exact decimal sum (the
-    corpus_drift transcendental contract); empty bins clamp to count 1
-    on both engines."""
+    (always non-negative) bin term quantized to exact 1e-9-unit int64
+    by floor(x·1e9 + 0.5) and the total an exact integer sum (the
+    corpus_drift transcendental contract via the established floor
+    trick); empty bins clamp to count 1 on both engines."""
     from usearch_spark.operators.evaluate import population_stability_index
 
     ev = _events(spark, sf_dir).select(
@@ -8283,12 +8284,12 @@ def _psi_oracle_sql(n_bins: int = 10) -> str:
         ),
         c AS (
             SELECT g, bin, n_ref, n_cur,
-                   CAST(round((p - q) * ln(p / q), 9) AS DECIMAL(18,9)) AS t
+                   CAST(floor(((p - q) * ln(p / q)) * 1e9 + 0.5) AS BIGINT) AS t
             FROM terms
         ),
-        tot2 AS (SELECT g, CAST(sum(t) AS DOUBLE) AS psi FROM c GROUP BY 1)
+        tot2 AS (SELECT g, CAST(sum(t) AS DOUBLE) / 1e9 AS psi FROM c GROUP BY 1)
         SELECT c.g AS event_type, bin, n_ref, n_cur,
-               CAST(t AS DOUBLE) AS psi_contrib, psi
+               CAST(t AS DOUBLE) / 1e9 AS psi_contrib, psi
         FROM c JOIN tot2 ON tot2.g = c.g
         ORDER BY event_type, bin
     """

@@ -224,6 +224,7 @@ def test_fetch_politeness_rate_limit(spark):
     assert elapsed >= 0.6
 
 
+@pytest.mark.slow
 def test_frontier_crawl_stream(spark, tmp_path):
     """ST1+ST4 end-to-end: the processing-time stream drives crawl passes
     and newly discovered links are crawled by LATER passes (frontier

@@ -101,6 +101,7 @@ def test_reindex_preserves_pagerank(engine, spark):
     assert docs[PAGE_B]["pagerank"] > docs[HUB]["pagerank"]
 
 
+@pytest.mark.slow
 def test_streaming_crawl_loop_resumes_from_table_state(spark, tmp_path):
     """True Structured Streaming frontier loop: passes fire on stream
     triggers and persist the three tables; a STOPPED then RESTARTED stream

@@ -146,6 +146,7 @@ def test_coloring_random_graph_bounded(spark):
     _assert_proper_coloring(res.state.collect(), edges, max_colors=max(deg.values()) + 1)
 
 
+@pytest.mark.slow
 def test_sssp_local_matches_distributed(spark):
     from usearch_spark.plans.shortest_path import shortest_paths
 
@@ -163,6 +164,7 @@ def test_sssp_local_matches_distributed(spark):
     assert rl == rd
 
 
+@pytest.mark.slow
 def test_coloring_local_matches_distributed(spark):
     from usearch_spark.plans.coloring import color_graph
 
@@ -179,6 +181,7 @@ def test_coloring_local_matches_distributed(spark):
     assert cl == cd
 
 
+@pytest.mark.slow
 def test_components_local_matches_distributed(spark):
     from usearch_spark.plans.pregel import connected_components
 
@@ -196,6 +199,7 @@ def test_components_local_matches_distributed(spark):
     assert cl["v8"] == "v8"  # isolated vertex is its own component
 
 
+@pytest.mark.slow
 def test_local_solvers_accept_numeric_ids(spark):
     """All four local solvers must work with non-string vertex ids (the
     output id column keeps the input type, and label/tie comparisons stay
@@ -248,6 +252,7 @@ def test_pagerank_unknown_endpoint_edges_parity(spark):
         assert sl[k] == pytest.approx(sd[k], rel=1e-9, abs=1e-12), (k, sl, sd)
 
 
+@pytest.mark.slow
 def test_boruvka_mst_handcheck_and_kruskal_replay(spark):
     """Anchors: (1) textbook 5-vertex MST hand-check including a
     tie resolved by the (w, a, b) order; (2) a two-component graph
@@ -418,6 +423,7 @@ def test_scc_directionality_matters(spark):
     assert got2 == {10: 10, 20: 10, 30: 10}
 
 
+@pytest.mark.slow
 def test_scc_two_mutual_blocks_sharing_a_bridge(spark):
     """Two 2-cycles joined by one-way bridges in both orders resolve to
     two SCCs regardless of which holds the global min."""

@@ -203,6 +203,7 @@ def test_betweenness_sampled_subset(spark):
     assert got == {"a": 0.0, "b": 1.5, "c": 1.0, "d": 0.5, "e": 0.0}
 
 
+@pytest.mark.slow
 def test_bfs_family_local_distributed_parity_real_graph(spark):
     """Beyond the hand goldens: both physical strategies must agree row-
     for-row on a real (sf0.001 supplier-part) graph for harmonic AND
@@ -440,6 +441,7 @@ def test_hyperball_tracks_exact_balls(spark):
     assert again == out
 
 
+@pytest.mark.slow
 def test_partition_kway_invariants(spark):
     """Multilevel k-way partitioning: total assignment (every vertex,
     exactly once), parts in [0,k), every part within the (1+eps) balance

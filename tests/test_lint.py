@@ -98,7 +98,23 @@ ALLOWED = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(__import__("__spark_entry__").queries()))
+# Heavy graph/iterative plans whose CONSTRUCTION alone (driver-side loop
+# unrolling + per-round checkpoints at lint time) costs 10s+ each: the
+# lint still covers them in the full suite, the default loop skips them.
+_LINT_SLOW = {
+    "graph_mst", "graph_louvain_dist", "graph_coarsen_levels", "sim_mmr",
+    "graph_louvain_refined", "graph_louvain", "graph_partition_kway",
+    "graph_eccentricity", "graph_coarsen", "corpus_coverage_select",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _LINT_SLOW else n
+        for n in sorted(__import__("__spark_entry__").queries())
+    ],
+)
 def test_entry_queries_lint_clean(spark, name):
     """Repo-wide sweep: no entry query may plan a cartesian product, a
     row-at-a-time Python stage, or a global window (unless allowlisted

@@ -167,6 +167,7 @@ def test_ppr_uniform_sources_recover_global_pagerank(spark):
         assert ppr[k] == pytest.approx(plain[k], rel=1e-9, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_ppr_local_matches_distributed(spark):
     import random as _random
 
@@ -298,6 +299,7 @@ def test_pagerank_warm_start_graph_churn(spark):
     assert abs(sum(ww.values()) - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_ppr_push_converges_to_power_iteration_fixpoint(spark):
     """Forward push (eps=0) and the dense power iteration solve the SAME
     stationary equation: with enough rounds both approximate the PPR

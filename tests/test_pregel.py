@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from usearch_spark.plans.pregel import connected_components, pregel
+import pytest
 
 
 def test_connected_components(spark):
@@ -113,6 +114,7 @@ def test_star_components_match_label_prop_random(spark):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_star_components_path_graph_and_isolated(spark):
     """A 120-node path (the diameter worst case star-contraction exists
     for) plus an isolated vertex: one component rooted at the min id,

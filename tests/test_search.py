@@ -146,6 +146,7 @@ def test_pagerank_blend_reorders(spark):
     assert [r["link_id"] for r in page2.collect()][0] == "a"
 
 
+@pytest.mark.slow
 def test_update_score_ordering_suite_both_blends(spark):
     """Mirror of indextest/suite.go TestUpdateScore (:314-372): 50 docs with
     identical content, PageRank = 50-i orders results as inserted; reversing

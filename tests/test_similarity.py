@@ -291,6 +291,7 @@ def test_principal_component_matches_numpy_power_iteration(spark):
     assert cos > 0.99
 
 
+@pytest.mark.slow
 def test_principal_component2_orthogonal_and_matches_numpy(spark):
     import math
 

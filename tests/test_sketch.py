@@ -1175,6 +1175,7 @@ def test_exact_percentiles_cell_rank_lookup(spark):
         assert got[q] == s[rank - 1], q
 
 
+@pytest.mark.slow
 def test_daily_pacf_durbin_levinson_replay(spark):
     """PACF equals a Python Durbin-Levinson replay over the exact-ratio
     ACF values (same operation order), and an AR(1)-like geometric ACF

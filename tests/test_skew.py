@@ -62,6 +62,7 @@ def test_minhash_lsh_hub_bucket_dropped_and_planted_found(spark):
     assert errors(lint_plan(pairs)) == []
 
 
+@pytest.mark.slow
 def test_minhash_lsh_drop_accounting(spark):
     """The cap must be observable, not silent: recompute bucket sizes from
     the index and verify the hub bucket exceeds the cap in EVERY band (so

@@ -8,13 +8,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from usearch_spark.streaming.events import (
-
-pytestmark = pytest.mark.slow  # streaming replays: multi-micro-batch runs dominate the suite clock
-
     run_to_memory_sink,
     stream_events_from_parquet,
     windowed_event_counts,
 )
+
+pytestmark = pytest.mark.slow  # streaming replays: multi-micro-batch runs dominate the suite clock
 
 EVENT_SCHEMA = T.StructType(
     [

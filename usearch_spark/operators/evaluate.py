@@ -1418,16 +1418,19 @@ def population_stability_index(
     with p/q the reference/current bin shares.  The score-level
     companion to corpus_js_drift's token-level divergence.
 
-    Determinism (the corpus_js_drift contract): bin CUTS are exact
-    integers — cut_k = the smallest value whose running cell count
-    reaches ceil(k·n_ref/n_bins), a rank-threshold lookup on
-    (group, value) CELLS, never a float quantile — and bin assignment
-    compares integers, so binning is bit-stable.  Each bin's
-    contribution is one identical IEEE chain (two exact divides, one
-    subtract, one divide, one ln, one multiply) quantized by round-at-9
-    to DECIMAL(18,9); the per-group PSI is the exact decimal sum of the
-    quantized terms, closed by one double cast.  Empty bins clamp their
-    count to 1 (the standard zero-replacement) on BOTH engines.
+    Determinism (the corpus_js_drift transcendental contract, carried
+    by the floor-quantization trick instead of an allow-listed round):
+    bin CUTS are exact integers — cut_k = the smallest value whose
+    running cell count reaches ceil(k·n_ref/n_bins), a rank-threshold
+    lookup on (group, value) CELLS, never a float quantile — and bin
+    assignment compares integers, so binning is bit-stable.  Each bin's
+    contribution (p−q)·ln(p/q) is ALWAYS ≥ 0 and is one identical IEEE
+    chain on both engines, quantized to an EXACT int64 in 1e-9 units by
+    floor(x·1e9 + 0.5) (half-up; non-negative, so no half-away
+    asymmetry); the per-group PSI is the exact integer sum of the
+    quantized terms, and the only output floats are two single
+    int→double divides.  Empty bins clamp their count to 1 (the
+    standard zero-replacement) on BOTH engines.
 
     Distributed shape: two (group, value) cell collapses, one
     group-partitioned running-count window over CELLS (value
@@ -1499,15 +1502,19 @@ def population_stability_index(
     q = F.greatest(F.col("n_cur"), F.lit(1)).cast("double") / F.col("_nc").cast(
         "double"
     )
-    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    contrib = F.floor(
+        ((p - q) * F.log(p / q)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
     per = grid.select(*group_cols, "bin", "n_ref", "n_cur", contrib.alias("_t"))
-    tot = per.groupBy(*group_cols).agg(F.sum("_t").cast("double").alias("psi"))
+    tot = per.groupBy(*group_cols).agg(
+        (F.sum("_t").cast("double") / F.lit(1e9)).alias("psi")
+    )
     return per.join(tot, group_cols).select(
         *group_cols,
         "bin",
         "n_ref",
         "n_cur",
-        F.col("_t").cast("double").alias("psi_contrib"),
+        (F.col("_t").cast("double") / F.lit(1e9)).alias("psi_contrib"),
         "psi",
     )
 
