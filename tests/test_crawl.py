@@ -4,6 +4,8 @@ static fetch injection instead of live HTTP servers."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F

@@ -18,6 +18,8 @@ before the Exchange in the physical plan, linter-clean plans).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from usearch_spark.operators.dedup import (
@@ -135,7 +137,6 @@ def test_pagerank_hub_key_partial_aggregation(spark):
 
 import os  # noqa: E402
 
-import pytest  # noqa: E402
 
 
 def _templated_corpus_sf1(spark):
