@@ -903,10 +903,23 @@ def test_iterative_loops_release_superseded_checkpoints(spark):
         [(str(i), str((i + 1) % n)) for i in range(n)], "src string, dst string"
     )
 
+    from usearch_spark.plans.graph_stats import (
+        coreness,
+        densest_subgraph,
+        kcore_peel,
+        ktruss,
+        maximal_matching,
+    )
+
     for run in (
         lambda: harmonic_centrality(v, e, ["0", "7"], rounds=10, strategy="distributed"),
         lambda: betweenness_centrality(v, e, ["0", "7"], rounds=10, strategy="distributed"),
         lambda: katz_centrality(v, e, beta=0.05, steps=10, strategy="distributed"),
+        lambda: kcore_peel(v, e, k=2, rounds=10),
+        lambda: coreness(v, e, rounds=10),
+        lambda: ktruss(v, e, k=3, rounds=10),
+        lambda: maximal_matching(v, e, rounds=10),
+        lambda: densest_subgraph(v, e, rounds=10),
     ):
         gc.collect()  # settle leftovers from other tests first
         before = _persistent_rdd_count(spark)
