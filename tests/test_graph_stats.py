@@ -933,3 +933,22 @@ def test_iterative_loops_release_superseded_checkpoints(spark):
             f"pinned RDDs grew by {after - before} (O(rounds) leak): "
             f"{before} -> {after}"
         )
+
+
+def test_release_local_checkpoint_noop_on_lazy_frames(spark):
+    """release_local_checkpoint is best-effort by contract: a lazy frame,
+    a derived select over a checkpoint, and None must all no-op (never
+    raise, never free blocks a live frame still needs)."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.iterative import release_local_checkpoint
+
+    release_local_checkpoint(None)
+    lazy = spark.range(100).select(F.col("id") * 2)
+    release_local_checkpoint(lazy)  # not a checkpoint: no-op
+    assert lazy.count() == 100
+    cp = spark.range(50).localCheckpoint(eager=True)
+    derived = cp.select((F.col("id") + 1).alias("x"))
+    release_local_checkpoint(derived)  # Project over LogicalRDD: no-op
+    assert derived.count() == 50  # cp blocks must still be readable
+    release_local_checkpoint(cp)  # the bare checkpoint DOES release

@@ -1184,3 +1184,18 @@ def test_legacy_pointer_is_lineage_mismatch(tmp_path):
     adm = _guard_epoch(ptr, "newlineage", 0, target, "adopt")
     assert adm == (3, 4)
     assert _read_current(ptr) == (3, None, 3)
+
+
+def test_replay_tuned_session_restores_conf_on_error(spark):
+    """The tuned-replay context must restore the session's shuffle
+    partitions even when the replay body raises."""
+    from usearch_spark.streaming import replay_tuned_session
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with replay_tuned_session(spark, n_partitions=3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
