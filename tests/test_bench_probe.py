@@ -59,3 +59,35 @@ def test_probe_cli_prints_one_json_line():
     assert len(lines) == 1, r.stdout + r.stderr
     parsed = json.loads(lines[0])
     assert "point_lookup" in parsed["probe"]
+
+
+def test_parse_args_sf_prefixed_query_name_not_consumed(tmp_path, monkeypatch):
+    """A query name starting with 'sf' must NOT be swallowed as the SF
+    directory (ADVICE r14): only tokens resolving to an existing dir are."""
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_probe
+
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    # 'sf_prefixed_query' resolves to no directory -> kept as a name
+    sf_dir, names = bench_probe.parse_args(["sf_prefixed_query", "other_q"])
+    assert names == ["sf_prefixed_query", "other_q"]
+    assert sf_dir == "/root/testdata/sf0.1"
+    # a real directory IS consumed positionally
+    d = tmp_path / "sfx"
+    d.mkdir()
+    sf_dir, names = bench_probe.parse_args([str(d), "q1"])
+    assert sf_dir == str(d) and names == ["q1"]
+
+
+def test_parse_args_explicit_flag_and_validation(tmp_path):
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_probe
+    import pytest
+
+    d = tmp_path / "data"
+    d.mkdir()
+    for argv in (["--sf-dir", str(d), "q1"], [f"--sf-dir={d}", "q1"]):
+        sf_dir, names = bench_probe.parse_args(argv)
+        assert sf_dir == str(d) and names == ["q1"]
+    with pytest.raises(SystemExit):
+        bench_probe.parse_args(["--sf-dir", str(tmp_path / "missing"), "q1"])

@@ -952,3 +952,45 @@ def test_release_local_checkpoint_noop_on_lazy_frames(spark):
     release_local_checkpoint(derived)  # Project over LogicalRDD: no-op
     assert derived.count() == 50  # cp blocks must still be readable
     release_local_checkpoint(cp)  # the bare checkpoint DOES release
+
+
+def test_release_walk_failure_counter_stays_zero_on_healthy_spark(spark):
+    """The degraded-path signal (ADVICE r14): on this Spark version the
+    JVM walk works, so intentional no-ops (lazy/derived frames) must NOT
+    count as failures and the counter stays 0 across real releases."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans import iterative
+
+    start = iterative.release_walk_failures
+    lazy = spark.range(10).select(F.col("id") * 2)
+    iterative.release_local_checkpoint(lazy)  # intentional no-op
+    cp = spark.range(10).localCheckpoint(eager=True)
+    iterative.release_local_checkpoint(cp.select("id"))  # derived: no-op
+    iterative.release_local_checkpoint(cp)  # real release
+    assert iterative.release_walk_failures == start
+
+
+def test_release_walk_failure_counted_and_warned_once(spark, caplog):
+    """A frame whose JVM walk blows up increments the counter and logs
+    exactly one warning (so a Spark upgrade that moves the private APIs
+    is visible instead of silently reverting to GC-driven cleanup)."""
+    import logging
+
+    from usearch_spark.plans import iterative
+
+    class _Boom:
+        def queryExecution(self):
+            raise RuntimeError("private API moved")
+
+    class _FakeDF:
+        _jdf = _Boom()
+
+    start = iterative.release_walk_failures
+    iterative._release_walk_warned = False
+    with caplog.at_level(logging.WARNING, logger="usearch_spark.plans.iterative"):
+        iterative.release_local_checkpoint(_FakeDF())
+        iterative.release_local_checkpoint(_FakeDF())
+    assert iterative.release_walk_failures == start + 2
+    warns = [r for r in caplog.records if "release_local_checkpoint" in r.message]
+    assert len(warns) == 1  # one-time latch

@@ -562,3 +562,19 @@ def test_knn_graph_empty_frame_typed_empty_result(spark):
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "nbr_id", "knn_rank", "dot2",
     ]
+
+
+def test_knn_graph_empty_frame_preserves_string_id_type(spark):
+    """The empty-input branch derives the id columns' type from the INPUT
+    schema (ADVICE r14): string vector ids must yield string id/nbr_id in
+    the empty result so empty/non-empty unions don't diverge."""
+    from usearch_spark.operators.similarity import knn_graph
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    out = knn_graph(empty, k=3, n_planes=2)
+    assert out.count() == 0
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {
+        "vec_id": "string", "nbr_id": "string",
+        "knn_rank": "bigint", "dot2": "bigint",
+    }

@@ -92,16 +92,46 @@ def probe(spark, names: list[str], sf_dir: str, reps: int) -> dict:
     }
 
 
-def main() -> None:
-    args = sys.argv[1:]
-    if args and (os.path.sep in args[0] or args[0].startswith("sf")):
-        sf_dir, names = args[0], args[1:]
-        if not os.path.sep in sf_dir:
-            sf_dir = f"/root/testdata/{sf_dir}"
+def resolve_sf_dir(token: str) -> str | None:
+    """Resolve a CLI token to an existing SF directory, or None if it is
+    not one (so query names — even ones starting with 'sf' — are never
+    silently consumed as a data dir; the ADVICE r14 heuristic fix)."""
+    cand = token if os.path.sep in token else f"/root/testdata/{token}"
+    return cand if os.path.isdir(cand) else None
+
+
+def parse_args(args: list[str]) -> tuple[str, list[str]]:
+    """Split CLI args into (sf_dir, query_names).
+
+    Preference order: an explicit ``--sf-dir DIR`` / ``--sf-dir=DIR`` flag
+    (SystemExit when the directory does not exist), else a positional first
+    token that RESOLVES to an existing directory (a query name that merely
+    starts with 'sf' is kept as a name — the ADVICE r14 heuristic fix),
+    else $SPARK_GRAFT_SF_DIR / the sf0.1 default."""
+    env_default = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for i, a in enumerate(args):
+        if a == "--sf-dir" and i + 1 < len(args):
+            flag_val, rest = args[i + 1], args[:i] + args[i + 2 :]
+            break
+        if a.startswith("--sf-dir="):
+            flag_val, rest = a.split("=", 1)[1], args[:i] + args[i + 1 :]
+            break
     else:
-        sf_dir, names = os.environ.get(
-            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-        ), args
+        flag_val, rest = None, args
+    if flag_val is not None:
+        resolved = resolve_sf_dir(flag_val)
+        if resolved is None:
+            raise SystemExit(f"--sf-dir {flag_val!r}: no such directory")
+        return resolved, rest
+    if rest and (os.path.sep in rest[0] or rest[0].startswith("sf")):
+        resolved = resolve_sf_dir(rest[0])
+        if resolved is not None:
+            return resolved, rest[1:]
+    return env_default, rest
+
+
+def main() -> None:
+    sf_dir, names = parse_args(sys.argv[1:])
     if not names:
         raise SystemExit("usage: bench_probe.py [SF_DIR] NAME [NAME ...]")
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "5"))

@@ -18,6 +18,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1341,9 +1342,21 @@ def knn_graph(
     if first is None:
         # Empty embeddings frame: no dim to derive and no edges to emit —
         # return an explicitly-typed empty result (mmr_topk's empty-pool
-        # contract) instead of raising TypeError on first()[0].
+        # contract) instead of raising TypeError on first()[0].  The id
+        # columns take the INPUT id type (not a hardcoded long) so the
+        # empty and non-empty schemas agree for union/join callers with
+        # non-long vector ids.
+        id_type = emb.schema[id_col].dataType
         return emb.sparkSession.createDataFrame(
-            [], f"{id_col} long, nbr_id long, knn_rank long, dot2 long"
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("nbr_id", id_type),
+                    T.StructField("knn_rank", T.LongType()),
+                    T.StructField("dot2", T.LongType()),
+                ]
+            ),
         )
     dim = len(first[0])
     xq = F.transform(

@@ -71,6 +71,14 @@ def checkpoint_with_metrics(df: DataFrame, **metrics: Column) -> tuple[DataFrame
     return out, obs.get
 
 
+# Diagnostics for the best-effort JVM walk below: count of failed release
+# walks this process (0 on a healthy Spark), plus a latch so the first
+# failure logs exactly once.  Tests and the leakcheck read the counter to
+# distinguish "released" from "silently degraded to GC-driven cleanup".
+release_walk_failures = 0
+_release_walk_warned = False
+
+
 def release_local_checkpoint(df: DataFrame | None) -> None:
     """Free the block-manager storage pinned by a superseded
     ``localCheckpoint(eager=True)`` DataFrame IMMEDIATELY, instead of
@@ -92,16 +100,37 @@ def release_local_checkpoint(df: DataFrame | None) -> None:
         # never release the final state — it IS the result
 
     Best-effort by design: the JVM walk (analyzed plan -> LogicalRDD ->
-    rdd.unpersist) silently degrades to the old GC-driven behavior if the
-    frame is not a bare checkpoint (e.g. a select over one) or the
-    internals move.
+    rdd.unpersist) degrades to the old GC-driven behavior if the frame is
+    not a bare checkpoint (e.g. a select over one) or the internals move.
+    The degraded path is NOT silent: ``release_walk_failures`` counts every
+    failed walk and the first failure logs once at WARNING, so a Spark
+    upgrade that moves the private ``_jdf.queryExecution`` APIs shows up in
+    the leakcheck / pinned-RDD regression tests instead of reverting every
+    loop to the O(rounds) pinned-block leak unnoticed.
     """
+    global release_walk_failures, _release_walk_warned
     if df is None:
         return
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            # Not a bare checkpoint (lazy frame / derived select): the
+            # documented intentional no-op, NOT a walk failure.
+            return
+        plan.rdd().unpersist(False)
+    except Exception as exc:
+        release_walk_failures += 1
+        if not _release_walk_warned:
+            _release_walk_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "release_local_checkpoint JVM walk failed (%s: %s) — "
+                "checkpoint blocks now wait for GC; further failures are "
+                "counted in iterative.release_walk_failures",
+                type(exc).__name__,
+                exc,
+            )
 
 
 @dataclass
@@ -118,12 +147,23 @@ def run_fixpoint(
     should_continue: Callable[[dict, int], bool],
     max_steps: int = 100,
     checkpoint_every: int = 1,
+    release_superseded: bool = True,
 ) -> IterationResult:
     """Run ``step_fn`` until ``should_continue`` says stop or ``max_steps``.
 
     ``step_fn(state, step) -> (new_state, metrics)`` — metrics is a dict of
     driver-side aggregates (the BSP "aggregators": SAD, active counts, ...).
     ``should_continue(metrics, step) -> bool`` evaluated after each step.
+
+    MARKOVIAN CONSTRAINT: when ``step_fn`` returns a bare
+    ``localCheckpoint`` frame, the loop eagerly releases the checkpoint it
+    supersedes (``release_local_checkpoint``), so ``step_fn`` and the
+    caller must not retain and later READ a state from more than one
+    checkpoint interval back — its blocks are gone and the read raises
+    ``checkpointRDDBlockIdNotFoundError``.  Every in-repo loop is
+    Markovian (reads only the previous state).  A non-Markovian loop must
+    either copy what it needs forward into the state frame or set
+    ``release_superseded=False`` to opt back into GC-driven cleanup.
     """
     history: list[dict] = []
     current = state
@@ -137,7 +177,8 @@ def run_fixpoint(
             # the new checkpoint is self-contained, so the one it
             # supersedes (and every un-checkpointed state between them)
             # is dead — release its blocks now instead of at GC time
-            release_local_checkpoint(prev_cp)
+            if release_superseded:
+                release_local_checkpoint(prev_cp)
             prev_cp = new_state
         history.append(metrics)
         current = new_state
