@@ -14788,72 +14788,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered least-recently-driver-gated first so the driver's 50-entry
-    cap sweeps the whole surface across rounds.  Round-14 rotation (the
-    r13-verdict ask #2, followed verbatim): (1) pricing_summary plus the
-    twenty-seven round-13 queries that have never had a driver gate
-    (search_related .. audit_mix_shift); (2) the 22 oldest aged entries
-    next in round-13 order (the 15-entry r12-gated cohort + the first 7
-    of the r07 front).  New round-14 entries land just past the boundary
-    (first in line for the r15 window), then the remaining r07 front,
-    the round-8, round-9, round-10 and round-11 gated cohorts in gate
-    order, and the round-13-gated cohort (freshest) at the back.
+    cap sweeps the whole surface across rounds.  Round-15 rotation (the
+    r14-verdict ask #3, followed verbatim): (1) the seven round-14
+    queries that have never had a driver gate (graph_ppr_push ..
+    orders_rfm); (2) the next 43 oldest aged entries, resuming after
+    type_market_share where the r14 aged cohort ended (the 28-entry r07
+    remainder + the first 15 of the round-8 cohort).  New round-15
+    entries land just past the boundary (first in line for the r16
+    window), then the rest of the round-8 cohort, the round-9/10/11/13
+    gated cohorts in gate order, and the full 50-entry r14-gated window
+    (freshest) at the back.
     Position math: qs.index(name) < 50 is the gated set."""
     return {
-        # --- r14 window head: pricing_summary + the 27 never-driver-gated
-        # --- round-13 queries + the 22 oldest aged (r12-gated) entries ---
-        "pricing_summary": q_pricing_summary,
-        "search_related": q_search_related,
-        "sketch_hll_error": q_sketch_hll_error,
-        "sketch_quantile_error": q_sketch_quantile_error,
-        "events_diversity": q_events_diversity,
-        "events_mad": q_events_mad,
-        "audit_round_amounts": q_audit_round_amounts,
-        "text_diversity": q_text_diversity,
-        "corpus_novelty": q_corpus_novelty,
-        "eval_brier": q_eval_brier,
-        "graph_linkpred": q_graph_linkpred,
-        "events_diversity_stream": q_events_diversity_stream,
-        "sim_knn_graph": q_sim_knn_graph,
-        "events_pacf": q_events_pacf,
-        "events_attribution_markov": q_events_attribution_markov,
-        "customer_cohort_ltv": q_customer_cohort_ltv,
-        "events_ar2_forecast": q_events_ar2_forecast,
-        "corpus_coverage_select": q_corpus_coverage_select,
-        "text_burstiness": q_text_burstiness,
-        "sim_lsh_probe_curve": q_sim_lsh_probe_curve,
-        "graph_katz": q_graph_katz,
-        "parts_safety_stock": q_parts_safety_stock,
-        "eval_abtest": q_eval_abtest,
-        "events_attribution_decay": q_events_attribution_decay,
-        "events_mad_stream": q_events_mad_stream,
-        "audit_benford2": q_audit_benford2,
-        "nation_hhi": q_nation_hhi,
-        "audit_mix_shift": q_audit_mix_shift,
-        # --- aged r12-gated refresh (15 + first 7 of the r07 front) ---
-        "eval_forecast_backtest": q_eval_forecast_backtest,
-        "eval_recall_at_k": q_eval_recall_at_k,
-        "eval_ndcg": q_eval_ndcg,
-        "eval_calibration": q_eval_calibration,
-        "events_stl": q_events_stl,
-        "events_sax": q_events_sax,
-        "text_rake": q_text_rake,
-        "eval_rbo": q_eval_rbo,
-        "graph_mst": q_graph_mst,
-        "events_stl_stream": q_events_stl_stream,
-        "eval_ks": q_eval_ks,
-        "events_acf": q_events_acf,
-        "audit_benford": q_audit_benford,
-        "graph_eccentricity": q_graph_eccentricity,
-        "graph_kcenters": q_graph_kcenters,
-        "salted_join_revenue": q_salted_join_revenue,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
-        "nation_trade_volume": q_nation_trade_volume,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "graph_neighborhood": q_graph_neighborhood,
-        "type_market_share": q_type_market_share,
-        # ---------- 50-entry window boundary (round 14) ----------
-        # --- new round 14 entries land here (first in line for the r15 window) ---
+        # --- r15 window head: the 7 never-driver-gated round-14 queries ---
         "graph_ppr_push": q_graph_ppr_push,
         "events_mad_late": q_events_mad_late,
         "eval_ece": q_eval_ece,
@@ -14861,7 +14808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi": q_events_psi,
         "events_ljungbox": q_events_ljungbox,
         "orders_rfm": q_orders_rfm,
-        # --- round-7 remainder (re-gated r12) ---
+        # --- aged refresh: the next 43 oldest entries, resuming after
+        # --- type_market_share (r07 remainder 28 + first 15 of the r08 cohort) ---
         "returned_revenue": q_returned_revenue,
         "large_orders": q_large_orders,
         "orders_monthly_growth": q_orders_monthly_growth,
@@ -14890,7 +14838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": q_graph_label_prop,
         "supplier_cooccurrence": q_supplier_cooccurrence,
         "doc_keywords": q_doc_keywords,
-        # --- round-8 cohort ---
         "embedding_covariance": q_embedding_covariance,
         "graph_modularity": q_graph_modularity,
         "dedup_stream": q_dedup_stream,
@@ -14906,6 +14853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "top_supplier": q_top_supplier,
         "small_quantity_revenue": q_small_quantity_revenue,
+        # ---------- 50-entry window boundary (round 15) ----------
+        # --- new round 15 entries land here (first in line for the r16 window) ---
+        # --- round-8 cohort remainder ---
         "search_match": q_search_match,
         "search_phrase": q_search_phrase,
         "search_phrase_positional": q_search_phrase_positional,
@@ -14941,7 +14891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "sim_cosine_topk": q_sim_cosine_topk,
         "corpus_prep": q_corpus_prep,
-        # --- round-9 cohort (freshest gate) ---
+        # --- round-9 cohort ---
         "text_trigram_logprob": q_text_trigram_logprob,
         "sim_ann_ivfpq_rerank": q_sim_ann_ivfpq_rerank,
         "graph_louvain_refined": q_graph_louvain_refined,
@@ -14990,7 +14940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_stats": q_skew_stats,
         "column_profile": q_column_profile,
         "range_join": q_range_join,
-        # --- round-10 gated cohort (freshest gate) ---
+        # --- round-10 gated cohort ---
         "sketch_quantile_hist": q_sketch_quantile_hist,
         "sketch_quantile_stream": q_sketch_quantile_stream,
         "text_langid": q_text_langid,
@@ -15041,7 +14991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_scores": q_embedding_pca_scores,
         "embedding_pca2": q_embedding_pca2,
         "branded_or_revenue": q_branded_or_revenue,
-        # --- round-11 gated cohort (freshest gate: 19 new-r10 + r05 remainder 23 + r07 front 8) ---
+        # --- round-11 gated cohort ---
         "sketch_kmv": q_sketch_kmv,
         "sketch_kmv_intersect": q_sketch_kmv_intersect,
         "sketch_kmv_stream": q_sketch_kmv_stream,
@@ -15092,7 +15042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partition_pruned": q_events_partition_pruned,
         "doc_tfidf_pairs": q_doc_tfidf_pairs,
         "graph_densest": q_graph_densest,
-        # --- round-13 gated cohort (freshest gate) ---
+        # --- round-13 gated cohort ---
         "eval_map": q_eval_map,
         "eval_mrr": q_eval_mrr,
         "events_stl_anomaly": q_events_stl_anomaly,
@@ -15143,6 +15093,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles_stream": q_events_percentiles_stream,
         "events_anomaly": q_events_anomaly,
         "vocab_zipf": q_vocab_zipf,
+        # --- round-14 gated cohort (freshest gate: the full r14 window) ---
+        "pricing_summary": q_pricing_summary,
+        "search_related": q_search_related,
+        "sketch_hll_error": q_sketch_hll_error,
+        "sketch_quantile_error": q_sketch_quantile_error,
+        "events_diversity": q_events_diversity,
+        "events_mad": q_events_mad,
+        "audit_round_amounts": q_audit_round_amounts,
+        "text_diversity": q_text_diversity,
+        "corpus_novelty": q_corpus_novelty,
+        "eval_brier": q_eval_brier,
+        "graph_linkpred": q_graph_linkpred,
+        "events_diversity_stream": q_events_diversity_stream,
+        "sim_knn_graph": q_sim_knn_graph,
+        "events_pacf": q_events_pacf,
+        "events_attribution_markov": q_events_attribution_markov,
+        "customer_cohort_ltv": q_customer_cohort_ltv,
+        "events_ar2_forecast": q_events_ar2_forecast,
+        "corpus_coverage_select": q_corpus_coverage_select,
+        "text_burstiness": q_text_burstiness,
+        "sim_lsh_probe_curve": q_sim_lsh_probe_curve,
+        "graph_katz": q_graph_katz,
+        "parts_safety_stock": q_parts_safety_stock,
+        "eval_abtest": q_eval_abtest,
+        "events_attribution_decay": q_events_attribution_decay,
+        "events_mad_stream": q_events_mad_stream,
+        "audit_benford2": q_audit_benford2,
+        "nation_hhi": q_nation_hhi,
+        "audit_mix_shift": q_audit_mix_shift,
+        "eval_forecast_backtest": q_eval_forecast_backtest,
+        "eval_recall_at_k": q_eval_recall_at_k,
+        "eval_ndcg": q_eval_ndcg,
+        "eval_calibration": q_eval_calibration,
+        "events_stl": q_events_stl,
+        "events_sax": q_events_sax,
+        "text_rake": q_text_rake,
+        "eval_rbo": q_eval_rbo,
+        "graph_mst": q_graph_mst,
+        "events_stl_stream": q_events_stl_stream,
+        "eval_ks": q_eval_ks,
+        "events_acf": q_events_acf,
+        "audit_benford": q_audit_benford,
+        "graph_eccentricity": q_graph_eccentricity,
+        "graph_kcenters": q_graph_kcenters,
+        "salted_join_revenue": q_salted_join_revenue,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "nation_trade_volume": q_nation_trade_volume,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "graph_neighborhood": q_graph_neighborhood,
+        "type_market_share": q_type_market_share,
     }
 
 
