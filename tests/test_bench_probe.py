@@ -91,3 +91,21 @@ def test_parse_args_explicit_flag_and_validation(tmp_path):
         assert sf_dir == str(d) and names == ["q1"]
     with pytest.raises(SystemExit):
         bench_probe.parse_args(["--sf-dir", str(tmp_path / "missing"), "q1"])
+
+
+def test_diag_probe_shape(spark):
+    """--diag stamps per-rep worker diagnostics (the r14-verdict
+    instrumentation ask): JVM cpu, python-worker cpu, gc, worker churn."""
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_probe
+
+    out = bench_probe.probe(spark, ["point_lookup"], SF_SMOKE, reps=2, diag=True)
+    rec = out["probe"]["point_lookup"]
+    assert len(rec["diag"]) == 2
+    for g in rec["diag"]:
+        assert set(g) == {
+            "cpu_ms", "pyw_cpu_ms", "gc_ms", "pyw_new", "pyw_live",
+            "threads", "cached_mb",
+        }
+        assert g["pyw_cpu_ms"] >= 0
+    assert "python_worker_reuse" in out

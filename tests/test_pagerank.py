@@ -352,3 +352,40 @@ def test_ppr_push_eps_threshold_prunes_frontier(spark):
     assert len(rows) < len(all_rows)
     assert abs(sum(r["score"] + r["residual"] for r in rows) - 1.0) < 1e-6
     assert abs(sum(r["score"] + r["residual"] for r in all_rows) - 1.0) < 1e-6
+
+
+def test_ppr_push_local_matches_distributed(spark):
+    """The r15 local-solve switch: the single-task numpy push and the
+    per-superstep DataFrame loop produce the SAME (id, score, residual)
+    rows after the shared 8dp closing round — support set exactly equal,
+    values to the summation-order tolerance the oracle already absorbs."""
+    from usearch_spark.plans.pagerank import ppr_forward_push
+
+    v, e = _rand_graph(spark, n=50)
+    # a couple of dead ends exercise the seed dead-mass credit
+    loc = ppr_forward_push(e, ["1"], rounds=10, edges_deduped=True, strategy="local")
+    dist = ppr_forward_push(
+        e, ["1"], rounds=10, edges_deduped=True, strategy="distributed"
+    )
+    lr = {r["id"]: (r["score"], r["residual"]) for r in loc.collect()}
+    dr = {r["id"]: (r["score"], r["residual"]) for r in dist.collect()}
+    assert set(lr) == set(dr)
+    for k in lr:
+        assert abs(lr[k][0] - dr[k][0]) < 1e-7, (k, lr[k], dr[k])
+        assert abs(lr[k][1] - dr[k][1]) < 1e-7, (k, lr[k], dr[k])
+
+
+def test_ppr_push_local_eps_pruning_parity(spark):
+    """eps > 0 pruning decisions match between the strategies on the
+    directed path (exact powers of 0.85 — no boundary ambiguity)."""
+    from usearch_spark.plans.pagerank import ppr_forward_push
+
+    e = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(9)], "src string, dst string"
+    )
+    loc = ppr_forward_push(e, ["0"], rounds=9, eps=0.5, strategy="local").collect()
+    dist = ppr_forward_push(e, ["0"], rounds=9, eps=0.5, strategy="distributed").collect()
+    assert {r["id"] for r in loc} == {r["id"] for r in dist}
+    lm = {r["id"]: (r["score"], r["residual"]) for r in loc}
+    dm = {r["id"]: (r["score"], r["residual"]) for r in dist}
+    assert lm == dm

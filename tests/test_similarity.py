@@ -578,3 +578,37 @@ def test_knn_graph_empty_frame_preserves_string_id_type(spark):
         "vec_id": "string", "nbr_id": "string",
         "knn_rank": "bigint", "dot2": "bigint",
     }
+
+
+def test_udf_worker_prelude_idempotent_driver_side():
+    """The worker prelude (malloc thresholds + gc freeze) must be safe to
+    call repeatedly in any process — it runs at the top of every heavy
+    UDF body, including reused workers."""
+    import gc
+
+    from usearch_spark.session import freeze_worker_gc, udf_worker_prelude
+
+    udf_worker_prelude()
+    frozen1 = gc.get_freeze_count()
+    udf_worker_prelude()  # idempotent: nothing new frozen beyond interim allocs
+    assert gc.isenabled()
+    assert freeze_worker_gc is udf_worker_prelude  # back-compat alias
+    assert gc.get_freeze_count() >= frozen1
+    gc.unfreeze()  # leave the test process as found
+
+
+def test_exact_cosine_single_block_matches_blocked(spark):
+    """The n_blocks==1 mapInPandas fast path and the blocked cogroup path
+    produce identical pair sets (same matmul, same round, same cut)."""
+    import random
+
+    from usearch_spark.operators.similarity import exact_cosine_pairs
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = exact_cosine_pairs(emb, threshold=0.2)  # 200 rows -> 1 block
+    blocked = exact_cosine_pairs(emb, threshold=0.2, n_blocks=3)
+    s = {(r["a"], r["b"]): r["cosine"] for r in single.collect()}
+    b = {(r["a"], r["b"]): r["cosine"] for r in blocked.collect()}
+    assert s == b and len(s) > 0

@@ -43,9 +43,124 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def probe(spark, names: list[str], sf_dir: str, reps: int) -> dict:
+def _jvm_pid() -> int | None:
+    """PID of this session's Spark JVM (the py4j child of this process);
+    None when it can't be identified (diagnostics then skip CPU deltas)."""
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                if int(parts[3]) != me:  # ppid
+                    continue
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if b"java" in cmd:
+                    return int(pid)
+            except (OSError, ValueError, IndexError):
+                continue
+    except OSError:
+        pass
+    return None
+
+
+def _proc_cpu_ms(pid: int | None) -> int | None:
+    """Cumulative user+sys CPU of ``pid`` AND its reaped children in ms
+    (utime+stime+cutime+cstime from /proc/<pid>/stat) — the children term
+    folds in exited python workers, so worker churn shows up as CPU."""
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        ticks = sum(int(parts[i]) for i in (11, 12, 13, 14))
+        return ticks * 1000 // os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _python_worker_pids() -> set[int]:
+    """PIDs of live pyspark worker/daemon processes (cmdline match)."""
+    out: set[int] = set()
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                    out.add(int(pid))
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return out
+
+
+def _pyw_cpu_ms() -> int:
+    """Aggregate CPU (ms) of every LIVE pyspark daemon/worker process,
+    including their reaped children — the compute the JVM counter can't
+    see (workers are the daemon's children, not the JVM's), i.e. where
+    single-task numpy solves and Arrow-batched UDFs actually burn time.
+    Monotone only while the same workers stay alive; per-rep deltas can
+    under-count when a worker exits mid-rep (pyw_new shows churn)."""
+    total = 0
+    for pid in _python_worker_pids():
+        ms = _proc_cpu_ms(pid)
+        if ms is not None:
+            total += ms
+    return total
+
+
+def _jvm_gc_ms(spark) -> int | None:
+    """Total JVM GC time in ms via the management MXBeans (py4j walk);
+    None if the walk fails."""
+    try:
+        jvm = spark.sparkContext._jvm
+        beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception:
+        return None
+
+
+def _jvm_threads(spark) -> int | None:
+    try:
+        jvm = spark.sparkContext._jvm
+        return jvm.java.lang.management.ManagementFactory.getThreadMXBean().getThreadCount()
+    except Exception:
+        return None
+
+
+def _mem_cached_kb() -> int | None:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    return int(line.split()[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
+def probe(spark, names: list[str], sf_dir: str, reps: int, diag: bool = False) -> dict:
     """Run the probe protocol; returns the result dict (separated from
-    main() so pytest can drive it on a tiny SF)."""
+    main() so pytest can drive it on a tiny SF).
+
+    ``diag=True`` (the r14-verdict instrumentation ask) stamps per-rep:
+      - ``cpu_ms``: JVM+reaped-children CPU delta — a slow rep with flat
+        cpu_ms is a SCHEDULING/contention stall, one with proportional
+        cpu_ms is genuine compute growth;
+      - ``gc_ms``: JVM GC time delta (GC-pause-dominated reps);
+      - ``pyw_new``: python worker processes that appeared during the rep
+        (worker churn — the spark.python.worker.reuse failure mode);
+      - ``pyw_live``: live workers after the rep;
+      - ``threads``: JVM thread count after the rep;
+      - ``cached_mb``: OS page cache after the rep (cold-read detection).
+    """
     import __spark_entry__ as E
 
     qs = E.queries()
@@ -65,17 +180,40 @@ def probe(spark, names: list[str], sf_dir: str, reps: int) -> dict:
         pass
     warmup = round(time.time() - t_warm, 3)
 
+    jvm_pid = _jvm_pid() if diag else None
     samples: dict[str, list[float]] = {n: [] for n in names}
+    diags: dict[str, list[dict]] = {n: [] for n in names}
     la: list[float] = [load_before]
     for _ in range(reps):
         for n in names:
             gc.collect()
             spark.catalog.clearCache()
+            if diag:
+                cpu0 = _proc_cpu_ms(jvm_pid)
+                gc0 = _jvm_gc_ms(spark)
+                pyw0 = _python_worker_pids()
+                pywc0 = _pyw_cpu_ms()
             t0 = time.time()
             materialize(qs[n](spark, sf_dir))
             samples[n].append(round(time.time() - t0, 3))
             la.append(round(os.getloadavg()[0], 2))
-    return {
+            if diag:
+                cpu1 = _proc_cpu_ms(jvm_pid)
+                gc1 = _jvm_gc_ms(spark)
+                pyw1 = _python_worker_pids()
+                cached = _mem_cached_kb()
+                diags[n].append(
+                    {
+                        "cpu_ms": None if None in (cpu0, cpu1) else cpu1 - cpu0,
+                        "pyw_cpu_ms": max(0, _pyw_cpu_ms() - pywc0),
+                        "gc_ms": None if None in (gc0, gc1) else gc1 - gc0,
+                        "pyw_new": len(pyw1 - pyw0),
+                        "pyw_live": len(pyw1),
+                        "threads": _jvm_threads(spark),
+                        "cached_mb": None if cached is None else cached // 1024,
+                    }
+                )
+    out = {
         "probe": {
             n: {
                 "reps": ts,
@@ -90,6 +228,13 @@ def probe(spark, names: list[str], sf_dir: str, reps: int) -> dict:
         "load_avg_max": max(la),
         "warmup_sec": warmup,
     }
+    if diag:
+        for n in names:
+            out["probe"][n]["diag"] = diags[n]
+        out["python_worker_reuse"] = spark.conf.get(
+            "spark.python.worker.reuse", "(unset)"
+        )
+    return out
 
 
 def resolve_sf_dir(token: str) -> str | None:
@@ -131,14 +276,18 @@ def parse_args(args: list[str]) -> tuple[str, list[str]]:
 
 
 def main() -> None:
-    sf_dir, names = parse_args(sys.argv[1:])
+    argv = sys.argv[1:]
+    diag = "--diag" in argv
+    if diag:
+        argv = [a for a in argv if a != "--diag"]
+    sf_dir, names = parse_args(argv)
     if not names:
-        raise SystemExit("usage: bench_probe.py [SF_DIR] NAME [NAME ...]")
+        raise SystemExit("usage: bench_probe.py [--diag] [SF_DIR] NAME [NAME ...]")
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "5"))
 
     from usearch_spark.session import get_spark
 
-    out = probe(get_spark("bench_probe"), names, sf_dir, reps)
+    out = probe(get_spark("bench_probe"), names, sf_dir, reps, diag=diag)
     if out["load_avg_max"] > 2.0:
         print(
             f"probe WARNING: load average peaked at {out['load_avg_max']} > 2 "

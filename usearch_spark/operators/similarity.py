@@ -143,6 +143,12 @@ def with_lsh_signature(
     def sig(v):
         import numpy as np
 
+        # see session.udf_worker_prelude: malloc heap reuse + keep
+        # cyclic-gc sweeps from re-tracing the module graph during
+        # the per-batch allocation burst
+        from usearch_spark.session import udf_worker_prelude
+
+        udf_worker_prelude()
         mat = np.array([np.asarray(x, dtype="float64") for x in v])  # (batch, dim)
         if len(mat) == 0:
             import pandas as pd
@@ -267,11 +273,17 @@ def exact_cosine_pairs(
     allocates arrays per comparison; measured 40x slower.)  For corpora
     where even blocked exact is too big, ``embedding_near_pairs`` (LSH)
     is the approximate scale path.
+
+    Below ``target_block_rows`` the corpus is ONE block, and the blocked
+    cogroup degenerates to a single task anyway — that case skips the
+    broadcast-join/cogroup machinery and ships the rows once through a
+    plain single-task mapInPandas with the IDENTICAL diagonal-block
+    math (same matmul, same round, same strict-upper-triangle cut).
     """
     import numpy as np
     import pandas as pd
 
-    from usearch_spark.session import ship_package
+    from usearch_spark.session import ship_package, udf_worker_prelude
 
     spark = embeddings.sparkSession
     ship_package(spark)
@@ -280,6 +292,28 @@ def exact_cosine_pairs(
     ).localCheckpoint(eager=True)
     if n_blocks is None:
         n_blocks = max(1, -(-frozen.count() // target_block_rows))
+
+    id_type_early = dict(embeddings.dtypes)[id_col]
+    if n_blocks == 1:
+
+        def all_pairs(batches):
+            udf_worker_prelude()
+            parts = [b for b in batches]
+            if not parts:
+                return
+            la = pd.concat(parts, ignore_index=True)
+            amat = np.array([np.asarray(v, dtype="float64") for v in la["_vec"]])
+            aids = la["_id"].to_numpy()
+            sims = (amat @ amat.T) / np.outer(
+                np.linalg.norm(amat, axis=1), np.linalg.norm(amat, axis=1)
+            )
+            sims = np.round(sims, round_to)
+            ii, jj = np.nonzero((sims >= threshold) & (aids[:, None] < aids[None, :]))
+            yield pd.DataFrame({"a": aids[ii], "b": aids[jj], "cosine": sims[ii, jj]})
+
+        return frozen.coalesce(1).mapInPandas(
+            all_pairs, f"a {id_type_early}, b {id_type_early}, cosine double"
+        )
 
     tagged = frozen.withColumn(
         "_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int")
@@ -304,6 +338,7 @@ def exact_cosine_pairs(
     )
 
     def block_pair(key, la: "pd.DataFrame", rb: "pd.DataFrame"):
+        udf_worker_prelude()
         bi, bj = int(key[0]), int(key[1])
         if la.empty or rb.empty:
             return pd.DataFrame({"a": [], "b": [], "cosine": []})

@@ -1092,6 +1092,23 @@ def _local_bfs_frame(
     srcs = list(sources)
 
     def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): (1) malloc heap reuse — large numpy temporaries
+        # otherwise re-mmap and re-FAULT every task, and fresh pages on
+        # this host are a fault-cost lottery (THP zero+compact storms);
+        # (2) pause cyclic gc for the body — threshold sweeps re-trace
+        # the millions of surviving row objects (ONE sweep in the
+        # epilogue after the big frames are dropped)
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
         import numpy as np
         import pandas as pd
 
@@ -1101,6 +1118,7 @@ def _local_bfs_frame(
         vids = df.loc[~is_edge, "a"].to_numpy()
         nv = len(vids)
         if nv == 0:
+            _gc.enable()  # early exit: re-arm cyclic gc for the worker
             return
         idx = pd.Series(np.arange(nv), index=vids)
         a_vals = df.loc[is_edge, "a"]
@@ -1189,6 +1207,10 @@ def _local_bfs_frame(
             out = pd.DataFrame({"id": vids, "hnum": hnum, "n_reached": reached})
         else:
             out = pd.DataFrame({"id": vids, "betweenness": bc * 0.5})
+        # gc epilogue: drop the big build frames, then pay the ONE cyclic
+        # sweep of the task here instead of N threshold sweeps mid-build
+        del df, parts
+        _gc.enable(); _gc.collect()
         yield out
 
     lcm_val = _lcm_upto(rounds)
@@ -2346,6 +2368,23 @@ def _katz_local(v: DataFrame, e: DataFrame, beta: float, steps: int) -> DataFram
     )
 
     def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): (1) malloc heap reuse — large numpy temporaries
+        # otherwise re-mmap and re-FAULT every task, and fresh pages on
+        # this host are a fault-cost lottery (THP zero+compact storms);
+        # (2) pause cyclic gc for the body — threshold sweeps re-trace
+        # the millions of surviving row objects (ONE sweep in the
+        # epilogue after the big frames are dropped)
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
         import numpy as np
         import pandas as pd
 
@@ -2359,6 +2398,7 @@ def _katz_local(v: DataFrame, e: DataFrame, beta: float, steps: int) -> DataFram
         vids = df.loc[~is_edge, "a"].to_numpy()
         nv = len(vids)
         if nv == 0:
+            _gc.enable()  # early exit: re-arm cyclic gc for the worker
             return
         idx = pd.Series(np.arange(nv), index=vids)
         a_vals = df.loc[is_edge, "a"]
@@ -2376,6 +2416,10 @@ def _katz_local(v: DataFrame, e: DataFrame, beta: float, steps: int) -> DataFram
         for _ in range(steps):
             msg = np.bincount(dst, weights=x[src], minlength=nv)
             x = 1.0 + beta * msg
+        # gc epilogue: drop the big build frames, then pay the ONE cyclic
+        # sweep of the task here instead of N threshold sweeps mid-build
+        del df, parts
+        _gc.enable(); _gc.collect()
         yield pd.DataFrame({"id": vids, "score": x})
 
     one = payload.coalesce(1)

@@ -177,6 +177,85 @@ def personalized_pagerank(
         return _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col)
 
 
+def _ppr_push_local(e, seeds, p_val, d, omd, eps, rounds, id_type):
+    """Single-task numpy mirror of the forward-push loop (the katz/harmonic
+    local-solve pattern): the deduped edge list ships once through Arrow,
+    one task runs all ``rounds`` pushes, and only the touched (id, p, r)
+    rows come back.  Float chains per vertex are op-for-op the distributed
+    recurrence (multiply-then-add; kept + Σ pushes + seed credit); the
+    per-destination push sum accumulates in edge order, the same
+    summation-order class the 8dp closing round already absorbs between
+    Spark's partial aggs and DuckDB.  Support membership is exact: a
+    vertex is touched iff it ever receives a push."""
+    seed_list = list(seeds)
+
+    def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): (1) malloc heap reuse — large numpy temporaries
+        # otherwise re-mmap and re-FAULT every task, and fresh pages on
+        # this host are a fault-cost lottery (THP zero+compact storms);
+        # (2) pause cyclic gc for the body — threshold sweeps re-trace
+        # the millions of surviving row objects (ONE sweep in the
+        # epilogue after the big frames are dropped)
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches]
+        df = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"src": [], "dst": []})
+        )
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        seed_arr = np.asarray(seed_list)
+        if len(src) and seed_arr.dtype != src.dtype:
+            seed_arr = seed_arr.astype(src.dtype)
+        ids, inv = np.unique(np.concatenate([src, dst, seed_arr]), return_inverse=True)
+        ns = len(src)
+        si, di, seed_idx = inv[:ns], inv[ns : 2 * ns], inv[2 * ns :]
+        n = len(ids)
+        od = np.bincount(si, minlength=n).astype("float64")
+        has_out = od > 0
+        p = np.zeros(n)
+        r = np.zeros(n)
+        r[seed_idx] = p_val
+        touched = np.zeros(n, dtype=bool)
+        touched[seed_idx] = True
+        for _ in range(rounds):
+            # dead mass of the CURRENT state (the distributed loop's
+            # checkpoint metric), credited to the seeds this round
+            dead_mass = float(r[(~has_out) & (r > 0.0)].sum())
+            fr = r > eps * od
+            mask = (fr & has_out)[si]
+            add_r = np.zeros(n)
+            if mask.any():
+                np.add.at(add_r, di[mask], d * r[si[mask]] / od[si[mask]])
+                touched[di[mask]] = True
+            seed_add = (d * dead_mass) * p_val
+            p = p + np.where(fr, omd * r, 0.0)
+            r = np.where(fr, 0.0, r) + add_r
+            r[seed_idx] += seed_add
+        out = pd.DataFrame({"id": ids[touched], "p": p[touched], "r": r[touched]})
+        # gc epilogue: drop the big build frames, then pay the ONE cyclic
+        # sweep of the task here instead of N threshold sweeps mid-build
+        del df, parts
+        _gc.enable(); _gc.collect()
+        yield out
+
+    return e.coalesce(1).mapInPandas(solve, schema=f"id {id_type}, p double, r double")
+
+
 def ppr_forward_push(
     edges: DataFrame,
     sources: list,
@@ -186,6 +265,7 @@ def ppr_forward_push(
     src_col: str = "src",
     dst_col: str = "dst",
     edges_deduped: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Personalized PageRank by FORWARD LOCAL PUSH (Andersen, Chung &
     Lang 2006, the single-seed PPR shape at scale): instead of iterating
@@ -219,8 +299,22 @@ def ppr_forward_push(
     Returns the sparse touched set as (id, score, residual), both
     rounded to 8dp (the graph_ppr float-parity class: linear float ops
     only, one closing round).
+
+    ``strategy``: like katz/harmonic — "auto" runs the IDENTICAL push
+    recurrence as a single-task numpy solve inside mapInPandas when the
+    edge count is at or below ``LOCAL_SOLVE_MAX_ROWS`` (ten distributed
+    supersteps on a tiny frontier are pure scheduling floor at bench
+    scale), and the per-superstep DataFrame loop above it (the only
+    shape that scales — force with ``strategy="distributed"``).  The
+    oracle is strategy-independent: both paths apply the same per-vertex
+    float chain (p + (1-d)·r; kept + Σ pushes + seed credit) closed by
+    the shared single 8dp round, and support membership stays exact
+    (a vertex is touched iff it ever RECEIVES a push, not a float test).
     """
-    from usearch_spark.plans.iterative import release_local_checkpoint
+    from usearch_spark.plans.iterative import (
+        LOCAL_SOLVE_MAX_ROWS,
+        release_local_checkpoint,
+    )
 
     spark = edges.sparkSession
     if not sources:
@@ -229,16 +323,25 @@ def ppr_forward_push(
     if not edges_deduped:
         e0 = e0.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
     e = e0.localCheckpoint(eager=True)
+    seeds = sorted(set(sources))
+    p_val = 1.0 / len(seeds)
+    d, omd = damping, 1.0 - damping
+    id_type = dict(e.dtypes)["src"]
+    if strategy == "auto":
+        strategy = "local" if e.count() <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        state = _ppr_push_local(e, seeds, p_val, d, omd, eps, rounds, id_type)
+        return state.select(
+            "id",
+            F.round("p", 8).alias("score"),
+            F.round("r", 8).alias("residual"),
+        )
     out_deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("od"))
         .withColumnRenamed("src", "id")
         .localCheckpoint(eager=True)
     )
-    seeds = sorted(set(sources))
-    p_val = 1.0 / len(seeds)
-    d, omd = damping, 1.0 - damping
-    id_type = dict(e.dtypes)["src"]
     seed_df = spark.createDataFrame([(str(s),) for s in seeds], "id string").select(
         F.col("id").cast(id_type)
     )
@@ -357,6 +460,23 @@ def _weighted_pagerank_local(v, n, e0, damping, min_sad, max_steps) -> Iteration
     track_sad = min_sad > 0.0
 
     def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): (1) malloc heap reuse — large numpy temporaries
+        # otherwise re-mmap and re-FAULT every task, and fresh pages on
+        # this host are a fault-cost lottery (THP zero+compact storms);
+        # (2) pause cyclic gc for the body — threshold sweeps re-trace
+        # the millions of surviving row objects (ONE sweep in the
+        # epilogue after the big frames are dropped)
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
         import numpy as np
         import pandas as pd
 
@@ -366,6 +486,7 @@ def _weighted_pagerank_local(v, n, e0, damping, min_sad, max_steps) -> Iteration
         vids = df.loc[~is_edge, "a"].to_numpy()
         nv = len(vids)
         if nv == 0:
+            _gc.enable()  # early exit: re-arm cyclic gc for the worker
             return
         idx = pd.Series(np.arange(nv), index=vids)
         a_vals = df.loc[is_edge, "a"]
@@ -399,6 +520,10 @@ def _weighted_pagerank_local(v, n, e0, damping, min_sad, max_steps) -> Iteration
             if track_sad and sad < min_sad:
                 converged = True
                 break
+        # gc epilogue: drop the big build frames, then pay the ONE cyclic
+        # sweep of the task here instead of N threshold sweeps mid-build
+        del df, parts
+        _gc.enable(); _gc.collect()
         yield pd.DataFrame(
             {
                 "id": vids,
@@ -584,6 +709,23 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps, teleport=None,
     track_sad = min_sad > 0.0
 
     def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): (1) malloc heap reuse — large numpy temporaries
+        # otherwise re-mmap and re-FAULT every task, and fresh pages on
+        # this host are a fault-cost lottery (THP zero+compact storms);
+        # (2) pause cyclic gc for the body — threshold sweeps re-trace
+        # the millions of surviving row objects (ONE sweep in the
+        # epilogue after the big frames are dropped)
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
         import numpy as np
         import pandas as pd
 
@@ -597,6 +739,7 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps, teleport=None,
         vids = df.loc[~is_edge, "a"].to_numpy()
         nv = len(vids)
         if nv == 0:
+            _gc.enable()  # early exit: re-arm cyclic gc for the worker
             return
         idx = pd.Series(np.arange(nv), index=vids)
         # nullable columns coerce integral ids to float64 in pandas — bring
@@ -645,6 +788,10 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps, teleport=None,
             if track_sad and sad < min_sad:
                 converged = True
                 break
+        # gc epilogue: drop the big build frames, then pay the ONE cyclic
+        # sweep of the task here instead of N threshold sweeps mid-build
+        del df, parts
+        _gc.enable(); _gc.collect()
         yield pd.DataFrame(
             {
                 "id": vids,

@@ -211,6 +211,23 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
     )
 
     def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): (1) malloc heap reuse — large numpy temporaries
+        # otherwise re-mmap and re-FAULT every task, and fresh pages on
+        # this host are a fault-cost lottery (THP zero+compact storms);
+        # (2) pause cyclic gc for the body — threshold sweeps re-trace
+        # the millions of surviving row objects (ONE sweep in the
+        # epilogue after the big frames are dropped)
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
         import numpy as np
         import pandas as pd
 
@@ -220,6 +237,7 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
         vids = df.loc[~is_edge, "a"].to_numpy()
         nv = len(vids)
         if nv == 0:
+            _gc.enable()  # early exit: re-arm cyclic gc for the worker
             return
         idx = pd.Series(np.arange(nv), index=vids)
         # nullable columns coerce integral ids to float64 in pandas
@@ -254,6 +272,10 @@ def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationRe
             if changed == 0:
                 converged = True
                 break
+        # gc epilogue: drop the big build frames, then pay the ONE cyclic
+        # sweep of the task here instead of N threshold sweeps mid-build
+        del df, parts
+        _gc.enable(); _gc.collect()
         yield pd.DataFrame(
             {
                 "id": vids,

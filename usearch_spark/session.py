@@ -17,6 +17,57 @@ from pyspark.sql import SparkSession
 _shipped: set[str] = set()
 
 
+def udf_worker_prelude() -> None:
+    """Call at the TOP of a numpy/pandas-heavy UDF body (mapInPandas /
+    applyInPandas solvers).  Two instrumented worker pathologies, both
+    root causes of the round-14 cross-round wall-clock drift on
+    byte-identical single-task numpy plans (dedup_embedding, the
+    harmonic/sssp local solves):
+
+    1. MALLOC RE-FAULTING: glibc mmaps every large numpy temporary and
+       munmaps it on free, so each task re-faults the same ~150 MB of
+       fresh anonymous pages (constant ~2k minor faults per identical
+       task).  On this host a fresh-page fault is a COST LOTTERY —
+       /proc/<worker>/stack sampling caught multi-second system-CPU
+       storms in ``folio_zero_user`` / ``__do_huge_pmd_anonymous_page``
+       (THP zero + direct compaction; numpy madvises MADV_HUGEPAGE on
+       big buffers), 0-10 ms fast reps vs 4-6 s slow reps for the SAME
+       ~2k faults.  Raising M_MMAP_THRESHOLD and M_TRIM_THRESHOLD keeps
+       the buffers on the sbrk heap and the heap attached to the worker
+       — measured minor faults drop to ZERO per task after warmup and
+       the bimodality disappears.
+
+    2. CYCLIC-GC RETRACE: workers carry ~70k+ gc-tracked objects from
+       interpreter + pyspark/pandas/numpy imports; allocation bursts in
+       the body trigger generation-2 sweeps that re-trace that whole
+       graph (1.5-14 s bimodal measured on the 2000x2000 cosine matmul
+       task vs ~0.7 s stable fixed).  ``gc.freeze()`` exempts it; new
+       objects stay collectable and freezing is idempotent.
+
+    Bodies that allocate MILLIONS of SURVIVING objects (the graph local
+    solves building object-string frames) use a stronger inline variant:
+    same mallopt, then ``gc.disable()`` for the body and ONE
+    ``gc.enable(); gc.collect()`` sweep in an epilogue after the big
+    frames are dropped — freeze alone makes those worse (the shrunken
+    long-lived count makes full sweeps MORE frequent).
+    """
+    import ctypes
+    import gc
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: big allocs via sbrk
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD: keep the heap
+    except Exception:
+        pass  # non-glibc platform: skip
+    gc.enable()
+    gc.freeze()
+
+
+# Back-compat alias (pre-r15 name)
+freeze_worker_gc = udf_worker_prelude
+
+
 def spread_small_scan(df, min_parallelism: int | None = None):
     """Repartition a small scan before a compute-dense projection.
 
