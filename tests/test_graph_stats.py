@@ -935,6 +935,62 @@ def test_iterative_loops_release_superseded_checkpoints(spark):
         )
 
 
+def test_pagerank_pregel_loops_release_superseded_checkpoints(spark):
+    """The r14-verdict ask #5 extension: the pagerank / pregel / hits /
+    coloring / sssp superstep loops must also leave O(1) pinned checkpoint
+    RDDs after a 10-round distributed run.  Their step frames used to be
+    derived selects over the checkpoint (release no-op, r14 finding #4);
+    checkpoint_with_metrics(project=...) makes the returned state a bare
+    checkpoint so run_fixpoint's eager release fires (hits releases in its
+    own closure — its return must stay derived for the normalizer)."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.coloring import color_graph
+    from usearch_spark.plans.hits import hits
+    from usearch_spark.plans.pagerank import (
+        pagerank,
+        personalized_pagerank,
+        weighted_pagerank,
+    )
+    from usearch_spark.plans.pregel import connected_components
+    from usearch_spark.plans.shortest_path import shortest_paths
+
+    n = 40
+    v = spark.createDataFrame([(str(i),) for i in range(n)], "id string")
+    e = spark.createDataFrame(
+        [(str(i), str((i + 1) % n)) for i in range(n)], "src string, dst string"
+    )
+    ew = e.withColumn("weight", F.lit(1.0))
+
+    for run in (
+        lambda: pagerank(v, e, min_sad=0.0, max_steps=10, strategy="distributed").state,
+        lambda: weighted_pagerank(
+            v, ew, min_sad=0.0, max_steps=10, strategy="distributed"
+        ).state,
+        lambda: personalized_pagerank(
+            v, e, ["0", "7"], min_sad=0.0, max_steps=10, strategy="distributed"
+        ).state,
+        lambda: hits(v, e, rounds=10, strategy="distributed").state,
+        lambda: connected_components(v, e, max_steps=50, strategy="distributed").state,
+        lambda: color_graph(v, e, strategy="distributed").state,
+        lambda: shortest_paths(v, e.withColumn("weight", F.lit(1.0)), "0", strategy="distributed").state,
+    ):
+        gc.collect()  # settle leftovers from other tests first
+        before = _persistent_rdd_count(spark)
+        out = run()
+        out.count()  # materialize the full loop
+        # NO gc here — release must happen eagerly in the loop, not via
+        # Python GC; only frames still referenced (input checkpoints +
+        # the final state) may remain pinned
+        after = _persistent_rdd_count(spark)
+        assert after - before <= 5, (
+            f"pinned RDDs grew by {after - before} (O(rounds) leak): "
+            f"{before} -> {after}"
+        )
+
+
 def test_release_local_checkpoint_noop_on_lazy_frames(spark):
     """release_local_checkpoint is best-effort by contract: a lazy frame,
     a derived select over a checkpoint, and None must all no-op (never

@@ -48,6 +48,16 @@ def test_global_unordered_window_is_flagged(spark):
     assert "GLOBAL_WINDOW" in codes(df, "error")
 
 
+def test_literal_partition_window_is_flagged(spark):
+    """partitionBy(lit(0)) routes every row to ONE task exactly like an
+    empty spec (it only silences the WindowExec warning) — the linter must
+    not be fooled by the constant partition key."""
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("id"))
+    )
+    assert "GLOBAL_WINDOW" in codes(df, "error")
+
+
 def test_detects_row_at_a_time_python_udf(spark):
     from pyspark.sql.functions import udf
 
@@ -88,6 +98,9 @@ def test_equi_join_is_clean(spark):
 
 # Justified exceptions: the linter can't see row counts, so global windows
 # over PROVABLY tiny inputs are allowed here with the reason recorded.
+# (Both sites partition by lit(0) — semantically still global, flagged by
+# the literal-partition detector — purely so WindowExec does not spam its
+# "No Partition Defined" warning on every bench/driver run.)
 ALLOWED = {
     # prefix-sum window runs over per-partition totals: one row per shuffle
     # partition, not the data (operators/pack.py)

@@ -48,7 +48,12 @@ def assign_sequences(
         "_local_before", F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
     ).localCheckpoint(eager=True)
     # phase 2: per-partition totals are tiny (one row per partition) —
-    # their running sum becomes each partition's global offset
+    # their running sum becomes each partition's global offset.  This IS
+    # a global window (lint-allowlisted with the tiny-input reason);
+    # adding a constant partition key to silence WindowExec's warning
+    # does not survive the optimizer (lit(0) and col*0 both fold away),
+    # so the warning is instead demoted to ERROR level for the KNOWN
+    # sites via the targeted logger conf in session.get_spark.
     totals = (
         local.groupBy("_part")
         .agg(F.sum(token_col).alias("_tot"))

@@ -135,6 +135,8 @@ def _hits_local(v, n, e0, rounds) -> IterationResult:
 
 
 def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
+    from usearch_spark.plans.iterative import release_local_checkpoint
+
     e = e0.repartition(n_part, "src").cache()
     state = (
         v.withColumn("hub", F.lit(1.0 / n))
@@ -142,6 +144,13 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
         .repartition(n_part, "id")
         .localCheckpoint(eager=True)
     )
+    # step_fn returns a DERIVED select (the hub normalizer divide needs the
+    # checkpoint-observed scalar), so run_fixpoint's bare-checkpoint release
+    # cannot fire — the closure releases its own superseded checkpoints:
+    # the half-step (with_auth) dies once the full-step materializes, and
+    # the previous round's full-step dies with it.  ``state`` is created
+    # here, so seeding prev with it is safe.
+    prev = {"full": state}
 
     def step_fn(current: DataFrame, step: int):
         # authority <- sum of in-neighbor hubs (join on src, deliver to dst)
@@ -161,6 +170,7 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
         with_auth, m_a = checkpoint_with_metrics(
             with_auth, asum=F.coalesce(F.sum("a_raw"), F.lit(0.0))
         )
+        half_cp = with_auth  # the bare checkpoint handle (released below)
         a_sum = float(m_a["asum"])
         with_auth = with_auth.withColumn(
             "authority2", F.col("a_raw") / F.lit(a_sum) if a_sum > 0 else F.lit(0.0)
@@ -180,6 +190,11 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
             new_state.select("id", F.col("h_raw").alias("hub_u"), F.col("authority2").alias("authority")),
             hsum=F.coalesce(F.sum("hub_u"), F.lit(0.0)),
         )
+        # the full-step checkpoint is materialized: the half-step and the
+        # previous round's full-step are both dead — free their blocks now
+        release_local_checkpoint(half_cp)
+        release_local_checkpoint(prev["full"])
+        prev["full"] = new_state
         h_sum = float(metrics["hsum"])
         out = new_state.select(
             "id",

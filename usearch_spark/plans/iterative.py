@@ -56,7 +56,9 @@ def loop_tuned_session(spark: SparkSession, n_rows: int, rows_per_partition: int
         spark.conf.set("spark.sql.adaptive.enabled", conf_aqe)
 
 
-def checkpoint_with_metrics(df: DataFrame, **metrics: Column) -> tuple[DataFrame, dict]:
+def checkpoint_with_metrics(
+    df: DataFrame, project: list | None = None, **metrics: Column
+) -> tuple[DataFrame, dict]:
     """Materialize ``df`` via localCheckpoint while collecting aggregate
     metrics in the SAME job (Spark's Observation API / CollectMetrics node).
 
@@ -64,10 +66,24 @@ def checkpoint_with_metrics(df: DataFrame, **metrics: Column) -> tuple[DataFrame
     separate convergence ``.agg().first()`` that rescans the state.  Fusing
     them halves the per-step job count, which on short steps (the common
     case once a loop nears convergence) halves wall-clock.  Metric
-    expressions must be aggregates over ``df``'s rows (e.g. ``F.sum(...)``).
+    expressions must be aggregates over ``df``'s rows (e.g. ``F.sum(...)``)
+    and may reference columns that ``project`` later drops (the observe
+    node sits below the projection).
+
+    ``project``: column names to keep in the checkpointed frame.  Loops
+    that previously checkpointed the full step frame and returned a
+    ``.select(...)`` over it should pass the select list here instead:
+    the checkpoint then stores only the surviving columns AND the returned
+    frame is a BARE checkpoint, which lets ``run_fixpoint`` release the
+    superseded one eagerly (a derived select defeats that walk — the
+    r14-verdict finding #4).  (Named ``project``; a metric cannot use that
+    name.)
     """
     obs = Observation()
-    out = df.observe(obs, *[m.alias(k) for k, m in metrics.items()]).localCheckpoint(eager=True)
+    out = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    if project is not None:
+        out = out.select(*project)
+    out = out.localCheckpoint(eager=True)
     return out, obs.get
 
 
@@ -133,6 +149,16 @@ def release_local_checkpoint(df: DataFrame | None) -> None:
             )
 
 
+def _is_bare_checkpoint(df: DataFrame) -> bool:
+    """True iff ``df`` is a bare ``localCheckpoint`` handle (analyzed plan
+    is a single LogicalRDD) — the only shape ``release_local_checkpoint``
+    can actually free.  Best-effort: False on any JVM-walk surprise."""
+    try:
+        return df._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD"
+    except Exception:
+        return False
+
+
 @dataclass
 class IterationResult:
     state: DataFrame
@@ -169,11 +195,19 @@ def run_fixpoint(
     current = state
     steps = 0
     converged = False
-    prev_cp: DataFrame | None = None  # last checkpoint created HERE (never the caller's state)
+    prev_cp: DataFrame | None = None  # last checkpoint produced by a step (never the caller's state)
     for step in range(1, max_steps + 1):
         new_state, metrics = step_fn(current, step)
         if step % checkpoint_every == 0:
             new_state = new_state.localCheckpoint(eager=True)
+            is_cp = True
+        else:
+            # step_fn loops that checkpoint internally (checkpoint_with_
+            # metrics + checkpoint_every=10**9) return the bare checkpoint
+            # themselves — detect it so their superseded states release
+            # eagerly too instead of waiting for GC (r14-verdict #4)
+            is_cp = release_superseded and _is_bare_checkpoint(new_state)
+        if is_cp:
             # the new checkpoint is self-contained, so the one it
             # supersedes (and every un-checkpointed state between them)
             # is dead — release its blocks now instead of at GC time

@@ -8,8 +8,9 @@ plans at 100 TB.
                       equi-condition: O(n·m) row explosion.
     - PY_ROW_UDF      BatchEvalPython: row-at-a-time Python in the hot
                       path (Arrow-batched pandas UDFs are PY_ARROW, INFO).
-    - GLOBAL_WINDOW   a Window operator with an empty partition spec: the
-                      whole input flows through ONE task.
+    - GLOBAL_WINDOW   a Window operator with an empty partition spec — or
+                      a constant-only one (partitionBy(lit(0))): either
+                      way the whole input flows through ONE task.
 
   WARN-level (usually wrong, occasionally intended):
     - SINGLE_PARTITION_EXCHANGE  Exchange SinglePartition not feeding a
@@ -93,6 +94,14 @@ def lint_plan(df: DataFrame) -> list[dict]:
                     lists == 2
                     and re.search(r"\b(ASC|DESC)\b", spans[1])
                 ):
+                    add(ERROR, "GLOBAL_WINDOW", ln)
+                elif lists >= 3 and "#" not in spans[1]:
+                    # partition spec present but holds no column reference
+                    # (attribute ids print as name#id) — a constant like
+                    # partitionBy(lit(0)) routes every row to ONE task
+                    # exactly like an empty spec.  The optimizer usually
+                    # folds such specs to empty (caught above); this arm
+                    # covers any constant expression that survives.
                     add(ERROR, "GLOBAL_WINDOW", ln)
         if "Exchange SinglePartition" in ln:
             # acceptable only as the final gather of a limit/global agg —

@@ -590,12 +590,13 @@ def _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part) -> It
         )
         new_ranks, metrics = checkpoint_with_metrics(
             new_ranks,
+            project=["id", "score", "outw"],
             sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
             res=res_metric,
         )
         residual["prev"] = float(metrics["res"])
         sad = float(metrics["sad"]) if track_sad else float("inf")
-        return new_ranks.select("id", "score", "outw"), {"sad": sad}
+        return new_ranks, {"sad": sad}
 
     result = run_fixpoint(
         ranks,
@@ -657,12 +658,13 @@ def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> Itera
         )
         new_ranks, metrics = checkpoint_with_metrics(
             new_ranks,
+            project=["id", "p", "score", "outdeg"],
             sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
             res=res_metric,
         )
         residual["prev"] = float(metrics["res"])
         sad = float(metrics["sad"]) if track_sad else float("inf")
-        return new_ranks.select("id", "p", "score", "outdeg"), {"sad": sad}
+        return new_ranks, {"sad": sad}
 
     result = run_fixpoint(
         ranks,
@@ -873,15 +875,19 @@ def _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part, init=No
             )
         )
         # ONE action per step: SAD convergence AND the next step's dead-end
-        # residual both ride the checkpoint job as observed metrics
+        # residual both ride the checkpoint job as observed metrics; the
+        # projection INSIDE the checkpoint keeps old_score out of the
+        # stored state and returns a BARE checkpoint so run_fixpoint can
+        # release the superseded step eagerly
         new_ranks, metrics = checkpoint_with_metrics(
             new_ranks,
+            project=["id", "score", "outdeg"],
             sad=F.coalesce(F.sum(F.abs(F.col("score") - F.col("old_score"))), F.lit(0.0)),
             res=res_metric,
         )
         residual["prev"] = float(metrics["res"])
         sad = float(metrics["sad"]) if track_sad else float("inf")
-        return new_ranks.select("id", "score", "outdeg"), {"sad": sad}
+        return new_ranks, {"sad": sad}
 
     result = run_fixpoint(
         ranks,

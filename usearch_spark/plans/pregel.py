@@ -70,14 +70,18 @@ def pregel(
                     "_old",
                 )
             )
-            # vote-to-halt count observed inside the checkpoint job
+            # vote-to-halt count observed inside the checkpoint job; the
+            # projection INSIDE the checkpoint drops _old from the stored
+            # state and returns a BARE checkpoint so run_fixpoint releases
+            # the superseded step eagerly
             new_state, metrics = checkpoint_with_metrics(
                 new_state,
+                project=["id", "value"],
                 changed=F.coalesce(
                     F.sum((~F.col("value").eqNullSafe(F.col("_old"))).cast("long")), F.lit(0)
                 ),
             )
-            return new_state.select("id", "value"), {"changed": int(metrics["changed"])}
+            return new_state, {"changed": int(metrics["changed"])}
 
         return run_fixpoint(
             state,
@@ -186,11 +190,12 @@ def label_propagation(
             )
             new_state, metrics = checkpoint_with_metrics(
                 new_state,
+                project=["id", "value"],
                 changed=F.coalesce(
                     F.sum((~F.col("value").eqNullSafe(F.col("_old"))).cast("long")), F.lit(0)
                 ),
             )
-            return new_state.select("id", "value"), {"changed": int(metrics["changed"])}
+            return new_state, {"changed": int(metrics["changed"])}
 
         return run_fixpoint(
             state,

@@ -143,4 +143,22 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Demote WindowExec's "No Partition Defined" warning to ERROR (r14
+    # verdict ask #7): the suite's only global windows are the two
+    # lint-allowlisted tiny-input sites (operators/pack.py phase-2 offsets,
+    # operators/profile.py top-n rank), and their repeated known-benign
+    # warnings bury a REAL global-window regression in familiar spam.  A
+    # constant partition key cannot silence it (the optimizer folds lit(0)
+    # and col*0 alike back to an empty spec), so the logger level is the
+    # remaining lever.  Regression safety does not rest on this log line:
+    # tests/test_lint.py fails on any un-allowlisted GLOBAL_WINDOW in any
+    # entry query's plan.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 build: keep the warning
     return spark
