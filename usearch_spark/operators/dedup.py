@@ -822,10 +822,26 @@ def edit_distance_pairs(
     because they hold the rare tail of the df distribution.  Verify
     touches candidates only.
 
+    Two physical choices (r15, measured 10-20s -> ~4s at sf0.1):
+
+    - ``prefix`` is MATERIALIZED once (localCheckpoint): it feeds BOTH
+      sides of the candidate self-join, and Catalyst re-derives the
+      whole explode -> occ-window -> df-agg -> rank-window pipeline per
+      side otherwise (two full copies in the physical plan).  The
+      checkpoint is q*d+1 rows per string — proportional to the string
+      COUNT, never the gram volume — so it is cheap at any scale.
+    - the candidate set is repartitioned on (a, b) with an EXPLICIT
+      partition count before dedup + verify: the banded-DP verify is
+      CPU-dense but tiny in bytes (~20 B/pair), and AQE's byte-based
+      coalescing would funnel millions of levenshtein calls onto 1-3
+      tasks; a user-specified repartition count is exempt from AQE
+      coalescing, and the dedup aggregation reuses the same exchange.
+
     Output: (id_col + ``_a``, id_col + ``_b``, dist), a < b.
     """
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
     s = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s")
     ).withColumn("n", F.length("s"))
@@ -855,6 +871,8 @@ def edit_distance_pairs(
         )
         .filter(F.col("rk") <= prefix_len)
         .select("id", "n", "elem")
+        # materialize once: both candidate-join sides read this frame
+        .localCheckpoint(eager=True)
     )
     pa = prefix.select(F.col("id").alias("a"), F.col("n").alias("n_a"), "elem")
     pb = prefix.select(F.col("id").alias("b"), F.col("n").alias("n_b"), "elem")
@@ -878,7 +896,13 @@ def edit_distance_pairs(
         )
         .select("a", "b")
     )
-    cands = cand.unionByName(dense).dropDuplicates(["a", "b"])
+    # explicit count: AQE must not byte-coalesce the CPU-dense verify
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    cands = (
+        cand.unionByName(dense)
+        .repartition(n_part, "a", "b")
+        .dropDuplicates(["a", "b"])
+    )
     ta = s.select(F.col("id").alias("a"), F.col("s").alias("s_a"))
     tb = s.select(F.col("id").alias("b"), F.col("s").alias("s_b"))
     return (
