@@ -847,6 +847,40 @@ def test_katz_centrality_truncated_series_replay(spark):
     assert got == {"a": 1.0, "b": 1.5, "c": 1.75, "z": 1.0}
 
 
+def test_coreness_local_distributed_parity(spark):
+    """The single-task numpy h-index solve and the per-round DataFrame
+    loop are BIT-identical (every decision is an integer: degrees, ranks,
+    max-min, the unchanged-total early exit), including isolated-vertex
+    zero fill and a denser random graph where multiple h rounds fire."""
+    from pyspark.sql import functions as F
+
+    from usearch_spark.plans.graph_stats import coreness
+
+    n = 150
+    # 149 connected vertices (3 pseudo-random out-edges each) + 1 isolated
+    v = spark.range(n).select(F.col("id").cast("string"))
+    e = (
+        spark.range(n - 1)
+        .select(F.col("id"), F.explode(F.sequence(F.lit(1), F.lit(3))).alias("k"))
+        .select(
+            F.col("id").cast("string").alias("src"),
+            F.pmod(F.xxhash64("id", "k", F.lit(11)), F.lit(n - 1)).cast("string").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    loc = {
+        r["id"]: r["coreness"]
+        for r in coreness(v, e, rounds=8, strategy="local").collect()
+    }
+    dist = {
+        r["id"]: r["coreness"]
+        for r in coreness(v, e, rounds=8, strategy="distributed").collect()
+    }
+    assert loc == dist
+    assert len(loc) == n
+    assert loc[str(n - 1)] == 0  # the isolated vertex
+
+
 def test_katz_local_distributed_parity(spark):
     """The single-task numpy Katz solve and the per-superstep DataFrame
     loop agree to 8dp on a random directed graph (the pagerank-local

@@ -204,6 +204,79 @@ def kcore_peel(
     return alive.join(deg, "id", "inner").select("id", "core_degree")
 
 
+def _coreness_local(e: DataFrame, rounds: int, id_type: str) -> DataFrame:
+    """Single-task numpy mirror of the h-index iteration: the doubled
+    edge list ships once through Arrow, one task runs every round, and
+    the per-endpoint (id, val) frame comes back (the final left join
+    against the vertex set stays in DataFrame-land, shared with the
+    distributed path).  All decisions are integer (counts, ranks,
+    max-min) — bit-identical to the distributed recurrence by
+    construction, including the unchanged-total early exit (h is
+    monotone non-increasing, so a stable total is a fixpoint and the
+    early exit returns exactly the fixed-round result)."""
+
+    def solve(batches):
+        import ctypes as _ct
+        import gc as _gc
+
+        # worker prelude (see session.udf_worker_prelude for the measured
+        # pathology): malloc heap reuse + cyclic gc paused for the body,
+        # ONE sweep in the epilogue after the big frames are dropped
+        try:
+            _libc = _ct.CDLL("libc.so.6", use_errno=True)
+            _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+            _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        except Exception:
+            pass  # non-glibc: skip
+        _gc.disable()
+        import numpy as np
+        import pandas as pd
+
+        parts = list(batches)
+        df = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"a": [], "b": []})
+        )
+        if df.empty:
+            _gc.enable()
+            return
+        # factorize both endpoint columns against ONE id universe
+        codes, ids = pd.factorize(pd.concat([df["a"], df["b"]], ignore_index=True))
+        m = len(df)
+        ai, bi = codes[:m], codes[m:]
+        n = len(ids)
+        # group edges by a once — the CSR layout is round-invariant
+        order = np.argsort(ai, kind="stable")
+        ai_s, bi_s = ai[order], bi[order]
+        counts = np.bincount(ai_s, minlength=n)
+        # every id appears as `a` in the doubled edge set, so every group
+        # is non-empty and reduceat over the starts covers all n vertices
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        h = counts.astype("int64")  # h0 = degree
+        total = int(h.sum())
+        big = np.int64(m + 1)  # > any h value; composite sort key base
+        rn_base = np.arange(m, dtype="int64") - np.repeat(starts, counts) + 1
+        for _ in range(rounds):
+            vals = h[bi_s]
+            # per-group DESC value order via one composite argsort
+            ord2 = np.argsort(ai_s * big + (big - 1 - vals), kind="stable")
+            vals_sorted = vals[ord2]
+            # rn restarts at 1 per group (ord2 keeps groups contiguous)
+            cand = np.where(vals_sorted >= rn_base, rn_base, 0)
+            h = np.maximum.reduceat(cand, starts)
+            t_next = int(h.sum())
+            if t_next == total:
+                break  # monotone non-increasing: unchanged total = fixpoint
+            total = t_next
+        out = pd.DataFrame({"id": ids, "val": h.astype("int32")})
+        del df, parts
+        _gc.enable(); _gc.collect()
+        yield out
+
+    return e.coalesce(1).mapInPandas(solve, schema=f"id {id_type}, val int")
+
+
 def coreness(
     vertices: DataFrame,
     edges: DataFrame,
@@ -211,6 +284,7 @@ def coreness(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-vertex core NUMBER (full coreness decomposition), rounds-bounded:
     the h-index iteration of Lü et al. 2016 — h₀(v) = degree(v),
@@ -230,11 +304,24 @@ def coreness(
     Relation to :func:`kcore_peel` (pinned in tests): once converged,
     coreness(v) >= k  iff  v survives the k-core peel.
 
+    ``strategy``: like katz/harmonic — "auto" runs the IDENTICAL h-index
+    recurrence as a single-task numpy solve when |V|+|E| is at or below
+    ``LOCAL_SOLVE_MAX_ROWS`` (eight distributed rounds of join + window
+    + agg are pure scheduling floor at bench scale), and the
+    per-round DataFrame loop above it (the only shape that scales).
+    Every decision in the recurrence is an integer (degrees, ranks,
+    max-min, the unchanged-total early exit), so the two paths are
+    bit-identical and the oracle is strategy-independent.
+
     Returns (id, coreness) for every vertex, 0 for isolated ones.
     """
     from pyspark.sql import Window
 
-    from usearch_spark.plans.iterative import checkpoint_with_metrics, loop_tuned_session
+    from usearch_spark.plans.iterative import (
+        LOCAL_SOLVE_MAX_ROWS,
+        checkpoint_with_metrics,
+        loop_tuned_session,
+    )
 
     und = canonical_edges(edges, src, dst)
     e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
@@ -243,6 +330,14 @@ def coreness(
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"])
     n_rows = v.count() + e.count()
     spark = vertices.sparkSession
+    if strategy == "auto":
+        strategy = "local" if n_rows <= LOCAL_SOLVE_MAX_ROWS else "distributed"
+    if strategy == "local":
+        id_type = dict(e.dtypes)["a"]
+        h_local = _coreness_local(e, rounds, id_type)
+        return v.join(h_local, "id", "left").select(
+            "id", F.coalesce(F.col("val"), F.lit(0)).alias("coreness")
+        )
     h0 = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).cast("int").alias("val"))
     with loop_tuned_session(spark, n_rows):
         # the fixpoint detector (Σ val) rides inside each round's checkpoint
