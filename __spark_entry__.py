@@ -7749,7 +7749,13 @@ def q_graph_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     starts = spark.createDataFrame([(s,) for s in _WALK_STARTS], "id string")
-    return node2vec_walks(sym, starts, steps=4, w_return=1, w_common=4, w_far=2)
+    # edges_deduped: _supplier_part_graph's edge set is DISTINCT and its
+    # two symmetrized directions use disjoint id alphabets ('s…' src /
+    # 'p…' dst vs the reverse), so the union cannot collide — the
+    # operator's defensive dedup shuffle would be a 1.2M-row no-op
+    return node2vec_walks(
+        sym, starts, steps=4, w_return=1, w_common=4, w_far=2, edges_deduped=True
+    )
 
 
 def _node2vec_oracle_sql(

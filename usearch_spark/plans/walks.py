@@ -44,9 +44,11 @@ def random_walks(
     there (no row for later steps)."""
     from pyspark.sql import Window
 
-    # materialize the ranked adjacency + degrees ONCE: every step joins
-    # against them, and without the checkpoint Spark would lazily re-run
-    # the per-src ranking window for each of the ``steps`` joins
+    # materialize the ranked adjacency ONCE: every step joins against it,
+    # and without the checkpoint Spark would lazily re-run the per-src
+    # ranking window for each of the ``steps`` joins; degrees then derive
+    # from the CHECKPOINT (count per src == max rank + 1), so the caller's
+    # edge plan — often a scan + distinct itself — executes exactly once
     nbr = edges.select(
         F.col("src").alias("n_src"),
         F.col("dst").alias("n_dst"),
@@ -57,7 +59,7 @@ def random_walks(
             - 1
         ).alias("idx"),
     ).localCheckpoint(eager=True)
-    deg = edges.groupBy(F.col("src").alias("d_src")).agg(
+    deg = nbr.groupBy(F.col("n_src").alias("d_src")).agg(
         F.count(F.lit(1)).alias("deg")
     ).localCheckpoint(eager=True)
     state = starts.select(
@@ -77,6 +79,11 @@ def random_walks(
                 (F.col("cur") == nbr["n_src"]) & (F.col("_pick") == nbr["idx"]),
             )
             .select("start", F.col("n_dst").alias("cur"))
+            # materialize each step: the returned union references every
+            # step's state, and without the checkpoint step t's subtree
+            # re-runs joins 1..t (O(steps^2) adjacency scans in one plan);
+            # the state is |starts| rows, so the checkpoint is free
+            .localCheckpoint(eager=True)
         )
         frames.append(
             state.select(
@@ -94,6 +101,7 @@ def node2vec_walks(
     w_common: int = 4,
     w_far: int = 2,
     id_col: str = "id",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Second-order BIASED walks (node2vec, Grover & Leskovec KDD 2016):
     after a uniform first step, the walk at ``cur`` having arrived from
@@ -121,16 +129,18 @@ def node2vec_walks(
     # multigraph input would break the interval sampler: duplicate
     # (src,dst) rows get tied cumulative-sum intervals, the draw matches
     # both, and the walk forks — dedupe edges (and starts, whose
-    # duplicates would mix candidate sets in the per-start window)
-    nbr = (
-        edges.select(F.col("src").alias("n_src"), F.col("dst").alias("n_dst"))
-        .dropDuplicates(["n_src", "n_dst"])
-        .localCheckpoint(eager=True)
-    )
+    # duplicates would mix candidate sets in the per-start window).
+    # ``edges_deduped=True`` skips the edge dedup shuffle when the caller
+    # proves uniqueness (e.g. a symmetrized distinct bipartite edge set
+    # whose two directions use disjoint id alphabets).
+    nbr = edges.select(F.col("src").alias("n_src"), F.col("dst").alias("n_dst"))
+    if not edges_deduped:
+        nbr = nbr.dropDuplicates(["n_src", "n_dst"])
     starts = starts.select(id_col).dropDuplicates([id_col])
-    deg = nbr.groupBy(F.col("n_src").alias("d_src")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    # ONE materialization: the ranked adjacency is the only corpus-sized
+    # artifact — degrees and the common-neighbor side (e2) both derive
+    # from the checkpoint, so the caller's edge plan and the ranking
+    # window run exactly once
     ranked = nbr.select(
         "n_src",
         "n_dst",
@@ -138,6 +148,10 @@ def node2vec_walks(
             F.row_number().over(Window.partitionBy("n_src").orderBy("n_dst"))
             - 1
         ).alias("idx"),
+    ).localCheckpoint(eager=True)
+    nbr = ranked.select("n_src", "n_dst")
+    deg = ranked.groupBy(F.col("n_src").alias("d_src")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
     state = starts.select(
         F.col(id_col).alias("start"), F.col(id_col).alias("cur")
@@ -154,6 +168,9 @@ def node2vec_walks(
             (F.col("cur") == F.col("n_src")) & (F.col("_pick") == F.col("idx")),
         )
         .select("start", F.col("cur").alias("prev"), F.col("n_dst").alias("cur"))
+        # per-step materialization: see random_walks — the union of frames
+        # otherwise re-runs the whole chain per step (O(steps^2) scans)
+        .localCheckpoint(eager=True)
     )
     frames.append(
         state.select("start", F.lit(1).alias("step"), F.col("cur").alias("node"))
@@ -206,7 +223,7 @@ def node2vec_walks(
         )
         state = picked.select(
             "start", F.col("cur").alias("prev"), F.col("n_dst").alias("cur")
-        )
+        ).localCheckpoint(eager=True)
         frames.append(
             state.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
         )
