@@ -794,25 +794,37 @@ def principal_component(
 def _power_iterate(c: DataFrame, iters: int) -> DataFrame:
     """Fixed-iteration power method over a (i, j, cov) matrix frame:
     v0 uniform unit, v_{t+1} = C·v_t / ‖C·v_t‖₂; returns (i, loading)
-    rounded at 6."""
+    rounded at 6.
+
+    One job per iteration: the L2 normalizer rides the checkpoint of the
+    un-normalized mat-vec as an OBSERVED metric (the same
+    sqrt(sum(w*w)) aggregate the old broadcast-join branch computed, so
+    the scalar is the identical double), and the division by it happens
+    lazily over the checkpoint as a literal — bit-identical results with
+    half the per-iteration stages and no broadcast build.  Superseded
+    iteration checkpoints release eagerly (guide §5)."""
     import math
+
+    from usearch_spark.plans.iterative import (
+        checkpoint_with_metrics,
+        release_local_checkpoint,
+    )
 
     d = c.agg(F.max("i")).first()[0] + 1
     v = c.select("i").dropDuplicates(["i"]).withColumn(
         "w", F.lit(1.0 / math.sqrt(d))
     )
+    prev: DataFrame | None = None
     for _ in range(iters):
-        w = (
+        w, m = checkpoint_with_metrics(
             c.join(F.broadcast(v.select(F.col("i").alias("j"), "w")), "j")
             .groupBy("i")
-            .agg(F.sum(F.col("cov") * F.col("w")).alias("w"))
+            .agg(F.sum(F.col("cov") * F.col("w")).alias("w")),
+            nrm=F.sqrt(F.sum(F.col("w") * F.col("w"))),
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = (
-            w.join(F.broadcast(nrm))
-            .select("i", (F.col("w") / F.col("nrm")).alias("w"))
-            .localCheckpoint(eager=True)
-        )
+        release_local_checkpoint(prev)
+        prev = w
+        v = w.select("i", (F.col("w") / F.lit(float(m["nrm"]))).alias("w"))
     return v.select("i", F.round("w", 6).alias("loading"))
 
 
