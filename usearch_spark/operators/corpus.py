@@ -334,6 +334,11 @@ def mixture_weights(
             F.sum("nt").alias("n_tokens"),
             F.max("w").alias("w"),
         )
+        # |sources| rows: materializing the per-source aggregate keeps the
+        # totals row below from physically re-running the whole upstream
+        # plan (for lang-mix that upstream is the full langid pipeline —
+        # the un-checkpointed plan carried it TWICE)
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum("w").alias("tw"))
     share = F.col("w") / F.col("tw")

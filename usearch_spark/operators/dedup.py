@@ -598,27 +598,38 @@ def substring_containment_pairs(
     no longer exhaustive, so the EXACT headline above holds only for
     the default ``max_gram_df=None``.
     """
+    from pyspark.sql import Window
+
     from usearch_spark.session import spread_small_scan
 
     d = spread_small_scan(docs).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     long_docs = d.filter(F.length("text") >= k)
-    grams = long_docs.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {k} + 1),"
-                f" i -> substring(text, i, {k}))"
-            )
-        ).alias("gram"),
-    ).dropDuplicates(["id", "gram"])
-    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    rarest = (
-        grams.join(dfc, "gram")
-        .groupBy("id")
-        .agg(F.min(F.struct("df", "gram")).alias("_r"))
+    # per-doc gram dedup happens MAP-SIDE (array_distinct over the doc's
+    # own bounded gram array) instead of a corpus-wide (id, gram)
+    # dropDuplicates shuffle; the per-gram document frequency rides a
+    # gram-partitioned window on the SAME pass, and the result — the one
+    # corpus-sized artifact, used by the rarest-gram aggregate AND the
+    # candidate join below — is materialized ONCE (the un-checkpointed
+    # plan re-ran the whole explode+dedup pipeline for each of its three
+    # uses: df counts, rarest join, candidate postings side)
+    grams = (
+        long_docs.select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {k} + 1),"
+                        f" i -> substring(text, i, {k}))"
+                    )
+                )
+            ).alias("gram"),
+        )
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .localCheckpoint(eager=True)
     )
+    rarest = grams.groupBy("id").agg(F.min(F.struct("df", "gram")).alias("_r"))
     if max_gram_df is not None:
         rarest = rarest.filter(F.col("_r.df") <= max_gram_df)
     rarest = rarest.select("id", F.col("_r.gram").alias("gram"))

@@ -699,7 +699,10 @@ def related_pages(
         F.expr("CAST(substring(id, 2) AS BIGINT)").alias(id_col),
         F.round(F.col("score"), 8).alias("ppr"),
     )
-    cand = cand.join(dscores, id_col)
+    # <= pool rows: both the ppr rank pass and the final fuse reuse this
+    # frame — without the checkpoint the whole mlt pipeline + ppr-score
+    # join runs physically TWICE (once under each side of the fused join)
+    cand = cand.join(dscores, id_col).localCheckpoint(eager=True)
     ppr_ranked = topn_with_ranks(
         cand.select(id_col, F.col("ppr").alias("score")), pool, id_col=id_col
     )
