@@ -3792,10 +3792,15 @@ def q_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the catalog — the basket-analysis shape that scales."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
+    # |order × brand| rows, two narrow columns: ob feeds FOUR consumers
+    # (the n_orders count, the per-brand totals, and both sides of the
+    # within-order self-join) — materialized once instead of re-running
+    # the lineitem ⋈ part dedup under each
     ob = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .dropDuplicates(["l_orderkey", "p_brand"])
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.select("l_orderkey").distinct().count()
     brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))

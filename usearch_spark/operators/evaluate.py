@@ -1288,8 +1288,9 @@ def group_auc_bootstrap(
     B − B div 10 + 1 — the 10th/90th percentiles at B = 20), sorted on
     bit-identical doubles.
 
-    Distributed shape: one explode to B×rows (B is a constant), one
-    cell collapse (distinct scores × B — a dimension), the proven
+    Distributed shape: one explode to (B+1)×rows (B is a constant;
+    replicate 0 carries the point estimate with weight 1), one cell
+    collapse (distinct scores × (B+1) — a dimension), the proven
     rank-block window, then a B-bounded in-row sort per group.  No
     UDFs, no collects.
 
@@ -1301,16 +1302,24 @@ def group_auc_bootstrap(
     from usearch_spark.operators.sketch import _kmv_hash
 
     ts = poisson_thresholds(max_w)
+    # replicate 0 is the POINT ESTIMATE riding the same explode with a
+    # constant weight 1: its cells (cnt = count, pos = sum(y)) and the
+    # shared group_auc_from_cells math are integer-for-integer the
+    # group_auc(df, ...) computation, so the auc double is bit-identical
+    # — and the upstream base pipeline runs ONCE instead of once per
+    # branch (the point branch used to physically re-derive it)
     reps = df.select(
         *group_cols,
         F.col(score_col).alias("_s"),
         F.col(label_col).cast("long").alias("_y"),
         F.col(id_col).cast("string").alias("_id"),
-    ).withColumn("_b", F.explode(F.sequence(F.lit(1), F.lit(n_boot))))
+    ).withColumn("_b", F.explode(F.sequence(F.lit(0), F.lit(n_boot))))
     u = _kmv_hash(
         F.concat(F.col("_id"), F.lit(":"), F.col("_b").cast("string"))
     )
-    w = _reduce(_add, [(u >= F.lit(t)).cast("long") for t in ts])
+    w = F.when(
+        F.col("_b") == 0, F.lit(1).cast("long")
+    ).otherwise(_reduce(_add, [(u >= F.lit(t)).cast("long") for t in ts]))
     cells = (
         reps.withColumn("_w", w)
         .filter(F.col("_w") > 0)
@@ -1320,9 +1329,15 @@ def group_auc_bootstrap(
             F.sum(F.col("_w") * F.col("_y")).alias("pos"),
         )
     )
-    per_rep = group_auc_from_cells(cells, [*group_cols, "_b"], "_s")
+    # one row per (group, replicate) — dimension-sized; materializing it
+    # keeps the point/band self-join below from re-running the corpus
+    # cell collapse under both sides
+    per_rep = group_auc_from_cells(
+        cells, [*group_cols, "_b"], "_s"
+    ).localCheckpoint(eager=True)
     band = (
-        per_rep.groupBy(*group_cols)
+        per_rep.filter(F.col("_b") >= 1)
+        .groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("auc")).alias("_arr"))
         .withColumn("_n", F.size("_arr"))
     )
@@ -1330,7 +1345,7 @@ def group_auc_bootstrap(
     hi = F.expr(
         "try_element_at(_arr, CAST(least(_n, _n - _n div 10 + 1) AS INT))"
     )
-    point = group_auc(df, group_cols, score_col, label_col)
+    point = per_rep.filter(F.col("_b") == 0).select(*group_cols, "auc")
     return point.join(band, group_cols).select(
         *group_cols,
         "auc",
