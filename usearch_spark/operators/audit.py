@@ -372,11 +372,18 @@ def mad_outliers_from_cells(
             ).alias(out),
         )
 
+    # value-cardinality cells, materialized once: un-checkpointed, the
+    # upstream cell pipeline re-ran under every consumer (median window,
+    # totals, deviation cells — 19 physical base scans for events_mad);
+    # same for the deviation cells and the |groups|-row stat frames,
+    # each of which feeds 2-3 downstream joins
     vals = cells.select(
         *group_cols, F.col(val_col).alias("_v"), F.col(cnt_col).alias("_cnt")
-    )
-    med = two_middle(vals, "_v", "_cnt", "med2").select(
-        *group_cols, F.col("_n").alias("n"), "med2"
+    ).localCheckpoint(eager=True)
+    med = (
+        two_middle(vals, "_v", "_cnt", "med2")
+        .select(*group_cols, F.col("_n").alias("n"), "med2")
+        .localCheckpoint(eager=True)
     )
     dev = (
         vals.join(F.broadcast(med.select(*group_cols, "med2")), group_cols)
@@ -387,9 +394,10 @@ def mad_outliers_from_cells(
         )
         .groupBy(*group_cols, "_d")
         .agg(F.sum("_cnt").alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
     mad = two_middle(dev, "_d", "_cnt", "mad4").select(*group_cols, "mad4")
-    stats = med.join(mad, group_cols)
+    stats = med.join(mad, group_cols).localCheckpoint(eager=True)
     outl = (
         dev.join(F.broadcast(stats.select(*group_cols, "mad4")), group_cols)
         .filter(F.lit(20000) * F.col("_d") > F.lit(44478) * F.col("mad4"))

@@ -1462,8 +1462,13 @@ def population_stability_index(
             .agg(F.count(F.lit(1)).alias(cnt))
         )
 
-    cr = cells(ref, "_cr")
-    cc = cells(cur, "_cc")
+    # the cell collapses are the ONLY base-data passes; materialize each
+    # once (value-cardinality rows — a dimension, never row volume).
+    # Un-checkpointed, the ref cell pipeline re-ran under every consumer
+    # (totals, the cut window, the bin count) — 32 physical base scans
+    # for the events_psi entry
+    cr = cells(ref, "_cr").localCheckpoint(eager=True)
+    cc = cells(cur, "_cc").localCheckpoint(eager=True)
     tot_r = cr.groupBy(*group_cols).agg(F.sum("_cr").alias("_nr"))
     tot_c = cc.groupBy(*group_cols).agg(F.sum("_cc").alias("_nc"))
     w = Window.partitionBy(*group_cols).orderBy("_v")
@@ -1481,11 +1486,12 @@ def population_stability_index(
         .groupBy(*group_cols, "_k")
         .agg(F.min("_v").alias("_cut"))
     )
+    # one row per group; shared by both binned() broadcasts
     carr = cuts.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list(F.struct("_k", "_cut"))).alias("_s")
     ).select(
         *group_cols, F.expr("transform(_s, x -> x._cut)").alias("_cuts")
-    )
+    ).localCheckpoint(eager=True)
 
     def binned(cell: DataFrame, cnt: str) -> DataFrame:
         b = F.expr(
@@ -1520,7 +1526,11 @@ def population_stability_index(
     contrib = F.floor(
         ((p - q) * F.log(p / q)) * F.lit(1e9) + F.lit(0.5)
     ).cast("long")
-    per = grid.select(*group_cols, "bin", "n_ref", "n_cur", contrib.alias("_t"))
+    # n_bins rows per group; the per/total fuse below is a self-join, so
+    # without this the whole bin-grid pipeline would execute twice
+    per = grid.select(
+        *group_cols, "bin", "n_ref", "n_cur", contrib.alias("_t")
+    ).localCheckpoint(eager=True)
     tot = per.groupBy(*group_cols).agg(
         (F.sum("_t").cast("double") / F.lit(1e9)).alias("psi")
     )
