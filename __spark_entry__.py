@@ -1509,24 +1509,33 @@ def q_store_edges_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     url = F.concat(F.lit("http://cust/"), F.col("c_custkey"))
+    # Each lifecycle step's result is materialized before the next step
+    # consumes it — a real store WRITES between upserts, and leaving the
+    # chain lazy duplicates the whole upstream under every FK semi-join /
+    # anti-join reference (23 physical scans of customer in one plan).
+    # Every checkpointed frame is bounded by the constant key filters.
     links = upsert_links(
         None,
         c.filter(F.col("c_custkey") < 400).select(
             url.alias("url"), F.lit("2024-01-05").cast("timestamp").alias("retrieved_at")
         ),
-    )
+    ).localCheckpoint(eager=True)
     # k -> k+7 for k < 500: FK validation drops every pair touching >= 400
     pair = c.filter(F.col("c_custkey") < 500).select(
         url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey"))).alias("src"),
         url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey") + 7)).alias("dst"),
     )
-    e1 = upsert_edges(None, pair, links, updated_at=F.lit("2024-01-10").cast("timestamp"))
+    e1 = upsert_edges(
+        None, pair, links, updated_at=F.lit("2024-01-10").cast("timestamp")
+    ).localCheckpoint(eager=True)
     # re-assert k < 50 later: those survive the stale cutoff below
     refresh = c.filter(F.col("c_custkey") < 50).select(
         url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey"))).alias("src"),
         url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey") + 7)).alias("dst"),
     )
-    e2 = upsert_edges(e1, refresh, links, updated_at=F.lit("2024-01-20").cast("timestamp"))
+    e2 = upsert_edges(
+        e1, refresh, links, updated_at=F.lit("2024-01-20").cast("timestamp")
+    ).localCheckpoint(eager=True)
     recrawled = c.filter(F.col("c_custkey") < 100).select(
         url_id(F.concat(F.lit("http://cust/"), F.col("c_custkey"))).alias("id")
     )
@@ -3607,12 +3616,15 @@ def q_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # the 5-row region aggregate feeds both the total and the share rows —
+    # materialized once so the orders join pipeline runs a single time
     per_region = (
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region"))
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+        .localCheckpoint(eager=True)
     )
     total = F.broadcast(per_region.agg(F.sum("rev").alias("tot")))
     # cent units: scale-2 decimal * 100 is integral, so the (·,0) cast is
@@ -3906,7 +3918,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us")
     )
-    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+    # each stage's per-user first-completion frame is materialized before
+    # the next stage consumes it: left lazy, stage k re-derives stages
+    # 1..k-1 (and their event scans) under both its build and the final
+    # steps join — 6 base scans instead of the documented three
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+        .localCheckpoint(eager=True)
+    )
     cap = 259200000000  # 3 days in micros: each stage must follow within the window
     t2 = (
         ev.filter(F.col("event_type") == "click")
@@ -3914,6 +3935,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts_us") > F.col("t1")) & (F.col("ts_us") <= F.col("t1") + cap))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3921,6 +3943,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts_us") > F.col("t2")) & (F.col("ts_us") <= F.col("t2") + cap))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t3"))
+        .localCheckpoint(eager=True)
     )
     steps = (
         t1.join(t2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
@@ -5170,15 +5193,20 @@ def q_customer_churn_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiled to left-semi/left-anti aggregates) — (cohort, n_customers)
     for retained / churned / new."""
     o = _t(spark, sf_dir, "orders")
+    # each cohort set feeds two set operators (intersect + except) — left
+    # lazy, the orders scan+distinct re-runs under every reference (6 base
+    # scans); materialized once per side (bounded by |customers|)
     y96 = (
         o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     y97 = (
         o.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
         .select("o_custkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     rows = [
         ("retained", y96.intersect(y97)),
@@ -7618,16 +7646,23 @@ def q_supplier_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # collapse the fact-fact join to (order, supplier, any-late) ONCE —
+    # both the per-order supplier counts and the late-pair side are exact
+    # integer projections of it (distinct suppliers = rows per order,
+    # distinct late suppliers = pairs with any late line), so lineitem and
+    # orders are scanned once instead of once per consumer
+    ld = (
+        l.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+        .localCheckpoint(eager=True)
+    )
+    per_order = ld.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
     )
     waiting = (
-        l.filter(F.col("late") == 1)
+        ld.filter(F.col("late") == 1)
         .select("l_orderkey", "l_suppkey")
-        .dropDuplicates(["l_orderkey", "l_suppkey"])
         .join(
             per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
             "l_orderkey",
@@ -8000,12 +8035,23 @@ def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usearch_spark.operators.sketch import kmv_intersect_estimate, kmv_sketch
 
     ev = _events(spark, sf_dir)
-    ska = kmv_sketch(
-        ev.filter(F.col("event_type") == "click"), "user_id", ["event_type"], k=64
-    ).select("hv")
-    skb = kmv_sketch(
-        ev.filter(F.col("event_type") == "purchase"), "user_id", ["event_type"], k=64
-    ).select("hv")
+    # each <=64-row sketch feeds BOTH the union-min-k and the membership
+    # mark join inside kmv_intersect_estimate — materialized once so the
+    # events scan + bottom-k window runs one time per side, not two
+    ska = (
+        kmv_sketch(
+            ev.filter(F.col("event_type") == "click"), "user_id", ["event_type"], k=64
+        )
+        .select("hv")
+        .localCheckpoint(eager=True)
+    )
+    skb = (
+        kmv_sketch(
+            ev.filter(F.col("event_type") == "purchase"), "user_id", ["event_type"], k=64
+        )
+        .select("hv")
+        .localCheckpoint(eager=True)
+    )
     est = kmv_intersect_estimate(ska, skb, k=64)
     exact = (
         ev.filter(F.col("event_type") == "click")
@@ -8343,10 +8389,16 @@ def q_overstock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     rli = li.join(F.broadcast(red), "l_partkey")
-    ps = rli.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("qty_ps")
+    # the per-part totals are the exact rollup of the (part, supplier)
+    # partials (integer-valued doubles < 2^53 sum exactly in any order),
+    # so lineitem is scanned once, not once per aggregation level; the
+    # partial table is part×supplier-bounded — a dimension
+    ps = (
+        rli.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_ps"))
+        .localCheckpoint(eager=True)
     )
-    pt = rli.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty_p"))
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
     dom = ps.join(pt, "l_partkey").filter(
         F.lit(10.0) * F.col("qty_ps") > F.col("qty_p")
     )
@@ -8955,8 +9007,15 @@ def _map_mrr_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count(F.lit(1)).alias("nord"))
     )
-    return c.join(oc, "c_custkey", "left").withColumn(
-        "label", (F.coalesce("nord", F.lit(0)) >= 15).cast("int")
+    # Materialized once per caller: every eval operator downstream
+    # references its input 2-4 times (rank pass + group totals + ideal /
+    # tie passes), and left lazy each reference re-runs this customer ⟕
+    # order-count join — 4-5 physical base scans per eval query.  The
+    # frame is |customers| rows × 4 narrow columns.
+    return (
+        c.join(oc, "c_custkey", "left")
+        .withColumn("label", (F.coalesce("nord", F.lit(0)) >= 15).cast("int"))
+        .localCheckpoint(eager=True)
     )
 
 

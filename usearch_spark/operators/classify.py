@@ -62,9 +62,20 @@ def nb_train(
     toks = docs.select(
         F.col(label_col).alias("label"), F.explode(tokenize(text_col)).alias("tok")
     )
-    ctc = toks.groupBy("label", "tok").agg(F.count(F.lit(1)).alias("c"))
-    cc = toks.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    vocab = toks.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
+    # The (label, tok) count table IS the model dimension (|classes|·|vocab|
+    # rows) and every other training statistic is an exact projection of it:
+    # class token totals are sum(c) per label and the vocabulary size is its
+    # distinct-tok count.  Materializing it once means the corpus
+    # tokenize+explode runs a single time instead of under every consumer
+    # (token_lp, cc, vocab — 5 physical re-scans of the training corpus
+    # before this).
+    ctc = (
+        toks.groupBy("label", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cc = ctc.groupBy("label").agg(F.sum("c").alias("n"))
+    vocab = ctc.select("tok").distinct().agg(F.count(F.lit(1)).alias("v"))
     token_lp = (
         ctc.join(F.broadcast(cc), "label")
         .crossJoin(F.broadcast(vocab))
@@ -76,10 +87,15 @@ def nb_train(
             ),
         )
     )
-    nd = docs.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("nd")
+    # |classes|-row doc counts, materialized so the corpus total derives
+    # from them instead of a second full corpus scan (a null label groups
+    # like any other value, so sum(nd) is exactly count(*)).
+    nd = (
+        docs.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .localCheckpoint(eager=True)
     )
-    total = docs.agg(F.count(F.lit(1)).alias("nt"))
+    total = nd.agg(F.sum("nd").alias("nt"))
     class_stats = (
         cc.join(nd, "label")
         .crossJoin(F.broadcast(total))

@@ -101,10 +101,15 @@ def ngram_jaccard_pairs(
     cap) before the self-join — they contribute little discrimination and
     all of the quadratic cost.
     """
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    # the shingle table feeds the df cap, the size aggregate and both join
+    # sides — materialized once (the minhash_near_duplicates pattern) so
+    # the corpus explode doesn't re-run under every consumer; the filtered
+    # table is materialized too (3 consumers) so the stop-shingle semi-join
+    # runs once
+    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_shingle_df)
-        sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+        sh = sh.join(rare.select("shingle"), "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -470,7 +475,11 @@ def ngram_jaccard_pairs_prefix(
     blowup lives only in the rarest shingles' tiny postings, without the
     recall loss of a df cap or the approximation of MinHash.
     """
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    # One corpus-sized artifact, materialized once: the shingle table feeds
+    # the df ranking, the prefix join (both sides), the size aggregate and
+    # the exact verify (both sides) — 10 physical corpus re-scans when left
+    # lazy, one when checkpointed (the minhash_near_duplicates pattern).
+    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     cands = _prefix_candidates(sh, threshold).select("a", "b")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return _verify_jaccard(sh, sizes, cands, threshold)
@@ -708,7 +717,8 @@ def ngram_jaccard_pairs_ppjoin(
     another 2-5x.  The 100-TB shape is unchanged: the quadratic blowup
     lives only in rare-shingle postings, and the extra filters are
     per-candidate-row expressions, no new shuffle."""
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    # Same shared-shingle-table materialization as the prefix variant.
+    sh = _doc_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return _verify_jaccard(sh, sizes, ppjoin_candidates(sh, threshold), threshold)
 

@@ -500,12 +500,16 @@ def group_ks(
         .orderBy(score_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the running-sum cell frame (one row per distinct (group, score) — a
+    # dimension) feeds both the per-group totals and the argmax join;
+    # materialized once so the caller's input pipeline + the collapse +
+    # window run a single time, not once per consumer
     r = agg.select(
         *group_cols,
         F.col(score_col).alias("_s"),
         F.sum("pos").over(w).alias("_cp"),
         (F.sum("cnt").over(w) - F.sum("pos").over(w)).alias("_cn"),
-    )
+    ).localCheckpoint(eager=True)
     tot = r.groupBy(*group_cols).agg(
         F.max("_cp").alias("n_pos"), F.max("_cn").alias("n_neg")
     )
@@ -755,15 +759,27 @@ def group_spearman(
     multiply+divide chain is identical on both engines — bit-exact
     with NO rounding site.  Constant columns (all cx = 0) emit NULL.
 
-    Distributed shape: two (group, value) collapses with
-    group-partitioned running-count windows (bounded by distinct
-    values), two hash joins back to rows, one partial-agg groupBy.  No
+    Distributed shape: one (group, x, y) cell collapse materialized
+    once, two (group, value) projections with group-partitioned
+    running-count windows (bounded by distinct values), two hash joins
+    back to the cells, one cell-weighted partial-agg groupBy.  No
     UDFs, no collects.
 
     Output: group_cols + (n, spearman_rho).
     """
+    # One bounded (group, x, y) cell table, materialized once: the per-value
+    # counts behind both midrank windows, the group sizes, AND the co-moment
+    # sums are exact integer aggregates of it (Σ over rows of cx·cy equals
+    # Σ over cells of c·cx·cy — integer addition is associative), so the
+    # caller's input pipeline runs one time instead of four.
+    cells = (
+        df.groupBy(*group_cols, x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+
     def rank2(col: str, alias: str) -> DataFrame:
-        agg = df.groupBy(*group_cols, col).agg(F.count(F.lit(1)).alias("_cnt"))
+        agg = cells.groupBy(*group_cols, col).agg(F.sum("_c").alias("_cnt"))
         w = (
             Window.partitionBy(*group_cols)
             .orderBy(col)
@@ -779,9 +795,9 @@ def group_spearman(
             ).alias(alias),
         )
 
-    n_per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    n_per = cells.groupBy(*group_cols).agg(F.sum("_c").alias("n"))
     j = (
-        df.join(rank2(x_col, "_rx2"), [*group_cols, x_col])
+        cells.join(rank2(x_col, "_rx2"), [*group_cols, x_col])
         .join(rank2(y_col, "_ry2"), [*group_cols, y_col])
         .join(n_per, group_cols)
     )
@@ -789,9 +805,9 @@ def group_spearman(
     cy = F.col("_ry2") - (F.col("n") + F.lit(1))
     g = j.groupBy(*group_cols).agg(
         F.max("n").alias("n"),
-        F.sum(cx * cy).alias("_scc"),
-        F.sum(cx * cx).alias("_sxx"),
-        F.sum(cy * cy).alias("_syy"),
+        F.sum(F.col("_c") * cx * cy).alias("_scc"),
+        F.sum(F.col("_c") * cx * cx).alias("_sxx"),
+        F.sum(F.col("_c") * cy * cy).alias("_syy"),
     )
     return g.select(
         *group_cols,
@@ -915,10 +931,17 @@ def group_kendall(
 
     Output: group_cols + (n, n_concordant, n_discordant, tau_b).
     """
-    cells = df.groupBy(*group_cols, x_col, y_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    # The (group, x, y) cell table is the single bounded artifact every
+    # other statistic projects from exactly: the distinct-y classes, the
+    # x-tie and y-tie counts are all integer aggregates of cells.
+    # Materializing it once replaces four physical re-derivations of the
+    # caller's (possibly join-heavy) input with one.
+    cells = (
+        df.groupBy(*group_cols, x_col, y_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
-    ys = df.select(*group_cols, F.col(y_col).alias("_v")).distinct()
+    ys = cells.select(*group_cols, F.col(y_col).alias("_v")).distinct()
     e = cells.join(ys, group_cols).withColumn(
         "_cv", F.when(F.col(y_col) == F.col("_v"), F.col("_c")).otherwise(F.lit(0))
     )
@@ -932,16 +955,17 @@ def group_kendall(
         F.sum(F.when(F.col("_v") < F.col(y_col), F.col("_cum")).otherwise(F.lit(0))).alias("_less"),
         F.sum(F.when(F.col("_v") > F.col(y_col), F.col("_cum")).otherwise(F.lit(0))).alias("_more"),
     )
-    # tie-pair counts per coordinate
+    # tie-pair counts per coordinate — per-value row counts are exact
+    # integer sums of the cells over the other coordinate
     tx = (
-        df.groupBy(*group_cols, x_col)
-        .agg(F.count(F.lit(1)).alias("_t"))
+        cells.groupBy(*group_cols, x_col)
+        .agg(F.sum("_c").alias("_t"))
         .groupBy(*group_cols)
         .agg(F.sum(F.expr("_t * (_t - 1) div 2")).alias("_n1"))
     )
     ty = (
-        df.groupBy(*group_cols, y_col)
-        .agg(F.count(F.lit(1)).alias("_t"))
+        cells.groupBy(*group_cols, y_col)
+        .agg(F.sum("_c").alias("_t"))
         .groupBy(*group_cols)
         .agg(F.sum(F.expr("_t * (_t - 1) div 2")).alias("_n2"))
     )

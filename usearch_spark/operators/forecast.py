@@ -469,12 +469,16 @@ def decompose_from_daily(
         .orderBy("d")
         .rowsBetween(-h, h)
     )
+    # the MA frame is (group, day)-sized — a dimension — and feeds BOTH
+    # the seasonal-mean aggregate and the output join; materialized once
+    # so the caller's daily aggregation (and any upstream event scan)
+    # runs a single time, not once per consumer
     t = daily.withColumn("_masum", F.sum("n").over(w)).withColumn(
         "_cnt", F.count("n").over(w)
     ).withColumn(
         "_wd",
         F.pmod(F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)),
-    )
+    ).localCheckpoint(eager=True)
     md = F.lit(m).cast("long")
     det = t.filter(F.col("_cnt") == m).select(
         *group_cols,

@@ -359,8 +359,15 @@ def unigram_logprob(
     DECIMAL, so the document score is bit-identical under any aggregation
     order (the hash-gate requirement).
     """
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # The exploded token table feeds BOTH the vocabulary aggregation and
+    # the per-document scoring join; materialized once so the corpus
+    # scan+tokenize runs a single time.  The vocab count table (a
+    # dimension) is materialized too so the totals aggregate and the
+    # probability projection don't each re-aggregate the tokens.
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).localCheckpoint(eager=True)
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     total = vocab.agg(F.sum("c").alias("total"))
     lp = (
         vocab.join(F.broadcast(total))
@@ -408,9 +415,16 @@ def bigram_logprob(
     per document at the end.  Documents with < 2 tokens score 0 with
     n_bigrams 0.
     """
+    # The tokenized corpus is materialized ONCE and every count table
+    # derives from it — before this, the scan+tokenize pipeline ran under
+    # the bigram counts, the left-context counts, the unigram counts, the
+    # corpus-token count AND the scoring join (5 physical corpus scans).
+    # The left-context table is an exact integer projection of the bigram
+    # table (c(w1·) = Σ_w2 c(w1w2)), and the corpus token count the exact
+    # sum of the unigram counts — no separate corpus passes.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
-    )
+    ).localCheckpoint(eager=True)
     zipped = F.arrays_zip(
         F.slice(F.col("_toks"), 1, F.size("_toks") - 1).alias("w1"),
         F.slice(F.col("_toks"), 2, F.size("_toks") - 1).alias("w2"),
@@ -420,11 +434,11 @@ def bigram_logprob(
         .select("doc_id", F.explode(zipped).alias("_b"))
         .select("doc_id", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
     )
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    uni = docs.select(F.explode(tokenize(F.col(text_col))).alias("w2"))
-    cu = uni.groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
-    n_tok = uni.count()
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).localCheckpoint(eager=True)
+    c1 = cb.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    uni = toks.select(F.explode(F.col("_toks")).alias("w2"))
+    cu = uni.groupBy("w2").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint(eager=True)
+    n_tok = cu.agg(F.sum("cu")).first()[0] or 0
     lp = (
         cb.join(c1, "w1")
         .join(cu, "w2")
@@ -458,7 +472,9 @@ def bigram_logprob(
             (F.col("lp_sum").cast("double") / F.col("n_bigrams")).alias("avg_logprob"),
         )
     )
-    spine = docs.select(F.col(id_col).alias("doc_id"))
+    # the id spine projects from the materialized token table (it holds a
+    # row for every document — the <2-token filter applies downstream)
+    spine = toks.select("doc_id")
     return spine.join(per, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
@@ -493,9 +509,16 @@ def trigram_logprob(
     log-probs round to 6dp and sum as DECIMAL (order-independent), ONE
     double division per document, never a rounded double quotient.
     Documents with < 3 tokens score 0 with n_trigrams 0."""
+    # The tokenized corpus is materialized ONCE (the bigram_logprob
+    # pattern, one level up): before this the scan+tokenize pipeline ran
+    # under all five count tables, the corpus-token count and the scoring
+    # join — 7 physical corpus scans.  The context-count tables are exact
+    # integer projections of the level above them (c(w1w2·) = Σ_w3
+    # c(w1w2w3) over trigram positions, c(w2·) = Σ_w3 c(w2w3) over bigram
+    # positions, N = Σ c(w)), so each gram level is counted exactly once.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
-    )
+    ).localCheckpoint(eager=True)
     tri3 = F.arrays_zip(
         F.slice(F.col("_toks"), 1, F.size("_toks") - 2).alias("w1"),
         F.slice(F.col("_toks"), 2, F.size("_toks") - 2).alias("w2"),
@@ -520,15 +543,17 @@ def trigram_logprob(
         .select(F.explode(zipped2).alias("_b"))
         .select(F.col("_b.u").alias("u"), F.col("_b.v").alias("v"))
     )
-    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    c12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    cb = bi.groupBy(F.col("u").alias("w2"), F.col("v").alias("w3")).agg(
-        F.count(F.lit(1)).alias("cb")
+    c3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")).localCheckpoint(eager=True)
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
+    cb = (
+        bi.groupBy(F.col("u").alias("w2"), F.col("v").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
     )
-    c1 = bi.groupBy(F.col("u").alias("w2")).agg(F.count(F.lit(1)).alias("c1"))
-    uni = docs.select(F.explode(tokenize(F.col(text_col))).alias("w3"))
-    cu = uni.groupBy("w3").agg(F.count(F.lit(1)).alias("cu"))
-    n_tok = uni.count()
+    c1 = cb.groupBy("w2").agg(F.sum("cb").alias("c1"))
+    uni = toks.select(F.explode(F.col("_toks")).alias("w3"))
+    cu = uni.groupBy("w3").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint(eager=True)
+    n_tok = cu.agg(F.sum("cu")).first()[0] or 0
     lp = (
         c3.join(c12, ["w1", "w2"])
         .join(cb, ["w2", "w3"])
@@ -562,7 +587,9 @@ def trigram_logprob(
             (F.col("lp_sum").cast("double") / F.col("n_trigrams")).alias("avg_logprob"),
         )
     )
-    spine = docs.select(F.col(id_col).alias("doc_id"))
+    # id spine from the materialized token table (one row per document —
+    # the <3-token filter applies downstream of it)
+    spine = toks.select("doc_id")
     return spine.join(per, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
@@ -848,6 +875,10 @@ def corpus_js_drift(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt_b"))
     )
+    # The joined vocabulary table is a DIMENSION (distinct tokens); left
+    # lazy it re-runs both corpus explodes under every consumer (the totals
+    # aggregate AND the per-token term frame — 8 physical corpus scans).
+    # Materialize it once.
     j = (
         ca.join(cb, "token", "full_outer")
         .select(
@@ -855,6 +886,7 @@ def corpus_js_drift(
             F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
             F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = j.agg(
         F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b")

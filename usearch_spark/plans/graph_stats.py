@@ -1930,10 +1930,14 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
     Distributed shape: dedup, one self-equi-join on the reversed key,
     one global count agg.  Determinism: two exact integer counts + one
     divide."""
+    # the deduped edge set (a dimension — distinct directed lanes) feeds
+    # both sides of the reversed-key self-join; materialized once so the
+    # caller's edge-building pipeline doesn't execute under each side
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
     )
     rev = e.select(F.col("b").alias("a"), F.col("a").alias("b")).withColumn(
         "_r", F.lit(1)
