@@ -8824,9 +8824,14 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nord"))
     )
     # grade = min(3, orders div 5): at the testdata's ~10-order mean this
-    # spreads customers across all four grades instead of saturating at 3
-    lab = c.join(oc, "c_custkey", "left").withColumn(
-        "rel", F.expr("least(3, coalesce(nord, 0) div 5)").cast("int")
+    # spreads customers across all four grades instead of saturating at 3.
+    # Materialized once — group_ndcg references its input three times
+    # (group sizes + scored top-k + ideal top-k), which re-ran this
+    # customer ⟕ order-count join under each (5 base scans).
+    lab = (
+        c.join(oc, "c_custkey", "left")
+        .withColumn("rel", F.expr("least(3, coalesce(nord, 0) div 5)").cast("int"))
+        .localCheckpoint(eager=True)
     )
     return group_ndcg(
         lab, ["c_mktsegment"], "cents", "rel", "c_custkey", k=20
