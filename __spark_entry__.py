@@ -13430,21 +13430,41 @@ def q_sketch_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimates divide from — bit-exact, one divide per output float."""
     from pyspark.sql import Window
 
-    from usearch_spark.operators.sketch import log_hist_quantile, log_hist_sketch
+    from usearch_spark.operators.sketch import log_hist_merge, log_hist_quantile
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    sk = log_hist_sketch(li, "l_extendedprice", ["l_returnflag"]).localCheckpoint(
-        eager=True
-    )
     cents = F.floor(F.col("l_extendedprice").cast("double") * F.lit(100.0) + F.lit(0.5))
+    # (flag, cents) cells are bounded by VALUE CARDINALITY (a dimension,
+    # never row volume); without the checkpoints the whole scan+collapse
+    # pipeline re-executes under cum AND tot for EACH of the 3 percentiles
+    # (6 lineitem scans); with them the base is read once and the rank
+    # window runs once
     cells = (
         li.select("l_returnflag", cents.alias("v"))
         .groupBy("l_returnflag", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    # the sketch's (blen, sub3) bins are a pure COARSENING of the cent
+    # cells (both are functions of the identical floor(x*100+0.5) value),
+    # so the sketch derives from the checkpointed cells by bin addition —
+    # log_hist_merge's defining mergeability property, integer-for-integer
+    # the log_hist_sketch(li, ...) result — instead of a second corpus scan
+    sk = log_hist_merge(
+        cells.selectExpr(
+            "l_returnflag",
+            "CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS blen",
+            "CASE WHEN v <= 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftright(v, greatest(length(bin(v)) - 3, 0)) END AS sub3",
+            "cnt",
+        ),
+        ["l_returnflag"],
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("l_returnflag").orderBy("v")
-    cum = cells.withColumn("cum", F.sum("cnt").over(w))
-    tot = cells.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    cum = cells.withColumn("cum", F.sum("cnt").over(w)).localCheckpoint(eager=True)
+    tot = cells.groupBy("l_returnflag").agg(F.sum("cnt").alias("n")).localCheckpoint(
+        eager=True
+    )
     out = None
     for qn, qd, name in ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")):
         est = log_hist_quantile(sk, ["l_returnflag"], qn, qd, out_col="est").select(

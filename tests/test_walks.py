@@ -113,3 +113,33 @@ def test_node2vec_walks_replay_python_simulation(spark):
         got.setdefault(r["start"], {})[r["step"]] = r["node"]
     for s in ("a", "c", "e"):
         assert got[s] == simulate(s), f"start {s}: {got[s]} != {simulate(s)}"
+
+
+def test_pruned_and_ranked_strategies_are_bit_identical(spark):
+    """The per-step-pruned few-seed path must replay the SAME trajectories
+    as the one-ranked-adjacency path: per-src row_number over a
+    src-complete filtered adjacency is the global ranking restricted to
+    the visited vertices.  Random 60-vertex multigraph-free digraph,
+    both operators, every (start, step, node) row compared."""
+    from usearch_spark.plans.walks import node2vec_walks, random_walks
+
+    rows = sorted(
+        {
+            (f"v{(7 * i + 3 * j) % 60}", f"v{(11 * i + j * j) % 60}")
+            for i in range(60)
+            for j in range(5)
+        }
+    )
+    rows = [(s, d) for s, d in rows if s != d]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    starts = spark.createDataFrame([(f"v{k}",) for k in (0, 7, 13, 41)], "id string")
+
+    def key(df):
+        return sorted((r["start"], r["step"], r["node"]) for r in df.collect())
+
+    assert key(random_walks(e, starts, steps=5, strategy="pruned")) == key(
+        random_walks(e, starts, steps=5, strategy="ranked")
+    )
+    assert key(
+        node2vec_walks(e, starts, steps=5, strategy="pruned")
+    ) == key(node2vec_walks(e, starts, steps=5, strategy="ranked"))

@@ -35,14 +35,84 @@ def _choice(start, t: int, cur, deg):
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % deg
 
 
+# Below this many (deduped) starts, "auto" walks rank PER-STEP visited
+# neighborhoods instead of the whole adjacency: the in-flight vertex set
+# is <= |starts| at every step, so collecting it to the driver is a
+# bounded collect (the centroid-list precedent) and the isin filter it
+# feeds PUSHES DOWN to the edge scan — per-step cost proportional to the
+# visited out-degree, never |E|.  Corpus-scale walk generation (millions
+# of starts) keeps the one-ranked-adjacency shape.
+PRUNED_MAX_STARTS = 1024
+
+
+def _resolve_strategy(starts: DataFrame, id_col: str, strategy: str) -> str:
+    if strategy != "auto":
+        return strategy
+    n = starts.select(id_col).limit(PRUNED_MAX_STARTS + 1).count()
+    return "pruned" if n <= PRUNED_MAX_STARTS else "ranked"
+
+
+def _visited(state: DataFrame, col: str) -> list:
+    """Driver-side distinct vertex list for the isin pushdown filter —
+    bounded by |starts| (each walk occupies exactly one vertex)."""
+    return [r[0] for r in state.select(col).distinct().collect()]
+
+
 def random_walks(
-    edges: DataFrame, starts: DataFrame, steps: int = 4, id_col: str = "id"
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 4,
+    id_col: str = "id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Walk ``steps`` steps from every row of ``starts`` over the directed
     ``edges`` (src, dst).  Returns (start, step, node) with step 0 = the
     start itself; a walk that reaches a vertex with no out-edges ends
-    there (no row for later steps)."""
+    there (no row for later steps).
+
+    ``strategy``: "ranked" materializes the globally ranked adjacency once
+    (the corpus-generation shape); "pruned" ranks only the visited
+    neighborhoods each step (the few-seed shape — per-src row_number over a
+    src-complete filtered set is bit-identical to the global ranking);
+    "auto" picks by start count.
+    """
     from pyspark.sql import Window
+
+    if _resolve_strategy(starts, id_col, strategy) == "pruned":
+        state = starts.select(F.col(id_col).alias("start"), F.col(id_col).alias("cur"))
+        frames = [
+            state.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+        ]
+        for t in range(1, steps + 1):
+            curs = _visited(state, "cur")
+            if not curs:
+                break  # every walk hit a dead end: later frames are empty anyway
+            w = Window.partitionBy("n_src")
+            adj = (
+                edges.filter(F.col("src").isin(curs))
+                .select(F.col("src").alias("n_src"), F.col("dst").alias("n_dst"))
+                .select(
+                    "n_src",
+                    "n_dst",
+                    (F.row_number().over(w.orderBy("n_dst")) - 1).alias("idx"),
+                    F.count(F.lit(1)).over(w).alias("deg"),
+                )
+            )
+            state = (
+                state.join(adj, state["cur"] == adj["n_src"])
+                .filter(
+                    F.col("idx")
+                    == _choice(F.col("start"), t, F.col("cur"), F.col("deg"))
+                )
+                .select("start", F.col("n_dst").alias("cur"))
+                .localCheckpoint(eager=True)
+            )
+            frames.append(
+                state.select(
+                    "start", F.lit(t).alias("step"), F.col("cur").alias("node")
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     # materialize the ranked adjacency ONCE: every step joins against it,
     # and without the checkpoint Spark would lazily re-run the per-src
@@ -102,6 +172,7 @@ def node2vec_walks(
     w_far: int = 2,
     id_col: str = "id",
     edges_deduped: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Second-order BIASED walks (node2vec, Grover & Leskovec KDD 2016):
     after a uniform first step, the walk at ``cur`` having arrived from
@@ -133,10 +204,24 @@ def node2vec_walks(
     # ``edges_deduped=True`` skips the edge dedup shuffle when the caller
     # proves uniqueness (e.g. a symmetrized distinct bipartite edge set
     # whose two directions use disjoint id alphabets).
+    starts = starts.select(id_col).dropDuplicates([id_col])
+    if _resolve_strategy(starts, id_col, strategy) == "pruned":
+        # few-seed shape: rank/weigh only the visited neighborhoods each
+        # step (dedup of the filtered set == filter of the deduped set —
+        # both key on (src, dst) and the filter keys on src alone), so
+        # per-step cost follows the frontier out-degree, never |E|
+        def _adj(vals: list, a: str, b: str) -> DataFrame:
+            out = edges.filter(F.col("src").isin(vals)).select(
+                F.col("src").alias(a), F.col("dst").alias(b)
+            )
+            return out if edges_deduped else out.dropDuplicates([a, b])
+
+        return _node2vec_pruned(
+            _adj, starts, steps, w_return, w_common, w_far, id_col
+        )
     nbr = edges.select(F.col("src").alias("n_src"), F.col("dst").alias("n_dst"))
     if not edges_deduped:
         nbr = nbr.dropDuplicates(["n_src", "n_dst"])
-    starts = starts.select(id_col).dropDuplicates([id_col])
     # ONE materialization: the ranked adjacency is the only corpus-sized
     # artifact — degrees and the common-neighbor side (e2) both derive
     # from the checkpoint, so the caller's edge plan and the ranking
@@ -227,4 +312,101 @@ def node2vec_walks(
         frames.append(
             state.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
         )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _node2vec_pruned(
+    adj_of, starts: DataFrame, steps: int, w_return: int, w_common: int,
+    w_far: int, id_col: str,
+) -> DataFrame:
+    """node2vec_walks' per-step-pruned body: ``adj_of(vertices, a, b)``
+    returns the (deduped) out-adjacency of just those vertices.  The
+    per-start weight/cumsum windows and the md5 interval pick are the
+    ranked path's expressions verbatim, so the two strategies are
+    bit-identical (pinned by the parity test)."""
+    from pyspark.sql import Window
+
+    state = starts.select(F.col(id_col).alias("start"), F.col(id_col).alias("cur"))
+    frames = [
+        state.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    ]
+    # step 1: uniform over cur's neighbors (no previous vertex yet)
+    curs = _visited(state, "cur")
+    if curs:
+        w = Window.partitionBy("n_src")
+        ranked = adj_of(curs, "n_src", "n_dst").select(
+            "n_src",
+            "n_dst",
+            (F.row_number().over(w.orderBy("n_dst")) - 1).alias("idx"),
+            F.count(F.lit(1)).over(w).alias("deg"),
+        )
+        state = (
+            state.join(ranked, state["cur"] == ranked["n_src"])
+            .filter(
+                F.col("idx") == _choice(F.col("start"), 1, F.col("cur"), F.col("deg"))
+            )
+            .select("start", F.col("cur").alias("prev"), F.col("n_dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        frames.append(
+            state.select("start", F.lit(1).alias("step"), F.col("cur").alias("node"))
+        )
+        for t in range(2, steps + 1):
+            curs = _visited(state, "cur")
+            if not curs:
+                break
+            nbr_t = adj_of(curs, "n_src", "n_dst")
+            e2_t = adj_of(_visited(state, "prev"), "c_src", "c_dst")
+            cand = (
+                state.join(nbr_t, state["cur"] == nbr_t["n_src"])
+                .join(
+                    e2_t,
+                    (F.col("prev") == F.col("c_src"))
+                    & (F.col("n_dst") == F.col("c_dst")),
+                    "left",
+                )
+                .withColumn(
+                    "w",
+                    F.when(F.col("n_dst") == F.col("prev"), F.lit(w_return))
+                    .when(F.col("c_dst").isNotNull(), F.lit(w_common))
+                    .otherwise(F.lit(w_far)),
+                )
+            )
+            wcum = Window.partitionBy("start").orderBy("n_dst")
+            wall = wcum.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            picked = (
+                cand.withColumn("cum", F.sum("w").over(wcum))
+                .withColumn("tot", F.sum("w").over(wall))
+                .withColumn(
+                    "r",
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.col("start"), F.lit(str(t)), F.col("cur")
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("tot"),
+                )
+                .filter(
+                    (F.col("r") >= F.col("cum") - F.col("w"))
+                    & (F.col("r") < F.col("cum"))
+                )
+            )
+            state = picked.select(
+                "start", F.col("cur").alias("prev"), F.col("n_dst").alias("cur")
+            ).localCheckpoint(eager=True)
+            frames.append(
+                state.select(
+                    "start", F.lit(t).alias("step"), F.col("cur").alias("node")
+                )
+            )
     return reduce(lambda a, b: a.unionByName(b), frames)
