@@ -1408,7 +1408,9 @@ def harmonic_centrality(
     with loop_tuned_session(spark, n_rows):
         prev_state = None
         for _ in range(rounds):
-            msgs = state.join(e, state.id == e.a).select(
+            # shuffle_hash: see betweenness_centrality — stops the per-round
+            # edge-frame broadcast/sort; state (<=|S|·|V|) hashes instead
+            msgs = state.hint("shuffle_hash").join(e, state.id == e.a).select(
                 "s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist")
             )
             state = (
@@ -1494,8 +1496,15 @@ def betweenness_centrality(
         prev_cp = None
         for r in range(1, rounds + 1):
             frontier = state.filter(F.col("dist") == r - 1)
+            # shuffle_hash on the frontier side: without it the planner
+            # BROADCASTS the 2|E| edge frame every superstep whenever its
+            # estimate fits the threshold (a single-threaded driver-side
+            # hash build of millions of rows, rebuilt per round), and
+            # falls back to sort-merge (re-SORTING the edge frame per
+            # round) once it doesn't.  Hashing the frontier keeps both
+            # sides co-partitioned exchanges — the scale-safe shape
             msgs = (
-                frontier.join(e, frontier.id == e.a)
+                frontier.hint("shuffle_hash").join(e, frontier.id == e.a)
                 .select("s", F.col("b").alias("id"), F.col("sigma").alias("m"))
                 .groupBy("s", "id")
                 .agg(F.sum("m").alias("sigma"))
@@ -1513,7 +1522,7 @@ def betweenness_centrality(
                 "s", F.col("id").alias("wid"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
             )
             contribs = (
-                w.join(e, w.wid == e.b)
+                w.hint("shuffle_hash").join(e, w.wid == e.b)
                 .select("s", F.col("a").alias("pid"), "sw", "dw")
                 .join(
                     delta.filter(F.col("dist") == lev - 1).select(
@@ -2428,7 +2437,7 @@ def katz_centrality(
     prev = None
     for _ in range(steps):
         msg = (
-            x.join(e, x["id"] == e["src"])
+            x.hint("shuffle_hash").join(e, x["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("score").alias("_m"))
         )

@@ -362,6 +362,7 @@ def ppr_forward_push(
         for _ in range(rounds):
             msgs = (
                 state.filter(fr & F.col("od").isNotNull())
+                .hint("shuffle_hash")
                 .join(e, state["id"] == e["src"])
                 .select(
                     F.col("dst").alias("id"),
@@ -566,6 +567,7 @@ def _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part) -> It
     def step_fn(current: DataFrame, step: int):
         contribs = (
             current.filter(F.col("outw").isNotNull())
+            .hint("shuffle_hash")
             .join(e, F.col("id") == e.src, "inner")
             .select(
                 F.col("dst").alias("id"),
@@ -636,6 +638,7 @@ def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> Itera
     def step_fn(current: DataFrame, step: int):
         contribs = (
             current.filter(F.col("outdeg").isNotNull())
+            .hint("shuffle_hash")
             .join(e, F.col("id") == e.src, "inner")
             .select(F.col("dst").alias("id"), (F.col("score") / F.col("outdeg")).alias("msg"))
             .groupBy("id")
@@ -855,6 +858,7 @@ def _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part, init=No
         # messages: score/outdeg to each out-neighbor
         contribs = (
             current.filter(F.col("outdeg").isNotNull())
+            .hint("shuffle_hash")
             .join(e, F.col("id") == e.src, "inner")
             .select(F.col("dst").alias("id"), (F.col("score") / F.col("outdeg")).alias("msg"))
             .groupBy("id")
