@@ -1408,9 +1408,7 @@ def harmonic_centrality(
     with loop_tuned_session(spark, n_rows):
         prev_state = None
         for _ in range(rounds):
-            # shuffle_hash: see betweenness_centrality — stops the per-round
-            # edge-frame broadcast/sort; state (<=|S|·|V|) hashes instead
-            msgs = state.hint("shuffle_hash").join(e, state.id == e.a).select(
+            msgs = state.join(e, state.id == e.a).select(
                 "s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist")
             )
             state = (
@@ -2437,7 +2435,7 @@ def katz_centrality(
     prev = None
     for _ in range(steps):
         msg = (
-            x.hint("shuffle_hash").join(e, x["id"] == e["src"])
+            x.join(e, x["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("score").alias("_m"))
         )

@@ -155,7 +155,7 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
     def step_fn(current: DataFrame, step: int):
         # authority <- sum of in-neighbor hubs (join on src, deliver to dst)
         auth_raw = (
-            current.hint("shuffle_hash").join(e, current.id == e.src, "inner")
+            current.join(e, current.id == e.src, "inner")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a_raw"))
         )
@@ -178,7 +178,6 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
         # hub <- sum of out-neighbor authorities (join on dst side)
         hub_raw = (
             with_auth.select("id", "authority2")
-            .hint("shuffle_hash")
             .join(e, F.col("id") == e.dst, "inner")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("authority2").alias("h_raw"))

@@ -122,7 +122,7 @@ def connected_components(
             return _components_local(v, und, max_steps)
 
     def send(state: DataFrame, e: DataFrame) -> DataFrame:
-        return state.hint("shuffle_hash").join(e, state.id == e.src, "inner").select(
+        return state.join(e, state.id == e.src, "inner").select(
             F.col("dst").alias("id"), F.col("value").alias("msg")
         )
 
@@ -174,7 +174,7 @@ def label_propagation(
         state = v.withColumn("value", F.col("id")).localCheckpoint(eager=True)
 
         def step_fn(current: DataFrame, step: int):
-            msgs = current.hint("shuffle_hash").join(e, current.id == e.src, "inner").select(
+            msgs = current.join(e, current.id == e.src, "inner").select(
                 F.col("dst").alias("id"), F.col("value").alias("msg")
             )
             votes = msgs.groupBy("id", "msg").agg(F.count(F.lit(1)).alias("n"))

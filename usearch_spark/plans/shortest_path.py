@@ -215,7 +215,7 @@ def _sssp_loop(spark, v, e0, src_id, max_steps, n_part) -> IterationResult:
     def step_fn(current: DataFrame, step: int):
         frontier = current.filter(F.col("improved"))
         msgs = (
-            frontier.hint("shuffle_hash").join(e, frontier.id == e.src, "inner")
+            frontier.join(e, frontier.id == e.src, "inner")
             .select(
                 F.col("dst").alias("id"),
                 (F.col("cost") + F.col("weight")).alias("new_cost"),
