@@ -186,3 +186,25 @@ def test_no_new_round_over_double_division(path):
         "compute the numerator exactly (decimal/integer units + half-away "
         f"integer division) instead: {sites}"
     )
+
+
+PLAN_SOURCES = sorted((REPO / "usearch_spark" / "plans").glob("*.py"))
+
+
+@pytest.mark.parametrize("path", PLAN_SOURCES, ids=lambda p: str(p.relative_to(REPO)))
+def test_no_cache_in_plans(path):
+    """Loop-invariant frames in plans/ use the eager localCheckpoint +
+    release_local_checkpoint idiom, not .cache(): cached blocks linger
+    until the caller's clearCache and re-enter the planner as
+    InMemoryRelation (r15-verdict #8).  Operators with genuinely
+    session-lived indexes (operators/search.py) are out of scope."""
+    tree = ast.parse(path.read_text(), filename=str(path))
+    sites = [
+        f"{path.relative_to(REPO)}:{n.lineno}"
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr in ("cache", "persist")
+        and not n.args
+    ]
+    assert not sites, f".cache()/.persist() in plans/ (use localCheckpoint + release): {sites}"

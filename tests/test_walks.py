@@ -143,3 +143,25 @@ def test_pruned_and_ranked_strategies_are_bit_identical(spark):
     assert key(
         node2vec_walks(e, starts, steps=5, strategy="pruned")
     ) == key(node2vec_walks(e, starts, steps=5, strategy="ranked"))
+
+
+def test_forced_pruned_above_max_starts_raises(spark):
+    """A caller FORCING strategy='pruned' above PRUNED_MAX_STARTS must get
+    an explicit error (r15-verdict #9): the pruned path collects the
+    distinct in-flight vertex set to the driver each step, which does not
+    scale past the bound.  'auto' and 'ranked' stay silent on the same
+    start set."""
+    import pytest
+
+    from usearch_spark.plans.walks import PRUNED_MAX_STARTS, node2vec_walks, random_walks
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    big = spark.range(PRUNED_MAX_STARTS + 1).select(
+        F.concat(F.lit("v"), F.col("id")).alias("id")
+    )
+    with pytest.raises(ValueError, match="pruned"):
+        random_walks(e, big, steps=1, strategy="pruned")
+    with pytest.raises(ValueError, match="pruned"):
+        node2vec_walks(e, big, steps=1, strategy="pruned")
+    # the auto path silently picks ranked for the same set
+    random_walks(e, big, steps=1, strategy="auto")

@@ -29,6 +29,7 @@ from usearch_spark.plans.iterative import (
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
+    release_local_checkpoint,
     run_fixpoint,
 )
 
@@ -211,7 +212,7 @@ def _coloring_local(spark, state, e0, max_steps) -> IterationResult:
 
 
 def _coloring_loop(spark, state, e0, max_steps, n_part) -> IterationResult:
-    e = e0.repartition(n_part, "src").cache()
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=True)
 
     def step_fn(current: DataFrame, step: int):
         # neighbor view: for each dst, the colors used and the strongest
@@ -259,6 +260,6 @@ def _coloring_loop(spark, state, e0, max_steps, n_part) -> IterationResult:
         max_steps=max_steps,
         checkpoint_every=10**9,
     )
-    e.unpersist()
+    release_local_checkpoint(e)
     result.state = result.state.select("id", "color")
     return result

@@ -1393,10 +1393,6 @@ def harmonic_centrality(
     if strategy == "local":
         # ship the canonical half; the solver mirrors it after transfer
         return _local_bfs_frame(v, und, sources, rounds, "harmonic", undirected=True)
-    e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
-        eager=True
-    )
-    release_local_checkpoint(und)  # folded into e; distributed loop reads only e
     spark = vertices.sparkSession
     # state id columns take the VERTEX frame's id type (bigint vertex ids
     # must not silently coerce to string — join/union coercion can lose
@@ -1405,10 +1401,23 @@ def harmonic_centrality(
     state = spark.createDataFrame(
         [(str(s), str(s), 0) for s in sources], "s string, id string, dist int"
     ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist")
-    with loop_tuned_session(spark, n_rows):
+    with loop_tuned_session(spark, n_rows) as n_part:
+        # partition the doubled edge frame by the join key ONCE: the union
+        # scans as UnknownPartitioning, so without this every round pays a
+        # full 2|E| exchange (guide §2.4 — share one exchange); the
+        # checkpoint's LogicalRDD carries hashpartitioning(a, n_part) and
+        # the per-round join re-uses it.  shuffle_hash on the state side
+        # then moves ONLY the state — no per-round driver-side broadcast
+        # build of the edge frame, no edge re-sort: the scale-safe shape.
+        # (Single-partition loops skip the repartition — nothing to save.)
+        e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        if n_part > 1:
+            e = e.repartition(n_part, "a")
+        e = e.localCheckpoint(eager=True)
+        release_local_checkpoint(und)  # folded into e; loop reads only e
         prev_state = None
         for _ in range(rounds):
-            msgs = state.join(e, state.id == e.a).select(
+            msgs = state.hint("shuffle_hash").join(e, state.id == e.a).select(
                 "s", F.col("b").alias("id"), (F.col("dist") + 1).alias("dist")
             )
             state = (
@@ -1419,6 +1428,7 @@ def harmonic_centrality(
             )
             release_local_checkpoint(prev_state)
             prev_state = state
+    release_local_checkpoint(e)  # the final state no longer references it
     # exact fixed-point: distances are integers in [1, rounds], so
     # Σ 1/d = (Σ L/d) / L with L = lcm(1..rounds) — an exact integer
     # numerator; the 6dp half-up quantization is pure integer arithmetic
@@ -1481,16 +1491,23 @@ def betweenness_centrality(
     if strategy == "local":
         # ship the canonical half; the solver mirrors it after transfer
         return _local_bfs_frame(v_in, und, sources, rounds, "betweenness", undirected=True)
-    e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
-        eager=True
-    )
-    release_local_checkpoint(und)  # folded into e; distributed loop reads only e
     spark = vertices.sparkSession
     id_type = dict(v_in.dtypes)["id"]
     state = spark.createDataFrame(
         [(str(s), str(s), 0, 1.0) for s in sources], "s string, id string, dist int, sigma double"
     ).select(F.col("s").cast(id_type), F.col("id").cast(id_type), "dist", "sigma")
-    with loop_tuned_session(spark, n_rows):
+    with loop_tuned_session(spark, n_rows) as n_part:
+        # partition the doubled edge frame by the forward join key ONCE
+        # (guide §2.4): the unionAll scans as UnknownPartitioning, so
+        # without this every forward round re-exchanges all 2|E| rows; the
+        # checkpoint's LogicalRDD carries hashpartitioning(a, n_part) and
+        # each round's join re-uses it.  (Single-partition loops skip the
+        # repartition — nothing to save.)
+        e = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        if n_part > 1:
+            e = e.repartition(n_part, "a")
+        e = e.localCheckpoint(eager=True)
+        release_local_checkpoint(und)  # folded into e; loop reads only e
         prev_cp = None
         for r in range(1, rounds + 1):
             frontier = state.filter(F.col("dist") == r - 1)
@@ -1499,8 +1516,8 @@ def betweenness_centrality(
             # estimate fits the threshold (a single-threaded driver-side
             # hash build of millions of rows, rebuilt per round), and
             # falls back to sort-merge (re-SORTING the edge frame per
-            # round) once it doesn't.  Hashing the frontier keeps both
-            # sides co-partitioned exchanges — the scale-safe shape
+            # round) once it doesn't.  Hashing the frontier keeps the
+            # frontier the only moving side — the scale-safe shape
             msgs = (
                 frontier.hint("shuffle_hash").join(e, frontier.id == e.a)
                 .select("s", F.col("b").alias("id"), F.col("sigma").alias("m"))
@@ -1514,13 +1531,21 @@ def betweenness_centrality(
             release_local_checkpoint(prev_cp)
             prev_cp = state
 
+        # the backward sweep joins on the OTHER endpoint: re-key the edge
+        # checkpoint by b once so the per-level joins reuse the partitioning
+        # (one 2|E| exchange total instead of one per level)
+        if n_part > 1:
+            e_b = e.repartition(n_part, "b").localCheckpoint(eager=True)
+            release_local_checkpoint(e)
+        else:
+            e_b = e
         delta = state.withColumn("delta", F.lit(0.0))
         for lev in range(rounds, 0, -1):
             w = delta.filter(F.col("dist") == lev).select(
                 "s", F.col("id").alias("wid"), F.col("sigma").alias("sw"), F.col("delta").alias("dw")
             )
             contribs = (
-                w.hint("shuffle_hash").join(e, w.wid == e.b)
+                w.hint("shuffle_hash").join(e_b, w.wid == e_b.b)
                 .select("s", F.col("a").alias("pid"), "sw", "dw")
                 .join(
                     delta.filter(F.col("dist") == lev - 1).select(
@@ -1549,6 +1574,7 @@ def betweenness_centrality(
             # folded into this delta checkpoint)
             release_local_checkpoint(prev_cp)
             prev_cp = delta
+    release_local_checkpoint(e_b)  # the final delta no longer references it
     per = (
         delta.filter(F.col("id") != F.col("s"))
         .groupBy("id")

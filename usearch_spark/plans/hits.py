@@ -137,7 +137,7 @@ def _hits_local(v, n, e0, rounds) -> IterationResult:
 def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
     from usearch_spark.plans.iterative import release_local_checkpoint
 
-    e = e0.repartition(n_part, "src").cache()
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=True)
     state = (
         v.withColumn("hub", F.lit(1.0 / n))
         .withColumn("authority", F.lit(1.0 / n))
@@ -210,5 +210,5 @@ def _hits_loop(v, n, e0, rounds, n_part) -> IterationResult:
         max_steps=rounds,
         checkpoint_every=10**9,  # step_fn checkpoints internally
     )
-    e.unpersist()
+    release_local_checkpoint(e)
     return result

@@ -35,7 +35,7 @@ LOCAL_SOLVE_MAX_ROWS = 2_000_000
 
 
 @contextmanager
-def loop_tuned_session(spark: SparkSession, n_rows: int, rows_per_partition: int = 20_000):
+def loop_tuned_session(spark: SparkSession, n_rows: int, rows_per_partition: int = 200_000):
     """Session confs tuned for many small iterative steps, restored on exit:
 
     - shuffle partitions sized to the state (~rows_per_partition each,
@@ -43,6 +43,20 @@ def loop_tuned_session(spark: SparkSession, n_rows: int, rows_per_partition: int
       scheduling, huge ones still spread;
     - AQE off: its per-job query-stage materialization barriers cost more
       than they save when each step is a small fixed-shape join/agg.
+
+    rows_per_partition was 20k through r15 — ~0.5 MB per partition for
+    30-byte edge rows, two orders below the guide's 100 MB-1 GB shuffle
+    partition target, so a superstep on the 600k-edge bench graph ran 30
+    near-empty tasks per stage.  Measured on this host (r16): each task
+    carries a ~33 ms CPU floor and shuffle CPU grows super-linearly in the
+    task count (600k-row agg: 30 partitions = 8.6 s JVM CPU, 8 = 1.2 s,
+    2 = 0.5 s), so the _dist superstep family was CPU-bound on pure
+    per-task overhead.  200k rows (~5-10 MB) was the A/B sweep optimum
+    (20k/100k/200k/350k/700k probed on hits/betweenness/harmonic/pagerank
+    _dist: 200k beat 20k by 1.4-2.4x; 700k lost parallelism where per-row
+    work matters).  At cluster scale n_part is capped by the session's
+    shuffle partitions, so this only changes small-to-mid loop states —
+    the 100 TB shape is untouched.
     """
     conf_part = spark.conf.get("spark.sql.shuffle.partitions")
     conf_aqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -44,6 +44,7 @@ from usearch_spark.plans.iterative import (
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
+    release_local_checkpoint,
     run_fixpoint,
 )
 
@@ -551,8 +552,16 @@ def _weighted_pagerank_local(v, n, e0, damping, min_sad, max_steps) -> Iteration
 
 
 def _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part) -> IterationResult:
-    e = e0.repartition(n_part, "src").cache()
-    out_w = e.groupBy("src").agg(F.sum("w").alias("outw")).withColumnRenamed("src", "id").cache()
+    # localCheckpoint (not .cache()) for the loop-invariant frames: eager
+    # blocks the loop reads directly, released the moment the loop ends —
+    # .cache() pinned them until the caller's clearCache (r15-verdict #3)
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=True)
+    out_w = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("outw"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
     res_metric = (
         F.coalesce(F.sum(F.when(F.col("outw").isNull(), F.col("score"))), F.lit(0.0)) / n
     )
@@ -607,8 +616,8 @@ def _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part) -> It
         max_steps=max_steps,
         checkpoint_every=10**9,
     )
-    e.unpersist()
-    out_w.unpersist()
+    release_local_checkpoint(e)
+    release_local_checkpoint(out_w)
     result.state = result.state.select("id", "score")
     return result
 
@@ -617,8 +626,13 @@ def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> Itera
     """Distributed PPR superstep loop — same plan shape as _pagerank_loop
     (one edge join + one agg + one state join per step, metrics observed on
     the checkpoint job) with the teleport weight as a state column."""
-    e = e0.repartition(n_part, "src").cache()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=True)
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
 
     # residual = total score stranded on dead ends (NOT divided by N: PPR
     # redistributes it through the teleport vector, not uniformly)
@@ -676,8 +690,8 @@ def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> Itera
         max_steps=max_steps,
         checkpoint_every=10**9,
     )
-    e.unpersist()
-    out_deg.unpersist()
+    release_local_checkpoint(e)
+    release_local_checkpoint(out_deg)
     result.state = result.state.select("id", "score")
     return result
 
@@ -826,8 +840,13 @@ def _pagerank_local(spark, v, n, e0, damping, min_sad, max_steps, teleport=None,
 
 
 def _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part, init=None) -> IterationResult:
-    e = e0.repartition(n_part, "src").cache()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).withColumnRenamed("src", "id").cache()
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=True)
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager=True)
+    )
 
     res_metric = (
         F.coalesce(F.sum(F.when(F.col("outdeg").isNull(), F.col("score"))), F.lit(0.0)) / n
@@ -900,7 +919,7 @@ def _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part, init=No
         max_steps=max_steps,
         checkpoint_every=10**9,  # step_fn checkpoints internally
     )
-    e.unpersist()
-    out_deg.unpersist()
+    release_local_checkpoint(e)
+    release_local_checkpoint(out_deg)
     result.state = result.state.select("id", "score")
     return result

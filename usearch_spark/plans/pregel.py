@@ -24,6 +24,7 @@ from usearch_spark.plans.iterative import (
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
+    release_local_checkpoint,
     run_fixpoint,
 )
 
@@ -54,7 +55,18 @@ def pregel(
     e = edges.localCheckpoint(eager=True)
 
     # partitions sized by the dominant per-step volume (edges, usually)
-    with loop_tuned_session(spark, max(n, e.count())):
+    with loop_tuned_session(spark, max(n, e.count())) as n_part:
+        if "src" in e.columns and n_part > 1:
+            # partition the loop-invariant edge frame by the conventional
+            # send key ONCE (guide §2.4): every in-repo send_msg joins
+            # state.id == e.src, so the per-step join reuses the
+            # checkpoint's hashpartitioning instead of re-exchanging |E|
+            # rows each superstep.  Single-partition loops skip it — the
+            # extra materialization job costs more than the 1-task
+            # per-round exchange it would save.
+            e_part = e.repartition(n_part, "src").localCheckpoint(eager=True)
+            release_local_checkpoint(e)
+            e = e_part
         state = v.withColumn("value", initial_value).localCheckpoint(eager=True)
 
         def step_fn(current: DataFrame, step: int):
@@ -83,13 +95,15 @@ def pregel(
             )
             return new_state, {"changed": int(metrics["changed"])}
 
-        return run_fixpoint(
+        result = run_fixpoint(
             state,
             step_fn,
             should_continue=lambda m, step: m["changed"] > 0,
             max_steps=max_steps,
             checkpoint_every=10**9,
         )
+    release_local_checkpoint(e)  # the final state no longer references it
+    return result
 
 
 def connected_components(
@@ -170,7 +184,14 @@ def label_propagation(
     v = vertices.select(F.col(id_col).alias("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     e = und.localCheckpoint(eager=True)
 
-    with loop_tuned_session(spark, max(v.count(), e.count())):
+    with loop_tuned_session(spark, max(v.count(), e.count())) as n_part:
+        if n_part > 1:
+            # one edge exchange for the whole loop (guide §2.4): the
+            # per-round join keys on e.src and reuses the checkpoint's
+            # partitioning; single-partition loops skip the extra job
+            e_part = e.repartition(n_part, "src").localCheckpoint(eager=True)
+            release_local_checkpoint(e)
+            e = e_part
         state = v.withColumn("value", F.col("id")).localCheckpoint(eager=True)
 
         def step_fn(current: DataFrame, step: int):
@@ -197,13 +218,15 @@ def label_propagation(
             )
             return new_state, {"changed": int(metrics["changed"])}
 
-        return run_fixpoint(
+        result = run_fixpoint(
             state,
             step_fn,
             should_continue=lambda m, step: True,
             max_steps=rounds,
             checkpoint_every=10**9,
         )
+    release_local_checkpoint(e)  # the final state no longer references it
+    return result
 
 
 def _components_local(v: DataFrame, e: DataFrame, max_steps: int) -> IterationResult:

@@ -27,6 +27,7 @@ from usearch_spark.plans.iterative import (
     IterationResult,
     checkpoint_with_metrics,
     loop_tuned_session,
+    release_local_checkpoint,
     run_fixpoint,
 )
 
@@ -199,7 +200,7 @@ def _sssp_local(spark, v, e0, src_id, max_steps) -> IterationResult:
 
 
 def _sssp_loop(spark, v, e0, src_id, max_steps, n_part) -> IterationResult:
-    e = e0.repartition(n_part, "src").cache()
+    e = e0.repartition(n_part, "src").localCheckpoint(eager=True)
 
     state = (
         v.select(
@@ -256,7 +257,7 @@ def _sssp_loop(spark, v, e0, src_id, max_steps, n_part) -> IterationResult:
         max_steps=max_steps,
         checkpoint_every=10**9,
     )
-    e.unpersist()
+    release_local_checkpoint(e)
     result.state = result.state.select("id", "cost", "prev_in_path")
     return result
 
