@@ -104,6 +104,7 @@ def pagerank_stream_rerank(
         # a replayed un-committed epoch reuses its version and rewrites
         # the same fragment identically.
         frag = f"v{version}"
+        cur = None
         if committed < 0:
             fragments, since = [], 0
             new_edges = batch
@@ -113,6 +114,11 @@ def pagerank_stream_rerank(
             cur = _read_edges(spark, target_path, fragments)
             # S5/S6 upsert identity: only edges NOT already stored append
             new_edges = batch.join(cur, ["src", "dst"], "left_anti")
+        # materialize the upsert once: it feeds the fragment write AND the
+        # re-rank's edge set below — without the checkpoint the anti-join
+        # runs twice, and the re-rank would re-READ every fragment parquet
+        # (including the one just written) instead of reusing cur + delta
+        new_edges = new_edges.localCheckpoint(eager=True)
         new_edges.write.mode("overwrite").parquet(
             os.path.join(target_path, "edges", frag)
         )
@@ -120,9 +126,12 @@ def pagerank_stream_rerank(
         vdir = os.path.join(target_path, f"v{version}")
         os.makedirs(vdir, exist_ok=True)
         if since % rerank_every == 0:
-            edges = _read_edges(spark, target_path, fragments).localCheckpoint(
-                eager=True
-            )
+            # committed fragments ∪ the just-written delta — identical rows
+            # to re-listing the fragment dirs (the write is the checkpoint's
+            # own rows), one multi-fragment parquet re-read saved per epoch
+            edges = (
+                new_edges if cur is None else cur.unionByName(new_edges)
+            ).localCheckpoint(eager=True)
             verts = (
                 edges.select(F.col("src").alias("id"))
                 .unionByName(edges.select(F.col("dst").alias("id")))
