@@ -9874,7 +9874,17 @@ def q_graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from usearch_spark.plans.graph_stats import butterfly_count
 
     _, e = _supplier_part_graph(spark, sf_dir)
-    return butterfly_count(e, left="src", right="dst")
+    # the census output is label-invariant (pure counts, no vertex ids),
+    # so the 8.7M-pair self-join can run on the raw INTEGER keys instead
+    # of the 's123'/'p456' strings — narrower shuffle rows, cheaper
+    # hash/compare (guide §2.3); the left/right roles keep the supplier
+    # and part key spaces disjoint, and the oracle already replays on
+    # raw l_suppkey/l_partkey
+    e_int = e.select(
+        F.substring("src", 2, 12).cast("long").alias("src"),
+        F.substring("dst", 2, 12).cast("long").alias("dst"),
+    )
+    return butterfly_count(e_int, left="src", right="dst")
 
 
 def _butterflies_oracle_sql() -> str:

@@ -396,40 +396,47 @@ def maximal_matching(
     form (extra rounds past the empty edge set are no-ops) so an oracle
     can unroll it.
     """
+    from usearch_spark.plans.iterative import checkpoint_with_metrics, loop_tuned_session
+
     e = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     matching = None
     prev_e = e  # sel checkpoints stay live (matching unions them); e does not
-    for _ in range(rounds):
-        pr = F.md5(
-            F.concat(
-                F.length("a").cast("string"), F.lit(":"), F.col("a"),
-                F.lit("|"),
-                F.length("b").cast("string"), F.lit(":"), F.col("b"),
+    # the rounds are classic small fixed-shape supersteps: size their
+    # shuffles to the live edge set and skip AQE's per-job barriers
+    with loop_tuned_session(vertices.sparkSession, e.count()):
+        for _ in range(rounds):
+            pr = F.md5(
+                F.concat(
+                    F.length("a").cast("string"), F.lit(":"), F.col("a"),
+                    F.lit("|"),
+                    F.length("b").cast("string"), F.lit(":"), F.col("b"),
+                )
             )
-        )
-        ep = e.withColumn("pr", pr)
-        incid = ep.select(F.col("a").alias("v"), "pr").unionAll(
-            ep.select(F.col("b").alias("v"), "pr")
-        )
-        vmin = incid.groupBy("v").agg(F.min("pr").alias("vmin"))
-        sel = (
-            ep.join(vmin.select(F.col("v").alias("a"), F.col("vmin").alias("ma")), "a")
-            .join(vmin.select(F.col("v").alias("b"), F.col("vmin").alias("mb")), "b")
-            .filter((F.col("pr") == F.col("ma")) & (F.col("pr") == F.col("mb")))
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
-        matching = sel if matching is None else matching.unionAll(sel)
-        touched = sel.select(F.col("a").alias("v")).unionAll(sel.select(F.col("b").alias("v")))
-        e = (
-            e.join(touched.select(F.col("v").alias("a")), "a", "left_anti")
-            .join(touched.select(F.col("v").alias("b")), "b", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        release_local_checkpoint(prev_e)
-        prev_e = e
-        if e.isEmpty():
-            break
+            ep = e.withColumn("pr", pr)
+            incid = ep.select(F.col("a").alias("v"), "pr").unionAll(
+                ep.select(F.col("b").alias("v"), "pr")
+            )
+            vmin = incid.groupBy("v").agg(F.min("pr").alias("vmin"))
+            sel = (
+                ep.join(vmin.select(F.col("v").alias("a"), F.col("vmin").alias("ma")), "a")
+                .join(vmin.select(F.col("v").alias("b"), F.col("vmin").alias("mb")), "b")
+                .filter((F.col("pr") == F.col("ma")) & (F.col("pr") == F.col("mb")))
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            matching = sel if matching is None else matching.unionAll(sel)
+            touched = sel.select(F.col("a").alias("v")).unionAll(sel.select(F.col("b").alias("v")))
+            # the survivor count rides the checkpoint job (one action per
+            # round instead of checkpoint + isEmpty)
+            e, m = checkpoint_with_metrics(
+                e.join(touched.select(F.col("v").alias("a")), "a", "left_anti")
+                .join(touched.select(F.col("v").alias("b")), "b", "left_anti"),
+                cnt=F.count(F.lit(1)),
+            )
+            release_local_checkpoint(prev_e)
+            prev_e = e
+            if int(m["cnt"]) == 0:
+                break
     if matching is None:
         return e.select("a", "b")  # empty frame with the right schema
     return matching.select("a", "b")

@@ -587,7 +587,7 @@ def _weighted_pagerank_loop(v, n, e0, damping, min_sad, max_steps, n_part) -> It
         )
         new_ranks = (
             current.withColumnRenamed("score", "old_score")
-            .join(contribs, "id", "left")
+            .join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
@@ -660,7 +660,7 @@ def _ppr_loop(spark, v, e0, damping, min_sad, max_steps, n_part, p_col) -> Itera
         )
         new_ranks = (
             current.withColumnRenamed("score", "old_score")
-            .join(contribs, "id", "left")
+            .join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 "p",
@@ -883,9 +883,14 @@ def _pagerank_loop(spark, v, n, e0, damping, min_sad, max_steps, n_part, init=No
             .groupBy("id")
             .agg(F.sum("msg").alias("msg_sum"))
         )
+        # shuffle_hash on the aggregated side: the state checkpoint carries
+        # hashpartitioning(id, n_part) and contribs' agg output is already
+        # hash(id)-partitioned, so the join-back is CO-PARTITIONED with no
+        # exchange — the unhinted plan instead rebuilt a broadcast of
+        # contribs every step (guide §2.4/§3.1)
         new_ranks = (
             current.withColumnRenamed("score", "old_score")
-            .join(contribs, "id", "left")
+            .join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (
