@@ -1774,6 +1774,42 @@ def _supplier_part_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     return pair
 
 
+def _sp_graph_long(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The supplier→part graph with SURROGATE INTEGER vertex ids for the
+    forced-distributed superstep queries (guide §2.2/§2.3 — shuffle
+    narrower types): the string ids are synthetic ('s<suppkey>' /
+    'p<partkey>'), so the map to disjoint longs (supplier k → 2k, part
+    k → 2k+1) and back are pure column expressions — no mapping join on
+    either side.  Every superstep exchange then hashes/compares 8-byte
+    longs instead of 5-8-char strings (pagerank_dist probed ~20% faster
+    on the identical co-partitioned plan).  On a graph whose ids are not
+    integer-derived, the same move needs a materialized (id, long) map
+    joined at loop entry/exit — the expression form is the free case."""
+    v, e = _supplier_part_graph(spark, sf_dir)
+    v_l = v.select(
+        F.when(
+            F.substring("id", 1, 1) == F.lit("s"),
+            F.substring("id", 2, 12).cast("long") * 2,
+        )
+        .otherwise(F.substring("id", 2, 12).cast("long") * 2 + 1)
+        .alias("id")
+    )
+    e_l = e.select(
+        (F.substring("src", 2, 12).cast("long") * 2).alias("src"),
+        (F.substring("dst", 2, 12).cast("long") * 2 + 1).alias("dst"),
+    )
+    return v_l, e_l
+
+
+def _sp_long_to_str(col_name: str = "id"):
+    """Inverse of :func:`_sp_graph_long`'s id map (even → 's'+k, odd →
+    'p'+k) — restores the original string ids bit-exactly at query exit."""
+    c = F.col(col_name)
+    return F.when(
+        c % 2 == 0, F.concat(F.lit("s"), (c.cast("long") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("p"), ((c - 1) / 2).cast("long")))
+
+
 def q_graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 with a FULL SQL oracle: exactly 10 PageRank iterations (no early
     convergence) on the supplier→part graph; the DuckDB oracle is the same
@@ -1787,12 +1823,16 @@ def q_graph_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_pagerank_fixed with strategy="distributed" FORCED: the
     per-superstep join/agg loop that runs above LOCAL_SOLVE_MAX_ROWS —
     the 100-TB code path — hash-checked against the same unrolled oracle
-    instead of only local↔distributed parity pytest."""
-    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    instead of only local↔distributed parity pytest.  Runs on the
+    surrogate-long ids (_sp_graph_long) so every superstep shuffles
+    8-byte keys; the expression map back restores the string ids."""
+    vertices, edges = _sp_graph_long(spark, sf_dir)
     res = pagerank(
         vertices, edges, min_sad=0.0, max_steps=10, edges_deduped=True, strategy="distributed"
     )
-    return res.state.select("id", F.round(F.col("score"), 8).alias("score"))
+    return res.state.select(
+        _sp_long_to_str("id").alias("id"), F.round(F.col("score"), 8).alias("score")
+    )
 
 
 PPR_SOURCES = ["s1"]
@@ -2217,13 +2257,15 @@ def q_graph_coloring_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_hits_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_hits with strategy="distributed" FORCED — per-phase
-    join + L1-normalize supersteps under the same unrolled oracle."""
+    join + L1-normalize supersteps under the same unrolled oracle.
+    Surrogate-long ids (_sp_graph_long) narrow every superstep shuffle;
+    the expression map back restores the string ids."""
     from usearch_spark.plans.hits import hits
 
-    vertices, edges = _supplier_part_graph(spark, sf_dir)
+    vertices, edges = _sp_graph_long(spark, sf_dir)
     res = hits(vertices, edges, rounds=5, edges_deduped=True, strategy="distributed")
     return res.state.select(
-        "id",
+        _sp_long_to_str("id").alias("id"),
         F.round(F.col("hub"), 8).alias("hub"),
         F.round(F.col("authority"), 8).alias("authority"),
     )
@@ -6352,11 +6394,17 @@ def q_graph_harmonic_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_harmonic with strategy="distributed" FORCED: the per-superstep
     join path that runs above LOCAL_SOLVE_MAX_ROWS (the 100-TB code path)
     under the same unrolled-BFS oracle — hash-checked, not just
-    parity-pinned against the local solve in pytest."""
+    parity-pinned against the local solve in pytest.  Surrogate-long ids
+    (_sp_graph_long) narrow the per-round (s, id) shuffles; the
+    expression map back restores the string ids."""
     from usearch_spark.plans.graph_stats import harmonic_centrality
 
-    v, e = _supplier_part_graph(spark, sf_dir)
-    return harmonic_centrality(v, e, HARMONIC_SOURCES, rounds=4, strategy="distributed")
+    v, e = _sp_graph_long(spark, sf_dir)
+    srcs = [int(s[1:]) * 2 for s in HARMONIC_SOURCES]  # 's<k>' -> 2k
+    out = harmonic_centrality(v, e, srcs, rounds=4, strategy="distributed")
+    return out.select(
+        _sp_long_to_str("id").alias("id"), "harmonic", "n_reached"
+    )
 
 
 def _harmonic_oracle_sql(rounds: int = 4, sources: tuple = ("s1", "s2", "s3")) -> str:
@@ -7290,11 +7338,15 @@ def _coreness_oracle_sql(rounds: int = 8) -> str:
 def q_graph_betweenness_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph_betweenness with strategy="distributed" FORCED: both Brandes
     sweeps run the per-level DataFrame joins (the at-scale path) under the
-    same unrolled oracle."""
+    same unrolled oracle.  Surrogate-long ids (_sp_graph_long) narrow the
+    (s, id)-keyed shuffles of both sweeps; the expression map back
+    restores the string ids."""
     from usearch_spark.plans.graph_stats import betweenness_centrality
 
-    v, e = _supplier_part_graph(spark, sf_dir)
-    return betweenness_centrality(v, e, HARMONIC_SOURCES, rounds=3, strategy="distributed")
+    v, e = _sp_graph_long(spark, sf_dir)
+    srcs = [int(s[1:]) * 2 for s in HARMONIC_SOURCES]  # 's<k>' -> 2k
+    out = betweenness_centrality(v, e, srcs, rounds=3, strategy="distributed")
+    return out.select(_sp_long_to_str("id").alias("id"), "betweenness")
 
 
 def _betweenness_oracle_sql(rounds: int = 3, sources: tuple = ("s1", "s2", "s3")) -> str:
